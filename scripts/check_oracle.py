@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle differential check.
+
+Usage: python scripts/check_oracle.py <sfDir> <verifyOutDir>
+Loads each <name> parquet result, runs oracle_sql.json[<name>] in DuckDB with
+the sf tables registered as views, and compares: schema (column names), row
+count, and values (columns sorted by name, rows sorted by all columns).
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def cmp_cell(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return fa == fb or abs(fa - fb) < 1e-9
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(cmp_cell(x, y) for x, y in zip(a, b))
+    return str(a) == str(b)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = canon(con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            exp = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i in range(len(got)):
+            for c in got.columns:
+                a, b = got[c].iloc[i], exp[c].iloc[i]
+                if not cmp_cell(a, b):
+                    bad = (i, c, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: got={bad[2]!r} exp={bad[3]!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local replica of the driver's t1 smoke check: `SparkEntry.entry` on a
+  * plain session (no special confs — the driver sets none) must return >0
+  * rows at sf0.001.
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = SparkEntry.entry(spark).count()
+    println(s"[smoke] entry rows=$n " + (if (n > 0) "OK" else "EMPTY"))
+    spark.stop()
+    if (n == 0) sys.exit(1)
+  }
+}

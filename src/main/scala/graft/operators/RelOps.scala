@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Host-engine relational surface (SURVEY.md §2.3): the query categories the
+  * reference delegates to DataFusion and the rebuild delegates to Spark SQL —
+  * aggregation, joins (broadcast/shuffle/semi/anti), windows, sort/top-k, set
+  * ops, rollup, JSON extraction, time bucketing, sessionization.
+  *
+  * Scale notes (100 TB design intent, verified via .explain in tests):
+  *   - dimension joins (region/nation/supplier/customer) are broadcast;
+  *   - aggregations are partial (map-side combine) before the shuffle;
+  *   - filters/projections push into the parquet scan;
+  *   - double-valued aggregates are rounded so results are stable across
+  *     partition orderings AND match the DuckDB oracle bit-for-bit.
+  */
+object RelOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // TPC-H Q1-style pricing summary: the canonical partial-agg shape.
+    ("q1_pricing_summary",
+      (s: SparkSession, d: String) =>
+        lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 2) AS sum_qty,
+          |       round(sum(l_extendedprice), 2) AS sum_base_price,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          |       round(avg(l_quantity), 4) AS avg_qty,
+          |       round(avg(l_discount), 4) AS avg_disc,
+          |       CAST(count(*) AS BIGINT) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3-style: broadcast dim join + shuffle agg + top-k.
+    ("q3_top_orders",
+      (s: SparkSession, d: String) => {
+        val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        val l = lineitem(s, d)
+        l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+            l("l_orderkey") === o("o_orderkey"))
+          .groupBy(o("o_orderkey").as("o_orderkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some(
+        """SELECT o_orderkey,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem
+          |JOIN orders   ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY o_orderkey
+          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5-style: five-way join, all dims broadcast, revenue by nation.
+    ("q5_nation_revenue",
+      (s: SparkSession, d: String) => {
+        val l = lineitem(s, d)
+        val o = orders(s, d)
+        val c = customer(s, d)
+        val sup = supplier(s, d)
+        val n = nation(s, d)
+        l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+            sup("s_nationkey") === c("c_nationkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(
+        """SELECT n_name,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN orders   ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+          |JOIN nation   ON c_nationkey = n_nationkey
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // Sort / top-k.
+    ("top_orders_by_price",
+      (s: SparkSession, d: String) =>
+        orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // Window functions: rank + running sum per customer.
+    ("window_rank_orders",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("running_spend",
+            round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "running_spend")
+          .orderBy("o_custkey", "rn")
+      },
+      Some(
+        """SELECT o_custkey, rn, o_orderkey, running_spend FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |         row_number() OVER w AS rn,
+          |         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+          |           ORDER BY o_orderdate, o_orderkey
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Set operations: UNION (distinct) then EXCEPT (distinct), integer keys.
+    ("setop_customers",
+      (s: SparkSession, d: String) => {
+        val c = customer(s, d)
+        val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val b = c.filter(col("c_acctbal") > 9000).select("c_custkey")
+        val m = c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+        a.union(b).distinct().except(m).orderBy("c_custkey")
+      },
+      Some(
+        """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          | UNION
+          | SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+          |EXCEPT
+          |SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // Grouping sets via ROLLUP.
+    ("rollup_orders",
+      (s: SparkSession, d: String) =>
+        orders(s, d)
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(o_totalprice), 2) AS total
+          |FROM orders
+          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Semi + anti join cardinalities in one row.
+    ("semi_anti_orders",
+      (s: SparkSession, d: String) => {
+        val o = orders(s, d)
+        val l = lineitem(s, d).select("l_orderkey")
+        val withItems = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("with_items"))
+        val withoutItems = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("without_items"))
+        withItems.crossJoin(withoutItems)
+      },
+      Some(
+        """SELECT
+          |  CAST((SELECT count(*) FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)) AS BIGINT) AS with_items,
+          |  CAST((SELECT count(*) FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) AS BIGINT) AS without_items""".stripMargin)),
+
+    // JSON extraction from events.props ({"k": 87}).
+    ("events_json_extract",
+      (s: SparkSession, d: String) =>
+        events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(sum("k").as("sum_k"), count(lit(1)).as("n"), max("k").as("max_k"))
+          .orderBy("event_type"),
+      Some(
+        """SELECT event_type,
+          |       CAST(sum(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(max(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Time-bucketed aggregation (the batch shape of the streaming windowed agg).
+    ("events_hourly_window",
+      (s: SparkSession, d: String) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .select(
+            unix_micros(col("w.start")).as("bucket_us"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("bucket_us", "event_type"),
+      Some(
+        """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us,
+          |       event_type,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin)),
+
+    // Sessionization: 30-minute inactivity gap per user (lag + cumulative flag).
+    ("events_sessionize",
+      (s: SparkSession, d: String) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(
+        """WITH flagged AS (
+          |  SELECT user_id, event_id, ts,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          |              THEN 1 ELSE 0 END AS new_session
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), sess AS (
+          |  SELECT user_id, ts,
+          |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          |  FROM flagged
+          |)
+          |SELECT user_id, session_id,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+          |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
+  )
+}
