@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
+
+/** Column-API wrappers + SQL registration for the graft expressions. */
+object GraftFunctions {
+
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnShim.column(e)
+
+  private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnShim.expression(c)
+
+  def minhash_sig(tokens: Column, k: Int): Column =
+    toCol(MinHashSignature(ex(tokens), k))
+
+  def simhash64(tokens: Column): Column = toCol(SimHash64(ex(tokens)))
+
+  def rolling_fp(s: Column): Column = toCol(RollingFingerprint(ex(s)))
+
+  def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(ex(a), ex(b)))
+
+  def srp_sig(v: Column, bits: Int, seed: Long): Column =
+    toCol(SrpSignature(ex(v), bits, seed))
+
+  /** Word n-gram shingles from a token array, via built-in higher-order
+    * functions only (stays fully inside whole-stage codegen):
+    * `shingles(["a","b","c","d"], 3) = ["a b c", "b c d"]`.
+    */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", tokens)))
+
+  /** Register SQL names for the custom expressions on this session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_fp", es => RollingFingerprint(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Vector similarity primitives as codegen-friendly Catalyst expressions.
+  *
+  * `cosine_sim` is the hot inner loop of brute-force ANN (evaluated once per
+  * candidate pair — O(n·k) to O(n²) times per query batch), so it generates
+  * a direct static call inside whole-stage codegen instead of falling back
+  * to interpreted eval. Accumulation is sequential double-precision in
+  * element order, matching DuckDB's `list_cosine_similarity` bit-for-bit,
+  * which keeps the oracle comparison exact.
+  */
+object VectorOps {
+
+  /** Sequential-order cosine similarity of two double arrays. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign-random-projection LSH signature: `bits` hyperplanes, each drawn
+    * deterministically from (seed, plane index, dim index) via a splitmix64
+    * step — no stored projection matrix, so executors recompute it locally
+    * (nothing to broadcast; works at any cluster size).
+    */
+  def srpSignature(v: ArrayData, bits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        // splitmix64 on (seed, p, i) → pseudo-random ±1 component
+        var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * 1048576L + i + 1L)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        val comp = if ((z & 1L) == 0L) 1.0 else -1.0
+        acc += comp * v.getDouble(i)
+        i += 1
+      }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+/** `cosine_sim(array<double>, array<double>)` → double. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.cosine($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `srp_sig(array<double>, bits, seed)` → bigint sign-projection signature. */
+case class SrpSignature(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 64, "bits must be in (0, 64]")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_sig"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.srpSignature(v.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorOps.srpSignature($v, $bits, ${seed}L);")
+  override protected def withNewChildInternal(c: Expression): SrpSignature = copy(child = c)
+}

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * the training-data-pipeline surface (BASELINE.json north star).
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is a single hash-aggregate on the dedup key;
+  *   - MinHash-LSH generates candidates via an equi-join on (band, bucket) —
+  *     a shuffle proportional to docs × bands, never all-pairs — and only
+  *     verified candidates pay the exact-Jaccard cost;
+  *   - SimHash uses the 4-chunk pigeonhole: hamming ≤ 3 ⟹ one of four
+  *     16-bit chunks is identical, so the chunk equi-join is lossless;
+  *   - the brute-force O(n²) variants exist as the correctness oracle and
+  *     are the only ones that would NOT survive a 100× scale-up (stated in
+  *     their docstrings; the LSH paths are the production shape).
+  */
+object DedupOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokens → distinct 3-word shingles, built-ins only. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      array_distinct(shingles(split(col("text"), " "), 3)).as("sh"))
+
+  /** Exact Jaccard over distinct shingle arrays for a pair DataFrame with
+    * columns (a_id, b_id): join back to shingle sets, intersect/union.
+    */
+  private def verifyJaccard(pairs: DataFrame, docs: DataFrame, tau: Double): DataFrame = {
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    pairs
+      .join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jac", col("inter") / col("uni"))
+      .filter(col("jac") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */
+  private val jaccardOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |              ELSE array_to_string(ws, ' ') END AS s
+      |  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+      |), c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |i AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a_id, b_id, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+      |FROM i JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+      |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Exact dedup: one hash-aggregate on the text key.
+    ("dedup_exact",
+      (s: SparkSession, d: String) =>
+        documents(s, d)
+          .groupBy("text")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+          .select(col("keep_id"), col("n_dups"), md5(col("text")).as("text_md5"))
+          .orderBy("keep_id"),
+      Some(
+        """SELECT min(doc_id) AS keep_id,
+          |       CAST(count(*) AS BIGINT) AS n_dups,
+          |       md5(text) AS text_md5
+          |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // Brute-force n-gram (3-shingle) Jaccard ≥ 0.5 — the exact baseline.
+    // O(pairs-sharing-a-shingle); the LSH variant below is the scale path.
+    ("dedup_ngram_jaccard",
+      (s: SparkSession, d: String) => {
+        val docs = shingled(s, d).cache()
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh1"))
+        val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+        val inter = ex.as("a")
+          .join(ex.as("b"),
+            col("a.sh1") === col("b.sh1") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).cast("double").as("i"))
+        inter
+          .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), "a_id")
+          .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), "b_id")
+          .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
+          .filter(col("jac") >= 0.5)
+          .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(jaccardOracle)),
+
+    // MinHash(128) + LSH banding (64 bands × 2 rows) + exact verification.
+    // Candidate generation is an equi-join on (band, bucket); at the 0.5
+    // Jaccard threshold the miss probability per true pair is
+    // (1 - 0.5²)^64 ≈ 1e-8, so the verified output equals the exact query
+    // above — which is exactly the oracle we declare.
+    ("dedup_minhash_lsh",
+      (s: SparkSession, d: String) => {
+        val k = 128; val rows = 2; val bands = k / rows
+        val docs = shingled(s, d).cache()
+        val sigs = docs.select(col("doc_id"), minhash_sig(col("sh"), k).as("sig"))
+        val banded = sigs.select(
+          col("doc_id"),
+          posexplode(
+            transform(sequence(lit(0), lit(bands - 1)),
+              b => hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b))))
+          .toDF("doc_id", "band", "bucket")
+        val cand = banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        verifyJaccard(cand, docs, 0.5)
+      },
+      Some(jaccardOracle)),
+
+    // SimHash(64) near-dup pairs at hamming ≤ 3 via the 4×16-bit chunk
+    // pigeonhole join (lossless for ≤3 bit flips). No SQL oracle — the
+    // signature is engine-defined; covered by DedupSpec instead.
+    ("dedup_simhash",
+      (s: SparkSession, d: String) => {
+        val sigs = documents(s, d).select(
+          col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))
+        val chunks = sigs.select(
+          col("doc_id"), col("sig"),
+          posexplode(array((0 until 4).map(c =>
+            shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+          .toDF("doc_id", "sig", "chunk_idx", "chunk")
+        chunks.as("a")
+          .join(chunks.as("b"),
+            col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("a_id", "b_id")
+      },
+      None),
+
+    // Embedding near-dup: all pairs with cosine ≥ 0.4 (exact baseline).
+    ("dedup_embedding",
+      (s: SparkSession, d: String) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        e.as("a")
+          .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", cosine_sim(col("a.v"), col("b.v")))
+          .filter(col("cos") >= 0.4)
+          .select(
+            col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            round(col("cos"), 4).as("cos_sim"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+          |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Embedding near-dup, sign-random-projection LSH candidates + exact
+    // verification — the 100 TB path (equi-join on 8-bit signature bands
+    // instead of all pairs). Approximate recall; no oracle (DedupSpec
+    // asserts candidates ⊆ exact output).
+    ("dedup_embedding_srp",
+      (s: SparkSession, d: String) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("sig", srp_sig(col("v"), 64, 42L))
+        val banded = e.select(
+          col("vec_id"), col("v"),
+          posexplode(array((0 until 8).map(c =>
+            shiftright(col("sig"), c * 8).bitwiseAND(lit(0xffL))): _*)))
+          .toDF("vec_id", "v", "band", "bucket")
+        banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            col("a.v").as("va"), col("b.v").as("vb"))
+          .distinct()
+          .withColumn("cos", cosine_sim(col("va"), col("vb")))
+          .filter(col("cos") >= 0.4)
+          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy("a_id", "b_id")
+      },
+      None)
+  )
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, plus a partition-wise featurization pass.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * deterministic stub ([[fakeDecode]]) — but the Spark-side plumbing is
+  * real: binary column construction, a typed metadata struct, and
+  * `mapPartitions` featurization that processes rows batch-wise per
+  * partition exactly the way a Pandas-UDF/Arrow batch would, with no
+  * driver-side collection anywhere.
+  */
+object MultimodalOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic stand-in for a media decoder: "decodes" a payload into a
+    * 16-bin byte-value histogram, L1-normalized. A real deployment swaps
+    * this single function for an actual codec; everything around it —
+    * schema, partitioning, batch shape — is unchanged.
+    */
+  def fakeDecode(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) % 16) += 1.0
+      i += 1
+    }
+    val total = math.max(payload.length.toDouble, 1.0)
+    var j = 0
+    while (j < 16) { hist(j) /= total; j += 1 }
+    hist
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)
+  ))
+
+  /** documents → (doc_id, media binary, metadata struct). The binary payload
+    * is the UTF-8 encoding of the text (the only bytes available offline);
+    * a production pipeline reads e.g. image bytes from object storage.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        lit("text/plain").as("mime"),
+        col("source").as("origin")).as("meta"))
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Metadata extraction over the binary column — oracle-checkable since
+    // byte length and sha256 are engine-independent.
+    ("multimodal_meta",
+      (s: SparkSession, d: String) =>
+        mediaTable(s, d).select(
+          col("doc_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          sha2(col("media"), 256).as("sha256"),
+          col("meta.origin").as("origin"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |       sha256(text) AS sha256,
+          |       source AS origin
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Partition-wise featurization through the stub decoder, then a
+    // per-origin aggregate. Deterministic but engine-defined → no SQL
+    // oracle; MultimodalSpec pins the values.
+    ("multimodal_features",
+      (s: SparkSession, d: String) => {
+        val media = mediaTable(s, d)
+        val session = s
+        val feats = media.select(col("doc_id"), col("media"), col("meta.n_bytes").as("nb"))
+          .mapPartitions { rows =>
+            rows.map { r =>
+              val payload = r.getAs[Array[Byte]]("media")
+              Row(r.getAs[Long]("doc_id"), r.getAs[Long]("nb"), fakeDecode(payload))
+            }
+          }(org.apache.spark.sql.Encoders.row(featureSchema))
+        feats
+          .select(col("doc_id"), col("n_bytes"),
+            round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x), 4)
+              .as("feat_l2sq"),
+            round(element_at(col("features"), 1), 4).as("bin0"))
+          .orderBy("doc_id")
+      },
+      None)
+  )
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two tiers, per the scale plan:
+  *   - `sim_brute_topk`: exact brute-force cosine top-k. The query side is
+  *     broadcast, so the big side streams once with no shuffle — correct at
+  *     any corpus size as long as the QUERY set is small; cost is O(N·Q).
+  *   - `sim_ivf_topk`: IVF-style — vectors are assigned to their nearest
+  *     centroid (an equi-joinable cluster id), queries probe only the
+  *     `nprobe` nearest clusters. At 100 TB the probe join touches
+  *     nprobe/ncentroids of the corpus instead of all of it.
+  */
+object SimilarityOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("sim_brute_topk",
+      (s: SparkSession, d: String) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine_sim(col("qv"), col("v")))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+            round(col("cos"), 4).as("cos_sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20)
+          |SELECT q_id, rank, n_id, cos_sim FROM (
+          |  SELECT q.q_id, e.vec_id AS n_id,
+          |         round(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim,
+          |         CAST(row_number() OVER (PARTITION BY q.q_id
+          |           ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
+          |           AS INTEGER) AS rank
+          |  FROM q JOIN e ON e.vec_id != q.q_id
+          |) t WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // IVF: centroids = the 16 lowest-id vectors (deterministic, no iterative
+    // k-means so the result is reproducible and cluster-assignment is a pure
+    // function). Queries (vec_id < 20) probe their 4 nearest centroids.
+    // Approximate — recall vs sim_brute_topk is asserted in SimilaritySpec;
+    // no SQL oracle.
+    ("sim_ivf_topk",
+      (s: SparkSession, d: String) => {
+        val e = vecs(s, d)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        // cluster assignment: nearest centroid per vector
+        val wAssign = Window.partitionBy("vec_id").orderBy(
+          cosine_sim(col("v"), col("cv")).desc, col("c_id"))
+        val assigned = e.join(broadcast(cents), lit(true))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+        // probe list: 4 nearest centroids per query
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val wProbe = Window.partitionBy("q_id").orderBy(
+          cosine_sim(col("qv"), col("cv")).desc, col("c_id"))
+        val probes = q.join(broadcast(cents), lit(true))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 4)
+          .select(col("q_id"), col("qv"), col("c_id").as("cluster"))
+        // search only probed clusters
+        val scored = probes.join(assigned, "cluster")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine_sim(col("qv"), col("v")))
+        val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        scored
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+            round(col("cos"), 4).as("cos_sim"))
+          .orderBy("q_id", "rank")
+      },
+      None)
+  )
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators over `documents`: token statistics, quality
+  * scoring, heuristic language ID, document fingerprinting. All per-document
+  * computations are narrow (scan-local, no shuffle); only the final
+  * aggregations shuffle, grouped on low-cardinality keys.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** tokens(text) — documents are single-space separated. */
+  private def toks: Column = split(col("text"), " ")
+
+  /** Count of occurrences of `w` in the token array (codegen'd built-ins). */
+  private def tokCount(w: String): Column =
+    size(filter(toks, t => t === w))
+
+  private def duckTokCount(w: String): String =
+    s"len(list_filter(string_split(text, ' '), t -> t = '$w'))"
+
+  /** Marker words per language drawn from the corpus vocabulary. The point
+    * of the heuristic is a deterministic n-gram-frequency decision, not
+    * linguistic accuracy on this synthetic corpus.
+    */
+  private val markers = Seq("en" -> "the", "es" -> "a", "de" -> "data",
+    "fr" -> "fast", "zh" -> "slow")
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Token statistics per language.
+    ("text_token_stats",
+      (s: SparkSession, d: String) =>
+        documents(s, d)
+          .withColumn("n_tokens", size(toks).cast("long"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            round(avg("n_tokens"), 4).as("avg_tokens"),
+            min("n_tokens").as("min_tokens"),
+            max("n_tokens").as("max_tokens"))
+          .orderBy("lang"),
+      Some(
+        """SELECT lang,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+          |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+          |       CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+          |       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Per-document quality score: token count, lexical diversity, mean word
+    // length — combined into one bounded score with a quality flag.
+    ("text_quality_score",
+      (s: SparkSession, d: String) =>
+        documents(s, d)
+          .withColumn("n_tokens", size(toks).cast("double"))
+          .withColumn("n_distinct", size(array_distinct(toks)).cast("double"))
+          .withColumn("distinct_ratio", col("n_distinct") / col("n_tokens"))
+          .withColumn("avg_word_len",
+            (length(col("text")) - col("n_tokens") + lit(1.0)) / col("n_tokens"))
+          .withColumn("score",
+            log(col("n_tokens")) * 0.3 + col("distinct_ratio") * 0.5 +
+              col("avg_word_len") * 0.02)
+          .select(
+            col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            round(col("distinct_ratio"), 4).as("distinct_ratio"),
+            round(col("avg_word_len"), 4).as("avg_word_len"),
+            round(col("score"), 4).as("score"),
+            (col("score") >= 1.5).as("is_quality"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH q AS (
+          |  SELECT doc_id,
+          |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+          |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+          |         CAST(length(text) AS DOUBLE) AS n_chars
+          |  FROM documents
+          |), sc AS (
+          |  SELECT doc_id, n_tokens,
+          |         n_distinct / n_tokens AS distinct_ratio,
+          |         (n_chars - n_tokens + 1.0) / n_tokens AS avg_word_len,
+          |         ln(n_tokens) * 0.3 + (n_distinct / n_tokens) * 0.5 +
+          |           ((n_chars - n_tokens + 1.0) / n_tokens) * 0.02 AS score
+          |  FROM q
+          |)
+          |SELECT doc_id,
+          |       CAST(n_tokens AS BIGINT) AS n_tokens,
+          |       round(distinct_ratio, 4) AS distinct_ratio,
+          |       round(avg_word_len, 4) AS avg_word_len,
+          |       round(score, 4) AS score,
+          |       score >= 1.5 AS is_quality
+          |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Heuristic language ID: argmax of marker-word counts with a fixed
+    // priority order, reported as a (actual, predicted) confusion matrix.
+    ("text_langid",
+      (s: SparkSession, d: String) => {
+        val counted = markers.foldLeft(documents(s, d)) {
+          case (df, (l, w)) => df.withColumn(s"c_$l", tokCount(w))
+        }
+        val langs = markers.map(_._1)
+        val pred = langs.init.foldRight(lit(langs.last): Column) {
+          case (l, els) =>
+            val c = col(s"c_$l")
+            val geAll = langs.filter(_ != l)
+              .map(o => c >= col(s"c_$o")).reduce(_ && _)
+            when(geAll, lit(l)).otherwise(els)
+        }
+        counted
+          .withColumn("pred_lang", pred)
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred_lang")
+      }, {
+        val cnts = markers.map { case (l, w) => s"${duckTokCount(w)} AS c_$l" }
+          .mkString(", ")
+        val langs = markers.map(_._1)
+        val cases = langs.init.map { l =>
+          val conds = langs.filter(_ != l).map(o => s"c_$l >= c_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString(" ")
+        Some(
+          s"""WITH c AS (SELECT doc_id, lang, $cnts FROM documents),
+             |p AS (SELECT lang, CASE $cases ELSE '${langs.last}' END AS pred_lang FROM c)
+             |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+             |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin)
+      }),
+
+    // Content-hash fingerprint (md5 of lowercased text) — exact-dup key.
+    ("text_fingerprint",
+      (s: SparkSession, d: String) =>
+        documents(s, d)
+          .select(col("doc_id"), md5(lower(col("text"))).as("fingerprint"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, md5(lower(text)) AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Rolling-hash fingerprint via the native RollingFingerprint expression
+    // (single streaming pass; the cheap scale path). Engine-defined hash →
+    // no SQL oracle; determinism asserted in TextSpec.
+    ("text_fingerprint_rolling",
+      (s: SparkSession, d: String) =>
+        documents(s, d)
+          .select(col("doc_id"), rolling_fp(lower(col("text"))).as("fingerprint"))
+          .orderBy("doc_id"),
+      None)
+  )
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Unit + property tests for the native expressions (MinHash, SimHash,
+  * rolling fingerprint, cosine, SRP signature, shingles). Property cases are
+  * seeded-random sweeps (no scalatestplus bridge in the offline cache).
+  */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("shingles produces n-2 trigram shingles in order") {
+    val out = Seq("a b c d e").toDF("text")
+      .select(shingles(split($"text", " "), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("shingles falls back to whole text under n tokens") {
+    val out = Seq("a b").toDF("text")
+      .select(shingles(split($"text", " "), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b"))
+  }
+
+  test("minhash_sig is deterministic, k-length, and permutation-invariant") {
+    val df = Seq(
+      ("x", Seq("a", "b", "c", "d")),
+      ("y", Seq("d", "c", "b", "a"))).toDF("id", "toks")
+      .select($"id", minhash_sig($"toks", 32).as("sig"))
+    val rows = df.as[(String, Seq[Long])].collect().toMap
+    assert(rows("x").length == 32)
+    assert(rows("x") == rows("y"), "minhash must not depend on token order")
+  }
+
+  test("minhash jaccard estimate tracks true jaccard") {
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 10).map(_ => (1 + rnd.nextInt(30), 1 + rnd.nextInt(30)))
+    for ((shared, distinct) <- cases) {
+      val common = (0 until shared).map(i => s"c$i")
+      val a = common ++ (0 until distinct).map(i => s"a$i")
+      val b = common ++ (0 until distinct).map(i => s"b$i")
+      val df = Seq(("a", a), ("b", b)).toDF("id", "toks")
+        .select($"id", minhash_sig($"toks", 128).as("sig"))
+      val sigs = df.as[(String, Seq[Long])].collect().toMap
+      val est = sigs("a").zip(sigs("b")).count { case (x, y) => x == y } / 128.0
+      val truth = shared.toDouble / (shared + 2.0 * distinct)
+      assert(math.abs(est - truth) < 0.3, s"est=$est truth=$truth")
+    }
+  }
+
+  test("simhash64: equal token sets equal sigs; similar sets near in hamming") {
+    val base = (0 until 50).map(i => s"tok$i")
+    val near = base.updated(0, "changed")
+    val far = (0 until 50).map(i => s"other$i")
+    val df = Seq(("b", base), ("n", near), ("f", far)).toDF("id", "toks")
+      .select($"id", simhash64($"toks").as("sig"))
+    val sigs = df.as[(String, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs("b"), sigs("b")) == 0)
+    assert(ham(sigs("b"), sigs("n")) < ham(sigs("b"), sigs("f")),
+      "one-token change must be closer than a disjoint doc")
+  }
+
+  test("rolling_fp deterministic and collision-free on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.select(rolling_fp(lower($"text")).as("fp")).distinct().count()
+    assert(n == docs.count(), "no collisions expected on 500 distinct docs")
+  }
+
+  test("cosine_sim matches hand-computed value and bounds") {
+    val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")
+      .select(cosine_sim($"a", $"b").as("c"))
+    assert(math.abs(df.as[Double].head() - 0.5) < 1e-12)
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 10).map { _ =>
+      (Seq.fill(8)(rnd.nextDouble() * 10 - 5), Seq.fill(8)(rnd.nextDouble() * 10 - 5))
+    }
+    val cs = cases.toDF("a", "b").select(cosine_sim($"a", $"b")).as[Double].collect()
+    assert(cs.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+  }
+
+  test("srp_sig: identical vectors identical sigs; opposite vectors flip all bits") {
+    val v = (0 until 16).map(_.toDouble + 1.0)
+    val df = Seq(("p", v), ("n", v.map(-_))).toDF("id", "v")
+      .select($"id", srp_sig($"v", 64, 42L).as("sig"))
+    val sigs = df.as[(String, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sigs("p") ^ sigs("n")) == 64)
+  }
+
+  test("SQL registration exposes the functions") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
+      "simhash64(array('a','b')) s, rolling_fp('abc') f").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.MultimodalOps
+
+/** Multimodal plumbing: binary payload round-trip, metadata struct, and the
+  * partition-wise featurization path (schema + determinism).
+  */
+class MultimodalSpec extends SparkTestBase {
+
+  test("media table: binary payload + typed metadata struct") {
+    val m = MultimodalOps.mediaTable(spark, sf)
+    val schema = m.schema
+    assert(schema("media").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    val r = m.orderBy("doc_id").head()
+    val payload = r.getAs[Array[Byte]]("media")
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[Long]("n_bytes") == payload.length)
+    assert(meta.getAs[String]("mime") == "text/plain")
+  }
+
+  test("fakeDecode is a normalized 16-bin histogram") {
+    val f = MultimodalOps.fakeDecode("hello world".getBytes("UTF-8"))
+    assert(f.length == 16)
+    assert(math.abs(f.sum - 1.0) < 1e-9)
+    assert(f.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("multimodal_features is deterministic across runs and partitionings") {
+    val a = q("multimodal_features").collect().toSeq
+    val b = q("multimodal_features").repartition(7).collect()
+      .sortBy(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("feature l2 is bounded by 1 (normalized histogram)") {
+    assert(q("multimodal_features").collect()
+      .forall { r => val l2 = r.getDouble(2); l2 > 0.0 && l2 <= 1.0 })
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+/** ANN family: brute-force is the ground truth; IVF must hit decent recall
+  * on it while scanning only probed clusters.
+  */
+class SimilaritySpec extends SparkTestBase {
+
+  private def topk(name: String): Map[Long, Seq[Long]] =
+    q(name).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+
+  test("brute-force topk: 5 neighbors per query, self excluded, sims descending") {
+    val rows = q("sim_brute_topk").collect()
+    assert(rows.length == 20 * 5)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF topk recall@5 vs brute force is usable") {
+    val brute = topk("sim_brute_topk")
+    val ivf = topk("sim_ivf_topk")
+    val recalls = brute.keys.toSeq.map { k =>
+      val b = brute(k).toSet
+      val i = ivf.getOrElse(k, Nil).toSet
+      (b intersect i).size.toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"IVF recall@5 = $mean%.3f over ${recalls.length} queries")
+    assert(mean >= 0.5, f"recall collapsed: $mean%.3f")
+  }
+}
