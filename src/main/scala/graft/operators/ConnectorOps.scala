@@ -1,0 +1,124 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.loki.LokiWrite
+import graft.sources.loki.testkit.LokiStubServer
+
+/** Connector-backed harness queries: the DSv2 Loki source exercised inside
+  * the driver's correctness gate. An in-process stub (main-scope testkit)
+  * is seeded with the events-derived log rows, so the connector's
+  * HTTP → parquet-decode → InternalRow path and its pushdown all run
+  * under the DuckDB differential check — the stub enforces pushed filters
+  * server-side, so a pushdown bug shows up as a row mismatch, not just a
+  * slow plan.
+  */
+object ConnectorOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // one stub per sf dir, kept alive for the session (readers run lazily)
+  private val stubs = TrieMap.empty[String, LokiStubServer]
+
+  /** Stop every stub — harness mains call this before exiting. */
+  def shutdownStubs(): Unit = {
+    stubs.values.foreach(_.stop())
+    stubs.clear()
+  }
+
+  private def stubFor(s: SparkSession, d: String): LokiStubServer =
+    stubs.getOrElseUpdate(d, {
+      val st = new LokiStubServer
+      st.start()
+      val rows = Tables.lokiView(s, d)
+        .select(unix_micros(col("timestamp")).as("us"), col("labels"), col("line"))
+        .collect()
+        .map { r =>
+          st.LogRow(
+            r.getLong(0) * 1000L,
+            r.getMap[String, String](1).toMap,
+            r.getString(2))
+        }
+      st.seed(rows)
+      sys.addShutdownHook(st.stop())
+      st
+    })
+
+  private def lokiDf(s: SparkSession, d: String): DataFrame =
+    s.read.format("loki")
+      .option("endpoint", stubFor(s, d).endpoint)
+      .option("default_label", "event_type")
+      .load()
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Full pushdown conjunction through the real connector: label eq +
+    // line contains + timestamp bounds, all enforced by the stub.
+    ("loki_connector_scan",
+      (s: SparkSession, d: String) =>
+        lokiDf(s, d)
+          .filter(
+            element_at(col("labels"), "event_type") === "click" &&
+            col("line").like("%value=1%") &&
+            col("timestamp") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-01-20 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line"),
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE event_type = 'click'
+          |  AND concat(event_type, ' value=', CAST(value AS VARCHAR)) LIKE '%value=1%'
+          |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
+    // Projection + label map access through the connector. The timestamp
+    // bound is required: without one the scan uses the reference's default
+    // now−30d window (utils.rs:3-12), which excludes the 2024 test corpus.
+    ("loki_connector_labels",
+      (s: SparkSession, d: String) =>
+        lokiDf(s, d)
+          .filter(element_at(col("labels"), "event_type").rlike("^(signup|error)$") &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+          .select(
+            element_at(col("labels"), "event_type").as("label_event_type"),
+            element_at(col("labels"), "user").as("label_user"),
+            col("line"))
+          .orderBy("label_event_type", "label_user", "line"),
+      Some(
+        """SELECT event_type AS label_event_type,
+          |       CAST(user_id AS VARCHAR) AS label_user,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE regexp_matches(event_type, '^(signup|error)$')
+          |ORDER BY label_event_type, label_user, line""".stripMargin)),
+
+    // Write path: insert the signup rows through the connector into a
+    // scratch stub, surface the committed count (the reference's
+    // `| count |` result, README.md:49-53, via SURVEY.md §7.4(c)).
+    ("loki_connector_insert_count",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val scratch = stubs.getOrElseUpdate(s"$d#insert", {
+          val st = new LokiStubServer
+          st.start()
+          sys.addShutdownHook(st.stop())
+          st
+        })
+        scratch.clear()
+        Tables.lokiView(s, d)
+          .filter(element_at(col("labels"), "event_type") === "signup")
+          .write.format("loki")
+          .option("endpoint", scratch.endpoint)
+          .mode("append").save()
+        Seq(LokiWrite.lastCommittedRows).toDF("count")
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS count FROM events WHERE event_type = 'signup'"))
+  )
+}

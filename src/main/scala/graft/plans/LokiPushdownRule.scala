@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.planning.PhysicalOperation
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.loki.{LogQL, LokiTable}
+
+/** The one custom Catalyst rule the rebuild needs (SURVEY.md §4.2).
+  *
+  * `labels['app'] = 'x'` reaches DSv2 pushdown as
+  * `Filter(EqualTo(GetMapValue(labels, "app"), "x"))`; Spark's
+  * `DataSourceStrategy.translateFilter` only handles attribute /
+  * nested-struct references, so without this rule the predicate would stay
+  * as a post-scan filter — and the scan itself would fail for lack of a
+  * label matcher (the reference refuses a scan with no matcher unless
+  * `default_label` is set, table.rs:116-122).
+  *
+  * The rule splits the conjunction, captures every conjunct one of the
+  * LogQL translators accepts into the [[LokiTable]] carried by the
+  * relation, and leaves only the rejected conjuncts as a residual Filter —
+  * the `Exact` pushdown contract of table.rs:140-156 (captured filters are
+  * never re-evaluated by Spark; Loki is trusted to enforce them).
+  * Timestamp bounds and plain `line` contains are deliberately NOT captured
+  * here: Spark translates those natively and they flow through
+  * `SupportsPushDownFilters` on the ScanBuilder.
+  */
+object LokiPushdownRule extends Rule[LogicalPlan] {
+
+  private def split(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, r @ DataSourceV2Relation(t: LokiTable, _, _, _, _, _)) =>
+      val conjuncts = split(cond)
+      val labels = conjuncts.flatMap(c => LogQL.labelMatcher(c).map(c -> _))
+      val capturedLabelExprs = labels.map(_._1).toSet
+      val lines = conjuncts
+        .filterNot(capturedLabelExprs)
+        .flatMap(c => LogQL.lineFilter(c).map(c -> _))
+      val captured = capturedLabelExprs ++ lines.map(_._1)
+      if (captured.isEmpty) f
+      else {
+        val newRel = r.copy(table = t.withPushed(labels.map(_._2), lines.map(_._2)))
+        val residual = conjuncts.filterNot(captured)
+        if (residual.isEmpty) newRel
+        else Filter(residual.reduce(
+          org.apache.spark.sql.catalyst.expressions.And(_, _)), newRel)
+      }
+  }
+}
+
+/** Session extensions wiring (register via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` or
+  * `.withExtensions(new GraftExtensions)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => LokiPushdownRule)
+  }
+}

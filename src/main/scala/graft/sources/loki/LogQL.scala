@@ -1,0 +1,187 @@
+package graft.sources.loki
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, Contains, EqualTo, Expression, GetMapValue, GreaterThan,
+  GreaterThanOrEqual, ILike, LessThan, LessThanOrEqual, Like, Literal, Lower,
+  Not, RLike}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.{StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** LogQL fragments + the three expression translators, mirroring the
+  * reference's `src/expr.rs`:
+  *
+  *   - label matchers  (expr_to_label_filter, expr.rs:11-47)
+  *   - line filters    (expr_to_line_filter, expr.rs:49-112)
+  *   - timestamp bounds (parse_timestamp_bound, expr.rs:114-152)
+  *
+  * Translators return None for anything outside the reference's whitelist —
+  * a rejected predicate stays as a residual Spark Filter (the analog of
+  * `TableProviderFilterPushDown::Unsupported`), so pushdown is only claimed
+  * where Loki fully enforces it (SURVEY.md §7.4(e)).
+  *
+  * Like the reference, values are interpolated into `"…"` / `` `…` `` raw
+  * (expr.rs:38-41,65-78,101-104) — quotes/backticks in values break the
+  * query the same way they do upstream. [[LogQL.escaping]] opts into safe
+  * escaping beyond parity.
+  */
+object LogQL {
+
+  /** `{app="x"}` piece: label name + operator + value. */
+  final case class LabelMatcher(label: String, op: String, value: String) {
+    def render: String = s"""$label$op"$value""""
+  }
+
+  /** `|= "x"` / `|~ `re`` piece. */
+  final case class LineFilter(op: String, pattern: String) {
+    def render: String = s"$op `$pattern`"
+  }
+
+  sealed trait TsBound { def ns: Long }
+  final case class Start(ns: Long) extends TsBound
+  final case class End(ns: Long) extends TsBound
+
+  /** Assemble the full LogQL query (reference table.rs:124-128): matchers
+    * joined by `, ` inside one selector, then line filters appended.
+    * With no matcher at all, LogQL requires the default-label fallback
+    * `{label=~".+"}` (table.rs:116-122) — the caller handles that.
+    */
+  def assemble(matchers: Seq[LabelMatcher], lines: Seq[LineFilter]): String = {
+    val sel = matchers.map(_.render).mkString("{", ", ", "}")
+    (sel +: lines.map(_.render)).mkString(" ")
+  }
+
+  def defaultMatcher(defaultLabel: String): LabelMatcher =
+    LabelMatcher(defaultLabel, "=~", ".+")
+
+  // ---------------------------------------------------------------------
+  // Catalyst-side translators (used by the optimizer rule for predicates
+  // Spark's DSv2 filter translation cannot express: map access + regex).
+  // ---------------------------------------------------------------------
+
+  private object LabelsKey {
+    def unapply(e: Expression): Option[String] = e match {
+      case GetMapValue(a: Attribute, Literal(k: UTF8String, StringType))
+          if a.name == "labels" => Some(k.toString)
+      case _ => None
+    }
+  }
+
+  private object StrLit {
+    def unapply(e: Expression): Option[String] = e match {
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
+      // reference treats a NULL literal as "" (expr.rs:34-35)
+      case Literal(null, StringType) => Some("")
+      case _ => None
+    }
+  }
+
+  /** `labels['k'] <op> 'v'` → label matcher (=, !=, =~, !~). */
+  def labelMatcher(e: Expression): Option[LabelMatcher] = e match {
+    case EqualTo(LabelsKey(k), StrLit(v)) => Some(LabelMatcher(k, "=", v))
+    case EqualTo(StrLit(v), LabelsKey(k)) => Some(LabelMatcher(k, "=", v))
+    case Not(EqualTo(LabelsKey(k), StrLit(v))) => Some(LabelMatcher(k, "!=", v))
+    case Not(EqualTo(StrLit(v), LabelsKey(k))) => Some(LabelMatcher(k, "!=", v))
+    case RLike(LabelsKey(k), StrLit(v)) => Some(LabelMatcher(k, "=~", v))
+    case Not(RLike(LabelsKey(k), StrLit(v))) => Some(LabelMatcher(k, "!~", v))
+    case _ => None
+  }
+
+  private object LineAttr {
+    def unapply(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == "line"
+      case _ => false
+    }
+  }
+
+  /** `%…%` LIKE pattern with no `_` wildcard → contained text
+    * (reference expr.rs:83-108: only this shape is pushable).
+    */
+  private def containsPattern(p: String): Option[String] =
+    if (p.length >= 2 && p.startsWith("%") && p.endsWith("%")) {
+      val inner = p.substring(1, p.length - 1)
+      if (inner.contains('%') || inner.contains('_')) None else Some(inner)
+    } else None
+
+  /** Predicates on `line` → LogQL line filter. Handles both the raw
+    * Like/ILike/RLike forms and the Contains forms Spark's
+    * LikeSimplification may already have rewritten them into.
+    */
+  def lineFilter(e: Expression): Option[LineFilter] = e match {
+    // regex ops — literal accepted on either side, same output (expr.rs:63-80)
+    case RLike(LineAttr(), StrLit(p)) => Some(LineFilter("|~", p))
+    case Not(RLike(LineAttr(), StrLit(p))) => Some(LineFilter("!~", p))
+    // LIKE family (expr.rs:98-105): (neg?, case-insensitive?)
+    case Like(LineAttr(), StrLit(p), _) =>
+      containsPattern(p).map(x => LineFilter("|=", x))
+    case Not(Like(LineAttr(), StrLit(p), _)) =>
+      containsPattern(p).map(x => LineFilter("!=", x))
+    case ILike(LineAttr(), StrLit(p), _) =>
+      containsPattern(p).map(x => LineFilter("|~", s"(?i)$x"))
+    case Not(ILike(LineAttr(), StrLit(p), _)) =>
+      containsPattern(p).map(x => LineFilter("!~", s"(?i)$x"))
+    // post-LikeSimplification forms
+    case Contains(LineAttr(), StrLit(x)) => Some(LineFilter("|=", x))
+    case Not(Contains(LineAttr(), StrLit(x))) => Some(LineFilter("!=", x))
+    case Contains(Lower(LineAttr()), StrLit(x)) =>
+      Some(LineFilter("|~", s"(?i)$x"))
+    case Not(Contains(Lower(LineAttr()), StrLit(x))) =>
+      Some(LineFilter("!~", s"(?i)$x"))
+    case _ => None
+  }
+
+  private object TsAttr {
+    def unapply(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == "timestamp" && a.dataType == TimestampType
+      case _ => false
+    }
+  }
+
+  private object TsLit {
+    /** µs timestamp literal → ns (SURVEY.md §7.4(b)). */
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(us: java.lang.Long, TimestampType) => Some(us * 1000L)
+      case _ => None
+    }
+  }
+
+  /** `timestamp </<=/>/>= literal` → Start/End bound, flipping when the
+    * literal is on the left (expr.rs:129-147). `=` unsupported, like the
+    * reference. Bounds are inclusive-start / exclusive-ish-end only at the
+    * Loki API level; both > and >= map to start=, mirroring expr.rs:132-135.
+    */
+  def timestampBound(e: Expression): Option[TsBound] = e match {
+    case GreaterThan(TsAttr(), TsLit(ns)) => Some(Start(ns))
+    case GreaterThanOrEqual(TsAttr(), TsLit(ns)) => Some(Start(ns))
+    case LessThan(TsAttr(), TsLit(ns)) => Some(End(ns))
+    case LessThanOrEqual(TsAttr(), TsLit(ns)) => Some(End(ns))
+    case GreaterThan(TsLit(ns), TsAttr()) => Some(End(ns))
+    case GreaterThanOrEqual(TsLit(ns), TsAttr()) => Some(End(ns))
+    case LessThan(TsLit(ns), TsAttr()) => Some(Start(ns))
+    case LessThanOrEqual(TsLit(ns), TsAttr()) => Some(Start(ns))
+    case _ => None
+  }
+
+  // ---------------------------------------------------------------------
+  // DSv2 source.Filter-side translators (for what Spark CAN translate:
+  // top-level column predicates arriving at SupportsPushDownFilters).
+  // ---------------------------------------------------------------------
+
+  def fromSourceFilter(f: sources.Filter): Option[Either[LineFilter, TsBound]] = {
+    def ts(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp => Some(t.getTime * 1000000L + (t.getNanos % 1000000))
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000000L + i.getNano)
+      case _ => None
+    }
+    f match {
+      case sources.StringContains("line", x) => Some(Left(LineFilter("|=", x)))
+      case sources.Not(sources.StringContains("line", x)) => Some(Left(LineFilter("!=", x)))
+      case sources.GreaterThan("timestamp", v) => ts(v).map(n => Right(Start(n)))
+      case sources.GreaterThanOrEqual("timestamp", v) => ts(v).map(n => Right(Start(n)))
+      case sources.LessThan("timestamp", v) => ts(v).map(n => Right(End(n)))
+      case sources.LessThanOrEqual("timestamp", v) => ts(v).map(n => Right(End(n)))
+      case _ => None
+    }
+  }
+}

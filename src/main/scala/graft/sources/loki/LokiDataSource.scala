@@ -1,0 +1,118 @@
+package graft.sources.loki
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark DSv2 connector for a Grafana Loki log store — the rebuild of the
+  * reference's `LokiLogTable` (`src/table.rs`). One fixed-schema table:
+  *
+  *   timestamp TIMESTAMP NOT NULL   (ns in Loki, µs in Spark — §7.4(b))
+  *   labels    MAP<STRING,STRING> NOT NULL
+  *   line      STRING NOT NULL
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("loki")
+  *     .option("endpoint", "http://localhost:3100")
+  *     .option("default_label", "app")
+  *     .load()
+  * }}}
+  *
+  * The reference's protobuf plan codec (`src/codec.rs`) dissolves here:
+  * every connector class below is a plain `Serializable` value shipped to
+  * executors by Spark's own task serialization (SURVEY.md §2.1 row 12).
+  */
+object LokiDataSource {
+  val LOG_SCHEMA: StructType = StructType(Seq(
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("labels",
+      MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("line", StringType, nullable = false)))
+}
+
+/** Connector options (reference table.rs:39-43 plus scale knobs). */
+final case class LokiOptions(
+    endpoint: String,
+    defaultLabel: Option[String],
+    /** Time-range split factor for the scan. 1 = reference parity (a single
+      * InputPartition, scan.rs:46); N>1 slices [start, end) into N Loki
+      * range queries that read in parallel — the 100 TB path.
+      */
+    numPartitions: Int,
+    /** Rows per push-API POST on the write path. */
+    pushBatchSize: Int,
+    checkConnection: Boolean) extends Serializable
+
+object LokiOptions {
+  def from(m: CaseInsensitiveStringMap): LokiOptions = from(m.asScala.toMap)
+  def from(m: Map[String, String]): LokiOptions = {
+    val endpoint = m.getOrElse("endpoint",
+      throw new IllegalArgumentException("loki source requires an 'endpoint' option"))
+    LokiOptions(
+      endpoint = endpoint.stripSuffix("/"),
+      defaultLabel = m.get("default_label").filter(_.nonEmpty),
+      numPartitions = m.getOrElse("partitions", "1").toInt,
+      pushBatchSize = m.getOrElse("push_batch_size", "4096").toInt,
+      checkConnection = m.getOrElse("check_connection", "false").toBoolean)
+  }
+}
+
+class LokiTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "loki"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LokiDataSource.LOG_SCHEMA
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = LokiOptions.from(properties.asScala.toMap)
+    if (opts.checkConnection) LokiHttp.checkConnection(opts.endpoint)
+    LokiTable(opts)
+  }
+}
+
+/** The one Loki table. `pushedLabelMatchers` / `pushedLineFilters` carry
+  * predicates captured by [[graft.plans.LokiPushdownRule]] (map-key and
+  * regex forms Spark's DSv2 filter translation cannot express — SURVEY.md
+  * §4.2); the ScanBuilder merges them with its own pushed state.
+  */
+case class LokiTable(
+    options: LokiOptions,
+    pushedLabelMatchers: Seq[LogQL.LabelMatcher] = Nil,
+    pushedLineFilters: Seq[LogQL.LineFilter] = Nil)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"loki(${options.endpoint})"
+
+  override def schema(): StructType = LokiDataSource.LOG_SCHEMA
+
+  // no TRUNCATE/OVERWRITE capabilities → Spark rejects non-append DML for
+  // us, mirroring table.rs:164-169
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  def withPushed(
+      labels: Seq[LogQL.LabelMatcher],
+      lines: Seq[LogQL.LineFilter]): LokiTable =
+    copy(
+      pushedLabelMatchers = pushedLabelMatchers ++ labels,
+      pushedLineFilters = pushedLineFilters ++ lines)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new LokiScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LokiWriteBuilder(options, info.schema())
+}

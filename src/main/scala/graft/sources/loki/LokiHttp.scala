@@ -1,0 +1,75 @@
+package graft.sources.loki
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Minimal HTTP helpers over the JDK client (executor-safe; a client per
+  * call-site object, no global state). Endpoints used (reference wire
+  * surface):
+  *   - GET  /loki/api/v1/status/buildinfo   (table.rs:60-73)
+  *   - GET  /loki/api/v1/query_range        (scan.rs:177-216)
+  *   - POST /loki/api/v1/push               (insert.rs:142-165)
+  */
+object LokiHttp {
+
+  private def client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
+  def checkConnection(endpoint: String): Unit = {
+    val req = HttpRequest.newBuilder(URI.create(s"$endpoint/loki/api/v1/status/buildinfo"))
+      .timeout(Duration.ofSeconds(10)).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200) {
+      throw new IllegalStateException(
+        s"Loki connection check failed: HTTP ${resp.statusCode()} from $endpoint")
+    }
+  }
+
+  /** query_range with the parquet wire encoding (scan.rs:120:
+    * `Accept: application/vnd.apache.parquet`; requires Loki's
+    * `frontend.support_parquet_encoding`). Returns the raw body.
+    */
+  def queryRange(
+      endpoint: String,
+      logql: String,
+      startNs: Long,
+      endNs: Long,
+      limit: Option[Int]): Array[Byte] = {
+    val enc = java.net.URLEncoder.encode(logql, "UTF-8")
+    val limitParam = limit.map(n => s"&limit=$n").getOrElse("")
+    val uri = URI.create(
+      s"$endpoint/loki/api/v1/query_range?query=$enc&start=$startNs&end=$endNs$limitParam")
+    val req = HttpRequest.newBuilder(uri)
+      .timeout(Duration.ofMinutes(5))
+      .header("Accept", "application/vnd.apache.parquet")
+      .GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() != 200) {
+      throw new RuntimeException(
+        s"Loki query_range failed: HTTP ${resp.statusCode()}: " +
+          new String(resp.body(), "UTF-8").take(500))
+    }
+    resp.body()
+  }
+
+  /** push-API POST; body is the JSON `{"streams":[...]}` payload. */
+  def push(endpoint: String, json: String): Unit = {
+    val req = HttpRequest.newBuilder(URI.create(s"$endpoint/loki/api/v1/push"))
+      .timeout(Duration.ofMinutes(1))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(json)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2) {
+      throw new RuntimeException(
+        s"Loki push failed: HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+    }
+  }
+
+  def nowNs: Long = System.currentTimeMillis() * 1000000L
+
+  /** Default scan window: now − 30 d … now (utils.rs:3-12), evaluated at
+    * execute time like the reference (scan.rs:107-111).
+    */
+  def thirtyDaysAgoNs: Long = nowNs - 30L * 24 * 3600 * 1000000000L
+}

@@ -1,0 +1,222 @@
+package graft.sources.loki
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scan half of the connector — the rebuild of `LokiLogScanExec`
+  * (`src/scan.rs`). Pushdown mirrors `src/table.rs:90-156`:
+  *
+  *   - required columns → parquet projection (ProjectionMask analog)
+  *   - `timestamp` bounds + `line` contains → Exact (omitted from residual)
+  *   - limit → Loki `limit` query param
+  *   - label / regex predicates arrive pre-captured on [[LokiTable]]
+  *
+  * Partitioning: 1 InputPartition by default (scan.rs:46); with
+  * `partitions=N` the time range splits into N slices, each an independent
+  * range query — this is safe because Loki range queries are disjoint-range
+  * composable, and is the scale-out story for big windows. A pushed LIMIT
+  * forces a single partition (a global limit cannot be sliced).
+  */
+class LokiScanBuilder(table: LokiTable)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
+
+  private var requiredSchema: StructType = LokiDataSource.LOG_SCHEMA
+  private var pushedLines: Seq[LogQL.LineFilter] = Nil
+  private var startNs: Option[Long] = None
+  private var endNs: Option[Long] = None
+  private var limit: Option[Int] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition(f => LogQL.fromSourceFilter(f).isDefined)
+    accepted.flatMap(LogQL.fromSourceFilter).foreach {
+      case Left(lf) => pushedLines :+= lf
+      case Right(LogQL.Start(ns)) => startNs = Some(ns) // last wins (table.rs:106-110)
+      case Right(LogQL.End(ns)) => endNs = Some(ns)
+    }
+    pushed = accepted
+    residual // accepted filters are Exact: Loki fully enforces them
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit = {
+    // preserve table column order regardless of the required order
+    val names = required.fieldNames.toSet
+    requiredSchema = StructType(
+      LokiDataSource.LOG_SCHEMA.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true // fully applied by Loki (scan.rs:113-115)
+  }
+
+  override def build(): Scan = {
+    val matchers =
+      if (table.pushedLabelMatchers.nonEmpty) table.pushedLabelMatchers
+      else table.options.defaultLabel match {
+        // no matcher at all → default-label fallback, else error
+        // (table.rs:116-122: LogQL requires at least one matcher)
+        case Some(l) => Seq(LogQL.defaultMatcher(l))
+        case None => throw new IllegalArgumentException(
+          "no label matcher in query and no default_label configured; " +
+            "LogQL requires at least one label matcher")
+      }
+    val logql = LogQL.assemble(matchers, table.pushedLineFilters ++ pushedLines)
+    LokiScan(table.options, logql, startNs, endNs, limit, requiredSchema)
+  }
+}
+
+case class LokiScan(
+    options: LokiOptions,
+    logql: String,
+    startNs: Option[Long],
+    endNs: Option[Long],
+    limit: Option[Int],
+    requiredSchema: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def toBatch: Batch = this
+
+  // EXPLAIN surface, mirroring the reference's DisplayAs (scan.rs:149-175)
+  override def description(): String = {
+    val parts = Seq(s"endpoint=${options.endpoint}", s"query=$logql") ++
+      startNs.map(s => s"start=$s") ++ endNs.map(e => s"end=$e") ++
+      limit.map(l => s"limit=$l") ++
+      Seq(s"projection=[${requiredSchema.fieldNames.mkString(",")}]")
+    s"LokiLogScan: ${parts.mkString(", ")}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = if (limit.isDefined) 1 else math.max(options.numPartitions, 1)
+    if (n == 1) {
+      Array(LokiInputPartition(options.endpoint, logql, startNs, endNs, limit, requiredSchema))
+    } else {
+      // slice [start, end) into n disjoint ranges; bounds must be concrete
+      // at planning time, so defaults are materialized here
+      val s = startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
+      val e = endNs.getOrElse(LokiHttp.nowNs)
+      val width = math.max((e - s) / n, 1L)
+      (0 until n).map { i =>
+        val lo = s + i * width
+        val hi = if (i == n - 1) e else s + (i + 1) * width
+        LokiInputPartition(options.endpoint, logql, Some(lo), Some(hi), None, requiredSchema)
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LokiReaderFactory()
+}
+
+case class LokiInputPartition(
+    endpoint: String,
+    logql: String,
+    startNs: Option[Long],
+    endNs: Option[Long],
+    limit: Option[Int],
+    requiredSchema: StructType) extends InputPartition
+
+case class LokiReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new LokiPartitionReader(partition.asInstanceOf[LokiInputPartition])
+}
+
+/** Executor-side reader: one HTTP range query, buffered body, parquet
+  * decode via the parquet-java Group API with column projection.
+  */
+class LokiPartitionReader(p: LokiInputPartition)
+  extends PartitionReader[InternalRow] {
+
+  // defaults evaluated at execute time, like scan.rs:104-115
+  private lazy val rows: Iterator[InternalRow] = {
+    val start = p.startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
+    val end = p.endNs.getOrElse(LokiHttp.nowNs)
+    val body = LokiHttp.queryRange(p.endpoint, p.logql, start, end, p.limit)
+    if (body.isEmpty) Iterator.empty else decode(body)
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
+
+  private def decode(body: Array[Byte]): Iterator[InternalRow] = {
+    val reader = ParquetFileReader.open(new ByteArrayInputFile(body))
+    val fileSchema = reader.getFooter.getFileMetaData.getSchema
+    // projection: requested subset of the file schema, by column name
+    // (the ProjectionMask.roots analog, scan.rs:203-206)
+    val wanted = p.requiredSchema.fieldNames
+    val requested = new MessageType(fileSchema.getName,
+      wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+    val out = ArrayBuffer.empty[InternalRow]
+    try {
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val columnIO = new ColumnIOFactory().getColumnIO(requested, fileSchema)
+        val recordReader =
+          columnIO.getRecordReader(pages, new GroupRecordConverter(requested))
+        var i = 0L
+        val rowCount = pages.getRowCount
+        while (i < rowCount) {
+          out += toRow(recordReader.read(), wanted)
+          i += 1
+        }
+        pages = reader.readNextRowGroup()
+      }
+    } finally reader.close()
+    out.iterator
+  }
+
+  private def toRow(g: Group, wanted: Array[String]): InternalRow = {
+    val values = new Array[Any](wanted.length)
+    var i = 0
+    while (i < wanted.length) {
+      values(i) = wanted(i) match {
+        case "timestamp" =>
+          // Loki ns → Spark µs, truncating (§7.4(b))
+          java.lang.Long.valueOf(g.getLong("timestamp", 0) / 1000L)
+        case "labels" =>
+          val labels = g.getGroup("labels", 0)
+          val n = labels.getFieldRepetitionCount("key_value")
+          val keys = new Array[Any](n)
+          val vals = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            val kv = labels.getGroup("key_value", j)
+            keys(j) = UTF8String.fromBytes(kv.getBinary("key", 0).getBytes)
+            vals(j) = UTF8String.fromBytes(kv.getBinary("value", 0).getBytes)
+            j += 1
+          }
+          ArrayBasedMapData(keys, vals)
+        case "line" =>
+          UTF8String.fromBytes(g.getBinary("line", 0).getBytes)
+        case other =>
+          throw new IllegalStateException(s"unexpected column $other")
+      }
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.sources.loki
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+/** Write half of the connector — the rebuild of `LokiLogInsertExec`
+  * (`src/insert.rs`). Rows are buffered per task and POSTed to the push
+  * API in `pushBatchSize` chunks; like the reference, each row becomes its
+  * own stream object (no label-set grouping, insert.rs:186-205) and null
+  * handling mirrors insert.rs:167-236: null timestamp is an error, null
+  * labels → {}, null line → "".
+  *
+  * Spark DML returns no rows, so the reference's `count` result table
+  * (README.md:49-53) surfaces here through commit messages: the total is
+  * aggregated in [[LokiBatchWrite.commit]] and exposed via
+  * [[LokiWrite.lastCommittedRows]] (SURVEY.md §7.4(c)).
+  */
+object LokiWrite {
+  private[loki] val lastCount = new AtomicLong(-1L)
+
+  /** Row count of the most recent successful Loki batch write in this JVM
+    * (driver side) — observability hook replacing the count-result table.
+    */
+  def lastCommittedRows: Long = lastCount.get()
+}
+
+class LokiWriteBuilder(options: LokiOptions, inputSchema: StructType)
+  extends WriteBuilder {
+
+  override def build(): Write = {
+    // schema identity check, mirroring insert.rs:44-46
+    val expected = LokiDataSource.LOG_SCHEMA
+    val ok = inputSchema.length == expected.length &&
+      inputSchema.fields.zip(expected.fields).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType
+      }
+    if (!ok) {
+      throw new IllegalArgumentException(
+        s"input schema $inputSchema does not match the Loki log table schema $expected")
+    }
+    new Write {
+      override def toBatch: BatchWrite = LokiBatchWrite(options)
+      override def description(): String = s"LokiLogInsert: endpoint=${options.endpoint}"
+    }
+  }
+}
+
+case class LokiBatchWrite(options: LokiOptions) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    LokiWriterFactory(options)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val total = messages.collect { case LokiCommitMessage(n) => n }.sum
+    LokiWrite.lastCount.set(total)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class LokiCommitMessage(rows: Long) extends WriterCommitMessage
+
+case class LokiWriterFactory(options: LokiOptions) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LokiDataWriter(options)
+}
+
+/** Buffers rows and flushes one JSON payload per `pushBatchSize` rows —
+  * the per-RecordBatch POST of insert.rs:104-113 with a configurable batch.
+  */
+class LokiDataWriter(options: LokiOptions) extends DataWriter[InternalRow] {
+
+  private val buf = ArrayBuffer.empty[String]
+  private var count = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(0)) {
+      // insert.rs:176-179: timestamp is required
+      throw new IllegalArgumentException("null timestamp in Loki insert")
+    }
+    val ns = row.getLong(0) * 1000L // µs → ns (§7.4(b))
+    val labels =
+      if (row.isNullAt(1)) "{}"
+      else {
+        val m = row.getMap(1)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        (0 until m.numElements()).map { i =>
+          s"${jsonStr(keys.getUTF8String(i).toString)}:${jsonStr(vals.getUTF8String(i).toString)}"
+        }.mkString("{", ",", "}")
+      }
+    val line = if (row.isNullAt(2)) "" else row.getUTF8String(2).toString
+    // one stream object per row, like insert.rs:186-205
+    buf += s"""{"stream":$labels,"values":[["$ns",${jsonStr(line)}]]}"""
+    count += 1
+    if (buf.length >= options.pushBatchSize) flush()
+  }
+
+  private def flush(): Unit = {
+    if (buf.nonEmpty) {
+      LokiHttp.push(options.endpoint, s"""{"streams":[${buf.mkString(",")}]}""")
+      buf.clear()
+    }
+  }
+
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    LokiCommitMessage(count)
+  }
+
+  override def abort(): Unit = buf.clear()
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,279 @@
+package graft.sources.loki.testkit
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.{OutputFile, PositionOutputStream}
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+
+/** In-process replica of the Loki endpoints the reference integration tests
+  * exercise against docker-compose (SURVEY.md §5):
+  *
+  *   GET  /loki/api/v1/status/buildinfo
+  *   GET  /loki/api/v1/query_range   (parquet wire encoding)
+  *   POST /loki/api/v1/push          (JSON streams payload)
+  *
+  * Like real Loki, ingest injects `detected_level` and `service_name`
+  * labels (visible in every reference golden output, tests/table.rs:21-22),
+  * and query_range evaluates the LogQL selector + line filters + time
+  * range + limit server-side — which is what makes the connector's Exact
+  * pushdown claims testable: Spark never re-filters.
+  */
+final class LokiStubServer {
+
+  final case class LogRow(tsNs: Long, labels: Map[String, String], line: String)
+
+  private val rows = mutable.ArrayBuffer.empty[LogRow]
+  private var server: HttpServer = _
+
+  def ingested: Seq[LogRow] = rows.synchronized(rows.toSeq)
+
+  def clear(): Unit = rows.synchronized(rows.clear())
+
+  /** Direct seeding (no push-API label injection) — for harness queries
+    * that need the stored rows to equal a known relation exactly.
+    */
+  def seed(rs: Iterable[LogRow]): Unit = rows.synchronized(rows ++= rs)
+
+  /** Requests observed, for pushdown assertions (query string per scan). */
+  val queries = mutable.ArrayBuffer.empty[String]
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/loki/api/v1/status/buildinfo", (ex: HttpExchange) =>
+      respond(ex, 200, """{"version":"stub"}""".getBytes(UTF_8)))
+    server.createContext("/loki/api/v1/push", (ex: HttpExchange) => handlePush(ex))
+    server.createContext("/loki/api/v1/query_range", (ex: HttpExchange) => handleQuery(ex))
+    // start from a daemon thread: HttpServer's dispatcher inherits daemon
+    // status, so a stub can never keep the harness JVM alive
+    val t = new Thread(() => server.start())
+    t.setDaemon(true)
+    t.start()
+    t.join()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  // ------------------------------------------------------------------ push
+
+  private def handlePush(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    parsePush(body).foreach { r =>
+      val svc = r.labels.getOrElse("app", "unknown")
+      val injected = r.labels ++ Map(
+        "detected_level" -> "unknown", "service_name" -> svc)
+      rows.synchronized(rows += r.copy(labels = injected))
+    }
+    respond(ex, 204, Array.emptyByteArray)
+  }
+
+  /** Tiny JSON parser for the exact push payload shape the writer emits:
+    * {"streams":[{"stream":{k:v,...},"values":[["ns","line"],...]},...]}
+    */
+  private def parsePush(json: String): Seq[LogRow] = {
+    val out = mutable.ArrayBuffer.empty[LogRow]
+    val p = new JsonP(json)
+    p.expect('{'); p.key("streams"); p.expect('[')
+    while (p.peek() != ']') {
+      p.expect('{'); p.key("stream"); p.expect('{')
+      val labels = mutable.Map.empty[String, String]
+      while (p.peek() != '}') {
+        val k = p.string(); p.expect(':'); val v = p.string()
+        labels += k -> v
+        if (p.peek() == ',') p.expect(',')
+      }
+      p.expect('}'); p.expect(','); p.key("values"); p.expect('[')
+      while (p.peek() != ']') {
+        p.expect('['); val ts = p.string(); p.expect(','); val line = p.string()
+        p.expect(']')
+        out += LogRow(ts.toLong, labels.toMap, line)
+        if (p.peek() == ',') p.expect(',')
+      }
+      p.expect(']'); p.expect('}')
+      if (p.peek() == ',') p.expect(',')
+    }
+    out.toSeq
+  }
+
+  // ----------------------------------------------------------- query_range
+
+  private def handleQuery(ex: HttpExchange): Unit = {
+    val params = ex.getRequestURI.getRawQuery.split('&').map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+    val logql = params("query")
+    queries.synchronized(queries += logql)
+    val start = params.get("start").map(_.toLong).getOrElse(Long.MinValue)
+    val end = params.get("end").map(_.toLong).getOrElse(Long.MaxValue)
+    val limit = params.get("limit").map(_.toInt)
+
+    val (matchers, lineFilters) = parseLogql(logql)
+    var hits = rows.synchronized(rows.toSeq)
+      .filter(r => r.tsNs >= start && r.tsNs < end)
+      .filter(r => matchers.forall(_.matches(r.labels)))
+      .filter(r => lineFilters.forall(_.matches(r.line)))
+      .sortBy(_.tsNs)
+    limit.foreach(n => hits = hits.take(n))
+
+    if (ex.getRequestHeaders.getFirst("Accept") != "application/vnd.apache.parquet") {
+      respond(ex, 406, "stub only speaks parquet".getBytes(UTF_8))
+    } else {
+      respond(ex, 200, toParquet(hits))
+    }
+  }
+
+  private case class Matcher(label: String, op: String, value: String) {
+    def matches(labels: Map[String, String]): Boolean = {
+      val v = labels.get(label)
+      op match {
+        case "=" => v.contains(value)
+        case "!=" => !v.contains(value)
+        case "=~" => v.exists(_.matches(s"(?s)(?:${value})"))
+        case "!~" => !v.exists(_.matches(s"(?s)(?:${value})"))
+      }
+    }
+  }
+
+  private case class LineF(op: String, pattern: String) {
+    def matches(line: String): Boolean = op match {
+      case "|=" => line.contains(pattern)
+      case "!=" => !line.contains(pattern)
+      case "|~" => java.util.regex.Pattern.compile(pattern).matcher(line).find()
+      case "!~" => !java.util.regex.Pattern.compile(pattern).matcher(line).find()
+    }
+  }
+
+  /** Parse `{a="b", c=~"d"} |= `x` != `y`` — the exact grammar the
+    * connector emits (LogQL.assemble).
+    */
+  private def parseLogql(q: String): (Seq[Matcher], Seq[LineF]) = {
+    val selEnd = q.indexOf('}')
+    require(q.startsWith("{") && selEnd > 0, s"bad logql: $q")
+    val sel = q.substring(1, selEnd).trim
+    val matchers =
+      if (sel.isEmpty) Nil
+      else sel.split(",").toSeq.map(_.trim).map { m =>
+        val opIdx = Seq("=~", "!~", "!=", "=")
+          .map(op => (op, m.indexOf(op))).filter(_._2 > 0).minBy(_._2)
+        val (op, i) = opIdx
+        val label = m.substring(0, i)
+        val value = m.substring(i + op.length).stripPrefix("\"").stripSuffix("\"")
+        Matcher(label, op, value)
+      }
+    var rest = q.substring(selEnd + 1).trim
+    val lineFilters = mutable.ArrayBuffer.empty[LineF]
+    while (rest.nonEmpty) {
+      val op = Seq("|=", "!=", "|~", "!~").find(rest.startsWith)
+        .getOrElse(sys.error(s"bad line filter in: $rest"))
+      rest = rest.substring(2).trim
+      require(rest.startsWith("`"), s"expected backtick literal in: $rest")
+      val close = rest.indexOf('`', 1)
+      lineFilters += LineF(op, rest.substring(1, close))
+      rest = rest.substring(close + 1).trim
+    }
+    (matchers, lineFilters.toSeq)
+  }
+
+  // ------------------------------------------------------ parquet encoding
+
+  /** Loki's parquet wire schema: ns timestamp + key_value map + line
+    * (mirrors LOG_TABLE_SCHEMA, reference table.rs:14-37).
+    */
+  private val wireSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message log {
+      |  required int64 timestamp (TIMESTAMP(NANOS,true));
+      |  required group labels (MAP) {
+      |    repeated group key_value {
+      |      required binary key (STRING);
+      |      required binary value (STRING);
+      |    }
+      |  }
+      |  required binary line (STRING);
+      |}""".stripMargin)
+
+  private def toParquet(hits: Seq[LogRow]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val outFile = new OutputFile {
+      override def create(blockSizeHint: Long): PositionOutputStream = stream
+      override def createOrOverwrite(blockSizeHint: Long): PositionOutputStream = stream
+      override def supportsBlockSize(): Boolean = false
+      override def defaultBlockSize(): Long = 0L
+      private def stream: PositionOutputStream = new PositionOutputStream {
+        override def getPos: Long = bos.size().toLong
+        override def write(b: Int): Unit = bos.write(b)
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          bos.write(b, off, len)
+      }
+    }
+    val writer = ExampleParquetWriter.builder(outFile)
+      .withType(wireSchema)
+      .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
+      .build()
+    try {
+      hits.foreach { r =>
+        val g = new SimpleGroup(wireSchema)
+        g.add("timestamp", r.tsNs)
+        val labels = g.addGroup("labels")
+        r.labels.foreach { case (k, v) =>
+          val kv = labels.addGroup("key_value")
+          kv.add("key", k)
+          kv.add("value", v)
+        }
+        g.add("line", r.line)
+        writer.write(g)
+      }
+    } finally writer.close()
+    bos.toByteArray
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+}
+
+/** Minimal recursive-descent JSON cursor for the stub's fixed payloads. */
+private[testkit] final class JsonP(s: String) {
+  private var i = 0
+  private def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+  def peek(): Char = { skipWs(); s(i) }
+  def expect(c: Char): Unit = {
+    skipWs()
+    require(s(i) == c, s"expected '$c' at $i in ${s.take(i + 20)}")
+    i += 1
+  }
+  def key(name: String): Unit = {
+    val k = string(); require(k == name, s"expected key $name, got $k"); expect(':')
+  }
+  def string(): String = {
+    skipWs(); require(s(i) == '"', s"expected string at $i"); i += 1
+    val sb = new StringBuilder
+    while (s(i) != '"') {
+      if (s(i) == '\\') {
+        i += 1
+        s(i) match {
+          case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+          case 't' => sb.append('\t'); case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
+          case c => sb.append(c)
+        }
+      } else sb.append(s(i))
+      i += 1
+    }
+    i += 1
+    sb.toString()
+  }
+}
