@@ -25,7 +25,13 @@ object TextHash {
     Murmur3_x86_32.hashUnsafeBytes(
       s.getBaseObject, s.getBaseOffset, s.numBytes, seed).toLong & 0xffffffffL
 
-  /** One-pass k-permutation MinHash over a token/shingle array. */
+  /** One-pass k-permutation MinHash over a token/shingle array.
+    *
+    * Uses Kirsch–Mitzenmacher double hashing: two base murmurs per element,
+    * then `h_j = h1 + j·h2` — O(n + n·k·cheap) instead of n·k full hash
+    * computations, the standard trick that makes large-k MinHash viable at
+    * corpus scale without changing the collision analysis.
+    */
   def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill[Long](k)(Long.MaxValue)
     val n = arr.numElements()
@@ -33,10 +39,13 @@ object TextHash {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
+        val h1 = murmur(s, 0x1fb7)
+        val h2 = murmur(s, 0x9c27) | 1L // odd step → full cycle mod 2^32
+        var v = h1
         var j = 0
         while (j < k) {
-          val h = murmur(s, j)
-          if (h < mins(j)) mins(j) = h
+          if (v < mins(j)) mins(j) = v
+          v = (v + h2) & 0xffffffffL
           j += 1
         }
       }

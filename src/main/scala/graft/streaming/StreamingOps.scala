@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Structured Streaming surface over the events table (file-stream source):
+  * the streaming shape of the batch `events_hourly_window` /
+  * `events_sessionize` operators. Streams are out of the reference's parity
+  * surface (its scan is `Boundedness::Bounded`, scan.rs:48) but part of the
+  * engine's 100 TB story: the same windowed aggregations run incrementally
+  * with watermark-bounded state.
+  */
+object StreamingOps {
+
+  /** Schema of events.parquet with ts as ns-Long (the nanosAsLong reading). */
+  private def eventsSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
+
+  /** Streaming source over the events parquet file(s). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = eventsSchema(spark, dir)
+    spark.readStream
+      .schema(schema)
+      // FileStreamSource wants a directory; select just the events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Watermarked hourly windowed aggregation — streaming twin of the batch
+    * `events_hourly_window` query (same buckets, same aggregates).
+    */
+  def hourlyWindow(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Stateful per-user running totals via mapGroupsWithState — the custom-
+    * state API the engine exposes for session-style processing. State is
+    * per-key and O(1) per event; at scale it partitions by user_id.
+    */
+  def userTotals(spark: SparkSession, dir: String): Dataset[UserStat] = {
+    import spark.implicits._
+    eventsStream(spark, dir)
+      .select(col("user_id").cast(LongType), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          UserStat(user, n, v)
+      }
+  }
+
+  /** Run a streaming query over the bounded file source to completion and
+    * return the final result from the memory sink (test/verify harness
+    * path — `processAllAvailable` drives the bounded stream like a batch).
+    */
+  def runToMemory(
+      df: DataFrame,
+      name: String,
+      mode: OutputMode = OutputMode.Update()): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

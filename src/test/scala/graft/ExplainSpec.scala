@@ -1,0 +1,57 @@
+package graft
+
+/** Plan audits: the properties that decide whether these queries survive a
+  * 100× scale-up — filters/projections reaching the parquet scan, dimension
+  * joins broadcast, no stray shuffles — asserted on the executed plans the
+  * driver will actually run.
+  */
+class ExplainSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("q1: filter is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown:\n$p")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q3/q5: dimension joins are broadcast, not shuffled") {
+    for (name <- Seq("q3_top_orders", "q5_nation_revenue")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name should broadcast dims:\n$p")
+    }
+  }
+
+  test("scan projection is pruned to referenced columns") {
+    val p = plan("loki_projection")
+    assert(p.contains("ReadSchema: struct<ts:bigint"), s"expected pruned schema:\n$p")
+    assert(!p.contains("props"), s"unused column read:\n$p")
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("top_orders_by_price")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("whole-stage codegen covers the native expressions") {
+    val df = q("dedup_embedding")
+    df.collect() // materialize so the AQE plan is final
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) " prefixes in the final AQE plan
+    assert(p.contains("*(2) BroadcastNestedLoopJoin") || p.contains("WholeStageCodegen"), p)
+    assert(p.contains("cosine_sim"), p)
+  }
+
+  test("brute-force topk broadcasts the query side (corpus never shuffles)") {
+    val p = plan("sim_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+
+/** Streaming twins must agree with their batch counterparts on the bounded
+  * corpus — the incremental plan computes the same relation.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming hourly window equals the batch events_hourly_window") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.hourlyWindow(spark, sf), "hourly_mem", OutputMode.Update())
+      // Update mode can emit a bucket more than once; last update wins
+      .groupBy("bucket_us", "event_type")
+      .agg(max("n").as("n"), max("sum_value").as("sum_value"))
+    val batch = q("events_hourly_window")
+    val s = streamed.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = batch.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(s == b, s"missing=${b -- s} extra=${s -- b}")
+  }
+
+  test("stateful user totals equal the batch per-user aggregation") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.userTotals(spark, sf).toDF(), "users_mem", OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"))
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val s = streamed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s == b, s"missing=${b -- s} extra=${s -- b}")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.loki
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.loki.LogQL
+
+/** Case-table tests for the three expression→LogQL translators — the part
+  * of the reference with the densest branching (src/expr.rs). Mirrors its
+  * whitelist exactly: what it accepts we accept, what it rejects we reject.
+  */
+class LogQLSpec extends AnyFunSuite {
+
+  private val labels = AttributeReference("labels",
+    MapType(StringType, StringType, valueContainsNull = false), nullable = false)()
+  private val line = AttributeReference("line", StringType, nullable = false)()
+  private val ts = AttributeReference("timestamp", TimestampType, nullable = false)()
+
+  private def s(v: String) = Literal(UTF8String.fromString(v), StringType)
+  private def key(k: String) = GetMapValue(labels, s(k))
+  private def tsLit(us: Long) = Literal(us, TimestampType)
+
+  test("label matchers: =, !=, =~, !~ (expr.rs:11-47)") {
+    assert(LogQL.labelMatcher(EqualTo(key("app"), s("x"))).map(_.render)
+      .contains("""app="x""""))
+    assert(LogQL.labelMatcher(EqualTo(s("x"), key("app"))).map(_.render)
+      .contains("""app="x"""")) // literal on either side
+    assert(LogQL.labelMatcher(Not(EqualTo(key("app"), s("x")))).map(_.render)
+      .contains("""app!="x""""))
+    assert(LogQL.labelMatcher(RLike(key("app"), s("a.*"))).map(_.render)
+      .contains("""app=~"a.*""""))
+    assert(LogQL.labelMatcher(Not(RLike(key("app"), s("a.*")))).map(_.render)
+      .contains("""app!~"a.*""""))
+  }
+
+  test("label matcher: NULL literal treated as empty string (expr.rs:34-35)") {
+    assert(LogQL.labelMatcher(EqualTo(key("app"), Literal(null, StringType)))
+      .map(_.render).contains("app=\"\""))
+  }
+
+  test("label matcher rejects non-label shapes") {
+    assert(LogQL.labelMatcher(EqualTo(line, s("x"))).isEmpty)
+    assert(LogQL.labelMatcher(GreaterThan(key("app"), s("x"))).isEmpty)
+  }
+
+  test("line filters: the LIKE whitelist is %x% with no underscore (expr.rs:98)") {
+    def like(p: String) = Like(line, s(p), '\\')
+    assert(LogQL.lineFilter(like("%bbb%")).map(_.render).contains("|= `bbb`"))
+    assert(LogQL.lineFilter(Not(like("%bbb%"))).map(_.render).contains("!= `bbb`"))
+    assert(LogQL.lineFilter(like("bbb%")).isEmpty,  "prefix pattern not pushable")
+    assert(LogQL.lineFilter(like("%b_b%")).isEmpty, "underscore wildcard not pushable")
+    assert(LogQL.lineFilter(like("%b%b%")).isEmpty, "inner % not pushable")
+  }
+
+  test("line filters: ILIKE → (?i) regex; regex ops (expr.rs:63-80,100-105)") {
+    assert(LogQL.lineFilter(ILike(line, s("%ERR%"), '\\')).map(_.render)
+      .contains("|~ `(?i)ERR`"))
+    assert(LogQL.lineFilter(Not(ILike(line, s("%ERR%"), '\\'))).map(_.render)
+      .contains("!~ `(?i)ERR`"))
+    assert(LogQL.lineFilter(RLike(line, s("a{3}"))).map(_.render)
+      .contains("|~ `a{3}`"))
+    assert(LogQL.lineFilter(Not(RLike(line, s("a{3}")))).map(_.render)
+      .contains("!~ `a{3}`"))
+    // post-LikeSimplification shapes
+    assert(LogQL.lineFilter(Contains(line, s("x"))).map(_.render)
+      .contains("|= `x`"))
+    assert(LogQL.lineFilter(Contains(Lower(line), s("x"))).map(_.render)
+      .contains("|~ `(?i)x`"))
+  }
+
+  test("line filter guard: expression must reference the line column (expr.rs:50-57)") {
+    val other = AttributeReference("other", StringType, nullable = false)()
+    assert(LogQL.lineFilter(Contains(other, s("x"))).isEmpty)
+  }
+
+  test("timestamp bounds flip with literal on the left (expr.rs:129-147)") {
+    import LogQL.{End, Start}
+    assert(LogQL.timestampBound(GreaterThan(ts, tsLit(5L))).contains(Start(5000L)))
+    assert(LogQL.timestampBound(GreaterThanOrEqual(ts, tsLit(5L))).contains(Start(5000L)))
+    assert(LogQL.timestampBound(LessThan(ts, tsLit(5L))).contains(End(5000L)))
+    assert(LogQL.timestampBound(LessThanOrEqual(ts, tsLit(5L))).contains(End(5000L)))
+    assert(LogQL.timestampBound(GreaterThan(tsLit(5L), ts)).contains(End(5000L)))
+    assert(LogQL.timestampBound(LessThan(tsLit(5L), ts)).contains(Start(5000L)))
+    // '=' unsupported, like the reference
+    assert(LogQL.timestampBound(EqualTo(ts, tsLit(5L))).isEmpty)
+  }
+
+  test("assemble matches the reference selector shape (table.rs:124-128)") {
+    val q = LogQL.assemble(
+      Seq(LogQL.LabelMatcher("app", "=", "x"), LogQL.LabelMatcher("env", "=~", "p.*")),
+      Seq(LogQL.LineFilter("|=", "y"), LogQL.LineFilter("!~", "z")))
+    assert(q == """{app="x", env=~"p.*"} |= `y` !~ `z`""")
+    assert(LogQL.assemble(Seq(LogQL.defaultMatcher("app")), Nil) == """{app=~".+"}""")
+  }
+}
