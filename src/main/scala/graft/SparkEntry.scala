@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def allEntries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     LogOps.entries ++ RelOps.entries ++ DedupOps.entries ++ SimilarityOps.entries ++
-      TextOps.entries ++ MultimodalOps.entries ++ ConnectorOps.entries
+      TextOps.entries ++ MultimodalOps.entries ++ ConnectorOps.entries ++
+      StreamOps.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The README query shape: label AND line AND timestamp AND limit

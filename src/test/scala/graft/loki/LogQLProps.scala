@@ -1,0 +1,74 @@
+package graft.loki
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.sources.loki.LogQL
+
+/** ScalaCheck properties for the LogQL translators (sbt runs Properties
+  * suites natively; no scalatest bridge needed). Generators sweep the
+  * label/value/pattern space the reference interpolates raw.
+  */
+object LogQLProps extends Properties("LogQL") {
+
+  private val labels = AttributeReference("labels",
+    MapType(StringType, StringType, valueContainsNull = false), nullable = false)()
+  private val line = AttributeReference("line", StringType, nullable = false)()
+
+  private def s(v: String) = Literal(UTF8String.fromString(v), StringType)
+
+  private val ident: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  private val value: Gen[String] =
+    Gen.listOfN(8, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '-', '.', '*')))
+      .map(_.mkString)
+
+  property("label eq round-trips for any key/value") =
+    Prop.forAll(ident, value) { (k, v) =>
+      LogQL.labelMatcher(EqualTo(GetMapValue(labels, s(k)), s(v)))
+        .map(_.render).contains(s"""$k="$v"""")
+    }
+
+  property("label eq is side-symmetric") =
+    Prop.forAll(ident, value) { (k, v) =>
+      LogQL.labelMatcher(EqualTo(GetMapValue(labels, s(k)), s(v))) ==
+        LogQL.labelMatcher(EqualTo(s(v), GetMapValue(labels, s(k))))
+    }
+
+  property("contains LIKE %x% pushes iff inner has no wildcard") =
+    Prop.forAll(value) { x =>
+      val pushed = LogQL.lineFilter(Like(line, s(s"%$x%"), '\\'))
+      val hasWildcard = x.contains('%') || x.contains('_')
+      if (hasWildcard) pushed.isEmpty
+      else pushed.map(_.render).contains(s"|= `$x`")
+    }
+
+  property("non-%x% LIKE patterns never push") =
+    Prop.forAll(value) { x =>
+      LogQL.lineFilter(Like(line, s(s"$x%"), '\\')).isEmpty &&
+      LogQL.lineFilter(Like(line, s(s"%$x"), '\\')).isEmpty
+    }
+
+  property("timestamp bound flips exactly under operand swap") =
+    Prop.forAll(Gen.chooseNum(0L, 4102444800000000L)) { us =>
+      val ts = AttributeReference("timestamp", TimestampType, nullable = false)()
+      val lit = Literal(us, TimestampType)
+      (LogQL.timestampBound(GreaterThan(ts, lit)),
+        LogQL.timestampBound(LessThan(lit, ts))) match {
+        case (Some(LogQL.Start(a)), Some(LogQL.Start(b))) => a == b && a == us * 1000L
+        case _ => false
+      }
+    }
+
+  property("assemble always yields selector-then-filters shape") =
+    Prop.forAll(ident, value, value) { (k, v, pat) =>
+      val q = LogQL.assemble(
+        Seq(LogQL.LabelMatcher(k, "=", v)), Seq(LogQL.LineFilter("|=", pat)))
+      q.startsWith(s"""{$k="$v"}""") && q.endsWith(s"`$pat`")
+    }
+}
