@@ -169,6 +169,58 @@ object RelOps {
           |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // Grouping sets via CUBE (all four grouping combinations).
+    ("cube_orders",
+      (s: SparkSession, d: String) =>
+        orders(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(
+        """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+          |FROM orders
+          |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Distinct aggregation (exact; the approx_count_distinct sketch variant
+    // is not oracle-comparable across engines).
+    ("distinct_agg_lineitem",
+      (s: SparkSession, d: String) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_suppliers"),
+            countDistinct(col("l_partkey")).as("n_parts"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+          |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+          |       CAST(count(*) AS BIGINT) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Skew-resistant aggregation: the two-stage salt pattern (salt the hot
+    // key space into 16 shards, partial-aggregate per shard, then combine).
+    // Same relation as a direct groupBy — which is exactly the oracle — but
+    // the first shuffle distributes a skewed key across 16 reducers. At
+    // 100 TB this is the shape for power-law keys (AQE skew-join handles
+    // joins; salting handles aggregations).
+    ("events_type_salted_agg",
+      (s: SparkSession, d: String) =>
+        events(s, d)
+          .withColumn("salt", pmod(col("event_id"), lit(16)))
+          .groupBy("event_type", "salt")
+          .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+          .groupBy("event_type")
+          .agg(sum("pn").as("n"), round(sum("pv"), 2).as("sum_value"))
+          .orderBy("event_type"),
+      Some(
+        """SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Semi + anti join cardinalities in one row.
     ("semi_anti_orders",
       (s: SparkSession, d: String) => {
