@@ -55,6 +55,39 @@ object SimilarityOps {
           |  FROM q JOIN e ON e.vec_id != q.q_id
           |) t WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Same relation as sim_brute_topk but through the custom TopKPerKey
+    // physical operator (bounded per-key heaps, no full per-group sort) —
+    // the whole-operator custom-plan path; shares sim_brute_topk's oracle,
+    // so the gate proves operator equivalence. Requires GraftExtensions.
+    ("sim_topk_exec",
+      (s: SparkSession, d: String) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosine_sim(col("qv"), col("v")).as("cos"))
+        val top = graft.plans.GraftPlans.topKPerKey(
+          scored, Seq("q_id"), Seq("cos" -> false, "vec_id" -> true), 5)
+        // rank over the tiny top-k result (≤ 5 rows per key)
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        top.withColumn("rank", row_number().over(w))
+          .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+            round(col("cos"), 4).as("cos_sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20)
+          |SELECT q_id, rank, n_id, cos_sim FROM (
+          |  SELECT q.q_id, e.vec_id AS n_id,
+          |         round(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim,
+          |         CAST(row_number() OVER (PARTITION BY q.q_id
+          |           ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
+          |           AS INTEGER) AS rank
+          |  FROM q JOIN e ON e.vec_id != q.q_id
+          |) t WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // IVF: centroids = the 16 lowest-id vectors (deterministic, no iterative
     // k-means so the result is reproducible and cluster-assignment is a pure
     // function). Queries (vec_id < 20) probe their 4 nearest centroids.

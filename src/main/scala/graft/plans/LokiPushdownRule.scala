@@ -62,5 +62,6 @@ object LokiPushdownRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LokiPushdownRule)
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -1,0 +1,70 @@
+package graft.sources.loki
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin exposing the one Loki log table to pure SQL — the analog
+  * of registering `LokiLogTable` into the DataFusion `SessionContext`
+  * (reference examples/datafusion.rs:10-18, integration-tests/src/lib.rs:45-56):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.loki", "graft.sources.loki.LokiCatalog")
+  *   spark.conf.set("spark.sql.catalog.loki.endpoint", "http://loki:3100")
+  *   spark.conf.set("spark.sql.catalog.loki.default_label", "app")
+  *   spark.sql("SELECT * FROM loki.default.loki WHERE labels['app'] = 'x'")
+  *   spark.sql("INSERT INTO loki.default.loki VALUES (current_timestamp(), map('app','a'), 'line')")
+  * }}}
+  *
+  * The catalog is read-only structurally (one fixed table named `loki` in
+  * namespace `default`); CREATE/ALTER/DROP are rejected, mirroring the
+  * reference where the table is constructed from config, not DDL.
+  */
+class LokiCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var opts: Map[String, String] = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    opts = options.asScala.toMap
+  }
+
+  override def name(): String = catalogName
+
+  private val ns = Array("default")
+
+  private def isLoki(ident: Identifier): Boolean =
+    ident.name().equalsIgnoreCase("loki") &&
+      (ident.namespace().isEmpty || ident.namespace().sameElements(ns))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(ns, "loki"))
+
+  override def loadTable(ident: Identifier): Table =
+    if (isLoki(ident)) LokiTable(LokiOptions.from(opts))
+    else throw new NoSuchTableException(ident)
+
+  override def tableExists(ident: Identifier): Boolean = isLoki(ident)
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new TableAlreadyExistsException(ident)
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("Loki catalog tables are fixed-schema")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("Loki catalog tables cannot be renamed")
+}

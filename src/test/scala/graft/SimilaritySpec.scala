@@ -22,6 +22,14 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("custom TopKPerKeyExec equals the window-based top-k exactly") {
+    val window = q("sim_brute_topk").collect().map(_.toSeq).toSeq
+    val custom = q("sim_topk_exec").collect().map(_.toSeq).toSeq
+    assert(custom == window)
+    val p = q("sim_topk_exec").queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"custom exec not planned:\n$p")
+  }
+
   test("IVF topk recall@5 vs brute force is usable") {
     val brute = topk("sim_brute_topk")
     val ivf = topk("sim_ivf_topk")
