@@ -29,13 +29,35 @@ object LogQL {
 
   /** `{app="x"}` piece: label name + operator + value. */
   final case class LabelMatcher(label: String, op: String, value: String) {
-    def render: String = s"""$label$op"$value""""
+    def render: String = render(escape = false)
+    def render(escape: Boolean): String = {
+      val v = if (escape) escapeQuoted(value) else value
+      s"""$label$op"$v""""
+    }
   }
 
   /** `|= "x"` / `|~ `re`` piece. */
   final case class LineFilter(op: String, pattern: String) {
-    def render: String = s"$op `$pattern`"
+    def render: String = render(escape = false)
+    def render(escape: Boolean): String = {
+      // backtick literals cannot contain a backtick; fall back to the
+      // quoted-string form when escaping is on and the pattern needs it
+      if (escape && pattern.contains('`')) s"""$op "${escapeQuoted(pattern)}""""
+      else s"$op `$pattern`"
+    }
   }
+
+  /** Escaping for `"…"`-delimited LogQL strings. OFF by default: the
+    * reference interpolates values raw (expr.rs:38-41,65-78,101-104), so a
+    * quote or backtick in a value breaks the query identically — parity
+    * first, safety behind the `escape_logql` option (SURVEY.md §7.4(d)).
+    */
+  private def escapeQuoted(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
 
   sealed trait TsBound { def ns: Long }
   final case class Start(ns: Long) extends TsBound
@@ -46,9 +68,12 @@ object LogQL {
     * With no matcher at all, LogQL requires the default-label fallback
     * `{label=~".+"}` (table.rs:116-122) — the caller handles that.
     */
-  def assemble(matchers: Seq[LabelMatcher], lines: Seq[LineFilter]): String = {
-    val sel = matchers.map(_.render).mkString("{", ", ", "}")
-    (sel +: lines.map(_.render)).mkString(" ")
+  def assemble(
+      matchers: Seq[LabelMatcher],
+      lines: Seq[LineFilter],
+      escape: Boolean = false): String = {
+    val sel = matchers.map(_.render(escape)).mkString("{", ", ", "}")
+    (sel +: lines.map(_.render(escape))).mkString(" ")
   }
 
   def defaultMatcher(defaultLabel: String): LabelMatcher =

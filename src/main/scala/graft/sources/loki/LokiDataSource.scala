@@ -51,6 +51,9 @@ final case class LokiOptions(
     numPartitions: Int,
     /** Rows per push-API POST on the write path. */
     pushBatchSize: Int,
+    /** Escape quotes/backslashes in LogQL values (parity default: raw
+      * interpolation like the reference — SURVEY.md §7.4(d)). */
+    escapeLogql: Boolean,
     checkConnection: Boolean) extends Serializable
 
 object LokiOptions {
@@ -63,6 +66,7 @@ object LokiOptions {
       defaultLabel = m.get("default_label").filter(_.nonEmpty),
       numPartitions = m.getOrElse("partitions", "1").toInt,
       pushBatchSize = m.getOrElse("push_batch_size", "4096").toInt,
+      escapeLogql = m.getOrElse("escape_logql", "false").toBoolean,
       checkConnection = m.getOrElse("check_connection", "false").toBoolean)
   }
 }

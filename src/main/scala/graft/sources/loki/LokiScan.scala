@@ -78,7 +78,8 @@ class LokiScanBuilder(table: LokiTable)
           "no label matcher in query and no default_label configured; " +
             "LogQL requires at least one label matcher")
       }
-    val logql = LogQL.assemble(matchers, table.pushedLineFilters ++ pushedLines)
+    val logql = LogQL.assemble(matchers, table.pushedLineFilters ++ pushedLines,
+      escape = table.options.escapeLogql)
     LokiScan(table.options, logql, startNs, endNs, limit, requiredSchema)
   }
 }

@@ -94,4 +94,15 @@ class LogQLSpec extends AnyFunSuite {
     assert(q == """{app="x", env=~"p.*"} |= `y` !~ `z`""")
     assert(LogQL.assemble(Seq(LogQL.defaultMatcher("app")), Nil) == """{app=~".+"}""")
   }
+
+  test("escape_logql: raw by default (parity), safe behind the flag (§7.4(d))") {
+    val m = LogQL.LabelMatcher("app", "=", """va"lue""")
+    assert(m.render == """app="va"lue"""")                // raw: broken, like the reference
+    assert(m.render(escape = true) == """app="va\"lue"""")
+    val lf = LogQL.LineFilter("|=", "has`tick")
+    assert(lf.render == "|= `has`tick`")                  // raw: broken, like the reference
+    assert(lf.render(escape = true) == """|= "has`tick"""")
+    assert(LogQL.assemble(Seq(m), Seq(lf), escape = true) ==
+      """{app="va\"lue"} |= "has`tick"""")
+  }
 }

@@ -143,7 +143,7 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     val oos = new java.io.ObjectOutputStream(out)
     oos.writeObject(part)
     oos.writeObject(LokiReaderFactory())
-    oos.writeObject(LokiWriterFactory(LokiOptions("http://x", None, 1, 4096, false)))
+    oos.writeObject(LokiWriterFactory(LokiOptions("http://x", None, 1, 4096, false, false)))
     oos.close()
     val in = new java.io.ObjectInputStream(
       new java.io.ByteArrayInputStream(out.toByteArray))
