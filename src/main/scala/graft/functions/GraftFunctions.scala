@@ -36,6 +36,23 @@ object GraftFunctions {
         i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", tokens)))
 
+  /** Make the custom expressions SQL-callable in every session built with
+    * [[graft.plans.GraftExtensions]].
+    */
+  def inject(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def info(name: String) = new ExpressionInfo("graft", name)
+    e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      es => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("rolling_fp"), info("rolling_fp"),
+      es => RollingFingerprint(es.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
+      es => CosineSim(es.head, es(1))))
+  }
+
   /** Register SQL names for the custom expressions on this session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -221,6 +221,25 @@ object RelOps {
           |       round(sum(value), 2) AS sum_value
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Approximate sketches (HLL++ distinct count, quantile summaries) — the
+    // constant-memory path for cardinality/quantiles at 100 TB. Sketch
+    // internals are engine-specific, so no SQL oracle; ApproxSpec bounds
+    // the error against the exact values instead.
+    ("events_approx_stats",
+      (s: SparkSession, d: String) =>
+        events(s, d)
+          .groupBy("event_type")
+          .agg(
+            approx_count_distinct(col("user_id")).as("approx_users"),
+            round(element_at(
+              percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000)), 1), 2)
+              .as("p50_value"),
+            round(element_at(
+              percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000)), 2), 2)
+              .as("p95_value"))
+          .orderBy("event_type"),
+      None),
+
     // Semi + anti join cardinalities in one row.
     ("semi_anti_orders",
       (s: SparkSession, d: String) => {

@@ -63,5 +63,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LokiPushdownRule)
     e.injectPlannerStrategy(_ => TopKStrategy)
+    graft.functions.GraftFunctions.inject(e)
   }
 }

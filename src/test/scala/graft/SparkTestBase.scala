@@ -12,6 +12,8 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft_warehouse_${sys.props.getOrElse("user.name", "u")}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
