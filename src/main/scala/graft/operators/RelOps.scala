@@ -256,6 +256,74 @@ object RelOps {
           |  CAST((SELECT count(*) FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)) AS BIGINT) AS with_items,
           |  CAST((SELECT count(*) FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) AS BIGINT) AS without_items""".stripMargin)),
 
+    // As-of semantics: attach each event's most recent PRIOR purchase by
+    // the same user (the time-series join shape; expressible with an
+    // ignore-nulls last() over an unbounded-preceding window, so no custom
+    // operator is needed — built-ins compose, per the preference order).
+    ("events_asof_prior_purchase",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        events(s, d)
+          .withColumn("prior_purchase_us",
+            last(when(col("event_type") === "purchase", unix_micros(col("ts"))),
+              ignoreNulls = true).over(w))
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_type"), col("prior_purchase_us"))
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+          |       last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+          |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase_us
+          |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Pivot: event counts per user as one column per event type.
+    ("events_pivot_types",
+      (s: SparkSession, d: String) =>
+        events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+          .orderBy("user_id"),
+      Some(
+        """SELECT user_id,
+          |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+          |       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+          |       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+          |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+          |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Set op: INTERSECT (distinct).
+    ("intersect_customers",
+      (s: SparkSession, d: String) => {
+        val c = customer(s, d)
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .intersect(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some(
+        """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          |INTERSECT
+          |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // Exact median per group (continuous interpolation in both engines).
+    ("events_median_value",
+      (s: SparkSession, d: String) =>
+        events(s, d)
+          .groupBy("event_type")
+          .agg(round(median(col("value")), 4).as("median_value"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some(
+        """SELECT event_type, round(median(value), 4) AS median_value,
+          |       CAST(count(*) AS BIGINT) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // JSON extraction from events.props ({"k": 87}).
     ("events_json_extract",
       (s: SparkSession, d: String) =>

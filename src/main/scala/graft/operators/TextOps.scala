@@ -135,6 +135,20 @@ object TextOps {
              |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin)
       }),
 
+    // Corpus token frequency: explode (lateral) + aggregate + top-k.
+    ("text_top_tokens",
+      (s: SparkSession, d: String) =>
+        documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      Some(
+        """SELECT token, CAST(count(*) AS BIGINT) AS n
+          |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
     // Content-hash fingerprint (md5 of lowercased text) — exact-dup key.
     ("text_fingerprint",
       (s: SparkSession, d: String) =>
