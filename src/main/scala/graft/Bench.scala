@@ -30,6 +30,7 @@ object Bench {
     }
 
     val results = qs.map { case (name, fn) =>
+      System.gc() // isolate queries from each other's garbage (untimed)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }

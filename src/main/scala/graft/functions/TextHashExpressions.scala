@@ -100,12 +100,15 @@ object TextHash {
 
 /** `minhash_sig(tokens, k)` → array<bigint> of k MinHash values. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with codegen.CodegenFallback {
+    extends UnaryExpression {
   require(numHashes > 0 && numHashes <= 1024, "numHashes must be in (0, 1024]")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(input: Any): Any =
     TextHash.minhashSignature(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.minhashSignature($c, $numHashes);")
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
