@@ -256,6 +256,26 @@ object RelOps {
           |  CAST((SELECT count(*) FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)) AS BIGINT) AS with_items,
           |  CAST((SELECT count(*) FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) AS BIGINT) AS without_items""".stripMargin)),
 
+    // Statistical aggregates: sample stddev/variance, Pearson correlation,
+    // sample covariance (same estimator definitions in both engines).
+    ("lineitem_stats_agg",
+      (s: SparkSession, d: String) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(stddev(col("l_quantity")), 4).as("sd_qty"),
+            round(variance(col("l_extendedprice")), 2).as("var_price"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+            round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_disc_tax"))
+          .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+          |       round(var_samp(l_extendedprice), 2) AS var_price,
+          |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+          |       round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // As-of semantics: attach each event's most recent PRIOR purchase by
     // the same user (the time-series join shape; expressible with an
     // ignore-nulls last() over an unbounded-preceding window, so no custom
