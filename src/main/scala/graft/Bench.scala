@@ -29,17 +29,23 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    var failures = List.empty[String]
     val results = qs.map { case (name, fn) =>
       System.gc() // isolate queries from each other's garbage (untimed)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          failures ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val fjson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failures":$fjson,"sf":"$sfDir"}""")
     graft.operators.ConnectorOps.shutdownStubs()
     spark.stop()
   }
