@@ -24,9 +24,11 @@ import graft.sources.loki.{LogQL, LokiTable}
   * relation, and leaves only the rejected conjuncts as a residual Filter —
   * the `Exact` pushdown contract of table.rs:140-156 (captured filters are
   * never re-evaluated by Spark; Loki is trusted to enforce them).
-  * Timestamp bounds and plain `line` contains are deliberately NOT captured
-  * here: Spark translates those natively and they flow through
-  * `SupportsPushDownFilters` on the ScanBuilder.
+  * Line-filter forms (LIKE/ILIKE/regex/Contains) are captured here too —
+  * they land on `table.pushedLineFilters` and this route usually wins over
+  * the DSv2 `SupportsPushDownFilters` path, which still handles whatever
+  * reaches it (e.g. `.contains` pushed without a Filter-over-relation
+  * shape) plus all timestamp bounds, which are deliberately left to it.
   */
 object LokiPushdownRule extends Rule[LogicalPlan] {
 

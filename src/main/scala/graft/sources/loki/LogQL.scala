@@ -101,16 +101,30 @@ object LogQL {
     }
   }
 
+  /** Loki label matchers (`=~`/`!~`) are FULL-match RE2; Spark's `rlike` is
+    * unanchored find. Wrapping the pattern as `.*(?:p).*` makes full-match
+    * ≡ find for the RE2-supported subset (anchors inside `p` still bind to
+    * text start/end under RE2's automaton), so the Exact-pushdown claim
+    * stays honest — a gap the reference inherits unwrapped (expr.rs:37-42).
+    */
+  private def findSemantics(p: String): String = s".*(?:$p).*"
+
   /** `labels['k'] <op> 'v'` → label matcher (=, !=, =~, !~). */
   def labelMatcher(e: Expression): Option[LabelMatcher] = e match {
     case EqualTo(LabelsKey(k), StrLit(v)) => Some(LabelMatcher(k, "=", v))
     case EqualTo(StrLit(v), LabelsKey(k)) => Some(LabelMatcher(k, "=", v))
     case Not(EqualTo(LabelsKey(k), StrLit(v))) => Some(LabelMatcher(k, "!=", v))
     case Not(EqualTo(StrLit(v), LabelsKey(k))) => Some(LabelMatcher(k, "!=", v))
-    case RLike(LabelsKey(k), StrLit(v)) => Some(LabelMatcher(k, "=~", v))
-    case Not(RLike(LabelsKey(k), StrLit(v))) => Some(LabelMatcher(k, "!~", v))
+    case RLike(LabelsKey(k), StrLit(v)) => Some(LabelMatcher(k, "=~", findSemantics(v)))
+    case Not(RLike(LabelsKey(k), StrLit(v))) => Some(LabelMatcher(k, "!~", findSemantics(v)))
     case _ => None
   }
+
+  /** Escape regex metacharacters (RE2-compatible — no \Q\E dependence). */
+  private def regexEscape(s: String): String =
+    s.flatMap { c =>
+      if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) s"\\$c" else c.toString
+    }
 
   private object LineAttr {
     def unapply(e: Expression): Boolean = e match {
@@ -142,16 +156,19 @@ object LogQL {
     case Not(Like(LineAttr(), StrLit(p), _)) =>
       containsPattern(p).map(x => LineFilter("!=", x))
     case ILike(LineAttr(), StrLit(p), _) =>
-      containsPattern(p).map(x => LineFilter("|~", s"(?i)$x"))
+      // the LIKE literal is plain text: regex-escape it before embedding in
+      // the (?i) regex (a raw dot/paren would change semantics or break the
+      // query — the reference pushes it raw, expr.rs:101-104)
+      containsPattern(p).map(x => LineFilter("|~", s"(?i)${regexEscape(x)}"))
     case Not(ILike(LineAttr(), StrLit(p), _)) =>
-      containsPattern(p).map(x => LineFilter("!~", s"(?i)$x"))
+      containsPattern(p).map(x => LineFilter("!~", s"(?i)${regexEscape(x)}"))
     // post-LikeSimplification forms
     case Contains(LineAttr(), StrLit(x)) => Some(LineFilter("|=", x))
     case Not(Contains(LineAttr(), StrLit(x))) => Some(LineFilter("!=", x))
     case Contains(Lower(LineAttr()), StrLit(x)) =>
-      Some(LineFilter("|~", s"(?i)$x"))
+      Some(LineFilter("|~", s"(?i)${regexEscape(x)}"))
     case Not(Contains(Lower(LineAttr()), StrLit(x))) =>
-      Some(LineFilter("!~", s"(?i)$x"))
+      Some(LineFilter("!~", s"(?i)${regexEscape(x)}"))
     case _ => None
   }
 
@@ -172,17 +189,19 @@ object LogQL {
 
   /** `timestamp </<=/>/>= literal` → Start/End bound, flipping when the
     * literal is on the left (expr.rs:129-147). `=` unsupported, like the
-    * reference. Bounds are inclusive-start / exclusive-ish-end only at the
-    * Loki API level; both > and >= map to start=, mirroring expr.rs:132-135.
+    * reference. Loki's API window is [start, end): a strict `>` therefore
+    * becomes Start(ns+1) and a non-strict `<=` becomes End(ns+1) — the
+    * reference maps both variants to the bare bound (expr.rs:132-135),
+    * which is off by one nanosecond at the boundary under an Exact claim.
     */
   def timestampBound(e: Expression): Option[TsBound] = e match {
-    case GreaterThan(TsAttr(), TsLit(ns)) => Some(Start(ns))
+    case GreaterThan(TsAttr(), TsLit(ns)) => Some(Start(ns + 1))
     case GreaterThanOrEqual(TsAttr(), TsLit(ns)) => Some(Start(ns))
     case LessThan(TsAttr(), TsLit(ns)) => Some(End(ns))
-    case LessThanOrEqual(TsAttr(), TsLit(ns)) => Some(End(ns))
-    case GreaterThan(TsLit(ns), TsAttr()) => Some(End(ns))
-    case GreaterThanOrEqual(TsLit(ns), TsAttr()) => Some(End(ns))
-    case LessThan(TsLit(ns), TsAttr()) => Some(Start(ns))
+    case LessThanOrEqual(TsAttr(), TsLit(ns)) => Some(End(ns + 1))
+    case GreaterThan(TsLit(ns), TsAttr()) => Some(End(ns))       // lit > ts ⇔ ts < lit
+    case GreaterThanOrEqual(TsLit(ns), TsAttr()) => Some(End(ns + 1))
+    case LessThan(TsLit(ns), TsAttr()) => Some(Start(ns + 1))    // lit < ts ⇔ ts > lit
     case LessThanOrEqual(TsLit(ns), TsAttr()) => Some(Start(ns))
     case _ => None
   }
@@ -202,10 +221,12 @@ object LogQL {
     f match {
       case sources.StringContains("line", x) => Some(Left(LineFilter("|=", x)))
       case sources.Not(sources.StringContains("line", x)) => Some(Left(LineFilter("!=", x)))
-      case sources.GreaterThan("timestamp", v) => ts(v).map(n => Right(Start(n)))
+      // [start, end) window: strict > excludes the boundary ns, non-strict
+      // <= includes it (see timestampBound)
+      case sources.GreaterThan("timestamp", v) => ts(v).map(n => Right(Start(n + 1)))
       case sources.GreaterThanOrEqual("timestamp", v) => ts(v).map(n => Right(Start(n)))
       case sources.LessThan("timestamp", v) => ts(v).map(n => Right(End(n)))
-      case sources.LessThanOrEqual("timestamp", v) => ts(v).map(n => Right(End(n)))
+      case sources.LessThanOrEqual("timestamp", v) => ts(v).map(n => Right(End(n + 1)))
       case _ => None
     }
   }

@@ -45,9 +45,12 @@ class LokiScanBuilder(table: LokiTable)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition(f => LogQL.fromSourceFilter(f).isDefined)
     accepted.flatMap(LogQL.fromSourceFilter).foreach {
+      // conjunct semantics: tightest bound wins — max(start), min(end).
+      // (The reference takes last-wins, table.rs:106-110, which widens the
+      // window and silently returns excluded rows under the Exact claim.)
       case Left(lf) => pushedLines :+= lf
-      case Right(LogQL.Start(ns)) => startNs = Some(ns) // last wins (table.rs:106-110)
-      case Right(LogQL.End(ns)) => endNs = Some(ns)
+      case Right(LogQL.Start(ns)) => startNs = Some(startNs.fold(ns)(math.max(_, ns)))
+      case Right(LogQL.End(ns)) => endNs = Some(endNs.fold(ns)(math.min(_, ns)))
     }
     pushed = accepted
     residual // accepted filters are Exact: Loki fully enforces them

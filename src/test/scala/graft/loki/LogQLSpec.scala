@@ -29,10 +29,11 @@ class LogQLSpec extends AnyFunSuite {
       .contains("""app="x"""")) // literal on either side
     assert(LogQL.labelMatcher(Not(EqualTo(key("app"), s("x")))).map(_.render)
       .contains("""app!="x""""))
+    // full-match matcher wrapped to find semantics (Spark rlike ≡ find)
     assert(LogQL.labelMatcher(RLike(key("app"), s("a.*"))).map(_.render)
-      .contains("""app=~"a.*""""))
+      .contains("""app=~".*(?:a.*).*""""))
     assert(LogQL.labelMatcher(Not(RLike(key("app"), s("a.*")))).map(_.render)
-      .contains("""app!~"a.*""""))
+      .contains("""app!~".*(?:a.*).*""""))
   }
 
   test("label matcher: NULL literal treated as empty string (expr.rs:34-35)") {
@@ -59,6 +60,9 @@ class LogQLSpec extends AnyFunSuite {
       .contains("|~ `(?i)ERR`"))
     assert(LogQL.lineFilter(Not(ILike(line, s("%ERR%"), '\\'))).map(_.render)
       .contains("!~ `(?i)ERR`"))
+    // regex metachars in the LIKE literal are escaped before embedding
+    assert(LogQL.lineFilter(ILike(line, s("%a.b%"), '\\')).map(_.render)
+      .contains("|~ `(?i)a\\.b`"))
     assert(LogQL.lineFilter(RLike(line, s("a{3}"))).map(_.render)
       .contains("|~ `a{3}`"))
     assert(LogQL.lineFilter(Not(RLike(line, s("a{3}")))).map(_.render)
@@ -77,12 +81,13 @@ class LogQLSpec extends AnyFunSuite {
 
   test("timestamp bounds flip with literal on the left (expr.rs:129-147)") {
     import LogQL.{End, Start}
-    assert(LogQL.timestampBound(GreaterThan(ts, tsLit(5L))).contains(Start(5000L)))
+    // [start, end) window: strict > excludes the boundary ns (+1), <= includes it
+    assert(LogQL.timestampBound(GreaterThan(ts, tsLit(5L))).contains(Start(5001L)))
     assert(LogQL.timestampBound(GreaterThanOrEqual(ts, tsLit(5L))).contains(Start(5000L)))
     assert(LogQL.timestampBound(LessThan(ts, tsLit(5L))).contains(End(5000L)))
-    assert(LogQL.timestampBound(LessThanOrEqual(ts, tsLit(5L))).contains(End(5000L)))
+    assert(LogQL.timestampBound(LessThanOrEqual(ts, tsLit(5L))).contains(End(5001L)))
     assert(LogQL.timestampBound(GreaterThan(tsLit(5L), ts)).contains(End(5000L)))
-    assert(LogQL.timestampBound(LessThan(tsLit(5L), ts)).contains(Start(5000L)))
+    assert(LogQL.timestampBound(LessThan(tsLit(5L), ts)).contains(Start(5001L)))
     // '=' unsupported, like the reference
     assert(LogQL.timestampBound(EqualTo(ts, tsLit(5L))).isEmpty)
   }

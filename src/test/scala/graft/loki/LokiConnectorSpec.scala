@@ -101,7 +101,7 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       col("labels")("app").rlike("my-app[0-9]"))
     assert(golden(df) == Seq(
       "{app=my-app1,detected_level=unknown,service_name=my-app1} this is aaa log"))
-    assert(stub.queries.last == "{app=~\"my-app[0-9]\"} |~ `a{3}`")
+    assert(stub.queries.last == "{app=~\".*(?:my-app[0-9]).*\"} |~ `a{3}`")
   }
 
   test("timestamp filter pushdown incl. now() folding (tests/table.rs:43-57)") {
@@ -179,6 +179,32 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       .load()
     assert(df.rdd.getNumPartitions == 4)
     assert(golden(df) == golden(lokiDf()))
+  }
+
+  test("label regex keeps Spark's unanchored find semantics through pushdown") {
+    // "app[0-9]" is a SUBSTRING of the label value "my-app1"; Spark rlike
+    // matches it, and the pushed full-match matcher must too (wrapped form)
+    val df = lokiDf().filter(col("labels")("app").rlike("app[0-9]"))
+    assert(df.count() == 2, "unanchored label regex must match substrings")
+    val none = lokiDf().filter(col("labels")("app").rlike("^app[0-9]$"))
+    assert(none.count() == 0, "anchored regex must still bind to value start/end")
+  }
+
+  test("timestamp boundary semantics: strict vs non-strict at the exact ns") {
+    val boundary = stub.ingested.map(_.tsNs).min
+    val us = boundary / 1000L // µs value Spark sees/pushes
+    import java.time.Instant
+    def at(cmp: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long =
+      lokiDf().filter(cmp(col("timestamp"))).count()
+    val t = lit(java.sql.Timestamp.from(
+      Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)))
+    // expected counts from the stub's stored ns values, truncated to the µs
+    // the Spark predicate actually compares
+    val usAll = stub.ingested.map(_.tsNs / 1000L)
+    assert(at(_ >= t) == usAll.count(_ >= us).toLong, ">= must include the boundary")
+    assert(at(_ > t) == usAll.count(_ > us).toLong, "> must exclude the boundary")
+    assert(at(_ <= t) == usAll.count(_ <= us).toLong, "<= must include the boundary")
+    assert(at(_ < t) == usAll.count(_ < us).toLong, "< must exclude the boundary")
   }
 
   test("no label matcher and no default_label errors like the reference") {
