@@ -28,7 +28,10 @@ def cmp_cell(a, b):
             fa, fb = float(a), float(b)
             if math.isnan(fa) and math.isnan(fb):
                 return True
-            return fa == fb or abs(fa - fb) < 1e-9
+            # EXACT, matching the driver's value-hash semantics. A tolerance
+            # here let round-1's lineitem_stats_agg pass locally while the
+            # driver hash failed — never again.
+            return fa == fb
     except (TypeError, ValueError):
         pass
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):

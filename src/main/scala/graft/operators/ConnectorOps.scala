@@ -99,6 +99,49 @@ object ConnectorOps {
           |WHERE regexp_matches(event_type, '^(signup|error)$')
           |ORDER BY label_event_type, label_user, line""".stripMargin)),
 
+    // Time-range split (partitions=4): the scan slices [start, end) into 4
+    // disjoint Loki range queries (LokiScan.planInputPartitions) — the
+    // scale-out path for big windows. The oracle proves the union of the
+    // slices equals the unsplit relation, not just that N partitions exist.
+    ("loki_connector_split",
+      (s: SparkSession, d: String) =>
+        s.read.format("loki")
+          .option("endpoint", stubFor(s, d).endpoint)
+          .option("default_label", "event_type")
+          .option("partitions", "4")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-03 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-01-27 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line"),
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-27 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
+    // LIMIT through the connector: pushed to Loki's `limit` query param
+    // (stub enforces it server-side, returning the earliest n rows by ts —
+    // deterministic because the events corpus has unique timestamps).
+    ("loki_connector_limit",
+      (s: SparkSession, d: String) =>
+        lokiDf(s, d)
+          .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+          .limit(50)
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line"),
+      Some(
+        """SELECT ts_us, line FROM (
+          |  SELECT epoch_us(ts) AS ts_us,
+          |         concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |  FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  ORDER BY ts LIMIT 50
+          |) ORDER BY ts_us, line""".stripMargin)),
+
     // Write path: insert the signup rows through the connector into a
     // scratch stub, surface the committed count (the reference's
     // `| count |` result, README.md:49-53, via SURVEY.md §7.4(c)).
@@ -117,7 +160,7 @@ object ConnectorOps {
           .write.format("loki")
           .option("endpoint", scratch.endpoint)
           .mode("append").save()
-        Seq(LokiWrite.lastCommittedRows).toDF("count")
+        Seq(LokiWrite.lastCommittedRows(scratch.endpoint)).toDF("count")
       },
       Some("SELECT CAST(count(*) AS BIGINT) AS count FROM events WHERE event_type = 'signup'"))
   )

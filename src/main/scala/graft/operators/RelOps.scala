@@ -258,20 +258,25 @@ object RelOps {
 
     // Statistical aggregates: sample stddev/variance, Pearson correlation,
     // sample covariance (same estimator definitions in both engines).
+    // Rounding must leave margin for cross-engine summation-order noise:
+    // var_samp(l_extendedprice) is ~9e8, where a ~1e-12 relative difference
+    // between accumulation orders is ~1e-3 absolute — too close to a
+    // round(.,2) boundary. Reporting variance in millions (value ~9e2,
+    // noise ~1e-9, boundary margin 5e-5) keeps ~4 orders of headroom.
     ("lineitem_stats_agg",
       (s: SparkSession, d: String) =>
         lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
             round(stddev(col("l_quantity")), 4).as("sd_qty"),
-            round(variance(col("l_extendedprice")), 2).as("var_price"),
+            round(variance(col("l_extendedprice")) / 1e6, 4).as("var_price_m"),
             round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
             round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_disc_tax"))
           .orderBy("l_returnflag"),
       Some(
         """SELECT l_returnflag,
           |       round(stddev_samp(l_quantity), 4) AS sd_qty,
-          |       round(var_samp(l_extendedprice), 2) AS var_price,
+          |       round(var_samp(l_extendedprice) / 1e6, 4) AS var_price_m,
           |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
           |       round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),

@@ -98,14 +98,21 @@ object SimilarityOps {
         val e = vecs(s, d)
         val cents = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        // cluster assignment: nearest centroid per vector
-        val wAssign = Window.partitionBy("vec_id").orderBy(
-          cosine_sim(col("v"), col("cv")).desc, col("c_id"))
-        val assigned = e.join(broadcast(cents), lit(true))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-        // probe list: 4 nearest centroids per query
+        // Cluster assignment is SCAN-LOCAL: the 16-entry codebook is packed
+        // into one array row and broadcast, and the argmax over it runs
+        // inside the corpus scan via array_max over (cos, -c_id) structs
+        // (struct ordering ⇒ max cosine, then min c_id on ties). No
+        // Exchange of the N-row corpus — the window-over-all-vectors
+        // alternative shuffles N×16 rows just to take an argmax.
+        val codebook = cents
+          .agg(collect_list(struct(col("c_id"), col("cv"))).as("cs"))
+        val assigned = e.crossJoin(broadcast(codebook))
+          .withColumn("best",
+            array_max(transform(col("cs"), c =>
+              struct(cosine_sim(col("v"), c("cv")).as("cos"),
+                (-c("c_id")).as("neg_id")))))
+          .select(col("vec_id"), col("v"), (-col("best.neg_id")).as("cluster"))
+        // probe list: 4 nearest centroids per query (20×16 rows — tiny)
         val q = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val wProbe = Window.partitionBy("q_id").orderBy(
@@ -114,8 +121,8 @@ object SimilarityOps {
           .withColumn("rn", row_number().over(wProbe))
           .filter(col("rn") <= 4)
           .select(col("q_id"), col("qv"), col("c_id").as("cluster"))
-        // search only probed clusters
-        val scored = probes.join(assigned, "cluster")
+        // search only probed clusters: probes broadcast, corpus unshuffled
+        val scored = assigned.join(broadcast(probes), "cluster")
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("cos", cosine_sim(col("qv"), col("v")))
         val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))

@@ -160,13 +160,26 @@ object TextOps {
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Rolling-hash fingerprint via the native RollingFingerprint expression
-    // (single streaming pass; the cheap scale path). Engine-defined hash →
-    // no SQL oracle; determinism asserted in TextSpec.
+    // (single streaming pass; the cheap scale path). The hash is a fixed
+    // polynomial over UTF-8 bytes (base 1000003 mod 2^64 from the FNV
+    // offset basis), so DuckDB can replay it exactly with hugeint
+    // arithmetic — the corpus is ASCII, making unicode(char) ≡ byte.
     ("text_fingerprint_rolling",
       (s: SparkSession, d: String) =>
         documents(s, d)
           .select(col("doc_id"), rolling_fp(lower(col("text"))).as("fingerprint"))
           .orderBy("doc_id"),
-      None)
+      Some(
+        """SELECT doc_id,
+          |       CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+          |                 ELSE h END AS BIGINT) AS fingerprint
+          |FROM (
+          |  SELECT doc_id,
+          |         list_reduce(
+          |           list_prepend(CAST(1469598103934665603 AS HUGEINT),
+          |             [CAST(unicode(x) AS HUGEINT) for x in string_split(lower(text), '')]),
+          |           (a, b) -> (a * 1000003 + b) % 18446744073709551616) AS h
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -45,11 +45,25 @@ object LokiPushdownRule extends Rule[LogicalPlan] {
       val lines = conjuncts
         .filterNot(capturedLabelExprs)
         .flatMap(c => LogQL.lineFilter(c).map(c -> _))
-      val captured = capturedLabelExprs ++ lines.map(_._1)
-      if (captured.isEmpty) f
+      // idempotence: the rule re-fires on its own residual output until the
+      // optimizer's fixpoint, so never re-append matchers already pushed
+      val newLabels = labels.map(_._2).filterNot(t.pushedLabelMatchers.contains)
+      val newLines = lines.map(_._2).filterNot(t.pushedLineFilters.contains)
+      if (newLabels.isEmpty && newLines.isEmpty) f
       else {
-        val newRel = r.copy(table = t.withPushed(labels.map(_._2), lines.map(_._2)))
-        val residual = conjuncts.filterNot(captured)
+        val newRel = r.copy(table = t.withPushed(newLabels, newLines))
+        // NEGATIVE label matchers (!= / !~) are pushed for server-side
+        // pruning but KEPT in the residual: Loki's negative matchers also
+        // match streams where the label is ABSENT, while Spark's SQL
+        // semantics (GetMapValue → NULL → filter false) drop those rows.
+        // Loki's match set is a superset of SQL's, so pushing never loses a
+        // row, and the residual re-filter keeps SQL semantics authoritative
+        // — the same silent-extra-rows class of gap fixed for timestamp
+        // bounds and regex anchoring in round 1.
+        val removable = labels.collect {
+          case (e, m) if m.op == "=" || m.op == "=~" => e
+        }.toSet ++ lines.map(_._1)
+        val residual = conjuncts.filterNot(removable)
         if (residual.isEmpty) newRel
         else Filter(residual.reduce(
           org.apache.spark.sql.catalyst.expressions.And(_, _)), newRel)

@@ -147,9 +147,15 @@ object LogQL {
     * LikeSimplification may already have rewritten them into.
     */
   def lineFilter(e: Expression): Option[LineFilter] = e match {
-    // regex ops — literal accepted on either side, same output (expr.rs:63-80)
+    // regex ops — literal accepted on either side with the same output,
+    // mirroring expr.rs:63-80. NOTE the literal-on-left form deliberately
+    // follows the reference's order-insensitive reading (`'p' ~ line` ⇒
+    // line matches p), overriding Spark's rlike(str, pattern) argument
+    // order — a documented parity deviation (SURVEY.md §7.4).
     case RLike(LineAttr(), StrLit(p)) => Some(LineFilter("|~", p))
     case Not(RLike(LineAttr(), StrLit(p))) => Some(LineFilter("!~", p))
+    case RLike(StrLit(p), LineAttr()) => Some(LineFilter("|~", p))
+    case Not(RLike(StrLit(p), LineAttr())) => Some(LineFilter("!~", p))
     // LIKE family (expr.rs:98-105): (neg?, case-insensitive?)
     case Like(LineAttr(), StrLit(p), _) =>
       containsPattern(p).map(x => LineFilter("|=", x))

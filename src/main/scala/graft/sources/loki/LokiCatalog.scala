@@ -48,8 +48,12 @@ class LokiCatalog extends TableCatalog {
     Array(Identifier.of(ns, "loki"))
 
   override def loadTable(ident: Identifier): Table =
-    if (isLoki(ident)) LokiTable(LokiOptions.from(opts))
-    else throw new NoSuchTableException(ident)
+    if (isLoki(ident)) {
+      val o = LokiOptions.from(opts)
+      // probe at table-load time like the reference (table.rs:60-73)
+      if (o.checkConnection) LokiHttp.checkConnection(o.endpoint)
+      LokiTable(o)
+    } else throw new NoSuchTableException(ident)
 
   override def tableExists(ident: Identifier): Boolean = isLoki(ident)
 

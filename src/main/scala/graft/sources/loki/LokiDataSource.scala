@@ -67,7 +67,11 @@ object LokiOptions {
       numPartitions = m.getOrElse("partitions", "1").toInt,
       pushBatchSize = m.getOrElse("push_batch_size", "4096").toInt,
       escapeLogql = m.getOrElse("escape_logql", "false").toBoolean,
-      checkConnection = m.getOrElse("check_connection", "false").toBoolean)
+      // parity default: the reference probes /status/buildinfo when the
+      // table is constructed (table.rs:60-73), so a typo'd endpoint fails
+      // at load time, not first-task time. Opt out with
+      // check_connection=false.
+      checkConnection = m.getOrElse("check_connection", "true").toBoolean)
   }
 }
 

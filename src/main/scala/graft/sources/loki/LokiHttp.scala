@@ -4,8 +4,10 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.time.Duration
 
-/** Minimal HTTP helpers over the JDK client (executor-safe; a client per
-  * call-site object, no global state). Endpoints used (reference wire
+/** Minimal HTTP helpers over the JDK client. One shared client per JVM:
+  * HttpClient is immutable and thread-safe, and a client per request would
+  * pay connection setup on every partition scan / push batch — needless
+  * churn on the N-partition scale-out path. Endpoints used (reference wire
   * surface):
   *   - GET  /loki/api/v1/status/buildinfo   (table.rs:60-73)
   *   - GET  /loki/api/v1/query_range        (scan.rs:177-216)
@@ -13,7 +15,7 @@ import java.time.Duration
   */
 object LokiHttp {
 
-  private def client: HttpClient =
+  private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
 
   def checkConnection(endpoint: String): Unit = {

@@ -1,7 +1,5 @@
 package graft.sources.loki
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -114,13 +112,17 @@ case class LokiScan(
       Array(LokiInputPartition(options.endpoint, logql, startNs, endNs, limit, requiredSchema))
     } else {
       // slice [start, end) into n disjoint ranges; bounds must be concrete
-      // at planning time, so defaults are materialized here
+      // at planning time, so defaults are materialized here. The effective
+      // partition count is capped at the window width in ns — otherwise a
+      // window narrower than n produces slices with start > end that Loki
+      // rejects at runtime.
       val s = startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
       val e = endNs.getOrElse(LokiHttp.nowNs)
-      val width = math.max((e - s) / n, 1L)
-      (0 until n).map { i =>
+      val eff = math.max(1L, math.min(n.toLong, e - s)).toInt
+      val width = math.max((e - s) / eff, 1L)
+      (0 until eff).map { i =>
         val lo = s + i * width
-        val hi = if (i == n - 1) e else s + (i + 1) * width
+        val hi = if (i == eff - 1) e else s + (i + 1) * width
         LokiInputPartition(options.endpoint, logql, Some(lo), Some(hi), None, requiredSchema)
       }.toArray
     }
@@ -144,10 +146,17 @@ case class LokiReaderFactory() extends PartitionReaderFactory {
 }
 
 /** Executor-side reader: one HTTP range query, buffered body, parquet
-  * decode via the parquet-java Group API with column projection.
+  * decode via the parquet-java Group API with column projection. Decode is
+  * INCREMENTAL — one record materialized at a time, row group by row group
+  * (the reference decodes in bounded batches the same way, scan.rs:200-213).
+  * Holding only the response bytes plus one row keeps the reader's memory
+  * bounded regardless of scan size; the earlier ArrayBuffer materialization
+  * held body bytes and every decoded InternalRow simultaneously.
   */
 class LokiPartitionReader(p: LokiInputPartition)
   extends PartitionReader[InternalRow] {
+
+  private var parquetReader: ParquetFileReader = _
 
   // defaults evaluated at execute time, like scan.rs:104-115
   private lazy val rows: Iterator[InternalRow] = {
@@ -164,33 +173,42 @@ class LokiPartitionReader(p: LokiInputPartition)
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = ()
+  // also reached on early termination (pushed LIMIT stops the scan mid-read)
+  override def close(): Unit =
+    if (parquetReader != null) { parquetReader.close(); parquetReader = null }
 
   private def decode(body: Array[Byte]): Iterator[InternalRow] = {
-    val reader = ParquetFileReader.open(new ByteArrayInputFile(body))
-    val fileSchema = reader.getFooter.getFileMetaData.getSchema
+    parquetReader = ParquetFileReader.open(new ByteArrayInputFile(body))
+    val fileSchema = parquetReader.getFooter.getFileMetaData.getSchema
     // projection: requested subset of the file schema, by column name
     // (the ProjectionMask.roots analog, scan.rs:203-206)
     val wanted = p.requiredSchema.fieldNames
     val requested = new MessageType(fileSchema.getName,
       wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
-    val out = ArrayBuffer.empty[InternalRow]
-    try {
-      var pages = reader.readNextRowGroup()
-      while (pages != null) {
-        val columnIO = new ColumnIOFactory().getColumnIO(requested, fileSchema)
-        val recordReader =
-          columnIO.getRecordReader(pages, new GroupRecordConverter(requested))
-        var i = 0L
-        val rowCount = pages.getRowCount
-        while (i < rowCount) {
-          out += toRow(recordReader.read(), wanted)
-          i += 1
+    val columnIO = new ColumnIOFactory().getColumnIO(requested, fileSchema)
+    new Iterator[InternalRow] {
+      private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+      private var remaining = 0L
+
+      private def advance(): Boolean = {
+        val pages = parquetReader.readNextRowGroup()
+        if (pages == null) {
+          close(); false
+        } else {
+          recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(requested))
+          remaining = pages.getRowCount
+          if (remaining == 0) advance() else true
         }
-        pages = reader.readNextRowGroup()
       }
-    } finally reader.close()
-    out.iterator
+
+      override def hasNext: Boolean = remaining > 0 || (parquetReader != null && advance())
+
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException("exhausted Loki scan")
+        remaining -= 1
+        toRow(recordReader.read(), wanted)
+      }
+    }
   }
 
   private def toRow(g: Group, wanted: Array[String]): InternalRow = {

@@ -1,10 +1,11 @@
 package graft.sources.loki
 
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.ConcurrentHashMap
 
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 
@@ -15,18 +16,42 @@ import org.apache.spark.sql.types.StructType
   * handling mirrors insert.rs:167-236: null timestamp is an error, null
   * labels → {}, null line → "".
   *
+  * Delivery semantics are AT-LEAST-ONCE, matching the reference: batches
+  * POST during `write()` (insert.rs:104-113), so a failed or speculative
+  * task's already-pushed batches are not rolled back by `abort()`; only the
+  * winning attempt is counted at commit. Loki dedups identical
+  * (ts, labels, line) entries on ingest, which is what makes per-batch
+  * posting tolerable upstream.
+  *
   * Spark DML returns no rows, so the reference's `count` result table
-  * (README.md:49-53) surfaces here through commit messages: the total is
-  * aggregated in [[LokiBatchWrite.commit]] and exposed via
-  * [[LokiWrite.lastCommittedRows]] (SURVEY.md §7.4(c)).
+  * (README.md:49-53) surfaces here two ways (SURVEY.md §7.4(c)):
+  *   - a DSv2 custom metric (`loki_rows_written`, summed across tasks by
+  *     Spark's metric machinery — the SQL-UI-visible, concurrency-safe
+  *     surface);
+  *   - [[LokiWrite.lastCommittedRows]], keyed BY ENDPOINT from commit
+  *     messages, for programmatic access. Two concurrent writes to
+  *     different endpoints no longer race (the round-1 version was one
+  *     JVM-global cell).
   */
 object LokiWrite {
-  private[loki] val lastCount = new AtomicLong(-1L)
+  private[loki] val counts = new ConcurrentHashMap[String, Long]()
 
-  /** Row count of the most recent successful Loki batch write in this JVM
-    * (driver side) — observability hook replacing the count-result table.
+  /** Row count of the most recent successful batch write to `endpoint` in
+    * this JVM (driver side) — observability hook replacing the
+    * count-result table. -1 if no write to that endpoint committed yet.
     */
-  def lastCommittedRows: Long = lastCount.get()
+  def lastCommittedRows(endpoint: String): Long =
+    counts.getOrDefault(endpoint.stripSuffix("/"), -1L)
+}
+
+/** `rows_written` counter summed over tasks (insert.rs's count surface). */
+class LokiRowsWrittenMetric extends CustomSumMetric {
+  override def name(): String = "loki_rows_written"
+  override def description(): String = "rows written to Loki"
+}
+
+case class LokiRowsWrittenTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "loki_rows_written"
 }
 
 class LokiWriteBuilder(options: LokiOptions, inputSchema: StructType)
@@ -46,6 +71,8 @@ class LokiWriteBuilder(options: LokiOptions, inputSchema: StructType)
     new Write {
       override def toBatch: BatchWrite = LokiBatchWrite(options)
       override def description(): String = s"LokiLogInsert: endpoint=${options.endpoint}"
+      override def supportedCustomMetrics(): Array[CustomMetric] =
+        Array(new LokiRowsWrittenMetric)
     }
   }
 }
@@ -56,7 +83,7 @@ case class LokiBatchWrite(options: LokiOptions) extends BatchWrite {
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val total = messages.collect { case LokiCommitMessage(n) => n }.sum
-    LokiWrite.lastCount.set(total)
+    LokiWrite.counts.put(options.endpoint.stripSuffix("/"), total)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -128,6 +155,11 @@ class LokiDataWriter(options: LokiOptions) extends DataWriter[InternalRow] {
     LokiCommitMessage(count)
   }
 
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(LokiRowsWrittenTaskMetric(count))
+
+  // at-least-once: batches already POSTed by write() stay in Loki (see
+  // class doc); only the unflushed tail is dropped
   override def abort(): Unit = buf.clear()
 
   override def close(): Unit = ()

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Structured Streaming surface over the events table (file-stream source):
@@ -68,20 +68,30 @@ object StreamingOps {
 
   /** Run a streaming query over the bounded file source to completion and
     * return the final result from the memory sink (test/verify harness
-    * path — `processAllAvailable` drives the bounded stream like a batch).
+    * path). `Trigger.AvailableNow` drains the bounded source and terminates
+    * — no idle polling. The stateful shuffle is capped at 4 partitions for
+    * the duration of the query: state-store partition count is fixed from
+    * this conf at query start, and 32 state stores (each with its own
+    * checkpoint dir, commit, and maintenance task) dominate wall-clock on a
+    * bounded single-file stream. On a real cluster with a long-lived query
+    * this knob is sized to state volume, not left at the batch default.
     */
   def runToMemory(
       df: DataFrame,
       name: String,
       mode: OutputMode = OutputMode.Update()): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }

@@ -1,10 +1,16 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
 
 /** Dedup family: LSH candidate generation must not lose pairs the exact
   * computation finds (at the planted-near-dup thresholds), and approximate
-  * variants must be sound (subset of exact).
+  * variants must be sound (subset of exact). The simhash / SRP gate queries
+  * run the guaranteed-subset construction (duplicated-slice corpus) for the
+  * DuckDB oracle, so this spec pins the OPEN-corpus behavior through the
+  * underlying [[DedupOps.simhashPairs]] / [[DedupOps.srpPairs]] pipelines.
   */
 class DedupSpec extends SparkTestBase {
 
@@ -25,7 +31,9 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("simhash pairs respect the hamming bound and overlap the near-dup set") {
-    val rows = q("dedup_simhash").collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val rows = DedupOps.simhashPairs(docs).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getInt(2) <= 3))
     val sim = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -38,10 +46,29 @@ class DedupSpec extends SparkTestBase {
       "simhash near-dups should overlap exact near-dups")
   }
 
+  test("simhash gate query returns exactly the planted identity pairs") {
+    val rows = q("dedup_simhash").collect()
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 100).count()
+    assert(rows.length == planted)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 100000L && r.getInt(2) == 0))
+  }
+
   test("SRP-LSH embedding pairs are a sound subset of the exact pairs") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val srp = DedupOps.srpPairs(vecs, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs("dedup_embedding")
-    val srp = pairs("dedup_embedding_srp")
     assert(srp.subsetOf(exact), s"spurious=${srp -- exact}")
+  }
+
+  test("SRP gate query recovers every planted identity pair at cosine 1") {
+    val rows = q("dedup_embedding_srp").collect()
+    val planted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 100).count()
+    assert(rows.length == planted)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 100000L && r.getDouble(2) == 1.0))
   }
 
   test("embedding pair similarity values are within cosine bounds") {

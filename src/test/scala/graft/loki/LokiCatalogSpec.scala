@@ -27,7 +27,7 @@ class LokiCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     spark.sql(
       "INSERT INTO lokicat.default.loki VALUES " +
         "(current_timestamp(), map('app','cat-app'), 'catalog line')")
-    assert(LokiWrite.lastCommittedRows == 1L)
+    assert(LokiWrite.lastCommittedRows(stub.endpoint) == 1L)
     assert(stub.ingested.exists(_.line == "catalog line"))
   }
 

@@ -49,7 +49,7 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     }.sorted
 
   test("insert roundtrip surfaces the row count (reference count table)") {
-    assert(LokiWrite.lastCommittedRows == 2L)
+    assert(LokiWrite.lastCommittedRows(stub.endpoint) == 2L)
     val ing = stub.ingested
     assert(ing.size == 2)
     // Loki-injected labels present (tests/table.rs:21-22)
