@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Time each gate query's oracle SQL in DuckDB on a given sf dir, and emit
+the Spark-vs-DuckDB side-by-side table (BENCH_COMPARE.md).
+
+Usage: python scripts/bench_duckdb.py <sfDir> <verifyOutDir> [benchJson]
+
+- <verifyOutDir> must contain oracle_sql.json (from `runMain graft.Verify`).
+- [benchJson] is the one-line bench output (from `runMain graft.Bench`);
+  when given, writes BENCH_COMPARE.md next to this repo's root.
+
+Each query runs twice; the second (warm) run is recorded — matching the
+Spark bench's warm-up-then-time protocol.
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir, bench_json=None):
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    res = {}
+    for name, sql in sorted(oracle.items()):
+        con.sql(sql).fetchall()  # warm-up
+        t0 = time.perf_counter()
+        con.sql(sql).fetchall()
+        res[name] = round(time.perf_counter() - t0, 4)
+    total = sum(res.values())
+    print(json.dumps({"metric": "duckdb_total", "value": round(total, 3),
+                      "unit": "sec", "queries": res, "sf": sf_dir}))
+    if not bench_json:
+        return 0
+    spark = json.load(open(bench_json))["queries"]
+    lines = ["# BENCH_COMPARE — Spark (local[32]) vs DuckDB (32 threads), "
+             f"same parquet at {sf_dir}", "",
+             "| query | spark s | duckdb s | ratio |", "|---|---|---|---|"]
+    for name in sorted(spark, key=lambda n: -spark[n]):
+        d = res.get(name)
+        ds = f"{d:.3f}" if d is not None else "(no oracle)"
+        rs = f"{spark[name] / d:.1f}x" if d else "-"
+        lines.append(f"| {name} | {spark[name]:.3f} | {ds} | {rs} |")
+    tot_s = sum(spark.values())
+    tot_d = sum(d for n, d in res.items() if n in spark)
+    lines.append(f"| **total** | **{tot_s:.2f}** | **{tot_d:.2f}** "
+                 f"({len(res)} of {len(spark)}) | **{tot_s / tot_d:.1f}x** |")
+    with open("BENCH_COMPARE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))

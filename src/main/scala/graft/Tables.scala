@@ -10,8 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  // One DataFrame per (session, dir, table): repeated loads would re-list
+  // files and re-read parquet footers at every query — measurable across a
+  // 60-query gate run, pure waste on a cluster where the catalog caches
+  // this for you. DataFrames are immutable, so sharing is safe.
+  private val loaded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    loaded.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -94,6 +94,35 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** EXACT Jaccard ≥ tau pairs via lossless PREFIX FILTERING
+    * (AllPairs/SSJoin, Bayardo et al., WWW'07): order each document's
+    * shingles by a global rare-first total order (document frequency, then
+    * shingle); J(x,y) ≥ τ implies overlap ≥ ⌈τ·|x|⌉, so a qualifying pair
+    * must share a shingle inside each side's first |x| − ⌈τ·|x|⌉ + 1
+    * shingles. Joining only prefixes replaces the Σ df² blowup of the
+    * naive shared-shingle join (stop-word shingles at corpus scale) with a
+    * join dominated by RARE shingles, then exact verification on
+    * candidates — same output relation, linear-ish candidate volume. The
+    * extra df-count/window passes only amortize on large corpora, so the
+    * bench query keeps the naive join and DedupSpec asserts equality.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, tau: Double): DataFrame = {
+    val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("sh1"))
+    val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
+    val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
+    val prefix = ex.join(dfreq, "sh1")
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
+      .select(col("doc_id"), col("sh1"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh1") === col("b.sh1") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, docs, tau)
+  }
+
   /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */
   private val jaccardOracle =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -129,8 +158,13 @@ object DedupOps {
           |       md5(text) AS text_md5
           |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
-    // Brute-force n-gram (3-shingle) Jaccard ≥ 0.5 — the exact baseline.
-    // O(pairs-sharing-a-shingle); the LSH variant below is the scale path.
+    // Exact n-gram (3-shingle) Jaccard ≥ 0.5 — the count-based exact
+    // baseline: one shared-shingle self-join, group-count the intersection.
+    // Cost is Σ_sh df(sh)² pair rows, which is fine at bench scale (~1.4M
+    // at sf0.1) but blows up on stop-word shingles at corpus scale; the
+    // lossless [[jaccardPairsPrefix]] variant (candidates restricted to
+    // rare-first prefixes) and the MinHash-LSH query below are the scale
+    // paths — DedupSpec asserts all three produce the identical relation.
     ("dedup_ngram_jaccard",
       (s: SparkSession, d: String) => {
         val docs = shingled(s, d).cache()

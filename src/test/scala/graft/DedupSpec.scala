@@ -30,6 +30,18 @@ class DedupSpec extends SparkTestBase {
       s"missed=${exact -- lsh} spurious=${lsh -- exact}")
   }
 
+  test("prefix-filtered jaccard equals the naive exact relation") {
+    val docs = Tables.documents(spark, sf).select(
+      col("doc_id"),
+      array_distinct(graft.functions.GraftFunctions.shingles(
+        split(col("text"), " "), 3)).as("sh"))
+    val prefix = DedupOps.jaccardPairsPrefix(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("dedup_ngram_jaccard")
+    assert(prefix == exact,
+      s"missed=${exact -- prefix} spurious=${prefix -- exact}")
+  }
+
   test("simhash pairs respect the hamming bound and overlap the near-dup set") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -54,4 +54,57 @@ class ExplainSpec extends SparkTestBase {
     val p = plan("sim_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("IVF: cluster assignment is scan-local — no Exchange below the probe join") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = q("sim_ivf_topk")
+    df.collect() // finalize the AQE plan
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // AQE wraps materialized subtrees in leaf QueryStageExec nodes; descend
+    // into them so the whole physical tree is visible
+    def flatten(n: SparkPlan): Seq[SparkPlan] = {
+      val kids = n match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
+        case other => other.children
+      }
+      n +: kids.flatMap(flatten)
+    }
+    // find the probe BroadcastHashJoin on `cluster`; its streamed (corpus)
+    // subtree must contain no shuffle — assignment is an argmax over the
+    // broadcast codebook, not a window over an exchanged corpus
+    val probe = flatten(root).collectFirst {
+      case j: BroadcastHashJoinExec
+          if j.leftKeys.exists(_.toString.contains("cluster")) => j
+    }
+    assert(probe.isDefined, s"expected a broadcast probe join on cluster:\n$root")
+    val corpusSide =
+      if (probe.get.buildSide == BuildRight) probe.get.left else probe.get.right
+    def isShuffle(n: SparkPlan): Boolean = {
+      val c = n.getClass.getSimpleName
+      c.startsWith("ShuffleExchange") || c.startsWith("ShuffleQueryStage")
+    }
+    // don't descend into broadcast builds: whatever feeds a broadcast is
+    // small by construction (here: the 16-row codebook's collect_list,
+    // which legitimately funnels to a single partition)
+    def streamOnly(n: SparkPlan): Seq[SparkPlan] = {
+      val c = n.getClass.getSimpleName
+      if (c.startsWith("BroadcastExchange") || c.startsWith("BroadcastQueryStage")) Seq(n)
+      else {
+        val kids = n match {
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        n +: kids.flatMap(streamOnly)
+      }
+    }
+    val shuffles = streamOnly(corpusSide).filter(isShuffle)
+    assert(shuffles.isEmpty,
+      s"corpus side of the probe join must not shuffle:\n$corpusSide")
+  }
 }
