@@ -34,16 +34,17 @@ object ConnectorOps {
     stubs.getOrElseUpdate(d, {
       val st = new LokiStubServer
       st.start()
-      val rows = Tables.lokiView(s, d)
-        .select(unix_micros(col("timestamp")).as("us"), col("labels"), col("line"))
-        .collect()
-        .map { r =>
-          st.LogRow(
-            r.getLong(0) * 1000L,
-            r.getMap[String, String](1).toMap,
-            r.getString(2))
-        }
-      st.seed(rows)
+      // seed through the connector's own write path: executors POST to the
+      // push API in batches, so nothing is ever collected to the driver —
+      // the round-1 driver-side collect was the one place the harness
+      // would not survive a larger sf. Loki-style label injection
+      // (detected_level/service_name) applies, as on a real Loki; no gate
+      // query enumerates the full label map.
+      Tables.lokiView(s, d)
+        .write.format("loki")
+        .option("endpoint", st.endpoint)
+        .option("push_batch_size", "8192")
+        .mode("append").save()
       sys.addShutdownHook(st.stop())
       st
     })

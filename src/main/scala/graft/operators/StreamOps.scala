@@ -29,6 +29,24 @@ object StreamOps {
           |       event_type,
           |       CAST(count(*) AS BIGINT) AS n,
           |       round(sum(value), 2) AS sum_value
-          |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin))
+          |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin)),
+
+    // Custom per-key state via mapGroupsWithState (the engine's
+    // session-style stateful API): running per-user totals driven to
+    // completion over the bounded stream — the final state must equal the
+    // batch aggregate, which is exactly what the oracle asserts.
+    ("stream_user_totals",
+      (s: SparkSession, d: String) => {
+        val name = s"stream_ut_${math.abs(d.hashCode)}"
+        StreamingOps.runToMemory(
+          StreamingOps.userTotals(s, d).toDF(), name, OutputMode.Update())
+          .select(col("user_id"), col("n_events"),
+            round(col("total_value"), 2).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |       round(sum(value), 2) AS total_value
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
