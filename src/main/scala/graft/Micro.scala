@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Micro-bench: time the named gate queries only (after one warm-up pass),
+  * for iterating on individual operators without the full bench run.
+  * `runMain graft.Micro <sfDir> <n_iters> <name> [name ...]`
+  */
+object Micro {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val iters = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n => SparkEntry.queries(n)(spark, sfDir).count() } // warm
+    names.foreach { n =>
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[micro] $n%-28s min=${ts.min}%.3f med=${ts.sorted.apply(iters / 2)}%.3f max=${ts.max}%.3f")
+    }
+    graft.operators.ConnectorOps.shutdownStubs()
+    spark.stop()
+  }
+}

@@ -207,6 +207,47 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(at(_ < t) == usAll.count(_ < us).toLong, "< must exclude the boundary")
   }
 
+  test("negative label matcher keeps SQL semantics when the label is absent") {
+    // Loki's != / !~ also match streams where the label is ABSENT; Spark SQL
+    // drops them (GetMapValue → NULL → filter false). The rule pushes the
+    // matcher for pruning but keeps the residual, so SQL wins. Both seeded
+    // rows lack the 'k' label entirely (r1) or carry k=v (r2) — SQL expects
+    // ZERO rows; unfixed Loki semantics would return the absent-label row.
+    val st = new LokiStubServer
+    st.start()
+    try {
+      // inside the default now−30d scan window
+      val nowNs = System.currentTimeMillis() * 1000000L
+      st.seed(Seq(
+        st.LogRow(nowNs - 2000000000L, Map("app" -> "x"), "no k here"),
+        st.LogRow(nowNs - 1000000000L, Map("app" -> "x", "k" -> "v"), "k equals v")))
+      val df = spark.read.format("loki")
+        .option("endpoint", st.endpoint)
+        .option("default_label", "app")
+        .load()
+        .filter(col("labels")("k") =!= "v")
+      assert(df.count() == 0, "absent-label rows must be dropped (SQL semantics)")
+      // the matcher WAS pushed (server-side pruning), and a residual Filter remains
+      assert(st.queries.last.contains("k!=\"v\""), st.queries.last)
+      val residual = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }
+      assert(residual.nonEmpty, "negative matcher must keep its residual Filter")
+      // and rows where k is present and ≠ v still flow
+      val present = spark.read.format("loki")
+        .option("endpoint", st.endpoint).option("default_label", "app").load()
+        .filter(col("labels")("k") =!= "nope")
+      assert(present.count() == 1)
+    } finally st.stop()
+  }
+
+  test("literal-on-left regex pushes the same line filter (expr.rs:63-80)") {
+    val df = lokiDf().where(expr("'a{3}' rlike line"))
+    assert(golden(df) == Seq(
+      "{app=my-app1,detected_level=unknown,service_name=my-app1} this is aaa log"))
+    assert(stub.queries.last.endsWith("|~ `a{3}`"), stub.queries.last)
+  }
+
   test("no label matcher and no default_label errors like the reference") {
     val df = spark.read.format("loki").option("endpoint", stub.endpoint).load()
     val ex = intercept[Exception] { df.collect() }
