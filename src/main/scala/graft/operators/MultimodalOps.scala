@@ -89,10 +89,21 @@ object MultimodalOps {
               Row(r.getAs[Long]("doc_id"), r.getAs[Long]("nb"), fakeDecode(payload))
             }
           }(org.apache.spark.sql.Encoders.row(featureSchema))
+        // feat_l2sq = Σ(c_b/n)² is summation-order-sensitive in doubles (a
+        // 16-term sum can land on a 4-decimal rounding tie differently per
+        // engine — seen at sf0.1). Recover the EXACT integer bin counts
+        // (c = round(x·n), exact since x = c/n), sum c² as integers, and
+        // divide once — one identical double op on identical integers in
+        // both engines, so the rounded result is deterministic.
         feats
           .select(col("doc_id"), col("n_bytes"),
-            round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x), 4)
-              .as("feat_l2sq"),
+            round(
+              aggregate(col("features"), lit(0L), (acc, x) => {
+                val c = round(x * col("n_bytes")).cast("long")
+                acc + c * c
+              }).cast("double") /
+                (col("n_bytes") * col("n_bytes")).cast("double"),
+              4).as("feat_l2sq"),
             round(element_at(col("features"), 1), 4).as("bin0"))
           .orderBy("doc_id")
       },
@@ -106,11 +117,12 @@ object MultimodalOps {
           |         CAST(length(text) AS DOUBLE) AS n
           |  FROM documents
           |), h AS (
-          |  SELECT doc_id, bin, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2
+          |  SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
           |)
           |SELECT n.doc_id, n.n_bytes,
-          |       round(sum((h.c/n.n)*(h.c/n.n)), 4) AS feat_l2sq,
-          |       round(coalesce(sum(CASE WHEN h.bin = 0 THEN h.c/n.n END), 0), 4) AS bin0
+          |       round(CAST(sum(h.c * h.c) AS DOUBLE)
+          |             / CAST(n.n_bytes * n.n_bytes AS DOUBLE), 4) AS feat_l2sq,
+          |       round(coalesce(sum(CASE WHEN h.bin = 0 THEN h.c END), 0) / n.n, 4) AS bin0
           |FROM n JOIN h ON h.doc_id = n.doc_id
           |GROUP BY n.doc_id, n.n_bytes, n.n
           |ORDER BY n.doc_id""".stripMargin))
