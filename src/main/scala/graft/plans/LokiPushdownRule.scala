@@ -52,16 +52,18 @@ object LokiPushdownRule extends Rule[LogicalPlan] {
       if (newLabels.isEmpty && newLines.isEmpty) f
       else {
         val newRel = r.copy(table = t.withPushed(newLabels, newLines))
-        // NEGATIVE label matchers (!= / !~) are pushed for server-side
-        // pruning but KEPT in the residual: Loki's negative matchers also
-        // match streams where the label is ABSENT, while Spark's SQL
-        // semantics (GetMapValue → NULL → filter false) drop those rows.
-        // Loki's match set is a superset of SQL's, so pushing never loses a
-        // row, and the residual re-filter keeps SQL semantics authoritative
-        // — the same silent-extra-rows class of gap fixed for timestamp
-        // bounds and regex anchoring in round 1.
+        // Matchers that can match a stream WITHOUT the label are pushed for
+        // server-side pruning but KEPT in the residual: Loki treats a
+        // missing label as the empty string, so != / !~ (which accept ""
+        // unless the value is itself empty), = with value "", and =~ whose
+        // pattern matches "" all select absent-label streams — rows Spark's
+        // SQL semantics (GetMapValue → NULL → filter false) must drop.
+        // Loki's match set is a superset of SQL's in every such case, so
+        // pushing never loses a row, and the residual re-filter keeps SQL
+        // semantics authoritative — the same silent-extra-rows class of gap
+        // fixed for timestamp bounds and regex anchoring in round 1.
         val removable = labels.collect {
-          case (e, m) if m.op == "=" || m.op == "=~" => e
+          case (e, m) if !LogQL.matchesAbsentLabel(m) => e
         }.toSet ++ lines.map(_._1)
         val residual = conjuncts.filterNot(removable)
         if (residual.isEmpty) newRel

@@ -79,6 +79,25 @@ object LogQL {
   def defaultMatcher(defaultLabel: String): LabelMatcher =
     LabelMatcher(defaultLabel, "=~", ".+")
 
+  /** Whether this matcher also selects streams WITHOUT the label. Loki
+    * treats a missing label as "" (Prometheus selector semantics), so:
+    * `!=`/`!~` match absent unless they reject "" … `=` matches absent iff
+    * the value is empty … `=~` matches absent iff its pattern matches "".
+    * Such matchers must keep their Spark-side residual (SQL drops the
+    * NULL-map-access rows); the others are safely Exact.
+    */
+  def matchesAbsentLabel(m: LabelMatcher): Boolean = {
+    def emptyMatches(p: String): Boolean =
+      scala.util.Try("".matches(s"(?s)(?:$p)")).getOrElse(true) // unparsable → conservative
+    m.op match {
+      case "=" => m.value.isEmpty
+      case "!=" => m.value.nonEmpty
+      case "=~" => emptyMatches(m.value)
+      case "!~" => !emptyMatches(m.value)
+      case _ => true
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Catalyst-side translators (used by the optimizer rule for predicates
   // Spark's DSv2 filter translation cannot express: map access + regex).

@@ -147,12 +147,15 @@ final class LokiStubServer {
 
   private case class Matcher(label: String, op: String, value: String) {
     def matches(labels: Map[String, String]): Boolean = {
-      val v = labels.get(label)
+      // real Loki/Prometheus selector semantics: a missing label is
+      // indistinguishable from an empty-valued one — {k=""} and any
+      // {k=~p} whose p matches "" select streams WITHOUT the label
+      val v = labels.getOrElse(label, "")
       op match {
-        case "=" => v.contains(value)
-        case "!=" => !v.contains(value)
-        case "=~" => v.exists(_.matches(s"(?s)(?:${value})"))
-        case "!~" => !v.exists(_.matches(s"(?s)(?:${value})"))
+        case "=" => v == value
+        case "!=" => v != value
+        case "=~" => v.matches(s"(?s)(?:${value})")
+        case "!~" => !v.matches(s"(?s)(?:${value})")
       }
     }
   }

@@ -238,6 +238,26 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
         .option("endpoint", st.endpoint).option("default_label", "app").load()
         .filter(col("labels")("k") =!= "nope")
       assert(present.count() == 1)
+
+      def df2(cond: org.apache.spark.sql.Column) =
+        spark.read.format("loki")
+          .option("endpoint", st.endpoint).option("default_label", "app").load()
+          .filter(cond)
+      // positive matchers that can match "" also select absent-label
+      // streams in Loki (missing label ≡ empty string) — SQL semantics
+      // must still drop the NULL-map-access rows
+      assert(df2(col("labels")("k") === "").count() == 0,
+        "k='' must not surface Loki's absent-label match under SQL semantics")
+      assert(df2(col("labels")("k").rlike(".*")).count() == 1,
+        "k=~'.*' matches absent in Loki; SQL keeps only the present-label row")
+      // a pattern that cannot match "" stays fully Exact (no residual)
+      val exactDf = df2(col("labels")("k").rlike("^v$"))
+      assert(exactDf.count() == 1)
+      val exactResidual = exactDf.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }
+      assert(exactResidual.isEmpty,
+        s"non-empty-matching regex must stay residual-free:\n${exactDf.queryExecution.optimizedPlan}")
     } finally st.stop()
   }
 
