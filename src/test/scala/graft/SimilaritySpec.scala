@@ -32,14 +32,25 @@ class SimilaritySpec extends SparkTestBase {
 
   test("IVF topk recall@5 vs brute force is usable") {
     val brute = topk("sim_brute_topk")
-    val ivf = topk("sim_ivf_topk")
+    val ivf = graft.operators.SimilarityOps.ivfTop5(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
     val recalls = brute.keys.toSeq.map { k =>
       val b = brute(k).toSet
       val i = ivf.getOrElse(k, Nil).toSet
       (b intersect i).size.toDouble / b.size
     }
     val mean = recalls.sum / recalls.length
-    info(f"IVF recall@5 = $mean%.3f over ${recalls.length} queries")
+    info(f"IVF recall@5 = $mean%.3f min=${recalls.min}%.2f over ${recalls.length} queries")
     assert(mean >= 0.5, f"recall collapsed: $mean%.3f")
+  }
+
+  test("IVF gate query reports mean recall_ok over the query set") {
+    val rows = q("sim_ivf_topk").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 20L)
+    assert(rows.head.getBoolean(1), "mean recall@5 must reach 0.6")
   }
 }
