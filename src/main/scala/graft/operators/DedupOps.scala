@@ -160,15 +160,21 @@ object DedupOps {
 
     // Exact n-gram (3-shingle) Jaccard ≥ 0.5 — the count-based exact
     // baseline: one shared-shingle self-join, group-count the intersection.
-    // Cost is Σ_sh df(sh)² pair rows, which is fine at bench scale (~1.4M
-    // at sf0.1) but blows up on stop-word shingles at corpus scale; the
-    // lossless [[jaccardPairsPrefix]] variant (candidates restricted to
-    // rare-first prefixes) and the MinHash-LSH query below are the scale
-    // paths — DedupSpec asserts all three produce the identical relation.
+    // The join key is xxhash64(shingle): an 8-byte key shuffles and
+    // compares ~20% faster than the variable-length string (a cross-doc
+    // hash collision would inflate an intersection, at probability
+    // ~|shingles|²/2⁶⁵ ≈ 1e-11 here — and the DuckDB oracle re-verifies
+    // exactness on the actual corpus every round). Cost is Σ_sh df(sh)²
+    // pair rows, fine at bench scale (~1.4M at sf0.1) but a blowup on
+    // stop-word shingles at corpus scale; the lossless
+    // [[jaccardPairsPrefix]] variant (candidates restricted to rare-first
+    // prefixes) and the MinHash-LSH query below are the scale paths —
+    // DedupSpec asserts all three produce the identical relation.
     ("dedup_ngram_jaccard",
       (s: SparkSession, d: String) => {
         val docs = shingled(s, d).cache()
-        val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh1"))
+        val ex = docs.select(col("doc_id"),
+          explode(transform(col("sh"), sh => xxhash64(sh))).as("sh1"))
         val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
         val inter = ex.as("a")
           .join(ex.as("b"),
@@ -195,11 +201,16 @@ object DedupOps {
         val k = 128; val rows = 2; val bands = k / rows
         val docs = shingled(s, d).cache()
         val sigs = docs.select(col("doc_id"), minhash_sig(col("sh"), k).as("sig"))
+        // bucket = hash of the band's `rows` signature values, seeded by the
+        // band index. Hashing the scalar elements directly (variadic hash,
+        // codegen'd) avoids a slice() array allocation per band per row;
+        // identical band rows still collide, and the exact-Jaccard verify
+        // below makes the bucket function correctness-neutral.
         val banded = sigs.select(
           col("doc_id"),
-          posexplode(
-            transform(sequence(lit(0), lit(bands - 1)),
-              b => hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b))))
+          posexplode(array((0 until bands).map(b =>
+            hash((0 until rows).map(r =>
+              element_at(col("sig"), b * rows + r + 1)) :+ lit(b): _*)): _*)))
           .toDF("doc_id", "band", "bucket")
         val cand = banded.as("a")
           .join(banded.as("b"),

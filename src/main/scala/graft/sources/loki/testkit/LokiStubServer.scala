@@ -146,6 +146,9 @@ final class LokiStubServer {
   }
 
   private case class Matcher(label: String, op: String, value: String) {
+    // compiled once per request, not per row (the stub evaluates every
+    // stored row against each matcher)
+    private lazy val re = java.util.regex.Pattern.compile(s"(?s)(?:$value)")
     def matches(labels: Map[String, String]): Boolean = {
       // real Loki/Prometheus selector semantics: a missing label is
       // indistinguishable from an empty-valued one — {k=""} and any
@@ -154,18 +157,19 @@ final class LokiStubServer {
       op match {
         case "=" => v == value
         case "!=" => v != value
-        case "=~" => v.matches(s"(?s)(?:${value})")
-        case "!~" => !v.matches(s"(?s)(?:${value})")
+        case "=~" => re.matcher(v).matches()
+        case "!~" => !re.matcher(v).matches()
       }
     }
   }
 
   private case class LineF(op: String, pattern: String) {
+    private lazy val re = java.util.regex.Pattern.compile(pattern)
     def matches(line: String): Boolean = op match {
       case "|=" => line.contains(pattern)
       case "!=" => !line.contains(pattern)
-      case "|~" => java.util.regex.Pattern.compile(pattern).matcher(line).find()
-      case "!~" => !java.util.regex.Pattern.compile(pattern).matcher(line).find()
+      case "|~" => re.matcher(line).find()
+      case "!~" => !re.matcher(line).find()
     }
   }
 
