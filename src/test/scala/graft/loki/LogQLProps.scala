@@ -67,6 +67,34 @@ object LogQLProps extends Properties("LogQL") {
       }
     }
 
+  property("matchesAbsentLabel agrees with evaluating the matcher on \"\"") =
+    Prop.forAll(ident, value, Gen.oneOf("=", "!=", "=~", "!~")) { (k, v, op) =>
+      // ground truth: Loki evaluates a missing label as the empty string —
+      // replicate the stub's semantics directly and compare
+      val wrapped = op match {
+        case "=~" | "!~" => s".*(?:${java.util.regex.Pattern.quote(v)}).*"
+        case _ => v
+      }
+      val m = LogQL.LabelMatcher(k, op, wrapped)
+      val evalOnEmpty = op match {
+        case "=" => "" == wrapped
+        case "!=" => "" != wrapped
+        case "=~" => "".matches(s"(?s)(?:$wrapped)")
+        case "!~" => !"".matches(s"(?s)(?:$wrapped)")
+      }
+      LogQL.matchesAbsentLabel(m) == evalOnEmpty
+    }
+
+  property("empty-matching positive matchers are flagged, anchored ones not") =
+    Prop.forAll(ident) { k =>
+      LogQL.matchesAbsentLabel(LogQL.LabelMatcher(k, "=", "")) &&
+      !LogQL.matchesAbsentLabel(LogQL.LabelMatcher(k, "=", "x")) &&
+      LogQL.matchesAbsentLabel(LogQL.LabelMatcher(k, "=~", ".*")) &&
+      !LogQL.matchesAbsentLabel(LogQL.LabelMatcher(k, "=~", ".*(?:^v$).*")) &&
+      LogQL.matchesAbsentLabel(LogQL.LabelMatcher(k, "!=", "x")) &&
+      !LogQL.matchesAbsentLabel(LogQL.LabelMatcher(k, "!=", ""))
+    }
+
   property("assemble always yields selector-then-filters shape") =
     Prop.forAll(ident, value, value) { (k, v, pat) =>
       val q = LogQL.assemble(
