@@ -46,11 +46,21 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // per-query scheduling floor: the median wall time of a trivial
+    // one-stage job — the irreducible cost local Spark pays per query that
+    // a single-process engine does not; floor × |queries| contextualizes
+    // the total against DuckDB (see BASELINE.md)
+    val floorTs = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val floor = floorTs(floorTs.length / 2)
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fjson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failures":$fjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor_sec":$floor,"queries":$qjson,"failures":$fjson,"sf":"$sfDir"}""")
     graft.operators.ConnectorOps.shutdownStubs()
     spark.stop()
   }
