@@ -30,7 +30,11 @@ def cmp_cell(a, b):
                 return True
             # EXACT, matching the driver's value-hash semantics. A tolerance
             # here let round-1's lineitem_stats_agg pass locally while the
-            # driver hash failed — never again.
+            # driver hash failed — never again. IEEE == also calls 0.0 and
+            # -0.0 equal, which let round-2's covar_samp sign-of-zero split
+            # through: compare the sign bit too when both are zero.
+            if fa == 0.0 and fb == 0.0:
+                return math.copysign(1.0, fa) == math.copysign(1.0, fb)
             return fa == fb
     except (TypeError, ValueError):
         pass

@@ -80,13 +80,22 @@ object ConnectorOps {
           |ORDER BY ts_us, line""".stripMargin)),
 
     // Projection + label map access through the connector. The timestamp
-    // bound is required: without one the scan uses the reference's default
-    // now−30d window (utils.rs:3-12), which excludes the 2024 test corpus.
+    // bounds are required: without them the scan uses the reference's
+    // default now−30d window (utils.rs:3-12), which excludes the 2024 test
+    // corpus — and they give `partitions=8` a bounded window to slice, so
+    // the heaviest connector query (whole-corpus regex scan) runs through
+    // 8 parallel range slices instead of the reference's single partition
+    // (the scale-out path the split oracle certifies).
     ("loki_connector_labels",
       (s: SparkSession, d: String) =>
-        lokiDf(s, d)
+        s.read.format("loki")
+          .option("endpoint", stubFor(s, d).endpoint)
+          .option("default_label", "event_type")
+          .option("partitions", "8")
+          .load()
           .filter(element_at(col("labels"), "event_type").rlike("^(signup|error)$") &&
-            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
           .select(
             element_at(col("labels"), "event_type").as("label_event_type"),
             element_at(col("labels"), "user").as("label_user"),
@@ -142,6 +151,55 @@ object ConnectorOps {
           |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
           |  ORDER BY ts LIMIT 50
           |) ORDER BY ts_us, line""".stripMargin)),
+
+    // Absent-label semantics end-to-end (SURVEY.md §7.4(f)): a corpus where
+    // a third of the streams LACK the matched label. `tier != 'gold'` is an
+    // absent-matching matcher — Loki treats a missing label as "" ≠ "gold"
+    // and returns the no-tier streams (the stub models this), while SQL's
+    // GetMapValue → NULL → filter-false semantics must drop them. The rule
+    // pushes the matcher for server-side pruning but keeps the residual, so
+    // the gate answer is the SQL one: silver rows ONLY. An Exact-pushdown
+    // bug that trusts Loki's superset here returns the absent-label rows
+    // too → row-count mismatch, red.
+    ("loki_absent_label_neq",
+      (s: SparkSession, d: String) => {
+        val st = stubs.getOrElseUpdate(s"$d#absent", {
+          val stub = new LokiStubServer
+          stub.start()
+          Tables.events(s, d).select(
+            col("ts").as("timestamp"),
+            map_concat(
+              map(lit("event_type"), col("event_type")),
+              when(col("user_id") % 3 === 0, map(lit("tier"), lit("gold")))
+                .when(col("user_id") % 3 === 1, map(lit("tier"), lit("silver")))
+                .otherwise(typedLit(Map.empty[String, String]))).as("labels"),
+            concat(col("event_type"), lit(" value="), col("value").cast("string"))
+              .as("line"))
+            .write.format("loki")
+            .option("endpoint", stub.endpoint)
+            .option("push_batch_size", "8192")
+            .mode("append").save()
+          sys.addShutdownHook(stub.stop())
+          stub
+        })
+        s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "event_type")
+          .load()
+          .filter(element_at(col("labels"), "tier") =!= "gold" &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .select(
+            element_at(col("labels"), "tier").as("tier"),
+            unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line")
+      },
+      Some(
+        """SELECT 'silver' AS tier, epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE user_id % 3 = 1
+          |ORDER BY ts_us, line""".stripMargin)),
 
     // Write path: insert the signup rows through the connector into a
     // scratch stub, surface the committed count (the reference's

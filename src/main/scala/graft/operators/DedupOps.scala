@@ -102,13 +102,17 @@ object DedupOps {
     * shingles. Joining only prefixes replaces the Σ df² blowup of the
     * naive shared-shingle join (stop-word shingles at corpus scale) with a
     * join dominated by RARE shingles, then exact verification on
-    * candidates — same output relation, linear-ish candidate volume. The
-    * extra df-count/window passes only amortize on large corpora, so the
-    * bench query keeps the naive join and DedupSpec asserts equality.
+    * candidates — same output relation, linear-ish candidate volume. This
+    * is the gate/bench path (the 100 TB shape); DedupSpec asserts it is
+    * identical to [[jaccardPairsNaive]].
     */
   def jaccardPairsPrefix(docs: DataFrame, tau: Double): DataFrame = {
+    // 8-byte hashed shingle keys shuffle/compare faster than the strings;
+    // a cross-shingle hash collision merges two tokens under one key, which
+    // only ADDS candidates (identical shingles still collide), and the
+    // exact verification below discards any false candidate — lossless.
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("sh1"))
+      explode(transform(col("sh"), sh => xxhash64(sh))).as("sh1"))
     val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
     val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
     val prefix = ex.join(dfreq, "sh1")
@@ -121,6 +125,34 @@ object DedupOps {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     verifyJaccard(cand, docs, tau)
+  }
+
+  /** EXACT Jaccard ≥ tau pairs via the naive shared-shingle self-join —
+    * the count-based baseline. Cost is Σ_sh df(sh)² pair rows: fine on a
+    * small corpus, a blowup on stop-word shingles at 100 TB scale, which is
+    * why the GATE runs [[jaccardPairsPrefix]] and this stays a spec-only
+    * cross-check (DedupSpec asserts the two relations are identical).
+    * The join key is xxhash64(shingle) — see the collision note above;
+    * here a collision could inflate an intersection count (probability
+    * ~|shingles|²/2⁶⁵ ≈ 1e-11), and the spec equality vs the verified
+    * prefix path re-checks exactness on the actual corpus every run.
+    */
+  def jaccardPairsNaive(docs: DataFrame, tau: Double): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(transform(col("sh"), sh => xxhash64(sh))).as("sh1"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = ex.as("a")
+      .join(ex.as("b"),
+        col("a.sh1") === col("b.sh1") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).cast("double").as("i"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), "a_id")
+      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), "b_id")
+      .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jac") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("a_id", "b_id")
   }
 
   /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */
@@ -158,37 +190,15 @@ object DedupOps {
           |       md5(text) AS text_md5
           |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
-    // Exact n-gram (3-shingle) Jaccard ≥ 0.5 — the count-based exact
-    // baseline: one shared-shingle self-join, group-count the intersection.
-    // The join key is xxhash64(shingle): an 8-byte key shuffles and
-    // compares ~20% faster than the variable-length string (a cross-doc
-    // hash collision would inflate an intersection, at probability
-    // ~|shingles|²/2⁶⁵ ≈ 1e-11 here — and the DuckDB oracle re-verifies
-    // exactness on the actual corpus every round). Cost is Σ_sh df(sh)²
-    // pair rows, fine at bench scale (~1.4M at sf0.1) but a blowup on
-    // stop-word shingles at corpus scale; the lossless
-    // [[jaccardPairsPrefix]] variant (candidates restricted to rare-first
-    // prefixes) and the MinHash-LSH query below are the scale paths —
-    // DedupSpec asserts all three produce the identical relation.
+    // Exact n-gram (3-shingle) Jaccard ≥ 0.5 via lossless prefix
+    // filtering — the 100 TB path (candidates restricted to rare-first
+    // prefixes instead of the Σ df(sh)² shared-shingle blowup), verified
+    // exactly, so the output relation is identical to the naive baseline
+    // ([[jaccardPairsNaive]], spec-only cross-check in DedupSpec) and the
+    // DuckDB oracle re-verifies exactness on the actual corpus every round.
     ("dedup_ngram_jaccard",
-      (s: SparkSession, d: String) => {
-        val docs = shingled(s, d).cache()
-        val ex = docs.select(col("doc_id"),
-          explode(transform(col("sh"), sh => xxhash64(sh))).as("sh1"))
-        val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-        val inter = ex.as("a")
-          .join(ex.as("b"),
-            col("a.sh1") === col("b.sh1") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg(count(lit(1)).cast("double").as("i"))
-        inter
-          .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), "a_id")
-          .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), "b_id")
-          .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
-          .filter(col("jac") >= 0.5)
-          .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
-          .orderBy("a_id", "b_id")
-      },
+      (s: SparkSession, d: String) =>
+        jaccardPairsPrefix(shingled(s, d).cache(), 0.5),
       Some(jaccardOracle)),
 
     // MinHash(128) + LSH banding (64 bands × 2 rows) + exact verification.

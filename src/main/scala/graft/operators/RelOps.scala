@@ -273,27 +273,33 @@ object RelOps {
 
     // Statistical aggregates: sample stddev/variance, Pearson correlation,
     // sample covariance (same estimator definitions in both engines).
-    // Rounding must leave margin for cross-engine summation-order noise:
-    // var_samp(l_extendedprice) is ~9e8, where a ~1e-12 relative difference
-    // between accumulation orders is ~1e-3 absolute — too close to a
-    // round(.,2) boundary. Reporting variance in millions (value ~9e2,
-    // noise ~1e-9, boundary margin 5e-5) keeps ~4 orders of headroom.
+    // All four stat columns are emitted as SCALED INTEGERS, not doubles:
+    // round-to-double kept splitting the driver's value hash on float
+    // formatting classes tolerance-free doubles can't escape (round 2:
+    // covar_samp ≈ -2.45e-7 rounds to 0.0 in Spark but -0.0 in DuckDB —
+    // integers have no signed zero). Scale keeps the round-2 precision
+    // (1e-4 / 1e-6). Order of ops matters: round to a whole double FIRST,
+    // then cast — DuckDB's double→BIGINT cast rounds while Spark's
+    // truncates, so casting a fractional double directly would diverge.
+    // Margin analysis is unchanged from round 2: var_samp(l_extendedprice)
+    // ~9e8 reported in millions keeps cross-engine summation noise ~1e-9
+    // against a 0.5 integer-rounding boundary.
     ("lineitem_stats_agg",
       (s: SparkSession, d: String) =>
         lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
-            round(stddev(col("l_quantity")), 4).as("sd_qty"),
-            round(variance(col("l_extendedprice")) / 1e6, 4).as("var_price_m"),
-            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-            round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_disc_tax"))
+            round(stddev(col("l_quantity")) * 1e4, 0).cast("long").as("sd_qty_e4"),
+            round(variance(col("l_extendedprice")) / 1e6 * 1e4, 0).cast("long").as("var_price_m_e4"),
+            round(corr(col("l_quantity"), col("l_extendedprice")) * 1e4, 0).cast("long").as("corr_qty_price_e4"),
+            round(covar_samp(col("l_discount"), col("l_tax")) * 1e6, 0).cast("long").as("cov_disc_tax_e6"))
           .orderBy("l_returnflag"),
       Some(
         """SELECT l_returnflag,
-          |       round(stddev_samp(l_quantity), 4) AS sd_qty,
-          |       round(var_samp(l_extendedprice) / 1e6, 4) AS var_price_m,
-          |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-          |       round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+          |       CAST(round(stddev_samp(l_quantity) * 1e4, 0) AS BIGINT) AS sd_qty_e4,
+          |       CAST(round(var_samp(l_extendedprice) / 1e6 * 1e4, 0) AS BIGINT) AS var_price_m_e4,
+          |       CAST(round(corr(l_quantity, l_extendedprice) * 1e4, 0) AS BIGINT) AS corr_qty_price_e4,
+          |       CAST(round(covar_samp(l_discount, l_tax) * 1e6, 0) AS BIGINT) AS cov_disc_tax_e6
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // As-of semantics: attach each event's most recent PRIOR purchase by

@@ -1,11 +1,11 @@
 package graft.sources.loki
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Attribute, Contains, EqualTo, Expression, GetMapValue, GreaterThan,
-  GreaterThanOrEqual, ILike, LessThan, LessThanOrEqual, Like, Literal, Lower,
-  Not, RLike}
+  Attribute, Contains, ElementAt, EqualTo, Expression, GetMapValue,
+  GreaterThan, GreaterThanOrEqual, ILike, LessThan, LessThanOrEqual, Like,
+  Literal, Lower, Not, RLike}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.types.{StringType, TimestampType}
+import org.apache.spark.sql.types.{MapType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** LogQL fragments + the three expression translators, mirroring the
@@ -107,6 +107,15 @@ object LogQL {
     def unapply(e: Expression): Option[String] = e match {
       case GetMapValue(a: Attribute, Literal(k: UTF8String, StringType))
           if a.name == "labels" => Some(k.toString)
+      // element_at(labels, 'k') — same NULL-on-missing semantics as
+      // GetMapValue for maps in every mode since SPARK-40066, so the two
+      // forms translate identically
+      case ea: ElementAt => (ea.left, ea.right) match {
+        case (a: Attribute, Literal(k: UTF8String, StringType))
+            if a.name == "labels" && a.dataType.isInstanceOf[MapType] =>
+          Some(k.toString)
+        case _ => None
+      }
       case _ => None
     }
   }
@@ -166,15 +175,16 @@ object LogQL {
     * LikeSimplification may already have rewritten them into.
     */
   def lineFilter(e: Expression): Option[LineFilter] = e match {
-    // regex ops — literal accepted on either side with the same output,
-    // mirroring expr.rs:63-80. NOTE the literal-on-left form deliberately
-    // follows the reference's order-insensitive reading (`'p' ~ line` ⇒
-    // line matches p), overriding Spark's rlike(str, pattern) argument
-    // order — a documented parity deviation (SURVEY.md §7.4).
+    // regex ops, mirroring expr.rs:63-80. The literal-on-LEFT form is
+    // deliberately NOT translated (deviation from the reference's
+    // order-insensitive reading, expr.rs:63-80): Spark's RLike('p', line)
+    // means "does 'p' contain a match of the regex stored in line", so
+    // pushing it as "line matches p" would change the result set depending
+    // on whether the optimizer fired the pushdown — and "push for pruning
+    // only" is unsound here too, since the Loki match set is not a superset
+    // of the SQL one. The form stays a residual Filter; SQL semantics win.
     case RLike(LineAttr(), StrLit(p)) => Some(LineFilter("|~", p))
     case Not(RLike(LineAttr(), StrLit(p))) => Some(LineFilter("!~", p))
-    case RLike(StrLit(p), LineAttr()) => Some(LineFilter("|~", p))
-    case Not(RLike(StrLit(p), LineAttr())) => Some(LineFilter("!~", p))
     // LIKE family (expr.rs:98-105): (neg?, case-insensitive?)
     case Like(LineAttr(), StrLit(p), _) =>
       containsPattern(p).map(x => LineFilter("|=", x))

@@ -32,17 +32,19 @@ final class LokiStubServer {
   final case class LogRow(tsNs: Long, labels: Map[String, String], line: String)
 
   private val rows = mutable.ArrayBuffer.empty[LogRow]
+  // ingest-dedup membership index over `rows` (see handlePush)
+  private val seen = mutable.HashSet.empty[LogRow]
   private var server: HttpServer = _
 
   def ingested: Seq[LogRow] = rows.synchronized(rows.toSeq)
 
-  def clear(): Unit = rows.synchronized { rows.clear(); respCache.clear() }
+  def clear(): Unit = rows.synchronized { rows.clear(); seen.clear(); respCache.clear() }
 
   /** Direct seeding (no push-API label injection) — for harness queries
     * that need the stored rows to equal a known relation exactly.
     */
   def seed(rs: Iterable[LogRow]): Unit =
-    rows.synchronized { rows ++= rs; respCache.clear() }
+    rows.synchronized { rows ++= rs; seen ++= rs; respCache.clear() }
 
   /** Requests observed, for pushdown assertions (query string per scan). */
   val queries = mutable.ArrayBuffer.empty[String]
@@ -79,7 +81,14 @@ final class LokiStubServer {
       val svc = r.labels.getOrElse("app", "unknown")
       val injected = r.labels ++ Map(
         "detected_level" -> "unknown", "service_name" -> svc)
-      rows.synchronized { rows += r.copy(labels = injected); respCache.clear() }
+      // Loki ingest drops entries identical in (ts, labels, line) — the
+      // semantics the writer's at-least-once delivery relies on
+      // (LokiWrite: a retried/speculative task re-POSTs its batches), so
+      // the stub must model it or stub-backed runs double-count retries.
+      val row = r.copy(labels = injected)
+      rows.synchronized {
+        if (seen.add(row)) { rows += row; respCache.clear() }
+      }
     }
     respond(ex, 204, Array.emptyByteArray)
   }

@@ -83,15 +83,33 @@ object StreamingOps {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // The state store commits a checkpoint per partition per microbatch;
+    // on a bounded drain that fsync-heavy I/O is pure overhead, so the
+    // checkpoint lives on tmpfs when available. A long-lived production
+    // query keeps its checkpoint on durable storage — this is the
+    // run-to-completion harness path only.
+    val ckptBase = new java.io.File("/dev/shm")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      (if (ckptBase.isDirectory && ckptBase.canWrite) ckptBase.toPath
+       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))),
+      s"graft-ckpt-$name-").toFile
     try {
       val q = df.writeStream
         .outputMode(mode)
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(ckpt)
+    }
     spark.table(name)
   }
 }

@@ -30,16 +30,21 @@ class DedupSpec extends SparkTestBase {
       s"missed=${exact -- lsh} spurious=${lsh -- exact}")
   }
 
-  test("prefix-filtered jaccard equals the naive exact relation") {
+  test("prefix-filtered gate query equals the naive exact relation") {
+    // the gate runs the prefix-filter path; the naive Σdf² self-join is the
+    // independent baseline it must match pair-for-pair AND value-for-value
     val docs = Tables.documents(spark, sf).select(
       col("doc_id"),
       array_distinct(graft.functions.GraftFunctions.shingles(
         split(col("text"), " "), 3)).as("sh"))
-    val prefix = DedupOps.jaccardPairsPrefix(docs, 0.5).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs("dedup_ngram_jaccard")
-    assert(prefix == exact,
-      s"missed=${exact -- prefix} spurious=${prefix -- exact}")
+    val naive = DedupOps.jaccardPairsNaive(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val gate = q("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gate.keySet == naive.keySet,
+      s"missed=${naive.keySet -- gate.keySet} spurious=${gate.keySet -- naive.keySet}")
+    assert(gate.forall { case (k, j) => naive(k) == j },
+      "jaccard values must agree between the prefix and naive paths")
   }
 
   test("simhash pairs respect the hamming bound and overlap the near-dup set") {

@@ -181,6 +181,22 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(golden(df) == golden(lokiDf()))
   }
 
+  test("partitions=8 survives a filtered+projected plan (gate query shape)") {
+    // the loki_connector_labels gate entry runs this shape: bounded window,
+    // pushed label regex, projection — the split must still plan 8 slices
+    // and the slice union must equal the unsplit relation
+    val df = spark.read.format("loki")
+      .option("endpoint", stub.endpoint)
+      .option("default_label", "app")
+      .option("partitions", "8")
+      .load()
+      .filter(col("labels")("app").rlike("my-app[0-9]") &&
+        col("timestamp") >= current_timestamp() - expr("interval 1 day") &&
+        col("timestamp") < current_timestamp() + expr("interval 1 day"))
+    assert(df.rdd.getNumPartitions == 8)
+    assert(golden(df) == golden(lokiDf()))
+  }
+
   test("label regex keeps Spark's unanchored find semantics through pushdown") {
     // "app[0-9]" is a SUBSTRING of the label value "my-app1"; Spark rlike
     // matches it, and the pushed full-match matcher must too (wrapped form)
@@ -261,16 +277,59 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally st.stop()
   }
 
-  test("literal-on-left regex pushes the same line filter (expr.rs:63-80)") {
-    val df = lokiDf().where(expr("'a{3}' rlike line"))
-    assert(golden(df) == Seq(
-      "{app=my-app1,detected_level=unknown,service_name=my-app1} this is aaa log"))
-    assert(stub.queries.last.endsWith("|~ `a{3}`"), stub.queries.last)
+  test("literal-on-left regex is NOT translated — Spark rlike semantics kept") {
+    // Spark's RLike('p', line) asks whether 'p' contains a match of the
+    // regex stored in `line` — not the reference's order-insensitive "line
+    // matches p" (expr.rs:63-80). Translating it made the result depend on
+    // whether the pushdown fired, so the form stays a residual Filter with
+    // SQL semantics authoritative: no seeded line, read as a regex, matches
+    // the string 'aaa' (the old translation returned the aaa row here).
+    val df = lokiDf().where(expr("'aaa' rlike line"))
+    assert(df.count() == 0)
+    assert(!stub.queries.last.contains("|~"), stub.queries.last)
+    val residual = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(residual.nonEmpty, "literal-on-left rlike must stay a residual Filter")
   }
 
   test("no label matcher and no default_label errors like the reference") {
     val df = spark.read.format("loki").option("endpoint", stub.endpoint).load()
     val ex = intercept[Exception] { df.collect() }
     assert(ex.getMessage.contains("label matcher"))
+  }
+
+  test("element_at label access pushes the same matcher as labels['k']") {
+    // element_at(labels,'k') resolves to ElementAt, not GetMapValue; both
+    // have NULL-on-missing map semantics (SPARK-40066) and must push alike
+    val df = lokiDf().where(expr("element_at(labels, 'app') = 'my-app1'"))
+    assert(golden(df) == Seq(
+      "{app=my-app1,detected_level=unknown,service_name=my-app1} this is aaa log"))
+    assert(stub.queries.last == "{app=\"my-app1\"}")
+    val residual = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(residual.isEmpty,
+      s"element_at eq must be Exact (no residual):\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("ingest dedups identical (ts, labels, line) entries (at-least-once)") {
+    // the writer's at-least-once delivery relies on Loki deduping identical
+    // entries on ingest; the stub must model that or a retried/speculative
+    // task double-counts rows in stub-backed runs
+    val st = new LokiStubServer
+    st.start()
+    try {
+      val payload =
+        """{"streams":[{"stream":{"app":"a"},"values":[["1700000000000000000","x"],["1700000000000000001","y"]]}]}"""
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(st.endpoint + "/loki/api/v1/push"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+        .build()
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+      assert(st.ingested.size == 2, "re-POSTed batch must not double-count")
+    } finally st.stop()
   }
 }
