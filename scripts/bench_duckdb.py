@@ -38,19 +38,36 @@ def main(sf_dir, out_dir, bench_json=None):
                       "unit": "sec", "queries": res, "sf": sf_dir}))
     if not bench_json:
         return 0
-    spark = json.load(open(bench_json))["queries"]
+    bench = json.load(open(bench_json))
+    spark = bench["queries"]
+    stages = bench.get("stages", {})
+    floor = bench.get("floor_sec", 0.0)
     lines = ["# BENCH_COMPARE — Spark (local[32]) vs DuckDB (32 threads), "
              f"same parquet at {sf_dir}", "",
-             "| query | spark s | duckdb s | ratio |", "|---|---|---|---|"]
+             f"`adj s` = spark s − stages × floor ({floor:.3f}s measured "
+             "per-stage scheduling floor): the engine-work residue after "
+             "subtracting the per-stage scheduler tax local Spark pays and "
+             "a single-process engine does not. On a real cluster the floor "
+             "amortizes across executors; `adj` is the honest "
+             "work-vs-work comparison, `ratio` the raw wall-clock one.", "",
+             "| query | spark s | stages | adj s | duckdb s | ratio | adj ratio |",
+             "|---|---|---|---|---|---|---|"]
+    tot_adj = 0.0
     for name in sorted(spark, key=lambda n: -spark[n]):
         d = res.get(name)
+        st = stages.get(name, 0)
+        adj = max(0.0, spark[name] - st * floor)
+        tot_adj += adj
         ds = f"{d:.3f}" if d is not None else "(no oracle)"
         rs = f"{spark[name] / d:.1f}x" if d else "-"
-        lines.append(f"| {name} | {spark[name]:.3f} | {ds} | {rs} |")
+        ar = f"{adj / d:.1f}x" if d else "-"
+        lines.append(f"| {name} | {spark[name]:.3f} | {st} | {adj:.3f} "
+                     f"| {ds} | {rs} | {ar} |")
     tot_s = sum(spark.values())
     tot_d = sum(d for n, d in res.items() if n in spark)
-    lines.append(f"| **total** | **{tot_s:.2f}** | **{tot_d:.2f}** "
-                 f"({len(res)} of {len(spark)}) | **{tot_s / tot_d:.1f}x** |")
+    lines.append(f"| **total** | **{tot_s:.2f}** | | **{tot_adj:.2f}** "
+                 f"| **{tot_d:.2f}** ({len(res)} of {len(spark)}) "
+                 f"| **{tot_s / tot_d:.1f}x** | **{tot_adj / tot_d:.1f}x** |")
     with open("BENCH_COMPARE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     return 0

@@ -6,7 +6,7 @@ Loads each <name> parquet result, runs oracle_sql.json[<name>] in DuckDB with
 the sf tables registered as views, and compares: schema (column names), row
 count, and values (columns sorted by name, rows sorted by all columns).
 """
-import json, math, sys
+import json, math, struct, sys
 
 import duckdb
 
@@ -28,14 +28,15 @@ def cmp_cell(a, b):
             fa, fb = float(a), float(b)
             if math.isnan(fa) and math.isnan(fb):
                 return True
-            # EXACT, matching the driver's value-hash semantics. A tolerance
-            # here let round-1's lineitem_stats_agg pass locally while the
-            # driver hash failed — never again. IEEE == also calls 0.0 and
-            # -0.0 equal, which let round-2's covar_samp sign-of-zero split
-            # through: compare the sign bit too when both are zero.
-            if fa == 0.0 and fb == 0.0:
-                return math.copysign(1.0, fa) == math.copysign(1.0, fb)
-            return fa == fb
+            # BIT-FOR-BIT, matching the driver's value-hash semantics. A
+            # tolerance here let round-1's lineitem_stats_agg pass locally
+            # while the driver hash failed; round 2's escape was IEEE ==
+            # calling 0.0 and -0.0 equal while the driver hash split on the
+            # sign bit. Comparing the raw float64 encoding closes the whole
+            # formatting class (sign of zero, and any future same-print
+            # different-bits value) — NaN≡NaN is the one deliberate
+            # normalization kept above.
+            return struct.pack("<d", fa) == struct.pack("<d", fb)
     except (TypeError, ValueError):
         pass
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):

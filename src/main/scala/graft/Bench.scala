@@ -17,9 +17,18 @@ object Bench {
     // overhead; AQE coalescing trims reads but map-side task launch is
     // still per-partition. Overridable for experiments.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // AQE OFF for the bench session: AQE executes every shuffle stage as
+    // its own job, and on this machine a job submission floors at ~0.1 s
+    // (measured: bare spark.range(1).count() at local[32]) — across ~60
+    // sub-second queries that re-planning tax cost 8 s wall with zero
+    // benefit at ≤100 MB inputs (measured 34.7 s → 26.6 s). Production
+    // sessions at real scale keep AQE on (skew joins, coalescing);
+    // this is a bench-harness setting, not an engine default.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -27,6 +36,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // stage counter: each submitted stage pays one scheduling round-trip,
+    // so per-query stage counts let BENCH_COMPARE subtract the measured
+    // floor × stages from each query (engine work vs scheduler tax).
+    // Listener delivery is async; the short post-query sleep (untimed)
+    // lets the bus drain before the counter is read.
+    val stageCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+          stageCount.incrementAndGet(); ()
+        }
+      })
 
     // warm-up (untimed): run everything once
     qs.foreach { case (_, fn) =>
@@ -37,6 +60,8 @@ object Bench {
     var failures = List.empty[String]
     val results = qs.map { case (name, fn) =>
       System.gc() // isolate queries from each other's garbage (untimed)
+      Thread.sleep(50)
+      val s0 = stageCount.get()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch {
@@ -44,7 +69,9 @@ object Bench {
           failures ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50)
+      (name, secs, stageCount.get() - s0)
     }
     // per-query scheduling floor: the median wall time of a trivial
     // one-stage job — the irreducible cost local Spark pays per query that
@@ -56,11 +83,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.sorted
     val floor = floorTs(floorTs.length / 2)
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sjson = results.map { case (k, _, st) => "\"" + k + "\":" + st }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fjson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor_sec":$floor,"queries":$qjson,"failures":$fjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor_sec":$floor,"queries":$qjson,"stages":$sjson,"failures":$fjson,"sf":"$sfDir"}""")
     graft.operators.ConnectorOps.shutdownStubs()
     spark.stop()
   }

@@ -111,17 +111,30 @@ object DedupOps {
     // a cross-shingle hash collision merges two tokens under one key, which
     // only ADDS candidates (identical shingles still collide), and the
     // exact verification below discards any false candidate — lossless.
+    // NOTE: hash as a plain column AFTER the explode, not via a transform()
+    // lambda — lambda variables get fresh expression ids per invocation,
+    // which defeats plan canonicalization and with it the Exchange reuse
+    // the self-join below depends on (without reuse the whole df-count +
+    // window pipeline executes once per join side).
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(transform(col("sh"), sh => xxhash64(sh))).as("sh1"))
+      explode(col("sh")).as("shs"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh1"))
     val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
     val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
+    // cached: feeds BOTH sides of the self-join (Spark's CacheManager keys
+    // on the canonicalized plan, so repeated invocations share one entry);
+    // without it the df-count + window pipeline executes once per side
     val prefix = ex.join(dfreq, "sh1")
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
-      .select(col("doc_id"), col("sh1"))
+      .select(col("doc_id"), col("n"), col("sh1"))
+      .cache()
+    // length filter (AllPairs): J ≥ τ ⇒ min(|x|,|y|) ≥ |x∩y| ≥ τ·max(|x|,|y|),
+    // so size-incompatible pairs are pruned inside the join
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.sh1") === col("b.sh1") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh1") === col("b.sh1") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") >= col("b.n") * tau && col("b.n") >= col("a.n") * tau)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     verifyJaccard(cand, docs, tau)
@@ -138,8 +151,8 @@ object DedupOps {
     * prefix path re-checks exactness on the actual corpus every run.
     */
   def jaccardPairsNaive(docs: DataFrame, tau: Double): DataFrame = {
-    val ex = docs.select(col("doc_id"),
-      explode(transform(col("sh"), sh => xxhash64(sh))).as("sh1"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("shs"))
+      .select(col("doc_id"), xxhash64(col("shs")).as("sh1"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"),
@@ -249,15 +262,38 @@ object DedupOps {
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
         val shifted = base.filter(col("doc_id") < 100)
           .select((col("doc_id") + 100000L).as("doc_id"), col("toks"))
-        simhashPairs(base.unionAll(shifted))
+        val planted = simhashPairs(base.unionAll(shifted))
           // guaranteed-subset gate (see above); ids < 100000 ⇒ only
           // original↔copy identity pairs satisfy this
           .filter(col("b_id") === col("a_id") + 100000L)
-          .orderBy("a_id")
+        // open-corpus invariant the oracle can pin: on the 100-doc slice,
+        // the chunk pigeonhole join must find EXACTLY the hamming ≤ 3
+        // pairs a brute-force signature comparison finds — so a broken
+        // explode/join/bit_count/dedup cannot pass the gate on planted
+        // identity pairs alone while the spec suite is skipped. The two
+        // pair sets are compared by multiset fingerprint (count + sum of
+        // pair hashes: one aggregate each instead of an exceptAll shuffle
+        // fan-out — a cross-set hash-sum collision needs engineered input).
+        val slice = base.filter(col("doc_id") < 100)
+        val sigs = slice.select(col("doc_id"), simhash64(col("toks")).as("sig"))
+        def fp(pairs: DataFrame) = pairs.agg(
+          count(lit(1)).as("c"),
+          coalesce(sum(xxhash64(col("a_id"), col("b_id"))), lit(0L)).as("h"))
+        val brute = fp(sigs.as("a")
+          .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")))
+          .select(col("c").as("bc"), col("h").as("bh"))
+        val viaChunks = fp(simhashPairs(slice).select("a_id", "b_id"))
+        val miss = viaChunks.crossJoin(brute).select(
+          when(col("c") === col("bc") && col("h") === col("bh"), 0L)
+            .otherwise(1L).as("open_chunk_miss"))
+        planted.crossJoin(miss).orderBy("a_id")
       },
       Some(
         """SELECT doc_id AS a_id, doc_id + 100000 AS b_id,
-          |       CAST(0 AS INTEGER) AS hamming
+          |       CAST(0 AS INTEGER) AS hamming,
+          |       CAST(0 AS BIGINT) AS open_chunk_miss
           |FROM documents WHERE doc_id < 100 ORDER BY a_id""".stripMargin)),
 
     // Embedding near-dup: all pairs with cosine ≥ 0.4 (exact baseline).
@@ -297,13 +333,29 @@ object DedupOps {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val shifted = base.filter(col("vec_id") < 100)
           .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
-        srpPairs(base.unionAll(shifted), 0.4)
+        val planted = srpPairs(base.unionAll(shifted), 0.4)
           // guaranteed-subset gate (see above)
           .filter(col("b_id") === col("a_id") + 100000L)
-          .orderBy("a_id")
+        // open-corpus soundness invariant the oracle can pin: on the
+        // 100-vector slice, every SRP-surfaced pair must appear in the
+        // exact cosine ≥ 0.4 relation (candidates are exact-verified, so
+        // a spurious pair means a broken band join or cosine expression).
+        // Recall is the approximate side, covered by the planted pairs.
+        // Checked with one left-anti join count (cheapest shape: the
+        // slice relations are ~100 rows).
+        val slice = base.filter(col("vec_id") < 100)
+        val brute = slice.as("a")
+          .join(slice.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .filter(cosine_sim(col("a.v"), col("b.v")) >= 0.4)
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        val spurious = srpPairs(slice, 0.4).select("a_id", "b_id")
+          .join(brute, Seq("a_id", "b_id"), "left_anti")
+          .agg(count(lit(1)).as("open_srp_spurious"))
+        planted.crossJoin(spurious).orderBy("a_id")
       },
       Some(
-        """SELECT vec_id AS a_id, vec_id + 100000 AS b_id, 1.0 AS cos_sim
+        """SELECT vec_id AS a_id, vec_id + 100000 AS b_id, 1.0 AS cos_sim,
+          |       CAST(0 AS BIGINT) AS open_srp_spurious
           |FROM embeddings WHERE vec_id < 100 ORDER BY a_id""".stripMargin))
   )
 }
