@@ -168,6 +168,46 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over an undirected pair relation (a_id, b_id):
+    * returns (doc_id, rep) where rep is the minimum id reachable from
+    * doc_id — the canonical cluster representative a dedup pipeline keeps.
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own and its neighbors' labels, converging in O(diameter)
+    * rounds. Near-dup graphs are clique-like (diameter 2-3), so the loop
+    * runs 2-4 rounds in practice; the driver only ever sees the one
+    * convergence scalar per round — all data stays distributed. At
+    * extreme diameters the large-star/small-star formulation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) converges in O(log²) rounds with the same per-round shape;
+    * label propagation is the right default for dedup graphs.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var comp = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbr = sym.join(comp, sym("dst") === comp("id"))
+        .select(sym("src").as("id"), col("comp"))
+      val next = comp.unionAll(nbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .cache()
+      val changed = next.as("n")
+        .join(comp.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev"))
+        .limit(1).count()
+      comp.unpersist()
+      comp = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    comp.select(col("id").as("doc_id"), col("comp").as("rep"))
+  }
+
   /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */
   private val jaccardOracle =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -213,6 +253,31 @@ object DedupOps {
       (s: SparkSession, d: String) =>
         jaccardPairsPrefix(shingled(s, d).cache(), 0.5),
       Some(jaccardOracle)),
+
+    // Dedup clusters: connected components over the exact near-dup pair
+    // relation — the keep-one-representative step a real training-data
+    // dedup pipeline ends with (pairs alone don't dedup transitively:
+    // A~B, B~C must collapse to ONE cluster even when A!~C). The oracle
+    // recomputes the same components in DuckDB via a recursive-CTE
+    // transitive closure.
+    ("dedup_clusters",
+      (s: SparkSession, d: String) =>
+        connectedComponents(
+          jaccardPairsPrefix(shingled(s, d).cache(), 0.5).select("a_id", "b_id"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH RECURSIVE p AS (
+          |  SELECT a_id, b_id FROM (""".stripMargin + "\n" + jaccardOracle + "\n" +
+        """  )
+          |), e AS (
+          |  SELECT a_id AS s, b_id AS d FROM p
+          |  UNION SELECT b_id, a_id FROM p
+          |), r(s, d) AS (
+          |  SELECT s, d FROM e
+          |  UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+          |)
+          |SELECT s AS doc_id, least(s, min(d)) AS rep
+          |FROM r GROUP BY s ORDER BY doc_id""".stripMargin)),
 
     // MinHash(128) + LSH banding (64 bands × 2 rows) + exact verification.
     // Candidate generation is an equi-join on (band, bucket); at the 0.5

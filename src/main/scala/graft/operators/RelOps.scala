@@ -325,6 +325,47 @@ object RelOps {
           |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase_us
           |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Range join, bucketized — the scale path for interval joins Spark
+    // has no native operator for: a naive `c.us BETWEEN e.us-W AND e.us`
+    // theta-join plans as BroadcastNestedLoop (all-pairs per user — dead
+    // at 100 TB). Binning both sides into W-wide buckets turns it into an
+    // EQUI-join on (user_id, bucket): an event in bucket b can only match
+    // window starts in buckets {b-1, b}, so exploding the probe side to 2
+    // candidate buckets + the exact residual range filter is lossless,
+    // with candidate volume 2×rows instead of |user-group|². Here: for
+    // each error event, count same-user clicks in the preceding 10 min.
+    ("events_range_join_bucketed",
+      (s: SparkSession, d: String) => {
+        val W = 600000000L // 10 min in µs
+        val ev = events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val errors = ev.filter(col("event_type") === "error")
+        val probe = errors.select(
+          col("event_id"), col("user_id"), col("us"),
+          explode(array(floor(col("us") / W) - 1, floor(col("us") / W)))
+            .as("bucket"))
+        val clicks = ev.filter(col("event_type") === "click").select(
+          col("user_id"), col("us").as("cus"),
+          floor(col("us") / W).as("bucket"))
+        val counts = probe.join(clicks, Seq("user_id", "bucket"))
+          .filter(col("cus") >= col("us") - W && col("cus") < col("us"))
+          .groupBy("event_id").agg(count(lit(1)).as("n_prior_clicks"))
+        errors.select("event_id")
+          .join(counts, Seq("event_id"), "left")
+          .na.fill(0L, Seq("n_prior_clicks"))
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT e.event_id,
+          |       CAST(count(c.event_id) AS BIGINT) AS n_prior_clicks
+          |FROM events e LEFT JOIN events c
+          |  ON c.user_id = e.user_id AND c.event_type = 'click'
+          | AND epoch_us(c.ts) >= epoch_us(e.ts) - 600000000
+          | AND epoch_us(c.ts) < epoch_us(e.ts)
+          |WHERE e.event_type = 'error'
+          |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)),
+
     // Pivot: event counts per user as one column per event type.
     ("events_pivot_types",
       (s: SparkSession, d: String) =>

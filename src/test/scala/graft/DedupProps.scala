@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.functions.GraftFunctions
+import graft.operators.DedupOps
+
+/** Property: the prefix-filter jaccard join (the gate/bench/100 TB path)
+  * produces EXACTLY the naive shared-shingle join's relation — pairs and
+  * values — on random corpora and thresholds, not just on the fixed test
+  * corpus DedupSpec pins. The generator draws from a small vocabulary so
+  * near-dup pairs (and boundary-jaccard pairs) arise naturally.
+  */
+object DedupProps extends Properties("DedupPrefixJoin") {
+
+  // each case runs Spark jobs; a handful of random corpora is the budget
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val vocab: Seq[String] = ('a' to 'l').map(c => s"w$c")
+
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(3, 10)
+    toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield toks.mkString(" ")
+
+  private val corpusGen: Gen[Seq[(Long, String)]] = for {
+    m <- Gen.choose(8, 18)
+    docs <- Gen.listOfN(m, docGen)
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def pairs(df: DataFrame): Map[(Long, Long), Double] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  property("prefix join == naive join on random corpora and thresholds") =
+    Prop.forAll(corpusGen, Gen.oneOf(0.3, 0.5, 0.7)) { (rows, tau) =>
+      val s = spark
+      import s.implicits._
+      val docs = rows.toDF("doc_id", "text").select(
+        col("doc_id"),
+        array_distinct(GraftFunctions.shingles(split(col("text"), " "), 3)).as("sh"))
+      val prefix = pairs(DedupOps.jaccardPairsPrefix(docs, tau))
+      val naive = pairs(DedupOps.jaccardPairsNaive(docs, tau))
+      Prop(prefix == naive) :| s"tau=$tau prefix=$prefix naive=$naive"
+    }
+}

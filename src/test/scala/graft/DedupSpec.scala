@@ -47,6 +47,30 @@ class DedupSpec extends SparkTestBase {
       "jaccard values must agree between the prefix and naive paths")
   }
 
+  test("connected components collapse transitive chains to one cluster") {
+    import spark.implicits._
+    // A~B, B~C, no A~C edge; D~E separate — two components, min-id reps
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val comp = DedupOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup_clusters reps are component minima of the pair relation") {
+    val edges = q("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clustered = q("dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered.nonEmpty)
+    // every endpoint of every edge is clustered, both ends agree on a rep,
+    // and the rep is itself in the cluster with rep == itself
+    edges.foreach { case (a, b) =>
+      assert(clustered(a) == clustered(b), s"split pair ($a,$b)")
+    }
+    clustered.values.foreach { rep => assert(clustered(rep) == rep) }
+    clustered.foreach { case (id, rep) => assert(rep <= id) }
+  }
+
   test("simhash pairs respect the hamming bound and overlap the near-dup set") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

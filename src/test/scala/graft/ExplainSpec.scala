@@ -107,4 +107,15 @@ class ExplainSpec extends SparkTestBase {
     assert(shuffles.isEmpty,
       s"corpus side of the probe join must not shuffle:\n$corpusSide")
   }
+
+  test("bucketized range join plans as an equi-join, not nested-loop") {
+    // the whole point of the bucketing: a raw interval predicate plans as
+    // BroadcastNestedLoopJoin (all-pairs — dead at scale); binning turns
+    // it into a hash-joinable equi-key with a residual filter
+    val p = plan("events_range_join_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not plan as nested-loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
 }
