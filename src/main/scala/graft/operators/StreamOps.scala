@@ -31,6 +31,41 @@ object StreamOps {
           |       round(sum(value), 2) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin)),
 
+    // Event-time session windows over the stream: Spark's native
+    // session_window (merged-gap windows with watermark-bounded state) —
+    // the streaming twin of the batch events_sessionize. Complete mode
+    // emits the fully-merged final sessions when the bounded source
+    // drains; the oracle recomputes the identical sessions with the
+    // lag/running-sum technique (new session at gap >= 30 min, matching
+    // session_window's strictly-within-gap merge rule).
+    ("stream_session_window",
+      (s: SparkSession, d: String) => {
+        val name = s"stream_sw_${math.abs(d.hashCode)}"
+        StreamingOps.runToMemory(
+          StreamingOps.sessionWindows(s, d), name, OutputMode.Complete())
+          .orderBy("user_id", "start_us")
+      },
+      Some(
+        """WITH flagged AS (
+          |  SELECT user_id, event_id, ts,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+          |              THEN 1 ELSE 0 END AS new_session
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), sess AS (
+          |  SELECT user_id, ts,
+          |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM flagged
+          |)
+          |SELECT user_id,
+          |       min(epoch_us(ts)) AS start_us,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+          |FROM sess GROUP BY user_id, session_id
+          |ORDER BY user_id, start_us""".stripMargin)),
+
     // Custom per-key state via mapGroupsWithState (the engine's
     // session-style stateful API): running per-user totals driven to
     // completion over the bounded stream — the final state must equal the

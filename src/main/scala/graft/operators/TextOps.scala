@@ -56,6 +56,33 @@ object TextOps {
           |       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // BPE-ish pre-tokenization: the GPT-2-family pre-tokenizer splits on
+    // letter-runs / digit-runs / punctuation-runs each with an optional
+    // leading space, so "don't x2" → ["don", "'", "t", " x", "2"]. The
+    // alternatives are DISJOINT after the optional space (letter vs digit
+    // vs other), so Java regex (Spark, leftmost-first) and RE2 (DuckDB)
+    // tokenize identically — the published pattern's "'s|'t|…"
+    // contraction alternates and \s+(?!\S) lookahead are dropped because
+    // RE2 has no lookahead and ordered-alternation subtleties would make
+    // the two engines disagree. Token COUNT is what a data pipeline
+    // budgets with; per-doc counts give the differential surface.
+    ("text_token_bpe",
+      (s: SparkSession, d: String) => {
+        val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_ws_tokens"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+              .cast("long").as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+          |       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Per-document quality score: token count, lexical diversity, mean word
     // length — combined into one bounded score with a quality flag.
     ("text_quality_score",

@@ -43,6 +43,22 @@ object StreamingOps {
         unix_micros(col("w.start")).as("bucket_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Event-time session windows (30-min gap) per user — the native
+    * `session_window` operator, which merges events whose gaps are
+    * STRICTLY under the gap duration (an event at exactly
+    * lastEvent + gap starts a new session; the batch/oracle twin must
+    * therefore flag a new session at diff >= gap, not >).
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"),
+        unix_micros(min(col("ts"))).as("start_us"))
+      .select(col("user_id"), col("start_us"), col("n_events"), col("dur_us"))
+
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
   /** Stateful per-user running totals via mapGroupsWithState — the custom-
