@@ -182,11 +182,26 @@ object DedupOps {
     * label propagation is the right default for dedup graphs.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
+    // cache the INPUT, not the symmetrized union: the union's two branches
+    // would otherwise each re-run the (expensive) pair pipeline feeding
+    // this, and everything downstream is tiny relative to it
+    val e = edges.select(col("a_id"), col("b_id")).cache()
+    val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(e.select(col("b_id").as("src"), col("a_id").as("dst")))
     var comp = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).cache()
+    // convergence via a label-multiset fingerprint (count + hash sum) read
+    // off the freshly-cached iterate — one cheap aggregate per round
+    // instead of a join against the previous iterate
+    // hash values are full-range Longs: sum as decimal(38,0), since a
+    // plain Long sum overflows — fatally under ANSI mode (Spark 4 default)
+    def fingerprint(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("id"), col("comp")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), String.valueOf(r.getDecimal(1)))
+    }
+    var fp = fingerprint(comp)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -195,16 +210,13 @@ object DedupOps {
       val next = comp.unionAll(nbr)
         .groupBy("id").agg(min("comp").as("comp"))
         .cache()
-      val changed = next.as("n")
-        .join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .limit(1).count()
+      val nfp = fingerprint(next)
       comp.unpersist()
       comp = next
-      converged = changed == 0
+      converged = nfp == fp
+      fp = nfp
       i += 1
     }
-    sym.unpersist()
     comp.select(col("id").as("doc_id"), col("comp").as("rep"))
   }
 
@@ -341,9 +353,12 @@ object DedupOps {
         // fan-out — a cross-set hash-sum collision needs engineered input).
         val slice = base.filter(col("doc_id") < 100)
         val sigs = slice.select(col("doc_id"), simhash64(col("toks")).as("sig"))
+        // decimal sum: full-range Long hashes overflow a Long sum, which
+        // is fatal under ANSI mode (Spark 4 default)
         def fp(pairs: DataFrame) = pairs.agg(
           count(lit(1)).as("c"),
-          coalesce(sum(xxhash64(col("a_id"), col("b_id"))), lit(0L)).as("h"))
+          coalesce(sum(xxhash64(col("a_id"), col("b_id")).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("h"))
         val brute = fp(sigs.as("a")
           .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
           .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
