@@ -74,6 +74,37 @@ object MultimodalOps {
           |       source AS origin
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Frame sampling over an opaque video-like payload: fixed 64-byte
+    // "frames", every 4th sampled — entirely columnar (sequence/explode +
+    // binary substring + md5), no UDF and no decoder needed, which is the
+    // point: at 100 TB the frame-index fan-out and slice are codegen'd
+    // and the (stubbed-out) per-frame decode is the ONLY black box. The
+    // corpus is ASCII so DuckDB replays the byte slices on the text.
+    ("multimodal_frame_sample",
+      (s: SparkSession, d: String) =>
+        mediaTable(s, d)
+          .select(col("doc_id"), col("media"), col("meta.n_bytes").as("nb"))
+          .select(col("doc_id"), col("media"),
+            explode(sequence(lit(0L),
+              ceil(col("nb") / 64.0).cast("long") - 1)).as("frame_idx"))
+          .filter(col("frame_idx") % 4 === 0)
+          .select(col("doc_id"), col("frame_idx"),
+            md5(expr("substring(media, frame_idx * 64 + 1, 64)")).as("frame_md5"))
+          .orderBy("doc_id", "frame_idx"),
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id, text,
+          |         CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS nf
+          |  FROM documents
+          |), idx AS (
+          |  SELECT doc_id, text, i AS frame_idx
+          |  FROM f, UNNEST(range(0, nf)) AS t(i)
+          |  WHERE i % 4 = 0
+          |)
+          |SELECT doc_id, frame_idx,
+          |       md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+          |FROM idx ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // Partition-wise featurization through the stub decoder. The stub's
     // 16-bin byte histogram is plain arithmetic, so DuckDB can replay it in
     // SQL (the corpus is ASCII → unicode(char) ≡ byte); MultimodalSpec

@@ -53,4 +53,43 @@ object DedupProps extends Properties("DedupPrefixJoin") {
       val naive = pairs(DedupOps.jaccardPairsNaive(docs, tau))
       Prop(prefix == naive) :| s"tau=$tau prefix=$prefix naive=$naive"
     }
+
+  private val graphGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(2, 30)
+    m <- Gen.choose(1, 40)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges.distinct
+
+  /** Driver-side union-find, the independent oracle for the distributed
+    * label propagation.
+    */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(v => v -> find(v)).toMap
+  }
+
+  property("connected components == union-find on random graphs") =
+    Prop.forAll(graphGen) { edges =>
+      val s = spark
+      import s.implicits._
+      (edges.nonEmpty: Prop) ==> {
+        val got = DedupOps.connectedComponents(edges.toDF("a_id", "b_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = unionFind(edges)
+        Prop(got == want) :| s"edges=$edges got=$got want=$want"
+      }
+    }
 }
