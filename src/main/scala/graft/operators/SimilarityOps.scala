@@ -158,6 +158,54 @@ object SimilarityOps {
       },
       Some(
         """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
-          |FROM embeddings WHERE vec_id < 20""".stripMargin))
+          |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
+    // Symmetric int8 quantization per vector — the storage/bandwidth step a
+    // training pipeline applies before shipping embeddings: scale =
+    // max|v|/127, q = clamp(round(v/scale)). Entirely columnar lambda
+    // arithmetic (transform/zip_with/aggregate), no UDF. Output is
+    // integer-valued (dims, Σ|q|) so the cross-engine differential is
+    // exact, plus the in-query reconstruction bound |v − q·s| ≤ s/2, which
+    // both engines COMPUTE (it would go false on any quantizer bug — not
+    // an assumed constant).
+    ("embedding_quantize_int8",
+      (s: SparkSession, d: String) =>
+        vecs(s, d)
+          .select(col("vec_id"), col("v"),
+            greatest(array_max(transform(col("v"), x => abs(x))) / 127.0,
+              lit(1e-30)).as("scale"))
+          .select(col("vec_id"), col("v"), col("scale"),
+            transform(col("v"), x =>
+              greatest(least(round(x / col("scale"), 0), lit(127.0)),
+                lit(-127.0))).as("qv"))
+          .select(
+            col("vec_id"),
+            size(col("v")).cast("long").as("n_dims"),
+            aggregate(col("qv"), lit(0.0), (acc, x) => acc + abs(x))
+              .cast("long").as("sum_absq"),
+            (array_max(zip_with(col("v"), col("qv"),
+              (a, q) => abs(a - q * col("scale")))) <=
+              col("scale") * 0.5000001).as("err_ok"))
+          .orderBy("vec_id"),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          |), s AS (
+          |  SELECT vec_id, v,
+          |         greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+          |                  1e-30) AS scale
+          |  FROM e
+          |), q AS (
+          |  SELECT vec_id, v, scale,
+          |         list_transform(v,
+          |           x -> greatest(least(round(x / scale, 0), 127), -127)) AS qv
+          |  FROM s
+          |)
+          |SELECT vec_id,
+          |       CAST(len(v) AS BIGINT) AS n_dims,
+          |       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_absq,
+          |       list_max(list_transform(range(1, len(v)+1),
+          |         i -> abs(v[i] - qv[i]*scale))) <= scale * 0.5000001 AS err_ok
+          |FROM q ORDER BY vec_id""".stripMargin))
   )
 }
