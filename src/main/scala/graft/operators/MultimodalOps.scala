@@ -42,6 +42,24 @@ object MultimodalOps {
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)
   ))
 
+  /** Deterministic stand-in for a media RESIZE: stride-4 byte
+    * down-sampling. A real deployment swaps this for an image scaler; the
+    * partitioned pass, binary-in/binary-out shape, and downstream schema
+    * are what the pipeline actually exercises.
+    */
+  def fakeResize(payload: Array[Byte], stride: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+    out
+  }
+
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("resized", BinaryType, nullable = false)
+  ))
+
   /** documents → (doc_id, media binary, metadata struct). The binary payload
     * is the UTF-8 encoding of the text (the only bytes available offline);
     * a production pipeline reads e.g. image bytes from object storage.
@@ -72,6 +90,33 @@ object MultimodalOps {
           |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |       sha256(text) AS sha256,
           |       source AS origin
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Resize through the stub scaler: binary-in/binary-out mapPartitions
+    // pass (the image-codec-shaped hole in this container), downstream
+    // checksum + length as the differential. DuckDB replays the stride-4
+    // byte sampling on the ASCII text with a filtered list comprehension.
+    ("multimodal_resize",
+      (s: SparkSession, d: String) => {
+        val resized = mediaTable(s, d)
+          .select(col("doc_id"), col("media"), col("meta.n_bytes").as("nb"))
+          .mapPartitions { rows =>
+            rows.map { r =>
+              Row(r.getAs[Long]("doc_id"), r.getAs[Long]("nb"),
+                fakeResize(r.getAs[Array[Byte]]("media"), 4))
+            }
+          }(org.apache.spark.sql.Encoders.row(resizeSchema))
+        resized.select(
+          col("doc_id"), col("n_bytes"),
+          octet_length(col("resized")).cast("long").as("resized_n"),
+          md5(col("resized")).as("resized_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |       CAST(len([1 FOR i IN range(1, len(text)+1) IF (i-1)%4 = 0]) AS BIGINT) AS resized_n,
+          |       md5(array_to_string([text[i] FOR i IN range(1, len(text)+1) IF (i-1)%4 = 0], '')) AS resized_md5
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Frame sampling over an opaque video-like payload: fixed 64-byte

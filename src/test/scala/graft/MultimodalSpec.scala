@@ -37,4 +37,12 @@ class MultimodalSpec extends SparkTestBase {
     assert(q("multimodal_features").collect()
       .forall { r => val l2 = r.getDouble(2); l2 > 0.0 && l2 <= 1.0 })
   }
+
+  test("fakeResize strides bytes and pins length") {
+    val r = MultimodalOps.fakeResize("abcdefghij".getBytes("UTF-8"), 4)
+    assert(new String(r, "UTF-8") == "aei")
+    assert(q("multimodal_resize").collect().forall { row =>
+      row.getLong(2) == (row.getLong(1) + 3) / 4 // ceil(n/4)
+    })
+  }
 }
