@@ -125,6 +125,11 @@ object MultimodalOps {
     // point: at 100 TB the frame-index fan-out and slice are codegen'd
     // and the (stubbed-out) per-frame decode is the ONLY black box. The
     // corpus is ASCII so DuckDB replays the byte slices on the text.
+    // Scale bound: sequence() materializes the frame-index array per row
+    // (~n_bytes/64 longs) — fine across the whole regime a single binary
+    // cell can legally occupy (Spark caps a cell at 2 GB → ≤32M indices);
+    // payloads beyond that must arrive pre-chunked as multiple rows, at
+    // which point the fan-out is per-chunk and stays bounded.
     ("multimodal_frame_sample",
       (s: SparkSession, d: String) =>
         mediaTable(s, d)
