@@ -152,6 +152,28 @@ object ConnectorOps {
           |  ORDER BY ts LIMIT 50
           |) ORDER BY ts_us, line""".stripMargin)),
 
+    // Chained line filters through the connector: a positive contains AND
+    // a negative contains on the same scan — the reference's multi-filter
+    // LogQL shape (`{sel} |= `x` != `y``, table.rs:124-128). The stub
+    // enforces both server-side; Spark keeps no residual (both forms are
+    // whitelisted Exact), so a broken filter-chain assembly returns wrong
+    // rows, not a slow plan.
+    ("loki_connector_line_chain",
+      (s: SparkSession, d: String) =>
+        lokiDf(s, d)
+          .filter(col("line").like("%value=1%") &&
+            !col("line").like("%value=12%") &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line"),
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE concat(event_type, ' value=', CAST(value AS VARCHAR)) LIKE '%value=1%'
+          |  AND concat(event_type, ' value=', CAST(value AS VARCHAR)) NOT LIKE '%value=12%'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // Absent-label semantics end-to-end (SURVEY.md §7.4(f)): a corpus where
     // a third of the streams LACK the matched label. `tier != 'gold'` is an
     // absent-matching matcher — Loki treats a missing label as "" ≠ "gold"
