@@ -57,7 +57,8 @@ def main(sf_dir, out_dir, bench_json=None):
         d = res.get(name)
         st = stages.get(name, 0)
         adj = max(0.0, spark[name] - st * floor)
-        tot_adj += adj
+        if d is not None:  # totals must compare the same query set
+            tot_adj += adj
         ds = f"{d:.3f}" if d is not None else "(no oracle)"
         rs = f"{spark[name] / d:.1f}x" if d else "-"
         ar = f"{adj / d:.1f}x" if d else "-"

@@ -83,9 +83,9 @@ object Bench {
     val results = pass1.zip(pass2).map { case ((n, t1, st), (_, t2, _)) =>
       (n, math.min(t1, t2), st)
     }
-    // per-query scheduling floor: the median wall time of a trivial
-    // one-stage job — the irreducible cost local Spark pays per query that
-    // a single-process engine does not; floor × |queries| contextualizes
+    // per-query scheduling floor: wall time of a trivial one-stage job —
+    // the irreducible cost local Spark pays per stage that a
+    // single-process engine does not; floor × stage counts contextualizes
     // the total against DuckDB (see BASELINE.md)
     val floorTs = (1 to 5).map { _ =>
       val t0 = System.nanoTime()

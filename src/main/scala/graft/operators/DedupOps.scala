@@ -181,10 +181,15 @@ object DedupOps {
     * SoCC'14) converges in O(log²) rounds with the same per-round shape;
     * label propagation is the right default for dedup graphs.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 64): DataFrame = {
     // cache the INPUT, not the symmetrized union: the union's two branches
     // would otherwise each re-run the (expensive) pair pipeline feeding
-    // this, and everything downstream is tiny relative to it
+    // this, and everything downstream is tiny relative to it. The input
+    // and final-iterate caches are deliberately retained (same policy as
+    // the gate's shingle cache): CacheManager keys on the canonicalized
+    // plan, so repeated invocations share one entry, and unpersisting
+    // before the caller's action would force a full-lineage recompute of
+    // the whole iterative loop.
     val e = edges.select(col("a_id"), col("b_id")).cache()
     val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(e.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -193,12 +198,8 @@ object DedupOps {
     // convergence via a label-multiset fingerprint (count + hash sum) read
     // off the freshly-cached iterate — one cheap aggregate per round
     // instead of a join against the previous iterate
-    // hash values are full-range Longs: sum as decimal(38,0), since a
-    // plain Long sum overflows — fatally under ANSI mode (Spark 4 default)
     def fingerprint(df: DataFrame): (Long, String) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("id"), col("comp")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).head()
+      val r = multisetFp(df, "id", "comp").head()
       (r.getLong(0), String.valueOf(r.getDecimal(1)))
     }
     var fp = fingerprint(comp)
@@ -217,8 +218,27 @@ object DedupOps {
       fp = nfp
       i += 1
     }
+    // an unconverged exit is indistinguishable from success downstream —
+    // wrong cluster representatives, silently. Refuse instead; a diameter
+    // above maxIters means this corpus needs the large-star/small-star
+    // formulation, not a bigger cap.
+    require(converged,
+      s"connectedComponents did not converge within $maxIters rounds " +
+        "(graph diameter exceeds the cap)")
     comp.select(col("id").as("doc_id"), col("comp").as("rep"))
   }
+
+  /** Multiset fingerprint of a two-Long-column relation: row count + sum
+    * of per-row hashes. Equal fingerprints ⟺ equal multisets, up to an
+    * engineered hash-sum collision. The sum is decimal(38,0): hash values
+    * are full-range Longs, and a plain Long sum overflows — fatally under
+    * ANSI mode (the Spark 4 default).
+    */
+  private def multisetFp(df: DataFrame, c1: String, c2: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("c"),
+      coalesce(sum(xxhash64(col(c1), col(c2)).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h"))
 
   /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */
   private val jaccardOracle =
@@ -353,12 +373,7 @@ object DedupOps {
         // fan-out — a cross-set hash-sum collision needs engineered input).
         val slice = base.filter(col("doc_id") < 100)
         val sigs = slice.select(col("doc_id"), simhash64(col("toks")).as("sig"))
-        // decimal sum: full-range Long hashes overflow a Long sum, which
-        // is fatal under ANSI mode (Spark 4 default)
-        def fp(pairs: DataFrame) = pairs.agg(
-          count(lit(1)).as("c"),
-          coalesce(sum(xxhash64(col("a_id"), col("b_id")).cast("decimal(38,0)")),
-            lit(0).cast("decimal(38,0)")).as("h"))
+        def fp(pairs: DataFrame) = multisetFp(pairs, "a_id", "b_id")
         val brute = fp(sigs.as("a")
           .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
           .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)

@@ -134,6 +134,11 @@ object MultimodalOps {
       (s: SparkSession, d: String) =>
         mediaTable(s, d)
           .select(col("doc_id"), col("media"), col("meta.n_bytes").as("nb"))
+          // empty payload ⇒ no frames. Without the guard, sequence(0, -1)
+          // silently yields [0, -1] (Spark defaults to step -1 when
+          // start > stop) and would emit a phantom frame the oracle's
+          // range(0, 0) does not.
+          .filter(col("nb") > 0)
           .select(col("doc_id"), col("media"),
             explode(sequence(lit(0L),
               ceil(col("nb") / 64.0).cast("long") - 1)).as("frame_idx"))
