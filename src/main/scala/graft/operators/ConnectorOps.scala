@@ -223,6 +223,36 @@ object ConnectorOps {
           |WHERE user_id % 3 = 1
           |ORDER BY ts_us, line""".stripMargin)),
 
+    // Log-table NDJSON roundtrip: the interchange format log pipelines
+    // actually ship (one JSON object per line). The log view is written
+    // with the built-in JSON sink (map column → JSON object) and read
+    // back under an EXPLICIT schema — no inference, mirroring the
+    // reference's fixed-schema stance (table.rs:31-37) — and the
+    // roundtripped relation must equal the original events-derived
+    // oracle. Timestamps travel as µs longs: JSON has no timestamp type,
+    // and a lexical ISO round-trip would re-open the ns-truncation
+    // ambiguity §7.4(b) closes.
+    ("loki_ndjson_roundtrip",
+      (s: SparkSession, d: String) => {
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_ndjson_${math.abs(d.hashCode)}"
+        Tables.lokiView(s, d)
+          .select(unix_micros(col("timestamp")).as("ts_us"),
+            col("labels"), col("line"))
+          .write.mode("overwrite").json(dir)
+        s.read
+          .schema("ts_us LONG, labels MAP<STRING,STRING>, line STRING")
+          .json(dir)
+          .select(col("ts_us"),
+            element_at(col("labels"), "event_type").as("label_event_type"),
+            col("line"))
+          .orderBy("ts_us", "line")
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       event_type AS label_event_type,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events ORDER BY ts_us, line""".stripMargin)),
+
     // Write path: insert the signup rows through the connector into a
     // scratch stub, surface the committed count (the reference's
     // `| count |` result, README.md:49-53, via SURVEY.md §7.4(c)).

@@ -81,6 +81,32 @@ object DedupProps extends Properties("DedupPrefixJoin") {
       .map(v => v -> find(v)).toMap
   }
 
+  private val vecGen: Gen[Seq[(Long, Seq[Double])]] = for {
+    n <- Gen.choose(6, 16)
+    vs <- Gen.listOfN(n, Gen.listOfN(8, Gen.choose(-1.0, 1.0)))
+  } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+  private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+  }
+
+  property("SRP pairs are sound (subset of exact cosine pairs) on random vectors") =
+    Prop.forAll(vecGen, Gen.oneOf(0.2, 0.4, 0.6)) { (rows, tau) =>
+      val s = spark
+      import s.implicits._
+      val vecs = rows.toDF("vec_id", "v")
+      val srp = DedupOps.srpPairs(vecs, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = (for {
+        (a, va) <- rows; (b, vb) <- rows if a < b
+        if cosine(va, vb) >= tau - 1e-9 // driver-side float slack
+      } yield (a, b)).toSet
+      Prop(srp.subsetOf(exact)) :| s"tau=$tau spurious=${srp -- exact}"
+    }
+
   property("connected components == union-find on random graphs") =
     Prop.forAll(graphGen) { edges =>
       val s = spark
