@@ -240,6 +240,35 @@ object DedupOps {
       coalesce(sum(xxhash64(col(c1), col(c2)).cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("h"))
 
+  /** MinHash(k) + LSH banding (k/rows bands × rows) + exact Jaccard
+    * verification over (doc_id, sh) rows. Candidate generation is an
+    * equi-join on (band, bucket); at tau = 0.5 with the 64×2 default the
+    * miss probability per true pair is (1 − 0.5²)^64 ≈ 1e-8, so the
+    * verified output equals the exact relation. Bucket = hash of the
+    * band's signature values seeded by the band index — hashing scalar
+    * elements directly (variadic hash, codegen'd) avoids a slice() array
+    * allocation per band per row; identical band rows still collide, and
+    * the exact verify makes the bucket function correctness-neutral.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, tau: Double, k: Int = 128, rows: Int = 2): DataFrame = {
+    val bands = k / rows
+    val sigs = docs.select(col("doc_id"), minhash_sig(col("sh"), k).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        hash((0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)) :+ lit(b): _*)): _*)))
+      .toDF("doc_id", "band", "bucket")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, docs, tau)
+  }
+
   /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */
   private val jaccardOracle =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -317,29 +346,8 @@ object DedupOps {
     // (1 - 0.5²)^64 ≈ 1e-8, so the verified output equals the exact query
     // above — which is exactly the oracle we declare.
     ("dedup_minhash_lsh",
-      (s: SparkSession, d: String) => {
-        val k = 128; val rows = 2; val bands = k / rows
-        val docs = shingled(s, d).cache()
-        val sigs = docs.select(col("doc_id"), minhash_sig(col("sh"), k).as("sig"))
-        // bucket = hash of the band's `rows` signature values, seeded by the
-        // band index. Hashing the scalar elements directly (variadic hash,
-        // codegen'd) avoids a slice() array allocation per band per row;
-        // identical band rows still collide, and the exact-Jaccard verify
-        // below makes the bucket function correctness-neutral.
-        val banded = sigs.select(
-          col("doc_id"),
-          posexplode(array((0 until bands).map(b =>
-            hash((0 until rows).map(r =>
-              element_at(col("sig"), b * rows + r + 1)) :+ lit(b): _*)): _*)))
-          .toDF("doc_id", "band", "bucket")
-        val cand = banded.as("a")
-          .join(banded.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-        verifyJaccard(cand, docs, 0.5)
-      },
+      (s: SparkSession, d: String) =>
+        minhashLshPairs(shingled(s, d).cache(), 0.5),
       Some(jaccardOracle)),
 
     // SimHash(64) near-dup pairs at hamming ≤ 3 via the 4×16-bit chunk

@@ -81,6 +81,20 @@ object DedupProps extends Properties("DedupPrefixJoin") {
       .map(v => v -> find(v)).toMap
   }
 
+  property("minhash-LSH recovers the exact jaccard relation on random corpora") =
+    Prop.forAll(corpusGen) { rows =>
+      val s = spark
+      import s.implicits._
+      val docs = rows.toDF("doc_id", "text").select(
+        col("doc_id"),
+        array_distinct(GraftFunctions.shingles(split(col("text"), " "), 3)).as("sh"))
+      // at tau=0.5/64x2 banding the per-pair miss probability is ~1e-8;
+      // equality is the expected outcome, not a tail event
+      val lsh = pairs(DedupOps.minhashLshPairs(docs, 0.5))
+      val naive = pairs(DedupOps.jaccardPairsNaive(docs, 0.5))
+      Prop(lsh == naive) :| s"lsh=$lsh naive=$naive"
+    }
+
   private val vecGen: Gen[Seq[(Long, Seq[Double])]] = for {
     n <- Gen.choose(6, 16)
     vs <- Gen.listOfN(n, Gen.listOfN(8, Gen.choose(-1.0, 1.0)))
