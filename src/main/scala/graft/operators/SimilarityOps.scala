@@ -54,16 +54,35 @@ object SimilarityOps {
     * broadcast join. Scores only the probed fraction of the corpus.
     */
   private def ivfScored(e: DataFrame): DataFrame = {
-    val cents = e.filter(col("vec_id") < 16)
+    // codebook training: the 16 lowest-id vectors seed the clusters, then
+    // ONE Lloyd refinement — assign every vector to its nearest seed
+    // (scan-local argmax over the broadcast codebook) and replace each
+    // centroid with its cluster's element-wise mean. Fully distributed:
+    // the per-dimension mean is a (cluster, dim) aggregate, and only the
+    // 16×dim refined codebook is ever collected into a broadcast. More
+    // Lloyd rounds are the same shape; one round already separates the
+    // seeds enough for the self-verified recall bound below.
+    val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val codebook = cents
-      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cs"))
-    val assigned = e.crossJoin(broadcast(codebook))
-      .withColumn("best",
-        array_max(transform(col("cs"), c =>
-          struct(cosine_sim(col("v"), c("cv")).as("cos"),
-            (-c("c_id")).as("neg_id")))))
-      .select(col("vec_id"), col("v"), (-col("best.neg_id")).as("cluster"))
+    def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+      val codebook = cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cs"))
+      vecs.crossJoin(broadcast(codebook))
+        .withColumn("best",
+          array_max(transform(col("cs"), c =>
+            struct(cosine_sim(col("v"), c("cv")).as("cos"),
+              (-c("c_id")).as("neg_id")))))
+        .select(col("vec_id"), col("v"), (-col("best.neg_id")).as("cluster"))
+    }
+    // cached: feeds both the corpus assignment and the query probes, and
+    // its lineage contains the full-corpus training aggregate
+    val cents = assign(e, seeds)
+      .select(col("cluster").as("c_id"), posexplode(col("v")))
+      .groupBy("c_id", "pos").agg(avg("col").as("m"))
+      .groupBy("c_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("c_id"), transform(col("pm"), p => p("m")).as("cv"))
+      .cache()
+    val assigned = assign(e, cents)
     val wProbe = Window.partitionBy("q_id").orderBy(
       cosine_sim(col("qv"), col("cv")).desc, col("c_id"))
     val probes = queriesOf(e).join(broadcast(cents), lit(true))
