@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -82,6 +83,35 @@ object TextOps {
           |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
           |       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens
           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling — the corpus-balancing step a
+    // training pipeline applies per language/source/quality stratum. The
+    // sampling key is md5(doc_id): a fixed pseudo-random total order both
+    // engines compute identically, so the EXACT sample is reproducible
+    // (and oracle-checkable), unlike rand()-based sampleBy. Take ⌈10%⌉
+    // per language; one window pass over a lang-partitioned shuffle, the
+    // same shape at any corpus size.
+    ("documents_stratified_sample",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+          .filter(col("rn") <= ceil(col("n_lang") * 0.1))
+          .select(col("lang"), col("doc_id"))
+          .orderBy("lang", "doc_id")
+      },
+      Some(
+        """SELECT lang, doc_id FROM (
+          |  SELECT lang, doc_id,
+          |         row_number() OVER (PARTITION BY lang
+          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+          |         count(*) OVER (PARTITION BY lang) AS n_lang
+          |  FROM documents
+          |)
+          |WHERE rn <= ceil(n_lang * 0.1)
+          |ORDER BY lang, doc_id""".stripMargin)),
 
     // Per-document quality score: token count, lexical diversity, mean word
     // length — combined into one bounded score with a quality flag.
