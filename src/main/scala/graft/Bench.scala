@@ -96,13 +96,24 @@ object Bench {
     // in BENCH_COMPARE, and under-estimating it under-subtracts — the
     // adjusted engine-work number stays an upper bound.
     val floor = floorTs.head
+    // the 2-stage variant grounds the per-STAGE claim in the artifact
+    // itself: (floor2 − floor1) is the marginal cost of one more
+    // shuffle-stage wave on this host
+    val shuffleDf = spark.range(1000).groupBy((org.apache.spark.sql.functions
+      .col("id") % 10).as("k")).count()
+    val floor2Ts = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      shuffleDf.count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val floor2 = floor2Ts.head
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sjson = results.map { case (k, _, st) => "\"" + k + "\":" + st }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fjson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor_sec":$floor,"passes":2,"agg":"min","queries":$qjson,"stages":$sjson,"failures":$fjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor_sec":$floor,"floor_shuffle_sec":$floor2,"passes":2,"agg":"min","queries":$qjson,"stages":$sjson,"failures":$fjson,"sf":"$sfDir"}""")
     graft.operators.ConnectorOps.shutdownStubs()
     spark.stop()
   }

@@ -123,12 +123,25 @@ object DedupOps {
     val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
     // cached: feeds BOTH sides of the self-join (Spark's CacheManager keys
     // on the canonicalized plan, so repeated invocations share one entry);
-    // without it the df-count + window pipeline executes once per side
+    // without it the df-count + window pipeline executes once per side.
+    // Same one-live-instance eviction policy as connectedComponents —
+    // retained across the caller's action, evicted on the next
+    // distinct-input invocation so repeated property-test corpora can't
+    // accumulate heap.
     val prefix = ex.join(dfreq, "sh1")
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("sh1"))
       .cache()
+    // plan-level comparison, NOT object identity: same-plan DataFrames
+    // share one CacheManager entry, so unpersisting an "old" object with
+    // the same plan would evict the new invocation's entry too
+    synchronized {
+      prevPrefixCache.filterNot(
+        _.queryExecution.analyzed.sameResult(prefix.queryExecution.analyzed))
+        .foreach(_.unpersist())
+      prevPrefixCache = Seq(prefix)
+    }
     // length filter (AllPairs): J ≥ τ ⇒ min(|x|,|y|) ≥ |x∩y| ≥ τ·max(|x|,|y|),
     // so size-incompatible pairs are pruned inside the join
     val cand = prefix.as("a")
@@ -181,22 +194,48 @@ object DedupOps {
     * SoCC'14) converges in O(log²) rounds with the same per-round shape;
     * label propagation is the right default for dedup graphs.
     */
+  // the previous invocation's retained caches (input edges + final
+  // iterate), evicted when the next invocation begins — see below
+  private var prevCcCaches: Seq[DataFrame] = Nil
+  private var prevPrefixCache: Seq[DataFrame] = Nil
+
   def connectedComponents(edges: DataFrame, maxIters: Int = 64): DataFrame = {
     // cache the INPUT, not the symmetrized union: the union's two branches
     // would otherwise each re-run the (expensive) pair pipeline feeding
     // this, and everything downstream is tiny relative to it. The input
-    // and final-iterate caches are deliberately retained (same policy as
-    // the gate's shingle cache): CacheManager keys on the canonicalized
-    // plan, so repeated invocations share one entry, and unpersisting
-    // before the caller's action would force a full-lineage recompute of
-    // the whole iterative loop.
+    // and final-iterate caches must OUTLIVE this call (unpersisting
+    // before the caller's action would recompute the whole iterative
+    // lineage — exponential without the per-round caches), but retaining
+    // them forever leaks across invocations with distinct inputs (a
+    // property-test workload ran the heap out this way). Policy: each
+    // invocation evicts the previous one's pair — one live instance at a
+    // time, bounded memory, and the gate's repeated same-plan invocations
+    // still reuse the live entry.
     val e = edges.select(col("a_id"), col("b_id")).cache()
+    // evict the previous invocation's input cache unless it was the same
+    // input (plan-level comparison — see the prefix-cache note above)
+    synchronized {
+      val sameInput = prevCcCaches.headOption.exists(
+        _.queryExecution.analyzed.sameResult(e.queryExecution.analyzed))
+      if (!sameInput) {
+        prevCcCaches.foreach(_.unpersist())
+        prevCcCaches = Nil
+      }
+    }
     val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // each iterate is localCheckpoint'ed (eager), NOT cached: the iterate's
+    // plan contains the previous iterate TWICE (union + join), so without
+    // lineage TRUNCATION the logical plan doubles every round — caching
+    // stores data but keeps the full plan, and a diameter-10 graph already
+    // OOMs the driver on 2^10-node trees during analysis. localCheckpoint
+    // pins the round's rows and restarts the plan from them, keeping every
+    // round's plan constant-size; superseded block state is released by the
+    // ContextCleaner when the previous iterate becomes unreachable.
     var comp = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).cache()
+      .withColumn("comp", col("id")).localCheckpoint(true)
     // convergence via a label-multiset fingerprint (count + hash sum) read
-    // off the freshly-cached iterate — one cheap aggregate per round
+    // off the freshly-materialized iterate — one cheap aggregate per round
     // instead of a join against the previous iterate
     def fingerprint(df: DataFrame): (Long, String) = {
       val r = multisetFp(df, "id", "comp").head()
@@ -210,9 +249,8 @@ object DedupOps {
         .select(sym("src").as("id"), col("comp"))
       val next = comp.unionAll(nbr)
         .groupBy("id").agg(min("comp").as("comp"))
-        .cache()
+        .localCheckpoint(true)
       val nfp = fingerprint(next)
-      comp.unpersist()
       comp = next
       converged = nfp == fp
       fp = nfp
@@ -225,6 +263,7 @@ object DedupOps {
     require(converged,
       s"connectedComponents did not converge within $maxIters rounds " +
         "(graph diameter exceeds the cap)")
+    synchronized { prevCcCaches = Seq(e) }
     comp.select(col("id").as("doc_id"), col("comp").as("rep"))
   }
 

@@ -113,6 +113,48 @@ object TextOps {
           |WHERE rn <= ceil(n_lang * 0.1)
           |ORDER BY lang, doc_id""".stripMargin)),
 
+    // The composed training-data pipeline in ONE plan: quality filter →
+    // prefix dedup (keep min doc_id per 5-token prefix — the near-dup
+    // planting shares openings, so this step genuinely drops rows) →
+    // deterministic 20% stratified sample. The point is composability:
+    // each stage is the library operator shape, fused by Catalyst into
+    // one job with no materialization between stages.
+    ("pipeline_quality_dedup_sample",
+      (s: SparkSession, d: String) => {
+        val filtered = documents(s, d).filter(length(col("text")) >= 200)
+        val kept = filtered
+          .withColumn("k", array_join(slice(split(col("text"), " "), 1, 5), " "))
+          .groupBy("k").agg(min("doc_id").as("doc_id"))
+        val surv = kept.join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        surv
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+          .filter(col("rn") <= ceil(col("n_lang") * 0.2))
+          .select(col("lang"), col("doc_id"))
+          .orderBy("lang", "doc_id")
+      },
+      Some(
+        """WITH filtered AS (
+          |  SELECT doc_id, lang, text FROM documents WHERE length(text) >= 200
+          |), kept AS (
+          |  SELECT min(doc_id) AS doc_id
+          |  FROM filtered
+          |  GROUP BY array_to_string(string_split(text, ' ')[1:5], ' ')
+          |), surv AS (
+          |  SELECT d.lang, k.doc_id FROM kept k JOIN documents d USING (doc_id)
+          |)
+          |SELECT lang, doc_id FROM (
+          |  SELECT lang, doc_id,
+          |         row_number() OVER (PARTITION BY lang
+          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+          |         count(*) OVER (PARTITION BY lang) AS n_lang
+          |  FROM surv
+          |)
+          |WHERE rn <= ceil(n_lang * 0.2)
+          |ORDER BY lang, doc_id""".stripMargin)),
+
     // Per-document quality score: token count, lexical diversity, mean word
     // length — combined into one bounded score with a quality flag.
     ("text_quality_score",

@@ -43,7 +43,7 @@ object DedupProps extends Properties("DedupPrefixJoin") {
     df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
   property("prefix join == naive join on random corpora and thresholds") =
-    Prop.forAll(corpusGen, Gen.oneOf(0.3, 0.5, 0.7)) { (rows, tau) =>
+    Prop.forAllNoShrink(corpusGen, Gen.oneOf(0.3, 0.5, 0.7)) { (rows, tau) =>
       val s = spark
       import s.implicits._
       val docs = rows.toDF("doc_id", "text").select(
@@ -82,7 +82,7 @@ object DedupProps extends Properties("DedupPrefixJoin") {
   }
 
   property("minhash-LSH recovers the exact jaccard relation on random corpora") =
-    Prop.forAll(corpusGen) { rows =>
+    Prop.forAllNoShrink(corpusGen) { rows =>
       val s = spark
       import s.implicits._
       val docs = rows.toDF("doc_id", "text").select(
@@ -108,7 +108,7 @@ object DedupProps extends Properties("DedupPrefixJoin") {
   }
 
   property("SRP pairs are sound (subset of exact cosine pairs) on random vectors") =
-    Prop.forAll(vecGen, Gen.oneOf(0.2, 0.4, 0.6)) { (rows, tau) =>
+    Prop.forAllNoShrink(vecGen, Gen.oneOf(0.2, 0.4, 0.6)) { (rows, tau) =>
       val s = spark
       import s.implicits._
       val vecs = rows.toDF("vec_id", "v")
@@ -122,7 +122,7 @@ object DedupProps extends Properties("DedupPrefixJoin") {
     }
 
   property("connected components == union-find on random graphs") =
-    Prop.forAll(graphGen) { edges =>
+    Prop.forAllNoShrink(graphGen) { edges =>
       val s = spark
       import s.implicits._
       (edges.nonEmpty: Prop) ==> {
