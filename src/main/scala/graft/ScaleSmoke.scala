@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** Scale smoke for the dedup family: multiply the documents corpus N×
+  * (id-offset copies) and run the production-shape pipelines on it,
+  * cross-checking the two exact paths against each other. Not part of the
+  * driver gate — evidence that the 100 TB shapes survive a corpus well
+  * beyond the bench SF on the same hardware:
+  * `runMain graft.ScaleSmoke <sfDir> <multiplier>`.
+  *
+  * Construction note: each source doc gains N−1 exact copies, so every
+  * copy-set is a jaccard-1.0 clique — the pair relation grows ~N²/2 per
+  * doc and the component loop sees clique-merged near-dup groups, both
+  * deliberately stressing candidate generation and the iterative join.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val big = (0 until mult).map { i =>
+      base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"), col("text"))
+    }.reduce(_ unionAll _)
+    val docs = big.select(
+      col("doc_id"),
+      array_distinct(graft.functions.GraftFunctions.shingles(
+        split(col("text"), " "), 3)).as("sh")).cache()
+    val nDocs = docs.count()
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    println(s"[scale] corpus: $nDocs docs ($sfDir x$mult)")
+    val prefixPairs = timed("prefix_jaccard") {
+      DedupOps.jaccardPairsPrefix(docs, 0.5).count()
+    }
+    val lshPairs = timed("minhash_lsh") {
+      DedupOps.minhashLshPairs(docs, 0.5).count()
+    }
+    val comps = timed("connected_components") {
+      DedupOps.connectedComponents(
+        DedupOps.jaccardPairsPrefix(docs, 0.5).select("a_id", "b_id")).count()
+    }
+    println(s"[scale] pairs prefix=$prefixPairs lsh=$lshPairs clustered_nodes=$comps")
+    assert(prefixPairs == lshPairs,
+      s"exact paths disagree at scale: prefix=$prefixPairs lsh=$lshPairs")
+    println("[scale] OK: exact paths agree")
+    spark.stop()
+  }
+}

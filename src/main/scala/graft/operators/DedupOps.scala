@@ -107,6 +107,60 @@ object DedupOps {
     * identical to [[jaccardPairsNaive]].
     */
   def jaccardPairsPrefix(docs: DataFrame, tau: Double): DataFrame = {
+    val groups = groupedByArray(docs)
+    expandRepPairs(
+      prefixJoinOnReps(
+        groups.select(col("rep").as("doc_id"), col("sh")), tau, groups),
+      groups)
+  }
+
+  /** Collapse identical shingle-ARRAYS to one representative each: exact
+    * duplicates are the dominant redundancy at corpus scale, and feeding
+    * N copies of a doc into any pair join multiplies every frequency by
+    * N — measured 70 s (prefix join) vs 4 s on a 4×-duplicated sf0.1
+    * corpus before this step, flat ~7 s after it even at 16×. Identical
+    * SETS in a different array order simply don't collapse (correct,
+    * just unoptimized); an xxhash64 collision of two different arrays
+    * (~2⁻⁶⁴) would wrongly merge two docs — the naive-path spec equality
+    * re-checks the corpus every run.
+    */
+  private def groupedByArray(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("gk"))
+      .groupBy("gk")
+      .agg(min(col("doc_id")).as("rep"),
+        collect_list(col("doc_id")).as("members"),
+        first(col("sh")).as("sh"))
+      .cache()
+
+  /** Expand a rep-level pair relation back to all members: between-group
+    * rep pairs become the member cross product (identical arrays ⇒
+    * identical jaccard), within-group member pairs are jaccard 1.0.
+    */
+  private def expandRepPairs(repPairs: DataFrame, groups: DataFrame): DataFrame = {
+    val ga = groups.select(col("rep").as("a_id"), col("members").as("ma"))
+    val gb = groups.select(col("rep").as("b_id"), col("members").as("mb"))
+    val between = repPairs
+      .join(ga, "a_id").join(gb, "b_id")
+      .select(explode(col("ma")).as("x"), col("mb"), col("jaccard"))
+      .select(col("x"), explode(col("mb")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("jaccard"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a_id"), col("y").as("b_id"),
+        lit(1.0).as("jaccard"))
+    between.unionAll(within).orderBy("a_id", "b_id")
+  }
+
+  /** The prefix-filter join proper, over one row per DISTINCT shingle
+    * array (see [[jaccardPairsPrefix]] — `groups` rides along only for
+    * the cache-eviction bookkeeping).
+    */
+  private def prefixJoinOnReps(
+      docs: DataFrame, tau: Double, groups: DataFrame): DataFrame = {
     // 8-byte hashed shingle keys shuffle/compare faster than the strings;
     // a cross-shingle hash collision merges two tokens under one key, which
     // only ADDS candidates (identical shingles still collide), and the
@@ -133,15 +187,7 @@ object DedupOps {
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("sh1"))
       .cache()
-    // plan-level comparison, NOT object identity: same-plan DataFrames
-    // share one CacheManager entry, so unpersisting an "old" object with
-    // the same plan would evict the new invocation's entry too
-    synchronized {
-      prevPrefixCache.filterNot(
-        _.queryExecution.analyzed.sameResult(prefix.queryExecution.analyzed))
-        .foreach(_.unpersist())
-      prevPrefixCache = Seq(prefix)
-    }
+    registerDedupCaches(groups, Seq(groups, prefix))
     // length filter (AllPairs): J ≥ τ ⇒ min(|x|,|y|) ≥ |x∩y| ≥ τ·max(|x|,|y|),
     // so size-incompatible pairs are pruned inside the join
     val cand = prefix.as("a")
@@ -197,7 +243,30 @@ object DedupOps {
   // the previous invocation's retained caches (input edges + final
   // iterate), evicted when the next invocation begins — see below
   private var prevCcCaches: Seq[DataFrame] = Nil
-  private var prevPrefixCache: Seq[DataFrame] = Nil
+
+  /** Live cache registry for the dedup pair family, keyed by the collapsed
+    * groups relation: a new corpus evicts everything, same-corpus
+    * invocations accumulate and share entries. Plan-level comparison, NOT
+    * object identity — same-plan DataFrames share one CacheManager entry,
+    * so unpersisting an "old" object with the same plan would evict the
+    * new invocation's entry too. Keeps property-test workloads (many
+    * distinct corpora in one session) memory-bounded while gate queries
+    * over one corpus still reuse everything.
+    */
+  private var liveDedupCaches: Seq[DataFrame] = Nil
+  private def registerDedupCaches(key: DataFrame, caches: Seq[DataFrame]): Unit =
+    synchronized {
+      val keyPlan = key.queryExecution.analyzed
+      val sameCorpus = liveDedupCaches.exists(
+        _.queryExecution.analyzed.sameResult(keyPlan))
+      if (!sameCorpus) {
+        liveDedupCaches.foreach(_.unpersist())
+        liveDedupCaches = Nil
+      }
+      val fresh = caches.filterNot(c => liveDedupCaches.exists(
+        _.queryExecution.analyzed.sameResult(c.queryExecution.analyzed)))
+      liveDedupCaches ++= fresh
+    }
 
   def connectedComponents(edges: DataFrame, maxIters: Int = 64): DataFrame = {
     // cache the INPUT, not the symmetrized union: the union's two branches
@@ -291,8 +360,14 @@ object DedupOps {
     */
   def minhashLshPairs(
       docs: DataFrame, tau: Double, k: Int = 128, rows: Int = 2): DataFrame = {
+    // identical shingle arrays ⇒ identical signatures, so the duplicate
+    // collapse applies exactly as in the prefix path: band-join the
+    // representatives, expand the pairs (measured 39 s → seconds on a
+    // 16×-duplicated corpus)
+    val groups = groupedByArray(docs)
+    val reps = groups.select(col("rep").as("doc_id"), col("sh"))
     val bands = k / rows
-    val sigs = docs.select(col("doc_id"), minhash_sig(col("sh"), k).as("sig"))
+    val sigs = reps.select(col("doc_id"), minhash_sig(col("sh"), k).as("sig"))
     val banded = sigs.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(b =>
@@ -305,7 +380,8 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verifyJaccard(cand, docs, tau)
+    registerDedupCaches(groups, Seq(groups))
+    expandRepPairs(verifyJaccard(cand, reps, tau), groups)
   }
 
   /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */
