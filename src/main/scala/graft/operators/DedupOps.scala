@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,13 +53,18 @@ object DedupOps {
     * chunk equi-join generates every qualifying pair — never all-pairs).
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash64(col("toks")).as("sig"))
+    // duplicate collapse, as in the jaccard paths: identical token arrays
+    // ⇒ identical signatures, so reps carry the chunk join and copies
+    // expand back (within-group pairs at hamming 0)
+    val groups = groupedByArray(docs, "doc_id", "toks")
+    val sigs = groups.select(col("rep").as("doc_id"),
+      simhash64(col("arr")).as("sig"))
     val chunks = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .toDF("doc_id", "sig", "chunk_idx", "chunk")
-    chunks.as("a")
+    val repPairs = chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
@@ -68,6 +73,8 @@ object DedupOps {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+    registerDedupCaches(groups, Seq(groups))
+    expandRepPairs(repPairs, groups, "hamming", lit(0))
   }
 
   /** Sign-random-projection LSH near-dup pairs at cosine ≥ tau over
@@ -76,13 +83,18 @@ object DedupOps {
     * (splitmix64-seeded) — nothing to broadcast; scales.
     */
   def srpPairs(vecs: DataFrame, tau: Double): DataFrame = {
-    val e = vecs.withColumn("sig", srp_sig(col("v"), 64, 42L))
+    // duplicate collapse: identical vectors ⇒ identical SRP signatures;
+    // within-group pairs expand at cos_sim 1.0 (identical vectors — also
+    // sidesteps sqrt(x)·sqrt(x) ≠ x float noise in the self-cosine)
+    val groups = groupedByArray(vecs, "vec_id", "v")
+    val e = groups.select(col("rep").as("vec_id"), col("arr").as("v"))
+      .withColumn("sig", srp_sig(col("v"), 64, 42L))
     val banded = e.select(
       col("vec_id"), col("v"),
       posexplode(array((0 until 8).map(c =>
         shiftright(col("sig"), c * 8).bitwiseAND(lit(0xffL))): _*)))
       .toDF("vec_id", "v", "band", "bucket")
-    banded.as("a")
+    val repPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -92,6 +104,8 @@ object DedupOps {
       .withColumn("cos", cosine_sim(col("va"), col("vb")))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+    registerDedupCaches(groups, Seq(groups))
+    expandRepPairs(repPairs, groups, "cos_sim", lit(1.0))
   }
 
   /** EXACT Jaccard ≥ tau pairs via lossless PREFIX FILTERING
@@ -107,11 +121,11 @@ object DedupOps {
     * identical to [[jaccardPairsNaive]].
     */
   def jaccardPairsPrefix(docs: DataFrame, tau: Double): DataFrame = {
-    val groups = groupedByArray(docs)
+    val groups = groupedByArray(docs, "doc_id", "sh")
     expandRepPairs(
       prefixJoinOnReps(
-        groups.select(col("rep").as("doc_id"), col("sh")), tau, groups),
-      groups)
+        groups.select(col("rep").as("doc_id"), col("arr").as("sh")), tau, groups),
+      groups, "jaccard", lit(1.0))
   }
 
   /** Collapse identical shingle-ARRAYS to one representative each: exact
@@ -124,34 +138,38 @@ object DedupOps {
     * (~2⁻⁶⁴) would wrongly merge two docs — the naive-path spec equality
     * re-checks the corpus every run.
     */
-  private def groupedByArray(docs: DataFrame): DataFrame =
+  private def groupedByArray(docs: DataFrame, id: String, arr: String): DataFrame =
     docs
-      .select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("gk"))
+      .select(col(id).as("doc_id"), col(arr).as("arr"),
+        xxhash64(col(arr)).as("gk"))
       .groupBy("gk")
       .agg(min(col("doc_id")).as("rep"),
         collect_list(col("doc_id")).as("members"),
-        first(col("sh")).as("sh"))
+        first(col("arr")).as("arr"))
       .cache()
 
   /** Expand a rep-level pair relation back to all members: between-group
     * rep pairs become the member cross product (identical arrays ⇒
-    * identical jaccard), within-group member pairs are jaccard 1.0.
+    * identical similarity value), within-group member pairs carry
+    * `identicalValue` (jaccard/cos 1.0, hamming 0).
     */
-  private def expandRepPairs(repPairs: DataFrame, groups: DataFrame): DataFrame = {
+  private def expandRepPairs(
+      repPairs: DataFrame, groups: DataFrame,
+      valueCol: String, identicalValue: Column): DataFrame = {
     val ga = groups.select(col("rep").as("a_id"), col("members").as("ma"))
     val gb = groups.select(col("rep").as("b_id"), col("members").as("mb"))
     val between = repPairs
       .join(ga, "a_id").join(gb, "b_id")
-      .select(explode(col("ma")).as("x"), col("mb"), col("jaccard"))
-      .select(col("x"), explode(col("mb")).as("y"), col("jaccard"))
+      .select(explode(col("ma")).as("x"), col("mb"), col(valueCol))
+      .select(col("x"), explode(col("mb")).as("y"), col(valueCol))
       .select(least(col("x"), col("y")).as("a_id"),
-        greatest(col("x"), col("y")).as("b_id"), col("jaccard"))
+        greatest(col("x"), col("y")).as("b_id"), col(valueCol))
     val within = groups.filter(size(col("members")) > 1)
       .select(explode(col("members")).as("x"), col("members"))
       .select(col("x"), explode(col("members")).as("y"))
       .filter(col("x") < col("y"))
       .select(col("x").as("a_id"), col("y").as("b_id"),
-        lit(1.0).as("jaccard"))
+        identicalValue.as(valueCol))
     between.unionAll(within).orderBy("a_id", "b_id")
   }
 
@@ -364,8 +382,8 @@ object DedupOps {
     // collapse applies exactly as in the prefix path: band-join the
     // representatives, expand the pairs (measured 39 s → seconds on a
     // 16×-duplicated corpus)
-    val groups = groupedByArray(docs)
-    val reps = groups.select(col("rep").as("doc_id"), col("sh"))
+    val groups = groupedByArray(docs, "doc_id", "sh")
+    val reps = groups.select(col("rep").as("doc_id"), col("arr").as("sh"))
     val bands = k / rows
     val sigs = reps.select(col("doc_id"), minhash_sig(col("sh"), k).as("sig"))
     val banded = sigs.select(
@@ -381,7 +399,7 @@ object DedupOps {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     registerDedupCaches(groups, Seq(groups))
-    expandRepPairs(verifyJaccard(cand, reps, tau), groups)
+    expandRepPairs(verifyJaccard(cand, reps, tau), groups, "jaccard", lit(1.0))
   }
 
   /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */
