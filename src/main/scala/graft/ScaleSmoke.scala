@@ -62,6 +62,20 @@ object ScaleSmoke {
     println(s"[scale] pairs prefix=$prefixPairs lsh=$lshPairs clustered_nodes=$comps")
     assert(prefixPairs == lshPairs,
       s"exact paths disagree at scale: prefix=$prefixPairs lsh=$lshPairs")
+
+    val toks = big.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val simhash = timed("simhash_chunks") {
+      DedupOps.simhashPairs(toks).count()
+    }
+    val baseV = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bigV = (0 until mult).map { i =>
+      baseV.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"), col("v"))
+    }.reduce(_ unionAll _)
+    val srp = timed("srp_bands") {
+      DedupOps.srpPairs(bigV, 0.4).count()
+    }
+    println(s"[scale] simhash_pairs=$simhash srp_pairs=$srp")
     println("[scale] OK: exact paths agree")
     spark.stop()
   }
