@@ -32,8 +32,11 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // copy offset derived from the data: a fixed constant would collide
+    // with real ids on corpora of a million-plus documents
+    val docStride = base.agg(max("doc_id")).head().getLong(0) + 1L
     val big = (0 until mult).map { i =>
-      base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"), col("text"))
+      base.select((col("doc_id") + lit(i.toLong * docStride)).as("doc_id"), col("text"))
     }.reduce(_ unionAll _)
     val docs = big.select(
       col("doc_id"),
@@ -69,8 +72,9 @@ object ScaleSmoke {
     }
     val baseV = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecStride = baseV.agg(max("vec_id")).head().getLong(0) + 1L
     val bigV = (0 until mult).map { i =>
-      baseV.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"), col("v"))
+      baseV.select((col("vec_id") + lit(i.toLong * vecStride)).as("vec_id"), col("v"))
     }.reduce(_ unionAll _)
     val srp = timed("srp_bands") {
       DedupOps.srpPairs(bigV, 0.4).count()

@@ -44,7 +44,6 @@ object DedupOps {
       .withColumn("jac", col("inter") / col("uni"))
       .filter(col("jac") >= tau)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** SimHash(64) near-dup pairs at hamming ≤ 3 over (doc_id, toks) rows,
@@ -74,7 +73,9 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= 3)
     registerDedupCaches(groups, Seq(groups))
-    expandRepPairs(repPairs, groups, "hamming", lit(0))
+    // identical token arrays always hamming-0 qualify (an empty-toks pair
+    // had identical signatures pre-collapse too)
+    expandRepPairs(repPairs, groups, "hamming", lit(0), _ => lit(true))
   }
 
   /** Sign-random-projection LSH near-dup pairs at cosine ≥ tau over
@@ -105,7 +106,8 @@ object DedupOps {
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
     registerDedupCaches(groups, Seq(groups))
-    expandRepPairs(repPairs, groups, "cos_sim", lit(1.0))
+    expandRepPairs(repPairs, groups, "cos_sim", lit(1.0),
+      arr => exists(arr, x => x =!= 0.0)) // zero vector: cosine undefined
   }
 
   /** EXACT Jaccard ≥ tau pairs via lossless PREFIX FILTERING
@@ -125,7 +127,8 @@ object DedupOps {
     expandRepPairs(
       prefixJoinOnReps(
         groups.select(col("rep").as("doc_id"), col("arr").as("sh")), tau, groups),
-      groups, "jaccard", lit(1.0))
+      groups, "jaccard", lit(1.0),
+      arr => size(arr) > 0) // empty shingle set: 0/0 jaccard undefined
   }
 
   /** Collapse identical shingle-ARRAYS to one representative each: exact
@@ -134,28 +137,37 @@ object DedupOps {
     * N — measured 70 s (prefix join) vs 4 s on a 4×-duplicated sf0.1
     * corpus before this step, flat ~7 s after it even at 16×. Identical
     * SETS in a different array order simply don't collapse (correct,
-    * just unoptimized); an xxhash64 collision of two different arrays
-    * (~2⁻⁶⁴) would wrongly merge two docs — the naive-path spec equality
-    * re-checks the corpus every run.
+    * just unoptimized). Grouping is exact (see below) — no hash-collision
+    * failure mode.
     */
   private def groupedByArray(docs: DataFrame, id: String, arr: String): DataFrame =
     docs
       .select(col(id).as("doc_id"), col(arr).as("arr"),
         xxhash64(col(arr)).as("gk"))
-      .groupBy("gk")
+      // group by (hash, array): the 8-byte hash prunes comparisons, the
+      // array itself makes equality EXACT — a bare-hash grouping would
+      // silently merge two colliding documents and fabricate
+      // similarity-1.0 pairs with no verification downstream. The array
+      // rides the shuffle anyway (the aggregate needs it), so the extra
+      // key costs nothing.
+      .groupBy(col("gk"), col("arr"))
       .agg(min(col("doc_id")).as("rep"),
-        collect_list(col("doc_id")).as("members"),
-        first(col("arr")).as("arr"))
+        collect_list(col("doc_id")).as("members"))
       .cache()
 
   /** Expand a rep-level pair relation back to all members: between-group
     * rep pairs become the member cross product (identical arrays ⇒
     * identical similarity value), within-group member pairs carry
-    * `identicalValue` (jaccard/cos 1.0, hamming 0).
+    * `identicalValue` (jaccard/cos 1.0, hamming 0) — but only for groups
+    * satisfying `identicalQualifies` over the shared array: an identical
+    * DEGENERATE pair (empty shingle set → 0/0 jaccard, zero vector →
+    * undefined cosine) is NOT similar, and the un-collapsed paths
+    * correctly rejected such pairs (NaN fails every ≥ τ filter).
     */
   private def expandRepPairs(
       repPairs: DataFrame, groups: DataFrame,
-      valueCol: String, identicalValue: Column): DataFrame = {
+      valueCol: String, identicalValue: Column,
+      identicalQualifies: Column => Column): DataFrame = {
     val ga = groups.select(col("rep").as("a_id"), col("members").as("ma"))
     val gb = groups.select(col("rep").as("b_id"), col("members").as("mb"))
     val between = repPairs
@@ -164,7 +176,8 @@ object DedupOps {
       .select(col("x"), explode(col("mb")).as("y"), col(valueCol))
       .select(least(col("x"), col("y")).as("a_id"),
         greatest(col("x"), col("y")).as("b_id"), col(valueCol))
-    val within = groups.filter(size(col("members")) > 1)
+    val within = groups
+      .filter(size(col("members")) > 1 && identicalQualifies(col("arr")))
       .select(explode(col("members")).as("x"), col("members"))
       .select(col("x"), explode(col("members")).as("y"))
       .filter(col("x") < col("y"))
@@ -242,7 +255,6 @@ object DedupOps {
       .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jac") >= tau)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Connected components over an undirected pair relation (a_id, b_id):
@@ -263,27 +275,33 @@ object DedupOps {
   private var prevCcCaches: Seq[DataFrame] = Nil
 
   /** Live cache registry for the dedup pair family, keyed by the collapsed
-    * groups relation: a new corpus evicts everything, same-corpus
-    * invocations accumulate and share entries. Plan-level comparison, NOT
-    * object identity — same-plan DataFrames share one CacheManager entry,
-    * so unpersisting an "old" object with the same plan would evict the
-    * new invocation's entry too. Keeps property-test workloads (many
-    * distinct corpora in one session) memory-bounded while gate queries
-    * over one corpus still reuse everything.
+    * groups relation. Holds up to [[maxLiveCorpora]] corpora LRU-style:
+    * gate queries interleave SEVERAL corpora in one pass (the shingle
+    * corpus, the simhash union-with-copies corpus, its 100-doc slice, the
+    * SRP corpora), and a one-corpus policy evicted the expensive union
+    * caches mid-query while a no-bound policy ran property-test sessions
+    * out of heap. Plan-level comparison, NOT object identity — same-plan
+    * DataFrames share one CacheManager entry, so unpersisting an "old"
+    * object with the same plan would evict the new invocation's entry too.
     */
-  private var liveDedupCaches: Seq[DataFrame] = Nil
+  private val maxLiveCorpora = 8
+  private var liveDedupCaches: Seq[(DataFrame, Seq[DataFrame])] = Nil
   private def registerDedupCaches(key: DataFrame, caches: Seq[DataFrame]): Unit =
     synchronized {
       val keyPlan = key.queryExecution.analyzed
-      val sameCorpus = liveDedupCaches.exists(
-        _.queryExecution.analyzed.sameResult(keyPlan))
-      if (!sameCorpus) {
-        liveDedupCaches.foreach(_.unpersist())
-        liveDedupCaches = Nil
+      val (same, others) = liveDedupCaches.partition(
+        _._1.queryExecution.analyzed.sameResult(keyPlan))
+      val merged = same.headOption match {
+        case Some((k, cs)) =>
+          val fresh = caches.filterNot(c => cs.exists(
+            _.queryExecution.analyzed.sameResult(c.queryExecution.analyzed)))
+          (k, cs ++ fresh)
+        case None => (key, caches)
       }
-      val fresh = caches.filterNot(c => liveDedupCaches.exists(
-        _.queryExecution.analyzed.sameResult(c.queryExecution.analyzed)))
-      liveDedupCaches ++= fresh
+      // most-recent first; evict beyond the cap
+      val (keep, evict) = (merged +: others).splitAt(maxLiveCorpora)
+      evict.foreach(_._2.foreach(_.unpersist()))
+      liveDedupCaches = keep
     }
 
   def connectedComponents(edges: DataFrame, maxIters: Int = 64): DataFrame = {
@@ -306,8 +324,10 @@ object DedupOps {
         _.queryExecution.analyzed.sameResult(e.queryExecution.analyzed))
       if (!sameInput) {
         prevCcCaches.foreach(_.unpersist())
-        prevCcCaches = Nil
       }
+      // register IMMEDIATELY (not after the convergence require): an
+      // exception mid-loop must not orphan the cache outside the registry
+      prevCcCaches = Seq(e)
     }
     val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(e.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -350,7 +370,6 @@ object DedupOps {
     require(converged,
       s"connectedComponents did not converge within $maxIters rounds " +
         "(graph diameter exceeds the cap)")
-    synchronized { prevCcCaches = Seq(e) }
     comp.select(col("id").as("doc_id"), col("comp").as("rep"))
   }
 
@@ -399,7 +418,8 @@ object DedupOps {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     registerDedupCaches(groups, Seq(groups))
-    expandRepPairs(verifyJaccard(cand, reps, tau), groups, "jaccard", lit(1.0))
+    expandRepPairs(verifyJaccard(cand, reps, tau), groups, "jaccard", lit(1.0),
+      arr => size(arr) > 0)
   }
 
   /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */

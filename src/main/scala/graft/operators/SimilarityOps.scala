@@ -150,17 +150,17 @@ object SimilarityOps {
           |  FROM q JOIN e ON e.vec_id != q.q_id
           |) t WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
-    // IVF: centroids = the 16 lowest-id vectors (deterministic, no iterative
-    // k-means so the result is reproducible and cluster-assignment is a pure
-    // function). Queries (vec_id < 20) probe their 4 nearest centroids.
-    // The probe set is engine-defined, so the gate emits a SELF-VERIFYING
-    // recall report: IVF top-5 is intersected with the brute-force top-5
-    // computed in the same query, and MEAN recall@5 over the query set
-    // must reach 0.6 — deterministic (fixed centroids, fixed tiebreaks;
-    // measured 0.85–0.89 across sf0.001–sf0.1, with individual boundary
-    // queries as low as 1/5, which is inherent to nprobe=4/16). The open
-    // top-k relation stays available via [[ivfTop5]], recall-measured
-    // per-query in SimilaritySpec.
+    // IVF: 16 seed centroids (lowest-id vectors) refined by one Lloyd
+    // round (see ivfScored). The refined centroid means are double
+    // aggregates whose partial-combine order varies with scheduling, so
+    // boundary cluster assignments can flip between runs — which is WHY
+    // the gate asserts only the recall BOUND, not the probe set: IVF
+    // top-5 is intersected with the brute-force top-5 computed in the
+    // same query, and MEAN recall@5 over the query set must reach 0.6
+    // (measured 0.85–0.89 across sf0.001–sf0.1, far from the bound;
+    // individual boundary queries as low as 1/5 are inherent to
+    // nprobe=4/16). The open top-k relation stays available via
+    // [[ivfTop5]], recall-measured per-query in SimilaritySpec.
     ("sim_ivf_topk",
       (s: SparkSession, d: String) => {
         val e = vecs(s, d)

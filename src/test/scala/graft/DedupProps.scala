@@ -98,7 +98,16 @@ object DedupProps extends Properties("DedupPrefixJoin") {
   private val vecGen: Gen[Seq[(Long, Seq[Double])]] = for {
     n <- Gen.choose(6, 16)
     vs <- Gen.listOfN(n, Gen.listOfN(8, Gen.choose(-1.0, 1.0)))
-  } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    nDups <- Gen.choose(0, 3)
+    withZero <- Gen.oneOf(true, false)
+  } yield {
+    // duplicate a few vectors (exercises the collapse's within-group
+    // expansion) and sometimes plant a zero-vector pair (cosine undefined
+    // — identical zero vectors must NOT surface as a pair)
+    val dups = vs.take(nDups)
+    val zeros = if (withZero) Seq.fill(2)(Seq.fill(8)(0.0)) else Nil
+    (vs ++ dups ++ zeros).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+  }
 
   private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
     val dot = a.zip(b).map { case (x, y) => x * y }.sum
