@@ -47,6 +47,29 @@ class DedupSpec extends SparkTestBase {
       "jaccard values must agree between the prefix and naive paths")
   }
 
+  test("identical degenerate inputs do not fabricate pairs") {
+    import spark.implicits._
+    // two identical ZERO vectors: cosine is undefined, so the collapsed
+    // SRP path must not emit a within-group pair for them (the
+    // un-collapsed path dropped the pair via NaN >= tau = false)
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0, 0.0)), (2L, Seq(0.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.0, 0.0)), (4L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val srp = DedupOps.srpPairs(vecs, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!srp.contains((1L, 2L)), "zero-vector pair must not surface")
+    assert(srp.contains((3L, 4L)), "identical nonzero vectors must surface")
+    // two docs with EMPTY shingle arrays: jaccard is 0/0, no pair — and
+    // identical non-empty docs still pair at jaccard 1.0
+    val docs = Seq(
+      (1L, Seq.empty[String]), (2L, Seq.empty[String]),
+      (3L, Seq("a b c")), (4L, Seq("a b c"))).toDF("doc_id", "sh")
+    val jac = DedupOps.jaccardPairsPrefix(docs, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(!jac.contains((1L, 2L)), "empty-shingle pair must not surface")
+    assert(jac.get((3L, 4L)).contains(1.0))
+  }
+
   test("connected components collapse transitive chains to one cluster") {
     import spark.implicits._
     // A~B, B~C, no A~C edge; D~E separate — two components, min-id reps
