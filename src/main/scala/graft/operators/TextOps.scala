@@ -33,6 +33,62 @@ object TextOps {
   private val markers = Seq("en" -> "the", "es" -> "a", "de" -> "data",
     "fr" -> "fast", "zh" -> "slow")
 
+  /** 32-hex-digit threshold t such that P[md5(key) < t] = p for a uniform
+    * 128-bit hash: floor(p · 2¹²⁸) rendered as the zero-padded lowercase
+    * hex both engines print. md5 hex compares bytewise in Spark
+    * (UTF8String) and DuckDB (binary collation), and '0'-'9' < 'a'-'f' in
+    * ASCII, so the string comparison IS the numeric comparison — no hex
+    * parse on either side, no float anywhere in the keep decision.
+    */
+  private[operators] def hexThreshold(p: Double): String = {
+    val max = BigInt(1) << 128
+    val t = (BigDecimal(p) * BigDecimal(max)).toBigInt.min(max - 1).max(BigInt(0))
+    val s = t.toString(16)
+    "0" * (32 - s.length) + s
+  }
+
+  /** Per-language keep rates for the stratified sampler: rebalancing
+    * DOWNSAMPLES the dominant language and keeps more of the rare ones —
+    * the shape a training-data pipeline actually runs (the corpus is
+    * ~45% en).
+    */
+  private val strataRates = Seq(
+    "en" -> 0.05, "es" -> 0.10, "de" -> 0.20, "fr" -> 0.40, "zh" -> 0.80)
+
+  private def strataKeepSql: String = {
+    val whens = strataRates
+      .map { case (l, p) => s"WHEN '$l' THEN '${hexThreshold(p)}'" }
+      .mkString(" ")
+    s"md5(CAST(doc_id AS VARCHAR)) < CASE lang $whens ELSE '${hexThreshold(0.0)}' END"
+  }
+
+  /** Library form of the production sampler: keep ≈rate(lang) of each
+    * stratum via the hash threshold — scan-local, skew-immune. Input needs
+    * (doc_id, lang); unknown languages are dropped (rate 0).
+    */
+  def stratifiedSampleHash(docs: DataFrame,
+      rates: Seq[(String, Double)] = strataRates): DataFrame = {
+    val thr = rates.foldRight(lit(hexThreshold(0.0)): Column) {
+      case ((l, p), els) => when(col("lang") === l, lit(hexThreshold(p))).otherwise(els)
+    }
+    docs.filter(md5(col("doc_id").cast("string")) < thr)
+      .select(col("lang"), col("doc_id"))
+  }
+
+  /** Library form of the exact-fraction twin: ⌈frac⌉ per stratum via a
+    * per-stratum row_number — exact sizes, but each stratum serializes
+    * through one task (small-corpus oracle variant, not the scale path).
+    */
+  def stratifiedSampleExact(docs: DataFrame, frac: Double): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") <= ceil(col("n_lang") * frac))
+      .select(col("lang"), col("doc_id"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Token statistics per language.
@@ -85,23 +141,32 @@ object TextOps {
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Deterministic stratified sampling — the corpus-balancing step a
-    // training pipeline applies per language/source/quality stratum. The
-    // sampling key is md5(doc_id): a fixed pseudo-random total order both
-    // engines compute identically, so the EXACT sample is reproducible
-    // (and oracle-checkable), unlike rand()-based sampleBy. Take ⌈10%⌉
-    // per language; one window pass over a lang-partitioned shuffle, the
-    // same shape at any corpus size.
+    // training pipeline applies per language/source/quality stratum,
+    // with per-language REBALANCING rates (downsample the dominant
+    // language, keep more of the rare ones). The keep decision is a
+    // hash threshold on md5(doc_id) ([[strataKeep]]): a pure scan-local
+    // filter — no shuffle, no per-stratum sort, nothing that routes a
+    // stratum through one task — so the plan is identical at any corpus
+    // size and any skew. Both engines compute the same md5, so the
+    // sample is reproducible and oracle-checkable, unlike rand()-based
+    // sampleBy. The exact-fraction row_number twin below remains as the
+    // small-corpus oracle variant.
     ("documents_stratified_sample",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        documents(s, d)
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
-          .filter(col("rn") <= ceil(col("n_lang") * 0.1))
-          .select(col("lang"), col("doc_id"))
-          .orderBy("lang", "doc_id")
-      },
+      (s: SparkSession, d: String) =>
+        stratifiedSampleHash(documents(s, d)).orderBy("lang", "doc_id"),
+      Some(
+        s"""SELECT lang, doc_id FROM documents
+           |WHERE $strataKeepSql
+           |ORDER BY lang, doc_id""".stripMargin)),
+
+    // The exact-fraction twin: ⌈10%⌉ per language via a per-stratum
+    // row_number over the md5 total order. EXACT sample sizes, but the
+    // lang-partitioned window serializes each stratum through one task —
+    // the small-corpus oracle variant, NOT the scale path (the gate's
+    // production sampler is the hash-threshold query above).
+    ("documents_stratified_sample_exact",
+      (s: SparkSession, d: String) =>
+        stratifiedSampleExact(documents(s, d), 0.1).orderBy("lang", "doc_id"),
       Some(
         """SELECT lang, doc_id FROM (
           |  SELECT lang, doc_id,
@@ -116,9 +181,12 @@ object TextOps {
     // The composed training-data pipeline in ONE plan: quality filter →
     // prefix dedup (keep min doc_id per 5-token prefix — the near-dup
     // planting shares openings, so this step genuinely drops rows) →
-    // deterministic 20% stratified sample. The point is composability:
-    // each stage is the library operator shape, fused by Catalyst into
-    // one job with no materialization between stages.
+    // deterministic 20% hash-threshold sample. The point is
+    // composability: each stage is the library operator shape, fused by
+    // Catalyst into one job with no materialization between stages. The
+    // only shuffles are the dedup aggregate and its join back — the
+    // sampling stage is a scan-local filter (no per-stratum window; see
+    // documents_stratified_sample).
     ("pipeline_quality_dedup_sample",
       (s: SparkSession, d: String) => {
         val filtered = documents(s, d).filter(length(col("text")) >= 200)
@@ -126,34 +194,24 @@ object TextOps {
           .withColumn("k", array_join(slice(split(col("text"), " "), 1, 5), " "))
           .groupBy("k").agg(min("doc_id").as("doc_id"))
         val surv = kept.join(documents(s, d).select("doc_id", "lang"), "doc_id")
-        val w = Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
         surv
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
-          .filter(col("rn") <= ceil(col("n_lang") * 0.2))
+          .filter(md5(col("doc_id").cast("string")) < lit(hexThreshold(0.2)))
           .select(col("lang"), col("doc_id"))
           .orderBy("lang", "doc_id")
       },
       Some(
-        """WITH filtered AS (
-          |  SELECT doc_id, lang, text FROM documents WHERE length(text) >= 200
-          |), kept AS (
-          |  SELECT min(doc_id) AS doc_id
-          |  FROM filtered
-          |  GROUP BY array_to_string(string_split(text, ' ')[1:5], ' ')
-          |), surv AS (
-          |  SELECT d.lang, k.doc_id FROM kept k JOIN documents d USING (doc_id)
-          |)
-          |SELECT lang, doc_id FROM (
-          |  SELECT lang, doc_id,
-          |         row_number() OVER (PARTITION BY lang
-          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
-          |         count(*) OVER (PARTITION BY lang) AS n_lang
-          |  FROM surv
-          |)
-          |WHERE rn <= ceil(n_lang * 0.2)
-          |ORDER BY lang, doc_id""".stripMargin)),
+        s"""WITH filtered AS (
+           |  SELECT doc_id, lang, text FROM documents WHERE length(text) >= 200
+           |), kept AS (
+           |  SELECT min(doc_id) AS doc_id
+           |  FROM filtered
+           |  GROUP BY array_to_string(string_split(text, ' ')[1:5], ' ')
+           |), surv AS (
+           |  SELECT d.lang, k.doc_id FROM kept k JOIN documents d USING (doc_id)
+           |)
+           |SELECT lang, doc_id FROM surv
+           |WHERE md5(CAST(doc_id AS VARCHAR)) < '${hexThreshold(0.2)}'
+           |ORDER BY lang, doc_id""".stripMargin)),
 
     // Per-document quality score: token count, lexical diversity, mean word
     // length — combined into one bounded score with a quality flag.

@@ -108,6 +108,31 @@ class ExplainSpec extends SparkTestBase {
       s"corpus side of the probe join must not shuffle:\n$corpusSide")
   }
 
+  test("stratified sample is a scan-local filter — no window, no per-stratum sort") {
+    // the round-3 verdict's one scale-killer: Window.partitionBy(lang)
+    // routes an entire stratum through one task; the hash-threshold
+    // sampler must plan as filter-over-scan with only the deterministic
+    // output orderBy behind it
+    val p = plan("documents_stratified_sample")
+    assert(!p.contains("Window"), s"sampler must not use a per-stratum window:\n$p")
+    assert(!p.contains("hashpartitioning(lang"),
+      s"sampler must not exchange on the stratum key:\n$p")
+    assert(p.contains("PushedFilters"), s"keep predicate should reach the scan:\n$p")
+  }
+
+  test("composed pipeline samples without a per-stratum window") {
+    val p = plan("pipeline_quality_dedup_sample")
+    assert(!p.contains("Window"), s"pipeline sampler must not use a window:\n$p")
+  }
+
+  test("exact-fraction sampler twin still matches the hash sampler's relation shape") {
+    // the exact twin IS allowed its window (small-corpus oracle variant);
+    // this pins that both emit the same (lang, doc_id) schema so they stay
+    // drop-in substitutes
+    assert(q("documents_stratified_sample").schema ===
+      q("documents_stratified_sample_exact").schema)
+  }
+
   test("bucketized range join plans as an equi-join, not nested-loop") {
     // the whole point of the bucketing: a raw interval predicate plans as
     // BroadcastNestedLoopJoin (all-pairs — dead at scale); binning turns
