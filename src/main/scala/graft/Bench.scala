@@ -40,8 +40,9 @@ object Bench {
     // stage counter: each submitted stage pays one scheduling round-trip,
     // so per-query stage counts let BENCH_COMPARE subtract the measured
     // floor × stages from each query (engine work vs scheduler tax).
-    // Listener delivery is async; the short post-query sleep (untimed)
-    // lets the bus drain before the counter is read.
+    // Listener delivery is async; the bus is DRAINED (ListenerShim) before
+    // each counter read — the earlier fixed 50 ms sleep let events from
+    // one query be attributed to the next under host load.
     val stageCount = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -63,9 +64,11 @@ object Bench {
     // the standard estimator for the additive-noise-free cost; stage
     // counts come from the first pass (plans are identical across passes).
     var failures = List.empty[String]
+    def drainBus(): Unit = org.apache.spark.graft.ListenerShim
+      .waitUntilListenerBusEmpty(spark.sparkContext, 10000)
     def timedPass(): Seq[(String, Double, Int)] = qs.map { case (name, fn) =>
       System.gc() // isolate queries from each other's garbage (untimed)
-      Thread.sleep(50)
+      drainBus()
       val s0 = stageCount.get()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -75,7 +78,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(50)
+      drainBus()
       (name, secs, stageCount.get() - s0)
     }
     val pass1 = timedPass()

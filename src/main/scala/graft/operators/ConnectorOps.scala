@@ -102,11 +102,19 @@ object ConnectorOps {
             col("line"))
           .orderBy("label_event_type", "label_user", "line"),
       Some(
+        // the time predicate mirrors the Spark side VERBATIM (not dropped
+        // as vacuously true): the generator currently emits a
+        // January-2024-only corpus, but a regenerated corpus crossing the
+        // bound would otherwise flip this gate red with a confusing
+        // row-count mismatch — keeping both sides definitionally identical
+        // makes the window a no-op on both or a filter on both
         """SELECT event_type AS label_event_type,
           |       CAST(user_id AS VARCHAR) AS label_user,
           |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
           |FROM events
           |WHERE regexp_matches(event_type, '^(signup|error)$')
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
           |ORDER BY label_event_type, label_user, line""".stripMargin)),
 
     // Time-range split (partitions=4): the scan slices [start, end) into 4
@@ -217,10 +225,13 @@ object ConnectorOps {
           .orderBy("ts_us", "line")
       },
       Some(
+        // time predicate mirrored verbatim — see loki_connector_labels
         """SELECT 'silver' AS tier, epoch_us(ts) AS ts_us,
           |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
           |FROM events
           |WHERE user_id % 3 = 1
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),
 
     // Log-table NDJSON roundtrip: the interchange format log pipelines

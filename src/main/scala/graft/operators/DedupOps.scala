@@ -106,8 +106,14 @@ object DedupOps {
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
     registerDedupCaches(groups, Seq(groups))
-    expandRepPairs(repPairs, groups, "cos_sim", lit(1.0),
-      arr => exists(arr, x => x =!= 0.0)) // zero vector: cosine undefined
+    // zero vector ⇒ cosine_sim's 0.0 convention fails the τ filter, so the
+    // group doesn't qualify; a NaN-containing vector paired with itself is
+    // cos NaN pre-collapse, and Spark's NaN-is-greatest ordering PASSES
+    // NaN ≥ τ — so the collapsed path reproduces that exactly (NaN value),
+    // rather than inventing a 1.0
+    expandRepPairs(repPairs, groups, "cos_sim",
+      when(exists(col("arr"), x => isnan(x)), lit(Double.NaN)).otherwise(lit(1.0)),
+      arr => exists(arr, x => x =!= 0.0))
   }
 
   /** EXACT Jaccard ≥ tau pairs via lossless PREFIX FILTERING
@@ -160,9 +166,15 @@ object DedupOps {
     * identical similarity value), within-group member pairs carry
     * `identicalValue` (jaccard/cos 1.0, hamming 0) — but only for groups
     * satisfying `identicalQualifies` over the shared array: an identical
-    * DEGENERATE pair (empty shingle set → 0/0 jaccard, zero vector →
-    * undefined cosine) is NOT similar, and the un-collapsed paths
-    * correctly rejected such pairs (NaN fails every ≥ τ filter).
+    * DEGENERATE pair is NOT similar, and the un-collapsed paths rejected
+    * such pairs on their own — an empty shingle set generates no shingle
+    * rows, so the prefix/band joins never produce a candidate, and
+    * cosine_sim returns 0.0 (not NaN) for a zero vector by convention, so
+    * 0.0 fails every ≥ τ filter. (NOT because "NaN fails ≥ τ": Spark
+    * orders NaN above every double, so a NaN comparison would PASS the
+    * filter — which is also why `identicalValue` may be an expression over
+    * `arr`, letting srpPairs reproduce the un-collapsed NaN-pair output
+    * for pathological NaN-containing vectors.)
     */
   private def expandRepPairs(
       repPairs: DataFrame, groups: DataFrame,
@@ -178,11 +190,13 @@ object DedupOps {
         greatest(col("x"), col("y")).as("b_id"), col(valueCol))
     val within = groups
       .filter(size(col("members")) > 1 && identicalQualifies(col("arr")))
-      .select(explode(col("members")).as("x"), col("members"))
-      .select(col("x"), explode(col("members")).as("y"))
+      // compute the value while `arr` is still in scope: identicalValue
+      // may reference it (see srpPairs' NaN handling)
+      .select(col("members"), identicalValue.as(valueCol))
+      .select(explode(col("members")).as("x"), col("members"), col(valueCol))
+      .select(col("x"), explode(col("members")).as("y"), col(valueCol))
       .filter(col("x") < col("y"))
-      .select(col("x").as("a_id"), col("y").as("b_id"),
-        identicalValue.as(valueCol))
+      .select(col("x").as("a_id"), col("y").as("b_id"), col(valueCol))
     between.unionAll(within).orderBy("a_id", "b_id")
   }
 
@@ -275,22 +289,44 @@ object DedupOps {
   private var prevCcCaches: Seq[DataFrame] = Nil
 
   /** Live cache registry for the dedup pair family, keyed by the collapsed
-    * groups relation. Holds up to [[maxLiveCorpora]] corpora LRU-style:
-    * gate queries interleave SEVERAL corpora in one pass (the shingle
-    * corpus, the simhash union-with-copies corpus, its 100-doc slice, the
-    * SRP corpora), and a one-corpus policy evicted the expensive union
-    * caches mid-query while a no-bound policy ran property-test sessions
-    * out of heap. Plan-level comparison, NOT object identity — same-plan
-    * DataFrames share one CacheManager entry, so unpersisting an "old"
-    * object with the same plan would evict the new invocation's entry too.
+    * groups relation. Holds up to [[maxLiveCorpora]] corpora LRU-style PER
+    * SparkSession: gate queries interleave SEVERAL corpora in one pass
+    * (the shingle corpus, the simhash union-with-copies corpus, its
+    * 100-doc slice, the SRP corpora), and a one-corpus policy evicted the
+    * expensive union caches mid-query while a no-bound policy ran
+    * property-test sessions out of heap. Plan-level comparison, NOT object
+    * identity — same-plan DataFrames share one CacheManager entry, so
+    * unpersisting an "old" object with the same plan would evict the new
+    * invocation's entry too. Sessions never share an entry (plans from two
+    * sessions over the same files can compare sameResult, and evicting
+    * across sessions would drop the other session's live cache).
+    *
+    * Hazard (documented, accepted): registration happens at DataFrame
+    * CONSTRUCTION time, not action time — composing more than
+    * [[maxLiveCorpora]] distinct-corpus dedup plans before executing any
+    * of them evicts the oldest plans' caches before they ever materialize
+    * (correctness unaffected; those plans recompute). Entries whose
+    * session has been stopped are dropped without touching the (already
+    * torn down) cache, and unpersist is best-effort.
     */
   private val maxLiveCorpora = 8
   private var liveDedupCaches: Seq[(DataFrame, Seq[DataFrame])] = Nil
+
+  private def dropOrUnpersist(df: DataFrame): Unit =
+    if (!df.sparkSession.sparkContext.isStopped) {
+      scala.util.Try(df.unpersist())
+      ()
+    }
+
   private def registerDedupCaches(key: DataFrame, caches: Seq[DataFrame]): Unit =
     synchronized {
+      // entries from stopped sessions: nothing to unpersist, just forget
+      liveDedupCaches = liveDedupCaches.filter(
+        !_._1.sparkSession.sparkContext.isStopped)
       val keyPlan = key.queryExecution.analyzed
-      val (same, others) = liveDedupCaches.partition(
-        _._1.queryExecution.analyzed.sameResult(keyPlan))
+      val (same, others) = liveDedupCaches.partition(e =>
+        (e._1.sparkSession eq key.sparkSession) &&
+          e._1.queryExecution.analyzed.sameResult(keyPlan))
       val merged = same.headOption match {
         case Some((k, cs)) =>
           val fresh = caches.filterNot(c => cs.exists(
@@ -298,10 +334,14 @@ object DedupOps {
           (k, cs ++ fresh)
         case None => (key, caches)
       }
-      // most-recent first; evict beyond the cap
-      val (keep, evict) = (merged +: others).splitAt(maxLiveCorpora)
-      evict.foreach(_._2.foreach(_.unpersist()))
-      liveDedupCaches = keep
+      // most-recent first; evict beyond the cap — but never another
+      // session's entries on THIS session's behalf (each session gets its
+      // own LRU window)
+      val (sameSession, otherSessions) = others.partition(
+        _._1.sparkSession eq key.sparkSession)
+      val (keep, evict) = (merged +: sameSession).splitAt(maxLiveCorpora)
+      evict.foreach(_._2.foreach(dropOrUnpersist))
+      liveDedupCaches = keep ++ otherSessions
     }
 
   def connectedComponents(edges: DataFrame, maxIters: Int = 64): DataFrame = {
@@ -320,10 +360,13 @@ object DedupOps {
     // evict the previous invocation's input cache unless it was the same
     // input (plan-level comparison — see the prefix-cache note above)
     synchronized {
-      val sameInput = prevCcCaches.headOption.exists(
-        _.queryExecution.analyzed.sameResult(e.queryExecution.analyzed))
+      val sameInput = prevCcCaches.headOption.exists(p =>
+        (p.sparkSession eq e.sparkSession) &&
+          p.queryExecution.analyzed.sameResult(e.queryExecution.analyzed))
       if (!sameInput) {
-        prevCcCaches.foreach(_.unpersist())
+        // best-effort: a stopped session's caches are already gone, and an
+        // eviction failure must not fail the unrelated new invocation
+        prevCcCaches.foreach(dropOrUnpersist)
       }
       // register IMMEDIATELY (not after the convergence require): an
       // exception mid-loop must not orphan the cache outside the registry

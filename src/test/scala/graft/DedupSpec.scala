@@ -49,9 +49,10 @@ class DedupSpec extends SparkTestBase {
 
   test("identical degenerate inputs do not fabricate pairs") {
     import spark.implicits._
-    // two identical ZERO vectors: cosine is undefined, so the collapsed
-    // SRP path must not emit a within-group pair for them (the
-    // un-collapsed path dropped the pair via NaN >= tau = false)
+    // two identical ZERO vectors: cosine_sim returns 0.0 for a zero vector
+    // by convention, so the un-collapsed path dropped the pair via
+    // 0.0 >= tau = false — the collapsed SRP path must not emit a
+    // within-group pair for them either
     val vecs = Seq(
       (1L, Seq(0.0, 0.0, 0.0)), (2L, Seq(0.0, 0.0, 0.0)),
       (3L, Seq(1.0, 0.0, 0.0)), (4L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "v")
@@ -59,6 +60,18 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!srp.contains((1L, 2L)), "zero-vector pair must not surface")
     assert(srp.contains((3L, 4L)), "identical nonzero vectors must surface")
+    // pathological NaN-containing vectors: pre-collapse, identical vectors
+    // band-join and cosine evaluates NaN, which PASSES >= tau under
+    // Spark's NaN-is-greatest ordering — the collapsed path must
+    // reproduce that NaN-valued pair, not invent a 1.0
+    val nanVecs = Seq(
+      (1L, Seq(Double.NaN, 1.0)), (2L, Seq(Double.NaN, 1.0)),
+      (3L, Seq(1.0, 0.0)), (4L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+    val nanPairs = DedupOps.srpPairs(nanVecs, 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(nanPairs.get((1L, 2L)).exists(_.isNaN),
+      s"identical NaN vectors must pair with a NaN value: $nanPairs")
+    assert(nanPairs.get((3L, 4L)).contains(1.0))
     // two docs with EMPTY shingle arrays: jaccard is 0/0, no pair — and
     // identical non-empty docs still pair at jaccard 1.0
     val docs = Seq(
