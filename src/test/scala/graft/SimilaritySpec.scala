@@ -30,6 +30,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(p.contains("TopKPerKey"), s"custom exec not planned:\n$p")
   }
 
+  test("TopKPerKeyExec spills past the retained-row budget and stays exact") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.plans.TopKPerKeyExec
+    // 60k rows over 10k distinct keys at k=3 → 30k retained rows, driven
+    // through a 1,000-row budget: every partition must spill repeatedly
+    // (heap state capped at ~budget, not O(keys·k)) and the merged output
+    // must equal the window formulation row-for-row. This is the
+    // high-cardinality contract the heap map alone would OOM on at scale.
+    val key = TopKPerKeyExec.MAX_RETAINED_ROWS_KEY
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1000")
+    try {
+      val df = spark.range(60000).toDF("id")
+        .select(
+          (col("id") % 10000).as("k"),
+          (xxhash64(col("id")) % 1000000).as("score"),
+          col("id"))
+      val custom = graft.plans.GraftPlans
+        .topKPerKey(df, Seq("k"), Seq(("score", true), ("id", true)), 3)
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy("k").orderBy(col("score"), col("id"))
+      val viaWindow = df
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+        .collect().map(_.toSeq).toSet
+      assert(custom == viaWindow,
+        s"missed=${(viaWindow -- custom).take(5)} spurious=${(custom -- viaWindow).take(5)}")
+      assert(custom.size == 30000)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("IVF topk recall@5 vs brute force is usable") {
     val brute = topk("sim_brute_topk")
     val ivf = graft.operators.SimilarityOps.ivfTop5(spark, sf).collect()
