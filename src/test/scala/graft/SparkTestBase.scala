@@ -5,10 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all suites (one JVM-wide session via
   * getOrCreate; UTC + small shuffle partitions to match the harness).
+  * `local[4,2]` = 4 threads with maxFailures=2, so task-retry semantics
+  * are testable (plain `local[4]` fails the job on the first task
+  * failure — the write path's at-least-once contract needs a real
+  * failed-then-retried task to exercise).
   */
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4,2]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -150,6 +150,58 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(in.readObject().asInstanceOf[LokiInputPartition] == part)
   }
 
+  test("failed-then-retried writer task: committed count exact, no duplicate rows") {
+    // The at-least-once contract (LokiWrite class doc): batches POST
+    // during write(), so a failed attempt's already-pushed batches stay in
+    // Loki; the retry re-pushes everything, Loki's ingest dedup collapses
+    // the replays, and only the WINNING attempt is counted at commit.
+    // Exercised end-to-end with a real failed task: the session runs
+    // local[4,2] (maxFailures=2), and partition 0's first attempt throws
+    // mid-stream AFTER several push batches (batch size 10 « rows) have
+    // left the writer.
+    val retryStub = new LokiStubServer
+    retryStub.start()
+    try {
+      val n = 200
+      RetryProbe.injected.set(0)
+      val base = spark.range(n).select(
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("timestamp"),
+        map(lit("app"), lit("retry-app")).as("labels"),
+        concat(lit("line-"), col("id")).as("line"))
+      val flaky = base.as[(java.sql.Timestamp, Map[String, String], String)]
+        .mapPartitions { it =>
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+            val rows = it.toVector
+            // accumulators from failed tasks are discarded by Spark, so the
+            // injection is counted via a JVM-local probe (executor == this
+            // JVM in local mode)
+            RetryProbe.injected.incrementAndGet()
+            // yield all but the last row, then die: the writer has POSTed
+            // every full batch it saw before the failure reaches it
+            rows.take(rows.size - 1).iterator ++ new Iterator[(java.sql.Timestamp, Map[String, String], String)] {
+              override def hasNext: Boolean = true
+              override def next(): (java.sql.Timestamp, Map[String, String], String) =
+                throw new RuntimeException("injected task failure after partial write")
+            }
+          } else it
+        }
+        .toDF("timestamp", "labels", "line")
+      flaky.write.format("loki")
+        .option("endpoint", retryStub.endpoint)
+        .option("push_batch_size", "10")
+        .mode("append").save()
+      assert(RetryProbe.injected.get() == 1,
+        "the failure must have been injected exactly once")
+      assert(LokiWrite.lastCommittedRows(retryStub.endpoint) == n.toLong,
+        "committed count must reflect only the winning attempts")
+      assert(retryStub.ingested.size == n,
+        s"ingest dedup must collapse the failed attempt's replayed batches: ${retryStub.ingested.size}")
+      assert(retryStub.ingested.map(_.line).toSet ==
+        (0 until n).map(i => s"line-$i").toSet)
+    } finally retryStub.stop()
+  }
+
   test("overwrite is rejected (append-only, table.rs:164-169)") {
     val ex = intercept[Exception] {
       Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
@@ -332,4 +384,11 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       assert(st.ingested.size == 2, "re-POSTed batch must not double-count")
     } finally st.stop()
   }
+}
+
+/** JVM-local failure-injection probe for the task-retry test (accumulator
+  * updates from failed tasks are discarded, so they can't count injections).
+  */
+private[loki] object RetryProbe {
+  val injected = new java.util.concurrent.atomic.AtomicInteger(0)
 }
