@@ -54,7 +54,16 @@ final case class LokiOptions(
     /** Escape quotes/backslashes in LogQL values (parity default: raw
       * interpolation like the reference — SURVEY.md §7.4(d)). */
     escapeLogql: Boolean,
-    checkConnection: Boolean) extends Serializable
+    checkConnection: Boolean,
+    /** Conjunct timestamp-bound semantics. true (default): tightest bound
+      * wins — max(start), min(end) — so every pushed conjunct is honored
+      * (Exact claim sound). false: REFERENCE PARITY — last bound of each
+      * kind wins (table.rs:106-110), which widens the window when a query
+      * repeats a bound and silently returns rows an earlier conjunct
+      * excluded. Flag-selectable so the one remaining semantic divergence
+      * from the reference is a user choice, not a hidden default.
+      */
+    strictBounds: Boolean = true) extends Serializable
 
 object LokiOptions {
   def from(m: CaseInsensitiveStringMap): LokiOptions = from(m.asScala.toMap)
@@ -71,7 +80,8 @@ object LokiOptions {
       // table is constructed (table.rs:60-73), so a typo'd endpoint fails
       // at load time, not first-task time. Opt out with
       // check_connection=false.
-      checkConnection = m.getOrElse("check_connection", "true").toBoolean)
+      checkConnection = m.getOrElse("check_connection", "true").toBoolean,
+      strictBounds = m.getOrElse("strict_bounds", "true").toBoolean)
   }
 }
 

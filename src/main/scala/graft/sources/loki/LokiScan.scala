@@ -43,12 +43,19 @@ class LokiScanBuilder(table: LokiTable)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition(f => LogQL.fromSourceFilter(f).isDefined)
     accepted.flatMap(LogQL.fromSourceFilter).foreach {
-      // conjunct semantics: tightest bound wins — max(start), min(end).
-      // (The reference takes last-wins, table.rs:106-110, which widens the
-      // window and silently returns excluded rows under the Exact claim.)
+      // conjunct semantics, default (strict_bounds=true): tightest bound
+      // wins — max(start), min(end) — every pushed conjunct is honored.
+      // strict_bounds=false is REFERENCE PARITY: last bound of each kind
+      // wins (table.rs:106-110), which widens the window when a query
+      // repeats a bound and silently returns rows an earlier conjunct
+      // excluded under the Exact claim — see LokiOptions.strictBounds.
       case Left(lf) => pushedLines :+= lf
-      case Right(LogQL.Start(ns)) => startNs = Some(startNs.fold(ns)(math.max(_, ns)))
-      case Right(LogQL.End(ns)) => endNs = Some(endNs.fold(ns)(math.min(_, ns)))
+      case Right(LogQL.Start(ns)) =>
+        startNs = Some(
+          if (table.options.strictBounds) startNs.fold(ns)(math.max(_, ns)) else ns)
+      case Right(LogQL.End(ns)) =>
+        endNs = Some(
+          if (table.options.strictBounds) endNs.fold(ns)(math.min(_, ns)) else ns)
     }
     pushed = accepted
     residual // accepted filters are Exact: Loki fully enforces them

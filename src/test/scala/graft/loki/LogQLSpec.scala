@@ -92,6 +92,34 @@ class LogQLSpec extends AnyFunSuite {
     assert(LogQL.timestampBound(EqualTo(ts, tsLit(5L))).isEmpty)
   }
 
+  test("repeated ts conjuncts: tightest-wins default vs last-wins parity (table.rs:106-110)") {
+    import org.apache.spark.sql.{sources => sf}
+    import graft.sources.loki.{LokiOptions, LokiScan, LokiScanBuilder, LokiTable}
+    def scanWith(strict: Boolean): LokiScan = {
+      val b = new LokiScanBuilder(LokiTable(LokiOptions.from(Map(
+        "endpoint" -> "http://x", "default_label" -> "app",
+        "check_connection" -> "false", "strict_bounds" -> strict.toString))))
+      b.pushFilters(Array[sf.Filter](
+        sf.GreaterThanOrEqual("timestamp", java.time.Instant.ofEpochSecond(200)),
+        sf.GreaterThanOrEqual("timestamp", java.time.Instant.ofEpochSecond(100)),
+        sf.LessThan("timestamp", java.time.Instant.ofEpochSecond(300)),
+        sf.LessThan("timestamp", java.time.Instant.ofEpochSecond(400))))
+      b.build().asInstanceOf[LokiScan]
+    }
+    // default: every conjunct honored — the WINDOW is the intersection
+    val strict = scanWith(strict = true)
+    assert(strict.startNs.contains(200L * 1000000000L))
+    assert(strict.endNs.contains(300L * 1000000000L))
+    // strict_bounds=false is reference parity: the LAST bound of each kind
+    // wins (table.rs:106-110), silently WIDENING the window to
+    // [100s, 400s) — rows the 200s/300s conjuncts excluded come back even
+    // though the filters were claimed Exact. That is the reference's
+    // behavior, reproduced only behind the flag.
+    val parity = scanWith(strict = false)
+    assert(parity.startNs.contains(100L * 1000000000L))
+    assert(parity.endNs.contains(400L * 1000000000L))
+  }
+
   test("assemble matches the reference selector shape (table.rs:124-128)") {
     val q = LogQL.assemble(
       Seq(LogQL.LabelMatcher("app", "=", "x"), LogQL.LabelMatcher("env", "=~", "p.*")),
