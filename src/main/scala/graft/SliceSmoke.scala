@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.loki.testkit.LokiStubServer
+
+/** Slice-balance smoke for the connector's `partitions=N` time-range
+  * split: seeds a stub with a BURSTY corpus (80% of rows inside one day
+  * of a 30-day window — the realistic incident-spike shape) and a uniform
+  * corpus, reads each back through 8 equal-width time slices, and prints
+  * rows per slice. Equal-WIDTH slicing is the reference-shaped scale-out
+  * (disjoint-range composable, no coordination); on bursty data the spike
+  * slice dominates the scan's wall clock — the measured skew here is the
+  * evidence for when to reach for a count-based split (probe Loki's
+  * `index/stats` row counts per sub-window, then split boundaries on
+  * cumulative count, at the cost of an extra round-trip and a
+  * non-reference API). Not part of the driver gate:
+  * `runMain graft.SliceSmoke [rows]` → table in BASELINE.md.
+  */
+object SliceSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
+    val day = 86400000000L
+
+    def corpus(bursty: Boolean) = {
+      val ts =
+        if (bursty)
+          // 80% of rows land inside day 2 (3.3% of the window); the rest
+          // spread across the 30 days — an incident-spike shape
+          when(col("id") % 10 < 8, lit(base + day) + (col("id") * 997L) % day)
+            .otherwise(lit(base) + (col("id") % 30) * day + (col("id") * 131L) % day)
+        else
+          lit(base) + (col("id") % 30) * day + (col("id") * 131L) % day
+      spark.range(n).select(
+        timestamp_micros(ts).as("timestamp"),
+        map(lit("app"), lit("smoke")).as("labels"),
+        concat(lit("v="), col("id")).as("line"))
+    }
+
+    Seq("bursty" -> true, "uniform" -> false).foreach { case (name, bursty) =>
+      val stub = new LokiStubServer
+      stub.start()
+      try {
+        corpus(bursty).write.format("loki")
+          .option("endpoint", stub.endpoint)
+          .option("push_batch_size", "8192")
+          .mode("append").save()
+        val scan = spark.read.format("loki")
+          .option("endpoint", stub.endpoint)
+          .option("default_label", "app")
+          .option("partitions", "8")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-01-31 00:00:00").cast("timestamp"))
+        val t0 = System.nanoTime()
+        val per = scan
+          .select(spark_partition_id().as("slice"))
+          .groupBy("slice").count().orderBy("slice")
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        val secs = (System.nanoTime() - t0) / 1e9
+        val counts = per.map(_._2)
+        val total = counts.sum
+        println(s"[slice] $name rows=$total wall=${f"$secs%.2f"}s " +
+          s"per-slice=${per.map { case (i, c) => s"$i:$c" }.mkString(",")} " +
+          f"max/mean=${counts.max.toDouble * counts.length / total}%.2f")
+      } finally stub.stop()
+    }
+    spark.stop()
+  }
+}
