@@ -66,6 +66,23 @@ object StreamOps {
           |FROM sess GROUP BY user_id, session_id
           |ORDER BY user_id, start_us""".stripMargin)),
 
+    // Streaming exact dedup: every stream row duplicated, deduped on the
+    // content fingerprint with watermark-bounded state
+    // (dropDuplicatesWithinWatermark) — the stateful twin of dedup_exact.
+    // The final relation must equal the batch distinct the oracle
+    // computes; a broken dedup either leaks a duplicate (rows 2×) or
+    // drops a survivor.
+    ("stream_dedup_exact",
+      (s: SparkSession, d: String) => {
+        val name = s"stream_de_${math.abs(d.hashCode)}"
+        StreamingOps.runToMemory(
+          StreamingOps.dedupExactStream(s, d), name, OutputMode.Append())
+          .orderBy("lang", "fingerprint")
+      },
+      Some(
+        """SELECT DISTINCT lang, md5(lower(text)) AS fingerprint
+          |FROM documents ORDER BY lang, fingerprint""".stripMargin)),
+
     // Custom per-key state via mapGroupsWithState (the engine's
     // session-style stateful API): running per-user totals driven to
     // completion over the bounded stream — the final state must equal the

@@ -213,6 +213,45 @@ object TextOps {
            |WHERE md5(CAST(doc_id AS VARCHAR)) < '${hexThreshold(0.2)}'
            |ORDER BY lang, doc_id""".stripMargin)),
 
+    // Benchmark decontamination — the train/eval hygiene step every
+    // training-data pipeline runs: flag training documents sharing any
+    // 6-token n-gram with a held-out benchmark set (here: doc_id % 5 = 0,
+    // the eval slice; the near-dup planting guarantees real hits). The
+    // benchmark side is SMALL by definition, so its distinct n-gram set
+    // broadcasts and the train side never shuffles — at 100 TB the scan
+    // stays embarrassingly parallel with a map-side semi-join. Joined on
+    // the raw n-gram string for oracle parity (production would hash the
+    // join key; candidates here are exact either way).
+    ("text_decontaminate",
+      (s: SparkSession, d: String) => {
+        def grams(df: DataFrame) = df.select(
+          col("doc_id"),
+          explode(array_distinct(shingles(toks, 6))).as("g"))
+        val bench = grams(documents(s, d).filter(col("doc_id") % 5 === 0))
+          .select("g").distinct()
+        val train = grams(documents(s, d).filter(col("doc_id") % 5 =!= 0))
+        train.join(broadcast(bench), "g")
+          .groupBy("doc_id")
+          .agg(count_distinct(col("g")).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (
+          |  SELECT DISTINCT doc_id,
+          |         CASE WHEN len(ws) >= 6
+          |              THEN ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '
+          |                   ||ws[i+4]||' '||ws[i+5]
+          |              ELSE array_to_string(ws, ' ') END AS g
+          |  FROM w, UNNEST(range(1, greatest(len(ws) - 4, 2))) AS t(i)
+          |), bench AS (
+          |  SELECT DISTINCT g FROM g WHERE doc_id % 5 = 0
+          |)
+          |SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
+          |FROM g JOIN bench USING (g)
+          |WHERE doc_id % 5 != 0
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Per-document quality score: token count, lexical diversity, mean word
     // length — combined into one bounded score with a quality flag.
     ("text_quality_score",

@@ -59,6 +59,34 @@ object StreamingOps {
         unix_micros(min(col("ts"))).as("start_us"))
       .select(col("user_id"), col("start_us"), col("n_events"), col("dur_us"))
 
+  /** Streaming exact dedup — the stateful twin of the batch `dedup_exact`
+    * operator: a documents stream with every row duplicated (planted exact
+    * dups) deduped on the content fingerprint via
+    * `dropDuplicatesWithinWatermark`, the production-shape variant whose
+    * seen-set state is EVICTED once the watermark passes (an unbounded
+    * `dropDuplicates` seen-set grows forever on a real feed). Event time
+    * is synthesized from doc_id; both copies of a doc share it, so the
+    * dedup is exact on the bounded drain while the state bound is the
+    * 10-minute watermark window at scale. Emits the deterministic
+    * survivor projection (lang, fingerprint) — identical for both copies,
+    * so arrival order cannot leak into the result.
+    */
+  def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("lang"), md5(lower(col("text"))).as("fingerprint"))
+      .withColumn("copy", explode(array(lit(0), lit(1))))
+      .withColumn("event_ts",
+        timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000L))
+      .withWatermark("event_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col("lang"), col("fingerprint"))
+  }
+
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
   /** Stateful per-user running totals via mapGroupsWithState — the custom-

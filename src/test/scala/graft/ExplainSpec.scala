@@ -133,6 +133,14 @@ class ExplainSpec extends SparkTestBase {
       q("documents_stratified_sample_exact").schema)
   }
 
+  test("decontamination joins broadcast the benchmark n-gram set") {
+    // the train side must stream through a map-side semi-join shape —
+    // a shuffled join here would exchange the full exploded train corpus
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"train side must not shuffle-join:\n$p")
+  }
+
   test("bucketized range join plans as an equi-join, not nested-loop") {
     // the whole point of the bucketing: a raw interval predicate plans as
     // BroadcastNestedLoopJoin (all-pairs — dead at scale); binning turns

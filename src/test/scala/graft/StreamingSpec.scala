@@ -24,6 +24,19 @@ class StreamingSpec extends SparkTestBase {
     assert(s == b, s"missing=${b -- s} extra=${s -- b}")
   }
 
+  test("streaming dedup halves the duplicated stream and equals batch distinct") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.dedupExactStream(spark, sf), "dedup_mem", OutputMode.Append())
+    val docs = Tables.documents(spark, sf)
+    val batch = docs
+      .select(col("lang"), md5(lower(col("text"))).as("fingerprint")).distinct()
+    val s = streamed.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val b = batch.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s == b, s"missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
+    // the stream carried every doc twice; dedup must emit each exactly once
+    assert(streamed.count() == docs.count())
+  }
+
   test("stateful user totals equal the batch per-user aggregation") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.userTotals(spark, sf).toDF(), "users_mem", OutputMode.Update())
