@@ -38,10 +38,11 @@ object ScaleSmoke {
     val big = (0 until mult).map { i =>
       base.select((col("doc_id") + lit(i.toLong * docStride)).as("doc_id"), col("text"))
     }.reduce(_ unionAll _)
-    val docs = big.select(
-      col("doc_id"),
-      array_distinct(graft.functions.GraftFunctions.shingles(
-        split(col("text"), " "), 3)).as("sh")).cache()
+    val docs = big
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.GraftFunctions.shingles(col("tk"), 3)).as("sh"))
+      .cache()
     val nDocs = docs.count()
 
     def timed[A](name: String)(f: => A): A = {

@@ -25,11 +25,15 @@ object DedupOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Tokens → distinct 3-word shingles, built-ins only. */
+  /** Tokens → distinct 3-word shingles, built-ins only. The token array is
+    * materialized into a column BEFORE shingling: shingles' lambda
+    * re-evaluates its token expression per element (see its docstring), so
+    * an inline split would cost O(|tokens|²) per document.
+    */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
-      col("doc_id"),
-      array_distinct(shingles(split(col("text"), " "), 3)).as("sh"))
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), array_distinct(shingles(col("tk"), 3)).as("sh"))
 
   /** Exact Jaccard over distinct shingle arrays for a pair DataFrame with
     * columns (a_id, b_id): join back to shingle sets, intersect/union.

@@ -224,9 +224,12 @@ object TextOps {
     // join key; candidates here are exact either way).
     ("text_decontaminate",
       (s: SparkSession, d: String) => {
-        def grams(df: DataFrame) = df.select(
-          col("doc_id"),
-          explode(array_distinct(shingles(toks, 6))).as("g"))
+        // token array materialized before shingling — shingles' lambda
+        // re-evaluates its token expression per element (see its docstring)
+        def grams(df: DataFrame) = df
+          .select(col("doc_id"), toks.as("tk"))
+          .select(col("doc_id"),
+            explode(array_distinct(shingles(col("tk"), 6))).as("g"))
         val bench = grams(documents(s, d).filter(col("doc_id") % 5 === 0))
           .select("g").distinct()
         val train = grams(documents(s, d).filter(col("doc_id") % 5 =!= 0))
