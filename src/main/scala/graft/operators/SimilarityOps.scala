@@ -102,6 +102,58 @@ object SimilarityOps {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
+    // Prototypicality outliers — the SemDeDup-style curation step: score
+    // every document's embedding against its LANGUAGE's centroid and
+    // surface the 5 least-prototypical docs per language (the curation
+    // drop list). The centroid is a distributed (lang, dim) mean — only
+    // the 5-langs × 64-dims codebook is ever collected into the broadcast
+    // — and the bottom-k runs through the custom TopKPerKey operator
+    // (ascending cosine), its second production use. Scale: one narrow
+    // join to attach lang, one posexplode aggregate for centroids, one
+    // broadcast join to score — the corpus never shuffles on anything
+    // wider than the lang key.
+    ("embedding_lang_outliers",
+      (s: SparkSession, d: String) => {
+        val e = embeddings(s, d).select(
+          col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("v"))
+        val joined = e.join(
+          documents(s, d).select("doc_id", "lang"), "doc_id")
+        val cent = joined
+          .select(col("lang"), posexplode(col("v")))
+          .toDF("lang", "dim", "x")
+          .groupBy("lang", "dim").agg(avg("x").as("c"))
+          .groupBy("lang")
+          .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("ps"))
+          .select(col("lang"), transform(col("ps"), p => p("c")).as("cv"))
+        val scored = joined.join(broadcast(cent), "lang")
+          .select(col("lang"), col("doc_id"),
+            cosine_sim(col("v"), col("cv")).as("cos"))
+        graft.plans.GraftPlans
+          .topKPerKey(scored, Seq("lang"), Seq("cos" -> true, "doc_id" -> true), 5)
+          .select(col("lang"), col("doc_id"),
+            round(col("cos"), 4).as("cos_centroid"))
+          .orderBy("lang", "cos_centroid", "doc_id")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+          |           FROM embeddings),
+          |j AS (SELECT d.lang, e.doc_id, e.v FROM e JOIN documents d USING (doc_id)),
+          |dims AS (SELECT lang, i AS dim, v[i] AS x
+          |         FROM j, UNNEST(range(1, len(v) + 1)) t(i)),
+          |cent AS (SELECT lang, dim, avg(x) AS c FROM dims GROUP BY 1, 2),
+          |cv AS (SELECT lang, list(c ORDER BY dim) AS cv FROM cent GROUP BY lang),
+          |scored AS (
+          |  SELECT j.lang, j.doc_id, list_cosine_similarity(j.v, cv.cv) AS cos
+          |  FROM j JOIN cv USING (lang)
+          |), ranked AS (
+          |  SELECT lang, doc_id, cos,
+          |         row_number() OVER (PARTITION BY lang ORDER BY cos, doc_id) AS rn
+          |  FROM scored
+          |)
+          |SELECT lang, doc_id, round(cos, 4) AS cos_centroid
+          |FROM ranked WHERE rn <= 5
+          |ORDER BY lang, cos_centroid, doc_id""".stripMargin)),
+
     ("sim_brute_topk",
       (s: SparkSession, d: String) =>
         top5(bruteScored(vecs(s, d))).orderBy("q_id", "rank"),

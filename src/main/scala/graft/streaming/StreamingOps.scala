@@ -67,9 +67,13 @@ object StreamingOps {
     * `dropDuplicates` seen-set grows forever on a real feed). Event time
     * is synthesized from doc_id; both copies of a doc share it, so the
     * dedup is exact on the bounded drain while the state bound is the
-    * 10-minute watermark window at scale. Emits the deterministic
-    * survivor projection (lang, fingerprint) — identical for both copies,
-    * so arrival order cannot leak into the result.
+    * 10-minute watermark window at scale. Dedup key is
+    * (lang, fingerprint), and the emitted columns ARE the key: a
+    * fingerprint-only key would make the surviving row's other columns
+    * arrival-order-dependent whenever the same text occurs under two
+    * languages (sf0.1 has such cross-language exact dups), leaking
+    * nondeterminism into the result; keying on everything emitted makes
+    * the survivor set exactly the batch-distinct relation.
     */
   def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -83,7 +87,7 @@ object StreamingOps {
       .withColumn("event_ts",
         timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000L))
       .withWatermark("event_ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("fingerprint")
+      .dropDuplicatesWithinWatermark("lang", "fingerprint")
       .select(col("lang"), col("fingerprint"))
   }
 

@@ -33,8 +33,9 @@ class StreamingSpec extends SparkTestBase {
     val s = streamed.collect().map(r => (r.getString(0), r.getString(1))).toSet
     val b = batch.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(s == b, s"missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
-    // the stream carried every doc twice; dedup must emit each exactly once
-    assert(streamed.count() == docs.count())
+    // the stream carried every doc twice; dedup must emit each surviving
+    // key exactly once (set equality alone would mask duplicate rows)
+    assert(streamed.count() == batch.count())
   }
 
   test("stateful user totals equal the batch per-user aggregation") {
