@@ -255,6 +255,40 @@ object TextOps {
           |WHERE doc_id % 5 != 0
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Within-document repetition — the Gopher-family quality signal a
+    // text-quality filter keys on: the fraction of REPEATED 3-grams
+    // (1 − distinct/total over the duplicate-preserving shingle list).
+    // Boilerplate and looped generations repeat n-grams; clean prose
+    // doesn't. Scan-local per-document arithmetic, no shuffle.
+    ("text_repetition",
+      (s: SparkSession, d: String) =>
+        documents(s, d)
+          .select(col("doc_id"), toks.as("tk"))
+          .select(col("doc_id"), shingles(col("tk"), 3).as("sh"))
+          .select(col("doc_id"),
+            size(col("sh")).cast("long").as("n_grams"),
+            size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+          .withColumn("rep_ratio",
+            round(lit(1.0) - col("n_distinct") / col("n_grams"), 4))
+          .withColumn("is_repetitive", col("rep_ratio") > 0.2)
+          .orderBy("doc_id"),
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |         CASE WHEN len(ws) >= 3
+          |              THEN [ws[i]||' '||ws[i+1]||' '||ws[i+2]
+          |                    for i in range(1, len(ws) - 1)]
+          |              ELSE [array_to_string(ws, ' ')] END AS sh
+          |  FROM w
+          |)
+          |SELECT doc_id,
+          |       CAST(len(sh) AS BIGINT) AS n_grams,
+          |       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+          |       round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 4) AS rep_ratio,
+          |       (1.0 - len(list_distinct(sh)) * 1.0 / len(sh)) > 0.2 AS is_repetitive
+          |FROM g ORDER BY doc_id""".stripMargin)),
+
     // Per-document quality score: token count, lexical diversity, mean word
     // length — combined into one bounded score with a quality flag.
     ("text_quality_score",
