@@ -255,6 +255,49 @@ object TextOps {
           |WHERE doc_id % 5 != 0
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Sequence packing — the last step before training: assign documents
+    // to ~2048-token training chunks. True greedy packing is inherently
+    // serial, so the scalable shape is BUCKETED packing: docs hash into
+    // 32 independent buckets (doc_id mod — balanced by construction),
+    // each bucket packs serially in a deterministic md5 order via a
+    // running token sum, and a chunk is a floor(cum/2048) slice. Every
+    // window partition is a bounded bucket — the parallelism knob is the
+    // bucket count (sized to corpus/chunk budget at 100 TB), never one
+    // stratum through one task. Output is the per-chunk manifest
+    // (bucket, chunk, docs, tokens); integer arithmetic end to end.
+    ("documents_pack_chunks",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("bucket")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            pmod(col("doc_id"), lit(32)).cast("int").as("bucket"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("chunk_id",
+            floor((col("cum") - col("n_tokens")) / 2048).cast("long"))
+          .groupBy("bucket", "chunk_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("chunk_tokens"))
+          .orderBy("bucket", "chunk_id")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT doc_id,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |         CAST(doc_id % 32 AS INTEGER) AS bucket
+          |  FROM documents
+          |), c AS (
+          |  SELECT bucket, n_tokens,
+          |         sum(n_tokens) OVER (PARTITION BY bucket
+          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM b
+          |)
+          |SELECT bucket, CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS chunk_id,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+          |FROM c GROUP BY 1, 2 ORDER BY bucket, chunk_id""".stripMargin)),
+
     // Within-document repetition — the Gopher-family quality signal a
     // text-quality filter keys on: the fraction of REPEATED 3-grams
     // (1 − distinct/total over the duplicate-preserving shingle list).
