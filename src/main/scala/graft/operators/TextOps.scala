@@ -89,6 +89,26 @@ object TextOps {
       .select(col("lang"), col("doc_id"))
   }
 
+  /** Vocabulary encoding, open relation: (doc_id, ids) with ids the
+    * frequency-ranked token ids in document order (id 0 = most frequent,
+    * ties lexical). The vocab rank is the one global window — over the
+    * AGGREGATED vocab relation (tokens, not documents; bounded). At
+    * 100 TB assign ids via an ordered zipWithIndex over the (count,
+    * token) sort instead. Documents re-assemble scan-side: broadcast-join
+    * ids onto (doc, pos, token), collect_list ordered by position.
+    */
+  def encodeIds(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val wV = Window.orderBy(col("cnt").desc, col("token"))
+    val ids = vocab.select(col("token"), (row_number().over(wV) - 1).as("tid"))
+    tok.join(broadcast(ids), "token")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("tid")))),
+        x => x("tid")).as("ids"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Token statistics per language.
@@ -456,6 +476,316 @@ object TextOps {
           |             [CAST(unicode(x) AS HUGEINT) for x in string_split(lower(text), '')]),
           |           (a, b) -> (a * 1000003 + b) % 18446744073709551616) AS h
           |  FROM documents)
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Unigram-LM quality score — the perplexity-proxy filter (CCNet-style,
+    // with the KenLM stage stood in by the corpus' own unigram model): a
+    // document's mean negative log-likelihood under corpus token
+    // frequencies. Shape at 100 TB: the vocab is an aggregate-compressed
+    // relation (tokens, not documents) so it broadcasts; the corpus-side
+    // join is map-side and the per-doc reduction is one partial-agg
+    // shuffle on doc_id. Per-token log-probs are quantized to scaled
+    // BIGINTs (×1e6) BEFORE the per-doc sum, so the aggregate is integer
+    // arithmetic — no float accumulation order anywhere in the compared
+    // output (the lineitem_stats_agg determinism pattern).
+    ("text_unigram_logprob",
+      (s: SparkSession, d: String) => {
+        val tok = documents(s, d)
+          .select(col("doc_id"), explode(toks).as("token"))
+        val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        val tot = vocab.agg(sum("cnt").as("total"))
+        val lp = vocab.crossJoin(broadcast(tot))
+          .select(col("token"),
+            round((log(col("cnt")) - log(col("total"))) * 1e6, 0)
+              .cast("long").as("lp6"))
+        tok.join(broadcast(lp), "token")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("lp6").as("sum_lp6"))
+          .withColumn("nll",
+            round(-(col("sum_lp6").cast("double") / 1e6) / col("n_tokens"), 4))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+          |), v AS (
+          |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+          |), t AS (
+          |  SELECT sum(cnt) AS total FROM v
+          |), lp AS (
+          |  SELECT token,
+          |         CAST(round((ln(cnt) - ln(total)) * 1e6, 0) AS BIGINT) AS lp6
+          |  FROM v, t
+          |)
+          |SELECT doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_tokens,
+          |       CAST(sum(lp6) AS BIGINT) AS sum_lp6,
+          |       round(-(CAST(sum(lp6) AS DOUBLE) / 1e6) / count(*), 4) AS nll
+          |FROM tok JOIN lp USING (token)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Vocabulary encoding — tokenize-to-ids, the step that turns a text
+    // corpus into the integer sequences a trainer consumes (see
+    // [[encodeIds]] for the relation and its scale shape).
+    ("text_encode_ids",
+      (s: SparkSession, d: String) =>
+        encodeIds(documents(s, d))
+          .select(col("doc_id"),
+            size(col("ids")).cast("long").as("n_tokens"),
+            // the driver's hash compare can't digest array cells, so the
+            // sequence identity travels as md5 over the ','-joined ids —
+            // any id or POSITION flip changes it (the spec checks the
+            // open array relation end to end)
+            md5(array_join(col("ids"), ",")).as("ids_md5"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          |), tok AS (
+          |  SELECT doc_id, i - 1 AS pos, ws[i] AS token
+          |  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+          |), v AS (
+          |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+          |), ids AS (
+          |  SELECT token,
+          |         CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1
+          |              AS INTEGER) AS tid
+          |  FROM v
+          |)
+          |SELECT doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_tokens,
+          |       md5(array_to_string(list(tid ORDER BY pos), ',')) AS ids_md5
+          |FROM tok JOIN ids USING (token)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Bigram PMI — corpus collocation statistics (the classic phrase-mining
+    // signal): pmi(w1,w2) = ln(c12·N1² / (N2·c1·c2)), top 20. Both unigram
+    // and bigram count relations are aggregate-compressed, so the two
+    // unigram attachments are broadcast joins; nothing document-sized
+    // shuffles after the two counting aggregates. PMI is quantized to a
+    // scaled BIGINT and the ranking runs on (pmi6, bigram) — a total order
+    // both engines compute identically from identical integers.
+    ("text_pmi_bigrams",
+      (s: SparkSession, d: String) => {
+        val tk = documents(s, d)
+          .filter(size(toks) >= 2).select(toks.as("tk"))
+        val uni = tk.select(explode(col("tk")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cu"))
+        val n1 = uni.agg(sum("cu").as("n1"))
+        val bi = tk.select(explode(shingles(col("tk"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c12"))
+        val n2 = bi.agg(sum("c12").as("n2"))
+        bi
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+          .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), "w2")
+          .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+          .withColumn("pmi6",
+            round((log(col("c12")) - log(col("c1")) - log(col("c2")) +
+              lit(2.0) * log(col("n1")) - log(col("n2"))) * 1e6, 0)
+              .cast("long"))
+          .select(col("bg").as("bigram"), col("c12"), col("pmi6"))
+          .orderBy(col("pmi6").desc, col("bigram"))
+          .limit(20)
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT string_split(text, ' ') AS ws FROM documents
+          |  WHERE len(string_split(text, ' ')) >= 2
+          |), uni AS (
+          |  SELECT unnest(ws) AS w FROM w
+          |), uc AS (
+          |  SELECT w, count(*) AS cu FROM uni GROUP BY w
+          |), n1 AS (SELECT sum(cu) AS n1 FROM uc
+          |), bg AS (
+          |  SELECT ws[i] || ' ' || ws[i+1] AS bg
+          |  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+          |), bc AS (
+          |  SELECT bg, count(*) AS c12 FROM bg GROUP BY bg
+          |), n2 AS (SELECT sum(c12) AS n2 FROM bc)
+          |SELECT bg AS bigram, CAST(c12 AS BIGINT) AS c12,
+          |       CAST(round((ln(c12) - ln(u1.cu) - ln(u2.cu)
+          |                   + 2.0 * ln(n1) - ln(n2)) * 1e6, 0) AS BIGINT) AS pmi6
+          |FROM bc, n1, n2, uc u1, uc u2
+          |WHERE u1.w = string_split(bg, ' ')[1]
+          |  AND u2.w = string_split(bg, ' ')[2]
+          |ORDER BY pmi6 DESC, bigram LIMIT 20""".stripMargin)),
+
+    // Cross-document repeated spans — the exact-substring-dedup signal
+    // (Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better"): for each document, what fraction of its distinct 8-token
+    // spans also occurs in some OTHER document. The span relation is
+    // doc-distinct before the document-frequency aggregate, and the
+    // flag-back is an equi-join on the span — bucketed all the way, never
+    // all-pairs, the same shape that scales the n-gram dedup family.
+    ("text_dup_spans",
+      (s: SparkSession, d: String) => {
+        val sp = documents(s, d)
+          .select(col("doc_id"), toks.as("tk"))
+          .select(col("doc_id"),
+            explode(array_distinct(shingles(col("tk"), 8))).as("g"))
+        val dfreq = sp.groupBy("g").agg(count(lit(1)).as("df"))
+        sp.join(dfreq, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("dup_ratio",
+            round(col("n_shared").cast("double") / col("n_spans"), 4))
+          .withColumn("is_dup_heavy", col("dup_ratio") > 0.5)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (
+          |  SELECT DISTINCT doc_id,
+          |         CASE WHEN len(ws) >= 8
+          |              THEN ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '
+          |                   ||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]
+          |              ELSE array_to_string(ws, ' ') END AS g
+          |  FROM w, UNNEST(range(1, greatest(len(ws) - 6, 2))) AS t(i)
+          |), dfreq AS (
+          |  SELECT g, count(*) AS df FROM g GROUP BY g
+          |)
+          |SELECT doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_spans,
+          |       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+          |       round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          |             / count(*), 4) AS dup_ratio,
+          |       (CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          |             / count(*)) > 0.5 AS is_dup_heavy
+          |FROM g JOIN dfreq USING (g)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // DSIR-style importance weights (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling"): score every document by
+    // Σ_g log(p_target(g)/p_source(g)) over its bigram features, where the
+    // target distribution is the high-resource slice (lang='en') and the
+    // source is the whole corpus; add-0.5 smoothing keeps absent features
+    // finite. Both feature-count relations are aggregate-compressed
+    // (bigrams, not documents) → broadcast joins; per-feature log-ratios
+    // quantize to scaled BIGINTs before the per-doc integer sum (the
+    // text_unigram_logprob determinism shape). Production note: at 100 TB
+    // the feature space is hashed to a fixed bucket count (the paper's
+    // hashed n-grams) — here features stay raw strings so the oracle
+    // differential is engine-exact; the hash is one extra scan-local
+    // column either way.
+    ("documents_importance_weights",
+      (s: SparkSession, d: String) => {
+        val tk = documents(s, d)
+          .filter(size(toks) >= 2)
+          .select(col("doc_id"), col("lang"), toks.as("tk"))
+        val grams = tk.select(col("doc_id"), col("lang"),
+          explode(shingles(col("tk"), 2)).as("g"))
+        // ONE counting aggregate carries both distributions (total count +
+        // conditional target count per feature) — the target side is a
+        // filtered sum, not a second explode pass over the corpus
+        val cnts = grams.groupBy("g").agg(
+          count(lit(1)).as("cs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val totals = cnts.agg(sum("cs").as("ns"), sum("ct").as("nt"))
+        val ratios = cnts
+          .crossJoin(broadcast(totals))
+          .select(col("g"),
+            round((log(col("ct").cast("double") + 0.5) -
+              log(col("nt").cast("double") + 0.5) -
+              log(col("cs").cast("double") + 0.5) +
+              log(col("ns").cast("double") + 0.5)) * 1e6, 0)
+              .cast("long").as("lr6"))
+        grams.join(broadcast(ratios), "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_feats"), sum("lr6").as("sum_lr6"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+          |  WHERE len(string_split(text, ' ')) >= 2
+          |), g AS (
+          |  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+          |  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+          |), c AS (
+          |  SELECT g, count(*) AS cs,
+          |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+          |  FROM g GROUP BY g
+          |), tot AS (
+          |  SELECT sum(cs) AS ns, sum(ct) AS nt FROM c
+          |), r AS (
+          |  SELECT c.g,
+          |         CAST(round((ln(CAST(ct AS DOUBLE) + 0.5)
+          |                     - ln(CAST(nt AS DOUBLE) + 0.5)
+          |                     - ln(CAST(cs AS DOUBLE) + 0.5)
+          |                     + ln(CAST(ns AS DOUBLE) + 0.5)) * 1e6, 0)
+          |              AS BIGINT) AS lr6
+          |  FROM c, tot
+          |)
+          |SELECT doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_feats,
+          |       CAST(sum(lr6) AS BIGINT) AS sum_lr6
+          |FROM g JOIN r USING (g)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // BM25 keyword search — the retrieval scorer a data pipeline uses to
+    // mine/rank documents for a term set (k1=1.2, b=0.75, the classic
+    // parameters). Per-doc term frequencies are scan-local lambda counts;
+    // the corpus statistics (N, avgdl, per-term document frequencies) are
+    // ONE aggregate row cross-joined back as a broadcast — the corpus
+    // never shuffles, and the top-k is a TakeOrdered. All inputs to the
+    // score are exactly-representable integers (tf, dl, df counts as
+    // doubles — integer sums in double are exact), so both engines
+    // compute bit-identical scores; the ranking runs on the ×1e6
+    // quantized BIGINT.
+    ("text_bm25_search",
+      (s: SparkSession, d: String) => {
+        val terms = Seq("spark", "table", "query")
+        val base = documents(s, d).select(col("doc_id"), toks.as("tk"))
+          .select(Seq(col("doc_id"), size(col("tk")).cast("double").as("dl")) ++
+            terms.indices.map(i =>
+              size(filter(col("tk"), x => x === terms(i)))
+                .cast("double").as(s"tf$i")): _*)
+        val aggs = Seq(count(lit(1)).cast("double").as("n"),
+          avg("dl").as("avgdl")) ++
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+        val stats = base.agg(aggs.head, aggs.tail: _*)
+        val score = terms.indices.map { i =>
+          log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0) *
+            (col(s"tf$i") * 2.2) /
+            (col(s"tf$i") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        }.reduce(_ + _)
+        base.crossJoin(broadcast(stats))
+          .select(col("doc_id"), round(score * 1e6, 0).cast("long").as("score6"))
+          .filter(col("score6") > 0)
+          .orderBy(col("score6").desc, col("doc_id")).limit(20)
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id,
+          |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+          |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS DOUBLE) AS tf0,
+          |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'table')) AS DOUBLE) AS tf1,
+          |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'query')) AS DOUBLE) AS tf2
+          |  FROM documents
+          |), stats AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+          |         sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+          |         sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+          |         sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+          |  FROM base
+          |)
+          |SELECT doc_id, score6 FROM (
+          |  SELECT doc_id,
+          |         CAST(round((
+          |             ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
+          |               / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          |           + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+          |               / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          |           + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+          |               / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          |         ) * 1e6, 0) AS BIGINT) AS score6
+          |  FROM base, stats
+          |) WHERE score6 > 0
+          |ORDER BY score6 DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

@@ -151,4 +151,21 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
   }
+
+  test("unigram-LM scoring attaches the vocab via broadcast — the token relation never shuffle-joins") {
+    val p = plan("text_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), s"vocab should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token relation must not shuffle-join:\n$p")
+  }
+
+  test("BM25 ranks through TakeOrderedAndProject over a broadcast stats row") {
+    val p = plan("text_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the stats row:\n$p")
+  }
+
+  test("importance weights broadcast the feature log-ratios onto the gram scan") {
+    val p = plan("documents_importance_weights")
+    assert(p.contains("BroadcastHashJoin"), s"ratio relation should broadcast:\n$p")
+  }
 }

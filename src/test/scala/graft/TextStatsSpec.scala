@@ -1,0 +1,127 @@
+package graft
+
+import scala.math.BigDecimal.RoundingMode
+
+import org.apache.spark.sql.Row
+
+/** Specs for the corpus-statistics text operators added in round 5:
+  * unigram-LM scoring, vocab id encoding, PMI bigrams, repeated spans.
+  * Each test recomputes the expected value in plain Scala from the same
+  * corpus (the quantization mirrors Spark's HALF_UP `round`), so the
+  * checks are independent of the SQL oracle path.
+  */
+class TextStatsSpec extends SparkTestBase {
+
+  private lazy val corpus: Seq[(Long, String)] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  /** Spark's round(x, 0): BigDecimal HALF_UP (away from zero at .5). */
+  private def q6(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, RoundingMode.HALF_UP).toLong
+
+  test("text_unigram_logprob: sum_lp6 matches an exact Scala recomputation") {
+    val toks = corpus.map { case (id, t) => (id, t.split(" ").toSeq) }
+    val counts = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    val lp6 = counts.map { case (w, c) =>
+      w -> q6(math.log(c.toDouble) - math.log(total.toDouble))
+    }
+    val expected = toks.map { case (id, ts) =>
+      id -> (ts.size.toLong, ts.map(lp6).sum)
+    }.toMap
+    val got = q("text_unigram_logprob").collect()
+    assert(got.length == corpus.size)
+    got.foreach { r =>
+      val (n, sum) = expected(r.getLong(0))
+      assert(r.getLong(1) == n, s"n_tokens for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == sum, s"sum_lp6 for doc ${r.getLong(0)}")
+      assert(r.getDouble(3) > 0, "nll must be positive")
+    }
+  }
+
+  test("text_encode_ids: decoding through the frequency-ranked vocab roundtrips") {
+    val toks = corpus.map { case (id, t) => (id, t.split(" ").toSeq) }
+    val counts = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // rank: count desc, token asc — the query's (cnt desc, token) window
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.map(_._1).toIndexedSeq
+    val open = graft.operators.TextOps.encodeIds(Tables.documents(spark, sf))
+      .collect()
+    assert(open.length == corpus.size)
+    val byId = toks.toMap
+    val digests = open.map { r =>
+      val ids = r.getSeq[Int](1)
+      val decoded = ids.map(vocab)
+      assert(decoded == byId(r.getLong(0)), s"roundtrip for doc ${r.getLong(0)}")
+      r.getLong(0) -> ids.mkString(",")
+    }.toMap
+    // the gate query ships the sequence as an md5 digest — same relation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    q("text_encode_ids").collect().foreach { r =>
+      val hex = md.digest(digests(r.getLong(0)).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(2) == hex, s"digest for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("text_pmi_bigrams: top row matches an exact Scala recomputation") {
+    val toks = corpus.map(_._2.split(" ").toSeq).filter(_.size >= 2)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n1 = uni.values.sum
+    val bi = toks.flatMap(ts => ts.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n2 = bi.values.sum
+    def pmi6(bg: String): Long = {
+      val Array(w1, w2) = bg.split(" ")
+      q6(math.log(bi(bg).toDouble) - math.log(uni(w1).toDouble) -
+        math.log(uni(w2).toDouble) + 2.0 * math.log(n1.toDouble) -
+        math.log(n2.toDouble))
+    }
+    val expectedTop = bi.keys.toSeq.map(bg => (bg, bi(bg), pmi6(bg)))
+      .sortBy { case (bg, _, p) => (-p, bg) }.take(20)
+    val got = q("text_pmi_bigrams").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got == expectedTop)
+  }
+
+  test("documents_importance_weights: sum_lr6 matches an exact Scala recomputation") {
+    val rows = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+      .filter(_._3.size >= 2)
+    def bigrams(ts: Seq[String]) = ts.sliding(2).map(_.mkString(" ")).toSeq
+    val src = rows.flatMap(r => bigrams(r._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgt = rows.filter(_._2 == "en").flatMap(r => bigrams(r._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ns = src.values.sum; val nt = tgt.values.sum
+    val lr6 = src.keys.map { g =>
+      g -> q6(math.log(tgt.getOrElse(g, 0L).toDouble + 0.5) -
+        math.log(nt.toDouble + 0.5) - math.log(src(g).toDouble + 0.5) +
+        math.log(ns.toDouble + 0.5))
+    }.toMap
+    val expected = rows.map { case (id, _, ts) =>
+      id -> (bigrams(ts).size.toLong, bigrams(ts).map(lr6).sum)
+    }.toMap
+    val got = q("documents_importance_weights").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, sum) = expected(r.getLong(0))
+      assert(r.getLong(1) == n, s"n_feats for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == sum, s"sum_lr6 for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("text_dup_spans: ratios consistent and the planted near-dups share spans") {
+    val got = q("text_dup_spans").collect()
+    assert(got.length == corpus.size)
+    var anyShared = false
+    got.foreach { case Row(id: Long, n: Long, shared: Long, ratio: Double, heavy: Boolean) =>
+      assert(shared <= n, s"doc $id: shared > spans")
+      assert(math.abs(ratio - BigDecimal(shared.toDouble / n)
+        .setScale(4, RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert(heavy == (ratio > 0.5))
+      if (shared > 0) anyShared = true
+    }
+    assert(anyShared, "the corpus' planted near-dups must share 8-token spans")
+  }
+}
