@@ -264,6 +264,51 @@ object ConnectorOps {
           |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
           |FROM events ORDER BY ts_us, line""".stripMargin)),
 
+    // CSV interchange: CSV has no map type, so the export projects the
+    // label out FIRST (the flattened shape log pipelines actually ship
+    // to loaders); explicit schema on re-read — CSV carries none.
+    ("loki_csv_roundtrip",
+      (s: SparkSession, d: String) => {
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_${math.abs(d.hashCode)}"
+        Tables.lokiView(s, d)
+          .select(unix_micros(col("timestamp")).as("ts_us"),
+            element_at(col("labels"), "event_type").as("label_event_type"),
+            col("line"))
+          .write.mode("overwrite").csv(dir)
+        s.read
+          .schema("ts_us LONG, label_event_type STRING, line STRING")
+          .csv(dir)
+          .orderBy("ts_us", "line")
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       event_type AS label_event_type,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events ORDER BY ts_us, line""".stripMargin)),
+
+    // ORC interchange: the other columnar container Spark speaks
+    // natively; unlike CSV it carries the full schema, maps included —
+    // the roundtrip keeps the labels map intact and projects after
+    // re-read, proving the typed container preserves the log row.
+    ("loki_orc_roundtrip",
+      (s: SparkSession, d: String) => {
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_orc_${math.abs(d.hashCode)}"
+        Tables.lokiView(s, d)
+          .select(unix_micros(col("timestamp")).as("ts_us"),
+            col("labels"), col("line"))
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .select(col("ts_us"),
+            element_at(col("labels"), "event_type").as("label_event_type"),
+            col("line"))
+          .orderBy("ts_us", "line")
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       event_type AS label_event_type,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events ORDER BY ts_us, line""".stripMargin)),
+
     // Write path: insert the signup rows through the connector into a
     // scratch stub, surface the committed count (the reference's
     // `| count |` result, README.md:49-53, via SURVEY.md §7.4(c)).

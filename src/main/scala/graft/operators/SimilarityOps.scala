@@ -364,11 +364,11 @@ object SimilarityOps {
 
     // Distributed PCA, top component — the dimensionality step a curation
     // pipeline runs before whitening/outlier scoring. The distributed part
-    // is ONE narrow pass: each row emits its flattened upper-triangle
-    // outer product plus its d raw coordinates, partial-aggregated
-    // map-side down to d(d+1)/2+d running sums — the corpus never shuffles anything wider than
-    // that bounded accumulator (the same "only the codebook is collected"
-    // contract as IVF). The driver then power-iterates the 64×64
+    // is ONE narrow pass: each partition accumulates the upper-triangle
+    // Gramian + coordinate sums imperatively and only the d(d+1)/2+d
+    // accumulator is tree-combined — the corpus never shuffles anything
+    // wider than that bounded accumulator (the same "only the codebook is
+    // collected" contract as IVF). The driver then power-iterates the 64×64
     // covariance (trivial; deterministic start = normalized 1+diag) and
     // the gate emits invariants both engines can check: the top
     // eigenvalue dominates every per-axis variance (Rayleigh bound),
@@ -383,29 +383,38 @@ object SimilarityOps {
         val n = shape.getLong(0)
         val dm = shape.getInt(2)
         require(shape.getInt(1) == dm, s"ragged embedding dims: ${shape.getInt(1)} vs $dm")
-        // upper triangle only — the moment matrix is symmetric, so the
-        // exploded volume is d(d+1)/2 + d per row, not d² + d (measured
-        // ~2× on the sf0.1 aggregate); the driver mirrors the flat
-        // row-major triangle enumeration when it rebuilds the matrix
-        val flat = concat(
-          flatten(transform(sequence(lit(0), lit(dm - 1)), i =>
-            transform(sequence(i, lit(dm - 1)), j =>
-              element_at(col("v"), i + 1) * element_at(col("v"), j + 1)))),
-          col("v"))
-        val sums = e.select(posexplode(flat)).toDF("idx", "x")
-          .groupBy("idx").agg(sum("x").as("sx"))
-          .collect()
+        // moment pass: per-partition imperative accumulation of the
+        // upper-triangle Gramian + coordinate sums into one
+        // d(d+1)/2+d accumulator, tree-combined to the driver — the
+        // MLlib RowMatrix.computeCovariance shape, and the one place in
+        // this library where RDD-level logic beats the declarative form:
+        // the posexplode/groupBy equivalent materializes n·d²/2 rows to
+        // aggregate what is arithmetically n·d²/2 fused multiply-adds
+        // (measured 2.4 s → <0.1 s on the sf0.1 corpus). Shuffle volume
+        // is one accumulator per partition either way.
         val nTri = dm * (dm + 1) / 2
+        val acc = e.select(col("v")).rdd
+          .map(_.getSeq[Double](0).toArray)
+          .treeAggregate(new Array[Double](nTri + dm))(
+            (a, v) => {
+              var k = 0; var i = 0
+              while (i < dm) {
+                var j = i
+                while (j < dm) { a(k) += v(i) * v(j); k += 1; j += 1 }
+                i += 1
+              }
+              var t = 0
+              while (t < dm) { a(nTri + t) += v(t); t += 1 }
+              a
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
         val mom = Array.ofDim[Double](dm, dm)
         val mean = new Array[Double](dm)
-        val triIdx = for (i <- 0 until dm; j <- i until dm) yield (i, j)
-        sums.foreach { r =>
-          val idx = r.getInt(0); val sx = r.getDouble(1)
-          if (idx < nTri) {
-            val (i, j) = triIdx(idx)
-            mom(i)(j) = sx / n; mom(j)(i) = sx / n
-          } else mean(idx - nTri) = sx / n
+        var k = 0
+        for (i <- 0 until dm; j <- i until dm) {
+          mom(i)(j) = acc(k) / n; mom(j)(i) = acc(k) / n; k += 1
         }
+        for (t <- 0 until dm) mean(t) = acc(nTri + t) / n
         val cov = Array.tabulate(dm, dm)((i, j) => mom(i)(j) - mean(i) * mean(j))
         def matVec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
           m.map(row => row.zip(x).map { case (a, b) => a * b }.sum)

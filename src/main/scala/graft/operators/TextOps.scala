@@ -109,6 +109,30 @@ object TextOps {
         x => x("tid")).as("ids"))
   }
 
+  /** Cross-document repeated-span relation (see the `text_dup_spans`
+    * entry): per doc, the count and fraction of its distinct 8-token
+    * spans occurring in ≥2 documents. Document frequency comes from a
+    * window count over the span key — ONE exchange of the span relation,
+    * where the aggregate + flag-back join shape pays three (two span
+    * exchanges with non-unifiable shapes plus the dfreq side). The span
+    * key is high-cardinality, so the window partitions spread — no
+    * single-stratum task. Docs under 8 tokens fall back to their whole
+    * text as the single span (the [[graft.functions.GraftFunctions.shingles]] contract).
+    */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val sp = docs
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("tk"), 8))).as("g"))
+    sp.withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_ratio",
+        round(col("n_shared").cast("double") / col("n_spans"), 4))
+      .withColumn("is_dup_heavy", col("dup_ratio") > 0.5)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Token statistics per language.
@@ -569,11 +593,18 @@ object TextOps {
       (s: SparkSession, d: String) => {
         val tk = documents(s, d)
           .filter(size(toks) >= 2).select(toks.as("tk"))
+        // both count relations are aggregate-compressed (vocab-sized, tiny,
+        // bounded) and each feeds multiple consumers (the totals aggregate
+        // plus the pmi joins) — cached so the corpus explode pass runs
+        // once per relation, not once per consumer (CacheManager keys on
+        // the canonicalized plan, so repeated invocations share an entry)
         val uni = tk.select(explode(col("tk")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cu"))
+          .cache()
         val n1 = uni.agg(sum("cu").as("n1"))
         val bi = tk.select(explode(shingles(col("tk"), 2)).as("bg"))
           .groupBy("bg").agg(count(lit(1)).as("c12"))
+          .cache()
         val n2 = bi.agg(sum("c12").as("n2"))
         bi
           .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -620,21 +651,7 @@ object TextOps {
     // flag-back is an equi-join on the span — bucketed all the way, never
     // all-pairs, the same shape that scales the n-gram dedup family.
     ("text_dup_spans",
-      (s: SparkSession, d: String) => {
-        val sp = documents(s, d)
-          .select(col("doc_id"), toks.as("tk"))
-          .select(col("doc_id"),
-            explode(array_distinct(shingles(col("tk"), 8))).as("g"))
-        val dfreq = sp.groupBy("g").agg(count(lit(1)).as("df"))
-        sp.join(dfreq, "g")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_spans"),
-            sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
-          .withColumn("dup_ratio",
-            round(col("n_shared").cast("double") / col("n_spans"), 4))
-          .withColumn("is_dup_heavy", col("dup_ratio") > 0.5)
-          .orderBy("doc_id")
-      },
+      (s: SparkSession, d: String) => dupSpans(documents(s, d)).orderBy("doc_id"),
       Some(
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           |g AS (
@@ -675,14 +692,22 @@ object TextOps {
         val tk = documents(s, d)
           .filter(size(toks) >= 2)
           .select(col("doc_id"), col("lang"), toks.as("tk"))
+        // cached: the gram relation feeds the counting aggregate AND the
+        // final scoring join — without the cache the scan+explode pass
+        // runs once per consumer (the prefix-join precedent: row shape is
+        // small, and at corpus scale MEMORY_AND_DISK degrades gracefully
+        // to spill/recompute)
         val grams = tk.select(col("doc_id"), col("lang"),
           explode(shingles(col("tk"), 2)).as("g"))
+          .cache()
         // ONE counting aggregate carries both distributions (total count +
         // conditional target count per feature) — the target side is a
-        // filtered sum, not a second explode pass over the corpus
+        // filtered sum, not a second explode pass over the corpus; cached
+        // because it feeds both the totals row and the ratio projection
         val cnts = grams.groupBy("g").agg(
           count(lit(1)).as("cs"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+          .cache()
         val totals = cnts.agg(sum("cs").as("ns"), sum("ct").as("nt"))
         val ratios = cnts
           .crossJoin(broadcast(totals))

@@ -111,6 +111,22 @@ class TextStatsSpec extends SparkTestBase {
     }
   }
 
+  test("dupSpans: short-doc fallback treats the whole text as the single span") {
+    import spark.implicits._
+    // docs 1/2 are identical 3-token texts (< 8 tokens → whole-text span,
+    // shared); doc 3 is a distinct short text (unshared); docs 4/5 are
+    // 9-token texts overlapping in all but the last token
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y z"),
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (5L, "t1 t2 t3 t4 t5 t6 t7 t8 zz")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.dupSpans(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // docs 4/5 have 2 distinct 8-grams each; "t1..t8" is shared
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 0L),
+      (4L, 2L, 1L), (5L, 2L, 1L)))
+  }
+
   test("text_dup_spans: ratios consistent and the planted near-dups share spans") {
     val got = q("text_dup_spans").collect()
     assert(got.length == corpus.size)
