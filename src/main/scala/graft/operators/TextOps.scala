@@ -109,6 +109,60 @@ object TextOps {
         x => x("tid")).as("ids"))
   }
 
+  /** Unigram-LM scoring relation (see the `text_unigram_logprob` entry):
+    * (doc_id, n_tokens, sum_lp6, nll) — per-doc mean unigram NLL under
+    * corpus frequencies, per-token log-probs quantized to scaled BIGINTs
+    * (×1e6) before the per-doc sum so the aggregate is integer-exact.
+    * The vocab is aggregate-compressed → broadcast; the corpus side never
+    * shuffle-joins.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum("cnt").as("total"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round((log(col("cnt")) - log(col("total"))) * 1e6, 0)
+          .cast("long").as("lp6"))
+    tok.join(broadcast(lp), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp6").as("sum_lp6"))
+      .withColumn("nll",
+        round(-(col("sum_lp6").cast("double") / 1e6) / col("n_tokens"), 4))
+  }
+
+  /** Bigram-PMI relation (see the `text_pmi_bigrams` entry): (bigram,
+    * c12, pmi6) ordered by (pmi6 desc, bigram). Docs under 2 tokens are
+    * excluded. Both count relations are aggregate-compressed (vocab-sized,
+    * bounded) and each feeds multiple consumers (the totals aggregate plus
+    * the pmi joins) — cached so the corpus explode pass runs once per
+    * relation, not once per consumer (CacheManager keys on the
+    * canonicalized plan, so repeated invocations share an entry).
+    */
+  def pmiBigrams(docs: DataFrame): DataFrame = {
+    val tk = docs.filter(size(toks) >= 2).select(toks.as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .cache()
+    val n1 = uni.agg(sum("cu").as("n1"))
+    val bi = tk.select(explode(shingles(col("tk"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .cache()
+    val n2 = bi.agg(sum("c12").as("n2"))
+    bi
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi6",
+        round((log(col("c12")) - log(col("c1")) - log(col("c2")) +
+          lit(2.0) * log(col("n1")) - log(col("n2"))) * 1e6, 0)
+          .cast("long"))
+      .select(col("bg").as("bigram"), col("c12"), col("pmi6"))
+      .orderBy(col("pmi6").desc, col("bigram"))
+  }
+
   /** Cross-document repeated-span relation (see the `text_dup_spans`
     * entry): per doc, the count and fraction of its distinct 8-token
     * spans occurring in ≥2 documents. Document frequency comes from a
@@ -513,22 +567,8 @@ object TextOps {
     // arithmetic — no float accumulation order anywhere in the compared
     // output (the lineitem_stats_agg determinism pattern).
     ("text_unigram_logprob",
-      (s: SparkSession, d: String) => {
-        val tok = documents(s, d)
-          .select(col("doc_id"), explode(toks).as("token"))
-        val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-        val tot = vocab.agg(sum("cnt").as("total"))
-        val lp = vocab.crossJoin(broadcast(tot))
-          .select(col("token"),
-            round((log(col("cnt")) - log(col("total"))) * 1e6, 0)
-              .cast("long").as("lp6"))
-        tok.join(broadcast(lp), "token")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"), sum("lp6").as("sum_lp6"))
-          .withColumn("nll",
-            round(-(col("sum_lp6").cast("double") / 1e6) / col("n_tokens"), 4))
-          .orderBy("doc_id")
-      },
+      (s: SparkSession, d: String) =>
+        unigramLogprob(documents(s, d)).orderBy("doc_id"),
       Some(
         """WITH tok AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -590,36 +630,7 @@ object TextOps {
     // scaled BIGINT and the ranking runs on (pmi6, bigram) — a total order
     // both engines compute identically from identical integers.
     ("text_pmi_bigrams",
-      (s: SparkSession, d: String) => {
-        val tk = documents(s, d)
-          .filter(size(toks) >= 2).select(toks.as("tk"))
-        // both count relations are aggregate-compressed (vocab-sized, tiny,
-        // bounded) and each feeds multiple consumers (the totals aggregate
-        // plus the pmi joins) — cached so the corpus explode pass runs
-        // once per relation, not once per consumer (CacheManager keys on
-        // the canonicalized plan, so repeated invocations share an entry)
-        val uni = tk.select(explode(col("tk")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("cu"))
-          .cache()
-        val n1 = uni.agg(sum("cu").as("n1"))
-        val bi = tk.select(explode(shingles(col("tk"), 2)).as("bg"))
-          .groupBy("bg").agg(count(lit(1)).as("c12"))
-          .cache()
-        val n2 = bi.agg(sum("c12").as("n2"))
-        bi
-          .withColumn("w1", split(col("bg"), " ").getItem(0))
-          .withColumn("w2", split(col("bg"), " ").getItem(1))
-          .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), "w1")
-          .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), "w2")
-          .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
-          .withColumn("pmi6",
-            round((log(col("c12")) - log(col("c1")) - log(col("c2")) +
-              lit(2.0) * log(col("n1")) - log(col("n2"))) * 1e6, 0)
-              .cast("long"))
-          .select(col("bg").as("bigram"), col("c12"), col("pmi6"))
-          .orderBy(col("pmi6").desc, col("bigram"))
-          .limit(20)
-      },
+      (s: SparkSession, d: String) => pmiBigrams(documents(s, d)).limit(20),
       Some(
         """WITH w AS (
           |  SELECT string_split(text, ' ') AS ws FROM documents
