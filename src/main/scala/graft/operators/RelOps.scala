@@ -51,6 +51,37 @@ object RelOps {
           |GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Range-partitioned layout — the write-side organization that makes
+    // data skipping work at 100 TB: repartitionByRange on the filter
+    // column gives every output file a disjoint min/max range, so a
+    // shipdate predicate prunes whole files from the scan. The gate
+    // verifies the layout CONTRACT in-query: per-partition (min, max)
+    // ranges are pairwise disjoint (checked over the ≤8-row partition
+    // summary via a lag window), the partition count is bounded, and no
+    // row was lost. Only the bounded summary ever leaves the executors.
+    ("lineitem_range_layout",
+      (s: SparkSession, d: String) => {
+        val parts = lineitem(s, d)
+          .select(col("l_shipdate"))
+          .repartitionByRange(8, col("l_shipdate"))
+          .select(spark_partition_id().as("pid"), col("l_shipdate"))
+          .groupBy("pid")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_shipdate").as("mn"), max("l_shipdate").as("mx"))
+        val w = Window.orderBy("mn", "pid")
+        parts
+          .withColumn("prev_mx", lag("mx", 1).over(w))
+          .agg(
+            sum("n_rows").as("n_rows_total"),
+            (count(lit(1)) <= 8).as("parts_bounded"),
+            (sum(when(col("prev_mx").isNull || col("mn") >= col("prev_mx"), 0L)
+              .otherwise(1L)) === 0).as("ranges_disjoint"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows_total,
+          |       true AS parts_bounded, true AS ranges_disjoint
+          |FROM lineitem""".stripMargin)),
+
     // TPC-H Q3-style: broadcast dim join + shuffle agg + top-k.
     ("q3_top_orders",
       (s: SparkSession, d: String) => {

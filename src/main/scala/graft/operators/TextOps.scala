@@ -163,6 +163,46 @@ object TextOps {
       .orderBy(col("pmi6").desc, col("bigram"))
   }
 
+  /** BPE-style merge training (word-level): learn the top `rounds` pair
+    * merges over the corpus — the tokenizer-training loop, driver-
+    * coordinated exactly like the connected-components round loop. Each
+    * round is one distributed pair-count aggregate (explode → groupBy →
+    * top-1 by (count desc, pair asc)); only the single winning pair is
+    * ever collected, then the merge applies corpus-wide as a scan-local
+    * string rewrite and the next round counts over the merged text.
+    *
+    * Merge application uses a double-space separator scheme so plain
+    * sequential `replace` performs the greedy non-overlapping merge
+    * identically in any engine: with tokens joined by TWO spaces and the
+    * string bounded by one space each side, a pair match consumes one
+    * space from each neighboring gap and the replacement restores it —
+    * adjacent disjoint occurrences (`a b a b`) both merge, overlapping
+    * ones (`a a a`) merge left-greedily, the BPE contract. Merged tokens
+    * join with `~` (not in any corpus token).
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val session = docs.sparkSession
+    var cur = docs.select(col("doc_id"),
+      concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" ")).as("t"))
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val tk = cur.select(split(trim(col("t")), "  ").as("tk"))
+      val top = tk.filter(size(col("tk")) >= 2)
+        .select(explode(shingles(col("tk"), 2)).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("p")).limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0); val c = top(0).getLong(1)
+        merges += ((r, pair, c))
+        val Array(w1, w2) = pair.split(" ")
+        cur = cur.select(col("doc_id"),
+          replace(col("t"), lit(s" $w1  $w2 "), lit(s" $w1~$w2 ")).as("t"))
+      }
+    }
+    import session.implicits._
+    merges.result().toDF("round", "pair", "cnt")
+  }
+
   /** Cross-document repeated-span relation (see the `text_dup_spans`
     * entry): per doc, the count and fraction of its distinct 8-token
     * spans occurring in ≥2 documents. Document frequency comes from a
@@ -684,6 +724,54 @@ object TextOps {
           |             / count(*)) > 0.5 AS is_dup_heavy
           |FROM g JOIN dfreq USING (g)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // BPE-style merge training (see [[bpeMerges]]) — the tokenizer-
+    // training loop: 3 rounds of top-pair learning, each a distributed
+    // pair-count aggregate with only the winning pair collected, the
+    // merge applied corpus-wide as a scan-local rewrite. The oracle
+    // replays all 3 rounds in SQL (count → top-1 → merge via the same
+    // double-space replace scheme), so the differential checks the
+    // full iterative trajectory, not just round 1.
+    ("text_bpe_merges",
+      (s: SparkSession, d: String) =>
+        bpeMerges(documents(s, d), 3).orderBy("round"),
+      Some(
+        """WITH r0 AS (
+          |  SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS t
+          |  FROM documents
+          |), c1 AS (
+          |  SELECT ws[i] || ' ' || ws[i+1] AS p, count(*) AS c
+          |  FROM (SELECT string_split(trim(t), '  ') AS ws FROM r0),
+          |       UNNEST(range(1, len(ws))) AS u(i)
+          |  GROUP BY p
+          |), p1 AS (SELECT p, c FROM c1 ORDER BY c DESC, p LIMIT 1
+          |), r1 AS (
+          |  SELECT doc_id,
+          |         replace(t, ' ' || replace(p, ' ', '  ') || ' ',
+          |                 ' ' || replace(p, ' ', '~') || ' ') AS t
+          |  FROM r0, p1
+          |), c2 AS (
+          |  SELECT ws[i] || ' ' || ws[i+1] AS p, count(*) AS c
+          |  FROM (SELECT string_split(trim(t), '  ') AS ws FROM r1),
+          |       UNNEST(range(1, len(ws))) AS u(i)
+          |  GROUP BY p
+          |), p2 AS (SELECT p, c FROM c2 ORDER BY c DESC, p LIMIT 1
+          |), r2 AS (
+          |  SELECT doc_id,
+          |         replace(t, ' ' || replace(p, ' ', '  ') || ' ',
+          |                 ' ' || replace(p, ' ', '~') || ' ') AS t
+          |  FROM r1, p2
+          |), c3 AS (
+          |  SELECT ws[i] || ' ' || ws[i+1] AS p, count(*) AS c
+          |  FROM (SELECT string_split(trim(t), '  ') AS ws FROM r2),
+          |       UNNEST(range(1, len(ws))) AS u(i)
+          |  GROUP BY p
+          |), p3 AS (SELECT p, c FROM c3 ORDER BY c DESC, p LIMIT 1)
+          |SELECT round, pair, cnt FROM (
+          |  SELECT 1 AS round, p AS pair, CAST(c AS BIGINT) AS cnt FROM p1
+          |  UNION ALL SELECT 2, p, CAST(c AS BIGINT) FROM p2
+          |  UNION ALL SELECT 3, p, CAST(c AS BIGINT) FROM p3
+          |) ORDER BY round""".stripMargin)),
 
     // DSIR-style importance weights (Xie et al., "Data Selection for
     // Language Models via Importance Resampling"): score every document by

@@ -84,6 +84,32 @@ class TextStatsSpec extends SparkTestBase {
     assert(got == expectedTop)
   }
 
+  test("text_bpe_merges: three rounds match a greedy Scala replay") {
+    def mergeTokens(ts: Seq[String], w1: String, w2: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == w1 && ts(i + 1) == w2) {
+          out += s"$w1~$w2"; i += 2 // left-greedy non-overlapping
+        } else { out += ts(i); i += 1 }
+      }
+      out.result()
+    }
+    var docs = corpus.map(_._2.split(" ").toSeq)
+    val expected = (1 to 3).map { r =>
+      val counts = docs.filter(_.size >= 2)
+        .flatMap(_.sliding(2).map(_.mkString(" ")))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (pair, c) = counts.toSeq.minBy { case (p, n) => (-n, p) }
+      val Array(w1, w2) = pair.split(" ")
+      docs = docs.map(mergeTokens(_, w1, w2))
+      (r, pair, c)
+    }
+    val got = q("text_bpe_merges").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("documents_importance_weights: sum_lr6 matches an exact Scala recomputation") {
     val rows = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
       .toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
