@@ -82,6 +82,25 @@ object ScaleSmoke {
     }
     println(s"[scale] simhash_pairs=$simhash srp_pairs=$srp")
 
+    // Corpus-statistics family at the multiplied corpus: the explode →
+    // aggregate-compressed-broadcast shapes (unigram NLL), the
+    // window-count-over-span-key shape (dup spans), the double-counted
+    // collocation relations (PMI), and the iterative merge loop (BPE).
+    // All should scale ~linearly in the corpus — a blowup here means a
+    // shape regressed to something per-consumer or per-stratum.
+    timed("unigram_logprob") {
+      graft.operators.TextOps.unigramLogprob(big).count()
+    }
+    timed("dup_spans") {
+      graft.operators.TextOps.dupSpans(big).count()
+    }
+    timed("pmi_bigrams") {
+      graft.operators.TextOps.pmiBigrams(big).count()
+    }
+    timed("bpe_merges_3") {
+      graft.operators.TextOps.bpeMerges(big, 3).count()
+    }
+
     // Stratified-sampler skew smoke: a 90%-one-language corpus is the
     // realistic shape (real web corpora are en-dominated). The exact
     // row_number sampler routes the dominant stratum through ONE task;

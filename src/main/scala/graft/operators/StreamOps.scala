@@ -83,6 +83,24 @@ object StreamOps {
         """SELECT DISTINCT lang, md5(lower(text)) AS fingerprint
           |FROM documents ORDER BY lang, fingerprint""".stripMargin)),
 
+    // Stream-static join (see StreamingOps.streamStaticSegments): the
+    // event stream enriched against the broadcast customer dimension,
+    // aggregated per segment under Complete mode — final state ≡ the
+    // batch join + aggregate.
+    ("stream_static_join",
+      (s: SparkSession, d: String) => {
+        val name = s"stream_ss_${math.abs(d.hashCode)}"
+        StreamingOps.runToMemory(
+          StreamingOps.streamStaticSegments(s, d), name, OutputMode.Complete())
+          .orderBy("c_mktsegment")
+      },
+      Some(
+        """SELECT c_mktsegment,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       round(sum(value), 2) AS sum_value
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Streaming NEAR-dup collapse on the 5-token opening shingle (see
     // StreamingOps.dedupPrefixStream) — the stateful twin of the batch
     // pipeline's near-dup stage; the final key set must equal the batch

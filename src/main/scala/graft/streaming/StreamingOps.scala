@@ -91,6 +91,23 @@ object StreamingOps {
       .select(col("lang"), col("fingerprint"))
   }
 
+  /** Stream-static join — the enrichment shape streaming pipelines run
+    * constantly: the event stream joins a STATIC dimension (customer
+    * segments) executor-side per micro-batch; the static side is a plain
+    * batch relation Spark broadcasts under the join, so the stream never
+    * shuffles for the lookup. Aggregated per segment; the final state
+    * must equal the batch join + aggregate the oracle computes.
+    */
+  def streamStaticSegments(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    eventsStream(spark, dir)
+      .select(col("user_id"), col("value"))
+      .join(broadcast(dim), "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+  }
+
   /** Streaming NEAR-dup collapse: watermark-bounded dedup keyed on the
     * 5-token opening shingle (the same near-dup key the batch
     * `pipeline_quality_dedup_sample` stage collapses on — the corpus'

@@ -38,6 +38,22 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() == batch.count())
   }
 
+  test("stream-static join equals the batch join + aggregate") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.streamStaticSegments(spark, sf), "ssj_mem",
+      OutputMode.Complete())
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")), "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+    val s = streamed.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = batch.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(s == b, s"missing=${b -- s} extra=${s -- b}")
+  }
+
   test("stateful user totals equal the batch per-user aggregation") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.userTotals(spark, sf).toDF(), "users_mem", OutputMode.Update())
