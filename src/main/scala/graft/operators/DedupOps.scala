@@ -305,8 +305,9 @@ object DedupOps {
   // iterate), evicted when the next invocation begins — see below
   private var prevCcCaches: Seq[DataFrame] = Nil
 
-  /** Live cache registry for the dedup pair family, keyed by the collapsed
-    * groups relation. Holds up to [[maxLiveCorpora]] corpora LRU-style PER
+  /** Live cache registry for the dedup pair family (and, since round 5,
+    * the multi-consumer cached relations in [[TextOps]]), keyed by the
+    * collapsed groups relation (or the primary cached relation). Holds up to [[maxLiveCorpora]] corpora LRU-style PER
     * SparkSession: gate queries interleave SEVERAL corpora in one pass
     * (the shingle corpus, the simhash union-with-copies corpus, its
     * 100-doc slice, the SRP corpora), and a one-corpus policy evicted the
@@ -335,7 +336,7 @@ object DedupOps {
       ()
     }
 
-  private def registerDedupCaches(key: DataFrame, caches: Seq[DataFrame]): Unit =
+  private[operators] def registerDedupCaches(key: DataFrame, caches: Seq[DataFrame]): Unit =
     synchronized {
       // entries from stopped sessions: nothing to unpersist, just forget
       liveDedupCaches = liveDedupCaches.filter(

@@ -148,6 +148,9 @@ object TextOps {
     val bi = tk.select(explode(shingles(col("tk"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
       .cache()
+    // managed like the dedup family's caches: LRU-evicted per session
+    // past the corpus cap, never leaked across a long-lived session
+    DedupOps.registerDedupCaches(uni, Seq(uni, bi))
     val n2 = bi.agg(sum("c12").as("n2"))
     bi
       .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -807,6 +810,9 @@ object TextOps {
           count(lit(1)).as("cs"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
           .cache()
+        // managed like the dedup family's caches (LRU per session) — the
+        // gram relation is corpus-sized, exactly what must not leak
+        DedupOps.registerDedupCaches(grams, Seq(grams, cnts))
         val totals = cnts.agg(sum("cs").as("ns"), sum("ct").as("nt"))
         val ratios = cnts
           .crossJoin(broadcast(totals))
