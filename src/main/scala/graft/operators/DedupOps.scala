@@ -484,6 +484,46 @@ object DedupOps {
   }
 
   /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */
+  /** Incremental near-dup matching — the continuously-ingesting pipeline
+    * shape: find every Jaccard ≥ tau pair TOUCHING a delta batch without
+    * recomputing the corpus' full pair relation. The index side is the
+    * whole corpus' prefix relation (document frequencies must come from
+    * the full corpus for the prefix bound to hold), the probe side is the
+    * delta rows only, so the candidate join is |delta-prefix| × bucket
+    * instead of the full self-join — at 100 TB the daily increment probes
+    * a static index rather than re-pairing the corpus. Lossless by the
+    * same AllPairs prefix argument as [[jaccardPairsPrefix]]: a
+    * qualifying pair shares ≥1 prefix shingle under the global (df, sh1)
+    * order regardless of which side is the probe; delta–delta pairs
+    * surface because delta ⊆ index. Exact verification after, as always.
+    *
+    * `isDelta` is a predicate over the doc relation's columns (e.g.
+    * `col("doc_id") % 5 === 3`); docs needs (doc_id, sh).
+    */
+  def jaccardPairsDelta(docs: DataFrame, isDelta: Column, tau: Double): DataFrame = {
+    val ex = docs.select(col("doc_id"), isDelta.as("is_delta"),
+        size(col("sh")).as("n"), explode(col("sh")).as("shs"))
+      .select(col("doc_id"), col("is_delta"), col("n"),
+        xxhash64(col("shs")).as("sh1"))
+      .cache()
+    val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
+    val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
+    val prefix = ex.join(dfreq, "sh1")
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
+      .select(col("doc_id"), col("is_delta"), col("n"), col("sh1"))
+      .cache()
+    registerDedupCaches(prefix, Seq(prefix, ex))
+    val probe = prefix.filter(col("is_delta"))
+    val cand = probe.as("a").join(prefix.as("b"),
+        col("a.sh1") === col("b.sh1") && col("a.doc_id") =!= col("b.doc_id") &&
+        col("a.n") >= col("b.n") * tau && col("b.n") >= col("a.n") * tau)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+    verifyJaccard(cand, docs, tau)
+  }
+
   private val jaccardOracle =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (
@@ -528,6 +568,20 @@ object DedupOps {
       (s: SparkSession, d: String) =>
         jaccardPairsPrefix(shingled(s, d).cache(), 0.5),
       Some(jaccardOracle)),
+
+    // Incremental near-dup matching (see [[jaccardPairsDelta]]): the 20%
+    // delta slice (doc_id % 5 = 3) probed against the full-corpus prefix
+    // index — every qualifying pair touching the delta, none of the
+    // corpus-internal re-pairing. The oracle is the full exact pair
+    // relation restricted to pairs touching the delta.
+    ("dedup_incremental",
+      (s: SparkSession, d: String) =>
+        jaccardPairsDelta(shingled(s, d).cache(), col("doc_id") % 5 === 3, 0.5)
+          .orderBy("a_id", "b_id"),
+      Some(jaccardOracle.replace(
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5",
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5\n" +
+          "  AND (a_id % 5 = 3 OR b_id % 5 = 3)"))),
 
     // Dedup clusters: connected components over the exact near-dup pair
     // relation — the keep-one-representative step a real training-data

@@ -47,6 +47,21 @@ class DedupSpec extends SparkTestBase {
       "jaccard values must agree between the prefix and naive paths")
   }
 
+  test("incremental delta matching equals the full pair relation restricted to the delta") {
+    val docs = Tables.documents(spark, sf).select(
+      col("doc_id"),
+      array_distinct(graft.functions.GraftFunctions.shingles(
+        split(col("text"), " "), 3)).as("sh"))
+    val full = DedupOps.jaccardPairsNaive(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = full.filter { case ((a, b), _) => a % 5 == 3 || b % 5 == 3 }
+    val delta = q("dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(delta.keySet == expected.keySet,
+      s"missed=${expected.keySet -- delta.keySet} spurious=${delta.keySet -- expected.keySet}")
+    assert(delta.forall { case (k, j) => expected(k) == j })
+  }
+
   test("identical degenerate inputs do not fabricate pairs") {
     import spark.implicits._
     // two identical ZERO vectors: cosine_sim returns 0.0 for a zero vector
