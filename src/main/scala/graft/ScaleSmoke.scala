@@ -67,6 +67,18 @@ object ScaleSmoke {
     assert(prefixPairs == lshPairs,
       s"exact paths disagree at scale: prefix=$prefixPairs lsh=$lshPairs")
 
+    // Incremental matching: the FIRST delta pays the index build (its
+    // cost ≈ the full path's candidate machinery), every NEXT delta
+    // probes the warm plan-keyed cache — the amortized per-batch cost of
+    // the continuously-ingesting shape is the second number.
+    val deltaPairs = timed("incremental_first_delta") {
+      DedupOps.jaccardPairsDelta(docs, col("doc_id") % 20 === 3, 0.5).count()
+    }
+    val deltaPairs2 = timed("incremental_next_delta") {
+      DedupOps.jaccardPairsDelta(docs, col("doc_id") % 20 === 7, 0.5).count()
+    }
+    println(s"[scale] delta pairs=$deltaPairs/$deltaPairs2 (5% deltas vs full index)")
+
     val toks = big.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val simhash = timed("simhash_chunks") {
       DedupOps.simhashPairs(toks).count()

@@ -497,24 +497,32 @@ object DedupOps {
     * order regardless of which side is the probe; delta–delta pairs
     * surface because delta ⊆ index. Exact verification after, as always.
     *
-    * `isDelta` is a predicate over the doc relation's columns (e.g.
-    * `col("doc_id") % 5 === 3`); docs needs (doc_id, sh).
+    * `isDelta` is a predicate over `doc_id` (e.g. `col("doc_id") % 5 ===
+    * 3` or an isin over the batch's ids) — it is applied to the INDEX
+    * relation post-hoc, keeping the index plan delta-independent so the
+    * cache amortizes across batches; docs needs (doc_id, sh).
     */
   def jaccardPairsDelta(docs: DataFrame, isDelta: Column, tau: Double): DataFrame = {
-    val ex = docs.select(col("doc_id"), isDelta.as("is_delta"),
+    // the index (exploded shingles + prefix ranks) is DELTA-INDEPENDENT by
+    // construction — the delta predicate never enters its plan, so
+    // successive delta batches against the same corpus hit the same
+    // CacheManager entry (plan-keyed) instead of rebuilding the index;
+    // the probe is a post-hoc filter over the cached index. Measured in
+    // ScaleSmoke: first probe pays the index build, the next delta probes
+    // the warm index at a fraction of the full re-pairing.
+    val ex = docs.select(col("doc_id"),
         size(col("sh")).as("n"), explode(col("sh")).as("shs"))
-      .select(col("doc_id"), col("is_delta"), col("n"),
-        xxhash64(col("shs")).as("sh1"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh1"))
       .cache()
     val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
     val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
     val prefix = ex.join(dfreq, "sh1")
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
-      .select(col("doc_id"), col("is_delta"), col("n"), col("sh1"))
+      .select(col("doc_id"), col("n"), col("sh1"))
       .cache()
     registerDedupCaches(prefix, Seq(prefix, ex))
-    val probe = prefix.filter(col("is_delta"))
+    val probe = prefix.filter(isDelta)
     val cand = probe.as("a").join(prefix.as("b"),
         col("a.sh1") === col("b.sh1") && col("a.doc_id") =!= col("b.doc_id") &&
         col("a.n") >= col("b.n") * tau && col("b.n") >= col("a.n") * tau)

@@ -152,6 +152,12 @@ class ExplainSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
   }
 
+  test("incremental dedup joins delta probe to index as an equi-join, never all-pairs") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must stay an equi-join:\n$p")
+  }
+
   test("unigram-LM scoring attaches the vocab via broadcast — the token relation never shuffle-joins") {
     val p = plan("text_unigram_logprob")
     assert(p.contains("BroadcastHashJoin"), s"vocab should broadcast:\n$p")
