@@ -83,6 +83,31 @@ object StreamOps {
         """SELECT DISTINCT lang, md5(lower(text)) AS fingerprint
           |FROM documents ORDER BY lang, fingerprint""".stripMargin)),
 
+    // Stream-stream interval join (see StreamingOps
+    // .streamStreamClickPurchase): clicks joined to the same user's
+    // purchases within 30 minutes, both sides watermarked streams; the
+    // per-user pair counts over the drained sink must equal the batch
+    // interval join.
+    ("stream_stream_join",
+      (s: SparkSession, d: String) => {
+        val name = s"stream_cp_${math.abs(d.hashCode)}"
+        StreamingOps.runToMemory(
+          StreamingOps.streamStreamClickPurchase(s, d), name, OutputMode.Append())
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum("p_value"), 2).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+          |       round(sum(p.value), 2) AS sum_value
+          |FROM events c JOIN events p
+          |  ON c.user_id = p.user_id AND c.event_type = 'click'
+          | AND p.event_type = 'purchase'
+          | AND epoch_us(p.ts) >= epoch_us(c.ts)
+          | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+          |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
+
     // Stream-static join (see StreamingOps.streamStaticSegments): the
     // event stream enriched against the broadcast customer dimension,
     // aggregated per segment under Complete mode — final state ≡ the

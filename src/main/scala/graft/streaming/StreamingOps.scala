@@ -108,6 +108,33 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
   }
 
+  /** Stream-stream interval join — the hardest streaming join shape: each
+    * click joins the same user's purchases within the following 30
+    * minutes, both sides unbounded streams with watermarks bounding the
+    * buffered state (a click can be dropped once no purchase within its
+    * window can still arrive). Raw joined pairs are emitted append-mode;
+    * the caller aggregates the materialized sink, keeping ONE stateful
+    * operator in the streaming plan.
+    */
+  def streamStreamClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .select(col("c_user").as("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("purchase_us"), col("p_value"))
+  }
+
   /** Streaming NEAR-dup collapse: watermark-bounded dedup keyed on the
     * 5-token opening shingle (the same near-dup key the batch
     * `pipeline_quality_dedup_sample` stage collapses on — the corpus'

@@ -57,6 +57,20 @@ object DedupProps extends Properties("DedupPrefixJoin") {
       Prop(prefix == naive) :| s"tau=$tau prefix=$prefix naive=$naive"
     }
 
+  property("delta matching == naive join restricted to the delta, random corpora") =
+    Prop.forAllNoShrink(corpusGen, Gen.choose(2, 5)) { (rows, mod) =>
+      val s = spark
+      import s.implicits._
+      val docs = rows.toDF("doc_id", "text").select(
+        col("doc_id"),
+        array_distinct(GraftFunctions.shingles(split(col("text"), " "), 3)).as("sh"))
+      val delta = pairs(DedupOps.jaccardPairsDelta(
+        docs, col("doc_id") % mod === 0, 0.5))
+      val expected = pairs(DedupOps.jaccardPairsNaive(docs, 0.5))
+        .filter { case ((a, b), _) => a % mod == 0 || b % mod == 0 }
+      Prop(delta == expected) :| s"mod=$mod delta=$delta expected=$expected"
+    }
+
   private val graphGen: Gen[Seq[(Long, Long)]] = for {
     n <- Gen.choose(2, 30)
     m <- Gen.choose(1, 40)

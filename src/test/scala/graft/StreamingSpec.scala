@@ -54,6 +54,27 @@ class StreamingSpec extends SparkTestBase {
     assert(s == b, s"missing=${b -- s} extra=${s -- b}")
   }
 
+  test("stream-stream interval join pairs equal the batch interval join") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.streamStreamClickPurchase(spark, sf), "sscp_mem",
+      OutputMode.Append())
+    val e = Tables.events(spark, sf)
+    val batch = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("value")),
+        Seq("user_id"))
+      .filter(col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), unix_micros(col("click_ts")),
+        unix_micros(col("p_ts")), col("value"))
+    val s = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(s == b, s"missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
+  }
+
   test("stateful user totals equal the batch per-user aggregation") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.userTotals(spark, sf).toDF(), "users_mem", OutputMode.Update())
