@@ -112,6 +112,24 @@ object ScaleSmoke {
     timed("bpe_merges_3") {
       graft.operators.TextOps.bpeMerges(big, 3).count()
     }
+    timed("encode_ids") {
+      graft.operators.TextOps.encodeIds(big).count()
+    }
+    // Conditional-broadcast fallback: with the estimate cap forced below
+    // any relation, the vocab joins must NOT broadcast — the same query
+    // re-plans as shuffle joins and still completes on the multiplied
+    // corpus (the 100 TB degradation path instead of a driver OOM).
+    timed("unigram_logprob_nobc") {
+      // auto-broadcast off too, as in ExplainSpec: at 100 TB both sides'
+      // estimates exceed the threshold — the two caps simulate that here
+      spark.conf.set("graft.broadcast.maxBytes", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try graft.operators.TextOps.unigramLogprob(big).count()
+      finally {
+        spark.conf.unset("graft.broadcast.maxBytes")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
 
     // Stratified-sampler skew smoke: a 90%-one-language corpus is the
     // realistic shape (real web corpora are en-dominated). The exact

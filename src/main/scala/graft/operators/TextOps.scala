@@ -75,6 +75,27 @@ object TextOps {
       .select(col("lang"), col("doc_id"))
   }
 
+  /** Conditional broadcast for the corpus-statistics family's vocab-/
+    * feature-sized relations (unigram log-probs, PMI counts, DSIR ratios,
+    * the encode-ids vocab): these are aggregate-compressed but grow with
+    * corpus VOCABULARY, not with a constant — a forced `broadcast()` hint
+    * OOMs the driver at 100 TB instead of falling back. The hint is gated
+    * on Catalyst's optimized-plan size estimate (scan-size-derived, so it
+    * scales with the source): under `graft.broadcast.maxBytes` (default
+    * 64 MB) the relation broadcasts as before; past it the hint is
+    * dropped and the join falls back to a shuffle join (AQE may still
+    * re-plan at runtime). ExplainSpec pins both branches; ScaleSmoke
+    * drives the fallback on a multiplied corpus.
+    */
+  private[graft] def estimatedSmall(df: DataFrame): Boolean = {
+    val maxBytes = df.sparkSession.conf
+      .getOption("graft.broadcast.maxBytes").map(_.toLong).getOrElse(64L << 20)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+  }
+
+  private[graft] def broadcastIfSmall(df: DataFrame): DataFrame =
+    if (estimatedSmall(df)) broadcast(df) else df
+
   /** Library form of the exact-fraction twin: ⌈frac⌉ per stratum via a
     * per-stratum row_number — exact sizes, but each stratum serializes
     * through one task (small-corpus oracle variant, not the scale path).
@@ -91,18 +112,29 @@ object TextOps {
 
   /** Vocabulary encoding, open relation: (doc_id, ids) with ids the
     * frequency-ranked token ids in document order (id 0 = most frequent,
-    * ties lexical). The vocab rank is the one global window — over the
-    * AGGREGATED vocab relation (tokens, not documents; bounded). At
-    * 100 TB assign ids via an ordered zipWithIndex over the (count,
-    * token) sort instead. Documents re-assemble scan-side: broadcast-join
-    * ids onto (doc, pos, token), collect_list ordered by position.
+    * ties lexical). The global rank is an ordered `zipWithIndex` over the
+    * range-partitioned (count desc, token) sort: the sort spreads across
+    * partitions, zipWithIndex pays one light per-partition count job, and
+    * id assignment stays parallel — no single-task window anywhere in the
+    * plan (the earlier no-partition `row_number` window serialized the
+    * whole vocab through ONE task; ExplainSpec pins its absence).
+    * Documents re-assemble scan-side: join ids onto (doc, pos, token) —
+    * broadcast while the vocab estimate is small, shuffle join past it —
+    * then collect_list ordered by position.
     */
   def encodeIds(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
     val tok = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val wV = Window.orderBy(col("cnt").desc, col("token"))
-    val ids = vocab.select(col("token"), (row_number().over(wV) - 1).as("tid"))
-    tok.join(broadcast(ids), "token")
+    val ids = vocab.orderBy(col("cnt").desc, col("token"))
+      .select("token").as[String].rdd
+      .zipWithIndex()
+      .toDF("token", "tid")
+    // the rdd exit loses Catalyst stats (LogicalRDD defaults to "huge"),
+    // so the broadcast decision reads the upstream vocab plan instead
+    val idsHinted = if (estimatedSmall(vocab)) broadcast(ids) else ids
+    tok.join(idsHinted, "token")
       .groupBy("doc_id")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("tid")))),
@@ -124,7 +156,7 @@ object TextOps {
       .select(col("token"),
         round((log(col("cnt")) - log(col("total"))) * 1e6, 0)
           .cast("long").as("lp6"))
-    tok.join(broadcast(lp), "token")
+    tok.join(broadcastIfSmall(lp), "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lp6").as("sum_lp6"))
       .withColumn("nll",
@@ -155,8 +187,8 @@ object TextOps {
     bi
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
-      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), "w2")
+      .join(broadcastIfSmall(uni.select(col("w").as("w1"), col("cu").as("c1"))), "w1")
+      .join(broadcastIfSmall(uni.select(col("w").as("w2"), col("cu").as("c2"))), "w2")
       .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
       .withColumn("pmi6",
         round((log(col("c12")) - log(col("c1")) - log(col("c2")) +
@@ -822,7 +854,7 @@ object TextOps {
               log(col("cs").cast("double") + 0.5) +
               log(col("ns").cast("double") + 0.5)) * 1e6, 0)
               .cast("long").as("lr6"))
-        grams.join(broadcast(ratios), "g")
+        grams.join(broadcastIfSmall(ratios), "g")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_feats"), sum("lr6").as("sum_lr6"))
           .orderBy("doc_id")

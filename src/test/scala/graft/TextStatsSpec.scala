@@ -43,15 +43,15 @@ class TextStatsSpec extends SparkTestBase {
   test("text_encode_ids: decoding through the frequency-ranked vocab roundtrips") {
     val toks = corpus.map { case (id, t) => (id, t.split(" ").toSeq) }
     val counts = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
-    // rank: count desc, token asc — the query's (cnt desc, token) window
+    // rank: count desc, token asc — the query's sorted zipWithIndex order
     val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.map(_._1).toIndexedSeq
     val open = graft.operators.TextOps.encodeIds(Tables.documents(spark, sf))
       .collect()
     assert(open.length == corpus.size)
     val byId = toks.toMap
     val digests = open.map { r =>
-      val ids = r.getSeq[Int](1)
-      val decoded = ids.map(vocab)
+      val ids = r.getSeq[Long](1)
+      val decoded = ids.map(i => vocab(i.toInt))
       assert(decoded == byId(r.getLong(0)), s"roundtrip for doc ${r.getLong(0)}")
       r.getLong(0) -> ids.mkString(",")
     }.toMap
