@@ -72,10 +72,10 @@ object ScaleSmoke {
     // probes the warm plan-keyed cache — the amortized per-batch cost of
     // the continuously-ingesting shape is the second number.
     val deltaPairs = timed("incremental_first_delta") {
-      DedupOps.jaccardPairsDelta(docs, col("doc_id") % 20 === 3, 0.5).count()
+      DedupOps.jaccardPairsDelta(docs, _ % 20 === 3, 0.5).count()
     }
     val deltaPairs2 = timed("incremental_next_delta") {
-      DedupOps.jaccardPairsDelta(docs, col("doc_id") % 20 === 7, 0.5).count()
+      DedupOps.jaccardPairsDelta(docs, _ % 20 === 7, 0.5).count()
     }
     println(s"[scale] delta pairs=$deltaPairs/$deltaPairs2 (5% deltas vs full index)")
 
@@ -109,8 +109,11 @@ object ScaleSmoke {
     timed("pmi_bigrams") {
       graft.operators.TextOps.pmiBigrams(big).count()
     }
-    timed("bpe_merges_3") {
-      graft.operators.TextOps.bpeMerges(big, 3).count()
+    timed("bpe_merges_8") {
+      // 8 rounds, as in the gate: with the per-round cache each round is
+      // one replace pass over the previous materialization — time should
+      // grow ~linearly in rounds even on the multiplied corpus
+      graft.operators.TextOps.bpeMerges(big, 8).count()
     }
     timed("encode_ids") {
       graft.operators.TextOps.encodeIds(big).count()

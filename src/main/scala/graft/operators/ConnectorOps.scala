@@ -55,6 +55,30 @@ object ConnectorOps {
       .option("default_label", "event_type")
       .load()
 
+  /** Interchange roundtrip through a PER-INVOCATION temp directory: write
+    * with `write`, re-read with `read`, materialize the re-read relation
+    * off the files (eager localCheckpoint — the returned DataFrame is
+    * consumed lazily by the harness), then delete the directory. The
+    * earlier fixed dir keyed by `abs(path.hashCode)` raced concurrent
+    * runs on mode("overwrite"), could collide across datasets, and kept
+    * abs(Int.MinValue) negative; a fresh `createTempDirectory` per call
+    * (the runToMemory checkpoint pattern) closes all three.
+    */
+  private def roundtrip(prefix: String)(write: String => Unit)(
+      read: String => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$prefix").toFile
+    try {
+      write(dir.getAbsolutePath)
+      read(dir.getAbsolutePath).localCheckpoint(true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Full pushdown conjunction through the real connector: label eq +
@@ -244,20 +268,21 @@ object ConnectorOps {
     // and a lexical ISO round-trip would re-open the ns-truncation
     // ambiguity §7.4(b) closes.
     ("loki_ndjson_roundtrip",
-      (s: SparkSession, d: String) => {
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_ndjson_${math.abs(d.hashCode)}"
-        Tables.lokiView(s, d)
-          .select(unix_micros(col("timestamp")).as("ts_us"),
-            col("labels"), col("line"))
-          .write.mode("overwrite").json(dir)
-        s.read
-          .schema("ts_us LONG, labels MAP<STRING,STRING>, line STRING")
-          .json(dir)
+      (s: SparkSession, d: String) =>
+        roundtrip("ndjson") { dir =>
+          Tables.lokiView(s, d)
+            .select(unix_micros(col("timestamp")).as("ts_us"),
+              col("labels"), col("line"))
+            .write.mode("overwrite").json(dir)
+        } { dir =>
+          s.read
+            .schema("ts_us LONG, labels MAP<STRING,STRING>, line STRING")
+            .json(dir)
+        }
           .select(col("ts_us"),
             element_at(col("labels"), "event_type").as("label_event_type"),
             col("line"))
-          .orderBy("ts_us", "line")
-      },
+          .orderBy("ts_us", "line"),
       Some(
         """SELECT epoch_us(ts) AS ts_us,
           |       event_type AS label_event_type,
@@ -268,18 +293,19 @@ object ConnectorOps {
     // label out FIRST (the flattened shape log pipelines actually ship
     // to loaders); explicit schema on re-read — CSV carries none.
     ("loki_csv_roundtrip",
-      (s: SparkSession, d: String) => {
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_${math.abs(d.hashCode)}"
-        Tables.lokiView(s, d)
-          .select(unix_micros(col("timestamp")).as("ts_us"),
-            element_at(col("labels"), "event_type").as("label_event_type"),
-            col("line"))
-          .write.mode("overwrite").csv(dir)
-        s.read
-          .schema("ts_us LONG, label_event_type STRING, line STRING")
-          .csv(dir)
-          .orderBy("ts_us", "line")
-      },
+      (s: SparkSession, d: String) =>
+        roundtrip("csv") { dir =>
+          Tables.lokiView(s, d)
+            .select(unix_micros(col("timestamp")).as("ts_us"),
+              element_at(col("labels"), "event_type").as("label_event_type"),
+              col("line"))
+            .write.mode("overwrite").csv(dir)
+        } { dir =>
+          s.read
+            .schema("ts_us LONG, label_event_type STRING, line STRING")
+            .csv(dir)
+        }
+          .orderBy("ts_us", "line"),
       Some(
         """SELECT epoch_us(ts) AS ts_us,
           |       event_type AS label_event_type,
@@ -291,18 +317,19 @@ object ConnectorOps {
     // the roundtrip keeps the labels map intact and projects after
     // re-read, proving the typed container preserves the log row.
     ("loki_orc_roundtrip",
-      (s: SparkSession, d: String) => {
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_orc_${math.abs(d.hashCode)}"
-        Tables.lokiView(s, d)
-          .select(unix_micros(col("timestamp")).as("ts_us"),
-            col("labels"), col("line"))
-          .write.mode("overwrite").orc(dir)
-        s.read.orc(dir)
+      (s: SparkSession, d: String) =>
+        roundtrip("orc") { dir =>
+          Tables.lokiView(s, d)
+            .select(unix_micros(col("timestamp")).as("ts_us"),
+              col("labels"), col("line"))
+            .write.mode("overwrite").orc(dir)
+        } { dir =>
+          s.read.orc(dir)
+        }
           .select(col("ts_us"),
             element_at(col("labels"), "event_type").as("label_event_type"),
             col("line"))
-          .orderBy("ts_us", "line")
-      },
+          .orderBy("ts_us", "line"),
       Some(
         """SELECT epoch_us(ts) AS ts_us,
           |       event_type AS label_event_type,
@@ -329,6 +356,27 @@ object ConnectorOps {
           .mode("append").save()
         Seq(LokiWrite.lastCommittedRows(scratch.endpoint)).toDF("count")
       },
-      Some("SELECT CAST(count(*) AS BIGINT) AS count FROM events WHERE event_type = 'signup'"))
+      Some("SELECT CAST(count(*) AS BIGINT) AS count FROM events WHERE event_type = 'signup'")),
+
+    // The same write path through the first-class parity shim
+    // (LokiWrite.insert): runs the append and RETURNS the reference's
+    // one-row `count` result table (insert.rs:136-140, README.md:49-53) —
+    // what a reference script that SELECTs its insert result ports to
+    // directly, instead of fishing the count out of metrics.
+    ("loki_insert_count_table",
+      (s: SparkSession, d: String) => {
+        val scratch = stubs.getOrElseUpdate(s"$d#insert_table", {
+          val st = new LokiStubServer
+          st.start()
+          sys.addShutdownHook(st.stop())
+          st
+        })
+        scratch.clear()
+        LokiWrite.insert(
+          Tables.lokiView(s, d)
+            .filter(element_at(col("labels"), "event_type") === "purchase"),
+          scratch.endpoint)
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS count FROM events WHERE event_type = 'purchase'"))
   )
 }

@@ -183,7 +183,13 @@ object DedupOps {
   private def expandRepPairs(
       repPairs: DataFrame, groups: DataFrame,
       valueCol: String, identicalValue: Column,
-      identicalQualifies: Column => Column): DataFrame = {
+      identicalQualifies: Column => Column,
+      // the delta path narrows the within-group expansion to groups its
+      // batch actually touched — enumerating every group's member pairs
+      // would reintroduce the duplicates-squared cost the batch was
+      // supposed to avoid; between-group expansion always needs the full
+      // member lists, so `groups` stays the join side
+      withinGroups: Option[DataFrame] = None): DataFrame = {
     val ga = groups.select(col("rep").as("a_id"), col("members").as("ma"))
     val gb = groups.select(col("rep").as("b_id"), col("members").as("mb"))
     val between = repPairs
@@ -192,7 +198,7 @@ object DedupOps {
       .select(col("x"), explode(col("mb")).as("y"), col(valueCol))
       .select(least(col("x"), col("y")).as("a_id"),
         greatest(col("x"), col("y")).as("b_id"), col(valueCol))
-    val within = groups
+    val within = withinGroups.getOrElse(groups)
       .filter(size(col("members")) > 1 && identicalQualifies(col("arr")))
       // compute the value while `arr` is still in scope: identicalValue
       // may reference it (see srpPairs' NaN handling)
@@ -497,20 +503,29 @@ object DedupOps {
     * order regardless of which side is the probe; delta–delta pairs
     * surface because delta ⊆ index. Exact verification after, as always.
     *
-    * `isDelta` is a predicate over `doc_id` (e.g. `col("doc_id") % 5 ===
-    * 3` or an isin over the batch's ids) — it is applied to the INDEX
-    * relation post-hoc, keeping the index plan delta-independent so the
-    * cache amortizes across batches; docs needs (doc_id, sh).
+    * `isDelta` is a predicate over a doc-id column (e.g. `_ % 5 === 3`
+    * or an isin over the batch's ids) — it is applied post-hoc (to the
+    * collapsed groups' members and to the expanded pair endpoints),
+    * keeping the index plan delta-independent so the cache amortizes
+    * across batches; docs needs (doc_id, sh).
     */
-  def jaccardPairsDelta(docs: DataFrame, isDelta: Column, tau: Double): DataFrame = {
-    // the index (exploded shingles + prefix ranks) is DELTA-INDEPENDENT by
-    // construction — the delta predicate never enters its plan, so
-    // successive delta batches against the same corpus hit the same
+  def jaccardPairsDelta(docs: DataFrame, isDelta: Column => Column, tau: Double): DataFrame = {
+    // identical-array collapse FIRST, exactly as in the full prefix path:
+    // on a duplicate-heavy corpus every copy would otherwise re-enter the
+    // index and the candidate join — the same blowup the collapse was
+    // added to fix there (70 s vs 4 s at 4× duplication). The index
+    // (exploded representative shingles + prefix ranks) is
+    // DELTA-INDEPENDENT by construction — the delta predicate enters only
+    // through the probe semi-join and the post-expansion endpoint filter —
+    // so successive delta batches against the same corpus hit the same
     // CacheManager entry (plan-keyed) instead of rebuilding the index;
-    // the probe is a post-hoc filter over the cached index. Measured in
+    // and because the rep-level index plan is the SAME plan the full
+    // prefix path builds, a prior full-corpus run warms it. Measured in
     // ScaleSmoke: first probe pays the index build, the next delta probes
     // the warm index at a fraction of the full re-pairing.
-    val ex = docs.select(col("doc_id"),
+    val groups = groupedByArray(docs, "doc_id", "sh")
+    val reps = groups.select(col("rep").as("doc_id"), col("arr").as("sh"))
+    val ex = reps.select(col("doc_id"),
         size(col("sh")).as("n"), explode(col("sh")).as("shs"))
       .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh1"))
       .cache()
@@ -521,15 +536,29 @@ object DedupOps {
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("sh1"))
       .cache()
-    registerDedupCaches(prefix, Seq(prefix, ex))
-    val probe = prefix.filter(isDelta)
+    registerDedupCaches(groups, Seq(groups, prefix, ex))
+    // groups the batch touches: any member satisfies the delta predicate
+    val touched = groups
+      .select(col("rep"), explode(col("members")).as("m"))
+      .filter(isDelta(col("m")))
+      .select(col("rep")).distinct()
+    val probe = prefix.join(
+      touched.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     val cand = probe.as("a").join(prefix.as("b"),
         col("a.sh1") === col("b.sh1") && col("a.doc_id") =!= col("b.doc_id") &&
         col("a.n") >= col("b.n") * tau && col("b.n") >= col("a.n") * tau)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       .distinct()
-    verifyJaccard(cand, docs, tau)
+    val repPairs = verifyJaccard(cand, reps, tau)
+    // expand back to member pairs (within-group pairs only for touched
+    // groups), then keep exactly the pairs with a delta endpoint — a
+    // touched group can also carry non-delta members whose pairs the
+    // batch must not re-emit
+    val touchedGroups = groups.join(touched, Seq("rep"), "left_semi")
+    expandRepPairs(repPairs, groups, "jaccard", lit(1.0),
+        arr => size(arr) > 0, withinGroups = Some(touchedGroups))
+      .filter(isDelta(col("a_id")) || isDelta(col("b_id")))
   }
 
   private val jaccardOracle =
@@ -584,7 +613,7 @@ object DedupOps {
     // relation restricted to pairs touching the delta.
     ("dedup_incremental",
       (s: SparkSession, d: String) =>
-        jaccardPairsDelta(shingled(s, d).cache(), col("doc_id") % 5 === 3, 0.5)
+        jaccardPairsDelta(shingled(s, d).cache(), _ % 5 === 3, 0.5)
           .orderBy("a_id", "b_id"),
       Some(jaccardOracle.replace(
         "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5",

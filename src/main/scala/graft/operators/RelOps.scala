@@ -74,7 +74,11 @@ object RelOps {
           .agg(
             sum("n_rows").as("n_rows_total"),
             (count(lit(1)) <= 8).as("parts_bounded"),
-            (sum(when(col("prev_mx").isNull || col("mn") >= col("prev_mx"), 0L)
+            // STRICT >: RangePartitioner routes equal keys to one
+            // partition, so a shared boundary value between adjacent
+            // partitions would mean the layout contract broke — mn ==
+            // prev_mx must fail the check, not pass it
+            (sum(when(col("prev_mx").isNull || col("mn") > col("prev_mx"), 0L)
               .otherwise(1L)) === 0).as("ranges_disjoint"))
       },
       Some(

@@ -108,6 +108,44 @@ object StreamOps {
           | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
           |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
 
+    // CHAINED stateful operators (see StreamingOps
+    // .streamStreamJoinAggChained): the interval join's pairs aggregate
+    // per hourly click window INSIDE the same streaming plan — two
+    // stateful operators, Append mode. Emitted windows are exactly those
+    // the final watermark closed; the oracle replays Spark's watermark
+    // rule (window end <= min over both sides of max event time − 2 h)
+    // over the batch join, so the differential checks both the pair
+    // semantics and the emission contract.
+    ("stream_stream_agg_chained",
+      (s: SparkSession, d: String) => {
+        val name = s"stream_ca_${math.abs(d.hashCode)}"
+        StreamingOps.runToMemory(
+          StreamingOps.streamStreamJoinAggChained(s, d), name,
+          OutputMode.Append(), watermarkFlush = true)
+          .orderBy("bucket_us")
+      },
+      Some(
+        """WITH wm AS (
+          |  SELECT least(
+          |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+          |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END))
+          |    - 7200000000 AS wm_us
+          |  FROM events
+          |), pairs AS (
+          |  SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, c.ts)) AS bucket_us,
+          |         p.value AS p_value
+          |  FROM events c JOIN events p
+          |    ON c.user_id = p.user_id AND c.event_type = 'click'
+          |   AND p.event_type = 'purchase'
+          |   AND epoch_us(p.ts) >= epoch_us(c.ts)
+          |   AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+          |)
+          |SELECT bucket_us, CAST(count(*) AS BIGINT) AS n_pairs,
+          |       round(sum(p_value), 2) AS sum_value
+          |FROM pairs, wm
+          |WHERE bucket_us + 3600000000 <= wm_us
+          |GROUP BY bucket_us ORDER BY bucket_us""".stripMargin)),
+
     // Stream-static join (see StreamingOps.streamStaticSegments): the
     // event stream enriched against the broadcast customer dimension,
     // aggregated per segment under Complete mode — final state ≡ the

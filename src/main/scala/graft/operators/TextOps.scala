@@ -213,13 +213,33 @@ object TextOps {
     * space from each neighboring gap and the replacement restores it —
     * adjacent disjoint occurrences (`a b a b`) both merge, overlapping
     * ones (`a a a`) merge left-greedily, the BPE contract. Merged tokens
-    * join with `~` (not in any corpus token).
+    * join with `~` — the scheme's precondition (no corpus token contains
+    * `~` or an embedded double space) is asserted PER ROW on the initial
+    * scan: a violating corpus would corrupt merge boundaries identically
+    * in both engines (the differential gate couldn't catch it), so it
+    * fails loudly instead.
+    *
+    * Each round's merged text is CACHED (through the shared LRU registry)
+    * before the next round counts over it: without the cache round r
+    * re-executes all r−1 prior rewrites against the raw corpus — an
+    * O(rounds²) scan blowup that's invisible at 3 rounds and fatal at a
+    * real merge budget. With it, each round is one replace pass over the
+    * previous round's materialization: wall-time linear in rounds
+    * (measured in BENCH_COMPARE at the gate's 8 rounds).
     */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val session = docs.sparkSession
     var cur = docs.select(col("doc_id"),
       concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" ")).as("t"))
+      // assert_true returns NULL on success and throws on violation; as a
+      // filter it survives column pruning and costs two scans of each row
+      // of the ALREADY-materialized first round only
+      .filter(assert_true(
+        !col("text").contains("~") && !col("text").contains("  "),
+        lit("bpeMerges separator precondition: corpus token contains '~' or a double space"))
+        .isNull)
     val merges = Seq.newBuilder[(Int, String, Long)]
+    val cached = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val tk = cur.select(split(trim(col("t")), "  ").as("tk"))
       val top = tk.filter(size(col("tk")) >= 2)
@@ -232,8 +252,12 @@ object TextOps {
         val Array(w1, w2) = pair.split(" ")
         cur = cur.select(col("doc_id"),
           replace(col("t"), lit(s" $w1  $w2 "), lit(s" $w1~$w2 ")).as("t"))
+          .cache()
+        cached += cur
       }
     }
+    val caches = cached.result()
+    if (caches.nonEmpty) DedupOps.registerDedupCaches(caches.head, caches)
     import session.implicits._
     merges.result().toDF("round", "pair", "cnt")
   }
@@ -253,13 +277,57 @@ object TextOps {
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("tk"), 8))).as("g"))
-    sp.withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      // the window's required child sort compares the partition key; a
+      // 50-char span string per comparison dominated the stage, so the
+      // sort leads with the span's 8-byte hash and falls back to the
+      // string only on hash-equal rows — EXACT (the string stays in the
+      // key; a collision costs one extra compare, never a merged count)
+      .withColumn("gh", xxhash64(col("g")))
+    sp.withColumn("df", count(lit(1)).over(Window.partitionBy("gh", "g")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("dup_ratio",
         round(col("n_shared").cast("double") / col("n_spans"), 4))
       .withColumn("is_dup_heavy", col("dup_ratio") > 0.5)
+  }
+
+  /** DuckDB replay of [[bpeMerges]] for `rounds` rounds: one
+    * count → top-1 → merge CTE chain per round (the same double-space
+    * replace scheme), generated instead of hand-unrolled so the gate's
+    * round count can grow without transcription errors.
+    */
+  private[graft] def bpeOracleSql(rounds: Int): String = {
+    def countCte(r: Int, src: String) =
+      s"""c$r AS (
+         |  SELECT ws[i] || ' ' || ws[i+1] AS p, count(*) AS c
+         |  FROM (SELECT string_split(trim(t), '  ') AS ws FROM $src),
+         |       UNNEST(range(1, len(ws))) AS u(i)
+         |  GROUP BY p
+         |), p$r AS (SELECT p, c FROM c$r ORDER BY c DESC, p LIMIT 1)""".stripMargin
+    def mergeCte(r: Int) =
+      s"""r$r AS (
+         |  SELECT doc_id,
+         |         replace(t, ' ' || replace(p, ' ', '  ') || ' ',
+         |                 ' ' || replace(p, ' ', '~') || ' ') AS t
+         |  FROM r${r - 1}, p$r
+         |)""".stripMargin
+    val chain = (1 to rounds).map { r =>
+      if (r < rounds) countCte(r, s"r${r - 1}") + ",\n" + mergeCte(r)
+      else countCte(r, s"r${r - 1}")
+    }.mkString(",\n")
+    val unions = (1 to rounds).map { r =>
+      if (r == 1) s"  SELECT 1 AS round, p AS pair, CAST(c AS BIGINT) AS cnt FROM p1"
+      else s"  UNION ALL SELECT $r, p, CAST(c AS BIGINT) FROM p$r"
+    }.mkString("\n")
+    s"""WITH r0 AS (
+       |  SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS t
+       |  FROM documents
+       |),
+       |$chain
+       |SELECT round, pair, cnt FROM (
+       |$unions
+       |) ORDER BY round""".stripMargin
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -406,9 +474,14 @@ object TextOps {
         val bench = grams(documents(s, d).filter(col("doc_id") % 5 === 0))
           .select("g").distinct()
         val train = grams(documents(s, d).filter(col("doc_id") % 5 =!= 0))
+        // count(1), not count_distinct: the train side explodes
+        // per-doc-DISTINCT grams and the bench side is globally distinct,
+        // so the semi-join emits each (doc_id, g) at most once — the
+        // distinct aggregate's extra expand/shuffle pass bought nothing
+        // (measured ~2× on this query's aggregate stage)
         train.join(broadcast(bench), "g")
           .groupBy("doc_id")
-          .agg(count_distinct(col("g")).as("n_shared"))
+          .agg(count(lit(1)).as("n_shared"))
           .orderBy("doc_id")
       },
       Some(
@@ -761,52 +834,19 @@ object TextOps {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // BPE-style merge training (see [[bpeMerges]]) — the tokenizer-
-    // training loop: 3 rounds of top-pair learning, each a distributed
+    // training loop: 8 rounds of top-pair learning, each a distributed
     // pair-count aggregate with only the winning pair collected, the
-    // merge applied corpus-wide as a scan-local rewrite. The oracle
-    // replays all 3 rounds in SQL (count → top-1 → merge via the same
-    // double-space replace scheme), so the differential checks the
-    // full iterative trajectory, not just round 1.
+    // merge applied corpus-wide as a scan-local rewrite over the PREVIOUS
+    // round's cached text (linear in rounds; 3 rounds hid the quadratic
+    // re-replace this round count would expose). The oracle replays all 8
+    // rounds in SQL (count → top-1 → merge via the same double-space
+    // replace scheme, one CTE chain per round, generated by
+    // [[bpeOracleSql]]), so the differential checks the full iterative
+    // trajectory, not just round 1.
     ("text_bpe_merges",
       (s: SparkSession, d: String) =>
-        bpeMerges(documents(s, d), 3).orderBy("round"),
-      Some(
-        """WITH r0 AS (
-          |  SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS t
-          |  FROM documents
-          |), c1 AS (
-          |  SELECT ws[i] || ' ' || ws[i+1] AS p, count(*) AS c
-          |  FROM (SELECT string_split(trim(t), '  ') AS ws FROM r0),
-          |       UNNEST(range(1, len(ws))) AS u(i)
-          |  GROUP BY p
-          |), p1 AS (SELECT p, c FROM c1 ORDER BY c DESC, p LIMIT 1
-          |), r1 AS (
-          |  SELECT doc_id,
-          |         replace(t, ' ' || replace(p, ' ', '  ') || ' ',
-          |                 ' ' || replace(p, ' ', '~') || ' ') AS t
-          |  FROM r0, p1
-          |), c2 AS (
-          |  SELECT ws[i] || ' ' || ws[i+1] AS p, count(*) AS c
-          |  FROM (SELECT string_split(trim(t), '  ') AS ws FROM r1),
-          |       UNNEST(range(1, len(ws))) AS u(i)
-          |  GROUP BY p
-          |), p2 AS (SELECT p, c FROM c2 ORDER BY c DESC, p LIMIT 1
-          |), r2 AS (
-          |  SELECT doc_id,
-          |         replace(t, ' ' || replace(p, ' ', '  ') || ' ',
-          |                 ' ' || replace(p, ' ', '~') || ' ') AS t
-          |  FROM r1, p2
-          |), c3 AS (
-          |  SELECT ws[i] || ' ' || ws[i+1] AS p, count(*) AS c
-          |  FROM (SELECT string_split(trim(t), '  ') AS ws FROM r2),
-          |       UNNEST(range(1, len(ws))) AS u(i)
-          |  GROUP BY p
-          |), p3 AS (SELECT p, c FROM c3 ORDER BY c DESC, p LIMIT 1)
-          |SELECT round, pair, cnt FROM (
-          |  SELECT 1 AS round, p AS pair, CAST(c AS BIGINT) AS cnt FROM p1
-          |  UNION ALL SELECT 2, p, CAST(c AS BIGINT) FROM p2
-          |  UNION ALL SELECT 3, p, CAST(c AS BIGINT) FROM p3
-          |) ORDER BY round""".stripMargin)),
+        bpeMerges(documents(s, d), 8).orderBy("round"),
+      Some(bpeOracleSql(8))),
 
     // DSIR-style importance weights (Xie et al., "Data Selection for
     // Language Models via Importance Resampling"): score every document by

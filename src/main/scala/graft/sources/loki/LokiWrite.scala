@@ -42,6 +42,30 @@ object LokiWrite {
     */
   def lastCommittedRows(endpoint: String): Long =
     counts.getOrDefault(endpoint.stripSuffix("/"), -1L)
+
+  /** Reference-parity INSERT: run the append through the connector and
+    * return the reference's one-row `count: BIGINT` result table
+    * (insert.rs:136-140; README.md:49-53 shows `| count | 1 |`) built
+    * from this write's commit messages. Spark DML returns an empty
+    * DataFrame, so a reference script that SELECTs the insert result has
+    * nothing to read — this shim closes that last visible surface gap
+    * (SURVEY §7.4(c)). The count comes from the per-endpoint commit
+    * registry, read synchronously after `save()` returns; two concurrent
+    * inserts to the SAME endpoint race on that cell (different endpoints
+    * never do), in which case the SQL-UI `loki_rows_written` metric is
+    * the per-query surface.
+    */
+  def insert(
+      df: org.apache.spark.sql.DataFrame,
+      endpoint: String,
+      options: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
+    val writer = df.write.format("loki").option("endpoint", endpoint)
+    options.foreach { case (k, v) => writer.option(k, v) }
+    writer.mode("append").save()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(lastCommittedRows(endpoint)).toDF("count")
+  }
 }
 
 /** `rows_written` counter summed over tasks (insert.rs's count surface). */

@@ -67,7 +67,9 @@ object StreamingOps {
     * `dropDuplicates` seen-set grows forever on a real feed). Event time
     * is synthesized from doc_id; both copies of a doc share it, so the
     * dedup is exact on the bounded drain while the state bound is the
-    * 10-minute watermark window at scale. Dedup key is
+    * 10-minute watermark window at scale (1 µs per doc_id — the window
+    * covers same-key rows up to 6×10⁸ ids apart, see
+    * [[dedupPrefixStream]]'s contract note). Dedup key is
     * (lang, fingerprint), and the emitted columns ARE the key: a
     * fingerprint-only key would make the surviving row's other columns
     * arrival-order-dependent whenever the same text occurs under two
@@ -85,7 +87,7 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), md5(lower(col("text"))).as("fingerprint"))
       .withColumn("copy", explode(array(lit(0), lit(1))))
       .withColumn("event_ts",
-        timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000L))
+        timestamp_micros(lit(1704067200000000L) + col("doc_id")))
       .withWatermark("event_ts", "10 minutes")
       .dropDuplicatesWithinWatermark("lang", "fingerprint")
       .select(col("lang"), col("fingerprint"))
@@ -116,7 +118,12 @@ object StreamingOps {
     * the caller aggregates the materialized sink, keeping ONE stateful
     * operator in the streaming plan.
     */
-  def streamStreamClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+  /** The watermarked click×purchase interval join both stream-stream
+    * shapes share: each click joined to the same user's purchases within
+    * the following 30 minutes, both sides unbounded streams with 2-hour
+    * watermarks bounding the buffered state.
+    */
+  private def clickPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
     val clicks = eventsStream(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
@@ -130,10 +137,33 @@ object StreamingOps {
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("click_ts") &&
         col("p_ts") <= col("click_ts") + expr("interval 30 minutes"))
+  }
+
+  def streamStreamClickPurchase(spark: SparkSession, dir: String): DataFrame =
+    clickPurchasePairs(spark, dir)
       .select(col("c_user").as("user_id"),
         unix_micros(col("click_ts")).as("click_us"),
         unix_micros(col("p_ts")).as("purchase_us"), col("p_value"))
-  }
+
+  /** CHAINED stateful operators in one streaming plan — the stream-stream
+    * interval join feeding an event-time windowed aggregate downstream in
+    * the SAME query (two stateful operators; Spark's multi-stateful-
+    * operator support): joined pairs aggregate per hourly click window,
+    * Append mode. A window only emits once the global watermark — min
+    * over both inputs of (max observed event time − 2 h) — passes its
+    * end, so the drained result is the batch aggregate RESTRICTED to
+    * closed windows; the still-open tail windows stay in state. That
+    * watermark rule is deterministic over a bounded corpus, and the gate
+    * oracle replays it exactly (measured: the rule reproduces the emitted
+    * window set at all three SFs, with no extra join-interval delay on
+    * the aggregate's watermark).
+    */
+  def streamStreamJoinAggChained(spark: SparkSession, dir: String): DataFrame =
+    clickPurchasePairs(spark, dir)
+      .groupBy(window(col("click_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"), round(sum("p_value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("bucket_us"),
+        col("n_pairs"), col("sum_value"))
 
   /** Streaming NEAR-dup collapse: watermark-bounded dedup keyed on the
     * 5-token opening shingle (the same near-dup key the batch
@@ -144,6 +174,15 @@ object StreamingOps {
     * first-arriving row per key and arrival order is racy under
     * parallelism, so emitting payload columns would be nondeterministic —
     * the final key set is what equals the batch DISTINCT.
+    *
+    * The 'final key set equals batch DISTINCT' contract requires every
+    * duplicate key to land inside the dedup window: event time advances
+    * 1 µs per doc_id against the 10-minute watermark, so the window
+    * covers duplicate keys up to 6×10⁸ ids apart — the whole corpus at
+    * any gate SF, and well past it under multi-batch replay. A corpus
+    * beyond that id range sizes the watermark to its ingest horizon, as
+    * production would; keys past the watermark are re-emitted by design
+    * (that is what bounds the state).
     */
   def dedupPrefixStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -155,7 +194,7 @@ object StreamingOps {
       .select(col("doc_id"),
         array_join(slice(split(col("text"), " "), 1, 5), " ").as("k"))
       .withColumn("event_ts",
-        timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000L))
+        timestamp_micros(lit(1704067200000000L) + col("doc_id")))
       .withWatermark("event_ts", "10 minutes")
       .dropDuplicatesWithinWatermark("k")
       .select(col("k"))
@@ -197,10 +236,21 @@ object StreamingOps {
   def runToMemory(
       df: DataFrame,
       name: String,
-      mode: OutputMode = OutputMode.Update()): DataFrame = {
+      mode: OutputMode = OutputMode.Update(),
+      // no-data microbatches exist to advance the watermark and flush
+      // watermark-gated state (append-mode window aggregates). Every other
+      // shape here emits on arrival, so the extra empty batch per query is
+      // pure harness tax (~0.3 s each, measured) — callers whose output IS
+      // watermark-gated opt in.
+      watermarkFlush: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      watermarkFlush.toString)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("graft.stream.statePartitions").getOrElse("4"))
     // The state store commits a checkpoint per partition per microbatch;
     // on a bounded drain that fsync-heavy I/O is pure overhead, so the
     // checkpoint lives on tmpfs when available. A long-lived production
@@ -222,6 +272,12 @@ object StreamingOps {
       q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit

@@ -65,7 +65,7 @@ object DedupProps extends Properties("DedupPrefixJoin") {
         col("doc_id"),
         array_distinct(GraftFunctions.shingles(split(col("text"), " "), 3)).as("sh"))
       val delta = pairs(DedupOps.jaccardPairsDelta(
-        docs, col("doc_id") % mod === 0, 0.5))
+        docs, _ % mod === 0, 0.5))
       val expected = pairs(DedupOps.jaccardPairsNaive(docs, 0.5))
         .filter { case ((a, b), _) => a % mod == 0 || b % mod == 0 }
       Prop(delta == expected) :| s"mod=$mod delta=$delta expected=$expected"

@@ -75,6 +75,43 @@ class StreamingSpec extends SparkTestBase {
     assert(s == b, s"missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
   }
 
+  test("chained join→agg emits exactly the watermark-closed windows of the batch aggregate") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.streamStreamJoinAggChained(spark, sf), "chain_mem",
+      OutputMode.Append(), watermarkFlush = true)
+    val e = Tables.events(spark, sf)
+    // the emission contract: a window is in the result iff its end is at
+    // or before the final global watermark, min over both sides of
+    // (max event time − 2 h) — the same rule the gate oracle replays
+    val wm = e.agg(least(
+      max(when(col("event_type") === "click", unix_micros(col("ts")))),
+      max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
+      .as("m")).collect()(0).getLong(0) - 7200000000L
+    val batch = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("value")),
+        Seq("user_id"))
+      .filter(col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .groupBy(window(col("click_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("bucket_us"),
+        col("n_pairs"), col("sum_value"))
+      .filter(col("bucket_us") + 3600000000L <= lit(wm))
+    val s = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(s == b, s"missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
+    // and the plan really chains two stateful operators in one query:
+    // the interval join AND the windowed aggregate's state store
+    val plan = StreamingOps.streamStreamJoinAggChained(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("Join"), plan)
+    assert(plan.contains("Aggregate"), plan)
+  }
+
   test("stateful user totals equal the batch per-user aggregation") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.userTotals(spark, sf).toDF(), "users_mem", OutputMode.Update())

@@ -84,7 +84,7 @@ class TextStatsSpec extends SparkTestBase {
     assert(got == expectedTop)
   }
 
-  test("text_bpe_merges: three rounds match a greedy Scala replay") {
+  test("text_bpe_merges: all eight rounds match a greedy Scala replay") {
     def mergeTokens(ts: Seq[String], w1: String, w2: String): Seq[String] = {
       val out = Seq.newBuilder[String]
       var i = 0
@@ -96,7 +96,7 @@ class TextStatsSpec extends SparkTestBase {
       out.result()
     }
     var docs = corpus.map(_._2.split(" ").toSeq)
-    val expected = (1 to 3).map { r =>
+    val expected = (1 to 8).map { r =>
       val counts = docs.filter(_.size >= 2)
         .flatMap(_.sliding(2).map(_.mkString(" ")))
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
