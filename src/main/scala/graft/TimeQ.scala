@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time a named subset of gate queries under the Bench
+  * session config (warm-up pass + two timed passes), for per-query perf
+  * iteration without paying the full 98-query bench. Usage:
+  * `java -cp ... graft.TimeQ q1 q2 ...` with `SPARK_GRAFT_SF_DIR` set.
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = SparkEntry.queries
+    val names = if (args.nonEmpty) args.toSeq
+      else qs.keys.toSeq.sorted
+    names.foreach { n =>
+      try { qs(n)(spark, sfDir).count(); () }
+      catch { case e: Throwable => println(s"$n WARMUP-FAILED: ${e.getMessage}") }
+    }
+    (1 to 2).foreach { pass =>
+      names.foreach { n =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try { qs(n)(spark, sfDir).count(); () }
+        catch { case e: Throwable => println(s"$n FAILED: ${e.getMessage}") }
+        println(f"pass$pass $n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+    graft.operators.ConnectorOps.shutdownStubs()
+    spark.stop()
+  }
+}

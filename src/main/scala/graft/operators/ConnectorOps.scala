@@ -56,9 +56,10 @@ object ConnectorOps {
       .load()
 
   /** Interchange roundtrip through a PER-INVOCATION temp directory: write
-    * with `write`, re-read with `read`, materialize the re-read relation
-    * off the files (eager localCheckpoint — the returned DataFrame is
-    * consumed lazily by the harness), then delete the directory. The
+    * with `write`, return the lazy `read` relation over it, and delete
+    * the directory at JVM exit (the returned DataFrame is consumed
+    * lazily by the harness, so deletion can't happen in-call without
+    * forcing an eager materialization the read path doesn't need). The
     * earlier fixed dir keyed by `abs(path.hashCode)` raced concurrent
     * runs on mode("overwrite"), could collide across datasets, and kept
     * abs(Int.MinValue) negative; a fresh `createTempDirectory` per call
@@ -67,16 +68,13 @@ object ConnectorOps {
   private def roundtrip(prefix: String)(write: String => Unit)(
       read: String => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$prefix").toFile
-    try {
-      write(dir.getAbsolutePath)
-      read(dir.getAbsolutePath).localCheckpoint(true)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
     }
+    sys.addShutdownHook(rm(dir))
+    write(dir.getAbsolutePath)
+    read(dir.getAbsolutePath)
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(

