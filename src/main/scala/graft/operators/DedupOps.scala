@@ -67,6 +67,9 @@ object DedupOps {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .toDF("doc_id", "sig", "chunk_idx", "chunk")
+      // cached: both self-join sides would otherwise recompute the
+      // per-token simhash64 signature (see minhashLshPairs' banded note)
+      .cache()
     val repPairs = chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
@@ -76,7 +79,7 @@ object DedupOps {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-    registerDedupCaches(groups, Seq(groups))
+    registerDedupCaches(groups, Seq(groups, chunks))
     // identical token arrays always hamming-0 qualify (an empty-toks pair
     // had identical signatures pre-collapse too)
     expandRepPairs(repPairs, groups, "hamming", lit(0), _ => lit(true))
@@ -99,6 +102,9 @@ object DedupOps {
       posexplode(array((0 until 8).map(c =>
         shiftright(col("sig"), c * 8).bitwiseAND(lit(0xffL))): _*)))
       .toDF("vec_id", "v", "band", "bucket")
+      // cached: both self-join sides would otherwise recompute the
+      // 64-hyperplane SRP signature (see minhashLshPairs' banded note)
+      .cache()
     val repPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -109,7 +115,7 @@ object DedupOps {
       .withColumn("cos", cosine_sim(col("va"), col("vb")))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
-    registerDedupCaches(groups, Seq(groups))
+    registerDedupCaches(groups, Seq(groups, banded))
     // zero vector ⇒ cosine_sim's 0.0 convention fails the τ filter, so the
     // group doesn't qualify; a NaN-containing vector paired with itself is
     // cos NaN pre-collapse, and Spark's NaN-is-greatest ordering PASSES
@@ -332,8 +338,20 @@ object DedupOps {
     * (correctness unaffected; those plans recompute). Entries whose
     * session has been stopped are dropped without touching the (already
     * torn down) cache, and unpersist is best-effort.
+    *
+    * The cap (`graft.dedup.maxLiveCorpora`, default 12) is a per-session
+    * memory knob: the full gate interleaves ~10 distinct registered
+    * corpora (shingle groups, embedding groups, simhash union + slice,
+    * BPE rounds, PMI/dup-spans gram relations, the incremental index), so
+    * the default covers that working set — an 8-corpus cap measurably
+    * evicted the BPE round caches between bench passes, forcing a full
+    * 8-round retrain on re-invocation. Sessions on small heaps (the
+    * property-test suites) set it lower; a production session sizes it to
+    * executor storage memory like any cache budget.
     */
-  private val maxLiveCorpora = 8
+  private def maxLiveCorpora(session: org.apache.spark.sql.SparkSession): Int =
+    session.conf.getOption("graft.dedup.maxLiveCorpora")
+      .map(_.toInt).getOrElse(12)
   private var liveDedupCaches: Seq[(DataFrame, Seq[DataFrame])] = Nil
 
   private def dropOrUnpersist(df: DataFrame): Unit =
@@ -363,7 +381,8 @@ object DedupOps {
       // own LRU window)
       val (sameSession, otherSessions) = others.partition(
         _._1.sparkSession eq key.sparkSession)
-      val (keep, evict) = (merged +: sameSession).splitAt(maxLiveCorpora)
+      val (keep, evict) =
+        (merged +: sameSession).splitAt(maxLiveCorpora(key.sparkSession))
       evict.foreach(_._2.foreach(dropOrUnpersist))
       liveDedupCaches = keep ++ otherSessions
     }
@@ -478,13 +497,18 @@ object DedupOps {
         hash((0 until rows).map(r =>
           element_at(col("sig"), b * rows + r + 1)) :+ lit(b): _*)): _*)))
       .toDF("doc_id", "band", "bucket")
+      // both sides of the self-join consume this plan: uncached, each
+      // side recomputes the k-hash minhash signature over every shingle
+      // of every rep — the most expensive expression in the query, paid
+      // twice. The cached relation is narrow (doc_id, band, bucket).
+      .cache()
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    registerDedupCaches(groups, Seq(groups))
+    registerDedupCaches(groups, Seq(groups, banded))
     expandRepPairs(verifyJaccard(cand, reps, tau), groups, "jaccard", lit(1.0),
       arr => size(arr) > 0)
   }

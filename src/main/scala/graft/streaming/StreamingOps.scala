@@ -251,7 +251,7 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       watermarkFlush.toString)
     spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("graft.stream.statePartitions").getOrElse("2"))
+      spark.conf.getOption("graft.stream.statePartitions").getOrElse("1"))
     // The state store commits a checkpoint per partition per microbatch;
     // on a bounded drain that fsync-heavy I/O is pure overhead, so the
     // checkpoint lives on tmpfs when available. A long-lived production
