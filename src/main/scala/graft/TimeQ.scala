@@ -20,6 +20,11 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // experiment knobs: GRAFT_CONF="k=v,k2=v2" lands in the runtime conf
+    sys.env.get("GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     val qs = SparkEntry.queries
     val names = if (args.nonEmpty) args.toSeq
       else qs.keys.toSeq.sorted

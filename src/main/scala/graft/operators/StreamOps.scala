@@ -42,7 +42,10 @@ object StreamOps {
       (s: SparkSession, d: String) => {
         val name = s"stream_sw_${math.abs(d.hashCode)}"
         StreamingOps.runToMemory(
-          StreamingOps.sessionWindows(s, d), name, OutputMode.Complete())
+          StreamingOps.sessionWindows(s, d), name, OutputMode.Complete(),
+          // session-window state carries every open session; measurably
+          // prefers more state partitions than the light dedup/agg shapes
+          statePartitions = 4)
           .orderBy("user_id", "start_us")
       },
       Some(
@@ -92,7 +95,10 @@ object StreamOps {
       (s: SparkSession, d: String) => {
         val name = s"stream_cp_${math.abs(d.hashCode)}"
         StreamingOps.runToMemory(
-          StreamingOps.streamStreamClickPurchase(s, d), name, OutputMode.Append())
+          StreamingOps.streamStreamClickPurchase(s, d), name, OutputMode.Append(),
+          // interval-join state buffers both watermark windows — the
+          // heaviest state in the gate; sized up accordingly
+          statePartitions = 4)
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_pairs"),
             round(sum("p_value"), 2).as("sum_value"))
@@ -121,7 +127,7 @@ object StreamOps {
         val name = s"stream_ca_${math.abs(d.hashCode)}"
         StreamingOps.runToMemory(
           StreamingOps.streamStreamJoinAggChained(s, d), name,
-          OutputMode.Append(), watermarkFlush = true)
+          OutputMode.Append(), watermarkFlush = true, statePartitions = 4)
           .orderBy("bucket_us")
       },
       Some(
@@ -145,6 +151,31 @@ object StreamOps {
           |FROM pairs, wm
           |WHERE bucket_us + 3600000000 <= wm_us
           |GROUP BY bucket_us ORDER BY bucket_us""".stripMargin)),
+
+    // CHAINED dedup → windowed count (see StreamingOps
+    // .dedupAggChainedStream): the second two-stateful-operator shape —
+    // watermark-bounded exact dedup feeding an event-time windowed
+    // aggregate in the same Append-mode plan. The oracle replays both the
+    // dedup semantics (distinct (lang, fingerprint) per 10 ms bucket)
+    // and the emission rule (every bucket closed by the final watermark,
+    // i.e. all but the max bucket).
+    ("stream_dedup_agg_chained",
+      (s: SparkSession, d: String) => {
+        val name = s"stream_da_${math.abs(d.hashCode)}"
+        StreamingOps.runToMemory(
+          StreamingOps.dedupAggChainedStream(s, d), name,
+          OutputMode.Append(), watermarkFlush = true)
+          .orderBy("bucket_us", "lang")
+      },
+      Some(
+        """WITH k AS (
+          |  SELECT DISTINCT lang, md5(lower(text)) AS fp,
+          |         1704067200000000 + (doc_id - doc_id % 10) * 1000 AS b_us
+          |  FROM documents
+          |), wm AS (SELECT max(b_us) AS w FROM k)
+          |SELECT b_us AS bucket_us, lang, CAST(count(*) AS BIGINT) AS n_keys
+          |FROM k, wm WHERE b_us + 10000 <= w
+          |GROUP BY b_us, lang ORDER BY bucket_us, lang""".stripMargin)),
 
     // Stream-static join (see StreamingOps.streamStaticSegments): the
     // event stream enriched against the broadcast customer dimension,

@@ -670,6 +670,118 @@ object TextOps {
           |       score >= 1.5 AS is_quality
           |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    // Per-language top-k n-grams — the corpus-statistics inventory step
+    // (stopword lists, collocation tables, contamination probes all start
+    // here). Counts aggregate with map-side combine on the
+    // high-cardinality (lang, gram) key, then the custom TopKPerKeyExec
+    // keeps 10 rows per language in bounded heaps — no per-language sort,
+    // no single-stratum window task, so the plan survives a skewed
+    // million-gram language. Third production use of the operator.
+    // Deterministic ties: (count desc, gram asc).
+    ("text_ngram_topk",
+      (s: SparkSession, d: String) => {
+        val cnts = documents(s, d)
+          .select(col("lang"), explode(shingles(toks, 3)).as("g"))
+          .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+        graft.plans.GraftPlans
+          .topKPerKey(cnts, Seq("lang"), Seq("cnt" -> false, "g" -> true), 10)
+          .orderBy("lang", "g")
+      },
+      Some(
+        """WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+          |g AS (
+          |  SELECT lang,
+          |         CASE WHEN len(ws) >= 3
+          |              THEN ws[i]||' '||ws[i+1]||' '||ws[i+2]
+          |              ELSE array_to_string(ws, ' ') END AS g
+          |  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+          |), c AS (
+          |  SELECT lang, g, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY lang, g
+          |), r AS (
+          |  SELECT lang, g, cnt,
+          |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g) AS rn
+          |  FROM c
+          |)
+          |SELECT lang, g, cnt FROM r WHERE rn <= 10 ORDER BY lang, g""".stripMargin)),
+
+    // Cross-language quality normalization — the step that makes quality
+    // scores comparable across languages before a global cut (a raw
+    // score threshold over-keeps verbose languages): per-language z-score
+    // of the text_quality_score formula. Determinism is by construction:
+    // scores quantize to BIGINTs scan-side, per-language (n, Σx, Σx²)
+    // are exact integer aggregates (Σx² in decimal — n·Σx² − (Σx)²
+    // overflows a Long at corpus scale), and z = (n·x − Σx)/√(n·Σx² −
+    // (Σx)²) divides one exactly-representable integer by the IEEE sqrt
+    // of another, so both engines compute bit-identical doubles — no
+    // float accumulation ever crosses engines. Scale shape: the stats
+    // relation is one row per language (aggregate-compress → broadcast
+    // join back); the score side stays scan-local.
+    ("documents_quality_zscore",
+      (s: SparkSession, d: String) => {
+        val scored = documents(s, d)
+          .withColumn("n_tokens", size(toks).cast("double"))
+          .withColumn("distinct_ratio",
+            size(array_distinct(toks)).cast("double") / col("n_tokens"))
+          .withColumn("avg_word_len",
+            (length(col("text")) - col("n_tokens") + lit(1.0)) / col("n_tokens"))
+          .withColumn("score",
+            log(col("n_tokens")) * 0.3 + col("distinct_ratio") * 0.5 +
+              col("avg_word_len") * 0.02)
+          .select(col("doc_id"), col("lang"),
+            round(col("score") * 1e6, 0).cast("long").as("sq"))
+        val stats = scored.groupBy("lang").agg(
+          count(lit(1)).as("n"), sum("sq").as("sm"),
+          sum(col("sq") * col("sq")).as("ssq"))
+        val det = col("n").cast("decimal(38,0)") * col("ssq").cast("decimal(38,0)") -
+          col("sm").cast("decimal(38,0)") * col("sm").cast("decimal(38,0)")
+        scored.join(broadcastIfSmall(stats), "lang")
+          .withColumn("det", det)
+          .withColumn("z",
+            when(col("det") === 0, lit(0.0))
+              .otherwise((col("n") * col("sq") - col("sm")).cast("double") /
+                sqrt(col("det").cast("double"))))
+          // ×1e4-quantized BIGINT, not round(z, 4): a z just under zero
+          // rounds to −0.0 in DuckDB but BigDecimal-rounds to +0.0 in
+          // Spark, and the driver's value hash splits on the sign bit —
+          // integers have no signed zero (the round-2 lineitem_stats_agg
+          // lesson, hit again live at sf0.1 by this query)
+          .select(col("doc_id"), col("lang"),
+            round(col("z") * 1e4, 0).cast("long").as("z_q4"),
+            (col("z") >= 0).as("above_lang_mean"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT doc_id, lang,
+          |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+          |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+          |         CAST(length(text) AS DOUBLE) AS n_chars
+          |  FROM documents
+          |), s AS (
+          |  SELECT doc_id, lang,
+          |         CAST(round((ln(n_tokens) * 0.3 + (n_distinct / n_tokens) * 0.5 +
+          |           ((n_chars - n_tokens + 1.0) / n_tokens) * 0.02) * 1e6, 0) AS BIGINT) AS sq
+          |  FROM q
+          |), st AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(sq) AS BIGINT) AS sm,
+          |         CAST(sum(sq * sq) AS BIGINT) AS ssq
+          |  FROM s GROUP BY lang
+          |), z AS (
+          |  SELECT doc_id, s.lang,
+          |         CAST(n AS HUGEINT) * ssq - CAST(sm AS HUGEINT) * sm AS det,
+          |         n * sq - sm AS num
+          |  FROM s JOIN st ON s.lang = st.lang
+          |)
+          |SELECT doc_id, lang,
+          |       CAST(round((CASE WHEN det = 0 THEN 0.0
+          |                  ELSE CAST(num AS DOUBLE) / sqrt(CAST(det AS DOUBLE)) END)
+          |             * 1e4, 0) AS BIGINT) AS z_q4,
+          |       (CASE WHEN det = 0 THEN 0.0
+          |             ELSE CAST(num AS DOUBLE) / sqrt(CAST(det AS DOUBLE)) END)
+          |         >= 0 AS above_lang_mean
+          |FROM z ORDER BY doc_id""".stripMargin)),
+
     // Heuristic language ID: argmax of marker-word counts with a fixed
     // priority order, reported as a (actual, predicted) confusion matrix.
     ("text_langid",

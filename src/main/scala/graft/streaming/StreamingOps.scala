@@ -165,6 +165,44 @@ object StreamingOps {
       .select(unix_micros(col("w.start")).as("bucket_us"),
         col("n_pairs"), col("sum_value"))
 
+  /** CHAINED dedup → windowed aggregate — the second two-stateful-operator
+    * shape (the first chains a join into an aggregate, see
+    * [[streamStreamJoinAggChained]]): watermark-bounded exact dedup feeding
+    * an event-time windowed count in the SAME plan, the
+    * dedupe-then-measure pipeline run as one streaming query. Every doc
+    * is planted twice (same content fingerprint, same event time);
+    * event time is bucket-TRUNCATED (10 ms buckets, 1 ms per doc_id), and
+    * the truncated bucket timestamp is both the dedup key's time scope
+    * and the window column — so the dedup key (lang, fingerprint,
+    * bucket_ts) is exactly what the aggregate counts, making the
+    * surviving set (and therefore every bucket's count) deterministic
+    * under arrival-order races: organic same-content docs collapse within
+    * a bucket and survive across buckets. The 0-second watermark delay is
+    * the bounded-drain idiom: the final watermark lands on the max bucket
+    * timestamp, closing (and emitting, Append mode) every bucket but the
+    * last — the same emission rule the chained-join query pins, replayed
+    * by the oracle.
+    */
+  def dedupAggChainedStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("lang"), md5(lower(col("text"))).as("fingerprint"))
+      .withColumn("copy", explode(array(lit(0), lit(1))))
+      .withColumn("bucket_ts",
+        timestamp_micros(lit(1704067200000000L) +
+          (col("doc_id") - pmod(col("doc_id"), lit(10))) * 1000L))
+      .withWatermark("bucket_ts", "0 seconds")
+      .dropDuplicatesWithinWatermark("lang", "fingerprint", "bucket_ts")
+      .groupBy(window(col("bucket_ts"), "10 milliseconds").as("w"), col("lang"))
+      .agg(count(lit(1)).as("n_keys"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("lang"),
+        col("n_keys"))
+  }
+
   /** Streaming NEAR-dup collapse: watermark-bounded dedup keyed on the
     * 5-token opening shingle (the same near-dup key the batch
     * `pipeline_quality_dedup_sample` stage collapses on — the corpus'
@@ -243,7 +281,15 @@ object StreamingOps {
       // shape here emits on arrival, so the extra empty batch per query is
       // pure harness tax (~0.3 s each, measured) — callers whose output IS
       // watermark-gated opt in.
-      watermarkFlush: Boolean = false): DataFrame = {
+      watermarkFlush: Boolean = false,
+      // per-query state sizing, exactly as production would size a
+      // long-lived query to its state volume: the stream-stream joins and
+      // session windows carry real state and measurably prefer more
+      // partitions; the light dedup/agg shapes prefer fewer (each state
+      // store pays its own checkpoint, commit, and maintenance task on a
+      // bounded drain). `graft.stream.statePartitions` still overrides
+      // globally for experiments.
+      statePartitions: Int = 2): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData =
@@ -251,7 +297,8 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       watermarkFlush.toString)
     spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("graft.stream.statePartitions").getOrElse("1"))
+      spark.conf.getOption("graft.stream.statePartitions")
+        .getOrElse(statePartitions.toString))
     // The state store commits a checkpoint per partition per microbatch;
     // on a bounded drain that fsync-heavy I/O is pure overhead, so the
     // checkpoint lives on tmpfs when available. A long-lived production

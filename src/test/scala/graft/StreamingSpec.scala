@@ -112,6 +112,31 @@ class StreamingSpec extends SparkTestBase {
     assert(plan.contains("Aggregate"), plan)
   }
 
+  test("chained dedup -> windowed count equals the batch replay") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.dedupAggChainedStream(spark, sf), "dac_mem",
+      OutputMode.Append(), watermarkFlush = true)
+    val keys = Tables.documents(spark, sf)
+      .select(col("lang"), md5(lower(col("text"))).as("fp"),
+        (lit(1704067200000000L) +
+          (col("doc_id") - pmod(col("doc_id"), lit(10))) * 1000L).as("b_us"))
+      .distinct()
+    val wm = keys.agg(max("b_us")).collect()(0).getLong(0)
+    val batch = keys.filter(col("b_us") + 10000L <= wm)
+      .groupBy("b_us", "lang").agg(count(lit(1)).as("n_keys"))
+    val s = streamed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = batch.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(s == b, s"missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
+    // and the plan really chains the two stateful operators: the
+    // within-watermark dedup AND the windowed aggregate
+    val plan = StreamingOps.dedupAggChainedStream(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("DeduplicateWithinWatermark"), plan)
+    assert(plan.contains("Aggregate"), plan)
+  }
+
   test("stateful user totals equal the batch per-user aggregation") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.userTotals(spark, sf).toDF(), "users_mem", OutputMode.Update())

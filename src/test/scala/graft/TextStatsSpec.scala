@@ -159,6 +159,64 @@ class TextStatsSpec extends SparkTestBase {
     }
   }
 
+  test("text_ngram_topk matches an exact Scala recomputation") {
+    val rows = Tables.documents(spark, sf).select("lang", "text").collect()
+      .toSeq.map(r => (r.getString(0), r.getString(1)))
+    def grams(t: String): Seq[String] = {
+      val ws = t.split(" ").toSeq
+      if (ws.size >= 3) ws.sliding(3).map(_.mkString(" ")).toSeq
+      else Seq(ws.mkString(" "))
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (lang, rs) =>
+      rs.flatMap(r => grams(r._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (g, c) => (-c, g) }.take(10)
+        .map { case (g, c) => (lang, g, c) }
+    }.toSet
+    val got = q("text_ngram_topk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("documents_quality_zscore matches an exact Scala recomputation") {
+    val rows = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sq(t: String): Long = {
+      val ws = t.split(" ")
+      val n = ws.length.toDouble
+      val dr = ws.distinct.length.toDouble / n
+      val awl = (t.length - n + 1.0) / n
+      q6(math.log(n) * 0.3 + dr * 0.5 + awl * 0.02)
+    }
+    val scored = rows.map { case (id, lang, t) => (id, lang, sq(t)) }
+    val stats = scored.groupBy(_._2).map { case (lang, rs) =>
+      val xs = rs.map(_._3)
+      lang -> (xs.size.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val expected = scored.map { case (id, lang, x) =>
+      val (n, s, ss) = stats(lang)
+      val det = BigInt(n) * BigInt(ss) - BigInt(s) * BigInt(s)
+      val z = if (det == 0) 0.0
+        else (n * x - s).toDouble / math.sqrt(det.toDouble)
+      val z4 = BigDecimal(z * 1e4).setScale(0, RoundingMode.HALF_UP).toLong
+      id -> (z4, z >= 0)
+    }.toMap
+    val got = q("documents_quality_zscore").collect()
+    assert(got.length == rows.size)
+    got.foreach { r =>
+      val (z4, above) = expected(r.getLong(0))
+      assert(r.getLong(2) == z4, s"z_q4 for doc ${r.getLong(0)}")
+      assert(r.getBoolean(3) == above, s"above flag for doc ${r.getLong(0)}")
+    }
+    // the whole point of normalization: both flags occur in every language
+    val byLang = got.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.exists(_.getBoolean(3)) && rs.exists(!_.getBoolean(3)),
+        s"$lang must have docs on both sides of its mean")
+    }
+  }
+
   test("dupSpans: short-doc fallback treats the whole text as the single span") {
     import spark.implicits._
     // docs 1/2 are identical 3-token texts (< 8 tokens → whole-text span,
