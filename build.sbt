@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the committed heap: G1 uncommits after the bench harness's
+  // System.gc() calls, and re-expanding under a heavy cached stage
+  // page-faults fresh pages mid-query (measured as multi-second
+  // same-launch-time task stalls in the event log)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
