@@ -118,6 +118,20 @@ object ScaleSmoke {
     timed("encode_ids") {
       graft.operators.TextOps.encodeIds(big).count()
     }
+    // round-6 additions: per-language top-k grams through the partial/
+    // final TopKPerKeyExec split (the per-language shuffle must carry
+    // ≤ partitions×langs×k rows regardless of corpus size) and the
+    // z-score normalization (stats aggregate-compress to one row per
+    // language). Synthetic 5-language split over the multiplied corpus.
+    val bigLang = big.withColumn("lang",
+      element_at(array(lit("en"), lit("zh"), lit("es"), lit("fr"), lit("de")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")))
+    timed("ngram_topk") {
+      graft.operators.TextOps.ngramTopK(bigLang).count()
+    }
+    timed("quality_zscore") {
+      graft.operators.TextOps.qualityZscore(bigLang).count()
+    }
     // Conditional-broadcast fallback: with the estimate cap forced below
     // any relation, the vocab joins must NOT broadcast — the same query
     // re-plans as shuffle joins and still completes on the multiplied

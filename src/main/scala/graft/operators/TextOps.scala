@@ -320,6 +320,64 @@ object TextOps {
       .withColumn("is_dup_heavy", col("dup_ratio") > 0.5)
   }
 
+  /** Per-language top-k n-grams (see the `text_ngram_topk` entry): counts
+    * aggregate with map-side combine on the high-cardinality (lang, gram)
+    * key, then [[graft.plans.TopKPerKey]] keeps `k` rows per language —
+    * its partial/final split pre-reduces every partition map-side, so the
+    * per-language shuffle ships ≤ partitions×langs×k rows, never the
+    * gram-count relation. Deterministic ties: (count desc, gram asc).
+    */
+  def ngramTopK(docs: DataFrame, n: Int = 3, k: Int = 10): DataFrame = {
+    // token array materialized before shingling — shingles' lambda
+    // re-evaluates its token expression per element (see its docstring):
+    // an inline split would cost O(|tokens|²) per doc
+    val cnts = docs
+      .select(col("lang"), toks.as("tk"))
+      .select(col("lang"), explode(shingles(col("tk"), n)).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+    graft.plans.GraftPlans
+      .topKPerKey(cnts, Seq("lang"), Seq("cnt" -> false, "g" -> true), k)
+  }
+
+  /** Per-language quality z-scores (see the `documents_quality_zscore`
+    * entry): the text_quality_score formula quantized to a BIGINT
+    * scan-side, per-language (n, Σx, Σx²) as exact integer aggregates
+    * (the determinant in decimal — n·Σx² − (Σx)² overflows a Long at
+    * corpus scale), z = (n·x − Σx)/√(n·Σx² − (Σx)²) — one
+    * exactly-representable integer divided by the IEEE sqrt of another,
+    * so any engine computes bit-identical doubles. Emitted as a
+    * ×1e4-quantized BIGINT: round(z, 4) split 0.0 vs −0.0 across engines
+    * at sf0.1 (the round-2 lineitem_stats_agg signed-zero hash class —
+    * integers cannot hit it).
+    */
+  def qualityZscore(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .withColumn("n_tokens", size(toks).cast("double"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / col("n_tokens"))
+      .withColumn("avg_word_len",
+        (length(col("text")) - col("n_tokens") + lit(1.0)) / col("n_tokens"))
+      .withColumn("score",
+        log(col("n_tokens")) * 0.3 + col("distinct_ratio") * 0.5 +
+          col("avg_word_len") * 0.02)
+      .select(col("doc_id"), col("lang"),
+        round(col("score") * 1e6, 0).cast("long").as("sq"))
+    val stats = scored.groupBy("lang").agg(
+      count(lit(1)).as("n"), sum("sq").as("sm"),
+      sum(col("sq") * col("sq")).as("ssq"))
+    val det = col("n").cast("decimal(38,0)") * col("ssq").cast("decimal(38,0)") -
+      col("sm").cast("decimal(38,0)") * col("sm").cast("decimal(38,0)")
+    scored.join(broadcastIfSmall(stats), "lang")
+      .withColumn("det", det)
+      .withColumn("z",
+        when(col("det") === 0, lit(0.0))
+          .otherwise((col("n") * col("sq") - col("sm")).cast("double") /
+            sqrt(col("det").cast("double"))))
+      .select(col("doc_id"), col("lang"),
+        round(col("z") * 1e4, 0).cast("long").as("z_q4"),
+        (col("z") >= 0).as("above_lang_mean"))
+  }
+
   /** DuckDB replay of [[bpeMerges]] / [[bpeApply]] for `rounds` rounds:
     * one count → top-1 → merge CTE chain per round (the same double-space
     * replace scheme), generated instead of hand-unrolled so the gate's
@@ -679,14 +737,8 @@ object TextOps {
     // million-gram language. Third production use of the operator.
     // Deterministic ties: (count desc, gram asc).
     ("text_ngram_topk",
-      (s: SparkSession, d: String) => {
-        val cnts = documents(s, d)
-          .select(col("lang"), explode(shingles(toks, 3)).as("g"))
-          .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
-        graft.plans.GraftPlans
-          .topKPerKey(cnts, Seq("lang"), Seq("cnt" -> false, "g" -> true), 10)
-          .orderBy("lang", "g")
-      },
+      (s: SparkSession, d: String) =>
+        ngramTopK(documents(s, d)).orderBy("lang", "g"),
       Some(
         """WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
           |g AS (
@@ -717,39 +769,8 @@ object TextOps {
     // relation is one row per language (aggregate-compress → broadcast
     // join back); the score side stays scan-local.
     ("documents_quality_zscore",
-      (s: SparkSession, d: String) => {
-        val scored = documents(s, d)
-          .withColumn("n_tokens", size(toks).cast("double"))
-          .withColumn("distinct_ratio",
-            size(array_distinct(toks)).cast("double") / col("n_tokens"))
-          .withColumn("avg_word_len",
-            (length(col("text")) - col("n_tokens") + lit(1.0)) / col("n_tokens"))
-          .withColumn("score",
-            log(col("n_tokens")) * 0.3 + col("distinct_ratio") * 0.5 +
-              col("avg_word_len") * 0.02)
-          .select(col("doc_id"), col("lang"),
-            round(col("score") * 1e6, 0).cast("long").as("sq"))
-        val stats = scored.groupBy("lang").agg(
-          count(lit(1)).as("n"), sum("sq").as("sm"),
-          sum(col("sq") * col("sq")).as("ssq"))
-        val det = col("n").cast("decimal(38,0)") * col("ssq").cast("decimal(38,0)") -
-          col("sm").cast("decimal(38,0)") * col("sm").cast("decimal(38,0)")
-        scored.join(broadcastIfSmall(stats), "lang")
-          .withColumn("det", det)
-          .withColumn("z",
-            when(col("det") === 0, lit(0.0))
-              .otherwise((col("n") * col("sq") - col("sm")).cast("double") /
-                sqrt(col("det").cast("double"))))
-          // ×1e4-quantized BIGINT, not round(z, 4): a z just under zero
-          // rounds to −0.0 in DuckDB but BigDecimal-rounds to +0.0 in
-          // Spark, and the driver's value hash splits on the sign bit —
-          // integers have no signed zero (the round-2 lineitem_stats_agg
-          // lesson, hit again live at sf0.1 by this query)
-          .select(col("doc_id"), col("lang"),
-            round(col("z") * 1e4, 0).cast("long").as("z_q4"),
-            (col("z") >= 0).as("above_lang_mean"))
-          .orderBy("doc_id")
-      },
+      (s: SparkSession, d: String) =>
+        qualityZscore(documents(s, d)).orderBy("doc_id"),
       Some(
         """WITH q AS (
           |  SELECT doc_id, lang,

@@ -50,12 +50,34 @@ final case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    // partial = map-side pass BEFORE the key shuffle, the partial-
+    // aggregation shape: top-k is algebraic (top-k of a union is top-k
+    // of the concatenated per-partition top-k's — the same identity the
+    // spill merge relies on), so each input partition pre-reduces to
+    // ≤ keys×k rows and the exchange ships those instead of the full
+    // child relation. The final (non-partial) exec above the shuffle
+    // merges. For a shuffle carrying millions of grouped candidates into
+    // a handful of key partitions (per-language top-k over corpus-scale
+    // gram counts), this is the difference between shuffling the corpus
+    // and shuffling keys×k×partitions rows into the skewed side.
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
+
+  // row-set reduction preserves the child's partitioning (SparkPlan's
+  // default is UnknownPartitioning, which made every downstream
+  // clustering consumer re-shuffle the ≤ keys×k output)
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
@@ -259,7 +281,12 @@ private final class TopKPartitionIterator(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // two-level plan, exactly the partial/final aggregation shape:
+      // map-side bounded heaps reduce each partition to ≤ keys×k rows,
+      // the exchange (inserted by the final exec's required distribution)
+      // ships only those, the final exec merges per key
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyExec(keys, order, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }

@@ -28,6 +28,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(custom == window)
     val p = q("sim_topk_exec").queryExecution.executedPlan.toString
     assert(p.contains("TopKPerKey"), s"custom exec not planned:\n$p")
+    // the partial/final split: a map-side partial pass below the key
+    // exchange pre-reduces every partition to ≤ keys×k rows, so the
+    // shuffle never carries the full child relation
+    val finalIdx = p.indexOf("TopKPerKey ")
+    val partialIdx = p.indexOf("TopKPerKeyPartial")
+    assert(finalIdx >= 0 && partialIdx > finalIdx, s"expected partial+final:\n$p")
+    val between = p.substring(finalIdx, partialIdx)
+    assert(between.contains("Exchange hashpartitioning"),
+      s"key exchange must sit between final and partial:\n$p")
   }
 
   test("TopKPerKeyExec spills past the retained-row budget and stays exact") {
