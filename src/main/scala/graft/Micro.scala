@@ -22,6 +22,9 @@ object Micro {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // streaming experiments: override the per-query state partition sizing
+    sys.env.get("SPARK_GRAFT_STATE_PARTS")
+      .foreach(p => spark.conf.set("graft.stream.statePartitions", p))
     names.foreach { n => SparkEntry.queries(n)(spark, sfDir).count() } // warm
     names.foreach { n =>
       val ts = (1 to iters).map { _ =>

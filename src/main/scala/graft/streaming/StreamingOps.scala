@@ -35,7 +35,16 @@ object StreamingOps {
     * `events_hourly_window` query (same buckets, same aggregates).
     */
   def hourlyWindow(spark: SparkSession, dir: String): DataFrame =
-    eventsStream(spark, dir)
+    hourlyWindowOn(eventsStream(spark, dir))
+
+  /** The hourly-window pipeline over any event stream carrying (ts,
+    * event_type, value) — split from the source so the multi-batch replay
+    * spec drives the SAME pipeline over a chunked copy of the corpus
+    * (maxFilesPerTrigger=1), proving the watermark/state machinery holds
+    * across micro-batch boundaries, not just on a single-batch drain.
+    */
+  private[graft] def hourlyWindowOn(src: DataFrame): DataFrame =
+    src
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
@@ -80,18 +89,29 @@ object StreamingOps {
   def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    dedupExactOn(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .withColumn("copy", explode(array(lit(0), lit(1)))))
+  }
+
+  /** The watermarked exact-dedup core over any documents stream — split
+    * from the source/dup-planting so the multi-batch replay spec can feed
+    * the SAME pipeline a stream whose duplicate copies arrive in
+    * DIFFERENT micro-batches (the production arrival shape the explode
+    * twin can't produce), proving the seen-set state carries across
+    * batch boundaries while within the watermark.
+    */
+  private[graft] def dedupExactOn(src: DataFrame): DataFrame =
+    src
       .select(col("doc_id"), col("lang"), md5(lower(col("text"))).as("fingerprint"))
-      .withColumn("copy", explode(array(lit(0), lit(1))))
       .withColumn("event_ts",
         timestamp_micros(lit(1704067200000000L) + col("doc_id")))
       .withWatermark("event_ts", "10 minutes")
       .dropDuplicatesWithinWatermark("lang", "fingerprint")
       .select(col("lang"), col("fingerprint"))
-  }
 
   /** Stream-static join — the enrichment shape streaming pipelines run
     * constantly: the event stream joins a STATIC dimension (customer
@@ -289,7 +309,19 @@ object StreamingOps {
       // store pays its own checkpoint, commit, and maintenance task on a
       // bounded drain). `graft.stream.statePartitions` still overrides
       // globally for experiments.
-      statePartitions: Int = 2): DataFrame = {
+      statePartitions: Int = 2): DataFrame =
+    drainToMemory(df, name, mode, watermarkFlush, statePartitions)._1
+
+  /** [[runToMemory]] plus the number of DATA micro-batches the drain ran —
+    * the replay spec asserts the chunked source really processed one batch
+    * per file (state crossing real batch boundaries), not one big drain.
+    */
+  private[graft] def drainToMemory(
+      df: DataFrame,
+      name: String,
+      mode: OutputMode = OutputMode.Update(),
+      watermarkFlush: Boolean = false,
+      statePartitions: Int = 2): (DataFrame, Int) = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData =
@@ -309,6 +341,7 @@ object StreamingOps {
       (if (ckptBase.isDirectory && ckptBase.canWrite) ckptBase.toPath
        else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))),
       s"graft-ckpt-$name-").toFile
+    var dataBatches = 0
     try {
       val q = df.writeStream
         .outputMode(mode)
@@ -318,6 +351,7 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      dataBatches = q.recentProgress.count(_.numInputRows > 0)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       prevNoData match {
@@ -332,6 +366,6 @@ object StreamingOps {
       }
       rm(ckpt)
     }
-    spark.table(name)
+    (spark.table(name), dataBatches)
   }
 }

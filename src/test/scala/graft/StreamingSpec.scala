@@ -137,6 +137,98 @@ class StreamingSpec extends SparkTestBase {
     assert(plan.contains("Aggregate"), plan)
   }
 
+  /** Stage `df` as `n` sequential single-file parquet writes under a fresh
+    * temp dir (path-ordered f0 < f1 < …), so a file stream with
+    * maxFilesPerTrigger=1 replays it as `n` real micro-batches.
+    */
+  private def stageChunks(df: org.apache.spark.sql.DataFrame, n: Int,
+      chunk: Int => org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay-").toFile
+    (0 until n).foreach { i =>
+      val stage = new java.io.File(dir, s"stage_$i")
+      chunk(i)(df).coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, f"f$i%02d.parquet").toPath)
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+    dir
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
+  }
+
+  test("multi-batch replay: duplicates arriving in a LATER micro-batch still dedup") {
+    // the single-batch gate drain plants both copies of a doc in one
+    // batch; production arrival is the opposite — the duplicate shows up
+    // later. Stage the corpus twice (two files), replay one file per
+    // micro-batch through the SAME dedup pipeline: every key in batch 1
+    // is a cross-batch duplicate and must be suppressed by state carried
+    // over the batch boundary (the whole corpus sits inside the
+    // 10-minute watermark window, per the pipeline's contract note).
+    val docs = Tables.documents(spark, sf)
+    val dir = stageChunks(docs, 2, _ => identity)
+    try {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+      val (streamed, nBatches) = StreamingOps.drainToMemory(
+        StreamingOps.dedupExactOn(src), "replay_dedup_mem", OutputMode.Append())
+      assert(nBatches == 2, s"expected 2 data micro-batches, got $nBatches")
+      val batch = docs
+        .select(col("lang"), md5(lower(col("text"))).as("fingerprint")).distinct()
+      val s = streamed.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val b = batch.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(s == b, s"missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
+      // each surviving key exactly once — a re-emission in batch 1 would
+      // pass set equality but double the row count
+      assert(streamed.count() == batch.count())
+    } finally rmTree(dir)
+  }
+
+  test("multi-batch replay: hourly window with the watermark advancing across micro-batches") {
+    // time-ordered quarters, one per micro-batch: the watermark advances
+    // between batches (after batch i it sits at maxTs(quarter i) − 2 h),
+    // open windows carry state across batch boundaries, and nothing is
+    // late — so the drained result must still equal the batch aggregate.
+    // ts is already converted to a µs timestamp by Tables.events, so the
+    // staged files read back with a plain schema (no nanosAsLong step)
+    val events = Tables.events(spark, sf)
+    val Array(q1, q2, q3) = events
+      .select(unix_micros(col("ts")).as("us")).stat
+      .approxQuantile("us", Array(0.25, 0.5, 0.75), 0.001)
+      .map(_.toLong)
+    val us = unix_micros(col("ts"))
+    val bounds: Seq[org.apache.spark.sql.Column] =
+      Seq(us < q1, us >= q1 && us < q2, us >= q2 && us < q3, us >= q3)
+    val dir = stageChunks(events, 4, i => df => df.filter(bounds(i)))
+    try {
+      val src = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+      val (streamed, nBatches) = StreamingOps.drainToMemory(
+        StreamingOps.hourlyWindowOn(src), "replay_hourly_mem",
+        OutputMode.Update())
+      assert(nBatches == 4, s"expected 4 data micro-batches, got $nBatches")
+      val dedupedUpdates = streamed
+        // Update mode re-emits a bucket as later batches extend it; the
+        // LAST update per key is the final state. n strictly increases
+        // per update (an update means new rows arrived), so the max
+        // struct keyed on n picks the last update — max over each column
+        // separately would break if a negative value lowered the sum
+        .groupBy("bucket_us", "event_type")
+        .agg(max(struct(col("n"), col("sum_value"))).as("last"))
+        .select(col("bucket_us"), col("event_type"),
+          col("last.n").as("n"), col("last.sum_value").as("sum_value"))
+      val batch = q("events_hourly_window")
+      val s = dedupedUpdates.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val b = batch.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(s == b, s"missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
+    } finally rmTree(dir)
+  }
+
   test("stateful user totals equal the batch per-user aggregation") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.userTotals(spark, sf).toDF(), "users_mem", OutputMode.Update())
