@@ -378,6 +378,39 @@ object TextOps {
         (col("z") >= 0).as("above_lang_mean"))
   }
 
+  /** Per-source document cap — the anti-domination guard corpus curation
+    * applies before training (no single domain/source may contribute more
+    * than `k` documents): rank within each source by length (n_chars
+    * desc, doc_id asc for determinism) and keep the top `k` through
+    * [[graft.plans.TopKPerKey]]. Bounded heaps per source — the
+    * partial/final exec split ships ≤ partitions×sources×k rows through
+    * the key shuffle, where a row_number window would serialize every
+    * source's full document set through one task each.
+    */
+  def sourceCap(docs: DataFrame, k: Int = 25): DataFrame =
+    graft.plans.GraftPlans.topKPerKey(
+      docs.select(col("doc_id"), col("source"), col("n_chars")),
+      Seq("source"), Seq("n_chars" -> false, "doc_id" -> true), k)
+
+  /** Deterministic content-addressed train/val/test split: the first hex
+    * nibble of md5(text) routes each document — 0..c → train (13/16),
+    * d..e → val (2/16), f → test (1/16). Hashing CONTENT (not doc_id)
+    * keeps the assignment stable under re-ingestion and id reshuffles,
+    * and puts exact duplicates in the SAME split — no train/test leakage
+    * through surviving dups. Scan-local routing (both engines compute the
+    * same md5 hex, compared under binary collation), then a 3-row
+    * aggregate.
+    */
+  def trainSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h", substring(md5(col("text")), 1, 1))
+      .withColumn("split",
+        when(col("h") <= "c", "train")
+          .when(col("h") <= "e", "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+
   /** DuckDB replay of [[bpeMerges]] / [[bpeApply]] for `rounds` rounds:
     * one count → top-1 → merge CTE chain per round (the same double-space
     * replace scheme), generated instead of hand-unrolled so the gate's
@@ -516,6 +549,40 @@ object TextOps {
           |)
           |WHERE rn <= ceil(n_lang * 0.1)
           |ORDER BY lang, doc_id""".stripMargin)),
+
+    // Per-source cap: the fourth production use of the TopKPerKey exec
+    // (after sim_topk_exec, embedding_lang_outliers, text_ngram_topk) —
+    // per-domain contribution limits before training. The oracle replays
+    // it as a row_number window; the Spark plan must NOT (bounded heaps
+    // + partial/final split instead — asserted in ExplainSpec).
+    ("documents_source_cap",
+      (s: SparkSession, d: String) =>
+        sourceCap(documents(s, d)).orderBy("source", "doc_id"),
+      Some(
+        """SELECT doc_id, source, n_chars FROM (
+          |  SELECT doc_id, source, n_chars,
+          |         row_number() OVER (PARTITION BY source
+          |           ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 25
+          |ORDER BY source, doc_id""".stripMargin)),
+
+    // Content-addressed train/val/test split; sum cast BIGINT (DuckDB's
+    // BIGINT sum widens to HUGEINT, which would hash-mismatch).
+    ("documents_train_split",
+      (s: SparkSession, d: String) =>
+        trainSplit(documents(s, d)).orderBy("split"),
+      Some(
+        """SELECT split, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM (
+          |  SELECT CASE WHEN substr(md5(text), 1, 1) <= 'c' THEN 'train'
+          |              WHEN substr(md5(text), 1, 1) <= 'e' THEN 'val'
+          |              ELSE 'test' END AS split,
+          |         n_chars
+          |  FROM documents)
+          |GROUP BY split
+          |ORDER BY split""".stripMargin)),
 
     // The composed training-data pipeline in ONE plan: quality filter →
     // prefix dedup (keep min doc_id per 5-token prefix — the near-dup

@@ -120,6 +120,27 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("PushedFilters"), s"keep predicate should reach the scan:\n$p")
   }
 
+  test("source cap plans bounded heaps (partial+final TopKPerKey), not a per-source window") {
+    // per-domain caps over a web-scale corpus: a row_number window would
+    // serialize each source's full document set through one task; the
+    // custom exec's partial pass bounds the key shuffle to
+    // partitions×sources×k rows
+    val p = plan("documents_source_cap")
+    assert(!p.contains("Window"), s"cap must not use a per-source window:\n$p")
+    assert(p.contains("TopKPerKeyPartial"),
+      s"expected the map-side partial top-k pass:\n$p")
+    assert(p.contains("TopKPerKey "), s"expected the final top-k merge:\n$p")
+  }
+
+  test("train split routes scan-local: no shuffle below the 3-row aggregate") {
+    // the split column is a pure function of the text column, so the only
+    // exchange in the plan is the final tiny aggregate's
+    val p = plan("documents_train_split")
+    assert(!p.contains("Window"), p)
+    assert(p.split("Exchange").length - 1 <= 2,
+      s"expected at most partial-agg + sort exchanges:\n$p")
+  }
+
   test("composed pipeline samples without a per-stratum window") {
     val p = plan("pipeline_quality_dedup_sample")
     assert(!p.contains("Window"), s"pipeline sampler must not use a window:\n$p")
