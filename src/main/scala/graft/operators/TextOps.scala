@@ -305,13 +305,17 @@ object TextOps {
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("tk"), 8))).as("g"))
-      // the window's required child sort compares the partition key; a
-      // 50-char span string per comparison dominated the stage, so the
-      // sort leads with the span's 8-byte hash and falls back to the
-      // string only on hash-equal rows — EXACT (the string stays in the
-      // key; a collision costs one extra compare, never a merged count)
-      .withColumn("gh", xxhash64(col("g")))
-    sp.withColumn("df", count(lit(1)).over(Window.partitionBy("gh", "g")))
+      // span identity ships as a 128-bit fingerprint (two independent
+      // xxhash64 lanes), the same fingerprint-as-identity convention
+      // dedup_exact applies with md5: the ~50-char span string never
+      // enters the exchange, and the window's required child sort
+      // compares two longs instead of variable-length strings (measured
+      // the string compare dominating this stage). A collision merging
+      // two distinct spans needs both 64-bit lanes to collide —
+      // ~n²/2¹²⁸, vanishing below hardware error rates at any corpus.
+      .select(col("doc_id"),
+        xxhash64(col("g")).as("gh1"), xxhash64(lit(1), col("g")).as("gh2"))
+    sp.withColumn("df", count(lit(1)).over(Window.partitionBy("gh1", "gh2")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
@@ -626,8 +630,13 @@ object TextOps {
     // benchmark side is SMALL by definition, so its distinct n-gram set
     // broadcasts and the train side never shuffles — at 100 TB the scan
     // stays embarrassingly parallel with a map-side semi-join. Joined on
-    // the raw n-gram string for oracle parity (production would hash the
-    // join key; candidates here are exact either way).
+    // a 128-bit n-gram fingerprint (two xxhash64 lanes — the
+    // fingerprint-as-identity convention dedup_exact sets with md5), so
+    // the ~50-char gram string is dropped scan-side: the cache holds
+    // (doc_id, 2×long), the broadcast set is longs, and the join probes
+    // compare longs. Both engines agree because the oracle compares the
+    // strings the fingerprints stand for — a disagreement needs a
+    // two-lane collision, ~n²/2¹²⁸.
     ("text_decontaminate",
       (s: SparkSession, d: String) => {
         // ONE tokenize+shingle pass over the corpus, cached and consumed
@@ -639,20 +648,22 @@ object TextOps {
           .select(col("doc_id"), toks.as("tk"))
           .select(col("doc_id"),
             explode(array_distinct(shingles(col("tk"), 6))).as("g"))
+          .select(col("doc_id"),
+            xxhash64(col("g")).as("gh1"), xxhash64(lit(1), col("g")).as("gh2"))
           .cache()
         DedupOps.registerDedupCaches(grams, Seq(grams))
         val bench = grams.filter(col("doc_id") % 5 === 0)
-          .select("g").distinct()
+          .select("gh1", "gh2").distinct()
         val train = grams.filter(col("doc_id") % 5 =!= 0)
         // count(1), not count_distinct: the train side explodes
         // per-doc-DISTINCT grams and the bench side is globally distinct,
-        // so the semi-join emits each (doc_id, g) at most once — the
+        // so the semi-join emits each (doc_id, gram) at most once — the
         // distinct aggregate's extra expand/shuffle pass bought nothing
         // (measured ~2× on this query's aggregate stage). The benchmark
         // n-gram set is small by construction (a fixed eval suite in
         // production), but the hint still degrades to a shuffle join past
         // the size estimate rather than forcing an OOM.
-        train.join(broadcastIfSmall(bench), "g")
+        train.join(broadcastIfSmall(bench), Seq("gh1", "gh2"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shared"))
           .orderBy("doc_id")
