@@ -69,6 +69,50 @@ object StreamOps {
           |FROM sess GROUP BY user_id, session_id
           |ORDER BY user_id, start_us""".stripMargin)),
 
+    // Closed-session emission through flatMapGroupsWithState + event-time
+    // timeouts — the custom-state sessionization API (per-session payload
+    // beyond what session_window expresses; state is one triple per user,
+    // evicted by timeout). Non-final sessions close via the gap rule
+    // (> 30 min, the batch events_sessionize rule); each user's final
+    // session emits iff its timeout (last event + 30 min, at the
+    // watermark's ms precision) lies strictly below the final watermark —
+    // the emission rule the oracle replays, pinned empirically at all
+    // three SFs in StreamingSpec.
+    ("stream_sessions_fmgws",
+      (s: SparkSession, d: String) => {
+        val name = s"stream_fm_${math.abs(d.hashCode)}"
+        StreamingOps.runToMemory(
+          StreamingOps.closedSessions(s, d).toDF(), name, OutputMode.Append(),
+          watermarkFlush = true, statePartitions = 4)
+          .orderBy("user_id", "start_us")
+      },
+      Some(
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+          |flagged AS (
+          |  SELECT user_id, ts_us,
+          |         CASE WHEN lag(ts_us) OVER w IS NULL
+          |              OR ts_us - lag(ts_us) OVER w > 1800000000
+          |              THEN 1 ELSE 0 END AS new_s
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+          |), sess AS (
+          |  SELECT user_id, ts_us,
+          |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM flagged
+          |), agg AS (
+          |  SELECT user_id, sid,
+          |         min(ts_us) AS start_us,
+          |         CAST(count(*) AS BIGINT) AS n_events,
+          |         max(ts_us) - min(ts_us) AS dur_us,
+          |         max(ts_us) AS last_us,
+          |         max(sid) OVER (PARTITION BY user_id) AS last_sid
+          |  FROM sess GROUP BY user_id, sid
+          |), wm AS (SELECT max(ts_us) // 1000 - 7200000 AS wm_ms FROM e)
+          |SELECT user_id, start_us, n_events, dur_us
+          |FROM agg, wm
+          |WHERE sid < last_sid OR last_us // 1000 + 1800000 < wm_ms
+          |ORDER BY user_id, start_us""".stripMargin)),
+
     // Streaming exact dedup: every stream row duplicated, deduped on the
     // content fingerprint with watermark-bounded state
     // (dropDuplicatesWithinWatermark) — the stateful twin of dedup_exact.

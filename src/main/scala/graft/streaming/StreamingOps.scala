@@ -258,6 +258,76 @@ object StreamingOps {
       .select(col("k"))
   }
 
+  final case class SessionOut(
+      user_id: Long, start_us: Long, n_events: Long, dur_us: Long)
+  // not private: the state Encoder's generated code needs public accessors
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Closed-session emission via flatMapGroupsWithState + event-time
+    * timeouts — the custom-state API production sessionization uses when
+    * the built-in session_window can't express the per-session payload:
+    * per user, events merge into the open session while gaps stay ≤ 30
+    * min (the SAME rule as the batch `events_sessionize`: a gap strictly
+    * over 30 min starts a new session); a session is EMITTED when it
+    * closes — either a later event of the same user opens the next
+    * session (gap rule), or the event-time watermark passes the open
+    * session's last event + 30 min (timeout rule; `hasTimedOut`
+    * invocation with the state removed). State is one (start, last, n)
+    * triple per user — O(users), not O(events) — and the timeout bound
+    * means an idle user's state is dropped, which is what keeps the
+    * operator alive on an unbounded feed.
+    *
+    * Determinism on the bounded drain: every non-final session closes by
+    * the gap rule regardless of arrival; the final open session per user
+    * emits iff its timeout timestamp (last+30min, in WATERMARK ms
+    * precision) is strictly below the final watermark ms — the emission
+    * rule the gate oracle replays (pinned empirically at all three SFs,
+    * like the chained-stateful queries' window rule).
+    */
+  def closedSessions(spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      // the watermark tag lives on the TIMESTAMP column — it must reach
+      // the stateful operator un-projected; µs conversion happens in the
+      // lambda instead
+      .select(col("user_id").cast(LongType).as("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, raw: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.n, s.last - s.start))
+          } else {
+            // micro-batch iterators are arrival-ordered, not time-ordered;
+            // a session pass needs event-time order. The sort is per
+            // (user, batch) — bounded by the batch, never the corpus.
+            val sorted = raw.map { case (_, t) =>
+              val i = t.toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }.toArray.sorted
+            var out = List.empty[SessionOut]
+            var st = state.getOption.orNull
+            sorted.foreach { t =>
+              if (st == null) st = SessionState(t, t, 1)
+              else if (t - st.last > gapUs) {
+                out ::= SessionOut(user, st.start, st.n, st.last - st.start)
+                st = SessionState(t, t, 1)
+              } else st = SessionState(st.start, t, st.n + 1)
+            }
+            state.update(st)
+            // timeout is ms-precision (the watermark's unit)
+            state.setTimeoutTimestamp(st.last / 1000L + gapUs / 1000L)
+            out.reverseIterator
+          }
+      }
+  }
+
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
   /** Stateful per-user running totals via mapGroupsWithState — the custom-

@@ -229,6 +229,44 @@ class StreamingSpec extends SparkTestBase {
     } finally rmTree(dir)
   }
 
+  test("flatMapGroupsWithState closed sessions = batch sessions minus still-open tails") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.closedSessions(spark, sf).toDF(), "fmgws_mem",
+      OutputMode.Append(), watermarkFlush = true)
+    val e = Tables.events(spark, sf)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    val sess = e
+      .withColumn("prev", lag("ts_us", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("ts_us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("start_us"), count(lit(1)).as("n_events"),
+        (max("ts_us") - min("ts_us")).as("dur_us"), max("ts_us").as("last_us"))
+    // final watermark in ms: floor(max event time µs / 1000) − 2 h; a
+    // user's LAST session emits iff its timeout (last + 30 min, ms) is
+    // strictly below it — the rule the gate oracle replays
+    val wmMs = e.agg(expr("max(ts_us) div 1000").as("m"))
+      .collect()(0).getLong(0) - 7200000L
+    val expected = sess
+      .withColumn("last_sid",
+        max("sid").over(Window.partitionBy("user_id")))
+      .filter(col("sid") < col("last_sid") ||
+        expr("last_us div 1000") + 1800000L < wmMs)
+      .select("user_id", "start_us", "n_events", "dur_us")
+    val s = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = expected.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(s == b, s"missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
+    assert(streamed.count() == expected.count())
+  }
+
   test("stateful user totals equal the batch per-user aggregation") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.userTotals(spark, sf).toDF(), "users_mem", OutputMode.Update())
