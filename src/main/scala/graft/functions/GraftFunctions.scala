@@ -20,6 +20,9 @@ object GraftFunctions {
 
   def rolling_fp(s: Column): Column = toCol(RollingFingerprint(ex(s)))
 
+  def winnow_fp(s: Column, k: Int, w: Int): Column =
+    toCol(WinnowSelect(ex(s), k, w))
+
   def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(ex(a), ex(b)))
 
   def srp_sig(v: Column, bits: Int, seed: Long): Column =
@@ -69,6 +72,10 @@ object GraftFunctions {
       es => SimHash64(es.head)))
     e.injectFunction((FunctionIdentifier("rolling_fp"), info("rolling_fp"),
       es => RollingFingerprint(es.head)))
+    e.injectFunction((FunctionIdentifier("winnow_fp"), info("winnow_fp"),
+      es => WinnowSelect(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       es => CosineSim(es.head, es(1))))
   }
@@ -82,6 +89,11 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_fp", es => RollingFingerprint(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fp",
+      es => WinnowSelect(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
   }
 }

@@ -96,6 +96,69 @@ object TextHash {
     }
     h
   }
+
+  /** Winnowing fingerprint selection (the MOSS sketch, Schleimer/Wilkerson/
+    * Aiken, SIGMOD 2003): hash every char k-gram with the seedless
+    * polynomial rolling hash (base 1000003 mod 2^64 — the [[rollingFingerprint]]
+    * scheme without the FNV offset, so a gram hash is the plain
+    * `Σ byte_j · B^(k-1-j)` an oracle can replay term-by-term), then slide a
+    * w-gram window and select each window's minimum (leftmost position on a
+    * hash tie — deterministic, no run-state dependence). Returns the DISTINCT
+    * selected hashes sorted ascending (signed order, matching any engine's
+    * BIGINT sort). The winnowing guarantee: any match of length ≥ w+k−1
+    * between two documents shares at least one selected hash, at ~2/(w+1)
+    * the grams stored.
+    *
+    * One streaming pass per row: the gram hashes are computed incrementally
+    * (subtract the outgoing byte's `B^(k-1)` term, multiply, add) and the
+    * window minimum comes from a monotonic index deque — O(n) per document
+    * total, not O(n·w). Fewer than w grams degrades to one whole-document
+    * window; no grams (text shorter than k) selects nothing.
+    */
+  def winnowSelect(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val m = bytes.length - k + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val h = new Array[Long](m)
+    var bk1 = 1L // B^(k-1) mod 2^64
+    var j = 0
+    while (j < k - 1) { bk1 *= 1000003L; j += 1 }
+    var cur = 0L
+    j = 0
+    while (j < k) { cur = cur * 1000003L + (bytes(j) & 0xff); j += 1 }
+    h(0) = cur
+    var i = 1
+    while (i < m) {
+      cur = (cur - (bytes(i - 1) & 0xff) * bk1) * 1000003L + (bytes(i + k - 1) & 0xff)
+      h(i) = cur
+      i += 1
+    }
+    // monotonic deque of gram indices; back-pop is strictly-greater only, so
+    // among equal hashes the earliest index stays ahead → front is the
+    // LEFTMOST argmin of the current window
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < m) {
+      while (tail > head && h(dq(tail - 1)) > h(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (i >= w - 1) {
+        while (dq(head) <= i - w) head += 1
+        selected.add(h(dq(head)))
+      }
+      i += 1
+    }
+    // fewer grams than the window width: one whole-document window
+    if (m < w) selected.add(h(dq(head)))
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** `minhash_sig(tokens, k)` → array<bigint> of k MinHash values. */
@@ -123,6 +186,22 @@ case class SimHash64(child: Expression)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHash.simhash64($c);")
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** `winnow_fp(str, k, w)` → array<bigint> of distinct winnowing-selected
+  * k-gram hashes, sorted ascending (see [[TextHash.winnowSelect]]).
+  */
+case class WinnowSelect(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0, "winnow_fp: k and w must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.winnowSelect(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.winnowSelect($c, $k, $w);")
+  override protected def withNewChildInternal(c: Expression): WinnowSelect = copy(child = c)
 }
 
 /** `rolling_fp(str)` → bigint rolling-hash fingerprint. */

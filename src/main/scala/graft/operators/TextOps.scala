@@ -163,6 +163,73 @@ object TextOps {
         round(-(col("sum_lp6").cast("double") / 1e6) / col("n_tokens"), 4))
   }
 
+  /** Global 0-based positions under a total order, assigned WITHOUT a
+    * single-task window: `orderBy` is Spark's distributed range sort (the
+    * sort spreads across partitions) and `zipWithIndex` adds per-partition
+    * offsets with one light per-partition count job — the [[encodeIds]]
+    * id-assignment pattern generalized to any row shape. This is the
+    * building block for every "global rank" need in the gate (training-
+    * order shuffle, ntile bucketing): a no-partition `row_number` window
+    * computes the same thing through ONE task and is never the scale path.
+    */
+  private def globalPositions(df: DataFrame, order: Column*): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.orderBy(order: _*)
+    val schema = StructType(
+      sorted.schema :+ StructField("gpos", LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
+  /** Deterministic global training-order shuffle: (doc_id, pos) with pos
+    * the document's position in the md5-keyed total order — the "shuffle
+    * the corpus once, read it sequentially forever" step before training.
+    * Content-addressed (md5 of the id, doc_id tie-break), so the order is
+    * reproducible across engines and runs — no rand(), no seed state.
+    */
+  def shuffleOrder(docs: DataFrame): DataFrame =
+    globalPositions(
+      docs.select(col("doc_id"), md5(col("doc_id").cast("string")).as("k")),
+      col("k"), col("doc_id"))
+      .select(col("doc_id"), col("gpos").as("pos"))
+
+  /** CCNet-style perplexity buckets: per language, split documents into
+    * head/middle/tail terciles by unigram-LM mean NLL (lower = closer to
+    * the corpus LM = "head"). The tercile assignment is ntile(3) SEMANTICS
+    * computed WITHOUT a per-language single-task window: global positions
+    * over the (lang, nll, doc_id) range sort, per-lang offsets subtracted
+    * via a broadcast join of per-lang (min position, count), then the SQL
+    * ntile closed form on the within-lang rank — first `n mod k` buckets
+    * get the extra row, exactly the standard every engine implements. At
+    * 100 TB each piece stays distributed: one range sort, one vocab-sized
+    * aggregate, one broadcast.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val scored = unigramLogprob(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), col("nll"), col("doc_id"), col("n_tokens"))
+    val pos = globalPositions(scored, col("lang"), col("nll"), col("doc_id"))
+    val perLang = pos.groupBy("lang")
+      .agg(min("gpos").as("off"), count(lit(1)).as("n_lang"))
+    val ranked = pos.join(broadcast(perLang), "lang")
+      .withColumn("rn", col("gpos") - col("off") + 1)
+    // ntile(3) closed form: q = n div 3, r = n mod 3; the first r buckets
+    // hold q+1 rows. q = 0 (n < 3) degenerates to bucket = rn, matching
+    // ntile with more buckets than rows.
+    val q = expr("n_lang div 3")
+    val r = col("n_lang") % 3
+    val cut = r * (q + 1)
+    val bucket = when(col("rn") <= cut, ceil(col("rn") / (q + 1)))
+      .otherwise(r + ceil((col("rn") - cut) / greatest(q, lit(1L))))
+    ranked.withColumn("bucket", bucket.cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("nll").as("min_nll"), max("nll").as("max_nll"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Bigram-PMI relation (see the `text_pmi_bigrams` entry): (bigram,
     * c12, pmi6) ordered by (pmi6 desc, bigram). Docs under 2 tokens are
     * excluded. Both count relations are aggregate-compressed (vocab-sized,
@@ -963,6 +1030,73 @@ object TextOps {
           |  FROM documents)
           |ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing fingerprint selection (the MOSS sketch, SIGMOD 2003) — the
+    // local-similarity sketch real code/text dedup stacks store per document:
+    // hash every char 4-gram, slide an 8-gram window, keep each window's
+    // minimum (leftmost on tie). Any shared substring of length ≥ 11 chars
+    // between two documents is GUARANTEED to share a selected hash, at
+    // ~2/(w+1) of the grams stored. The native WinnowSelect expression does
+    // it in one incremental pass per row (monotonic deque, O(n) not O(n·w))
+    // inside whole-stage codegen — scan-local, no shuffle, the 100 TB shape.
+    // DuckDB replays the same seedless base-1000003 mod-2^64 gram hash
+    // term-by-term in hugeint and the window selection as an explicit
+    // window×gram join — O(n·w) rows, the cost of not having the operator.
+    // Output is set-shaped (distinct selected hashes, sorted) and ships as
+    // count + md5 over the joined values — no array cells in the gate.
+    ("text_winnowing",
+      (s: SparkSession, d: String) =>
+        documents(s, d)
+          .select(col("doc_id"), col("text"),
+            winnow_fp(col("text"), 4, 8).as("sel"))
+          .select(col("doc_id"),
+            greatest(length(col("text")) - 3, lit(0)).cast("long").as("n_grams"),
+            size(col("sel")).cast("long").as("n_selected"),
+            md5(array_join(transform(col("sel"), _.cast("string")), ","))
+              .as("winnow_md5"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH ch AS (
+          |  SELECT doc_id, string_split(text, '') AS cs, len(text) AS n FROM documents
+          |), g AS (
+          |  SELECT doc_id, i AS p,
+          |         CAST(CASE WHEN hu >= 9223372036854775808
+          |                   THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS h
+          |  FROM (
+          |    SELECT doc_id, i,
+          |           (CAST(unicode(cs[i]) AS HUGEINT) * 1000009000027000027
+          |            + CAST(unicode(cs[i+1]) AS HUGEINT) * 1000006000009
+          |            + CAST(unicode(cs[i+2]) AS HUGEINT) * 1000003
+          |            + CAST(unicode(cs[i+3]) AS HUGEINT)) % 18446744073709551616 AS hu
+          |    FROM ch, UNNEST(range(1, greatest(n - 2, 1))) AS r(i)
+          |  )
+          |), mx AS (SELECT doc_id, max(p) AS m FROM g GROUP BY doc_id
+          |), win AS (
+          |  SELECT doc_id, t
+          |  FROM mx, UNNEST(range(1, greatest(m - 6, 2))) AS r(t)
+          |), j AS (
+          |  SELECT g.doc_id, w.t, g.p, g.h
+          |  FROM win w JOIN g ON g.doc_id = w.doc_id AND g.p >= w.t AND g.p < w.t + 8
+          |), mn AS (SELECT doc_id, t, min(h) AS mh FROM j GROUP BY doc_id, t
+          |), sp AS (
+          |  SELECT j.doc_id, j.t, min(j.p) AS p
+          |  FROM j JOIN mn ON j.doc_id = mn.doc_id AND j.t = mn.t AND j.h = mn.mh
+          |  GROUP BY j.doc_id, j.t
+          |), sh AS (
+          |  SELECT DISTINCT q.doc_id, g.h
+          |  FROM (SELECT DISTINCT doc_id, p FROM sp) q
+          |  JOIN g ON g.doc_id = q.doc_id AND g.p = q.p
+          |), agg AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+          |         md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS winnow_md5
+          |  FROM sh GROUP BY doc_id
+          |)
+          |SELECT d.doc_id,
+          |       CAST(greatest(len(d.text) - 3, 0) AS BIGINT) AS n_grams,
+          |       coalesce(a.n_selected, CAST(0 AS BIGINT)) AS n_selected,
+          |       coalesce(a.winnow_md5, md5('')) AS winnow_md5
+          |FROM documents d LEFT JOIN agg a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
     // Unigram-LM quality score — the perplexity-proxy filter (CCNet-style,
     // with the KenLM stage stood in by the corpus' own unigram model): a
     // document's mean negative log-likelihood under corpus token
@@ -1258,6 +1392,157 @@ object TextOps {
           |         ) * 1e6, 0) AS BIGINT) AS score6
           |  FROM base, stats
           |) WHERE score6 > 0
-          |ORDER BY score6 DESC, doc_id LIMIT 20""".stripMargin))
+          |ORDER BY score6 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Source-mixture weights — the data-mixing step before training: given
+    // a target mixture (uniform share per source here), compute each
+    // source's sampling rate (×1e6, capped at 1.0) and repeat factor
+    // (epochs) to hit its target token share. The relation is aggregate-
+    // compressed to one row per source, so at 100 TB this is one partial-agg
+    // shuffle over the corpus plus a broadcast of a source-count-sized
+    // relation. Rate/epoch arithmetic runs in IEEE doubles on exactly-
+    // representable integer inputs (token sums ≪ 2^53) with a single
+    // correctly-rounded division before floor/ceil — bit-identical in any
+    // IEEE engine, no accumulation anywhere.
+    ("documents_mixture_weights",
+      (s: SparkSession, d: String) => {
+        val per = documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(toks).cast("long")).as("src_tokens"))
+        val tot = per.agg(sum("src_tokens").as("total_tokens"),
+          count(lit(1)).as("n_sources"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("src_tokens"),
+            least(lit(1000000L),
+              floor(lit(1000000.0) * col("total_tokens") /
+                (col("n_sources") * col("src_tokens"))).cast("long")).as("rate6"),
+            ceil(col("total_tokens").cast("double") /
+              (col("n_sources") * col("src_tokens"))).cast("long").as("epochs"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH per AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+          |  FROM documents GROUP BY source
+          |), tot AS (
+          |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+          |         CAST(count(*) AS BIGINT) AS n_sources
+          |  FROM per
+          |)
+          |SELECT source, n_docs, src_tokens,
+          |       least(1000000, CAST(floor(1000000.0 * total_tokens
+          |         / (n_sources * src_tokens)) AS BIGINT)) AS rate6,
+          |       CAST(ceil(CAST(total_tokens AS DOUBLE)
+          |         / (n_sources * src_tokens)) AS BIGINT) AS epochs
+          |FROM per, tot ORDER BY source""".stripMargin)),
+
+    // Deterministic global training-order shuffle (see [[shuffleOrder]]):
+    // the oracle replays the total order as a no-partition row_number —
+    // fine in a single-process engine, single-task in Spark, which is why
+    // the Spark plan is the range-sort + zipWithIndex instead (ExplainSpec
+    // pins the absence of a single-partition exchange).
+    ("documents_shuffle_order",
+      (s: SparkSession, d: String) =>
+        shuffleOrder(documents(s, d)).orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |       CAST(row_number() OVER (
+          |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // CCNet-style perplexity terciles per language (see [[pplBuckets]]):
+    // the oracle uses its engine's native ntile; the Spark side computes
+    // ntile's closed form over globally-assigned positions so no language
+    // serializes through one task.
+    ("documents_ppl_buckets",
+      (s: SparkSession, d: String) =>
+        pplBuckets(documents(s, d))
+          .select(col("lang"), col("bucket"), col("n_docs"),
+            col("sum_tokens").cast("long").as("sum_tokens"),
+            col("min_nll"), col("max_nll")),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+          |), v AS (
+          |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+          |), t AS (
+          |  SELECT sum(cnt) AS total FROM v
+          |), lp AS (
+          |  SELECT token,
+          |         CAST(round((ln(cnt) - ln(total)) * 1e6, 0) AS BIGINT) AS lp6
+          |  FROM v, t
+          |), doc AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |         round(-(CAST(sum(lp6) AS DOUBLE) / 1e6) / count(*), 4) AS nll
+          |  FROM tok JOIN lp USING (token) GROUP BY doc_id
+          |), j AS (
+          |  SELECT d.lang, doc.doc_id, doc.n_tokens, doc.nll
+          |  FROM doc JOIN documents d USING (doc_id)
+          |), b AS (
+          |  SELECT lang, n_tokens, nll,
+          |         CAST(ntile(3) OVER (
+          |           PARTITION BY lang ORDER BY nll, doc_id) AS BIGINT) AS bucket
+          |  FROM j
+          |)
+          |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+          |       min(nll) AS min_nll, max(nll) AS max_nll
+          |FROM b GROUP BY lang, bucket
+          |ORDER BY lang, bucket""".stripMargin)),
+
+    // PII scrubbing — the redaction pass every public-corpus pipeline runs
+    // before training. The corpus is synthetic (no real PII), so the query
+    // PLANTS deterministic id-derived emails and phone numbers first, then
+    // scrubs them — making the scrub observable and the differential
+    // meaningful (a wrong regex or a missed global-replace flips the md5).
+    // Patterns stay in the Java-regex ∩ RE2 common subset (character
+    // classes, bounded repeats, no backrefs) so both engines match the
+    // same spans; Spark's regexp_replace is global by default, DuckDB
+    // needs the explicit 'g' option. Scan-local, no shuffle — at 100 TB
+    // the scrub is free parallelism like every per-row text op.
+    ("text_scrub_pii",
+      (s: SparkSession, d: String) => {
+        val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phonePat = "555-[0-9]{4}"
+        val planted = documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(" or admin"), col("doc_id").cast("string"),
+                lit("@mail.example.org"))).otherwise(lit("")),
+            lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+        planted.select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phonePat), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>")).as("scrubbed_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH planted AS (
+          |  SELECT doc_id,
+          |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |           || '@example.com'
+          |           || CASE WHEN doc_id % 2 = 0
+          |                   THEN ' or admin' || CAST(doc_id AS VARCHAR)
+          |                     || '@mail.example.org'
+          |                   ELSE '' END
+          |           || ' call 555-'
+          |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(t,
+          |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+          |       CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+          |       md5(regexp_replace(regexp_replace(t,
+          |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |         '555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+          |FROM planted ORDER BY doc_id""".stripMargin))
   )
 }

@@ -207,6 +207,27 @@ class ExplainSpec extends SparkTestBase {
       s"no stage may funnel through one partition:\n$p")
   }
 
+  test("global-rank queries (shuffle order, ppl buckets) have no single-task stage") {
+    // both assign global positions via the range-sort + zipWithIndex
+    // pattern (encodeIds precedent); a no-partition row_number window —
+    // what the oracle uses — would funnel the corpus through ONE task
+    for (name <- Seq("documents_shuffle_order", "documents_ppl_buckets")) {
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"),
+        s"$name: no stage may funnel through one partition:\n$p")
+      assert(!p.contains("Window"), s"$name: no window rank:\n$p")
+    }
+  }
+
+  test("winnowing is scan-local: no exchange below the per-doc projection") {
+    val p = plan("text_winnowing")
+    assert(!p.contains("Window") && !p.contains("BroadcastHashJoin"),
+      s"winnowing must be a pure per-row projection:\n$p")
+    assert(p.contains("winnow_fp") || p.contains("WinnowSelect") ||
+      p.contains("staticinvoke"),
+      s"expected the native expression in the plan:\n$p")
+  }
+
   test("corpus-statistics broadcasts are size-conditional: capped estimate falls back to a shuffle join") {
     // the forced broadcast() hints OOM the driver at a 100 TB vocabulary;
     // with the estimate cap forced below any relation the same queries

@@ -25,6 +25,41 @@ class FunctionsSpec extends SparkTestBase {
     assert(out == Seq("a b"))
   }
 
+  test("winnow_fp honors the winnowing guarantee on a planted shared substring") {
+    // any shared substring of length >= w+k-1 = 11 chars must share at
+    // least one selected hash between the two documents
+    val common = "qwertyuiopasdfghjkl" // 19 chars
+    val df = Seq(
+      "AAAAAAAAAAAAAAA" + common + "BBBBBBBBBBBBBBB",
+      "x y z " + common + " m n o").toDF("text")
+      .select(winnow_fp($"text", 4, 8).as("sel"))
+    val Array(s1, s2) = df.as[Seq[Long]].collect()
+    assert(s1.nonEmpty && s2.nonEmpty)
+    assert(s1.intersect(s2).nonEmpty, "winnowing guarantee violated")
+    assert(s1 == s1.sorted && s1.distinct == s1, "output must be sorted distinct")
+  }
+
+  test("winnow_fp edge cases: under k chars, one gram, under w grams") {
+    val rows = Seq("", "abc", "abcd", "abcdefgh").toDF("text")
+      .select(length($"text"), winnow_fp($"text", 4, 8).as("sel"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(rows(0).isEmpty && rows(3).isEmpty, "texts under k chars select nothing")
+    assert(rows(4).length == 1, "one gram selects exactly it")
+    // len 8 -> m = 5 grams < w = 8: one whole-document window, one minimum
+    assert(rows(8).length == 1)
+  }
+
+  test("winnow_fp selection density tracks the 2/(w+1) expectation") {
+    val rnd = new scala.util.Random(7)
+    val text = (0 until 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val sel = Seq(text).toDF("text")
+      .select(winnow_fp($"text", 4, 8).as("sel")).as[Seq[Long]].head()
+    val density = sel.length.toDouble / (text.length - 3)
+    // expectation 2/9 ~ 0.22 for random hashes; distinct-set collapse only
+    // lowers it, boundary effects raise it slightly
+    assert(density > 0.1 && density < 0.4, s"density=$density")
+  }
+
   test("minhash_sig is deterministic, k-length, and permutation-invariant") {
     val df = Seq(
       ("x", Seq("a", "b", "c", "d")),

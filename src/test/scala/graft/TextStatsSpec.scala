@@ -246,4 +246,88 @@ class TextStatsSpec extends SparkTestBase {
     }
     assert(anyShared, "the corpus' planted near-dups must share 8-token spans")
   }
+
+  test("documents_shuffle_order is a dense permutation of the corpus") {
+    val rows = q("documents_shuffle_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == corpus.size)
+    assert(rows.map(_._1).distinct.length == rows.length, "doc_ids unique")
+    assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq,
+      "positions must be exactly 0..n-1")
+    // content-addressed: the order is the md5 order, not the id order
+    val byPos = rows.sortBy(_._2).map(_._1).toSeq
+    assert(byPos != byPos.sorted, "order must not degenerate to id order")
+  }
+
+  test("documents_mixture_weights matches an exact Scala recomputation") {
+    val bySource = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(rs =>
+        (rs.length.toLong, rs.map(_.getString(1).split(" ").length.toLong).sum))
+      .toMap
+    val total = bySource.values.map(_._2).sum
+    val n = bySource.size.toLong
+    val got = q("documents_mixture_weights").collect()
+    assert(got.length == bySource.size)
+    got.foreach { r =>
+      val (nd, st) = bySource(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == st)
+      val rate6 = math.min(1000000L,
+        math.floor(1000000.0 * total / (n * st)).toLong)
+      val epochs = math.ceil(total.toDouble / (n * st)).toLong
+      assert(r.getLong(3) == rate6, s"rate6 for ${r.getString(0)}")
+      assert(r.getLong(4) == epochs, s"epochs for ${r.getString(0)}")
+      assert(r.getLong(3) <= 1000000L && r.getLong(4) >= 1L)
+    }
+    // a source above its target share must be downsampled (rate < 1)
+    val overShare = bySource.filter { case (_, (_, st)) => st * n > total }
+    if (overShare.nonEmpty)
+      assert(got.exists(_.getLong(3) < 1000000L), "dominant source not downsampled")
+  }
+
+  test("documents_ppl_buckets: terciles partition each language near-equally, ordered by nll") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val got = q("documents_ppl_buckets").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"$lang: buckets must be 1..k")
+      assert(sorted.map(_._3).sum == docs(lang), s"$lang: buckets must partition")
+      assert(sorted.map(_._3).max - sorted.map(_._3).min <= 1,
+        s"$lang: ntile sizes differ by more than 1")
+      // nll ranges are ordered and non-overlapping across buckets
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4, s"$lang: bucket ranges overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("text_scrub_pii finds exactly the planted PII") {
+    val got = q("text_scrub_pii").collect()
+    assert(got.length == corpus.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val expectedEmails = if (id % 2 == 0) 2L else 1L
+      assert(r.getLong(1) == expectedEmails, s"doc $id n_emails")
+      assert(r.getLong(2) == 1L, s"doc $id n_phones")
+    }
+    // the scrub is effective end to end: replaying plant+scrub in plain
+    // Scala on one doc reproduces the emitted md5 (regex semantics match)
+    val (id0, text0) = corpus.head
+    val planted = text0 + s" contact user$id0@example.com" +
+      (if (id0 % 2 == 0) s" or admin$id0@mail.example.org" else "") +
+      f" call 555-${id0 % 10000}%04d"
+    val scrubbed = planted
+      .replaceAll("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>")
+      .replaceAll("555-[0-9]{4}", "<PHONE>")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(scrubbed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val row0 = got.find(_.getLong(0) == id0).get
+    assert(row0.getString(3) == md, "scrubbed md5 must match a local replay")
+  }
 }
