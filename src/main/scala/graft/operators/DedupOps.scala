@@ -905,6 +905,70 @@ object DedupOps {
           |  UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
           |)
           |SELECT s AS vec_id, least(s, min(d)) AS rep
-          |FROM r GROUP BY s ORDER BY vec_id""".stripMargin))
+          |FROM r GROUP BY s ORDER BY vec_id""".stripMargin)),
+
+    // Sub-document exact dedup, C4-style: the corpus' repeated UNITS (C4
+    // uses lines; this newline-free synthetic corpus uses fixed 20-token
+    // chunks so both engines chunk identically) are removed globally,
+    // keeping only the FIRST occurrence under the total (doc_id, pos)
+    // order — the dedup granularity below documents that document-level
+    // dedup can't reach (boilerplate repeated across distinct pages).
+    // Spark shape at 100 TB: explode to (doc_id, pos, chunk), ONE hash
+    // shuffle on the chunk to pick min(struct(doc_id, pos)) per distinct
+    // chunk (partial-agg combines map-side), equi-join the winners back,
+    // re-assemble per doc with an ordered fold — no window over the corpus,
+    // no all-pairs anywhere. The shuffle key is the chunk text itself (it
+    // IS the payload); a production variant keys the exchange on
+    // xxhash64(chunk) and keeps the text as a verified tie-along column,
+    // same plan shape. The oracle replays keep-first as the row_number
+    // window Spark deliberately avoids.
+    ("dedup_chunk_exact",
+      (s: SparkSession, d: String) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val chunks = docs.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ((size(col("toks")) - 1) / lit(20)).cast("int")),
+            i => array_join(slice(col("toks"), i * lit(20) + 1, lit(20)), " ")))
+            .as(Seq("pos", "chunk")))
+        val winners = chunks.groupBy("chunk")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+        val kept = chunks.join(winners, "chunk")
+          .filter(struct(col("doc_id"), col("pos")) === col("first"))
+        val perDoc = kept.groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+              x => x("chunk")), " ")).as("kept_md5"))
+        docs
+          .select(col("doc_id"),
+            (((size(col("toks")) - 1) / lit(20)).cast("long") + 1L).as("n_chunks"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |), ch AS (
+          |  SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+          |         array_to_string(toks[(r.i*20+1):(r.i*20+20)], ' ') AS chunk
+          |  FROM tk, UNNEST(range(0, (len(toks)-1)//20 + 1)) AS r(i)
+          |), keep AS (
+          |  SELECT doc_id, pos, chunk,
+          |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+          |  FROM ch
+          |), agg AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          |         md5(string_agg(chunk, ' ' ORDER BY pos)) AS kept_md5
+          |  FROM keep WHERE rn = 1 GROUP BY doc_id
+          |)
+          |SELECT t.doc_id,
+          |       CAST((len(t.toks)-1)//20 + 1 AS BIGINT) AS n_chunks,
+          |       coalesce(a.n_kept, 0) AS n_kept,
+          |       coalesce(a.kept_md5, md5('')) AS kept_md5
+          |FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin))
   )
 }

@@ -512,6 +512,134 @@ object RelOps {
           |SELECT user_id, session_id,
           |       CAST(count(*) AS BIGINT) AS n_events,
           |       max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
-          |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
+          |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    // Ordered funnel conversion (view → click → purchase, strictly later
+    // steps): the product-analytics staple. The Spark side is ONE shuffle —
+    // per-user event sequences fold through `aggregate()` (a Catalyst
+    // higher-order function over the time-sorted array: first view sets t1,
+    // first click after t1 sets t2, first purchase after t2 sets t3) — where
+    // the oracle's three dependent min-aggregates need three passes + joins.
+    // Both engines compare in µs (unix_micros ↔ epoch_us) so the ns→µs
+    // parquet coercion can't flip a strict inequality on one side only.
+    // At 100 TB: one hash shuffle on user_id, per-user state is 3 longs; the
+    // sorted collect is bounded by per-user event counts (salt a pathological
+    // user before this op, as events_type_salted_agg demonstrates).
+    ("events_funnel",
+      (s: SparkSession, d: String) => {
+        val perUser = events(s, d)
+          .select(col("user_id"),
+            struct(unix_micros(col("ts")).as("t"), col("event_type").as("e")).as("ev"))
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(col("ev"))).as("seq"))
+        val zero = struct(
+          lit(null).cast("long").as("t1"),
+          lit(null).cast("long").as("t2"),
+          lit(null).cast("long").as("t3"))
+        perUser
+          .select(aggregate(col("seq"), zero, (acc, e) =>
+            struct(
+              coalesce(acc("t1"), when(e("e") === "view", e("t"))).as("t1"),
+              coalesce(acc("t2"), when(e("e") === "click" &&
+                acc("t1").isNotNull && e("t") > acc("t1"), e("t"))).as("t2"),
+              coalesce(acc("t3"), when(e("e") === "purchase" &&
+                acc("t2").isNotNull && e("t") > acc("t2"), e("t"))).as("t3"))
+          ).as("f"))
+          .agg(count(lit(1)).as("n_users"),
+            count(col("f.t1")).as("n_viewed"),
+            count(col("f.t2")).as("n_clicked"),
+            count(col("f.t3")).as("n_converted"))
+      },
+      Some(
+        """WITH s1 AS (
+          |  SELECT user_id,
+          |         min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS t1
+          |  FROM events GROUP BY user_id
+          |), s2 AS (
+          |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+          |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+          |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+          |  GROUP BY e.user_id
+          |), s3 AS (
+          |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+          |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+          |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+          |  GROUP BY e.user_id
+          |)
+          |SELECT CAST(count(*) AS BIGINT) AS n_users,
+          |       CAST(count(s1.t1) AS BIGINT) AS n_viewed,
+          |       CAST(count(s2.t2) AS BIGINT) AS n_clicked,
+          |       CAST(count(s3.t3) AS BIGINT) AS n_converted
+          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin)),
+
+    // Retention cohorts: users grouped by first-activity day, activity
+    // counted per (cohort, day-offset) cell — the second product-analytics
+    // staple. Day buckets ship as epoch-µs (the hourly-window idiom) so no
+    // date-type/timezone crosses the differential. Two shuffles at scale:
+    // the per-user min, and the distinct-count per cell (count DISTINCT
+    // inside each cell stays exact — cells are day×offset, bounded).
+    ("events_retention_cohorts",
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d).select(col("user_id"),
+          unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        val first = ev.groupBy("user_id").agg(min("day_us").as("cohort_us"))
+        ev.join(first, "user_id")
+          .select(col("cohort_us"),
+            ((col("day_us") - col("cohort_us")) / 86400000000L)
+              .cast("long").as("day_offset"),
+            col("user_id"))
+          .groupBy("cohort_us", "day_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_us", "day_offset")
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id,
+          |         epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS day_us
+          |  FROM events
+          |), first AS (
+          |  SELECT user_id, min(day_us) AS cohort_us FROM ev GROUP BY user_id
+          |)
+          |SELECT cohort_us,
+          |       CAST((day_us - cohort_us) // 86400000000 AS BIGINT) AS day_offset,
+          |       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+          |FROM ev JOIN first USING (user_id)
+          |GROUP BY cohort_us, day_offset ORDER BY cohort_us, day_offset""".stripMargin)),
+
+    // TPC-H Q18 (large-volume customers): the having-clause-on-aggregate
+    // shape — orders whose lineitem quantity total exceeds 300, joined back
+    // to orders and the customer dimension, top 100. Plan shape at scale:
+    // partial-agg shuffle on l_orderkey, the >300 survivors (rare) join
+    // orders on the SAME key (co-partitioned, no extra shuffle), customer
+    // broadcasts, TakeOrdered caps the result.
+    ("q18_large_customers",
+      (s: SparkSession, d: String) => {
+        val bigOrders = lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+          .filter(col("sum_qty") > 300.0)
+        orders(s, d)
+          .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            // o_orderdate reads as TIMESTAMP_NTZ; the session tz is UTC so
+            // the cast is the identity instant the oracle's epoch_us sees
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+            round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate_us"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some(
+        """SELECT c_name, c_custkey, o_orderkey,
+          |       epoch_us(o_orderdate) AS o_orderdate_us,
+          |       round(o_totalprice, 2) AS o_totalprice, sum_qty
+          |FROM orders
+          |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+          |      FROM lineitem GROUP BY l_orderkey
+          |      HAVING round(sum(l_quantity), 2) > 300.0) big
+          |  ON o_orderkey = big.l_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_totalprice DESC, o_orderdate_us, o_orderkey
+          |LIMIT 100""".stripMargin))
   )
 }

@@ -250,4 +250,31 @@ class ExplainSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("chunk dedup: no window rank; keep-first is one hash aggregate on the chunk") {
+    // the oracle replays keep-first as row_number() over (partition by chunk);
+    // the Spark plan must instead pick min(struct(doc_id,pos)) per chunk via
+    // a partial-aggregated hash shuffle — no Window operator anywhere
+    val p = plan("dedup_chunk_exact")
+    assert(!p.contains("Window"), s"keep-first must not be a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"chunk winner pick must partial-aggregate:\n$p")
+  }
+
+  test("q18: customer broadcasts, order cap is TakeOrdered, agg is partial") {
+    val p = plan("q18_large_customers")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrdered, not a global sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"quantity sum must partial-aggregate:\n$p")
+  }
+
+  test("funnel: one shuffle — the per-user aggregate; no window, no join") {
+    val p = plan("events_funnel")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"funnel must fold per-user sequences, not window/join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one hash exchange (user_id):\n$p")
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Product-analytics relational additions (funnel, retention cohorts,
+  * TPC-H Q18) and the sub-document chunk dedup: each gate query's result
+  * is re-derived here by an independent Scala computation over the
+  * collected sf0.001 tables, so the differential gate (vs DuckDB) and
+  * this spec (vs first-principles Scala) can't share a common bug.
+  */
+class RelAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val events: Seq[(Long, Long, String)] =
+    Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .as[(Long, Long, String)].collect().toSeq
+
+  test("events_funnel matches a first-principles sequential replay") {
+    val byUser = events.groupBy(_._1)
+    var viewed = 0; var clicked = 0; var converted = 0
+    byUser.foreach { case (_, evs) =>
+      val sorted = evs.map { case (_, t, e) => (t, e) }.sorted
+      var t1 = -1L; var t2 = -1L; var t3 = -1L
+      sorted.foreach { case (t, e) =>
+        if (t1 < 0 && e == "view") t1 = t
+        else if (t2 < 0 && e == "click" && t1 >= 0 && t > t1) t2 = t
+        else if (t3 < 0 && e == "purchase" && t2 >= 0 && t > t2) t3 = t
+      }
+      if (t1 >= 0) viewed += 1
+      if (t2 >= 0) clicked += 1
+      if (t3 >= 0) converted += 1
+    }
+    val r = q("events_funnel").collect().head
+    assert(r.getLong(0) == byUser.size)
+    assert(r.getLong(1) == viewed && r.getLong(2) == clicked &&
+      r.getLong(3) == converted)
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2) &&
+      r.getLong(2) >= r.getLong(3), "funnel stages must be monotone")
+    assert(r.getLong(3) > 0, "the corpus must exercise the full funnel")
+  }
+
+  test("events_retention_cohorts cells bound by cohort size; offset-0 complete") {
+    val dayUs = 86400000000L
+    val userDays = events.map { case (u, t, _) => (u, t / dayUs * dayUs) }.distinct
+    val cohortOf = userDays.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cohortSize = cohortOf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expect = userDays
+      .map { case (u, d) => (cohortOf(u), (d - cohortOf(u)) / dayUs) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = q("events_retention_cohorts").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == expect, "cells must equal the exact per-user replay")
+    cohortSize.foreach { case (c, n) =>
+      assert(got((c, 0L)) == n, s"offset-0 cell of cohort $c must hold every member")
+    }
+    got.foreach { case ((c, _), n) => assert(n <= cohortSize(c)) }
+  }
+
+  test("q18_large_customers: thresholds, ordering, and exact membership") {
+    val qty = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("s"))
+      .as[(Long, Double)].collect().toMap
+    val rows = q("q18_large_customers").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val expectKeys = qty.filter { case (_, s) =>
+      BigDecimal(s).setScale(2, BigDecimal.RoundingMode.HALF_UP) > 300.0
+    }.keySet
+    assert(rows.map(_.getLong(2)).toSet == expectKeys ||
+      rows.length == 100, "below the cap the result is exactly the >300 set")
+    rows.foreach(r => assert(qty(r.getLong(2)) > 300.0))
+    val prices = rows.map(r => r.getDouble(4))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b },
+      "descending totalprice")
+  }
+
+  test("dedup_chunk_exact matches a first-principles keep-first replay") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet[String]()
+    val expect = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val chunks = toks.grouped(20).map(_.mkString(" ")).toSeq
+      val kept = chunks.filter(c => seen.add(c))
+      (id, (chunks.length.toLong, kept.length.toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString))
+    }.toMap
+    val got = q("dedup_chunk_exact").collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (nc, nk, md) = expect(r.getLong(0))
+      assert(r.getLong(1) == nc, s"n_chunks for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == nk, s"n_kept for doc ${r.getLong(0)}")
+      assert(r.getString(3) == md, s"kept_md5 for doc ${r.getLong(0)}")
+    }
+    // the corpus' planted duplicates must actually remove something
+    assert(got.map(_.getLong(2)).sum < got.map(_.getLong(1)).sum,
+      "some chunk must be a cross- or within-doc duplicate")
+  }
+}
