@@ -640,6 +640,100 @@ object RelOps {
           |  ON o_orderkey = big.l_orderkey
           |JOIN customer ON o_custkey = c_custkey
           |ORDER BY o_totalprice DESC, o_orderdate_us, o_orderkey
-          |LIMIT 100""".stripMargin))
+          |LIMIT 100""".stripMargin)),
+
+    // PageRank over the customer–supplier transaction graph (who bought
+    // from whom, via orders ⋈ lineitem): the canonical iterative
+    // distributed computation — per round, ranks join the cached edge
+    // relation, contributions partial-aggregate to the receiving node,
+    // teleport re-seeds. 5 rounds, damping 0.85. The arithmetic is PURE
+    // INTEGER (ranks are ×1e12 fixed-point, contribution = r div deg,
+    // damping = (85·S) div 100): floating-point accumulation order can
+    // differ between engines and across partitionings, integer sums
+    // cannot — both engines replay bit-identical trajectories, and the
+    // result is partitioning-independent at any cluster size. The edge
+    // relation (with out-degrees) is cached once through the LRU registry
+    // and reused all rounds; each iterate localCheckpoints so lineage
+    // stays flat (the connectedComponents idiom). Driver sees ONE scalar
+    // (the node count) — everything else is joins + partial aggregates.
+    ("graph_pagerank",
+      (s: SparkSession, d: String) => {
+        val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val ed = edges.join(deg, "src").persist()
+        DedupOps.registerDedupCaches(ed, Seq(ed))
+        val nNodes = ed.select(col("src")).distinct().count()
+        val Q = 1000000000000L
+        val teleport = (15L * Q) / (100L * nNodes)
+        var ranks = ed.select(col("src").as("node")).distinct()
+          .select(col("node"), lit(Q / nNodes).as("r"))
+        for (_ <- 1 to 5) {
+          ranks = ed.join(ranks, ed("src") === ranks("node"))
+            .select(ed("dst").as("node"), expr("r div deg").as("contrib"))
+            .groupBy("node").agg(sum("contrib").as("contrib_sum"))
+            .select(col("node"),
+              (lit(teleport) + expr("(85 * contrib_sum) div 100")).as("r"))
+            .localCheckpoint()
+        }
+        ranks.select(
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+          expr("node div 2").as("node_key"),
+          col("r").as("rank12"))
+          .orderBy(col("rank12").desc, col("kind"), col("node_key"))
+          .limit(20)
+      },
+      Some(
+        """WITH e0 AS (
+          |  SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |), e AS (
+          |  SELECT a AS src, b AS dst FROM e0
+          |  UNION ALL SELECT b AS src, a AS dst FROM e0
+          |), dg AS (
+          |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+          |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dg
+          |), r0 AS (
+          |  SELECT src AS node, 1000000000000 // (SELECT n FROM nn) AS r FROM dg
+          |), r1 AS (
+          |  SELECT e.dst AS node,
+          |         (SELECT 15000000000000 // (100*n) FROM nn)
+          |           + (85 * sum(p.r // dg.deg)) // 100 AS r
+          |  FROM e JOIN r0 p ON e.src = p.node JOIN dg ON dg.src = e.src
+          |  GROUP BY e.dst
+          |), r2 AS (
+          |  SELECT e.dst AS node,
+          |         (SELECT 15000000000000 // (100*n) FROM nn)
+          |           + (85 * sum(p.r // dg.deg)) // 100 AS r
+          |  FROM e JOIN r1 p ON e.src = p.node JOIN dg ON dg.src = e.src
+          |  GROUP BY e.dst
+          |), r3 AS (
+          |  SELECT e.dst AS node,
+          |         (SELECT 15000000000000 // (100*n) FROM nn)
+          |           + (85 * sum(p.r // dg.deg)) // 100 AS r
+          |  FROM e JOIN r2 p ON e.src = p.node JOIN dg ON dg.src = e.src
+          |  GROUP BY e.dst
+          |), r4 AS (
+          |  SELECT e.dst AS node,
+          |         (SELECT 15000000000000 // (100*n) FROM nn)
+          |           + (85 * sum(p.r // dg.deg)) // 100 AS r
+          |  FROM e JOIN r3 p ON e.src = p.node JOIN dg ON dg.src = e.src
+          |  GROUP BY e.dst
+          |), r5 AS (
+          |  SELECT e.dst AS node,
+          |         (SELECT 15000000000000 // (100*n) FROM nn)
+          |           + (85 * sum(p.r // dg.deg)) // 100 AS r
+          |  FROM e JOIN r4 p ON e.src = p.node JOIN dg ON dg.src = e.src
+          |  GROUP BY e.dst
+          |)
+          |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+          |       node // 2 AS node_key, r AS rank12
+          |FROM r5 ORDER BY rank12 DESC, kind, node_key LIMIT 20""".stripMargin))
   )
 }

@@ -1543,6 +1543,68 @@ object TextOps {
           |       md5(regexp_replace(regexp_replace(t,
           |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
           |         '555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
-          |FROM planted ORDER BY doc_id""".stripMargin))
+          |FROM planted ORDER BY doc_id""".stripMargin)),
+
+    // Count-min-sketch heavy hitters — the mergeable-sketch pattern for
+    // streaming/distributed frequency estimation (Cormode & Muthukrishnan
+    // 2005). d=4 rows × w=4096 buckets; row hashes are the first 3 hex
+    // chars of md5(token '#' row) so both engines address identical cells
+    // with pure string ops (no engine-specific hash). The grid builds from
+    // the vocabulary-compressed token counts in ONE partial-aggregated
+    // shuffle — at 100 TB the sketch is a 16k-cell relation that
+    // map-side-combines perfectly and merges across shards by cell-wise
+    // addition (the reason CMS exists). Estimates for the top-20 true
+    // tokens probe the 4 cells each and take the min; the gate pins the
+    // exact estimates AND the CMS overestimate guarantee (est ≥ true,
+    // self-verifying boolean).
+    ("text_heavy_hitters_cms",
+      (s: SparkSession, d: String) => {
+        val cnt = documents(s, d)
+          .select(explode(toks).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+        val cells = cnt.select(col("cnt"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            i => substring(md5(concat(col("token"), lit("#"), i.cast("string"))), 1, 3)))
+            .as(Seq("rw", "bucket")))
+        val grid = cells.groupBy("rw", "bucket").agg(sum("cnt").as("cell"))
+        val top = cnt
+          .orderBy(col("cnt").desc, col("token")).limit(20)
+          .select(col("token"), col("cnt").as("true_cnt"),
+            posexplode(transform(sequence(lit(0), lit(3)),
+              i => substring(md5(concat(col("token"), lit("#"), i.cast("string"))), 1, 3)))
+              .as(Seq("rw", "bucket")))
+        top.join(grid, Seq("rw", "bucket"))
+          .groupBy("token", "true_cnt")
+          .agg(min("cell").as("est_cnt"))
+          .select(col("token"), col("true_cnt"), col("est_cnt"),
+            (col("est_cnt") >= col("true_cnt")).as("never_underestimates"))
+          .orderBy(col("true_cnt").desc, col("token"))
+      },
+      Some(
+        """WITH cnt AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          |  GROUP BY token
+          |), cells AS (
+          |  SELECT r.i AS rw,
+          |         substr(md5(token || '#' || CAST(r.i AS VARCHAR)), 1, 3) AS bucket,
+          |         cnt
+          |  FROM cnt, UNNEST(range(0, 4)) AS r(i)
+          |), grid AS (
+          |  SELECT rw, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+          |  FROM cells GROUP BY rw, bucket
+          |), tp AS (
+          |  SELECT token, cnt AS true_cnt FROM cnt
+          |  ORDER BY cnt DESC, token LIMIT 20
+          |), probes AS (
+          |  SELECT token, true_cnt, r.i AS rw,
+          |         substr(md5(token || '#' || CAST(r.i AS VARCHAR)), 1, 3) AS bucket
+          |  FROM tp, UNNEST(range(0, 4)) AS r(i)
+          |)
+          |SELECT p.token, p.true_cnt, min(g.cell) AS est_cnt,
+          |       min(g.cell) >= p.true_cnt AS never_underestimates
+          |FROM probes p JOIN grid g ON p.rw = g.rw AND p.bucket = g.bucket
+          |GROUP BY p.token, p.true_cnt
+          |ORDER BY p.true_cnt DESC, p.token""".stripMargin))
   )
 }

@@ -99,4 +99,34 @@ class RelAnalyticsSpec extends SparkTestBase {
     assert(got.map(_.getLong(2)).sum < got.map(_.getLong(1)).sum,
       "some chunk must be a cross- or within-doc duplicate")
   }
+
+  test("graph_pagerank matches an exact integer replay; mass and floor invariants") {
+    val e0 = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = e0.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = deg.size.toLong
+    val Q = 1000000000000L
+    val teleport = 15L * Q / (100L * n)
+    var r = deg.keys.map(k => k -> Q / n).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s0, _) => r(s0) / deg(s0) }.sum).toMap
+      r = in.map { case (k, sum) => k -> (teleport + 85L * sum / 100L) }
+    }
+    val expect = r.toSeq
+      .map { case (node, rk) =>
+        (if (node % 2 == 0) "customer" else "supplier", node / 2, rk)
+      }
+      .sortBy { case (kind, key, rk) => (-rk, kind, key) }.take(20)
+    val got = q("graph_pagerank").collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2))).toSeq
+    assert(got == expect, "top-20 must equal the exact integer replay")
+    // floors only ever LOSE mass: total ≤ Q, and no node falls below teleport
+    assert(r.values.sum <= Q)
+    assert(r.values.forall(_ >= teleport))
+  }
 }

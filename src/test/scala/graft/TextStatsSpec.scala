@@ -307,6 +307,31 @@ class TextStatsSpec extends SparkTestBase {
     }
   }
 
+  test("CMS never underestimates ANY token, and gate rows match an exact grid replay") {
+    val counts = corpus.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def bucket(t: String, i: Int): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$t#$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 3)
+    val grid = scala.collection.mutable.HashMap[(Int, String), Long]()
+    counts.foreach { case (t, c) =>
+      (0 until 4).foreach { i =>
+        grid((i, bucket(t, i))) = grid.getOrElse((i, bucket(t, i)), 0L) + c
+      }
+    }
+    def est(t: String): Long = (0 until 4).map(i => grid((i, bucket(t, i)))).min
+    // the defining CMS property, checked over the WHOLE vocabulary
+    counts.foreach { case (t, c) => assert(est(t) >= c, s"underestimate for '$t'") }
+    val got = q("text_heavy_hitters_cms").collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      assert(r.getLong(1) == counts(r.getString(0)))
+      assert(r.getLong(2) == est(r.getString(0)), s"estimate for ${r.getString(0)}")
+      assert(r.getBoolean(3))
+    }
+  }
+
   test("text_scrub_pii finds exactly the planted PII") {
     val got = q("text_scrub_pii").collect()
     assert(got.length == corpus.size)
