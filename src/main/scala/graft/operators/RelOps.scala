@@ -734,6 +734,49 @@ object RelOps {
           |)
           |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
           |       node // 2 AS node_key, r AS rank12
-          |FROM r5 ORDER BY rank12 DESC, kind, node_key LIMIT 20""".stripMargin))
+          |FROM r5 ORDER BY rank12 DESC, kind, node_key LIMIT 20""".stripMargin)),
+
+    // Trailing 7-day moving window per event type — the time-series RANGE
+    // frame (not ROWS: gap days must count inside the window span, so the
+    // frame is keyed on the day NUMBER). The corpus-wide work is the daily
+    // pre-aggregation (partial-agg shuffle); the window then runs over the
+    // tiny (type × day) relation — at 100 TB the window input stays
+    // days×types rows no matter the event count. Money sums cross the
+    // differential as integer CENTS (round(sum·100) per day, integer sums
+    // in the frame) so no float accumulation order can flip the hash.
+    ("events_daily_moving",
+      (s: SparkSession, d: String) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"),
+            (unix_micros(date_trunc("day", col("ts"))) / 86400000000L)
+              .cast("long").as("day_num"))
+          .agg(round(sum("value") * 100, 0).cast("long").as("day_cents"))
+        val w = Window.partitionBy("event_type").orderBy("day_num")
+          .rangeBetween(-6, 0)
+        daily.select(col("event_type"), col("day_num"), col("day_cents"),
+          sum("day_cents").over(w).as("trail_cents"),
+          count(lit(1)).over(w).as("trail_days"),
+          expr("sum(day_cents) over (partition by event_type order by day_num " +
+            "range between 6 preceding and current row) div " +
+            "count(1) over (partition by event_type order by day_num " +
+            "range between 6 preceding and current row)").as("avg_cents"))
+          .orderBy("event_type", "day_num")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type,
+          |         epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS day_num,
+          |         CAST(round(sum(value) * 100, 0) AS BIGINT) AS day_cents
+          |  FROM events GROUP BY 1, 2
+          |)
+          |SELECT event_type, day_num, day_cents,
+          |       CAST(sum(day_cents) OVER w AS BIGINT) AS trail_cents,
+          |       CAST(count(*) OVER w AS BIGINT) AS trail_days,
+          |       CAST(sum(day_cents) OVER w AS BIGINT)
+          |         // CAST(count(*) OVER w AS BIGINT) AS avg_cents
+          |FROM daily
+          |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+          |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_type, day_num""".stripMargin))
   )
 }

@@ -1605,6 +1605,112 @@ object TextOps {
           |       min(g.cell) >= p.true_cnt AS never_underestimates
           |FROM probes p JOIN grid g ON p.rw = g.rw AND p.bucket = g.bucket
           |GROUP BY p.token, p.true_cnt
-          |ORDER BY p.true_cnt DESC, p.token""".stripMargin))
+          |ORDER BY p.true_cnt DESC, p.token""".stripMargin)),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR'09)
+    // — the two-tower search stack's merge step: the SAME fixed query runs
+    // lexically (the text_bm25_search scoring, top-20) and semantically
+    // (cosine against doc 0's embedding over the aligned embeddings table,
+    // top-20), and the lists fuse by RRF(k=60): score = Σ 1/(60+rank).
+    // Ranks come from row_number over the ALREADY-CAPPED 20-row lists —
+    // a window over a constant-k relation is scale-free (the corpus-wide
+    // work is the two TakeOrdered top-k passes, both distributed); the RRF
+    // sum runs in integers (floor(1e6/(60+rank)) per list) so fusion is
+    // exact in both engines. Cosine ranks on the ×1e6-quantized similarity
+    // with doc_id tie-break — no raw-double ordering crosses the hash.
+    ("text_hybrid_rrf",
+      (s: SparkSession, d: String) => {
+        val terms = Seq("spark", "table", "query")
+        val base = documents(s, d).select(col("doc_id"), toks.as("tk"))
+          .select(Seq(col("doc_id"), size(col("tk")).cast("double").as("dl")) ++
+            terms.indices.map(i =>
+              size(filter(col("tk"), x => x === terms(i)))
+                .cast("double").as(s"tf$i")): _*)
+        val aggs = Seq(count(lit(1)).cast("double").as("n"),
+          avg("dl").as("avgdl")) ++
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+        val stats = base.agg(aggs.head, aggs.tail: _*)
+        val score = terms.indices.map { i =>
+          log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0) *
+            (col(s"tf$i") * 2.2) /
+            (col(s"tf$i") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        }.reduce(_ + _)
+        val lexTop = base.crossJoin(broadcast(stats))
+          .select(col("doc_id"), round(score * 1e6, 0).cast("long").as("score6"))
+          .filter(col("score6") > 0)
+          .orderBy(col("score6").desc, col("doc_id")).limit(20)
+        val lex = lexTop.select(col("doc_id"),
+          row_number().over(Window.orderBy(col("score6").desc, col("doc_id")))
+            .cast("long").as("lrank"))
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val qv = emb.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+        val semTop = emb.crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            round(cosine_sim(col("v"), col("qv")) * 1e6, 0).cast("long").as("sim6"))
+          .orderBy(col("sim6").desc, col("doc_id")).limit(20)
+        val sem = semTop.select(col("doc_id"),
+          row_number().over(Window.orderBy(col("sim6").desc, col("doc_id")))
+            .cast("long").as("srank"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000 div (60 + lrank)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + srank)"), lit(0L))).as("rrf6"),
+            coalesce(col("lrank"), lit(0L)).as("lrank"),
+            coalesce(col("srank"), lit(0L)).as("srank"))
+          .orderBy(col("rrf6").desc, col("doc_id")).limit(10)
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id,
+          |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+          |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS DOUBLE) AS tf0,
+          |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'table')) AS DOUBLE) AS tf1,
+          |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'query')) AS DOUBLE) AS tf2
+          |  FROM documents
+          |), stats AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+          |         sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+          |         sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+          |         sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+          |  FROM base
+          |), lex_top AS (
+          |  SELECT doc_id, score6 FROM (
+          |    SELECT doc_id,
+          |           CAST(round((
+          |               ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
+          |                 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          |             + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+          |                 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          |             + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+          |                 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          |           ) * 1e6, 0) AS BIGINT) AS score6
+          |    FROM base, stats
+          |  ) WHERE score6 > 0
+          |  ORDER BY score6 DESC, doc_id LIMIT 20
+          |), lex AS (
+          |  SELECT doc_id,
+          |         CAST(row_number() OVER (ORDER BY score6 DESC, doc_id) AS BIGINT) AS lrank
+          |  FROM lex_top
+          |), sem_top AS (
+          |  SELECT e.vec_id AS doc_id,
+          |         CAST(round(list_cosine_similarity(
+          |           CAST(e.embedding AS DOUBLE[]),
+          |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+          |         ) * 1e6, 0) AS BIGINT) AS sim6
+          |  FROM embeddings e
+          |  ORDER BY sim6 DESC, doc_id LIMIT 20
+          |), sem AS (
+          |  SELECT doc_id,
+          |         CAST(row_number() OVER (ORDER BY sim6 DESC, doc_id) AS BIGINT) AS srank
+          |  FROM sem_top
+          |)
+          |SELECT doc_id,
+          |       coalesce(1000000 // (60 + lrank), 0) + coalesce(1000000 // (60 + srank), 0) AS rrf6,
+          |       coalesce(lrank, 0) AS lrank, coalesce(srank, 0) AS srank
+          |FROM lex FULL OUTER JOIN sem USING (doc_id)
+          |ORDER BY rrf6 DESC, doc_id LIMIT 10""".stripMargin))
   )
 }

@@ -129,4 +129,38 @@ class RelAnalyticsSpec extends SparkTestBase {
     assert(r.values.sum <= Q)
     assert(r.values.forall(_ >= teleport))
   }
+
+  test("events_daily_moving: trailing window self-consistent across its own rows") {
+    val rows = q("events_daily_moving").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val daily = rows.map(r => ((r._1, r._2), r._3)).toMap
+    rows.foreach { case (tpe, day, _, trailCents, trailDays, avgCents) =>
+      val window = (day - 6 to day).flatMap(dd => daily.get((tpe, dd)))
+      assert(window.sum == trailCents, s"trail_cents at ($tpe, $day)")
+      assert(window.size == trailDays, s"trail_days at ($tpe, $day)")
+      assert(trailCents / trailDays == avgCents, s"avg_cents at ($tpe, $day)")
+    }
+    // the range frame must actually span multiple days somewhere
+    assert(rows.exists(_._5 > 1), "no multi-day window exercised")
+  }
+
+  test("text_hybrid_rrf: fusion arithmetic self-consistent; semantic anchor ranks first") {
+    val rows = q("text_hybrid_rrf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    rows.foreach { case (_, rrf6, lrank, srank) =>
+      val expect = (if (lrank > 0) 1000000L / (60 + lrank) else 0L) +
+        (if (srank > 0) 1000000L / (60 + srank) else 0L)
+      assert(rrf6 == expect, "rrf6 must equal the integer RRF of its own ranks")
+      assert(lrank >= 0 && lrank <= 20 && srank >= 0 && srank <= 20)
+      assert(lrank > 0 || srank > 0)
+    }
+    assert(rows.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      "rrf6 non-increasing")
+    // doc 0 is the semantic query vector: cosine 1 with itself ⇒ srank 1
+    val doc0 = rows.find(_._1 == 0L)
+    assert(doc0.exists(_._4 == 1L), "doc 0 must lead the semantic list")
+  }
 }
