@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,21 @@ import graft.Tables._
 object RelOps {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** 16-bit × 16-bit Morton (z-order) interleave, as a Catalyst column and
+    * as the identical SQL text (the oracle replays bit-for-bit): bit i of
+    * `x` lands at position 2i, bit i of `y` at 2i+1.
+    */
+  private def zInterleave16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+
+  private def zInterleave16Sql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -777,6 +792,64 @@ object RelOps {
           |FROM daily
           |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
           |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-          |ORDER BY event_type, day_num""".stripMargin))
+          |ORDER BY event_type, day_num""".stripMargin)),
+
+    // Z-order (Morton) layout — MULTI-dimension data skipping, completing
+    // lineitem_range_layout's single-column story: interleaving the bits of
+    // (ship-day, partkey) makes one sort key whose contiguous ranges are
+    // small 2-D rectangles, so a scan filtered on EITHER dimension prunes
+    // most buckets (the Delta/Iceberg OPTIMIZE ZORDER rationale). The gate
+    // relation is the per-fixed-z-bucket bounding boxes — pure integer
+    // arithmetic the oracle replays bit-for-bit (the same 32-term
+    // interleave, generated once for both engines); ZOrderSpec separately
+    // pins the physical contract (repartitionByRange on zval → ≤8 disjoint
+    // z-ranges, no row loss) and that both dimensions' average bucket
+    // extent beats the one-dimension layout's.
+    ("lineitem_zorder_layout",
+      (s: SparkSession, d: String) => {
+        val raw = lineitem(s, d).select(
+          (unix_micros(date_trunc("day", col("l_shipdate").cast("timestamp")))
+            / 86400000000L).cast("long").as("day_num"),
+          col("l_partkey").as("pk"))
+        // normalize both dims to dense zero-based coordinates first —
+        // raw values share their high bits (every ship-day has bit 13
+        // set), which would compress the whole corpus into one z-range
+        // slice; the subtraction is one broadcast 1-row aggregate
+        val mins = raw.agg(min("day_num").as("d0"), min("pk").as("p0"))
+        val base = raw.crossJoin(broadcast(mins)).select(
+          (col("day_num") - col("d0")).bitwiseAND(65535).as("xd"),
+          (col("pk") - col("p0")).bitwiseAND(65535).as("yp"))
+        val z = base.select(col("xd"), col("yp"),
+          zInterleave16(col("xd"), col("yp")).as("zval"))
+        val zmax = z.agg(max("zval").as("zmax"))
+        z.crossJoin(broadcast(zmax))
+          .select(col("xd"), col("yp"),
+            expr("zval div ((zmax div 8) + 1)").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("xd").as("day_min"), max("xd").as("day_max"),
+            min("yp").as("pk_min"), max("yp").as("pk_max"))
+          .orderBy("bucket")
+      },
+      Some(
+        s"""WITH raw AS (
+           |  SELECT epoch_us(time_bucket(INTERVAL 1 DAY, l_shipdate))
+           |           // 86400000000 AS day_num,
+           |         l_partkey AS pk
+           |  FROM lineitem
+           |), mn AS (SELECT min(day_num) AS d0, min(pk) AS p0 FROM raw
+           |), base AS (
+           |  SELECT (day_num - d0) & 65535 AS xd, (pk - p0) & 65535 AS yp
+           |  FROM raw, mn
+           |), z AS (
+           |  SELECT xd, yp, ${zInterleave16Sql("xd", "yp")} AS zval
+           |  FROM base
+           |), zm AS (SELECT max(zval) AS zmax FROM z)
+           |SELECT zval // ((zmax // 8) + 1) AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       min(xd) AS day_min, max(xd) AS day_max,
+           |       min(yp) AS pk_min, max(yp) AS pk_max
+           |FROM z, zm
+           |GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }
