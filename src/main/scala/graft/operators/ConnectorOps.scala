@@ -384,5 +384,40 @@ object ConnectorOps {
           scratch.endpoint)
       },
       Some("SELECT CAST(count(*) AS BIGINT) AS count FROM events WHERE event_type = 'purchase'"))
+ ,
+    // Log analytics THROUGH the connector: the most frequent lines per
+    // label value (the "top error messages per service" staple), counted
+    // from a pushed-down connector scan and ranked by the custom
+    // TopKPerKeyExec — the reference surface and the beyond-parity custom
+    // operator in one plan. The scan pushes the time window down to the
+    // stub (bounded query_range); counts partial-aggregate; the per-label
+    // top-5 runs through bounded heaps (no per-label sort, no window).
+    ("loki_label_top_lines",
+      (s: SparkSession, d: String) => {
+        val counted = lokiDf(s, d)
+          .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))
+          .select(element_at(col("labels"), "event_type").as("label_event_type"),
+            col("line"))
+          .groupBy("label_event_type", "line")
+          .agg(count(lit(1)).as("cnt"))
+        graft.plans.GraftPlans.topKPerKey(counted,
+            Seq("label_event_type"), Seq("cnt" -> false, "line" -> true), 5)
+          .orderBy("label_event_type", "line")
+      },
+      Some(
+        """SELECT label_event_type, line, cnt FROM (
+          |  SELECT event_type AS label_event_type,
+          |         concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line,
+          |         CAST(count(*) AS BIGINT) AS cnt,
+          |         row_number() OVER (
+          |           PARTITION BY event_type
+          |           ORDER BY count(*) DESC,
+          |                    concat(event_type, ' value=', CAST(value AS VARCHAR))) AS rn
+          |  FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |    AND ts < TIMESTAMP '2024-03-01 00:00:00'
+          |  GROUP BY event_type, value
+          |) WHERE rn <= 5 ORDER BY label_event_type, line""".stripMargin))
   )
 }

@@ -850,6 +850,34 @@ object RelOps {
            |       min(xd) AS day_min, max(xd) AS day_max,
            |       min(yp) AS pk_min, max(yp) AS pk_max
            |FROM z, zm
-           |GROUP BY bucket ORDER BY bucket""".stripMargin))
+           |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Market-basket co-occurrence: part pairs bought together in one order,
+    // top-20 by support — the association-mining staple. The pair explosion
+    // is a SELF-JOIN ON THE GROUP KEY (orderkey): one shuffle co-partitions
+    // both sides, and the blowup per order is bounded by order size
+    // (≤ 7 lineitems ⇒ ≤ 21 pairs) — the shape stays linear-ish at 100 TB
+    // where a collect_list-then-explode of a pathological group would not.
+    // Distinct (orderkey, partkey) first so a part repeated in one order
+    // counts that order once.
+    ("lineitem_copurchase_pairs",
+      (s: SparkSession, d: String) => {
+        val op = lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+        op.as("x").join(op.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("p1"), col("y.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      Some(
+        """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          |SELECT x.l_partkey AS p1, y.l_partkey AS p2,
+          |       CAST(count(*) AS BIGINT) AS n_orders
+          |FROM op x JOIN op y
+          |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          |GROUP BY p1, p2
+          |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin))
   )
 }

@@ -227,4 +227,45 @@ class RelAnalyticsSpec extends SparkTestBase {
     assert(meanArea <= 0.26 * 64 * 64,
       s"mean z-bucket area $meanArea must be ≤ ~1/4 of the full square")
   }
+
+  test("lineitem_copurchase_pairs matches an exact pair recomputation") {
+    val op = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+    val expect = op.groupBy(_._1).values.flatMap { parts =>
+      val ps = parts.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+    val got = q("lineitem_copurchase_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  test("loki_label_top_lines: per-label caps, ordering, exact counts vs events") {
+    val evRows = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")))
+      .as[(String, Double, Long)].collect()
+    val lo = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    val hi = java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli * 1000L
+    val cnts = evRows.filter(e => e._3 >= lo && e._3 < hi)
+      .groupBy(e => (e._1, s"${e._1} value=${e._2}"))
+      .view.mapValues(_.length.toLong).toMap
+    val got = q("loki_label_top_lines").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    got.groupBy(_._1).foreach { case (label, rows) =>
+      assert(rows.length <= 5, s"$label must cap at 5")
+      // each returned line's count is exact, and no unreturned line of this
+      // label beats the weakest returned one under (cnt desc, line asc)
+      rows.foreach { case (_, line, cnt) => assert(cnts((label, line)) == cnt) }
+      val ord = Ordering.Tuple2[Long, String]
+      val weakest = rows.map { case (_, l, c) => (-c, l) }.max(ord)
+      cnts.filter(_._1._1 == label)
+        .filterNot { case ((_, l), _) => rows.exists(_._2 == l) }
+        .foreach { case ((_, l), c) =>
+          assert(ord.compare((-c, l), weakest) > 0,
+            s"$label: unreturned '$l' ($c) beats the returned top-5")
+        }
+    }
+  }
 }
