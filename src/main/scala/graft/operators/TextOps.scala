@@ -1711,6 +1711,52 @@ object TextOps {
           |       coalesce(1000000 // (60 + lrank), 0) + coalesce(1000000 // (60 + srank), 0) AS rrf6,
           |       coalesce(lrank, 0) AS lrank, coalesce(srank, 0) AS srank
           |FROM lex FULL OUTER JOIN sem USING (doc_id)
-          |ORDER BY rrf6 DESC, doc_id LIMIT 10""".stripMargin))
+          |ORDER BY rrf6 DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Per-document keyword extraction — top-3 TF-IDF terms per doc, the
+    // tagging/indexing step search and clustering pipelines run corpus-wide.
+    // idf quantizes to an integer (×1e6) BEFORE scoring so tf·idf6 is pure
+    // integer arithmetic; the per-doc top-3 runs through TopKPerKeyExec's
+    // bounded heaps (keys = doc_ids — millions of keys at 100 TB is exactly
+    // the operator's partial/final split case), NOT a per-doc window sort.
+    // The df relation is vocabulary-compressed and size-gated-broadcast
+    // like the rest of the corpus-statistics family.
+    ("text_keyword_tfidf",
+      (s: SparkSession, d: String) => {
+        val docs = documents(s, d)
+        val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val idf = df.crossJoin(broadcast(n))
+          .select(col("term"),
+            round(log((col("n_docs") + 1.0) / (col("df") + 1.0)) * 1e6, 0)
+              .cast("long").as("idf6"))
+        val scored = tf.join(broadcastIfSmall(idf), "term")
+          .select(col("doc_id"), col("term"), (col("tf") * col("idf6")).as("tfidf6"))
+        graft.plans.GraftPlans.topKPerKey(scored,
+            Seq("doc_id"), Seq("tfidf6" -> false, "term" -> true), 3)
+          .orderBy(col("doc_id"), col("tfidf6").desc, col("term"))
+      },
+      Some(
+        """WITH tf AS (
+          |  SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+          |  GROUP BY doc_id, token
+          |), df AS (
+          |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+          |), idf AS (
+          |  SELECT term,
+          |         CAST(round(ln(((SELECT count(*) FROM documents) + 1.0)
+          |           / (df + 1.0)) * 1e6, 0) AS BIGINT) AS idf6
+          |  FROM df
+          |), scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf * idf.idf6 AS tfidf6,
+          |         row_number() OVER (PARTITION BY tf.doc_id
+          |           ORDER BY tf.tf * idf.idf6 DESC, tf.term) AS rn
+          |  FROM tf JOIN idf USING (term)
+          |)
+          |SELECT doc_id, term, tfidf6 FROM scored WHERE rn <= 3
+          |ORDER BY doc_id, tfidf6 DESC, term""".stripMargin))
   )
 }

@@ -332,6 +332,28 @@ class TextStatsSpec extends SparkTestBase {
     }
   }
 
+  test("text_keyword_tfidf matches an exact integer recomputation") {
+    val docs = corpus
+    val n = docs.size.toLong
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, ws) => (id, w, ws.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def idf6(term: String): Long =
+      BigDecimal(math.log((n + 1.0) / (df(term) + 1.0)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = tf.map { case (id, w, f) => (id, w, f * idf6(w)) }
+      .groupBy(_._1).view.mapValues(
+        _.toSeq.sortBy { case (_, w, sc) => (-sc, w) }.take(3)).toMap
+    val got = q("text_keyword_tfidf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == expect.values.map(_.size).sum)
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.toSeq == expect(id).map { case (_, w, sc) => (id, w, sc) },
+        s"top-3 keywords for doc $id")
+    }
+  }
+
   test("text_scrub_pii finds exactly the planted PII") {
     val got = q("text_scrub_pii").collect()
     assert(got.length == corpus.size)
