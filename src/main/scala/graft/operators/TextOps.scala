@@ -156,11 +156,18 @@ object TextOps {
       .select(col("token"),
         round((log(col("cnt")) - log(col("total"))) * 1e6, 0)
           .cast("long").as("lp6"))
-    tok.join(broadcastIfSmall(lp), "token")
+    // the per-doc relation is doc-count-sized (4 narrow columns) and has
+    // MULTIPLE consumers (the unigram gate query, pplBuckets' sort AND its
+    // per-language offsets) — cache it through the LRU registry so the
+    // corpus explode+join runs once per corpus, not once per consumer
+    val perDoc = tok.join(broadcastIfSmall(lp), "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lp6").as("sum_lp6"))
       .withColumn("nll",
         round(-(col("sum_lp6").cast("double") / 1e6) / col("n_tokens"), 4))
+      .cache()
+    DedupOps.registerDedupCaches(perDoc, Seq(perDoc))
+    perDoc
   }
 
   /** Global 0-based positions under a total order, assigned WITHOUT a
@@ -210,7 +217,10 @@ object TextOps {
     val scored = unigramLogprob(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
       .select(col("lang"), col("nll"), col("doc_id"), col("n_tokens"))
-    val pos = globalPositions(scored, col("lang"), col("nll"), col("doc_id"))
+    // pos is consumed twice (per-language offsets + the ranked join); the
+    // zipWithIndex lineage would otherwise re-run the whole sort per action
+    val pos = globalPositions(scored, col("lang"), col("nll"), col("doc_id")).cache()
+    DedupOps.registerDedupCaches(pos, Seq(pos))
     val perLang = pos.groupBy("lang")
       .agg(min("gpos").as("off"), count(lit(1)).as("n_lang"))
     val ranked = pos.join(broadcast(perLang), "lang")
