@@ -239,8 +239,12 @@ class ExplainSpec extends SparkTestBase {
     // exactly what the two caps together simulate
     spark.conf.set("graft.broadcast.maxBytes", "1")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // probe via the keyword query: its size-gated join (tf ⋈ idf) sits in
+    // the LIVE plan — text_unigram_logprob's equivalent join moved inside
+    // its registry-cached per-doc relation, where a cache hit would serve
+    // the uncapped build's InMemoryRelation and hide the fallback
     try {
-      val p = plan("text_unigram_logprob")
+      val p = plan("text_keyword_tfidf")
       assert(!p.contains("BroadcastHashJoin"),
         s"capped estimate must drop the broadcast hint:\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
