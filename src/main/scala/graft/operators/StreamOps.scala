@@ -130,6 +130,23 @@ object StreamOps {
         """SELECT DISTINCT lang, md5(lower(text)) AS fingerprint
           |FROM documents ORDER BY lang, fingerprint""".stripMargin)),
 
+    // The SAME dedup pipeline drained into the durable parquet FILE sink
+    // (exactly-once via the _spark_metadata manifest — the sink a
+    // production pipeline lands on, vs the harness memory sink) and read
+    // back through the manifest: the committed files must reproduce the
+    // batch relation exactly. StreamingSpec additionally pins that the
+    // manifest exists and that a manifest-less stray file would not be
+    // readable state (the read path goes through the manifest).
+    ("stream_parquet_sink",
+      (s: SparkSession, d: String) =>
+        StreamingOps.runToParquetSink(
+          StreamingOps.dedupExactStream(s, d),
+          s"stream_ps_${math.abs(d.hashCode)}")
+          .orderBy("lang", "fingerprint"),
+      Some(
+        """SELECT DISTINCT lang, md5(lower(text)) AS fingerprint
+          |FROM documents ORDER BY lang, fingerprint""".stripMargin)),
+
     // Stream-stream interval join (see StreamingOps
     // .streamStreamClickPurchase): clicks joined to the same user's
     // purchases within 30 minutes, both sides watermarked streams; the

@@ -382,6 +382,62 @@ object StreamingOps {
       statePartitions: Int = 2): DataFrame =
     drainToMemory(df, name, mode, watermarkFlush, statePartitions)._1
 
+  /** Drain a bounded stream into a DURABLE parquet FILE sink — the
+    * exactly-once path a production pipeline lands on (the memory sink is
+    * the harness path): the sink records committed files in the
+    * `_spark_metadata` manifest and the read side trusts ONLY the
+    * manifest, so a task retry's orphan file can never double-count. The
+    * returned relation is the lazy read over the committed files; the
+    * scratch dirs live on tmpfs and are deleted at JVM exit (the caller
+    * consumes the read lazily, exactly like the interchange roundtrips).
+    * File sinks are Append-only by definition.
+    */
+  def runToParquetSink(df: DataFrame, name: String): DataFrame =
+    runToParquetSinkWithDir(df, name)._1
+
+  private[graft] def runToParquetSinkWithDir(
+      df: DataFrame, name: String): (DataFrame, java.io.File) = {
+    val spark = df.sparkSession
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val out = java.nio.file.Files
+      .createTempDirectory(base, s"graft-sink-$name-").toFile
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(base, s"graft-sinkck-$name-").toFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    sys.addShutdownHook { rm(out); rm(ckpt) }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("graft.stream.statePartitions").getOrElse("2"))
+    try {
+      val q = df.writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", out.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+    (spark.read.schema(df.schema).parquet(out.getAbsolutePath), out)
+  }
+
   /** [[runToMemory]] plus the number of DATA micro-batches the drain ran —
     * the replay spec asserts the chunked source really processed one batch
     * per file (state crossing real batch boundaries), not one big drain.

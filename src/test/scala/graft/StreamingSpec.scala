@@ -278,4 +278,28 @@ class StreamingSpec extends SparkTestBase {
     val b = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(s == b, s"missing=${b -- s} extra=${s -- b}")
   }
+
+  test("parquet file sink: manifest-committed files reproduce the batch relation exactly-once") {
+    val (read, dir) = StreamingOps.runToParquetSinkWithDir(
+      StreamingOps.dedupExactStream(spark, sf), "ps_spec")
+    val got = read.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = Tables.documents(spark, sf)
+      .select(col("lang"), md5(lower(col("text"))).as("fp"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == batch, s"missing=${batch -- got} extra=${got -- batch}")
+    // the exactly-once contract is the _spark_metadata manifest: it must
+    // exist, and the read path must trust it over the directory listing —
+    // an orphan file (a simulated failed-task leftover) must NOT appear
+    val manifest = new java.io.File(dir, "_spark_metadata")
+    assert(manifest.isDirectory && manifest.listFiles().nonEmpty,
+      "file sink must commit through a _spark_metadata manifest")
+    val before = read.count()
+    val orphanSrc = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(dir, "part-99999-orphan.snappy.parquet")
+    java.nio.file.Files.copy(orphanSrc.toPath, orphan.toPath)
+    val reread = spark.read.schema(read.schema).parquet(dir.getAbsolutePath)
+    assert(reread.count() == before,
+      "a non-manifest file must be invisible to the manifest-aware read")
+    orphan.delete()
+  }
 }
