@@ -17,9 +17,24 @@ object Tables {
   private val loaded =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Parquet-reading confs that pin a stable timestamp reading across the
+    * corpus generations the driver has shipped: TIMESTAMP(NANOS) columns
+    * (unrepresentable in Spark's µs TimestampType) surface as ns Longs,
+    * and µs isAdjustedToUTC=false columns read as TimestampType rather
+    * than TIMESTAMP_NTZ — under the UTC session the two types denote the
+    * same instant, and TimestampType keeps the whole downstream surface
+    * (window(), unix_micros, watermarks) on one type.
+    */
+  private[graft] def readerConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    loaded.getOrElseUpdate((spark, dir, name),
-      spark.read.parquet(s"$dir/$name.parquet"))
+    loaded.getOrElseUpdate((spark, dir, name), {
+      readerConfs(spark)
+      spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -28,16 +43,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) cannot represent; read it as a ns Long and truncate to µs —
-    * the same boundary truncation the reference's connector does for Loki's
-    * ns timestamps (SURVEY.md §7.4(b)). `DIV` keeps the arithmetic integral
-    * (a double division would lose precision above 2^53).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) — unrepresentable
+    * in Spark's µs TimestampType, so it reads as a ns Long (readerConfs)
+    * and truncates to µs, the same boundary truncation the reference's
+    * connector does for Loki's ns timestamps (SURVEY.md §7.4(b); `DIV`
+    * keeps the arithmetic integral — a double division would lose
+    * precision above 2^53) — and as TIMESTAMP(MICROS), which readerConfs
+    * reads as TimestampType directly. Branch on the type actually read so
+    * both corpus generations work.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -14,21 +14,28 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 object StreamingOps {
 
-  /** Schema of events.parquet with ts as ns-Long (the nanosAsLong reading). */
+  /** Schema of events.parquet under Tables.readerConfs (ns columns as
+    * Long, µs columns as TimestampType — both corpus generations).
+    */
   private def eventsSchema(spark: SparkSession, dir: String): StructType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.readerConfs(spark)
     spark.read.parquet(s"$dir/events.parquet").schema
   }
 
-  /** Streaming source over the events parquet file(s). */
+  /** Streaming source over the events parquet file(s). The ns-Long → µs
+    * truncation applies only when the corpus actually shipped ns
+    * timestamps (see [[Tables.events]]).
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = eventsSchema(spark, dir)
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       // FileStreamSource wants a directory; select just the events file
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
   }
 
   /** Watermarked hourly windowed aggregation — streaming twin of the batch
@@ -87,7 +94,7 @@ object StreamingOps {
     * the survivor set exactly the batch-distinct relation.
     */
   def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.readerConfs(spark)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     dedupExactOn(
       spark.readStream
@@ -204,7 +211,7 @@ object StreamingOps {
     * by the oracle.
     */
   def dedupAggChainedStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.readerConfs(spark)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     spark.readStream
       .schema(schema)
@@ -243,7 +250,7 @@ object StreamingOps {
     * (that is what bounds the state).
     */
   def dedupPrefixStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.readerConfs(spark)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     spark.readStream
       .schema(schema)
