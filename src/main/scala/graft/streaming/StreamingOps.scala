@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.{LongType, StructType}
 
+import graft.Tables
+
 /** Structured Streaming surface over the events table (file-stream source):
   * the streaming shape of the batch `events_hourly_window` /
   * `events_sessionize` operators. Streams are out of the reference's parity
