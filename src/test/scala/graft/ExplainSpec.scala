@@ -32,7 +32,9 @@ class ExplainSpec extends SparkTestBase {
 
   test("scan projection is pruned to referenced columns") {
     val p = plan("loki_projection")
-    assert(p.contains("ReadSchema: struct<ts:bigint"), s"expected pruned schema:\n$p")
+    // ts is bigint (ns-Long corpus) or timestamp (µs corpus) — both valid
+    assert(p.contains("ReadSchema: struct<ts:bigint") ||
+           p.contains("ReadSchema: struct<ts:timestamp"), s"expected pruned schema:\n$p")
     assert(!p.contains("props"), s"unused column read:\n$p")
   }
 
