@@ -205,26 +205,60 @@ object TextOps {
   /** CCNet-style perplexity buckets: per language, split documents into
     * head/middle/tail terciles by unigram-LM mean NLL (lower = closer to
     * the corpus LM = "head"). The tercile assignment is ntile(3) SEMANTICS
-    * computed WITHOUT a per-language single-task window: global positions
-    * over the (lang, nll, doc_id) range sort, per-lang offsets subtracted
-    * via a broadcast join of per-lang (min position, count), then the SQL
-    * ntile closed form on the within-lang rank — first `n mod k` buckets
-    * get the extra row, exactly the standard every engine implements. At
-    * 100 TB each piece stays distributed: one range sort, one vocab-sized
-    * aggregate, one broadcast.
+    * computed WITHOUT a per-language single-task window: one range sort on
+    * (lang, nll, doc_id), scan-local per-(partition, lang) indexes, and a
+    * broadcast of the (partition × lang)-sized offset table turn local
+    * indexes into within-lang ranks; then the SQL ntile closed form on the
+    * rank — first `n mod k` buckets get the extra row, exactly the
+    * standard every engine implements. At 100 TB each piece stays
+    * distributed: one range sort, one bounded count table, one broadcast.
     */
   def pplBuckets(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
     val scored = unigramLogprob(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
       .select(col("lang"), col("nll"), col("doc_id"), col("n_tokens"))
-    // pos is consumed twice (per-language offsets + the ranked join); the
-    // zipWithIndex lineage would otherwise re-run the whole sort per action
-    val pos = globalPositions(scored, col("lang"), col("nll"), col("doc_id")).cache()
-    DedupOps.registerDedupCaches(pos, Seq(pos))
-    val perLang = pos.groupBy("lang")
-      .agg(min("gpos").as("off"), count(lit(1)).as("n_lang"))
-    val ranked = pos.join(broadcast(perLang), "lang")
-      .withColumn("rn", col("gpos") - col("off") + 1)
+    // Within-language ranks WITHOUT globalPositions: one range shuffle on
+    // (lang, nll, doc_id) + in-partition sort, then a single scan-local
+    // pass assigns each row its local index within its (partition, lang)
+    // run — langs are contiguous after the sort, so a counter that resets
+    // on lang change suffices. zipWithIndex would pay an extra whole-sort
+    // execution for its partition-count job; here the only extra relation
+    // is the (partition × lang)-sized count table, whose per-lang running
+    // sum (a window over ≤ n_partitions rows per lang — bounded by the
+    // CLUSTER, not the data) turns local indexes into global ranks.
+    val sorted = scored
+      .repartitionByRange(col("lang"), col("nll"), col("doc_id"))
+      .sortWithinPartitions("lang", "nll", "doc_id")
+      .select(col("lang").as[String], col("nll").as[Double],
+        col("n_tokens").as[Long])
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var curLang: String = null
+        var li = -1L
+        it.map { case (lang, nll, nTok) =>
+          if (lang != curLang) { curLang = lang; li = 0L } else li += 1
+          (pid, lang, nll, nTok, li)
+        }
+      }.toDF("pid", "lang", "nll", "n_tokens", "li")
+      .cache()
+    DedupOps.registerDedupCaches(sorted, Seq(sorted))
+    // The count table is (partitions × langs)-sized — driver-bounded by
+    // construction, and it gets broadcast anyway (a broadcast IS a driver
+    // collect); folding the running sum driver-side keeps the plan free
+    // of any Window node, the property ExplainSpec pins for this query.
+    val cnts = sorted.groupBy("pid", "lang").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offRows = cnts.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val srt = rows.sortBy(_._1)
+      val nLang = srt.map(_._3).sum
+      var acc = 0L
+      srt.map { case (pid, _, c) => val o = acc; acc += c; (pid, lang, o, nLang) }
+    }
+    val offs = offRows.toDF("pid", "lang", "off", "n_lang")
+    val ranked = sorted.join(broadcast(offs), Seq("pid", "lang"))
+      .withColumn("rn", col("off") + col("li") + 1)
     // ntile(3) closed form: q = n div 3, r = n mod 3; the first r buckets
     // hold q+1 rows. q = 0 (n < 3) degenerates to bucket = rn, matching
     // ntile with more buckets than rows.
@@ -1463,8 +1497,9 @@ object TextOps {
 
     // CCNet-style perplexity terciles per language (see [[pplBuckets]]):
     // the oracle uses its engine's native ntile; the Spark side computes
-    // ntile's closed form over globally-assigned positions so no language
-    // serializes through one task.
+    // ntile's closed form over within-language ranks (range sort +
+    // scan-local indexes + broadcast offsets) so no language serializes
+    // through one task.
     ("documents_ppl_buckets",
       (s: SparkSession, d: String) =>
         pplBuckets(documents(s, d))

@@ -210,13 +210,22 @@ class ExplainSpec extends SparkTestBase {
   }
 
   test("global-rank queries (shuffle order, ppl buckets) have no single-task stage") {
-    // both assign global positions via the range-sort + zipWithIndex
-    // pattern (encodeIds precedent); a no-partition row_number window —
-    // what the oracle uses — would funnel the corpus through ONE task
+    // both assign global ranks via range sort + scan-local indexing
+    // (encodeIds precedent); a no-partition row_number window — what the
+    // oracle uses — would funnel the CORPUS through one task. The only
+    // permitted SinglePartition is a scalar aggregate's final reduce
+    // (HashAggregate(keys=[]) directly above it — one pre-aggregated row
+    // per upstream partition, data-independent by construction).
     for (name <- Seq("documents_shuffle_order", "documents_ppl_buckets")) {
       val p = plan(name)
-      assert(!p.contains("SinglePartition"),
-        s"$name: no stage may funnel through one partition:\n$p")
+      val lines = p.linesIterator.toIndexedSeq
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val parent = lines.take(i).reverseIterator
+            .find(l => !l.trim.isEmpty && !l.contains("QueryStage"))
+          assert(parent.exists(_.contains("HashAggregate(keys=[]")),
+            s"$name: SinglePartition outside a scalar aggregate:\n$p")
+        }
       assert(!p.contains("Window"), s"$name: no window rank:\n$p")
     }
   }
