@@ -42,10 +42,7 @@ object StreamOps {
       (s: SparkSession, d: String) => {
         val name = s"stream_sw_${math.abs(d.hashCode)}"
         StreamingOps.runToMemory(
-          StreamingOps.sessionWindows(s, d), name, OutputMode.Complete(),
-          // session-window state carries every open session; measurably
-          // prefers more state partitions than the light dedup/agg shapes
-          statePartitions = 4)
+          StreamingOps.sessionWindows(s, d), name, OutputMode.Complete())
           .orderBy("user_id", "start_us")
       },
       Some(
@@ -83,7 +80,7 @@ object StreamOps {
         val name = s"stream_fm_${math.abs(d.hashCode)}"
         StreamingOps.runToMemory(
           StreamingOps.closedSessions(s, d).toDF(), name, OutputMode.Append(),
-          watermarkFlush = true, statePartitions = 4)
+          watermarkFlush = true)
           .orderBy("user_id", "start_us")
       },
       Some(
@@ -188,7 +185,7 @@ object StreamOps {
         val name = s"stream_ca_${math.abs(d.hashCode)}"
         StreamingOps.runToMemory(
           StreamingOps.streamStreamJoinAggChained(s, d), name,
-          OutputMode.Append(), watermarkFlush = true, statePartitions = 4)
+          OutputMode.Append(), watermarkFlush = true)
           .orderBy("bucket_us")
       },
       Some(

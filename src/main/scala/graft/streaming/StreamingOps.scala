@@ -130,7 +130,10 @@ object StreamingOps {
     * must equal the batch join + aggregate the oracle computes.
     */
   def streamStaticSegments(spark: SparkSession, dir: String): DataFrame = {
-    val dim = spark.read.parquet(s"$dir/customer.parquet")
+    // through Tables.table so the dimension read applies readerConfs like
+    // every other parquet read (customer has no timestamp columns today,
+    // but the one-type-surface contract shouldn't depend on that)
+    val dim = Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     eventsStream(spark, dir)
       .select(col("user_id"), col("value"))
@@ -382,12 +385,15 @@ object StreamingOps {
       // watermark-gated opt in.
       watermarkFlush: Boolean = false,
       // per-query state sizing, exactly as production would size a
-      // long-lived query to its state volume: the stream-stream joins and
-      // session windows carry real state and measurably prefer more
-      // partitions; the light dedup/agg shapes prefer fewer (each state
-      // store pays its own checkpoint, commit, and maintenance task on a
-      // bounded drain). `graft.stream.statePartitions` still overrides
-      // globally for experiments.
+      // long-lived query to its state volume: only the stream-stream
+      // interval join (4 state stores per partition, both watermark
+      // windows buffered) measurably prefers more partitions; every
+      // other shape — including session windows and the chained
+      // stateful plans — is faster at 2 (each state store pays its own
+      // checkpoint, commit, and maintenance task on a bounded drain,
+      // and that per-store tax beats the parallelism at gate-scale
+      // state). `graft.stream.statePartitions` still overrides globally
+      // for experiments.
       statePartitions: Int = 2): DataFrame =
     drainToMemory(df, name, mode, watermarkFlush, statePartitions)._1
 
