@@ -18,6 +18,10 @@ object Micro {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false")) // match Bench
       .config("spark.sql.session.timeZone", "UTC")
+      // corpus timestamp contract at construction (Tables.readerConfs
+      // re-applies defensively; see its ordering note)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -11,6 +11,10 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.session.timeZone", "UTC")
+      // corpus timestamp contract at construction (Tables.readerConfs
+      // re-applies defensively; see its ordering note)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,6 +18,10 @@ object StreamProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // corpus timestamp contract at construction (Tables.readerConfs
+      // re-applies defensively; see its ordering note)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
     // experiment: skip the CRC sidecar files Hadoop's checksummed
     // LocalFileSystem writes for every checkpoint/state file

@@ -24,6 +24,13 @@ object Tables {
     * than TIMESTAMP_NTZ — under the UTC session the two types denote the
     * same instant, and TimestampType keeps the whole downstream surface
     * (window(), unix_micros, watermarks) on one type.
+    *
+    * ORDERING: these are session confs set as a side effect, so a bare
+    * `spark.read.parquet` issued before the first Tables call sees
+    * different timestamp types for the same files. Every entry-point
+    * session builder therefore sets both confs at construction (next to
+    * the UTC timezone pin); this re-apply is defensive, for sessions
+    * built elsewhere (tests, ad-hoc shells).
     */
   private[graft] def readerConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,7 +57,12 @@ object Tables {
     * keeps the arithmetic integral — a double division would lose
     * precision above 2^53) — and as TIMESTAMP(MICROS), which readerConfs
     * reads as TimestampType directly. Branch on the type actually read so
-    * both corpus generations work.
+    * both corpus generations work. The LongType branch assumes ns: under
+    * readerConfs the ONLY way ts reads as Long is nanosAsLong on a
+    * TIMESTAMP(NANOS) column — a corpus shipping ts as a plain INT64
+    * (no timestamp logical type) would be wrongly divided by 1000, so
+    * that shape is outside the supported corpus contract (TESTDATA.md
+    * ships either NANOS or MICROS logical types).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")

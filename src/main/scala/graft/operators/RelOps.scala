@@ -637,8 +637,9 @@ object RelOps {
           .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
           .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-            // o_orderdate reads as TIMESTAMP_NTZ; the session tz is UTC so
-            // the cast is the identity instant the oracle's epoch_us sees
+            // o_orderdate reads as TimestampType under Tables.readerConfs
+            // (inferTimestampNTZ off), so the cast is a no-op kept only as
+            // a guard against a session missing those confs
             unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
             round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderdate_us"), col("o_orderkey"))

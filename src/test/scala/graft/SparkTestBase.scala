@@ -15,6 +15,10 @@ trait SparkTestBase extends AnyFunSuite {
     .master("local[4,2]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // corpus timestamp contract at construction (Tables.readerConfs
+    // re-applies defensively; see its ordering note)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.warehouse.dir",
       s"/tmp/graft_warehouse_${sys.props.getOrElse("user.name", "u")}")
