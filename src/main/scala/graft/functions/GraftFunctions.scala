@@ -25,6 +25,8 @@ object GraftFunctions {
 
   def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(ex(a), ex(b)))
 
+  def term_counts(tokens: Column): Column = toCol(TermCounts(ex(tokens)))
+
   def srp_sig(v: Column, bits: Int, seed: Long): Column =
     toCol(SrpSignature(ex(v), bits, seed))
 
@@ -78,6 +80,8 @@ object GraftFunctions {
         es(2).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       es => CosineSim(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("term_counts"), info("term_counts"),
+      es => TermCounts(es.head)))
   }
 
   /** Register SQL names for the custom expressions on this session. */
@@ -95,5 +99,6 @@ object GraftFunctions {
         es(2).eval().asInstanceOf[Number].intValue()),
       "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("term_counts", es => TermCounts(es.head), "scala_udf")
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
@@ -80,6 +80,40 @@ object TextHash {
       b += 1
     }
     sig
+  }
+
+  /** One-pass per-row term-frequency map over a token array: the per-doc
+    * tf relation WITHOUT a (doc, term) exchange — every token of a
+    * document lives in its row, so the count is scan-local by
+    * construction; exploding the map yields the same (term, tf) rows a
+    * `groupBy(doc_id, term).count` would shuffle the whole token stream
+    * for. Keys keep first-appearance order (LinkedHashMap) so repeated
+    * runs produce byte-identical maps.
+    */
+  def termCounts(arr: ArrayData): MapData = {
+    val m = new java.util.LinkedHashMap[UTF8String, Long]()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val prev = m.get(s)
+        m.put(s, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    val keys = new Array[AnyRef](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = e.getKey
+      vals(i) = e.getValue
+      i += 1
+    }
+    new ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
   /** Polynomial rolling hash (base 1000003, mod 2^64) over the string's UTF-8
@@ -202,6 +236,22 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHash.winnowSelect($c, $k, $w);")
   override protected def withNewChildInternal(c: Expression): WinnowSelect = copy(child = c)
+}
+
+/** `term_counts(tokens)` → map<string,bigint> of per-row term frequencies
+  * (see [[TextHash.termCounts]]).
+  */
+case class TermCounts(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "term_counts"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.termCounts(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.termCounts($c);")
+  override protected def withNewChildInternal(c: Expression): TermCounts = copy(child = c)
 }
 
 /** `rolling_fp(str)` → bigint rolling-hash fingerprint. */

@@ -1760,17 +1760,24 @@ object TextOps {
 
     // Per-document keyword extraction — top-3 TF-IDF terms per doc, the
     // tagging/indexing step search and clustering pipelines run corpus-wide.
-    // idf quantizes to an integer (×1e6) BEFORE scoring so tf·idf6 is pure
-    // integer arithmetic; the per-doc top-3 runs through TopKPerKeyExec's
-    // bounded heaps (keys = doc_ids — millions of keys at 100 TB is exactly
-    // the operator's partial/final split case), NOT a per-doc window sort.
-    // The df relation is vocabulary-compressed and size-gated-broadcast
-    // like the rest of the corpus-statistics family.
+    // tf is SCAN-LOCAL: every token of a document lives in its row, so the
+    // native term_counts expression builds the per-doc frequency map in one
+    // pass and explode yields (doc_id, term, tf) with NO (doc, term)
+    // exchange — the groupBy form shuffles the whole token stream for
+    // counts the row already contains. idf quantizes to an integer (×1e6)
+    // BEFORE scoring so tf·idf6 is pure integer arithmetic; the per-doc
+    // top-3 runs through TopKPerKeyExec's bounded heaps (keys = doc_ids —
+    // millions of keys at 100 TB is exactly the operator's partial/final
+    // split case), NOT a per-doc window sort — and with tf scan-local the
+    // partial heaps already see every term of a doc, so the final exchange
+    // moves ≤3 rows per document. The df relation is vocabulary-compressed
+    // and size-gated-broadcast like the rest of the corpus-statistics
+    // family.
     ("text_keyword_tfidf",
       (s: SparkSession, d: String) => {
         val docs = documents(s, d)
-        val tf = docs.select(col("doc_id"), explode(toks).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val tf = docs
+          .select(col("doc_id"), explode(term_counts(toks)).as(Seq("term", "tf")))
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val idf = df.crossJoin(broadcast(n))
