@@ -174,6 +174,58 @@ object ScaleSmoke {
       graft.operators.TextOps.stratifiedSampleExact(skewed, 0.05).count()
     }
     println(s"[scale] skewed corpus=$nSkew sampled hash=$hashKept exact=$exactKept")
+
+    // round-7 additions. ppl buckets: the within-language rank machinery
+    // (range sort + scan-local per-(partition, lang) indexes + broadcast
+    // offsets) must keep producing exact ntile semantics on the
+    // multiplied corpus — per language the tercile sizes sum to the
+    // language's count and differ by ≤ 1.
+    timed("ppl_buckets") {
+      val rows = graft.operators.TextOps.pplBuckets(bigLang).collect()
+      val byLang = rows.groupBy(_.getString(0))
+      val langCounts = bigLang.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      byLang.foreach { case (lang, bs) =>
+        val sizes = bs.map(_.getLong(2))
+        assert(sizes.sum == langCounts(lang), s"$lang: buckets must partition")
+        assert(sizes.max - sizes.min <= 1, s"$lang: ntile sizes differ >1")
+      }
+      rows.length
+    }
+    // keyword TF-IDF: tf is scan-local (term_counts), so the only
+    // corpus-sized exchange is the ≤3-rows-per-doc top-k final; every
+    // copy-doc keeps its own top-3 → rows scale exactly with the corpus.
+    val kwBase = timed("keyword_tfidf_base") {
+      graft.plans.GraftPlans.topKPerKey(
+        graft.operators.TextOps.tfidfScored(base), Seq("doc_id"), Seq("tfidf6" -> false, "term" -> true), 3)
+        .count()
+    }
+    val kwBig = timed("keyword_tfidf_xN") {
+      graft.plans.GraftPlans.topKPerKey(
+        graft.operators.TextOps.tfidfScored(big), Seq("doc_id"), Seq("tfidf6" -> false, "term" -> true), 3)
+        .count()
+    }
+    assert(kwBig == mult * kwBase,
+      s"keyword rows must scale with the corpus: $kwBase x$mult != $kwBig")
+    // copurchase: orderkey-offset copies multiply every pair's support
+    // exactly — the top-20 via the run-walk mapPartitions expansion must
+    // be the base top-20 with counts × mult.
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val okStride = li.agg(max("l_orderkey")).head().getLong(0) + 1L
+    val bigLi = (0 until mult).map { i =>
+      li.select((col("l_orderkey") + lit(i.toLong * okStride)).as("l_orderkey"),
+        col("l_partkey"))
+    }.reduce(_ unionAll _)
+    timed("copurchase_xN") {
+      val basePairs = graft.operators.RelOps.copurchasePairs(li).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val bigPairs = graft.operators.RelOps.copurchasePairs(bigLi).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(bigPairs.toSeq == basePairs.map { case (a, b, n) => (a, b, n * mult) }.toSeq,
+        "copurchase top-20 must be the base top-20 with support x mult")
+      bigPairs.length
+    }
+
     println("[scale] OK: exact paths agree")
     spark.stop()
   }

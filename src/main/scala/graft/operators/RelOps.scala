@@ -37,6 +37,67 @@ object RelOps {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
+  /** Top-20 co-purchased part pairs over a (l_orderkey, l_partkey)
+    * relation — the plan under the `lineitem_copurchase_pairs` entry,
+    * reusable for the scale smoke. ONE shuffle hash-partitions by order,
+    * an in-partition sort groups each order's items contiguously, and a
+    * mapPartitions run-walk emits each order's distinct pairs directly
+    * (≤21 per order — order size is structurally bounded); the pair
+    * counts then partial-aggregate. mapPartitions (not collect_set +
+    * explode) because the set aggregate runs on ObjectHashAggregateExec —
+    * no codegen, per-group set buffers — and the A/B at sf0.1 measured
+    * the run-walk at 0.8 s vs 1.1 s (set+explode), 2.0 s (self-equi-join,
+    * DuckDB's shape). For UNBOUNDED group sizes this shape still holds: a
+    * run is one order, never a partition-sized buffer.
+    */
+  def copurchasePairs(li: DataFrame): DataFrame = {
+    val s = li.sparkSession
+    import s.implicits._
+    val pairs = li
+      .repartition(col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_partkey")
+      .select(col("l_orderkey").as[Long], col("l_partkey").as[Long])
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Long](8)
+        var curKey = Long.MinValue
+        new Iterator[(Long, Long)] {
+          private var out: Iterator[(Long, Long)] = Iterator.empty
+          // buf is sorted and de-duplicated by construction: rows arrive
+          // (l_orderkey, l_partkey)-sorted and append skips the
+          // duplicate head
+          private def pairsOf(b: IndexedSeq[Long]) = {
+            val o = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+            var i = 0
+            while (i < b.length) {
+              var j = i + 1
+              while (j < b.length) { o += ((b(i), b(j))); j += 1 }
+              i += 1
+            }
+            o.iterator
+          }
+          private def fill(): Unit = {
+            while (!out.hasNext && it.hasNext) {
+              val (k, p) = it.next()
+              if (k != curKey) {
+                val done = buf.toIndexedSeq
+                buf.clear(); curKey = k; buf += p
+                out = pairsOf(done)
+              } else if (buf.isEmpty || buf.last != p) buf += p
+            }
+            if (!out.hasNext && !it.hasNext && buf.nonEmpty) {
+              out = pairsOf(buf.toIndexedSeq); buf.clear()
+            }
+          }
+          def hasNext: Boolean = { fill(); out.hasNext }
+          def next(): (Long, Long) = { fill(); out.next() }
+        }
+      }.toDF("p1", "p2")
+    pairs.groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // TPC-H Q1-style pricing summary: the canonical partial-agg shape.
@@ -854,65 +915,12 @@ object RelOps {
            |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // Market-basket co-occurrence: part pairs bought together in one order,
-    // top-20 by support — the association-mining staple. ONE shuffle
-    // hash-partitions lineitem by order, a scan-local sort groups each
-    // order's items contiguously, and pair expansion walks the runs in a
-    // mapPartitions iterator (≤21 pairs per order — order size is bounded
-    // at ≤7 lineitems by the data model); the pair counts then
-    // partial-aggregate. mapPartitions (not collect_set + explode) because
-    // the set aggregate runs on ObjectHashAggregateExec — no codegen,
-    // per-group set buffers — and the A/B at sf0.1 measured the run-walk
-    // at 0.8 s vs 1.1 s (set+explode), 2.0 s (self-equi-join, DuckDB's
-    // shape). Per-run de-dup makes a part repeated in one order count that
-    // order once. For UNBOUNDED group sizes this shape still holds: a run
-    // is one order, never a partition-sized buffer.
+    // top-20 by support — the association-mining staple; plan shape and
+    // measurements in [[copurchasePairs]]. Per-run de-dup makes a part
+    // repeated in one order count that order once.
     ("lineitem_copurchase_pairs",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val pairs = lineitem(s, d)
-          .repartition(col("l_orderkey"))
-          .sortWithinPartitions("l_orderkey", "l_partkey")
-          .select(col("l_orderkey").as[Long], col("l_partkey").as[Long])
-          .mapPartitions { it =>
-            val buf = new scala.collection.mutable.ArrayBuffer[Long](8)
-            var curKey = Long.MinValue
-            new Iterator[(Long, Long)] {
-              private var out: Iterator[(Long, Long)] = Iterator.empty
-              // buf is sorted and de-duplicated by construction: rows
-              // arrive (l_orderkey, l_partkey)-sorted and append skips
-              // the duplicate head
-              private def pairsOf(b: IndexedSeq[Long]) = {
-                val o = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-                var i = 0
-                while (i < b.length) {
-                  var j = i + 1
-                  while (j < b.length) { o += ((b(i), b(j))); j += 1 }
-                  i += 1
-                }
-                o.iterator
-              }
-              private def fill(): Unit = {
-                while (!out.hasNext && it.hasNext) {
-                  val (k, p) = it.next()
-                  if (k != curKey) {
-                    val done = buf.toIndexedSeq
-                    buf.clear(); curKey = k; buf += p
-                    out = pairsOf(done)
-                  } else if (buf.isEmpty || buf.last != p) buf += p
-                }
-                if (!out.hasNext && !it.hasNext && buf.nonEmpty) {
-                  out = pairsOf(buf.toIndexedSeq); buf.clear()
-                }
-              }
-              def hasNext: Boolean = { fill(); out.hasNext }
-              def next(): (Long, Long) = { fill(); out.next() }
-            }
-          }.toDF("p1", "p2")
-        pairs.groupBy("p1", "p2")
-          .agg(count(lit(1)).as("n_orders"))
-          .orderBy(col("n_orders").desc, col("p1"), col("p2"))
-          .limit(20)
-      },
+      (s: SparkSession, d: String) =>
+        copurchasePairs(lineitem(s, d).select("l_orderkey", "l_partkey")),
       Some(
         """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
           |SELECT x.l_partkey AS p1, y.l_partkey AS p2,

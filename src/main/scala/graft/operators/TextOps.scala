@@ -274,6 +274,25 @@ object TextOps {
       .orderBy("lang", "bucket")
   }
 
+  /** TF-IDF scored terms (doc_id, term, tfidf6) — the relation under the
+    * `text_keyword_tfidf` entry, reusable for the scale smoke. tf is
+    * scan-local via [[graft.functions.TermCounts]]; idf quantizes to an
+    * integer (×1e6) before scoring; the df relation is vocabulary-
+    * compressed and size-gated-broadcast.
+    */
+  def tfidfScored(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(term_counts(toks)).as(Seq("term", "tf")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(n))
+      .select(col("term"),
+        round(log((col("n_docs") + 1.0) / (col("df") + 1.0)) * 1e6, 0)
+          .cast("long").as("idf6"))
+    tf.join(broadcastIfSmall(idf), "term")
+      .select(col("doc_id"), col("term"), (col("tf") * col("idf6")).as("tfidf6"))
+  }
+
   /** Bigram-PMI relation (see the `text_pmi_bigrams` entry): (bigram,
     * c12, pmi6) ordered by (pmi6 desc, bigram). Docs under 2 tokens are
     * excluded. Both count relations are aggregate-compressed (vocab-sized,
@@ -1774,22 +1793,10 @@ object TextOps {
     // and size-gated-broadcast like the rest of the corpus-statistics
     // family.
     ("text_keyword_tfidf",
-      (s: SparkSession, d: String) => {
-        val docs = documents(s, d)
-        val tf = docs
-          .select(col("doc_id"), explode(term_counts(toks)).as(Seq("term", "tf")))
-        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val idf = df.crossJoin(broadcast(n))
-          .select(col("term"),
-            round(log((col("n_docs") + 1.0) / (col("df") + 1.0)) * 1e6, 0)
-              .cast("long").as("idf6"))
-        val scored = tf.join(broadcastIfSmall(idf), "term")
-          .select(col("doc_id"), col("term"), (col("tf") * col("idf6")).as("tfidf6"))
-        graft.plans.GraftPlans.topKPerKey(scored,
+      (s: SparkSession, d: String) =>
+        graft.plans.GraftPlans.topKPerKey(tfidfScored(documents(s, d)),
             Seq("doc_id"), Seq("tfidf6" -> false, "term" -> true), 3)
-          .orderBy(col("doc_id"), col("tfidf6").desc, col("term"))
-      },
+          .orderBy(col("doc_id"), col("tfidf6").desc, col("term")),
       Some(
         """WITH tf AS (
           |  SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
