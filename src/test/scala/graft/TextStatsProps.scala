@@ -100,4 +100,27 @@ object TextStatsProps extends Properties("TextStats") {
         expected(r.getLong(0)) == ((r.getLong(1), r.getLong(2)))
       }
     }
+
+  property("term_counts ≡ groupBy count, first-appearance key order") =
+    Prop.forAll(corpusGen) { corpus =>
+      import org.apache.spark.sql.functions.{col, map_keys, split}
+      import graft.functions.GraftFunctions.term_counts
+      // Row.getMap converts to a Scala Map (unordered past 4 entries), so
+      // the map's array order — the expression's determinism contract —
+      // is read via map_keys instead
+      val got = df(corpus)
+        .select(col("doc_id"),
+          term_counts(split(col("text"), " ")).as("tc"))
+        .select(col("doc_id"), col("tc"), map_keys(col("tc")).as("ks"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getMap[String, Long](1).toMap, r.getSeq[String](2))))
+        .toMap
+      corpus.forall { case (id, t) =>
+        val ts = t.split(" ").toSeq
+        val (m, ks) = got(id)
+        m == ts.distinct.map(w => w -> ts.count(_ == w).toLong).toMap &&
+          ks == ts.distinct
+      }
+    }
 }
