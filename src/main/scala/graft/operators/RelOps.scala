@@ -744,7 +744,13 @@ object RelOps {
         val edges = e0.select(col("a").as("src"), col("b").as("dst"))
           .union(e0.select(col("b").as("src"), col("a").as("dst")))
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val ed = edges.join(deg, "src").persist()
+        // cached PRE-PARTITIONED on the per-round join key: the iterate
+        // joins ed.src = ranks.node every round, and an arbitrarily-
+        // partitioned cache would re-exchange the (large) edge side five
+        // times — hash-partitioning before persist leaves only the
+        // (node-count-sized) ranks side to move per round, the iterative-
+        // graph layout a 100 TB run must have
+        val ed = edges.join(deg, "src").repartition(col("src")).persist()
         DedupOps.registerDedupCaches(ed, Seq(ed))
         val nNodes = ed.select(col("src")).distinct().count()
         val Q = 1000000000000L
