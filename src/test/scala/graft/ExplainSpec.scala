@@ -230,6 +230,31 @@ class ExplainSpec extends SparkTestBase {
     }
   }
 
+  test("keyword TF-IDF: tf is scan-local — no exchange between the scan and the top-k partial") {
+    // the term_counts rewrite's contract: the only corpus-sized exchanges
+    // are the vocabulary df aggregate and the ≤3-rows-per-doc top-k
+    // final; the per-doc tf relation itself never shuffles. The old
+    // groupBy(doc_id, term) form planned three data-sized exchanges.
+    val p = plan("text_keyword_tfidf")
+    assert(p.contains("term_counts") || p.contains("TermCounts") ||
+      p.contains("staticinvoke"), s"expected the native expression:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"tf must not shuffle (saw $exchanges hash exchanges):\n$p")
+    assert(!p.contains("ObjectHashAggregate"), s"no set/object aggregate:\n$p")
+  }
+
+  test("copurchase: one order-key exchange feeds the run-walk; no object aggregate") {
+    val p = plan("lineitem_copurchase_pairs")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"collect_set's object aggregate must be gone:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"expected the run-walk mapPartitions:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"only the order-key repartition + pair aggregate may shuffle (saw $exchanges):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
   test("winnowing is scan-local: no exchange below the per-doc projection") {
     val p = plan("text_winnowing")
     assert(!p.contains("Window") && !p.contains("BroadcastHashJoin"),

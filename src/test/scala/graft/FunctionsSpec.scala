@@ -129,7 +129,9 @@ class FunctionsSpec extends SparkTestBase {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
-      "simhash64(array('a','b')) s, rolling_fp('abc') f").head()
+      "simhash64(array('a','b')) s, rolling_fp('abc') f, " +
+      "term_counts(array('a','b','a')) tc").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getMap[String, Long](3) == Map("a" -> 2L, "b" -> 1L))
   }
 }
