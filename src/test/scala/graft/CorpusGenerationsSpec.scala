@@ -116,4 +116,28 @@ class CorpusGenerationsSpec extends SparkTestBase {
     assert(usPlan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
       s"µs corpus must push the ts bound to the scan:\n$usPlan")
   }
+
+  test("streaming file source agrees across corpus generations") {
+    // StreamingOps.eventsStream carries the same LongType branch as
+    // Tables.events (ns Long -> DIV 1000 -> timestamp_micros); drive the
+    // hourly-window pipeline over BOTH generations through the real
+    // file-stream source and require identical final state.
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.streaming.OutputMode
+    val (nsDir, usDir) = (writeNsCorpus(), writeUsCorpus())
+    def drained(dir: String): Seq[(Long, String, Long, Double)] =
+      StreamingOps.runToMemory(
+        StreamingOps.hourlyWindow(spark, dir),
+        s"corpusgen_${math.abs(dir.hashCode)}", OutputMode.Complete())
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val (nsRes, usRes) = (drained(nsDir), drained(usDir))
+    assert(nsRes == usRes,
+      s"streamed state must not depend on the corpus generation:\n$nsRes\n$usRes")
+    assert(nsRes == Seq(
+      (baseUs, "click", 1L, 1.5),
+      (baseUs, "purchase", 1L, 2.5),
+      (baseUs + 3600L * 1000000L, "click", 1L, 3.5)))
+  }
 }
