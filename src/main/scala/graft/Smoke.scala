@@ -11,10 +11,9 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.session.timeZone", "UTC")
-      // corpus timestamp contract at construction (Tables.readerConfs
-      // re-applies defensively; see its ordering note)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // DELIBERATELY no corpus reader confs here (unlike every other
+      // entry point): this replicates the driver's conf-less session, so
+      // it must keep exercising Tables.readerConfs' lazy re-apply path
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

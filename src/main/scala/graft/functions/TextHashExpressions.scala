@@ -97,8 +97,7 @@ object TextHash {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        val prev = m.get(s)
-        m.put(s, if (prev == null) 1L else prev + 1L)
+        m.put(s, m.getOrDefault(s, 0L) + 1L)
       }
       i += 1
     }

@@ -244,19 +244,25 @@ object TextOps {
       }.toDF("pid", "lang", "nll", "n_tokens", "li")
       .cache()
     DedupOps.registerDedupCaches(sorted, Seq(sorted))
-    // The count table is (partitions × langs)-sized — driver-bounded by
-    // construction, and it gets broadcast anyway (a broadcast IS a driver
-    // collect); folding the running sum driver-side keeps the plan free
-    // of any Window node, the property ExplainSpec pins for this query.
-    val cnts = sorted.groupBy("pid", "lang").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    val offRows = cnts.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
-      val srt = rows.sortBy(_._1)
-      val nLang = srt.map(_._3).sum
-      var acc = 0L
-      srt.map { case (pid, _, c) => val o = acc; acc += c; (pid, lang, o, nLang) }
-    }
-    val offs = offRows.toDF("pid", "lang", "off", "n_lang")
+    // The count table is (partitions × langs)-sized — bounded by the
+    // CLUSTER, not the data — so its per-lang running sum is computed
+    // in-row over the collected per-lang count list (higher-order
+    // aggregate on a bounded array) instead of a Window (the plan stays
+    // Window-free, the property ExplainSpec pins) and instead of a
+    // driver collect (the whole query stays LAZY: nothing executes at
+    // DataFrame construction, and the offsets can never go stale
+    // relative to a recomputed sort).
+    val counts = sorted.groupBy("pid", "lang").agg(count(lit(1)).as("cnt"))
+    val offs = counts.groupBy("lang")
+      .agg(sort_array(collect_list(struct(col("pid"), col("cnt")))).as("cs"))
+      .select(col("lang"),
+        expr("aggregate(cs, 0L, (a, y) -> a + y.cnt)").as("n_lang"),
+        explode(expr(
+          "transform(cs, (x, i) -> struct(x.pid AS pid, " +
+            "aggregate(slice(cs, 1, i), 0L, (a, y) -> a + y.cnt) AS off))"))
+          .as("e"))
+      .select(col("e.pid").as("pid"), col("lang"),
+        col("e.off").as("off"), col("n_lang"))
     val ranked = sorted.join(broadcast(offs), Seq("pid", "lang"))
       .withColumn("rn", col("off") + col("li") + 1)
     // ntile(3) closed form: q = n div 3, r = n mod 3; the first r buckets

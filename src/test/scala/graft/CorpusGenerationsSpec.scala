@@ -39,7 +39,14 @@ class CorpusGenerationsSpec extends SparkTestBase {
   private def writeCorpus(unit: LogicalTypeAnnotation.TimeUnit,
       adjustedToUtc: Boolean, nsRemainder: Boolean): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-corpusgen-").toFile
-    dir.deleteOnExit()
+    // deleteOnExit never removes a non-empty dir — recursive hook instead
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
     val schema = Types.buildMessage()
       .addField(Types.required(INT64)
         .as(LogicalTypeAnnotation.timestampType(adjustedToUtc, unit)).named("ts"))

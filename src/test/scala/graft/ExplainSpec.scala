@@ -222,7 +222,8 @@ class ExplainSpec extends SparkTestBase {
       lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
         .foreach { case (_, i) =>
           val parent = lines.take(i).reverseIterator
-            .find(l => !l.trim.isEmpty && !l.contains("QueryStage"))
+            .find(l => !l.trim.isEmpty && !l.contains("QueryStage") &&
+              !l.contains("AQEShuffleRead"))
           assert(parent.exists(_.contains("HashAggregate(keys=[]")),
             s"$name: SinglePartition outside a scalar aggregate:\n$p")
         }

@@ -1,7 +1,5 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** The one-call session factory must yield a session where the whole
   * library surface works without further setup: extensions (pushdown
   * rule, TopK strategy, SQL functions) and the corpus reader contract.
@@ -12,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * with identical semantics (GraftSession.configure sets exactly the
   * confs SparkTestBase pins).
   */
-class GraftSessionSpec extends AnyFunSuite {
+class GraftSessionSpec extends SparkTestBase {
 
   test("GraftSession-configured getOrCreate yields a fully-wired session") {
     val spark = GraftSession.configure(
@@ -32,7 +30,7 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(m == Map("a" -> 2L, "b" -> 1L))
     // the TopK strategy plans the custom operator
     import org.apache.spark.sql.functions.{col, length}
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, sf)
     val plan = graft.plans.GraftPlans.topKPerKey(
       docs.select(col("doc_id"), col("lang"), length(col("text")).as("n")),
       Seq("lang"), Seq("n" -> false, "doc_id" -> true), 3)
