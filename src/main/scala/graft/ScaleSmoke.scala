@@ -216,15 +216,16 @@ object ScaleSmoke {
       li.select((col("l_orderkey") + lit(i.toLong * okStride)).as("l_orderkey"),
         col("l_partkey"))
     }.reduce(_ unionAll _)
-    timed("copurchase_xN") {
-      val basePairs = graft.operators.RelOps.copurchasePairs(li).collect()
+    val basePairs = timed("copurchase_base") {
+      graft.operators.RelOps.copurchasePairs(li).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val bigPairs = graft.operators.RelOps.copurchasePairs(bigLi).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      assert(bigPairs.toSeq == basePairs.map { case (a, b, n) => (a, b, n * mult) }.toSeq,
-        "copurchase top-20 must be the base top-20 with support x mult")
-      bigPairs.length
     }
+    val bigPairs = timed("copurchase_xN") {
+      graft.operators.RelOps.copurchasePairs(bigLi).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(bigPairs.toSeq == basePairs.map { case (a, b, n) => (a, b, n * mult) }.toSeq,
+      "copurchase top-20 must be the base top-20 with support x mult")
 
     println("[scale] OK: exact paths agree")
     spark.stop()

@@ -196,8 +196,9 @@ object TextHash {
 
 /** `minhash_sig(tokens, k)` → array<bigint> of k MinHash values. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(numHashes > 0 && numHashes <= 1024, "numHashes must be in (0, 1024]")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(input: Any): Any =
@@ -210,7 +211,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
 /** `simhash64(tokens)` → bigint signature. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(input: Any): Any =
@@ -225,8 +227,9 @@ case class SimHash64(child: Expression)
   * k-gram hashes, sorted ascending (see [[TextHash.winnowSelect]]).
   */
 case class WinnowSelect(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(k > 0 && w > 0, "winnow_fp: k and w must be positive")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fp"
   override protected def nullSafeEval(input: Any): Any =
@@ -238,10 +241,15 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
 }
 
 /** `term_counts(tokens)` → map<string,bigint> of per-row term frequencies
-  * (see [[TextHash.termCounts]]).
+  * (see [[TextHash.termCounts]]). Input type is DECLARED (unlike the
+  * Column-API-only expressions above) because the SQL registration makes
+  * this user-callable: without it, `term_counts(array(1, 2))` would pass
+  * analysis and misread unsafe array memory at runtime.
   */
 case class TermCounts(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType))
   override def dataType: DataType =
     MapType(StringType, LongType, valueContainsNull = false)
   override def prettyName: String = "term_counts"
@@ -255,7 +263,8 @@ case class TermCounts(child: Expression)
 
 /** `rolling_fp(str)` → bigint rolling-hash fingerprint. */
 case class RollingFingerprint(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fp"
   override protected def nullSafeEval(input: Any): Any =

@@ -66,7 +66,12 @@ object VectorOps {
 
 /** `cosine_sim(array<double>, array<double>)` → double. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // declared because the SQL registration makes this user-callable: an
+  // undeclared int-array argument would pass analysis and misread
+  // unsafe array memory at runtime
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -80,8 +85,9 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** `srp_sig(array<double>, bits, seed)` → bigint sign-projection signature. */
 case class SrpSignature(child: Expression, bits: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(bits > 0 && bits <= 64, "bits must be in (0, 64]")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = LongType
   override def prettyName: String = "srp_sig"
   override protected def nullSafeEval(v: Any): Any =

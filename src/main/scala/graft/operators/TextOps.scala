@@ -285,6 +285,17 @@ object TextOps {
     * scan-local via [[graft.functions.TermCounts]]; idf quantizes to an
     * integer (×1e6) before scoring; the df relation is vocabulary-
     * compressed and size-gated-broadcast.
+    *
+    * DELIBERATE: tf feeds both the df aggregate and the scoring join,
+    * and with no exchange below it the corpus is scanned twice (the old
+    * groupBy(doc_id, term) shape scanned once and reused its shuffle
+    * across both consumers). Two column-pruned, compression-friendly
+    * parquet scans measure cheaper than materializing and shuffling the
+    * whole token stream (1.68 s → 0.89 s at sf0.1), and the same holds
+    * at scale: a token-stream exchange writes ~the corpus in row format
+    * to shuffle storage, the very cost the rewrite removes. Caching tf
+    * is the one alternative, and a token-level cache is the thing this
+    * file's conventions (aggregate-compress, then cache) exist to avoid.
     */
   def tfidfScored(docs: DataFrame): DataFrame = {
     val tf = docs

@@ -216,16 +216,38 @@ class ExplainSpec extends SparkTestBase {
     // permitted SinglePartition is a scalar aggregate's final reduce
     // (HashAggregate(keys=[]) directly above it — one pre-aggregated row
     // per upstream partition, data-independent by construction).
+    // tree-parent rule for Spark's plan strings: a node's parent is the
+    // nearest PRECEDING line whose branch-marker column is smaller (the
+    // nearest-line heuristic misidentifies the parent of any non-first
+    // child — the preceding line is then the deepest leaf of a sibling)
+    def depthOf(l: String): Int = l.indexOf("+-") match {
+      case -1 => l.indexOf(":-") match { case -1 => 0; case d => d }
+      case d => d
+    }
+    def parentOf(lines: IndexedSeq[String], i: Int): Option[String] = {
+      val d = depthOf(lines(i))
+      var j = i - 1
+      while (j >= 0) {
+        val l = lines(j)
+        if (l.trim.nonEmpty && depthOf(l) < d &&
+          !l.contains("QueryStage") && !l.contains("AQEShuffleRead"))
+          return Some(l)
+        // wrapper at a shallower depth: keep climbing from ITS depth
+        else if (l.trim.nonEmpty && depthOf(l) < d &&
+          (l.contains("QueryStage") || l.contains("AQEShuffleRead")))
+          return parentOf(lines, j)
+        j -= 1
+      }
+      None
+    }
     for (name <- Seq("documents_shuffle_order", "documents_ppl_buckets")) {
       val p = plan(name)
       val lines = p.linesIterator.toIndexedSeq
       lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
         .foreach { case (_, i) =>
-          val parent = lines.take(i).reverseIterator
-            .find(l => !l.trim.isEmpty && !l.contains("QueryStage") &&
-              !l.contains("AQEShuffleRead"))
+          val parent = parentOf(lines, i)
           assert(parent.exists(_.contains("HashAggregate(keys=[]")),
-            s"$name: SinglePartition outside a scalar aggregate:\n$p")
+            s"$name: SinglePartition outside a scalar aggregate (parent=$parent):\n$p")
         }
       assert(!p.contains("Window"), s"$name: no window rank:\n$p")
     }

@@ -12,6 +12,29 @@ package graft
   */
 class GraftSessionSpec extends SparkTestBase {
 
+  test("GraftSession.configure sets every library conf on the builder") {
+    // Order-independent check of configure() itself: when another suite
+    // has already created the JVM-wide session, getOrCreate ignores
+    // static confs and the runtime ones coincide with SparkTestBase's —
+    // so the wired-session test below can't catch a configure()
+    // regression. Read the builder's accumulated options directly.
+    val b = GraftSession.builder()
+    // the options map lives on the SparkSessionBuilder parent class
+    val f = Iterator.iterate[Class[_]](b.getClass)(_.getSuperclass)
+      .takeWhile(_ != null)
+      .flatMap(_.getDeclaredFields)
+      .find(_.getName.contains("options"))
+      .getOrElse(fail("SparkSession.Builder options field not found"))
+    f.setAccessible(true)
+    val opts = f.get(b).asInstanceOf[scala.collection.mutable.Map[String, String]]
+    assert(opts.get("spark.sql.extensions")
+      .contains("graft.plans.GraftExtensions"))
+    assert(opts.get("spark.sql.session.timeZone").contains("UTC"))
+    assert(opts.get("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+    assert(opts.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+      .contains("false"))
+  }
+
   test("GraftSession-configured getOrCreate yields a fully-wired session") {
     val spark = GraftSession.configure(
       org.apache.spark.sql.SparkSession.builder()
