@@ -64,17 +64,16 @@ object RelOps {
           private var out: Iterator[(Long, Long)] = Iterator.empty
           // buf is sorted and de-duplicated by construction: rows arrive
           // (l_orderkey, l_partkey)-sorted and append skips the
-          // duplicate head
-          private def pairsOf(b: IndexedSeq[Long]) = {
-            val o = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-            var i = 0
-            while (i < b.length) {
-              var j = i + 1
-              while (j < b.length) { o += ((b(i), b(j))); j += 1 }
-              i += 1
+          // duplicate head. Pairs are emitted LAZILY — the run buffer is
+          // bounded by the group's distinct items, but its pair set is
+          // quadratic, and a pathological giant group must stream its
+          // pairs into the downstream aggregate rather than materialize
+          // them (this relation is public library surface, not just the
+          // bounded-order gate query)
+          private def pairsOf(b: IndexedSeq[Long]): Iterator[(Long, Long)] =
+            b.indices.iterator.flatMap { i =>
+              ((i + 1) until b.length).iterator.map(j => (b(i), b(j)))
             }
-            o.iterator
-          }
           private def fill(): Unit = {
             while (!out.hasNext && it.hasNext) {
               val (k, p) = it.next()
