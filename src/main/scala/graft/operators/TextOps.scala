@@ -170,37 +170,47 @@ object TextOps {
     perDoc
   }
 
-  /** Global 0-based positions under a total order, assigned WITHOUT a
-    * single-task window: `orderBy` is Spark's distributed range sort (the
-    * sort spreads across partitions) and `zipWithIndex` adds per-partition
-    * offsets with one light per-partition count job — the [[encodeIds]]
-    * id-assignment pattern generalized to any row shape. This is the
-    * building block for every "global rank" need in the gate (training-
-    * order shuffle, ntile bucketing): a no-partition `row_number` window
-    * computes the same thing through ONE task and is never the scale path.
-    */
-  private def globalPositions(df: DataFrame, order: Column*): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val sorted = df.orderBy(order: _*)
-    val schema = StructType(
-      sorted.schema :+ StructField("gpos", LongType, nullable = false))
-    df.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
-  }
-
   /** Deterministic global training-order shuffle: (doc_id, pos) with pos
     * the document's position in the md5-keyed total order — the "shuffle
     * the corpus once, read it sequentially forever" step before training.
     * Content-addressed (md5 of the id, doc_id tie-break), so the order is
     * reproducible across engines and runs — no rand(), no seed state.
+    *
+    * Global positions WITHOUT a single-task window and WITHOUT
+    * zipWithIndex (whose partition-count job executes the whole sort
+    * lineage a second time): one range shuffle + in-partition sort, a
+    * scan-local pass assigns per-partition local indexes, and the
+    * (n_partitions)-sized count list — bounded by the CLUSTER, not the
+    * data — turns them into global positions via an in-row prefix sum
+    * (the [[pplBuckets]] rank machinery without the language key; its
+    * scalar collect_list is the one permitted SinglePartition, a
+    * one-row-per-partition reduction).
     */
-  def shuffleOrder(docs: DataFrame): DataFrame =
-    globalPositions(
-      docs.select(col("doc_id"), md5(col("doc_id").cast("string")).as("k")),
-      col("k"), col("doc_id"))
-      .select(col("doc_id"), col("gpos").as("pos"))
+  def shuffleOrder(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val sorted = docs
+      .select(md5(col("doc_id").cast("string")).as("k"), col("doc_id"))
+      .repartitionByRange(col("k"), col("doc_id"))
+      .sortWithinPartitions("k", "doc_id")
+      .select(col("doc_id").as[Long])
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var li = -1L
+        it.map { d => li += 1; (pid, d, li) }
+      }.toDF("pid", "doc_id", "li")
+      .cache()
+    DedupOps.registerDedupCaches(sorted, Seq(sorted))
+    val offs = sorted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .agg(sort_array(collect_list(struct(col("pid"), col("cnt")))).as("cs"))
+      .select(explode(expr(
+        "transform(cs, (x, i) -> struct(x.pid AS pid, " +
+          "aggregate(slice(cs, 1, i), 0L, (a, y) -> a + y.cnt) AS off))"))
+        .as("e"))
+      .select(col("e.pid").as("pid"), col("e.off").as("off"))
+    sorted.join(broadcast(offs), "pid")
+      .select(col("doc_id"), (col("off") + col("li")).as("pos"))
+  }
 
   /** CCNet-style perplexity buckets: per language, split documents into
     * head/middle/tail terciles by unigram-LM mean NLL (lower = closer to
