@@ -35,6 +35,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // cache-registry budget sized to THIS session: 124 queries share
+      // ~30 small cached relations at bench SF, and the default LRU cap
+      // (12 — sized for memory-tight test JVMs) evicts and rebuilds them
+      // every pass (PageRank's edge cache alone measured 2.6 s warm vs
+      // 4-8 s rebuilt). Production sizes this to executor storage memory
+      // like any cache budget — same knob, same reasoning.
+      .config("graft.dedup.maxLiveCorpora", "64")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

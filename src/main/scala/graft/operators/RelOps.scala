@@ -756,17 +756,21 @@ object RelOps {
         val teleport = (15L * Q) / (100L * nNodes)
         var ranks = ed.select(col("src").as("node")).distinct()
           .select(col("node"), lit(Q / nNodes).as("r"))
-        // 5 FIXED rounds chain as one lazy DAG — no per-round
-        // localCheckpoint: eager checkpoints cost one scheduled job plus
-        // an iterate materialization EACH round, and lineage control only
-        // pays off on open-ended loops (connectedComponents' O(log d)
-        // rounds keep theirs). One action executes the whole 5-join plan.
+        // per-round EAGER localCheckpoint, deliberately: it looks like
+        // pure overhead on 5 fixed rounds (one scheduled job per round),
+        // but a lazy 5-nested-join DAG references the cached ed FIVE
+        // times in one action, and if the LRU registry has unpersisted
+        // ed mid-session each reference recomputes the edge build from
+        // scratch (measured: 2.6 s warm → 5-8 s under cache churn). The
+        // checkpoint bounds eviction damage to one rebuild per round and
+        // keeps each round's job reading a materialized iterate.
         for (_ <- 1 to 5) {
           ranks = ed.join(ranks, ed("src") === ranks("node"))
             .select(ed("dst").as("node"), expr("r div deg").as("contrib"))
             .groupBy("node").agg(sum("contrib").as("contrib_sum"))
             .select(col("node"),
               (lit(teleport) + expr("(85 * contrib_sum) div 100")).as("r"))
+            .localCheckpoint()
         }
         ranks.select(
           when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
