@@ -183,6 +183,104 @@ object SimilarityOps {
     */
   def pqTop5(s: SparkSession, d: String): DataFrame = top5(pqScored(vecs(s, d)))
 
+  /** Σ (xᵢ−yᵢ)² over integer-quantized vectors — LongType end-to-end, so
+    * the aggregate is exact and cluster assignments are bit-identical
+    * across engines and partition orders (the same cross-engine-
+    * determinism idiom as TextOps' idf6/logprob6 quantization).
+    */
+  private def l2sq6(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+
+  /** Corpus with a ×1e6 integer-quantized copy of each vector. */
+  private def vecs6(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"),
+      transform(col("v"), x => round(x * 1e6, 0).cast("long")).as("v6"))
+
+  /** Scan-local argmin assignment against a broadcast integer codebook;
+    * ties break to the lowest centroid id (struct array_min compares
+    * (distance, c_id) lexicographically). The corpus never shuffles —
+    * only the k×dim codebook moves.
+    */
+  private def assign6(vs: DataFrame, cents: DataFrame): DataFrame = {
+    val codebook = cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cs"))
+    vs.crossJoin(broadcast(codebook))
+      .withColumn("best",
+        array_min(transform(col("cs"), c =>
+          struct(l2sq6(col("v6"), c("cv")).as("d"), c("c_id").as("c_id")))))
+      .select(col("vec_id"), col("v"), col("v6"), col("best.c_id").as("cluster"))
+  }
+
+  /** One Lloyd round over the quantized corpus: per-(cluster, dim) integer
+    * sums (partial-aggregated map-side) → floor-divided means, re-packed
+    * into a k×dim codebook. floor(sum/n) stays cross-engine exact: the
+    * int64 sums are exactly representable as doubles, IEEE division is
+    * correctly rounded, and a non-integer true quotient of integers is
+    * ≥ 1/n away from any integer — orders of magnitude beyond one ulp —
+    * so the floor cannot straddle engines.
+    */
+  private def lloyd6(vs: DataFrame, cents: DataFrame): DataFrame =
+    assign6(vs, cents)
+      .select(col("cluster").as("c_id"), posexplode(col("v6")))
+      .groupBy("c_id", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .select(col("c_id"), col("pos"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("m"))
+      .groupBy("c_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("c_id"), transform(col("pm"), p => p("m")).as("cv"))
+
+  /** Deterministic k-means over the embedding corpus: k=8 seeds (the
+    * lowest-id vectors), two Lloyd rounds, integer-exact throughout.
+    * Returns (final per-vector assignment, final centroids) — shared by
+    * the `embedding_kmeans` and `dedup_semdedup` entries. The centroid
+    * relation is cached: its lineage holds two full-corpus aggregate
+    * rounds and it feeds both the final assignment and the centroid
+    * fingerprint/pair stages.
+    */
+  private[graft] def kmeans8(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val vs = vecs6(vecs(s, d))
+    val seeds = vs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v6").as("cv"))
+    val cents = lloyd6(vs, lloyd6(vs, seeds)).cache()
+    (assign6(vs, cents), cents)
+  }
+
+  /** The shared assignment-CTE chain both k-means oracles replay: ×1e6
+    * quantization, 8 lowest-id seeds, two floor-divided Lloyd rounds,
+    * final argmin assignment `a3(vec_id, cluster)` (ties to lowest c_id,
+    * matching assign6's struct ordering).
+    */
+  private val kmeansOracleCtes =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |e6 AS (SELECT vec_id, i AS dim, CAST(round(v[i] * 1e6, 0) AS BIGINT) AS x
+      |       FROM e, UNNEST(range(1, len(v) + 1)) t(i)),
+      |c0 AS (SELECT vec_id AS c_id, dim, x AS c FROM e6 WHERE vec_id < 8),
+      |d1 AS (SELECT v.vec_id, c.c_id, sum((v.x - c.c) * (v.x - c.c)) AS d
+      |       FROM e6 v JOIN c0 c USING (dim) GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, c_id AS cluster FROM (
+      |         SELECT vec_id, c_id,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a.cluster AS c_id, v.dim,
+      |              CAST(floor(sum(v.x) * 1.0 / count(*)) AS BIGINT) AS c
+      |       FROM e6 v JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+      |d2 AS (SELECT v.vec_id, c.c_id, sum((v.x - c.c) * (v.x - c.c)) AS d
+      |       FROM e6 v JOIN c1 c USING (dim) GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, c_id AS cluster FROM (
+      |         SELECT vec_id, c_id,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |c2 AS (SELECT a.cluster AS c_id, v.dim,
+      |              CAST(floor(sum(v.x) * 1.0 / count(*)) AS BIGINT) AS c
+      |       FROM e6 v JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+      |d3 AS (SELECT v.vec_id, c.c_id, sum((v.x - c.c) * (v.x - c.c)) AS d
+      |       FROM e6 v JOIN c2 c USING (dim) GROUP BY 1, 2),
+      |a3 AS (SELECT vec_id, c_id AS cluster FROM (
+      |         SELECT vec_id, c_id,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+      |         FROM d3) WHERE rn = 1)""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Prototypicality outliers — the SemDeDup-style curation step: score
@@ -313,6 +411,74 @@ object SimilarityOps {
       Some(
         """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
           |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
+    // Deterministic k-means over the embedding corpus (k=8 lowest-id
+    // seeds, two Lloyd rounds) — the clustering step SemDeDup-style
+    // curation and IVF index training both start from. Everything is
+    // integer-exact (×1e6 quantized vectors, int64 distances,
+    // floor-divided means), so — unlike the float-mean IVF codebook above,
+    // whose gate asserts only a recall bound — the full per-cluster
+    // census is cross-engine reproducible and oracle-checked. Scale: the
+    // corpus never shuffles for assignment (broadcast k×dim codebook,
+    // scan-local argmin); each Lloyd round is one (cluster, dim)
+    // partial-aggregated exchange.
+    ("embedding_kmeans",
+      (s: SparkSession, d: String) => {
+        val (assigned, cents) = kmeans8(s, d)
+        val fp = cents.select(col("c_id").as("cluster"),
+          aggregate(col("cv"), lit(0L), (acc, x) => acc + x).as("centroid_sum"))
+        assigned.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"), min("vec_id").as("min_id"),
+            sum("vec_id").as("sum_ids"))
+          .join(broadcast(fp), "cluster")
+          .select(col("cluster"), col("n_members"), col("min_id"),
+            col("sum_ids"), col("centroid_sum"))
+          .orderBy("cluster")
+      },
+      Some(kmeansOracleCtes + ",\n" +
+        """f AS (SELECT c_id, CAST(sum(c) AS BIGINT) AS centroid_sum
+          |       FROM c2 GROUP BY 1)
+          |SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_members,
+          |       min(a.vec_id) AS min_id,
+          |       CAST(sum(a.vec_id) AS BIGINT) AS sum_ids, f.centroid_sum
+          |FROM a3 a JOIN f ON f.c_id = a.cluster
+          |GROUP BY a.cluster, f.centroid_sum
+          |ORDER BY a.cluster""".stripMargin)),
+
+    // SemDeDup: semantic dedup WITHIN k-means clusters — pairwise cosine
+    // is confined to each cluster, never corpus-wide (the pruning that
+    // makes embedding dedup tractable at scale: pair cost drops from
+    // O(N²) to O(Σ|cluster|²), and k grows with the corpus to hold the
+    // per-cluster bound). A vector is removed iff a LOWER-id vector in
+    // the SAME cluster has cosine ≥ 0.4 (the keep-first rule every other
+    // dedup entry pins); output rows are the removals with their keeper.
+    // Assignment reuses the integer-exact kmeans8 relation, so the
+    // cluster scope is bit-identical across engines; the cosine filter
+    // runs on the raw double vectors like dedup_embedding's.
+    ("dedup_semdedup",
+      (s: SparkSession, d: String) => {
+        val (assigned, _) = kmeans8(s, d)
+        val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+          col("v").as("va"))
+        val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+          col("v").as("vb"))
+        a.join(b, "cluster")
+          .filter(col("a_id") < col("b_id"))
+          .filter(cosine_sim(col("va"), col("vb")) >= 0.4)
+          .groupBy(col("cluster"), col("b_id"))
+          .agg(min(col("a_id")).as("kept_by"))
+          .select(col("b_id").as("vec_id"), col("cluster"), col("kept_by"))
+          .orderBy("vec_id")
+      },
+      Some(kmeansOracleCtes + "\n" +
+        """SELECT b.vec_id AS vec_id, b.cluster AS cluster,
+          |       min(a.vec_id) AS kept_by
+          |FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          |JOIN e ea ON ea.vec_id = a.vec_id
+          |JOIN e eb ON eb.vec_id = b.vec_id
+          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+          |GROUP BY 1, 2
+          |ORDER BY 1""".stripMargin)),
 
     // Symmetric int8 quantization per vector — the storage/bandwidth step a
     // training pipeline applies before shipping embeddings: scale =

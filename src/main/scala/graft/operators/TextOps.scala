@@ -1843,6 +1843,49 @@ object TextOps {
           |  FROM tf JOIN idf USING (term)
           |)
           |SELECT doc_id, term, tfidf6 FROM scored WHERE rn <= 3
-          |ORDER BY doc_id, tfidf6 DESC, term""".stripMargin))
+          |ORDER BY doc_id, tfidf6 DESC, term""".stripMargin)),
+
+    // Per-document n-gram novelty — the redundancy census curation runs
+    // before mixing a new source into training data: for each document,
+    // the fraction of its DISTINCT word trigrams whose global first
+    // occurrence (lowest doc_id) is this document. No per-gram join-back:
+    // the gram relation partial-aggregates to its first-seen doc (one
+    // exchange on the gram, map-side combined), then collapses to tiny
+    // per-doc winner counts — the corpus text never shuffles. Trigram
+    // construction matches the dedup family's shingle idiom (short docs
+    // contribute their whole text as one gram).
+    ("documents_ngram_novelty",
+      (s: SparkSession, d: String) => {
+        val sh = documents(s, d).select(col("doc_id"),
+          array_distinct(shingles(toks, 3)).as("sh"))
+        val counts = sh.select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_grams"))
+        val novel = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+          .groupBy("g").agg(min("doc_id").as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+        counts.join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            round(coalesce(col("n_novel"), lit(0L)) / col("n_grams"), 4)
+              .as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+          |              ELSE array_to_string(ws, ' ') END AS g
+          |  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+          |), c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+          |         FROM sh GROUP BY 1),
+          |f AS (SELECT g, min(doc_id) AS doc_id FROM sh GROUP BY 1),
+          |nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+          |       FROM f GROUP BY 1)
+          |SELECT c.doc_id, c.n_grams,
+          |       coalesce(nv.n_novel, 0) AS n_novel,
+          |       round(coalesce(nv.n_novel, 0) * 1.0 / c.n_grams, 4) AS novelty
+          |FROM c LEFT JOIN nv USING (doc_id)
+          |ORDER BY doc_id""".stripMargin))
   )
 }

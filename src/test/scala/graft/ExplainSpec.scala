@@ -340,4 +340,41 @@ class ExplainSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"expected exactly one hash exchange (user_id):\n$p")
   }
+
+  test("kmeans: assignment is a broadcast-codebook argmin; census is ONE partial-agg exchange") {
+    val p = plan("embedding_kmeans")
+    // the corpus meets the codebook through a broadcast nested-loop join
+    // (scan-local argmin) — never an exchange of the corpus on anything
+    // but the final 8-key census
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"assignment must join the broadcast codebook:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere in kmeans:\n$p")
+    assert("Exchange hashpartitioning\\(cluster".r.findAllIn(p).length == 1,
+      s"exactly one cluster-census exchange expected:\n$p")
+    // census combines map-side before the exchange
+    assert(p.contains("partial_count"), s"census must partial-aggregate:\n$p")
+  }
+
+  test("ngram novelty: gram relation partial-aggregates; no join-back of grams") {
+    val p = plan("documents_ngram_novelty")
+    // first-seen is min(doc_id) per gram with map-side combine — the gram
+    // explosion is reduced BEFORE it crosses the wire
+    assert(p.contains("partial_min"),
+      s"first-seen min must combine map-side:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    // exactly one exchange carries gram-keyed rows; everything after is
+    // per-doc-sized (the winner counts and the left join back to counts)
+    assert("Exchange hashpartitioning\\(g#".r.findAllIn(p).length == 1,
+      s"gram rows must shuffle exactly once:\n$p")
+  }
+
+  test("semdedup: pair generation is an equi-join on the cluster key, never all-pairs") {
+    val p = plan("dedup_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the a×b pair join must key on cluster (hash or sort-merge — Catalyst
+    // picks by size); the only nested-loop joins allowed are the broadcast
+    // codebook attachments inside the kmeans assignment
+    assert("(BroadcastHashJoin|SortMergeJoin) \\[cluster".r.findAllIn(p).nonEmpty,
+      s"expected an equi-join keyed on cluster:\n$p")
+  }
 }

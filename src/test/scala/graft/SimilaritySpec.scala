@@ -135,4 +135,75 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.head.getLong(0) == 20L)
     assert(rows.head.getBoolean(1), "PQ mean recall@5 must reach 0.6")
   }
+
+  /** Naive in-memory replica of kmeans8's contract: ×1e6 HALF_UP
+    * quantization, 8 lowest-id seeds, two Lloyd rounds with int64 L2²
+    * argmin (ties to lowest centroid id) and floor-divided means.
+    */
+  private def naiveKmeans(): (Map[Long, Long], Map[Long, Array[Long]]) = {
+    val vs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => java.math.BigDecimal.valueOf(x * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue).toArray)
+      .sortBy(_._1)
+    def assign(cents: Seq[(Long, Array[Long])]): Map[Long, Long] =
+      vs.map { case (id, v) =>
+        id -> cents.map { case (cid, c) =>
+          (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+        }.min._2
+      }.toMap
+    def means(a: Map[Long, Long]): Seq[(Long, Array[Long])] =
+      vs.groupBy { case (id, _) => a(id) }.toSeq.map { case (cid, members) =>
+        val dims = members.head._2.indices.map { i =>
+          val s = members.map(_._2(i)).sum
+          math.floor(s.toDouble / members.length).toLong
+        }
+        cid -> dims.toArray
+      }.sortBy(_._1)
+    val seeds = vs.filter(_._1 < 8).map { case (id, v) => (id, v) }.toSeq
+    val c2 = means(assign(means(assign(seeds))))
+    (assign(c2), c2.toMap)
+  }
+
+  test("embedding_kmeans census equals a naive in-memory Lloyd run bit-for-bit") {
+    val (naive, cents) = naiveKmeans()
+    val expected = naive.groupBy(_._2).map { case (cid, m) =>
+      val ids = m.keys.toSeq
+      (cid, ids.size.toLong, ids.min, ids.sum, cents(cid).sum)
+    }.toSeq.sortBy(_._1)
+    val got = q("embedding_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("dedup_semdedup removals equal the naive within-cluster pair scan") {
+    val (naive, _) = naiveKmeans()
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val byCluster = naive.keys.toSeq.groupBy(naive)
+    val expected = byCluster.toSeq.flatMap { case (cid, ids) =>
+      val sorted = ids.sorted
+      sorted.flatMap { b =>
+        val keepers = sorted.filter(a => a < b && cos(raw(a), raw(b)) >= 0.4)
+        if (keepers.isEmpty) None else Some((b, cid, keepers.min))
+      }
+    }.sortBy(_._1)
+    val got = q("dedup_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the pruning is real: semdedup must never pair ACROSS clusters, so on
+    // a corpus with cross-cluster near-dups it is a strict subset of the
+    // corpus-wide pair relation restricted to co-clustered rows
+    assert(got.forall { case (v, c, k) => naive(v) == c && naive(k) == c })
+  }
 }

@@ -377,4 +377,37 @@ class TextStatsSpec extends SparkTestBase {
     val row0 = got.find(_.getLong(0) == id0).get
     assert(row0.getString(3) == md, "scrubbed md5 must match a local replay")
   }
+
+  test("documents_ngram_novelty equals a naive first-seen trigram replay") {
+    // naive replica of the shingle idiom: sliding word trigrams when the
+    // doc has ≥ 3 tokens, else the whole text as one gram; distinct per
+    // doc; a gram is novel for the LOWEST doc_id that contains it
+    val sh: Map[Long, Set[String]] = corpus.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val grams =
+        if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+        else Set(ws.mkString(" "))
+      id -> grams
+    }.toMap
+    val firstSeen: Map[String, Long] = sh.toSeq
+      .flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val got = q("documents_ngram_novelty").collect()
+    assert(got.length == corpus.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val grams = sh(id)
+      val novel = grams.count(g => firstSeen(g) == id)
+      assert(r.getLong(1) == grams.size.toLong, s"doc $id n_grams")
+      assert(r.getLong(2) == novel.toLong, s"doc $id n_novel")
+      assert(math.abs(r.getDouble(3) -
+        BigDecimal(novel.toDouble / grams.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) == 0.0,
+        s"doc $id novelty")
+    }
+    // the census is meaningful on this corpus: some docs are fully novel,
+    // and the planted near-dup docs shed novelty to their earlier twins
+    assert(got.exists(_.getDouble(3) == 1.0))
+    assert(got.exists(_.getDouble(3) < 1.0))
+  }
 }
