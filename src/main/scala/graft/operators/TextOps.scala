@@ -1886,6 +1886,70 @@ object TextOps {
           |       coalesce(nv.n_novel, 0) AS n_novel,
           |       round(coalesce(nv.n_novel, 0) * 1.0 / c.n_grams, 4) AS novelty
           |FROM c LEFT JOIN nv USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // INTRA-document chunk dedup — the within-doc half of the C4 recipe
+    // (dedup_chunk_exact removes chunks repeated ACROSS the corpus; this
+    // removes a chunk repeated WITHIN its own document, keeping the first
+    // occurrence). Entirely scan-local: the 10-token chunking, the
+    // keep-first filter (positional lambda vs array_position first-index)
+    // and the md5 of the reassembled text are per-row columnar
+    // expressions — ZERO shuffles beyond the output sort, the cheapest
+    // shape any corpus-scale operator can have. The corpus has no organic
+    // intra-doc chunk repeats, so — the observable-redaction construction
+    // text_scrub_pii uses — every 5th document gets its first chunk
+    // PREPENDED (grid-aligned: chunk 1 becomes an exact dup of chunk 0),
+    // making the removal path, not just the identity path, part of the
+    // differential.
+    ("text_intradoc_dedup",
+      (s: SparkSession, d: String) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk0"))
+          .withColumn("tk",
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(slice(col("tk0"), 1, 10), col("tk0")))
+              .otherwise(col("tk0")))
+          .withColumn("chunks",
+            transform(
+              sequence(lit(0L),
+                ((size(col("tk")) + lit(9)) / lit(10)).cast("long") - 1L),
+              i => array_join(
+                slice(col("tk"), (i * 10 + 1).cast("int"), lit(10)), " ")))
+        docs.select(
+            col("doc_id"),
+            size(col("chunks")).cast("long").as("n_chunks"),
+            filter(col("chunks"), (c, i) =>
+              array_position(col("chunks"), c) === (i + 1).cast("long"))
+              .as("kept"))
+          .select(col("doc_id"), col("n_chunks"),
+            size(col("kept")).cast("long").as("n_kept"),
+            md5(array_join(col("kept"), " ")).as("dedup_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws0 FROM documents),
+          |w AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 5 = 0
+          |              THEN list_concat(ws0[1:10], ws0) ELSE ws0 END AS ws
+          |  FROM w0
+          |), ch AS (
+          |  SELECT doc_id, i,
+          |         array_to_string(ws[(i * 10 + 1):(i * 10 + 10)], ' ') AS chunk
+          |  FROM w, UNNEST(range(0, (len(ws) + 9) // 10)) t(i)
+          |), k AS (
+          |  SELECT doc_id, i, chunk,
+          |         min(i) OVER (PARTITION BY doc_id, chunk) AS fi
+          |  FROM ch
+          |), agg AS (
+          |  SELECT doc_id,
+          |         CAST(count(*) AS BIGINT) AS n_chunks,
+          |         CAST(count(*) FILTER (i = fi) AS BIGINT) AS n_kept,
+          |         md5(string_agg(chunk, ' ' ORDER BY i) FILTER (i = fi))
+          |           AS dedup_md5
+          |  FROM k GROUP BY doc_id
+          |)
+          |SELECT doc_id, n_chunks, n_kept, dedup_md5 FROM agg
           |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -410,4 +410,29 @@ class TextStatsSpec extends SparkTestBase {
     assert(got.exists(_.getDouble(3) == 1.0))
     assert(got.exists(_.getDouble(3) < 1.0))
   }
+
+  test("text_intradoc_dedup equals a naive keep-first chunk replay") {
+    val got = q("text_intradoc_dedup").collect()
+    assert(got.length == corpus.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val ws0 = corpus.toMap.apply(id).split(" ", -1)
+      val ws = if (id % 5 == 0) ws0.take(10) ++ ws0 else ws0
+      val chunks = ws.grouped(10).map(_.mkString(" ")).toVector
+      val kept = chunks.zipWithIndex
+        .filter { case (c, i) => chunks.indexOf(c) == i }.map(_._1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getLong(1) == chunks.size.toLong, s"doc $id n_chunks")
+      assert(r.getLong(2) == kept.size.toLong, s"doc $id n_kept")
+      assert(r.getString(3) == md, s"doc $id dedup_md5")
+      // planted docs long enough for two full chunks MUST dedup; organic
+      // docs must be untouched (the corpus has no intra-doc repeats)
+      if (id % 5 == 0 && ws0.length >= 10)
+        assert(r.getLong(2) < r.getLong(1), s"doc $id planted dup must drop")
+      if (id % 5 != 0)
+        assert(r.getLong(2) == r.getLong(1), s"doc $id organic must keep all")
+    }
+  }
 }
