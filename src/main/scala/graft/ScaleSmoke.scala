@@ -227,6 +227,53 @@ object ScaleSmoke {
     assert(bigPairs.toSeq == basePairs.map { case (a, b, n) => (a, b, n * mult) }.toSeq,
       "copurchase top-20 must be the base top-20 with support x mult")
 
+    // round-7 batch-2 additions. Triangle census: orderkey-offset copies
+    // leave the DISTINCT co-purchase edge set unchanged, so the whole
+    // census (nodes, edges, wedges, triangles, coefficient) must be
+    // bit-identical to the base graph's while the input is mult× the
+    // rows — dedup robustness of the edge build plus flat output under
+    // duplicated input for the intersection stage.
+    val baseTri = timed("triangles_base") {
+      graft.operators.RelOps.triangleCensus(li).collect().head.toSeq
+    }
+    val bigTri = timed("triangles_xN") {
+      graft.operators.RelOps.triangleCensus(bigLi).collect().head.toSeq
+    }
+    assert(bigTri == baseTri,
+      s"triangle census must be duplication-invariant: $baseTri vs $bigTri")
+
+    // k-means: duplicating every vector ×N multiplies each cluster's
+    // (sum, count) by N, so every floor-divided mean — and therefore the
+    // whole two-round trajectory — is unchanged; copies co-assign with
+    // their originals. n_members scales exactly ×N per cluster and the
+    // centroid fingerprints are bit-identical.
+    def kmCensus(e: DataFrame): Seq[(Long, Long, Long)] = {
+      val (assigned, cents) = graft.operators.SimilarityOps.kmeans8Of(e)
+      val fp = cents.select(col("c_id").as("cluster"),
+        aggregate(col("cv"), lit(0L), (acc, x) => acc + x).as("centroid_sum"))
+      assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+        .join(fp, "cluster")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    }
+    val baseKm = timed("kmeans_base") { kmCensus(baseV) }
+    val bigKm = timed("kmeans_xN") { kmCensus(bigV) }
+    assert(bigKm == baseKm.map { case (c, n, s) => (c, n * mult, s) },
+      s"kmeans must be duplication-invariant: $baseKm vs $bigKm")
+
+    // intra-doc dedup is per-row: output rows scale exactly with the
+    // corpus and the shape stays shuffle-free at any size.
+    val intraBase = timed("intradoc_base") {
+      graft.operators.TextOps.intradocDedup(
+        base.select(col("doc_id"), split(col("text"), " ").as("tk"))).count()
+    }
+    val intraBig = timed("intradoc_xN") {
+      graft.operators.TextOps.intradocDedup(
+        big.select(col("doc_id"), split(col("text"), " ").as("tk"))).count()
+    }
+    assert(intraBig == mult * intraBase,
+      s"intradoc rows must scale with the corpus: $intraBase x$mult != $intraBig")
+
     println("[scale] OK: exact paths agree")
     spark.stop()
   }

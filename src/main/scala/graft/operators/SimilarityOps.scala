@@ -238,8 +238,12 @@ object SimilarityOps {
     * rounds and it feeds both the final assignment and the centroid
     * fingerprint/pair stages.
     */
-  private[graft] def kmeans8(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val vs = vecs6(vecs(s, d))
+  private[graft] def kmeans8(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    kmeans8Of(vecs(s, d))
+
+  /** [[kmeans8]] over any (vec_id, v) relation — the ScaleSmoke surface. */
+  private[graft] def kmeans8Of(e: DataFrame): (DataFrame, DataFrame) = {
+    val vs = vecs6(e)
     val seeds = vs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("v6").as("cv"))
     val cents = lloyd6(vs, lloyd6(vs, seeds)).cache()

@@ -96,6 +96,29 @@ object TextOps {
   private[graft] def broadcastIfSmall(df: DataFrame): DataFrame =
     if (estimatedSmall(df)) broadcast(df) else df
 
+  /** Intra-document keep-first dedup of 10-token chunks over (doc_id, tk)
+    * rows — the library form under the `text_intradoc_dedup` entry (which
+    * adds the planted-repeat construction); entirely per-row columnar
+    * expressions, zero shuffles.
+    */
+  def intradocDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("chunks",
+        transform(
+          sequence(lit(0L),
+            ((size(col("tk")) + lit(9)) / lit(10)).cast("long") - 1L),
+          i => array_join(
+            slice(col("tk"), (i * 10 + 1).cast("int"), lit(10)), " ")))
+      .select(
+        col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        filter(col("chunks"), (c, i) =>
+          array_position(col("chunks"), c) === (i + 1).cast("long"))
+          .as("kept"))
+      .select(col("doc_id"), col("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("dedup_md5"))
+
   /** Library form of the exact-fraction twin: ⌈frac⌉ per stratum via a
     * per-stratum row_number — exact sizes, but each stratum serializes
     * through one task (small-corpus oracle variant, not the scale path).
@@ -1902,30 +1925,16 @@ object TextOps {
     // making the removal path, not just the identity path, part of the
     // differential.
     ("text_intradoc_dedup",
-      (s: SparkSession, d: String) => {
-        val docs = documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("tk0"))
-          .withColumn("tk",
-            when(pmod(col("doc_id"), lit(5)) === 0,
-              concat(slice(col("tk0"), 1, 10), col("tk0")))
-              .otherwise(col("tk0")))
-          .withColumn("chunks",
-            transform(
-              sequence(lit(0L),
-                ((size(col("tk")) + lit(9)) / lit(10)).cast("long") - 1L),
-              i => array_join(
-                slice(col("tk"), (i * 10 + 1).cast("int"), lit(10)), " ")))
-        docs.select(
-            col("doc_id"),
-            size(col("chunks")).cast("long").as("n_chunks"),
-            filter(col("chunks"), (c, i) =>
-              array_position(col("chunks"), c) === (i + 1).cast("long"))
-              .as("kept"))
-          .select(col("doc_id"), col("n_chunks"),
-            size(col("kept")).cast("long").as("n_kept"),
-            md5(array_join(col("kept"), " ")).as("dedup_md5"))
-          .orderBy("doc_id")
-      },
+      (s: SparkSession, d: String) =>
+        intradocDedup(
+          documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("tk0"))
+            .withColumn("tk",
+              when(pmod(col("doc_id"), lit(5)) === 0,
+                concat(slice(col("tk0"), 1, 10), col("tk0")))
+                .otherwise(col("tk0")))
+            .select(col("doc_id"), col("tk")))
+          .orderBy("doc_id"),
       Some(
         """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws0 FROM documents),
           |w AS (
