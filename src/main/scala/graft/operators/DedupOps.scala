@@ -700,6 +700,52 @@ object DedupOps {
           |SELECT s AS doc_id, least(s, min(d)) AS rep
           |FROM r GROUP BY s ORDER BY doc_id""".stripMargin)),
 
+    // Keep-BEST cluster dedup — production near-dup pipelines keep the
+    // highest-quality member of each duplicate cluster, not the lowest
+    // id (the min-id rep is an arbitrary survivor; the longest document
+    // usually carries the most signal). Same components as
+    // `dedup_clusters`; the survivor is argmax(n_chars, ties → lowest
+    // doc_id) via ONE per-cluster max over a packed (n_chars, −doc_id)
+    // struct — an ordinary partial-aggregated max, no per-cluster window
+    // or sort. Output is one row per cluster: size + the kept doc.
+    ("dedup_keep_best",
+      (s: SparkSession, d: String) => {
+        val comps = connectedComponents(
+          jaccardPairsPrefix(shingled(s, d).cache(), 0.5).select("a_id", "b_id"))
+        comps
+          .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy(col("rep").as("cluster"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+          .select(col("cluster"), col("n_members"),
+            (-col("best.neg_id")).as("keep_id"),
+            col("best.n_chars").as("keep_chars"))
+          .orderBy("cluster")
+      },
+      Some(
+        """WITH RECURSIVE p AS (
+          |  SELECT a_id, b_id FROM (""".stripMargin + "\n" + jaccardOracle + "\n" +
+        """  )
+          |), e AS (
+          |  SELECT a_id AS s, b_id AS d FROM p
+          |  UNION SELECT b_id, a_id FROM p
+          |), r(s, d) AS (
+          |  SELECT s, d FROM e
+          |  UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+          |), comps AS (
+          |  SELECT s AS doc_id, least(s, min(d)) AS rep FROM r GROUP BY s
+          |), ranked AS (
+          |  SELECT c.rep AS cluster, c.doc_id, dd.n_chars,
+          |         row_number() OVER (PARTITION BY c.rep
+          |           ORDER BY dd.n_chars DESC, c.doc_id) AS rn,
+          |         count(*) OVER (PARTITION BY c.rep) AS n_members
+          |  FROM comps c JOIN documents dd USING (doc_id)
+          |)
+          |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+          |       doc_id AS keep_id, n_chars AS keep_chars
+          |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
     // MinHash(128) + LSH banding (64 bands × 2 rows) + exact verification.
     // Candidate generation is an equi-join on (band, bucket); at the 0.5
     // Jaccard threshold the miss probability per true pair is

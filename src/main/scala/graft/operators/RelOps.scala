@@ -1013,6 +1013,61 @@ object RelOps {
           |GROUP BY p1, p2
           |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin)),
 
+    // Association rules over the co-purchase pairs — the confidence/lift
+    // step on top of the support counts (market-basket mining's second
+    // half): each pair emits both rule directions, confidence =
+    // supp(pair)/supp(antecedent) and lift = N·supp(pair)/
+    // (supp(ante)·supp(cons)), both ×1e6 integer-floored so the ranking
+    // is exact arithmetic in both engines. Per-part supports are a
+    // vocabulary-sized aggregate attached via size-gated broadcast; the
+    // top-20 caps through TakeOrdered. One new shuffle beyond the pair
+    // pipeline (the per-part support aggregate).
+    ("orders_association_rules",
+      (s: SparkSession, d: String) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey")
+        val nOrders = li.select(countDistinct("l_orderkey").as("n_orders"))
+        val supp = li.distinct()
+          .groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
+        val pairs = copurchaseCounts(li)
+        val rules = pairs
+          .select(col("p1").as("ante"), col("p2").as("cons"), col("n_orders").as("n_pair"))
+          .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"),
+            col("n_orders").as("n_pair")))
+          .join(TextOps.broadcastIfSmall(
+            supp.select(col("p").as("ante"), col("n_p").as("n_ante"))), "ante")
+          .join(TextOps.broadcastIfSmall(
+            supp.select(col("p").as("cons"), col("n_p").as("n_cons"))), "cons")
+          .crossJoin(broadcast(nOrders))
+        rules.select(col("ante"), col("cons"), col("n_pair"),
+            expr("CAST((n_pair * 1000000) DIV n_ante AS BIGINT)").as("conf6"),
+            expr("CAST((n_pair * 1000000 * n_orders) DIV (n_ante * n_cons) AS BIGINT)")
+              .as("lift6"))
+          .orderBy(col("conf6").desc, col("ante"), col("cons"))
+          .limit(20)
+      },
+      Some(
+        """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          |      FROM lineitem),
+          |supp AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS n_p
+          |         FROM op GROUP BY 1),
+          |pc AS (
+          |  SELECT x.l_partkey AS p1, y.l_partkey AS p2,
+          |         CAST(count(*) AS BIGINT) AS n_pair
+          |  FROM op x JOIN op y
+          |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          |  GROUP BY 1, 2
+          |), r AS (
+          |  SELECT p1 AS ante, p2 AS cons, n_pair FROM pc
+          |  UNION ALL SELECT p2, p1, n_pair FROM pc
+          |)
+          |SELECT r.ante, r.cons, r.n_pair,
+          |       CAST((r.n_pair * 1000000) // sa.n_p AS BIGINT) AS conf6,
+          |       CAST((r.n_pair * 1000000 * n.n_orders) // (sa.n_p * sc.n_p)
+          |            AS BIGINT) AS lift6
+          |FROM r JOIN supp sa ON sa.p = r.ante JOIN supp sc ON sc.p = r.cons, n
+          |ORDER BY conf6 DESC, ante, cons LIMIT 20""".stripMargin)),
+
     // Triangle census over the co-purchase graph — see [[triangleCensus]]
     // for the degree-ordered orientation argument (each triangle counted
     // once; wedge fan-out capped near √m — the orientation every

@@ -186,6 +186,27 @@ class DedupSpec extends SparkTestBase {
     clustered.foreach { case (id, rep) => assert(rep <= id) }
   }
 
+  test("dedup_keep_best keeps the longest member (ties to lowest id) per cluster") {
+    val clustered = q("dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = clustered.toSeq.groupBy(_._2).map { case (rep, members) =>
+      val ids = members.map(_._1)
+      // argmax n_chars, ties to the lowest doc_id
+      val keep = ids.maxBy(id => (chars(id), -id))
+      (rep, ids.size.toLong, keep, chars(keep))
+    }.toSeq.sortBy(_._1)
+    val got = q("dedup_keep_best").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the quality rule is doing real work on this corpus: at least one
+    // cluster's keeper is NOT its min-id rep
+    assert(got.exists { case (rep, _, keep, _) => keep != rep },
+      "corpus should contain a cluster whose longest member is not the min id")
+  }
+
   test("simhash pairs respect the hamming bound and overlap the near-dup set") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

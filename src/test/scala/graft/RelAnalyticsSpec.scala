@@ -242,6 +242,29 @@ class RelAnalyticsSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("orders_association_rules matches a naive confidence/lift replay") {
+    val op = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val supp = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = op.groupBy(_._1).values.flatMap { parts =>
+      val ps = parts.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairCnt.toSeq.flatMap { case ((a, b), n) =>
+      Seq((a, b, n), (b, a, n))
+    }.map { case (ante, cons, n) =>
+      (ante, cons, n, n * 1000000L / supp(ante),
+        n * 1000000L * nOrders / (supp(ante) * supp(cons)))
+    }.sortBy { case (a, c, _, conf, _) => (-conf, a, c) }.take(20)
+    val got = q("orders_association_rules").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // lift is informative: confident rules on this corpus beat independence
+    assert(got.head._5 > 1000000L, "top rule should have lift > 1")
+  }
+
   test("graph_triangles census matches a naive in-memory count") {
     val op = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
