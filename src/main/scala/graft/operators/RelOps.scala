@@ -1013,6 +1013,80 @@ object RelOps {
           |GROUP BY p1, p2
           |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin)),
 
+    // 7-day sliding distinct users (weekly-active-users): EXACT sliding
+    // count-distinct — not expressible as a window frame (COUNT(DISTINCT)
+    // over RANGE isn't supported by either engine) — via the day-grid
+    // expansion: daily distinct (day, user) pairs fan out to the ≤7
+    // trailing days they're visible in, then one count-distinct per day.
+    // Scale: the fan-out is a fixed ×7 of the daily-DISTINCT relation
+    // (already aggregate-compressed, not the raw events), and the final
+    // count-distinct is Spark's two-phase distinct aggregate — no
+    // quadratic self-join of days, no per-day window.
+    ("events_sliding_wau",
+      (s: SparkSession, d: String) => {
+        val daily = events(s, d).select(
+          (unix_micros(date_trunc("DAY", col("ts"))) / 86400000000L)
+            .cast("long").as("day"),
+          col("user_id")).distinct()
+        val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+        daily
+          .select(col("user_id"), explode(sequence(col("day"),
+            col("day") + 6L)).as("day"))
+          .crossJoin(broadcast(bounds))
+          .filter(col("day") <= col("hi"))
+          .groupBy("day")
+          .agg(countDistinct("user_id").as("wau"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT DISTINCT epoch_us(time_bucket(INTERVAL 1 DAY, ts))
+          |           // 86400000000 AS day, user_id
+          |  FROM events
+          |), hi AS (SELECT max(day) AS hi FROM daily),
+          |fan AS (
+          |  SELECT d.user_id, d.day + i AS day
+          |  FROM daily d, UNNEST(range(0, 7)) t(i), hi
+          |  WHERE d.day + i <= hi.hi
+          |)
+          |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+          |FROM fan GROUP BY day ORDER BY day""".stripMargin)),
+
+    // Event-type transition counts (the user-journey Markov matrix):
+    // per user, consecutive event pairs in (ts, event_id) order via ONE
+    // per-user window lag — bounded state per user, no self-join — then
+    // a global (from, to) count with transition probabilities ×1e6
+    // integer-floored against the from-state total.
+    ("events_transition_matrix",
+      (s: SparkSession, d: String) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = events(s, d)
+          .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+        pairs.join(TextOps.broadcastIfSmall(totals), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("CAST((n * 1000000) DIV n_from AS BIGINT)").as("prob6"))
+          .orderBy("from_type", "to_type")
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT lag(event_type) OVER (PARTITION BY user_id
+          |           ORDER BY ts, event_id) AS from_type,
+          |         event_type AS to_type
+          |  FROM events
+          |), c AS (
+          |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+          |), t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+          |         FROM c GROUP BY 1)
+          |SELECT c.from_type, c.to_type, c.n,
+          |       CAST((c.n * 1000000) // t.n_from AS BIGINT) AS prob6
+          |FROM c JOIN t USING (from_type)
+          |ORDER BY from_type, to_type""".stripMargin)),
+
     // Association rules over the co-purchase pairs — the confidence/lift
     // step on top of the support counts (market-basket mining's second
     // half): each pair emits both rule directions, confidence =

@@ -242,6 +242,48 @@ class RelAnalyticsSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("events_sliding_wau matches a naive 7-day visibility replay") {
+    val daily = events.map { case (u, ts, _) => (ts / 86400000000L, u) }.distinct
+    val hi = daily.map(_._1).max
+    val expected = daily
+      .flatMap { case (day, u) => (day to (day + 6).min(hi)).map(d => (d, u)) }
+      .distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong)
+      .toSeq.sortBy(_._1)
+    val got = q("events_sliding_wau").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // sliding beats daily: some day's WAU strictly exceeds its daily count
+    val dailyCount = daily.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got.exists { case (d, w) => w > dailyCount.getOrElse(d, 0L) })
+  }
+
+  test("events_transition_matrix matches a naive lag replay; probabilities sum to ~1") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val pairs = ev.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.zip(sorted.tail).map { case (a, b) => (a._4, b._4) }
+    }
+    val cnt = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTotals = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = cnt.toSeq.map { case ((f, t), n) =>
+      (f, t, n, n * 1000000L / fromTotals(f))
+    }.sortBy { case (f, t, _, _) => (f, t) }
+    val got = q("events_transition_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // each from-state's prob6 column sums to 1e6 within integer-floor slack
+    got.groupBy(_._1).foreach { case (f, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"$f: prob6 sum $s out of floor bounds")
+    }
+  }
+
   test("orders_association_rules matches a naive confidence/lift replay") {
     val op = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
