@@ -484,6 +484,99 @@ object SimilarityOps {
           |GROUP BY 1, 2
           |ORDER BY 1""".stripMargin)),
 
+    // k-NN graph construction (k=3) — the input relation graph-based ANN
+    // (HNSW-family), SemDeDup variants, and label-propagation semantic
+    // clustering all start from. Scale shape: candidate pairs are
+    // confined to k-means co-clusters (the IVF pruning argument — the
+    // corpus never all-pairs), per-node top-3 runs through
+    // TopKPerKeyExec's bounded heaps. The gate output is the exact
+    // integer census PLUS a recall differential: for a 200-node probe
+    // slice, the in-query BRUTE top-3 is computed and intersected, and
+    // the ×1e6-floored recall is part of the oracle-checked row — the
+    // recall number itself is cross-engine reproduced, not just bounded.
+    ("sim_knn_graph",
+      (s: SparkSession, d: String) => {
+        val (assigned, cents) = kmeans8(s, d)
+        // multi-probe candidate generation (nprobe=2): each node's pairs
+        // come from its TWO nearest clusters' members — the IVF dial that
+        // trades candidate volume for recall; the probe relation is
+        // scan-local over the same broadcast codebook as the assignment
+        val codebook = cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cs"))
+        val probe2 = vecs6(vecs(s, d))
+          .crossJoin(broadcast(codebook))
+          .select(col("vec_id"), col("v"),
+            explode(slice(array_sort(transform(col("cs"), c =>
+              struct(l2sq6(col("v6"), c("cv")).as("d"), c("c_id").as("c_id")))),
+              1, 2)).as("p"))
+          .select(col("vec_id").as("src"), col("v").as("va"),
+            col("p.c_id").as("cluster"))
+        val b = assigned.select(col("cluster"), col("vec_id").as("dst"), col("v").as("vb"))
+        val scored = probe2.join(b, "cluster")
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"), cosine_sim(col("va"), col("vb")).as("cos"))
+        val knn = graft.plans.GraftPlans
+          .topKPerKey(scored, Seq("src"), Seq("cos" -> false, "dst" -> true), 3)
+          .select(col("src"), col("dst"))
+        val e = vecs(s, d)
+        val probes = e.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("src"), col("v").as("pv"))
+        val bruteScored = e.join(broadcast(probes), col("vec_id") =!= col("src"))
+          .select(col("src"), col("vec_id").as("dst"),
+            cosine_sim(col("pv"), col("v")).as("cos"))
+        val brute = graft.plans.GraftPlans
+          .topKPerKey(bruteScored, Seq("src"), Seq("cos" -> false, "dst" -> true), 3)
+          .select(col("src"), col("dst"))
+        val hits = knn.join(brute, Seq("src", "dst"), "left_semi")
+          .agg(count(lit(1)).as("sum_hits"))
+        val nP = probes.agg(count(lit(1)).as("n_probes"))
+        e.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(knn.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(broadcast(nP))
+          .crossJoin(broadcast(hits))
+          .select(col("n_nodes"), col("n_edges"), col("n_probes"), col("sum_hits"),
+            expr("CAST((sum_hits * 1000000) DIV (3 * n_probes) AS BIGINT)")
+              .as("recall6"))
+      },
+      Some(kmeansOracleCtes + ",\n" +
+        """pr AS (
+          |  SELECT vec_id, c_id AS cluster FROM (
+          |    SELECT vec_id, c_id,
+          |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+          |    FROM d3) WHERE rn <= 2
+          |), knn AS (
+          |  SELECT src, dst FROM (
+          |    SELECT p.vec_id AS src, b.vec_id AS dst,
+          |           row_number() OVER (PARTITION BY p.vec_id
+          |             ORDER BY list_cosine_similarity(ea.v, eb.v) DESC, b.vec_id)
+          |             AS rn
+          |    FROM pr p JOIN a3 b
+          |      ON p.cluster = b.cluster AND p.vec_id != b.vec_id
+          |    JOIN e ea ON ea.vec_id = p.vec_id
+          |    JOIN e eb ON eb.vec_id = b.vec_id
+          |  ) t WHERE rn <= 3
+          |), brute AS (
+          |  SELECT src, dst FROM (
+          |    SELECT p.vec_id AS src, x.vec_id AS dst,
+          |           row_number() OVER (PARTITION BY p.vec_id
+          |             ORDER BY list_cosine_similarity(p.v, x.v) DESC, x.vec_id)
+          |             AS rn
+          |    FROM e p JOIN e x ON x.vec_id != p.vec_id
+          |    WHERE p.vec_id < 200
+          |  ) t WHERE rn <= 3
+          |), h AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS sum_hits
+          |  FROM knn SEMI JOIN brute ON knn.src = brute.src AND knn.dst = brute.dst
+          |)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_nodes,
+          |       (SELECT CAST(count(*) AS BIGINT) FROM knn) AS n_edges,
+          |       (SELECT CAST(count(*) AS BIGINT) FROM e WHERE vec_id < 200)
+          |         AS n_probes,
+          |       h.sum_hits,
+          |       CAST((h.sum_hits * 1000000) //
+          |         (3 * (SELECT count(*) FROM e WHERE vec_id < 200)) AS BIGINT)
+          |         AS recall6
+          |FROM h""".stripMargin)),
+
     // Symmetric int8 quantization per vector — the storage/bandwidth step a
     // training pipeline applies before shipping embeddings: scale =
     // max|v|/127, q = clamp(round(v/scale)). Entirely columnar lambda
