@@ -401,6 +401,78 @@ object RelOps {
           |       round(sum(value), 2) AS sum_value
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Salted SKEW JOIN — the join-side twin of events_type_salted_agg's
+    // aggregate salting: joining a big fact on a 3-value key
+    // (l_returnflag) hash-partitions the whole table into 3 tasks no
+    // matter the cluster size. The salted form replicates the SMALL side
+    // ×16 (one row per salt) and salts the big side with a
+    // value-independent row hash, so the equi-join key (flag, salt)
+    // spreads each hot key over 16 tasks; the result is identical to the
+    // plain join by construction, which is exactly the oracle. (AQE's
+    // runtime skew-join split is the automatic variant; this is the
+    // explicit pattern for engines/paths where it doesn't apply.)
+    ("lineitem_salted_join",
+      (s: SparkSession, d: String) => {
+        val flagDim = lineitem(s, d).select(col("l_returnflag").as("flag")).distinct()
+          .withColumn("flag_label", concat(lit("flag_"), col("flag")))
+        val saltedDim = flagDim
+          .withColumn("salt", explode(sequence(lit(0), lit(15))))
+        lineitem(s, d)
+          .select(col("l_returnflag").as("flag"), col("l_quantity"),
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16))
+              .cast("int").as("salt"))
+          .join(broadcast(saltedDim), Seq("flag", "salt"))
+          .groupBy("flag_label")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy("flag_label")
+      },
+      Some(
+        """SELECT 'flag_' || l_returnflag AS flag_label,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cohort LTV curves — the revenue twin of events_retention_cohorts:
+    // customers cohorted by FIRST-order month, cumulative revenue per
+    // cohort by months-since-first. Shape: one per-customer min
+    // aggregate (the cohort), one (cohort, age) partial-agg, and a
+    // cumulative window over the tiny (cohorts × ages) relation — the
+    // orders fact shuffles once on o_custkey, the window never sees it.
+    ("orders_cohort_ltv",
+      (s: SparkSession, d: String) => {
+        val o = orders(s, d).select(col("o_custkey"),
+          ((year(col("o_orderdate")) * 12) + month(col("o_orderdate")))
+            .cast("long").as("m"),
+          col("o_totalprice"))
+        val first = o.groupBy("o_custkey").agg(min("m").as("m0"))
+        val byAge = o.join(first, "o_custkey")
+          .groupBy(col("m0").as("cohort_month"), (col("m") - col("m0")).as("age"))
+          .agg(sum("o_totalprice").as("rev"))
+        val w = Window.partitionBy("cohort_month").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        byAge
+          .select(col("cohort_month"), col("age"),
+            round(col("rev"), 2).as("rev"),
+            round(sum("rev").over(w), 2).as("cum_rev"))
+          .orderBy("cohort_month", "age")
+      },
+      Some(
+        """WITH o AS (
+          |  SELECT o_custkey,
+          |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+          |         o_totalprice
+          |  FROM orders
+          |), f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+          |a AS (
+          |  SELECT f.m0 AS cohort_month, o.m - f.m0 AS age,
+          |         sum(o.o_totalprice) AS rev
+          |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2
+          |)
+          |SELECT cohort_month, age, round(rev, 2) AS rev,
+          |       round(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age
+          |         ROWS UNBOUNDED PRECEDING), 2) AS cum_rev
+          |FROM a ORDER BY cohort_month, age""".stripMargin)),
+
     // Approximate sketches (HLL++ distinct count, quantile summaries) — the
     // constant-memory path for cardinality/quantiles at 100 TB. Sketch
     // internals are engine-specific, so no SQL oracle; ApproxSpec bounds

@@ -242,6 +242,48 @@ class RelAnalyticsSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("lineitem_salted_join: equi-join keys on (flag, salt); result equals the plain aggregate") {
+    val df = q("lineitem_salted_join")
+    val p = df.queryExecution.executedPlan.toString
+    // the whole point: the join key is the SALTED pair, not the 3-value
+    // flag alone — each hot key spreads over 16 salt tasks
+    assert(p.contains("BroadcastHashJoin [flag"), s"expected broadcast join:\n$p")
+    assert(p.contains("salt"), s"join must key on the salt too:\n$p")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = Tables.lineitem(spark, sf)
+      .groupBy(concat(lit("flag_"), col("l_returnflag")).as("flag_label"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("flag_label")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == plain.toSeq, "salting must not change the result")
+  }
+
+  test("orders_cohort_ltv: cohort curves are cumulative and reconcile with totals") {
+    val rows = q("orders_cohort_ltv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        ((year(col("o_orderdate")) * 12) + month(col("o_orderdate"))).cast("long"),
+        col("o_totalprice"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val firstM = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val naiveRev = orders.groupBy { case (c, m, _) => (firstM(c), m - firstM(c)) }
+      .view.mapValues(_.map(_._3).sum).toMap
+    assert(rows.map(r => (r._1, r._2)).toSet == naiveRev.keySet)
+    rows.foreach { case (cm, age, rev, _) =>
+      assert(math.abs(rev - naiveRev((cm, age))) < 0.02, s"cohort $cm age $age")
+    }
+    // curves are strictly cumulative and end at the cohort's total revenue
+    rows.groupBy(_._1).foreach { case (cm, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b._4 > a._4, s"cohort $cm cum_rev must increase")
+      }
+      val total = naiveRev.collect { case ((c, _), v) if c == cm => v }.sum
+      assert(math.abs(sorted.last._4 - total) < 0.05, s"cohort $cm total")
+    }
+  }
+
   test("events_sliding_wau matches a naive 7-day visibility replay") {
     val daily = events.map { case (u, ts, _) => (ts / 86400000000L, u) }.distinct
     val hi = daily.map(_._1).max
