@@ -1100,7 +1100,7 @@ object RelOps {
           (unix_micros(date_trunc("DAY", col("ts"))) / 86400000000L)
             .cast("long").as("day"),
           col("user_id")).distinct()
-        val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+        val bounds = daily.agg(max("day").as("hi"))
         daily
           .select(col("user_id"), explode(sequence(col("day"),
             col("day") + 6L)).as("day"))
@@ -1174,7 +1174,11 @@ object RelOps {
         val nOrders = li.select(countDistinct("l_orderkey").as("n_orders"))
         val supp = li.distinct()
           .groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
-        val pairs = copurchaseCounts(li)
+        // persisted: both unionAll branches (ante/cons swapped) would
+        // otherwise carry the full run-walk pair pipeline twice — same
+        // reasoning as triangleCensus's edge persist
+        val pairs = copurchaseCounts(li).persist()
+        DedupOps.registerDedupCaches(pairs, Seq(pairs))
         val rules = pairs
           .select(col("p1").as("ante"), col("p2").as("cons"), col("n_orders").as("n_pair"))
           .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"),
@@ -1184,10 +1188,16 @@ object RelOps {
           .join(TextOps.broadcastIfSmall(
             supp.select(col("p").as("cons"), col("n_p").as("n_cons"))), "cons")
           .crossJoin(broadcast(nOrders))
+        // lift6 composes from the already-floored conf6 ((conf6·N) div
+        // n_cons) — identical composition in the oracle, and the bounded
+        // intermediate (conf6 ≤ 1e6 × orders) keeps int64 exact far past
+        // the direct n_pair·1e6·N product's overflow point
         rules.select(col("ante"), col("cons"), col("n_pair"),
-            expr("CAST((n_pair * 1000000) DIV n_ante AS BIGINT)").as("conf6"),
-            expr("CAST((n_pair * 1000000 * n_orders) DIV (n_ante * n_cons) AS BIGINT)")
-              .as("lift6"))
+            col("n_cons"), col("n_orders"),
+            expr("CAST((n_pair * 1000000) DIV n_ante AS BIGINT)").as("conf6"))
+          .withColumn("lift6",
+            expr("CAST((conf6 * n_orders) DIV n_cons AS BIGINT)"))
+          .select("ante", "cons", "n_pair", "conf6", "lift6")
           .orderBy(col("conf6").desc, col("ante"), col("cons"))
           .limit(20)
       },
@@ -1209,7 +1219,7 @@ object RelOps {
           |)
           |SELECT r.ante, r.cons, r.n_pair,
           |       CAST((r.n_pair * 1000000) // sa.n_p AS BIGINT) AS conf6,
-          |       CAST((r.n_pair * 1000000 * n.n_orders) // (sa.n_p * sc.n_p)
+          |       CAST((((r.n_pair * 1000000) // sa.n_p) * n.n_orders) // sc.n_p
           |            AS BIGINT) AS lift6
           |FROM r JOIN supp sa ON sa.p = r.ante JOIN supp sc ON sc.p = r.cons, n
           |ORDER BY conf6 DESC, ante, cons LIMIT 20""".stripMargin)),

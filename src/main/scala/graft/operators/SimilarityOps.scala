@@ -496,21 +496,30 @@ object SimilarityOps {
     // recall number itself is cross-engine reproduced, not just bounded.
     ("sim_knn_graph",
       (s: SparkSession, d: String) => {
-        val (assigned, cents) = kmeans8(s, d)
+        val (_, cents) = kmeans8(s, d)
         // multi-probe candidate generation (nprobe=2): each node's pairs
         // come from its TWO nearest clusters' members — the IVF dial that
-        // trades candidate volume for recall; the probe relation is
-        // scan-local over the same broadcast codebook as the assignment
+        // trades candidate volume for recall. ONE scan-local pass over
+        // the broadcast codebook produces the ranked probe relation; its
+        // rank-0 row IS the argmin assignment (same (d, c_id) struct
+        // order as assign6), so the dst side filters this cached
+        // relation instead of re-scoring the corpus a second time.
         val codebook = cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cs"))
-        val probe2 = vecs6(vecs(s, d))
+        val pr = vecs6(vecs(s, d))
           .crossJoin(broadcast(codebook))
           .select(col("vec_id"), col("v"),
-            explode(slice(array_sort(transform(col("cs"), c =>
+            posexplode(slice(array_sort(transform(col("cs"), c =>
               struct(l2sq6(col("v6"), c("cv")).as("d"), c("c_id").as("c_id")))),
-              1, 2)).as("p"))
-          .select(col("vec_id").as("src"), col("v").as("va"),
-            col("p.c_id").as("cluster"))
-        val b = assigned.select(col("cluster"), col("vec_id").as("dst"), col("v").as("vb"))
+              1, 2)))
+          .toDF("vec_id", "v", "probe_rank", "p")
+          .select(col("vec_id"), col("v"), col("probe_rank"),
+            col("p").getField("c_id").as("cluster"))
+          .persist()
+        graft.operators.DedupOps.registerDedupCaches(pr, Seq(pr))
+        val probe2 = pr.select(col("vec_id").as("src"), col("v").as("va"),
+          col("cluster"))
+        val b = pr.filter(col("probe_rank") === 0)
+          .select(col("cluster"), col("vec_id").as("dst"), col("v").as("vb"))
         val scored = probe2.join(b, "cluster")
           .filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst"), cosine_sim(col("va"), col("vb")).as("cos"))

@@ -1879,8 +1879,11 @@ object TextOps {
     // contribute their whole text as one gram).
     ("documents_ngram_novelty",
       (s: SparkSession, d: String) => {
-        val sh = documents(s, d).select(col("doc_id"),
-          array_distinct(shingles(toks, 3)).as("sh"))
+        // token array materialized into a named column first — shingles()
+        // re-evaluates its argument per gram (see its docstring)
+        val sh = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), array_distinct(shingles(col("tk"), 3)).as("sh"))
         val counts = sh.select(col("doc_id"),
           size(col("sh")).cast("long").as("n_grams"))
         val novel = sh.select(col("doc_id"), explode(col("sh")).as("g"))

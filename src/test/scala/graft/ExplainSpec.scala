@@ -270,9 +270,19 @@ class ExplainSpec extends SparkTestBase {
     val p = plan("lineitem_copurchase_pairs")
     assert(!p.contains("ObjectHashAggregate"),
       s"collect_set's object aggregate must be gone:\n$p")
-    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
-      s"expected the run-walk mapPartitions:\n$p")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // when another entry (association rules) has already registered the
+    // pair-count cache, the plan legitimately serves from the
+    // InMemoryRelation — whose PRINTED lineage repeats the original
+    // exchanges without re-executing them. Count only the live section
+    // (above the cache boundary) in that case.
+    val live = p.indexOf("InMemoryRelation") match {
+      case -1 => p
+      case i => p.substring(0, i)
+    }
+    if (!p.contains("InMemoryRelation"))
+      assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+        s"expected the run-walk mapPartitions:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(live).length
     assert(exchanges <= 2,
       s"only the order-key repartition + pair aggregate may shuffle (saw $exchanges):\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")

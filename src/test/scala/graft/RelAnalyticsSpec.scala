@@ -338,8 +338,10 @@ class RelAnalyticsSpec extends SparkTestBase {
     val expected = pairCnt.toSeq.flatMap { case ((a, b), n) =>
       Seq((a, b, n), (b, a, n))
     }.map { case (ante, cons, n) =>
-      (ante, cons, n, n * 1000000L / supp(ante),
-        n * 1000000L * nOrders / (supp(ante) * supp(cons)))
+      val conf6 = n * 1000000L / supp(ante)
+      // lift composes from the floored confidence — the overflow-bounded
+      // form both engines compute
+      (ante, cons, n, conf6, conf6 * nOrders / supp(cons))
     }.sortBy { case (a, c, _, conf, _) => (-conf, a, c) }.take(20)
     val got = q("orders_association_rules").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
