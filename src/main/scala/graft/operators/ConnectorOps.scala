@@ -418,6 +418,110 @@ object ConnectorOps {
           |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
           |    AND ts < TIMESTAMP '2024-03-01 00:00:00'
           |  GROUP BY event_type, value
-          |) WHERE rn <= 5 ORDER BY label_event_type, line""".stripMargin))
+          |) WHERE rn <= 5 ORDER BY label_event_type, line""".stripMargin)),
+
+    // §2.1 row 13 (plan display, scan.rs:149-175): the EXPLAIN surface.
+    // The description string is driver-side plan text, so the gate row
+    // computes its content checks in-query (the recall_ok idiom) and
+    // pairs them with a REAL 5-row scan through the same plan — a display
+    // regression (missing query/limit/start) or a broken scan both go red.
+    ("loki_plan_display",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val df = lokiDf(s, d)
+          .filter(element_at(col("labels"), "event_type") === "click" &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .limit(5)
+        val plan = df.queryExecution.executedPlan.toString
+        Seq((plan.contains("LokiLogScan:"),
+          plan.contains("query={event_type=\"click\"}"),
+          plan.contains("start=") && plan.contains("end="),
+          plan.contains("limit=5"),
+          df.count()))
+          .toDF("display_scan_ok", "display_query_ok", "display_range_ok",
+            "display_limit_ok", "n_rows")
+      },
+      Some(
+        """SELECT true AS display_scan_ok, true AS display_query_ok,
+          |       true AS display_range_ok, true AS display_limit_ok,
+          |       CAST(least(5, (SELECT count(*) FROM events
+          |                      WHERE event_type = 'click'
+          |                        AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |                        AND ts < TIMESTAMP '2024-02-01 00:00:00'))
+          |            AS BIGINT) AS n_rows""".stripMargin)),
+
+    // §2.1 row 12 (plan codec, codec.rs:14-100): the reference needs a
+    // protobuf codec to ship its execs; in Spark the contract dissolves
+    // into Java serialization of the partition + reader/writer factories.
+    // The gate row round-trips all three driver-side AND runs a real scan
+    // whose task serialization ships the same classes executor-side.
+    ("loki_codec_roundtrip",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        import graft.sources.loki._
+        def rt(o: AnyRef): AnyRef = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val oos = new java.io.ObjectOutputStream(bos)
+          oos.writeObject(o); oos.close()
+          new java.io.ObjectInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray)).readObject()
+        }
+        val part = LokiInputPartition("http://codec-probe", "{a=\"b\"}",
+          Some(1L), Some(2L), Some(3), LokiDataSource.LOG_SCHEMA)
+        val scanRows = lokiDf(s, d)
+          .filter(element_at(col("labels"), "event_type") === "click" &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-01-03 00:00:00").cast("timestamp"))
+          .count()
+        Seq((rt(part) == part,
+          rt(LokiReaderFactory()).isInstanceOf[LokiReaderFactory],
+          rt(LokiWriterFactory(LokiOptions("http://x", None, 1, 4096, false, false)))
+            .isInstanceOf[LokiWriterFactory],
+          scanRows))
+          .toDF("part_roundtrip_ok", "reader_factory_ok", "writer_factory_ok",
+            "scan_rows")
+      },
+      Some(
+        """SELECT true AS part_roundtrip_ok, true AS reader_factory_ok,
+          |       true AS writer_factory_ok,
+          |       CAST((SELECT count(*) FROM events
+          |             WHERE event_type = 'click'
+          |               AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |               AND ts < TIMESTAMP '2024-01-03 00:00:00') AS BIGINT)
+          |         AS scan_rows""".stripMargin)),
+
+    // §2.1 row 15 (time defaults, utils.rs:3-12): a scan with NO
+    // timestamp bounds must hit the API with start=now−30d, end=now,
+    // evaluated at EXECUTE time (scan.rs:107-111). The stub records every
+    // request's (logql, start, end); the probe label is unique so the
+    // row reads back exactly its own request. The 2024 corpus lies
+    // outside any now−30d window, so the scan itself returns 0 rows —
+    // also part of the differential (the reference behaves identically
+    // on aged data).
+    ("loki_time_defaults",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val st = stubFor(s, d)
+        val rows = lokiDf(s, d)
+          .filter(element_at(col("labels"), "event_type") === "graft_defaults_probe")
+          .count()
+        val probe = st.ranges.synchronized {
+          st.ranges.filter(_._1 == "{event_type=\"graft_defaults_probe\"}").lastOption
+        }
+        val nowNs = System.currentTimeMillis() * 1000000L
+        val slackNs = 15L * 60 * 1000000000L
+        val (startOk, endOk) = probe match {
+          case Some((_, Some(st0), Some(en))) =>
+            val expStart = nowNs - 30L * 24 * 3600 * 1000000000L
+            (math.abs(st0 - expStart) <= slackNs, math.abs(en - nowNs) <= slackNs)
+          case _ => (false, false)
+        }
+        Seq((rows, startOk, endOk))
+          .toDF("n_rows", "start_30d_ok", "end_now_ok")
+      },
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS n_rows, true AS start_30d_ok,
+          |       true AS end_now_ok""".stripMargin))
   )
 }

@@ -49,6 +49,11 @@ final class LokiStubServer {
   /** Requests observed, for pushdown assertions (query string per scan). */
   val queries = mutable.ArrayBuffer.empty[String]
 
+  /** Per-request (logql, start, end) as received on the wire — lets the
+    * time-defaults gate row assert what window the reader actually sent.
+    */
+  val ranges = mutable.ArrayBuffer.empty[(String, Option[Long], Option[Long])]
+
   // response cache keyed by the full query params; invalidated on ingest.
   // Real Loki caches query results the same way; here it keeps repeated
   // harness scans (bench warm-up + timed pass) from re-encoding parquet.
@@ -133,6 +138,10 @@ final class LokiStubServer {
     val start = params.get("start").map(_.toLong).getOrElse(Long.MinValue)
     val end = params.get("end").map(_.toLong).getOrElse(Long.MaxValue)
     val limit = params.get("limit").map(_.toInt)
+    ranges.synchronized {
+      ranges += ((logql, params.get("start").map(_.toLong),
+        params.get("end").map(_.toLong)))
+    }
 
     if (ex.getRequestHeaders.getFirst("Accept") != "application/vnd.apache.parquet") {
       respond(ex, 406, "stub only speaks parquet".getBytes(UTF_8))
