@@ -167,6 +167,64 @@ object RelOps {
           .cast("long").as("coeff6"))
   }
 
+  /** 2D Pareto skyline (minimize `price`, maximize `size`) over a
+    * (key, price, size) relation — the multi-objective frontier query
+    * recommendation and pricing pipelines run. A point survives iff no
+    * other point has price ≤ AND size ≥ with one strict.
+    *
+    * Distributed two-phase shape (no unpartitioned window over the
+    * data): (1) per-price max collapses the relation to one row per
+    * distinct price (ordinary partial-aggregated shuffle); (2) a range
+    * shuffle on price + in-partition sort, a SCAN-LOCAL prefix-max walk
+    * per partition, and a broadcast (n_partitions)-sized per-partition
+    * max table — bounded by the CLUSTER, not the data, its prefix
+    * computed in-row over the collected list (the [[TextOps.shuffleOrder]]
+    * offset idiom) — decide dominance against all strictly-cheaper
+    * prices. Surviving (price, max size) pairs join back to recover
+    * every member row (ties on both axes are mutually non-dominated and
+    * all kept).
+    */
+  def skyline2d(p: DataFrame, keyCol: String, priceCol: String,
+                sizeCol: String): DataFrame = {
+    val session = p.sparkSession
+    import session.implicits._
+    val perPrice = p.groupBy(col(priceCol).as("price"))
+      .agg(max(col(sizeCol).cast("long")).as("msize"))
+    val sorted = perPrice
+      .repartitionByRange(col("price"))
+      .sortWithinPartitions("price")
+      .select(col("price").as[Double], col("msize").as[Long])
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var runMax = Long.MinValue
+        it.map { case (price, m) =>
+          val prev = runMax
+          if (m > runMax) runMax = m
+          (pid, price, m, prev)
+        }
+      }.toDF("pid", "price", "msize", "local_prev")
+      .cache()
+    DedupOps.registerDedupCaches(sorted, Seq(sorted))
+    // per-partition prefix max, in-row over the bounded stat list (MinValue
+    // +1 as the identity: one below any real msize, and a plain SQL long
+    // literal — MinValue itself can't be written as a negated literal)
+    val offs = sorted.groupBy("pid").agg(max("msize").as("pm"))
+      .agg(sort_array(collect_list(struct(col("pid"), col("pm")))).as("cs"))
+      .select(explode(expr(
+        "transform(cs, (x, i) -> struct(x.pid AS pid, " +
+          "aggregate(slice(cs, 1, i), -9223372036854775807L, " +
+          "(a, y) -> greatest(a, y.pm)) AS ppm))")).as("e"))
+      .select(col("e.pid").as("pid"), col("e.ppm").as("prev_part_max"))
+    val sky = sorted.join(broadcast(offs), "pid")
+      .filter(col("msize") > greatest(col("local_prev"), col("prev_part_max")))
+      .select(col("price").as("sky_price"), col("msize").as("sky_size"))
+    p.join(TextOps.broadcastIfSmall(sky),
+        col(priceCol) === col("sky_price") &&
+          col(sizeCol).cast("long") === col("sky_size"))
+      .select(col(keyCol), col(priceCol).as("price"),
+        col(sizeCol).cast("long").as("psize"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // TPC-H Q1-style pricing summary: the canonical partial-agg shape.
@@ -360,6 +418,27 @@ object RelOps {
         """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
           |FROM orders
           |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Explicit GROUPING SETS — the two single-dimension aggregates in one
+    // pass (neither ROLLUP nor CUBE: no grand total, no pair cell). Spark
+    // expands the sets before the shuffle, so it stays one
+    // partial-aggregated exchange like any groupBy.
+    ("orders_grouping_sets",
+      (s: SparkSession, d: String) =>
+        orders(s, d)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(o_totalprice), 2) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
     // Distinct aggregation (exact; the approx_count_distinct sketch variant
@@ -662,6 +741,82 @@ object RelOps {
         """SELECT event_type, round(median(value), 4) AS median_value,
           |       CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Robust anomaly detection: median-absolute-deviation z-scores per
+    // event_type (the outlier screen monitoring pipelines run — MAD is
+    // insensitive to the outliers it hunts, unlike stddev). Three passes:
+    // per-type median, per-type MAD of the deviations, then the anomaly
+    // census — the two tiny per-type stat relations attach by BROADCAST,
+    // so the event stream is never shuffled; the only exchanges are the
+    // per-type partial aggregates. The summary aggregates (count, max,
+    // conditional count) are all accumulation-order-independent, so the
+    // result is partitioning-stable and oracle-exact. Exact median per
+    // group buffers values; at 100 TB swap approx_percentile in — the
+    // plan shape (broadcast stat attach, no data shuffle) is the part
+    // that must survive scale.
+    ("events_anomaly_mad",
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d).select(col("event_type"), col("value"))
+        val med = ev.groupBy("event_type").agg(median(col("value")).as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+        val mad = dev.groupBy("event_type")
+          .agg(median(abs(col("value") - col("med"))).as("mad"))
+        val rz = lit(0.6745) * (col("value") - col("med")) / col("mad")
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            round(max("med"), 4).as("med"),
+            round(max("mad"), 4).as("mad"),
+            sum(when(abs(rz) > 3.5, 1L).otherwise(0L)).as("n_anomalies"),
+            round(max(abs(rz)), 4).as("max_abs_rz"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH med AS (
+          |  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+          |), dev AS (
+          |  SELECT e.event_type, e.value, m.med
+          |  FROM events e JOIN med m USING (event_type)
+          |), mad AS (
+          |  SELECT event_type, median(abs(value - med)) AS mad
+          |  FROM dev GROUP BY 1
+          |)
+          |SELECT d.event_type,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(max(d.med), 4) AS med,
+          |       round(max(a.mad), 4) AS mad,
+          |       CAST(sum(CASE WHEN abs(0.6745 * (d.value - d.med) / a.mad) > 3.5
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+          |       round(max(abs(0.6745 * (d.value - d.med) / a.mad)), 4) AS max_abs_rz
+          |FROM dev d JOIN mad a USING (event_type)
+          |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
+
+    // 2D Pareto skyline over part (cheapest price for the size, see
+    // [[skyline2d]]): the multi-objective frontier — no other part is
+    // both ≤ price and ≥ size with one strict. The oracle replays the
+    // same per-price-max + prefix-max logic with a window (single-node
+    // DuckDB can afford the global window; the Spark plan must not).
+    ("part_skyline",
+      (s: SparkSession, d: String) =>
+        skyline2d(part(s, d), "p_partkey", "p_retailprice", "p_size")
+          .orderBy("price", "p_partkey"),
+      Some(
+        """WITH pp AS (
+          |  SELECT p_retailprice AS price, max(p_size) AS msize
+          |  FROM part GROUP BY 1
+          |), sky AS (
+          |  SELECT price, msize,
+          |         max(msize) OVER (ORDER BY price
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          |  FROM pp
+          |)
+          |SELECT p.p_partkey, p.p_retailprice AS price,
+          |       CAST(p.p_size AS BIGINT) AS psize
+          |FROM part p
+          |JOIN sky s ON p.p_retailprice = s.price AND p.p_size = s.msize
+          |WHERE s.pm IS NULL OR s.msize > s.pm
+          |ORDER BY price, p_partkey""".stripMargin)),
 
     // JSON extraction from events.props ({"k": 87}).
     ("events_json_extract",

@@ -253,6 +253,18 @@ class ExplainSpec extends SparkTestBase {
     }
   }
 
+  test("part_skyline: no window over the data — prefix max is scan-local + bounded stat table") {
+    // the frontier walk must NOT plan the oracle's global window (a
+    // single-task sort over every distinct price): per-partition prefix
+    // max is computed inside mapPartitions, and cross-partition dominance
+    // comes from the broadcast (n_partitions)-sized stat table, whose
+    // collect_list scalar aggregate is the one permitted SinglePartition.
+    val p = plan("part_skyline")
+    assert(!p.contains("Window"), s"skyline must not use a global window:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"partition stat table / survivor set should broadcast:\n$p")
+  }
+
   test("keyword TF-IDF: tf is scan-local — no exchange between the scan and the top-k partial") {
     // the term_counts rewrite's contract: the only corpus-sized exchanges
     // are the vocabulary df aggregate and the ≤3-rows-per-doc top-k

@@ -416,4 +416,60 @@ class RelAnalyticsSpec extends SparkTestBase {
         }
     }
   }
+
+  test("part_skyline matches a naive O(n²) dominance filter") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .as[(Long, Double, Long)].collect()
+    val expect = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, qr, qz) =>
+        qr <= pr && qz >= sz && (qr < pr || qz > sz)
+      }
+    }.map { case (k, pr, sz) => (k, pr, sz) }.toSet
+    val got = q("part_skyline").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == expect, s"skyline mismatch: got=$got expect=$expect")
+    assert(got.nonEmpty)
+  }
+
+  test("events_anomaly_mad matches a first-principles median/MAD replay") {
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).as[(String, Double)]
+      .collect().toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = q("events_anomaly_mad").collect()
+    assert(got.map(_.getString(0)).toSeq == byType.keys.toSeq.sorted)
+    got.foreach { r =>
+      val vs = byType(r.getString(0))
+      val med = medianOf(vs)
+      val mad = medianOf(vs.map(v => math.abs(v - med)))
+      val rz = vs.map(v => math.abs(0.6745 * (v - med) / mad))
+      assert(r.getLong(1) == vs.length)
+      assert(r.getDouble(2) == math.rint(med * 1e4) / 1e4)
+      assert(r.getDouble(3) == math.rint(mad * 1e4) / 1e4)
+      assert(r.getLong(4) == rz.count(_ > 3.5))
+      assert(r.getDouble(5) == math.rint(rz.max * 1e4) / 1e4)
+      assert(r.getLong(4) > 0, "corpus must exercise the anomaly branch")
+    }
+  }
+
+  test("orders_grouping_sets equals the union of the two single-dim aggregates") {
+    val byStatus = q("orders_grouping_sets").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getDouble(3)))
+    val o = Tables.orders(spark, sf)
+    def dim(c: String) = o.groupBy(col(c))
+      .agg(count(lit(1)), round(sum("o_totalprice"), 2))
+      .as[(String, Long, Double)].collect()
+    val expect =
+      dim("o_orderstatus").map { case (k, n, t) => (Option(k), None, n, t) } ++
+      dim("o_orderpriority").map { case (k, n, t) => (None, Option(k), n, t) }
+    assert(byStatus.toSet == expect.toSet)
+    // exactly the two sets — no grand total, no pair cells
+    assert(!byStatus.exists { case (a, b, _, _) => a.isEmpty && b.isEmpty })
+    assert(!byStatus.exists { case (a, b, _, _) => a.nonEmpty && b.nonEmpty })
+  }
 }
