@@ -225,6 +225,82 @@ object RelOps {
         col(sizeCol).cast("long").as("psize"))
   }
 
+  /** k-core decomposition of the (co-purchased ≥ 2 times) part graph —
+    * iterative peeling: drop every node with fewer than k live
+    * neighbors, recompute degrees, repeat to the FIXPOINT. The k-core
+    * (maximal subgraph with min degree ≥ k) is unique, so the result is
+    * partitioning- and order-independent.
+    *
+    * Distributed shape, per round: two LEFT SEMI joins restrict the
+    * cached edge relation (persisted PRE-PARTITIONED on `s`, the
+    * pagerank layout — only the node-count-sized live set moves per
+    * round) to live×live, then one partial-aggregated degree count.
+    * Each iterate localCheckpoints so lineage stays flat; the driver
+    * sees ONE scalar per round (the live count, for the convergence
+    * test). Rounds are bounded by the peel depth of the graph, not its
+    * size.
+    */
+  def kcore(li: DataFrame, k: Int): DataFrame = {
+    val pairs = copurchaseCounts(li).filter(col("n_orders") >= 2).select("p1", "p2")
+    val edges = pairs.select(col("p1").as("s"), col("p2").as("d"))
+      .union(pairs.select(col("p2").as("s"), col("p1").as("d")))
+      .repartition(col("s")).persist()
+    DedupOps.registerDedupCaches(edges, Seq(edges))
+    def liveRestrict(live: DataFrame): DataFrame =
+      edges
+        .join(live, edges("s") === live("n"), "left_semi")
+        .join(live.withColumnRenamed("n", "m"), col("d") === col("m"), "left_semi")
+    var live = edges.select(col("s").as("n")).distinct().localCheckpoint()
+    var nLive = live.count()
+    var converged = false
+    while (!converged) {
+      val next = liveRestrict(live)
+        .groupBy("s").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("s").as("n"))
+        .localCheckpoint()
+      val n2 = next.count()
+      converged = n2 == nLive
+      nLive = n2
+      live = next
+    }
+    liveRestrict(live)
+      .groupBy(col("s").as("part"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** DuckDB oracle for [[kcore]]: `rounds` chained peel CTEs (the
+    * pagerank chained-iterate pattern — peeling is idempotent after
+    * convergence, so any rounds ≥ the actual peel depth is exact; the
+    * measured depth is ≤ 5 across the shipped corpus SFs, and a too-low
+    * bound fails the gate loudly rather than silently). Every CTE a
+    * round references TWICE is AS MATERIALIZED: inlined, each round
+    * would re-expand its predecessor twice — 2^rounds replays of the
+    * pair mining (measured: minutes at sf0.01 vs milliseconds
+    * materialized).
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val base =
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS MATERIALIZED (
+        |  SELECT x.l_partkey AS p1, y.l_partkey AS p2
+        |  FROM op x JOIN op y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), e AS MATERIALIZED (
+        |  SELECT p1 AS s, p2 AS d FROM pc UNION ALL SELECT p2, p1 FROM pc
+        |), l0 AS MATERIALIZED (SELECT DISTINCT s AS n FROM e)""".stripMargin
+    val rnds = (1 to rounds).map { i =>
+      s"l$i AS MATERIALIZED (SELECT e.s AS n FROM e JOIN l${i - 1} a ON e.s = a.n " +
+        s"JOIN l${i - 1} b ON e.d = b.n GROUP BY e.s HAVING count(*) >= $k)"
+    }.mkString(",\n")
+    base + ",\n" + rnds +
+      s"""
+         |SELECT e.s AS part, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e JOIN l$rounds a ON e.s = a.n JOIN l$rounds b ON e.d = b.n
+         |GROUP BY e.s ORDER BY part""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // TPC-H Q1-style pricing summary: the canonical partial-agg shape.
@@ -1239,6 +1315,19 @@ object RelOps {
           |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
           |GROUP BY p1, p2
           |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin)),
+
+    // 2-core of the repeat-co-purchase graph (see [[kcore]]): iterative
+    // peeling to the unique fixpoint — the community-pruning step
+    // downstream of pair mining (the 1-degree fringe is noise; the core
+    // is where basket structure lives). Edge threshold n_orders ≥ 2
+    // keeps the graph sparse enough that peeling does real work at
+    // every shipped SF (the unthresholded graph is a dense blob whose
+    // 2-core is everything).
+    ("graph_kcore",
+      (s: SparkSession, d: String) =>
+        kcore(lineitem(s, d).select("l_orderkey", "l_partkey"), 2)
+          .orderBy("part"),
+      Some(kcoreOracleSql(2, 10))),
 
     // 7-day sliding distinct users (weekly-active-users): EXACT sliding
     // count-distinct — not expressible as a window frame (COUNT(DISTINCT)

@@ -417,6 +417,41 @@ class RelAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("graph_kcore matches a first-principles peel replay (k=2 gate + k=15 multi-round)") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val pairs = operators.RelOps.copurchaseCounts(li)
+      .filter(col("n_orders") >= 2).select("p1", "p2")
+      .as[(Long, Long)].collect()
+    def replay(k: Int): Map[Long, Int] = {
+      val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+      pairs.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      var live = adj.keySet.toSet
+      var changed = true
+      while (changed) {
+        val drop = live.filter(n => adj(n).count(live) < k)
+        changed = drop.nonEmpty
+        live = live -- drop
+      }
+      live.map(n => n -> adj(n).count(live)).toMap
+    }
+    val gate = q("graph_kcore").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(gate == replay(2), "k=2 gate result must equal the peel replay")
+    // k=15 peels this graph over 5 rounds to a 149-node core (k=2 at
+    // sf0.001 is the degenerate 0-round case — the whole graph IS the
+    // 2-core; k≥16 collapses to empty)
+    val k15 = operators.RelOps.kcore(li, 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val exp15 = replay(15)
+    assert(k15 == exp15, "k=15 fixpoint must equal the peel replay")
+    assert(exp15.nonEmpty && exp15.size < gate.size,
+      "k=15 must peel a strict, non-empty subset so the loop is exercised")
+    k15.values.foreach(d => assert(d >= 15, "every member keeps >= k in-core neighbors"))
+  }
+
   test("part_skyline matches a naive O(n²) dominance filter") {
     val parts = Tables.part(spark, sf)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
