@@ -633,6 +633,53 @@ object DedupOps {
       |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Bloom-prefiltered delta-vs-base exact chunk dedup (see
+    * [[graft.functions.BloomSketch]]): "which 20-token chunks of the
+    * incoming delta already exist in the base corpus" — the C4-style
+    * incremental ingestion question at the scale where an exact
+    * anti-join of delta against base would shuffle the BASE.
+    *
+    * The base chunk relation is folded ONCE into a broadcast Bloom
+    * sketch (log-depth treeReduce, no shuffle); the delta probes it
+    * scan-locally. Probe negatives are definitively new (no false
+    * negatives); positives are EXACTLY verified: the candidate chunk
+    * set (true dups + fpp) size-gated-broadcasts back onto the base
+    * scan as a semi-join, so the base is read but never shuffled, and
+    * the final per-position flags join candidate-sized relations. The
+    * output is therefore exact — the sketch only prunes — which is
+    * what the DuckDB oracle (a plain base semi-join) re-verifies.
+    */
+  def bloomDeltaChunkDedup(docs: DataFrame, deltaPred: Column,
+                           fpp: Double = 0.001): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunked = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), ((size(col("toks")) - 1) / lit(20)).cast("int")),
+          i => array_join(slice(col("toks"), i * lit(20) + 1, lit(20)), " ")))
+          .as("chunk"))
+    val base = chunked.filter(!deltaPred).select("chunk")
+    val delta = chunked.filter(deltaPred)
+    val bf = graft.functions.BloomSketch.build(
+      base.as[String], base.count(), fpp)
+    val bloom = spark.sparkContext.broadcast(bf)
+    val cand = delta.filter(
+      graft.functions.BloomSketch.mightContain(bloom, col("chunk")))
+    val candChunks = cand.select("chunk").distinct()
+    val present = base
+      .join(TextOps.broadcastIfSmall(candChunks), Seq("chunk"), "left_semi")
+      .distinct()
+    val dup = cand.join(TextOps.broadcastIfSmall(present), Seq("chunk"), "left_semi")
+    delta.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Exact dedup: one hash-aggregate on the text key.
@@ -1015,6 +1062,33 @@ object DedupOps {
           |       CAST((len(t.toks)-1)//20 + 1 AS BIGINT) AS n_chunks,
           |       coalesce(a.n_kept, 0) AS n_kept,
           |       coalesce(a.kept_md5, md5('')) AS kept_md5
-          |FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin))
+          |FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
+    // Bloom-prefiltered incremental chunk dedup (see
+    // [[bloomDeltaChunkDedup]]): the 20% delta slice probed against a
+    // broadcast sketch of the base's chunks, positives exactly verified
+    // — the sketch prunes, the oracle's plain semi-join re-proves
+    // exactness on the real corpus every round.
+    ("dedup_bloom_delta",
+      (s: SparkSession, d: String) =>
+        bloomDeltaChunkDedup(documents(s, d), col("doc_id") % 5 === 3),
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |), ch AS (
+          |  SELECT doc_id,
+          |         array_to_string(toks[(r.i*20+1):(r.i*20+20)], ' ') AS chunk
+          |  FROM tk, UNNEST(range(0, (len(toks)-1)//20 + 1)) AS r(i)
+          |), base AS (
+          |  SELECT DISTINCT chunk FROM ch WHERE doc_id % 5 != 3
+          |), delta AS (
+          |  SELECT doc_id, chunk FROM ch WHERE doc_id % 5 = 3
+          |)
+          |SELECT d.doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_chunks,
+          |       CAST(sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_dup_chunks
+          |FROM delta d LEFT JOIN base b ON d.chunk = b.chunk
+          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 }

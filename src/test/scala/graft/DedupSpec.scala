@@ -248,6 +248,55 @@ class DedupSpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 100000L && r.getDouble(2) == 1.0))
   }
 
+  test("bloom delta dedup equals the bloom-free exact join; fpp-stress can't change it") {
+    val docs = Tables.documents(spark, sf)
+    // bloom-free exact recomputation (Spark-side, independent of DuckDB)
+    val chunked = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), ((size(col("toks")) - 1) / lit(20)).cast("int")),
+          i => array_join(slice(col("toks"), i * lit(20) + 1, lit(20)), " ")))
+          .as("chunk"))
+    val base = chunked.filter(col("doc_id") % 5 =!= 3).select("chunk").distinct()
+    val delta = chunked.filter(col("doc_id") % 5 === 3)
+    val exact = delta.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(delta.join(base, Seq("chunk"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup")), Seq("doc_id"), "left")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))).toSet
+    val got = q("dedup_bloom_delta").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact, "bloom-prefiltered result must equal the exact join")
+    assert(got.exists(_._3 > 0), "corpus must exercise the duplicate branch")
+    // a deliberately terrible sketch (fpp 0.5 floods the candidate set
+    // with false positives) must still verify to the identical relation —
+    // the bloom only ever PRUNES; correctness comes from the verify join
+    val stressed = DedupOps
+      .bloomDeltaChunkDedup(docs, col("doc_id") % 5 === 3, fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stressed == exact, "high-fpp sketch must not change the verified result")
+  }
+
+  test("BloomSketch has no false negatives; disjoint probes mostly miss") {
+    import spark.implicits._
+    val in = (0 until 2000).map(i => s"present-$i")
+    val out = (0 until 2000).map(i => s"absent-$i")
+    val bf = graft.functions.BloomSketch.build(in.toDS(), in.size.toLong, 0.01)
+    assert(in.forall(s => bf.mightContainBinary(s.getBytes("UTF-8"))),
+      "bloom filters must never report a false negative")
+    val fps = out.count(s => bf.mightContainBinary(s.getBytes("UTF-8")))
+    assert(fps < 200, s"fpp 0.01 should not yield $fps/2000 false positives")
+    // the Column probe agrees with the driver-side probe
+    val bc = spark.sparkContext.broadcast(bf)
+    val probed = (in ++ out).toDF("s")
+      .select(col("s"), graft.functions.BloomSketch.mightContain(bc, col("s")).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(in.forall(probed), "expression probe lost an inserted key")
+    assert(out.count(probed) == fps, "expression and driver probes must agree")
+  }
+
   test("embedding pair similarity values are within cosine bounds") {
     assert(q("dedup_embedding").collect()
       .forall { r => val c = r.getDouble(2); c >= 0.4 && c <= 1.0 })
