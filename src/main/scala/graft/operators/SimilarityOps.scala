@@ -354,6 +354,30 @@ object SimilarityOps {
           |  FROM q JOIN e ON e.vec_id != q.q_id
           |) t WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Radius (range) search — the OTHER similarity-search primitive:
+    // everything within cosine ≥ τ of each query, not a fixed k. Same
+    // broadcast-query/stream-corpus shape as brute top-k (the corpus
+    // never shuffles; the result is radius-bounded, not corpus-bounded).
+    // The inclusion test is on the 4dp-ROUNDED similarity in BOTH
+    // engines, so a last-ulp accumulation difference cannot flip a
+    // boundary row.
+    ("sim_radius_search",
+      (s: SparkSession, d: String) =>
+        bruteScored(vecs(s, d))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            round(col("cos"), 4).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.35)
+          .orderBy(col("q_id"), col("cos_sim").desc, col("n_id")),
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20)
+          |SELECT q_id, n_id, cos_sim FROM (
+          |  SELECT q.q_id, e.vec_id AS n_id,
+          |         round(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim
+          |  FROM q JOIN e ON e.vec_id != q.q_id
+          |) t WHERE cos_sim >= 0.35
+          |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin)),
+
     // Same relation as sim_brute_topk but through the custom TopKPerKey
     // physical operator (bounded per-key heaps, no full per-group sort) —
     // the whole-operator custom-plan path; shares sim_brute_topk's oracle,

@@ -986,6 +986,69 @@ object TextOps {
           |       score >= 1.5 AS is_quality
           |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    // Linear quality CLASSIFIER — the fasttext-shaped model-scoring
+    // pass (quality_score above is hand-tuned feature arithmetic; this
+    // is w·x over a term-weight vector, the thing a trained classifier
+    // exports). The model is INLINED INTO THE PLAN: per-doc term
+    // frequencies come from the native term_counts map (one scan-local
+    // pass), each weighted term is an element_at lookup, so scoring is
+    // ZERO-shuffle — no explode, no join against a weight table; at
+    // 100 TB the classifier runs at scan speed. Weights are ×10
+    // fixed-point so the weighted sum is an integer (accumulation-
+    // order-independent, cross-engine exact); the only float math is
+    // one division and the softsign calibration z/(1+|z|) — pure IEEE
+    // arithmetic with none of exp()'s libm variance.
+    ("text_quality_classifier",
+      (s: SparkSession, d: String) => {
+        val w10 = Seq("data" -> 12L, "fast" -> 8L, "spark" -> 6L,
+          "join" -> 5L, "big" -> 4L, "slow" -> -10L, "a" -> -3L, "the" -> -3L)
+        val docs = documents(s, d)
+          .select(col("doc_id"), toks.as("tk"))
+          .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+            term_counts(col("tk")).as("tf"))
+        val sumW10 = w10.map { case (t, w) =>
+          coalesce(element_at(col("tf"), lit(t)), lit(0L)) * lit(w)
+        }.reduce(_ + _)
+        val z = col("sum_w10").cast("double") / (lit(10.0) * col("n_tokens")) -
+          lit(0.05)
+        // micro-scaled fixed-point output: floor(x·1e6 + 0.5) is plain
+        // IEEE arithmetic on identical doubles — round(x, 6) is not
+        // cross-engine stable when x lands EXACTLY on a half (Spark
+        // rounds half-up, DuckDB half-even; sum/(10n) hits exact halves)
+        def micro(c: Column): Column =
+          floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+        docs.withColumn("sum_w10", sumW10)
+          .select(col("doc_id"), col("n_tokens"), col("sum_w10"),
+            micro(z).as("z6"),
+            micro(z / (lit(1.0) + abs(z))).as("prob6"),
+            (z > 0).as("is_quality"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |), f AS (
+          |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |         CAST(12*len(list_filter(toks, x -> x = 'data'))
+          |            + 8*len(list_filter(toks, x -> x = 'fast'))
+          |            + 6*len(list_filter(toks, x -> x = 'spark'))
+          |            + 5*len(list_filter(toks, x -> x = 'join'))
+          |            + 4*len(list_filter(toks, x -> x = 'big'))
+          |            - 10*len(list_filter(toks, x -> x = 'slow'))
+          |            - 3*len(list_filter(toks, x -> x = 'a'))
+          |            - 3*len(list_filter(toks, x -> x = 'the')) AS BIGINT) AS sum_w10
+          |  FROM tk
+          |), z AS (
+          |  SELECT doc_id, n_tokens, sum_w10,
+          |         sum_w10 / (10.0 * n_tokens) - 0.05 AS zv
+          |  FROM f
+          |)
+          |SELECT doc_id, n_tokens, sum_w10,
+          |       CAST(floor(zv * 1000000.0 + 0.5) AS BIGINT) AS z6,
+          |       CAST(floor(zv / (1.0 + abs(zv)) * 1000000.0 + 0.5) AS BIGINT) AS prob6,
+          |       zv > 0 AS is_quality
+          |FROM z ORDER BY doc_id""".stripMargin)),
+
     // Per-language top-k n-grams — the corpus-statistics inventory step
     // (stopword lists, collocation tables, contamination probes all start
     // here). Counts aggregate with map-side combine on the

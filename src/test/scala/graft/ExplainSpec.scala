@@ -253,6 +253,18 @@ class ExplainSpec extends SparkTestBase {
     }
   }
 
+  test("quality classifier scores at scan speed — no hash exchange, model inlined") {
+    // w·x over term_counts + element_at lookups: the model rides the
+    // plan as literals, so the only exchange is the output ordering's
+    // range partition — no join against a weight table, no explode
+    val p = plan("text_quality_classifier")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"classifier scoring must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"no token explode:\n$p")
+    assert(p.contains("term_counts") || p.contains("staticinvoke"),
+      s"expected the native tf expression:\n$p")
+  }
+
   test("part_skyline: no window over the data — prefix max is scan-local + bounded stat table") {
     // the frontier walk must NOT plan the oracle's global window (a
     // single-task sort over every distinct price): per-partition prefix

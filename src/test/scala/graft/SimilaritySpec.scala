@@ -22,6 +22,39 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("radius search equals a first-principles cosine sweep; agrees with topk") {
+    import org.apache.spark.sql.functions._
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val expect = (for {
+      (q0, qv) <- vs if q0 < 20
+      (n, nv) <- vs if n != q0
+      c = math.rint(cos(qv, nv) * 1e4) / 1e4 if c >= 0.35
+    } yield (q0, n, c)).toSet
+    val got = q("sim_radius_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, "radius set must equal the naive sweep at 4dp")
+    assert(got.nonEmpty)
+    // consistency with top-k: any radius hit strong enough to beat a
+    // query's 5th-ranked neighbor must itself be in the query's top-5
+    val top = q("sim_brute_topk").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> (rs.map(_.getLong(2)).toSet, rs.map(_.getDouble(3)).min)
+      }
+    got.foreach { case (q0, n, c) =>
+      val (ids, fifth) = top(q0)
+      assert(c <= fifth || ids.contains(n),
+        s"radius hit ($q0,$n,$c) beats the 5th-ranked sim $fifth but is not in top-5")
+    }
+  }
+
   test("custom TopKPerKeyExec equals the window-based top-k exactly") {
     val window = q("sim_brute_topk").collect().map(_.toSeq).toSeq
     val custom = q("sim_topk_exec").collect().map(_.toSeq).toSeq

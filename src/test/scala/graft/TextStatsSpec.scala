@@ -411,6 +411,27 @@ class TextStatsSpec extends SparkTestBase {
     assert(got.exists(_.getDouble(3) < 1.0))
   }
 
+  test("text_quality_classifier matches a first-principles weighted replay") {
+    val w10 = Map("data" -> 12L, "fast" -> 8L, "spark" -> 6L, "join" -> 5L,
+      "big" -> 4L, "slow" -> -10L, "a" -> -3L, "the" -> -3L)
+    val expect = corpus.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val sw = tk.iterator.map(t => w10.getOrElse(t, 0L)).sum
+      val z = sw.toDouble / (10.0 * tk.length) - 0.05
+      val prob = z / (1.0 + math.abs(z))
+      (id, tk.length.toLong, sw,
+        math.floor(z * 1000000.0 + 0.5).toLong,
+        math.floor(prob * 1000000.0 + 0.5).toLong,
+        z > 0)
+    }.sortBy(_._1)
+    val got = q("text_quality_classifier").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == expect)
+    assert(got.exists(_._6) && got.exists(!_._6),
+      "both classes must be present on the corpus")
+  }
+
   test("text_intradoc_dedup equals a naive keep-first chunk replay") {
     val got = q("text_intradoc_dedup").collect()
     assert(got.length == corpus.size)
