@@ -451,6 +451,67 @@ object RelOps {
           |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
           |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
+    // Distribution window functions — percent_rank / cume_dist / ntile,
+    // the remaining ANSI window family (rank/row_number and frames are
+    // covered above). All three are rational functions of integer ranks
+    // (e.g. (rank−1)/(n−1)): both engines compute the identical IEEE
+    // division, so the doubles are emitted RAW — unrounded — and still
+    // hash-equal. Per-priority partitions: the window is partitioned, so
+    // it scales with the key space, never a global sort. The 1-in-101
+    // keyed sample keeps the gate artifact small without touching the
+    // window semantics (filter applies after the window).
+    ("window_distribution_orders",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        orders(s, d)
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("tile7", ntile(7).over(w))
+          .filter(col("o_orderkey") % 101 === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("o_totalprice"),
+            col("pr"), col("cd"), col("tile7"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some(
+        """SELECT o_orderpriority, o_orderkey,
+          |       round(o_totalprice, 2) AS o_totalprice, pr, cd, tile7
+          |FROM (
+          |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |         percent_rank() OVER w AS pr,
+          |         cume_dist() OVER w AS cd,
+          |         CAST(ntile(7) OVER w AS INTEGER) AS tile7
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_orderpriority
+          |               ORDER BY o_totalprice, o_orderkey)
+          |) t WHERE o_orderkey % 101 = 0
+          |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // Exact interpolated percentiles per group (p50/p90/p99) — the
+    // latency-quantile shape. Spark's `percentile` and DuckDB's
+    // `quantile_cont` both do continuous linear interpolation over the
+    // sorted group; like exact median this buffers the group (the
+    // documented exact-variant cost; approx_percentile is the sketch
+    // path at 100 TB).
+    ("lineitem_percentiles_exact",
+      (s: SparkSession, d: String) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+          |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+          |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+          |       CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Set operations: UNION (distinct) then EXCEPT (distinct), integer keys.
     ("setop_customers",
       (s: SparkSession, d: String) => {

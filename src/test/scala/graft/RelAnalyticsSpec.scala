@@ -452,6 +452,37 @@ class RelAnalyticsSpec extends SparkTestBase {
     k15.values.foreach(d => assert(d >= 15, "every member keeps >= k in-core neighbors"))
   }
 
+  test("window_distribution_orders matches a first-principles rank replay") {
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .as[(String, Long, Double)].collect()
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (prio, grp) =>
+      val sorted = grp.sortBy(r => (r._3, r._2))
+      val n = sorted.length
+      sorted.zipWithIndex.map { case ((_, key, price), i) =>
+        // standard ANSI closed forms: pr=(rank−1)/(n−1), cd=rows≤/n,
+        // ntile = first (n mod k) buckets take the extra row
+        val k = 7
+        val base = n / k; val extra = n % k
+        val tile = if (i < (base + 1) * extra) i / (base + 1) + 1
+                   else (i - (base + 1) * extra) / base + extra + 1
+        (prio, key) -> (math.rint(price * 100) / 100,
+          if (n == 1) 0.0 else i.toDouble / (n - 1),
+          (i + 1).toDouble / n, tile)
+      }
+    }
+    val expectMap = expect.toMap
+    val got = q("window_distribution_orders").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (price, pr, cd, tile) = expectMap((r.getString(0), r.getLong(1)))
+      assert(r.getDouble(2) == price && r.getDouble(3) == pr &&
+        r.getDouble(4) == cd && r.getInt(5) == tile,
+        s"mismatch at (${r.getString(0)}, ${r.getLong(1)})")
+      assert(r.getLong(1) % 101 == 0)
+    }
+  }
+
   test("part_skyline matches a naive O(n²) dominance filter") {
     val parts = Tables.part(spark, sf)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
