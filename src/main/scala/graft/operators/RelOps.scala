@@ -1023,6 +1023,46 @@ object RelOps {
           |       max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
           |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
 
+    // CEP-style sequence pattern matching: occurrences of the CONTIGUOUS
+    // event pattern click→error→click inside each user's time-ordered
+    // stream (the MATCH_RECOGNIZE / complex-event-processing shape —
+    // funnel below is the subsequence variant; this one requires
+    // adjacency). ONE shuffle: per-user sequences aggregate into a
+    // sorted struct array, the per-type initial letters concatenate into
+    // a sequence string, and counting is the scan-local replace trick
+    // (len − len(replace))/|pat| — non-overlapping left-to-right in both
+    // engines, so counts agree exactly. Per-user state is the user's
+    // event count (the sessionize bound), never corpus-sized.
+    ("events_pattern_sequence",
+      (s: SparkSession, d: String) =>
+        events(s, d)
+          .select(col("user_id"),
+            struct(col("ts"), col("event_id"),
+              substring(col("event_type"), 1, 1).as("c")).as("e"))
+          .groupBy("user_id")
+          .agg(array_sort(collect_list("e")).as("es"))
+          .select(col("user_id"),
+            concat_ws("", expr("transform(es, x -> x.c)")).as("seq"))
+          .filter(col("seq").contains("cec"))
+          .select(col("user_id"),
+            length(col("seq")).cast("long").as("seq_len"),
+            expr("(length(seq) - length(replace(seq, 'cec', ''))) div 3")
+              .as("n_matches"),
+            instr(col("seq"), "cec").cast("long").as("first_pos"))
+          .orderBy("user_id"),
+      Some(
+        """WITH s AS (
+          |  SELECT user_id,
+          |         string_agg(substr(event_type, 1, 1), ''
+          |                    ORDER BY ts, event_id) AS seq
+          |  FROM events GROUP BY user_id
+          |)
+          |SELECT user_id,
+          |       CAST(length(seq) AS BIGINT) AS seq_len,
+          |       (length(seq) - length(replace(seq, 'cec', ''))) // 3 AS n_matches,
+          |       CAST(instr(seq, 'cec') AS BIGINT) AS first_pos
+          |FROM s WHERE seq LIKE '%cec%' ORDER BY user_id""".stripMargin)),
+
     // Ordered funnel conversion (view → click → purchase, strictly later
     // steps): the product-analytics staple. The Spark side is ONE shuffle —
     // per-user event sequences fold through `aggregate()` (a Catalyst

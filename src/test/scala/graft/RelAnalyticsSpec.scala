@@ -452,6 +452,29 @@ class RelAnalyticsSpec extends SparkTestBase {
     k15.values.foreach(d => assert(d >= 15, "every member keeps >= k in-core neighbors"))
   }
 
+  test("events_pattern_sequence matches a naive sliding-window scan") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val expect = rows.groupBy(_._1).flatMap { case (u, evs) =>
+      val seq = evs.sortBy(e => (e._2, e._3)).map(_._4.head).mkString
+      // non-overlapping left-to-right count, the replace() semantics
+      var i = 0; var n = 0; var first = 0L
+      while (i <= seq.length - 3) {
+        if (seq.substring(i, i + 3) == "cec") {
+          if (n == 0) first = i + 1
+          n += 1; i += 3
+        } else i += 1
+      }
+      if (n > 0) Some(u -> (seq.length.toLong, n.toLong, first)) else None
+    }
+    val got = q("events_pattern_sequence").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "corpus must contain the pattern")
+  }
+
   test("window_distribution_orders matches a first-principles rank replay") {
     val rows = Tables.orders(spark, sf)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
