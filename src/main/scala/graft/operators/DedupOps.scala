@@ -633,6 +633,64 @@ object DedupOps {
       |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** EXACT overlap-coefficient (containment) pairs — ov(A,B) =
+    * |A∩B| / min(|A|,|B|) ≥ tau over distinct-shingle sets. The
+    * asymmetric near-dup measure: a short document embedded in a long
+    * one scores ov ≈ 1 while its Jaccard is only |A|/|B| — subset
+    * duplicates are invisible to the symmetric threshold.
+    *
+    * Lossless prefix filtering, containment-shaped: for the SMALLER set
+    * x of a qualifying pair, |x∩y| ≥ ⌈tau·|x|⌉, so at least one of x's
+    * rare-first prefix (its |x| − ⌈tau·|x|⌉ + 1 rarest shingles) lands
+    * in y — the candidate join is prefix(x) × FULL(y) (no length-ratio
+    * prune exists here: a tiny set can be contained in a huge one, which
+    * is the point). Candidates verify exactly, so the relation equals
+    * the naive all-shared-shingle computation — what the oracle
+    * recomputes.
+    */
+  def overlapPairsPrefix(docs: DataFrame, tau: Double): DataFrame = {
+    val groups = groupedByArray(docs, "doc_id", "sh")
+    expandRepPairs(
+      overlapJoinOnReps(
+        groups.select(col("rep").as("doc_id"), col("arr").as("sh")), tau, groups),
+      groups, "overlap", lit(1.0),
+      arr => size(arr) > 0)
+  }
+
+  private def overlapJoinOnReps(
+      docs: DataFrame, tau: Double, groups: DataFrame): DataFrame = {
+    // hashed-shingle candidate pipeline as in [[prefixJoinOnReps]] (same
+    // collision-only-adds-candidates argument); the FULL side keeps every
+    // shingle because containment has no size-compatibility prune
+    val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shs"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh1"))
+      .cache()
+    val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
+    val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
+    val prefix = ex.join(dfreq, "sh1")
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
+      .select(col("doc_id"), col("sh1"))
+      .cache()
+    registerDedupCaches(groups, Seq(groups, prefix, ex))
+    val cand = prefix.as("a")
+      .join(ex.as("b"),
+        col("a.sh1") === col("b.sh1") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    cand
+      .join(a, "a_id").join(b, "b_id")
+      .withColumn("ov",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("ov") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("ov"), 4).as("overlap"))
+  }
+
   /** Bloom-prefiltered delta-vs-base exact chunk dedup (see
     * [[graft.functions.BloomSketch]]): "which 20-token chunks of the
     * incoming delta already exist in the base corpus" — the C4-style
@@ -1063,6 +1121,51 @@ object DedupOps {
           |       coalesce(a.n_kept, 0) AS n_kept,
           |       coalesce(a.kept_md5, md5('')) AS kept_md5
           |FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
+    // Containment (overlap-coefficient) near-dup pairs at ov ≥ 0.9 over
+    // the prefix-planted corpus (see [[overlapPairsPrefix]]): every 7th
+    // document contributes a derived doc (id + 100000) holding its first
+    // ⌈n/3⌉ tokens — a subset duplicate whose ov is 1.0 but whose
+    // Jaccard is ≈ 1/3, invisible to the symmetric gate (the planted-
+    // construction precedent: simhash's duplicated slice, intradoc's
+    // planted repeat). The oracle replays the construction and the naive
+    // shared-shingle computation; DedupSpec separates the two measures.
+    ("dedup_containment",
+      (s: SparkSession, d: String) => {
+        val w0 = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val planted = w0.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(100000L)).as("doc_id"),
+            slice(col("tk"), lit(1),
+              greatest(ceil(size(col("tk")) / lit(3.0)).cast("int"), lit(3)))
+              .as("tk"))
+        val corpus = w0.unionAll(planted)
+          .select(col("doc_id"), array_distinct(shingles(col("tk"), 3)).as("sh"))
+        overlapPairsPrefix(corpus, 0.9)
+      },
+      Some(
+        """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |w AS (
+          |  SELECT doc_id, ws FROM w0
+          |  UNION ALL
+          |  SELECT doc_id + 100000,
+          |         ws[1:greatest(CAST(ceil(len(ws)/3.0) AS INT), 3)]
+          |  FROM w0 WHERE doc_id % 7 = 0
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+          |              ELSE array_to_string(ws, ' ') END AS s
+          |  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+          |), c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |i AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT a_id, b_id, round(i * 1.0 / least(ca.n, cb.n), 4) AS overlap
+          |FROM i JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+          |WHERE i * 1.0 / least(ca.n, cb.n) >= 0.9
+          |ORDER BY a_id, b_id""".stripMargin)),
 
     // Bloom-prefiltered incremental chunk dedup (see
     // [[bloomDeltaChunkDedup]]): the 20% delta slice probed against a

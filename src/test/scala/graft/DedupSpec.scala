@@ -248,6 +248,44 @@ class DedupSpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 100000L && r.getDouble(2) == 1.0))
   }
 
+  test("containment pairs equal a naive O(n²) overlap sweep; jaccard misses the planted subsets") {
+    val w0 = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val planted = w0.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"),
+        slice(col("tk"), lit(1),
+          greatest(ceil(size(col("tk")) / lit(3.0)).cast("int"), lit(3))).as("tk"))
+    val corpus = w0.unionAll(planted)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.GraftFunctions.shingles(col("tk"), 3)).as("sh"))
+    val sets = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j))
+      ov = (a & b).size.toDouble / math.min(a.size, b.size) if ov >= 0.9
+    } yield (ids(i), ids(j), math.rint(ov * 1e4) / 1e4)).toSet
+    val got = q("dedup_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, "prefix-filtered containment must equal the naive sweep")
+    // every planted (doc, prefix-doc) pair is found at ov = 1.0 ...
+    val plantedPairs = ids.filter(i => i < 100000 && i % 7 == 0)
+      .filter(i => sets.contains(i + 100000))
+      .map(i => (i, i + 100000L))
+    assert(plantedPairs.nonEmpty)
+    plantedPairs.foreach { case (a, b) =>
+      assert(got.contains((a, b, 1.0)), s"planted subset pair ($a,$b) missing")
+    }
+    // ... and the SYMMETRIC measure misses the strict subsets: at least
+    // one planted pair has jaccard < 0.5 (prefix ≈ a third of the doc)
+    val separated = plantedPairs.count { case (a, b) =>
+      val (sa, sb) = (sets(a), sets(b))
+      (sa & sb).size.toDouble / (sa | sb).size < 0.5
+    }
+    assert(separated > 0, "corpus must exercise the jaccard-invisible case")
+  }
+
   test("bloom delta dedup equals the bloom-free exact join; fpp-stress can't change it") {
     val docs = Tables.documents(spark, sf)
     // bloom-free exact recomputation (Spark-side, independent of DuckDB)
