@@ -285,7 +285,137 @@ object SimilarityOps {
       |                row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
       |         FROM d3) WHERE rn = 1)""".stripMargin
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell–Goldstein): greedy
+    * top-5 per query balancing relevance against redundancy —
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s) per round. Retrieval
+    * pipelines run this after ANN to de-duplicate the result list.
+    *
+    * INTEGER-EXACT throughout (the kmeans8 idiom): relevance and
+    * pairwise similarity are inner products of the ×1e6-quantized
+    * vectors (64 dims × (5.3e5)² ≈ 2e13 — exact in int64 AND in
+    * DuckDB's double accumulation), and λ = 0.7 is the ×10 fixed-point
+    * score 7·rel − 3·maxsim, so every argmax is a pure integer compare
+    * (ties → lowest id) and the greedy trajectory is bit-identical
+    * across engines, partitionings, and the oracle's chained-CTE
+    * replay. The greedy loop itself is genuinely sequential state — a
+    * per-query 20-candidate pool folds through flatMapGroups (bounded
+    * group, scan-local; the fMGWS/run-walk precedent), never a
+    * driver-side loop.
+    */
+  def mmrRerank(e: DataFrame): DataFrame = {
+    val session = e.sparkSession
+    import session.implicits._
+    val e6 = vecs6(e).select(col("vec_id"), col("v6"))
+    val q6 = e6.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v6").as("qv6"))
+    def dot6(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
+    val scored = e6.join(broadcast(q6), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        dot6(col("qv6"), col("v6")).as("rel"), col("v6"))
+    val wq = Window.partitionBy("q_id").orderBy(col("rel").desc, col("vec_id"))
+    val pool = scored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 20)
+      .select(col("q_id"), col("vec_id"), col("rel"), col("v6"))
+      .as[(Long, Long, Long, Seq[Long])]
+    pool.groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cands = it.map(t => (t._2, t._3, t._4.toArray)).toArray
+        def dot(a: Array[Long], b: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        (1 to 5).iterator.map { r =>
+          val best = cands.iterator
+            .filterNot { case (id, _, _) => selected.exists(_._1 == id) }
+            .map { case (id, rel, v) =>
+              val mx = if (selected.isEmpty) 0L
+                       else selected.iterator.map(s => dot(v, s._2)).max
+              (7L * rel - 3L * mx, id, v)
+            }
+            .minBy { case (sc, id, _) => (-sc, id) }
+          selected += ((best._2, best._3))
+          (q, r, best._2, best._1)
+        }
+      }
+      .toDF("q_id", "rank", "n_id", "score10")
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB oracle for [[mmrRerank]]: the greedy rounds as chained
+    * MATERIALIZED CTEs (kcore's lesson: the selected-set CTEs are
+    * referenced multiple times per round — inlined, the replay is
+    * exponential).
+    */
+  private def mmrOracleSql: String = {
+    val base =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e6 AS MATERIALIZED (
+        |  SELECT vec_id, i AS dim, CAST(round(v[i] * 1e6, 0) AS BIGINT) AS x
+        |  FROM e, UNNEST(range(1, len(v) + 1)) t(i)
+        |), rel AS MATERIALIZED (
+        |  SELECT a.vec_id AS q_id, b.vec_id, CAST(sum(a.x * b.x) AS BIGINT) AS rel
+        |  FROM e6 a JOIN e6 b USING (dim)
+        |  WHERE a.vec_id < 20 AND b.vec_id != a.vec_id
+        |  GROUP BY 1, 2
+        |), pool AS MATERIALIZED (
+        |  SELECT q_id, vec_id, rel FROM (
+        |    SELECT q_id, vec_id, rel,
+        |           row_number() OVER (PARTITION BY q_id
+        |             ORDER BY rel DESC, vec_id) AS rn
+        |    FROM rel) WHERE rn <= 20
+        |), ps AS MATERIALIZED (
+        |  SELECT p1.q_id, p1.vec_id AS i, p2.vec_id AS j,
+        |         CAST(sum(a.x * b.x) AS BIGINT) AS d
+        |  FROM pool p1 JOIN pool p2
+        |    ON p1.q_id = p2.q_id AND p1.vec_id != p2.vec_id
+        |  JOIN e6 a ON a.vec_id = p1.vec_id
+        |  JOIN e6 b ON b.vec_id = p2.vec_id AND a.dim = b.dim
+        |  GROUP BY 1, 2, 3
+        |), s1 AS MATERIALIZED (
+        |  SELECT q_id, vec_id, 7*rel AS score10 FROM (
+        |    SELECT q_id, vec_id, rel,
+        |           row_number() OVER (PARTITION BY q_id
+        |             ORDER BY 7*rel DESC, vec_id) AS rn
+        |    FROM pool) WHERE rn = 1
+        |), sel1 AS MATERIALIZED (SELECT q_id, vec_id FROM s1)""".stripMargin
+    val rounds = (2 to 5).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT q_id, vec_id, score10 FROM (
+         |    SELECT p.q_id, p.vec_id,
+         |           7*p.rel - 3*coalesce(mx.m, 0) AS score10,
+         |           row_number() OVER (PARTITION BY p.q_id
+         |             ORDER BY 7*p.rel - 3*coalesce(mx.m, 0) DESC, p.vec_id) AS rn
+         |    FROM pool p
+         |    LEFT JOIN (SELECT ps.q_id, ps.i AS vec_id, max(ps.d) AS m
+         |               FROM ps JOIN sel${k - 1} s
+         |                 ON s.q_id = ps.q_id AND s.vec_id = ps.j
+         |               GROUP BY 1, 2) mx
+         |      ON mx.q_id = p.q_id AND mx.vec_id = p.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s
+         |                      WHERE s.q_id = p.q_id AND s.vec_id = p.vec_id)
+         |  ) WHERE rn = 1
+         |), sel$k AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM sel${k - 1}
+         |  UNION ALL SELECT q_id, vec_id FROM s$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to 5).map { k =>
+      s"SELECT q_id, CAST($k AS INTEGER) AS rank, vec_id AS n_id, score10 FROM s$k"
+    }.mkString("\n  UNION ALL ")
+    s"$base,\n$rounds\nSELECT q_id, rank, n_id, score10 FROM (\n  $unions\n) t ORDER BY q_id, rank"
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // MMR diverse re-ranking over the integer-quantized corpus (see
+    // [[mmrRerank]]): greedy λ=0.7 relevance/diversity trade-off on the
+    // per-query top-20 pool, bit-identical across engines by integer
+    // fixed-point arithmetic.
+    ("sim_mmr_rerank",
+      (s: SparkSession, d: String) => mmrRerank(vecs(s, d)),
+      Some(mmrOracleSql)),
 
     // Prototypicality outliers — the SemDeDup-style curation step: score
     // every document's embedding against its LANGUAGE's centroid and

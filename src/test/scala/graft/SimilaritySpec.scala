@@ -22,6 +22,50 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("sim_mmr_rerank matches a naive greedy replay; diversity penalty is active") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val v6 = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1e6, 0).cast("long")))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val expect = (for (q0 <- v6.keys.toSeq.sorted if q0 < 20) yield {
+      val pool = v6.keys.filter(_ != q0).toSeq
+        .map(id => (id, dot(v6(q0), v6(id))))
+        .sortBy { case (id, rel) => (-rel, id) }.take(20)
+      var selected = List.empty[Long]
+      (1 to 5).map { r =>
+        val (sc, id) = pool.filterNot(c => selected.contains(c._1)).map {
+          case (id, rel) =>
+            val mx = if (selected.isEmpty) 0L
+                     else selected.map(s => dot(v6(id), v6(s))).max
+            (7L * rel - 3L * mx, id)
+        }.minBy { case (s, id) => (-s, id) }
+        selected ::= id
+        (q0, r, id, sc)
+      }
+    }).flatten
+    val got = q("sim_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.sorted == expect.sorted)
+    // the penalty must actually bite: some query's MMR list diverges from
+    // its pure-relevance top-5 (otherwise λ might as well be 1)
+    val mmrSets = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val diverged = mmrSets.count { case (q0, ids) =>
+      val top5 = v6.keys.filter(_ != q0).toSeq
+        .map(id => (id, dot(v6(q0), v6(id))))
+        .sortBy { case (id, rel) => (-rel, id) }.take(5).map(_._1).toSet
+      ids != top5
+    }
+    assert(diverged > 0, "diversity term never changed a ranking")
+  }
+
   test("radius search equals a first-principles cosine sweep; agrees with topk") {
     import org.apache.spark.sql.functions._
     val vs = Tables.embeddings(spark, sf)
