@@ -723,6 +723,89 @@ object RelOps {
           |       true AS users_ok, true AS p50_ok, true AS p95_ok
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // HLL sketch MERGE — the incremental form of approx distinct (the
+    // shape above computes one sketch per group; real 100 TB pipelines
+    // keep PER-PARTITION/PER-DAY sketches and union them, never
+    // re-scanning history). The register state unions losslessly, but
+    // Datasketches marks a union-built sketch out-of-order and estimates
+    // it with the non-composite estimator, so the merged ESTIMATE is only
+    // near-identical to the direct one (bit-equality held below ~1k
+    // cardinality where sketches stay in exact mode, and failed at sf0.1's
+    // 1500 users/type — measured, hence the 2% band). Asserted in-query
+    // (`merge_close`), alongside the usual accuracy bound vs the exact
+    // count; the oracle checks the exact count and expects the two
+    // invariant booleans TRUE (the self-verifying pattern of
+    // loki_time_defaults / approx_stats).
+    ("events_hll_distinct_merge",
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d).select(col("event_type"), col("user_id"))
+        val direct = ev.groupBy("event_type").agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"))
+        val merged = ev
+          .withColumn("slice", pmod(col("user_id"), lit(8)))
+          .groupBy("event_type", "slice")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+          .groupBy("event_type")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+        direct.join(merged, "event_type")
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("est_direct") - col("est_merged")) <=
+              col("n_exact") * 0.02).as("merge_close"),
+            (abs(col("est_direct") - col("n_exact")) <=
+              col("n_exact") * 0.05).as("within_5pct"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+          |       true AS merge_close, true AS within_5pct
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Algebraic partial-aggregate merge — materialized-view maintenance:
+    // per-slice partial states (n, Σv, Σv², min, max) merge by pure
+    // addition/min/max into totals with derived mean and a variance
+    // numerator, WITHOUT re-touching the rows (at 100 TB yesterday's
+    // partials are never recomputed). Values quantize to ×1000
+    // fixed-point first, so every state is an int64 and the merge is
+    // bit-exact regardless of slice order — the oracle recomputes the
+    // same integers directly from the rows, proving merged ≡ direct.
+    // (Magnitudes: n·Σv² ≈ 2e17 here; a real 100 TB run promotes the
+    // variance numerator to decimal/int128.)
+    ("events_partial_agg_merge",
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d).select(col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long").as("v"),
+          pmod(col("event_id"), lit(16)).as("slice"))
+        ev.groupBy("event_type", "slice")
+          .agg(count(lit(1)).as("pn"), sum("v").as("ps"),
+            sum(col("v") * col("v")).as("pss"),
+            min("v").as("pmn"), max("v").as("pmx"))
+          .groupBy("event_type")
+          .agg(sum("pn").as("n"), sum("ps").as("sum1000"),
+            sum("pss").as("sumsq1000"),
+            min("pmn").as("min1000"), max("pmx").as("max1000"))
+          .select(col("event_type"), col("n"), col("sum1000"),
+            col("sumsq1000"), col("min1000"), col("max1000"),
+            expr("(sum1000 * 1000) div n").as("mean6"),
+            (col("n") * col("sumsq1000") - col("sum1000") * col("sum1000"))
+              .as("varq"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT event_type,
+          |         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v
+          |  FROM events
+          |)
+          |SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(v) AS BIGINT) AS sum1000,
+          |       CAST(sum(v * v) AS BIGINT) AS sumsq1000,
+          |       min(v) AS min1000, max(v) AS max1000,
+          |       CAST((sum(v) * 1000) // count(*) AS BIGINT) AS mean6,
+          |       CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT) AS varq
+          |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Semi + anti join cardinalities in one row.
     ("semi_anti_orders",
       (s: SparkSession, d: String) => {

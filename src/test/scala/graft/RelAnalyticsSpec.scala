@@ -452,6 +452,29 @@ class RelAnalyticsSpec extends SparkTestBase {
     k15.values.foreach(d => assert(d >= 15, "every member keeps >= k in-core neighbors"))
   }
 
+  test("partial-agg merge equals a direct integer replay; HLL invariants hold") {
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+    val byType = vals.groupBy(_._1).view
+      .mapValues(_.map(v => math.floor(v._2 * 1000.0 + 0.5).toLong)).toMap
+    val got = q("events_partial_agg_merge").collect()
+    assert(got.map(_.getString(0)).toSeq == byType.keys.toSeq.sorted)
+    got.foreach { r =>
+      val vs = byType(r.getString(0))
+      val (n, s, ss) = (vs.length.toLong, vs.sum, vs.map(v => v * v).sum)
+      assert(r.getLong(1) == n && r.getLong(2) == s && r.getLong(3) == ss)
+      assert(r.getLong(4) == vs.min && r.getLong(5) == vs.max)
+      assert(r.getLong(6) == (s * 1000) / n)
+      assert(r.getLong(7) == n * ss - s * s)
+      assert(r.getLong(7) >= 0, "variance numerator must be non-negative")
+    }
+    // the sketch-merge invariants are in-query booleans; they must hold
+    q("events_hll_distinct_merge").collect().foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: union estimate drifted > 2%")
+      assert(r.getBoolean(3), s"${r.getString(0)}: sketch estimate off > 5%")
+    }
+  }
+
   test("events_pattern_sequence matches a naive sliding-window scan") {
     val rows = Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
