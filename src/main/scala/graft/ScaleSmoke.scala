@@ -274,6 +274,142 @@ object ScaleSmoke {
     assert(intraBig == mult * intraBase,
       s"intradoc rows must scale with the corpus: $intraBase x$mult != $intraBig")
 
+    // round-7 batch-3 additions -------------------------------------------
+
+    // skyline: key-offset part copies keep every (price, size) point (and
+    // the frontier) identical — member rows scale exactly ×N because ties
+    // on both axes are mutually non-dominated, and the frontier SET is
+    // duplication-invariant.
+    val partBase = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_retailprice", "p_size")
+    val pkStride = partBase.agg(max("p_partkey")).head().getLong(0) + 1L
+    val bigPart = (0 until mult).map { i =>
+      partBase.select((col("p_partkey") + lit(i.toLong * pkStride)).as("p_partkey"),
+        col("p_retailprice"), col("p_size"))
+    }.reduce(_ unionAll _)
+    val skyBase = timed("skyline_base") {
+      graft.operators.RelOps.skyline2d(partBase, "p_partkey", "p_retailprice", "p_size")
+        .collect().map(r => (r.getDouble(1), r.getLong(2)))
+    }
+    val skyBig = timed("skyline_xN") {
+      graft.operators.RelOps.skyline2d(bigPart, "p_partkey", "p_retailprice", "p_size")
+        .collect().map(r => (r.getDouble(1), r.getLong(2)))
+    }
+    assert(skyBig.length == mult * skyBase.length &&
+      skyBig.toSet == skyBase.toSet,
+      s"skyline must be duplication-invariant: ${skyBase.length} x$mult != ${skyBig.length}")
+
+    // k-core: offsetting BOTH orderkey and partkey builds N DISJOINT
+    // copies of the co-purchase graph — the peel fixpoint of the union is
+    // the union of fixpoints, each copy bit-identical to the base (all
+    // copies peel in the same rounds, in parallel).
+    val kcBase = timed("kcore_base") {
+      graft.operators.RelOps.kcore(li, 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val liPkStride = li.agg(max("l_partkey")).head().getLong(0) + 1L
+    val bigLiDisjoint = (0 until mult).map { i =>
+      li.select((col("l_orderkey") + lit(i.toLong * okStride)).as("l_orderkey"),
+        (col("l_partkey") + lit(i.toLong * liPkStride)).as("l_partkey"))
+    }.reduce(_ unionAll _)
+    val kcBig = timed("kcore_xN") {
+      graft.operators.RelOps.kcore(bigLiDisjoint, 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val kcExpected = (0 until mult).flatMap { i =>
+      kcBase.map { case (p, deg) => (p + i.toLong * liPkStride, deg) }
+    }.toSet
+    assert(kcBig == kcExpected,
+      s"kcore must decompose disjoint copies independently (${kcBase.size} x$mult != ${kcBig.size})")
+
+    // containment: exact-copy corpora turn every doc into an ov-1.0
+    // clique; between-group pairs multiply ×N² and each group adds
+    // C(N,2) internal pairs — the closed form the expansion must hit
+    // EXACTLY (any deviation means candidates were lost or fabricated).
+    val ovBase = timed("containment_base") {
+      DedupOps.overlapPairsPrefix(docs, 0.9).count()
+    }
+    // docs is already the ×N corpus; recompute the base (×1) relation
+    val docs1 = base
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.GraftFunctions.shingles(col("tk"), 3)).as("sh"))
+    val ov1 = DedupOps.overlapPairsPrefix(docs1, 0.9).count()
+    val nBaseDocs = docs1.count()
+    assert(ovBase == mult.toLong * mult * ov1 +
+      nBaseDocs * (mult.toLong * (mult - 1) / 2),
+      s"containment pair algebra: $ovBase != $mult²·$ov1 + C($mult,2)·$nBaseDocs")
+
+    // bloom delta dedup: the sketch path must stay EXACT on the
+    // multiplied corpus — equal, row for row, to the bloom-free join.
+    timed("bloom_delta_xN") {
+      val bigDocs = (0 until mult).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * docStride)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionAll _)
+      val got = DedupOps.bloomDeltaChunkDedup(bigDocs, col("doc_id") % 5 === 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val chunked = bigDocs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), ((size(col("toks")) - 1) / lit(20)).cast("int")),
+            i => array_join(slice(col("toks"), i * lit(20) + 1, lit(20)), " ")))
+            .as("chunk"))
+      val b0 = chunked.filter(col("doc_id") % 5 =!= 3).select("chunk").distinct()
+      val d0 = chunked.filter(col("doc_id") % 5 === 3)
+      val exact = d0.groupBy("doc_id").agg(count(lit(1)).as("nc"))
+        .join(d0.join(b0, Seq("chunk"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("nd")), Seq("doc_id"), "left")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))).toSet
+      assert(got == exact, "bloom path diverged from the exact join at xN")
+      got.size
+    }
+
+    // partial-agg merge: duplicating every event ×N (fresh event_ids, so
+    // the slice assignment reshuffles arbitrarily) must give n×N, sums×N,
+    // identical min/max/mean6, and varq×N² — the merge is provably
+    // slice-assignment-independent, which is the whole point of algebraic
+    // state. Quantization is ×100 here (not the gate's ×1000): varq's
+    // n·Σv² sits at 2.0e18 at sf0.1 — 4.6× int64 headroom for the gate,
+    // but ×N² under duplication; the algebra invariant is scale-free, so
+    // the smoke drops one decimal instead of promoting to decimal math.
+    timed("partial_agg_merge_xN") {
+      val ev = Tables.events(spark, sfDir)
+      val eidStride = ev.agg(max("event_id")).head().getLong(0) + 1L
+      def census(e: DataFrame): Seq[(String, Long, Long, Long, Long, Long, Long, Long)] = {
+        val q = e.select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"),
+          pmod(col("event_id"), lit(16)).as("slice"))
+        q.groupBy("event_type", "slice")
+          .agg(count(lit(1)).as("pn"), sum("v").as("ps"),
+            sum(col("v") * col("v")).as("pss"),
+            min("v").as("pmn"), max("v").as("pmx"))
+          .groupBy("event_type")
+          .agg(sum("pn").as("n"), sum("ps").as("s"), sum("pss").as("ss"),
+            min("pmn").as("mn"), max("pmx").as("mx"))
+          .select(col("event_type"), col("n"), col("s"), col("ss"),
+            col("mn"), col("mx"), expr("(s * 1000) div n").as("mean6"),
+            (col("n") * col("ss") - col("s") * col("s")).as("varq"))
+          .orderBy("event_type")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+          .toSeq
+      }
+      val baseC = census(ev)
+      val bigE = (0 until mult).map { i =>
+        ev.select((col("event_id") + lit(i.toLong * eidStride)).as("event_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionAll _)
+      val bigC = census(bigE)
+      val expected = baseC.map { case (t, n, s, ss, mn, mx, m6, vq) =>
+        (t, n * mult, s * mult, ss * mult, mn, mx, m6, vq * mult * mult)
+      }
+      assert(bigC == expected, s"merge algebra broke at xN: $bigC vs $expected")
+      bigC.length
+    }
+
     println("[scale] OK: exact paths agree")
     spark.stop()
   }
