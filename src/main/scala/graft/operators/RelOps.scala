@@ -240,12 +240,22 @@ object RelOps {
     * test). Rounds are bounded by the peel depth of the graph, not its
     * size.
     */
-  def kcore(li: DataFrame, k: Int): DataFrame = {
+  /** Bidirectional edge relation of the repeat-co-purchase graph
+    * (n_orders ≥ 2), cached PRE-PARTITIONED on the per-round join key —
+    * the layout every iterative consumer ([[kcore]], [[bfsLevels]])
+    * joins against each round.
+    */
+  private def repeatCopurchaseEdges(li: DataFrame): DataFrame = {
     val pairs = copurchaseCounts(li).filter(col("n_orders") >= 2).select("p1", "p2")
     val edges = pairs.select(col("p1").as("s"), col("p2").as("d"))
       .union(pairs.select(col("p2").as("s"), col("p1").as("d")))
       .repartition(col("s")).persist()
     DedupOps.registerDedupCaches(edges, Seq(edges))
+    edges
+  }
+
+  def kcore(li: DataFrame, k: Int): DataFrame = {
+    val edges = repeatCopurchaseEdges(li)
     def liveRestrict(live: DataFrame): DataFrame =
       edges
         .join(live, edges("s") === live("n"), "left_semi")
@@ -267,6 +277,41 @@ object RelOps {
     liveRestrict(live)
       .groupBy(col("s").as("part"))
       .agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Single-source BFS levels over the repeat-co-purchase graph from its
+    * minimum node id — iterative frontier expansion: per round, the
+    * frontier joins the cached pre-partitioned edge relation, already-
+    * visited nodes drop by anti-join, and the loop ends when a frontier
+    * comes back empty (rounds = the source's eccentricity, never the
+    * graph size). Unreachable nodes are simply absent. One driver scalar
+    * per round (the frontier count — the kcore/pagerank idiom).
+    */
+  def bfsLevels(li: DataFrame): DataFrame = {
+    val edges = repeatCopurchaseEdges(li)
+    val spark = li.sparkSession
+    val source = edges.agg(min("s")).head().getLong(0)
+    var levels = spark.range(1)
+      .select(lit(source).as("node"), lit(0L).as("lvl"))
+      .localCheckpoint()
+    var frontier = levels
+    var round = 0L
+    var done = false
+    while (!done) {
+      round += 1
+      val next = edges
+        .join(frontier.select(col("node").as("fn")), col("s") === col("fn"))
+        .select(col("d").as("node")).distinct()
+        .join(levels, Seq("node"), "left_anti")
+        .select(col("node"), lit(round).as("lvl"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        levels = levels.unionAll(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    levels.orderBy("node").select(col("node").as("part"), col("lvl"))
   }
 
   /** DuckDB oracle for [[kcore]]: `rounds` chained peel CTEs (the
@@ -1500,6 +1545,59 @@ object RelOps {
           |GROUP BY p1, p2
           |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin)),
 
+    // CUSUM changepoint detection — the classic sequential drift monitor
+    // over per-day totals. The recursion s_t = max(0, s_{t−1} + x_t − μ − k)
+    // is CLOSED-FORM as prefix sums: s_t = P_t − min(0, min_{j≤t} P_j)
+    // with P the running sum of (x − μ − k) — two cumulative windows, no
+    // iterative state. Everything is ×1000 fixed-point integer (daily
+    // totals, integer-floor mean, k = μ/20 slack, h = μ/4 threshold), so
+    // the statistic and the alarm days are bit-identical across engines.
+    // The windows partition by event_type and order by day — bounded by
+    // the monitored key's TIME RANGE, never the event count.
+    ("events_cusum_changepoint",
+      (s: SparkSession, d: String) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"),
+            (unix_micros(date_trunc("DAY", col("ts"))) / 86400000000L)
+              .cast("long").as("day"))
+          .agg(floor(sum("value") * 1000 + 0.5).cast("long").as("v"))
+        val stats = daily.groupBy("event_type")
+          .agg(expr("sum(v) div count(1)").as("mu"))
+        val wc = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily.join(broadcast(stats), "event_type")
+          .withColumn("x", col("v") - col("mu") - expr("mu div 20"))
+          .withColumn("p", sum("x").over(wc))
+          .withColumn("cusum", col("p") - least(lit(0L), min("p").over(wc)))
+          .select(col("event_type"), col("day"), col("v"), col("cusum"),
+            (col("cusum") > expr("mu div 4")).as("alarm"))
+          .orderBy("event_type", "day")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type,
+          |         CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT) AS day,
+          |         CAST(floor(sum(value) * 1000 + 0.5) AS BIGINT) AS v
+          |  FROM events GROUP BY 1, 2
+          |), st AS (
+          |  SELECT event_type, CAST(sum(v) // count(*) AS BIGINT) AS mu
+          |  FROM daily GROUP BY 1
+          |), px AS (
+          |  SELECT d.event_type, d.day, d.v,
+          |         sum(d.v - st.mu - st.mu // 20) OVER w AS p,
+          |         st.mu
+          |  FROM daily d JOIN st USING (event_type)
+          |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |)
+          |SELECT event_type, day, v,
+          |       CAST(p - least(CAST(0 AS BIGINT), min(p) OVER w) AS BIGINT) AS cusum,
+          |       (p - least(CAST(0 AS BIGINT), min(p) OVER w)) > mu // 4 AS alarm
+          |FROM px
+          |WINDOW w AS (PARTITION BY event_type ORDER BY day
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |ORDER BY event_type, day""".stripMargin)),
+
     // 2-core of the repeat-co-purchase graph (see [[kcore]]): iterative
     // peeling to the unique fixpoint — the community-pruning step
     // downstream of pair mining (the 1-degree fringe is noise; the core
@@ -1512,6 +1610,35 @@ object RelOps {
         kcore(lineitem(s, d).select("l_orderkey", "l_partkey"), 2)
           .orderBy("part"),
       Some(kcoreOracleSql(2, 10))),
+
+    // Single-source BFS levels (see [[bfsLevels]]): hop distances from
+    // the graph's minimum node over the same thresholded relation. The
+    // oracle's recursive CTE explores (node, lvl) pairs — on a cyclic
+    // graph that recursion is unbounded, so it is depth-capped at 20
+    // and min-reduced; the Spark fixpoint's max level is below the cap
+    // at every shipped SF (measured 10 at sf0.01, 1 at sf0.1), and a
+    // deeper graph would fail the gate loudly, not silently (the
+    // kcore-rounds argument).
+    ("graph_bfs_levels",
+      (s: SparkSession, d: String) =>
+        bfsLevels(lineitem(s, d).select("l_orderkey", "l_partkey")),
+      Some(
+        """WITH RECURSIVE op AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          |), pc AS MATERIALIZED (
+          |  SELECT x.l_partkey AS p1, y.l_partkey AS p2
+          |  FROM op x JOIN op y
+          |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), e AS MATERIALIZED (
+          |  SELECT p1 AS s, p2 AS d FROM pc UNION ALL SELECT p2, p1 FROM pc
+          |), src AS MATERIALIZED (SELECT min(s) AS n FROM e),
+          |r(n, lvl) AS (
+          |  SELECT n, CAST(0 AS BIGINT) FROM src
+          |  UNION
+          |  SELECT e.d, r.lvl + 1 FROM r JOIN e ON e.s = r.n WHERE r.lvl < 20
+          |)
+          |SELECT n AS part, min(lvl) AS lvl FROM r GROUP BY 1 ORDER BY part""".stripMargin)),
 
     // 7-day sliding distinct users (weekly-active-users): EXACT sliding
     // count-distinct — not expressible as a window frame (COUNT(DISTINCT)

@@ -452,6 +452,55 @@ class RelAnalyticsSpec extends SparkTestBase {
     k15.values.foreach(d => assert(d >= 15, "every member keeps >= k in-core neighbors"))
   }
 
+  test("events_cusum_changepoint equals the recursive max(0, s+x) replay") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(date_trunc("DAY", col("ts"))),
+        col("value"))
+      .as[(String, Long, Double)].collect()
+    val daily = rows.groupBy(r => (r._1, r._2 / 86400000000L)).view
+      .mapValues(vs => math.floor(vs.map(_._3).sum * 1000 + 0.5).toLong).toMap
+    val got = q("events_cusum_changepoint").collect()
+    assert(got.length == daily.size)
+    got.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val series = daily.collect { case ((`t`, day), v) => (day, v) }.toSeq.sortBy(_._1)
+      val mu = series.map(_._2).sum / series.length
+      // the textbook recursion — the prefix-sum closed form must match it
+      var s0 = 0L
+      val expect = series.map { case (day, v) =>
+        s0 = math.max(0L, s0 + v - mu - mu / 20)
+        (day, v, s0, s0 > mu / 4)
+      }
+      val gotT = rs.sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+      assert(gotT == expect, s"$t: cusum trajectory mismatch")
+    }
+    assert(got.count(_.getBoolean(4)) > 0, "corpus must trip at least one alarm")
+  }
+
+  test("graph_bfs_levels equals a first-principles BFS; levels exercise depth") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val pairs = operators.RelOps.copurchaseCounts(li)
+      .filter(col("n_orders") >= 2).select("p1", "p2")
+      .as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val src = adj.keys.min
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var f = Set(src); var lvl = 0L
+    while (f.nonEmpty) {
+      lvl += 1
+      f = f.flatMap(adj(_)).filterNot(dist.contains)
+      f.foreach(n => dist(n) = lvl)
+    }
+    val got = q("graph_bfs_levels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist.toMap, "BFS levels must equal the naive frontier replay")
+    assert(got.values.max >= 2, "graph must exercise multi-hop expansion")
+  }
+
   test("partial-agg merge equals a direct integer replay; HLL invariants hold") {
     val vals = Tables.events(spark, sf)
       .select(col("event_type"), col("value")).as[(String, Double)].collect()
