@@ -349,13 +349,7 @@ object ScaleSmoke {
       }.reduce(_ unionAll _)
       val got = DedupOps.bloomDeltaChunkDedup(bigDocs, col("doc_id") % 5 === 3)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val chunked = bigDocs
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(0), ((size(col("toks")) - 1) / lit(20)).cast("int")),
-            i => array_join(slice(col("toks"), i * lit(20) + 1, lit(20)), " ")))
-            .as("chunk"))
+      val chunked = DedupOps.chunks20(bigDocs)
       val b0 = chunked.filter(col("doc_id") % 5 =!= 3).select("chunk").distinct()
       val d0 = chunked.filter(col("doc_id") % 5 === 3)
       val exact = d0.groupBy("doc_id").agg(count(lit(1)).as("nc"))

@@ -707,17 +707,28 @@ object DedupOps {
     * output is therefore exact — the sketch only prunes — which is
     * what the DuckDB oracle (a plain base semi-join) re-verifies.
     */
-  def bloomDeltaChunkDedup(docs: DataFrame, deltaPred: Column,
-                           fpp: Double = 0.001): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val chunked = docs
+  /** 20-token chunk relation of a (doc_id, text) corpus — the C4-style
+    * dedup unit shared by the bloom path, its spec, and ScaleSmoke.
+    */
+  private[graft] def chunks20(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(0), ((size(col("toks")) - 1) / lit(20)).cast("int")),
           i => array_join(slice(col("toks"), i * lit(20) + 1, lit(20)), " ")))
           .as("chunk"))
+
+  def bloomDeltaChunkDedup(docs: DataFrame, deltaPred: Column,
+                           fpp: Double = 0.001): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // cached: the tokenize+chunk pass is the dominant cost at corpus
+    // scale and feeds base (sizing count + sketch build + verify) and
+    // delta (probe + flags + per-doc totals) — uncached it re-executed
+    // ~6 times (review finding)
+    val chunked = chunks20(docs).cache()
+    registerDedupCaches(chunked, Seq(chunked))
     val base = chunked.filter(!deltaPred).select("chunk")
     val delta = chunked.filter(deltaPred)
     val bf = graft.functions.BloomSketch.build(

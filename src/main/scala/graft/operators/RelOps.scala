@@ -290,7 +290,10 @@ object RelOps {
   def bfsLevels(li: DataFrame): DataFrame = {
     val edges = repeatCopurchaseEdges(li)
     val spark = li.sparkSession
-    val source = edges.agg(min("s")).head().getLong(0)
+    val srcRow = edges.agg(min("s")).head()
+    if (srcRow.isNullAt(0)) // empty graph: no source, empty level relation
+      return spark.range(0).select(col("id").as("part"), col("id").as("lvl"))
+    val source = srcRow.getLong(0)
     var levels = spark.range(1)
       .select(lit(source).as("node"), lit(0L).as("lvl"))
       .localCheckpoint()
@@ -1556,11 +1559,14 @@ object RelOps {
     // the monitored key's TIME RANGE, never the event count.
     ("events_cusum_changepoint",
       (s: SparkSession, d: String) => {
+        // quantize PER ROW, then sum int64s: floor(sum(double)) would
+        // quantize an accumulation-order-dependent value — flaky within
+        // ~1e-8 of a cell boundary (the partial_agg_merge idiom)
         val daily = events(s, d)
           .groupBy(col("event_type"),
             (unix_micros(date_trunc("DAY", col("ts"))) / 86400000000L)
               .cast("long").as("day"))
-          .agg(floor(sum("value") * 1000 + 0.5).cast("long").as("v"))
+          .agg(sum(floor(col("value") * 1000 + 0.5).cast("long")).as("v"))
         val stats = daily.groupBy("event_type")
           .agg(expr("sum(v) div count(1)").as("mu"))
         val wc = Window.partitionBy("event_type").orderBy("day")
@@ -1577,7 +1583,7 @@ object RelOps {
         """WITH daily AS (
           |  SELECT event_type,
           |         CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT) AS day,
-          |         CAST(floor(sum(value) * 1000 + 0.5) AS BIGINT) AS v
+          |         CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS v
           |  FROM events GROUP BY 1, 2
           |), st AS (
           |  SELECT event_type, CAST(sum(v) // count(*) AS BIGINT) AS mu

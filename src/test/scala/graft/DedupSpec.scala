@@ -288,14 +288,10 @@ class DedupSpec extends SparkTestBase {
 
   test("bloom delta dedup equals the bloom-free exact join; fpp-stress can't change it") {
     val docs = Tables.documents(spark, sf)
-    // bloom-free exact recomputation (Spark-side, independent of DuckDB)
-    val chunked = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), ((size(col("toks")) - 1) / lit(20)).cast("int")),
-          i => array_join(slice(col("toks"), i * lit(20) + 1, lit(20)), " ")))
-          .as("chunk"))
+    // bloom-free exact recomputation over the same chunk relation (the
+    // spec's independence is bloom-vs-join, not the chunking rule; the
+    // DuckDB oracle re-derives the chunking separately)
+    val chunked = DedupOps.chunks20(docs)
     val base = chunked.filter(col("doc_id") % 5 =!= 3).select("chunk").distinct()
     val delta = chunked.filter(col("doc_id") % 5 === 3)
     val exact = delta.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))

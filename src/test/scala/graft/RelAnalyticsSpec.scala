@@ -458,7 +458,7 @@ class RelAnalyticsSpec extends SparkTestBase {
         col("value"))
       .as[(String, Long, Double)].collect()
     val daily = rows.groupBy(r => (r._1, r._2 / 86400000000L)).view
-      .mapValues(vs => math.floor(vs.map(_._3).sum * 1000 + 0.5).toLong).toMap
+      .mapValues(vs => vs.map(v => math.floor(v._3 * 1000 + 0.5).toLong).sum).toMap
     val got = q("events_cusum_changepoint").collect()
     assert(got.length == daily.size)
     got.groupBy(_.getString(0)).foreach { case (t, rs) =>
