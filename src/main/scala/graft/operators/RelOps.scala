@@ -1548,6 +1548,71 @@ object RelOps {
           |GROUP BY p1, p2
           |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin)),
 
+    // Bucketed co-located join — the layout technique for repeated big
+    // joins at 100 TB: both sides are written bucketBy(8) on the join
+    // key, so the sort-merge join reads co-located buckets with NO
+    // Exchange on either side (ExplainSpec pins the exchange-free plan;
+    // .hint("merge") keeps the plan shape deterministic across SFs
+    // where the orders side would otherwise broadcast). The write cost
+    // is paid once per layout; every subsequent join on the key rides
+    // free — the point of bucketing. Table names are per-corpus-dir so
+    // gate runs at different SFs can't collide in one session.
+    ("lineitem_bucketed_join",
+      (s: SparkSession, d: String) => {
+        val suffix = (d.hashCode.toLong & 0xffffffffL).toString
+        val liT = s"graft_li_b$suffix"
+        val ordT = s"graft_ord_b$suffix"
+        lineitem(s, d).select("l_orderkey", "l_extendedprice")
+          .write.format("parquet").mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+        orders(s, d).select("o_orderkey", "o_orderpriority")
+          .write.format("parquet").mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+        s.table(ordT)
+          .join(s.table(liT).hint("merge"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum("l_extendedprice"), 2).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """SELECT o_orderpriority,
+          |       CAST(count(*) AS BIGINT) AS n_items,
+          |       round(sum(l_extendedprice), 2) AS revenue
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Inverted trigram index probe — pg_trgm-style accelerated
+    // substring search: a part matches '%gear%' only if its name
+    // contains ALL of the pattern's character trigrams (lossless for
+    // patterns ≥ 3 chars), so candidates come from an IN-filtered
+    // equi-probe of the (trigram → part) relation and only candidates
+    // pay the exact contains() verify — at 100 TB the index is a
+    // precomputed layout and a LIKE query never full-scans the text.
+    ("part_trigram_search",
+      (s: SparkSession, d: String) => {
+        val pat = "gear"
+        val qtris = pat.sliding(3).toSeq.distinct
+        val parts = part(s, d).select(col("p_partkey"), col("p_name"))
+        val tri = parts.select(col("p_partkey"),
+          explode(array_distinct(
+            when(length(col("p_name")) >= 3,
+              expr("transform(sequence(1, length(p_name) - 2), " +
+                "i -> substring(p_name, i, 3))"))
+              .otherwise(array()))).as("tg"))
+        val cand = tri.filter(col("tg").isin(qtris: _*))
+          .groupBy("p_partkey").agg(count(lit(1)).as("hits"))
+          .filter(col("hits") === qtris.size)
+        parts.join(cand.select("p_partkey"), "p_partkey")
+          .filter(col("p_name").contains(pat))
+          .select("p_partkey", "p_name")
+          .orderBy("p_partkey")
+      },
+      Some(
+        """SELECT p_partkey, p_name FROM part
+          |WHERE p_name LIKE '%gear%' ORDER BY p_partkey""".stripMargin)),
+
     // CUSUM changepoint detection — the classic sequential drift monitor
     // over per-day totals. The recursion s_t = max(0, s_{t−1} + x_t − μ − k)
     // is CLOSED-FORM as prefix sums: s_t = P_t − min(0, min_{j≤t} P_j)

@@ -253,6 +253,19 @@ class ExplainSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed join: sort-merge join with NO exchange on either side") {
+    q("lineitem_bucketed_join").collect() // writes + registers the bucketed tables
+    val suffix = (sf.hashCode.toLong & 0xffffffffL).toString
+    val join = spark.table(s"graft_ord_b$suffix")
+      .join(spark.table(s"graft_li_b$suffix").hint("merge"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+    val p = join.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$p")
+  }
+
   test("quality classifier scores at scan speed — no hash exchange, model inlined") {
     // w·x over term_counts + element_at lookups: the model rides the
     // plan as literals, so the only exchange is the output ordering's

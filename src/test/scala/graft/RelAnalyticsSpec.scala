@@ -452,6 +452,17 @@ class RelAnalyticsSpec extends SparkTestBase {
     k15.values.foreach(d => assert(d >= 15, "every member keeps >= k in-core neighbors"))
   }
 
+  test("trigram search equals the naive contains scan; index actually prunes") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name")).as[(Long, String)].collect()
+    val expect = parts.filter(_._2.contains("gear")).toMap
+    val got = q("part_trigram_search").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expect, "index-accelerated LIKE must equal the full scan")
+    assert(got.nonEmpty && got.size < parts.length,
+      "pattern must match a strict, non-empty subset")
+  }
+
   test("events_cusum_changepoint equals the recursive max(0, s+x) replay") {
     val rows = Tables.events(spark, sf)
       .select(col("event_type"), unix_micros(date_trunc("DAY", col("ts"))),
