@@ -1548,6 +1548,74 @@ object RelOps {
           |GROUP BY p1, p2
           |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin)),
 
+    // Relational DIVISION — "suppliers who have shipped EVERY part in
+    // the (top-2-price) promo list": the universal-quantifier query
+    // shape. Distributed form is count-match — the distinct
+    // (supplier, part) relation semi-restricts to the broadcast target
+    // and a partial-aggregated count equals the target size — never the
+    // textbook NOT EXISTS double anti-scan (two correlated passes over
+    // the fact table at 100 TB). The target is fixed-size (LIMIT 2 with
+    // a deterministic tiebreak), so the equality literal is stable.
+    ("supplier_covers_all",
+      (s: SparkSession, d: String) => {
+        val target = part(s, d)
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+          .limit(2).select("p_partkey")
+        val sp = lineitem(s, d).select(col("l_suppkey"), col("l_partkey")).distinct()
+        sp.join(broadcast(target), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_suppkey").agg(count(lit(1)).as("n_covered"))
+          .filter(col("n_covered") === 2)
+          .join(supplier(s, d).select(col("s_suppkey"), col("s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy("s_suppkey")
+      },
+      Some(
+        """WITH target AS (
+          |  SELECT p_partkey FROM part
+          |  ORDER BY p_retailprice DESC, p_partkey LIMIT 2
+          |), sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+          |cov AS (
+          |  SELECT l_suppkey, count(*) AS c
+          |  FROM sp JOIN target ON l_partkey = p_partkey GROUP BY 1
+          |)
+          |SELECT s.s_suppkey, s.s_name
+          |FROM cov JOIN supplier s ON s.s_suppkey = cov.l_suppkey
+          |WHERE cov.c = 2 ORDER BY s.s_suppkey""".stripMargin)),
+
+    // Dynamic partition pruning — the fact table is LAID OUT partitioned
+    // by event_type; joining a filtered dimension prunes fact PARTITIONS
+    // at runtime (the scan's partition filter holds a dynamicpruning
+    // subquery fed by the dim broadcast — ExplainSpec pins it). At
+    // 100 TB this is the difference between scanning 2 of N partitions
+    // and scanning the table; the layout write is the same pay-once
+    // trade as bucketing. The dim is itself written to parquet so the
+    // pruning rides a real filterable source, not a literal relation.
+    ("events_partition_pruned_join",
+      (s: SparkSession, d: String) => {
+        val tag = d.hashCode.toLong & 0xffffffffL
+        val factDir = s"/tmp/graft_dpp_fact_$tag"
+        val dimDir = s"/tmp/graft_dpp_dim_$tag"
+        events(s, d).write.mode("overwrite").partitionBy("event_type").parquet(factDir)
+        import s.implicits._
+        Seq(("click", "paid"), ("purchase", "paid"), ("view", "organic"),
+          ("error", "ops"), ("signup", "organic"))
+          .toDF("event_type", "channel")
+          .write.mode("overwrite").parquet(dimDir)
+        val facts = s.read.parquet(factDir)
+        val dim = s.read.parquet(dimDir).filter(col("channel") === "paid")
+        facts.join(broadcast(dim), "event_type")
+          .groupBy("event_type", "channel")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, 'paid' AS channel,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(value), 2) AS sum_value
+          |FROM events WHERE event_type IN ('click', 'purchase')
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Bucketed co-located join — the layout technique for repeated big
     // joins at 100 TB: both sides are written bucketBy(8) on the join
     // key, so the sort-merge join reads co-located buckets with NO

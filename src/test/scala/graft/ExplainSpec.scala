@@ -253,6 +253,14 @@ class ExplainSpec extends SparkTestBase {
     }
   }
 
+  test("partition-pruned join: the fact scan carries a dynamic pruning filter") {
+    val df = q("events_partition_pruned_join")
+    df.collect() // writes the partitioned layout, finalizes the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      s"fact partitions must prune via the dim broadcast:\n$p")
+  }
+
   test("bucketed join: sort-merge join with NO exchange on either side") {
     q("lineitem_bucketed_join").collect() // writes + registers the bucketed tables
     val suffix = (sf.hashCode.toLong & 0xffffffffL).toString

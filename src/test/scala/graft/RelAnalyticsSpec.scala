@@ -452,6 +452,23 @@ class RelAnalyticsSpec extends SparkTestBase {
     k15.values.foreach(d => assert(d >= 15, "every member keeps >= k in-core neighbors"))
   }
 
+  test("supplier_covers_all equals the naive universal-quantifier replay") {
+    val target = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"))
+      .as[(Long, Double)].collect()
+      .sortBy { case (k, pr) => (-pr, k) }.take(2).map(_._1).toSet
+    val shipped = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_partkey")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = shipped.collect {
+      case (supp, parts) if target.subsetOf(parts) => supp
+    }.toSet
+    val got = q("supplier_covers_all").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < shipped.size,
+      "division must select a strict, non-empty subset")
+  }
+
   test("trigram search equals the naive contains scan; index actually prunes") {
     val parts = Tables.part(spark, sf)
       .select(col("p_partkey"), col("p_name")).as[(Long, String)].collect()
