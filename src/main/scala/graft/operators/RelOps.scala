@@ -349,6 +349,52 @@ object RelOps {
          |GROUP BY e.s ORDER BY part""".stripMargin
   }
 
+  /** ABC (Pareto) classification — every part labeled A/B/C by its
+    * position in the GLOBAL cumulative revenue distribution (A = the
+    * head covering 70% of revenue, B to 90%, C the tail). The global
+    * running sum is the [[TextOps.shuffleOrder]] machinery with SUM
+    * prefixes instead of counts: one range shuffle on (rev desc, key),
+    * a scan-local per-partition running sum, and a broadcast
+    * (n_partitions)-sized partition-total table whose prefix (and the
+    * grand total) are computed in-row — no single-task window over the
+    * parts, which is what the oracle's global window does and a 100 TB
+    * plan must not. Revenue is per-row-quantized integer cents, so
+    * every cumulative value and class boundary is cross-engine exact.
+    */
+  def abcClasses(li: DataFrame): DataFrame = {
+    val session = li.sparkSession
+    import session.implicits._
+    val pr = li.groupBy(col("l_partkey").as("p"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+    val sorted = pr.repartitionByRange(col("rev").desc, col("p"))
+      .sortWithinPartitions(col("rev").desc, col("p"))
+      .select(col("p").as[Long], col("rev").as[Long])
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = 0L
+        it.map { case (p, rev) => run += rev; (pid, p, rev, run) }
+      }.toDF("pid", "p", "rev", "lcum")
+      .cache()
+    DedupOps.registerDedupCaches(sorted, Seq(sorted))
+    val offs = sorted.groupBy("pid").agg(sum("rev").as("ps"))
+      .agg(sort_array(collect_list(struct(col("pid"), col("ps")))).as("cs"))
+      .select(expr("aggregate(cs, 0L, (a, y) -> a + y.ps)").as("t"),
+        explode(expr(
+          "transform(cs, (x, i) -> struct(x.pid AS pid, " +
+            "aggregate(slice(cs, 1, i), 0L, (a, y) -> a + y.ps) AS off))"))
+          .as("e"))
+      .select(col("e.pid").as("pid"), col("e.off").as("off"), col("t"))
+    sorted.join(broadcast(offs), "pid")
+      .withColumn("cum", col("off") + col("lcum"))
+      .select(col("p").as("p_partkey"), col("rev").as("rev_cents"),
+        col("cum").as("cum_cents"),
+        when(col("cum") * 100 <= col("t") * 70, "A")
+          .when(col("cum") * 100 <= col("t") * 90, "B")
+          .otherwise("C").as("abc"))
+      .orderBy("p_partkey")
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // TPC-H Q1-style pricing summary: the canonical partial-agg shape.
@@ -1547,6 +1593,30 @@ object RelOps {
           |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
           |GROUP BY p1, p2
           |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin)),
+
+    // ABC / Pareto revenue classes (see [[abcClasses]]): the global
+    // cumulative-share labeling, distributed via sum-prefix offsets
+    // (never the oracle's single-task global window).
+    ("lineitem_abc_classes",
+      (s: SparkSession, d: String) =>
+        abcClasses(lineitem(s, d).select("l_partkey", "l_extendedprice")),
+      Some(
+        """WITH pr AS (
+          |  SELECT l_partkey AS p,
+          |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+          |              AS BIGINT) AS rev
+          |  FROM lineitem GROUP BY 1
+          |), c AS (
+          |  SELECT p, rev,
+          |         CAST(sum(rev) OVER (ORDER BY rev DESC, p) AS BIGINT) AS cum,
+          |         CAST((SELECT sum(rev) FROM pr) AS BIGINT) AS t
+          |  FROM pr
+          |)
+          |SELECT p AS p_partkey, rev AS rev_cents, cum AS cum_cents,
+          |       CASE WHEN cum * 100 <= t * 70 THEN 'A'
+          |            WHEN cum * 100 <= t * 90 THEN 'B'
+          |            ELSE 'C' END AS abc
+          |FROM c ORDER BY p_partkey""".stripMargin)),
 
     // Relational DIVISION — "suppliers who have shipped EVERY part in
     // the (top-2-price) promo list": the universal-quantifier query

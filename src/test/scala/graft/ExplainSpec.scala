@@ -240,7 +240,8 @@ class ExplainSpec extends SparkTestBase {
       }
       None
     }
-    for (name <- Seq("documents_shuffle_order", "documents_ppl_buckets")) {
+    for (name <- Seq("documents_shuffle_order", "documents_ppl_buckets",
+        "lineitem_abc_classes")) {
       val p = plan(name)
       val lines = p.linesIterator.toIndexedSeq
       lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))

@@ -452,6 +452,27 @@ class RelAnalyticsSpec extends SparkTestBase {
     k15.values.foreach(d => assert(d >= 15, "every member keeps >= k in-core neighbors"))
   }
 
+  test("lineitem_abc_classes equals a naive global cumulative-share replay") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_extendedprice"))
+      .as[(Long, Double)].collect()
+    val rev = rows.groupBy(_._1).view
+      .mapValues(_.map(v => math.floor(v._2 * 100 + 0.5).toLong).sum).toMap
+    val total = rev.values.sum
+    var cum = 0L
+    val expect = rev.toSeq.sortBy { case (p, r) => (-r, p) }.map { case (p, r) =>
+      cum += r
+      val cls = if (cum * 100 <= total * 70) "A"
+                else if (cum * 100 <= total * 90) "B" else "C"
+      p -> (r, cum, cls)
+    }.toMap
+    val got = q("lineitem_abc_classes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expect)
+    val classes = got.values.map(_._3).toSet
+    assert(classes == Set("A", "B", "C"), s"all three classes must appear: $classes")
+  }
+
   test("supplier_covers_all equals the naive universal-quantifier replay") {
     val target = Tables.part(spark, sf)
       .select(col("p_partkey"), col("p_retailprice"))
