@@ -404,6 +404,62 @@ object ScaleSmoke {
       bigC.length
     }
 
+    // ABC classes: duplicating every lineitem row ×N (same part keys)
+    // multiplies every part's revenue AND the grand total by N, so the
+    // cumulative SHARES — and therefore every class label — are
+    // invariant while rev/cum scale exactly ×N. Proves the sum-prefix
+    // offset machinery is duplication-exact, not just order-correct.
+    timed("abc_classes_xN") {
+      val liRev = Tables.lineitem(spark, sfDir)
+        .select("l_partkey", "l_extendedprice")
+      val bigRev = (0 until mult).map(_ => liRev).reduce(_ unionAll _)
+      val baseAbc = graft.operators.RelOps.abcClasses(liRev).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      val bigAbc = graft.operators.RelOps.abcClasses(bigRev).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      val expected = baseAbc.map { case (p, (r, c, cls)) =>
+        p -> (r * mult, c * mult, cls)
+      }
+      assert(bigAbc == expected, "ABC labels must be duplication-invariant")
+      bigAbc.size
+    }
+
+    // trigram search: key-offset part copies with identical names must
+    // multiply the match set exactly ×N — candidate generation through
+    // the inverted trigram relation cannot lose or fabricate a copy.
+    timed("trigram_xN") {
+      val baseHits = graft.operators.RelOps.entries
+        .find(_._1 == "part_trigram_search").get._2(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val expected = (0 until mult).flatMap { i =>
+        baseHits.map { case (k, n) => (k + i.toLong * pkStride, n) }
+      }.toSet
+      // inline the same pipeline over the multiplied corpus (bigPart is
+      // the skyline projection — rebuild with names)
+      val pat = "gear"
+      val qtris = pat.sliding(3).toSeq.distinct
+      val namedBase = Tables.part(spark, sfDir).select("p_partkey", "p_name")
+      val parts = (0 until mult).map { i =>
+        namedBase.select(
+          (col("p_partkey") + lit(i.toLong * pkStride)).as("p_partkey"),
+          col("p_name"))
+      }.reduce(_ unionAll _)
+      val tri = parts.select(col("p_partkey"),
+        explode(array_distinct(
+          when(length(col("p_name")) >= 3,
+            expr("transform(sequence(1, length(p_name) - 2), " +
+              "i -> substring(p_name, i, 3))"))
+            .otherwise(array()))).as("tg"))
+      val cand = tri.filter(col("tg").isin(qtris: _*))
+        .groupBy("p_partkey").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === qtris.size)
+      val got = parts.join(cand.select("p_partkey"), "p_partkey")
+        .filter(col("p_name").contains(pat))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == expected, "trigram matches must scale exactly with the corpus")
+      got.size
+    }
+
     println("[scale] OK: exact paths agree")
     spark.stop()
   }

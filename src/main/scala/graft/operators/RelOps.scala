@@ -1700,6 +1700,17 @@ object RelOps {
         val suffix = (d.hashCode.toLong & 0xffffffffL).toString
         val liT = s"graft_li_b$suffix"
         val ordT = s"graft_ord_b$suffix"
+        // a FRESH session's in-memory catalog has never heard of the
+        // table, but the warehouse DIRECTORY outlives the JVM — without
+        // this cleanup the second run ever (every driver round after the
+        // first) dies with LOCATION_ALREADY_EXISTS
+        Seq(liT, ordT).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
         lineitem(s, d).select("l_orderkey", "l_extendedprice")
           .write.format("parquet").mode("overwrite")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
