@@ -211,6 +211,57 @@ object MultimodalOps {
           |       round(coalesce(sum(CASE WHEN h.bin = 0 THEN h.c END), 0) / n.n, 4) AS bin0
           |FROM n JOIN h ON h.doc_id = n.doc_id
           |GROUP BY n.doc_id, n.n_bytes, n.n
-          |ORDER BY n.doc_id""".stripMargin))
+          |ORDER BY n.doc_id""".stripMargin)),
+
+    // Audio-shaped windowed energy: the payload read as 8-bit "PCM",
+    // windowed into fixed 32-sample frames, per-frame energy
+    // Σ (sample − 96)² — the VAD/loudness pre-pass an audio curation
+    // pipeline runs before the (stubbed) codec. Entirely columnar
+    // (sequence/explode + per-frame higher-order aggregate over a
+    // MATERIALIZED frame column — the shingles lambda-rebind trap), and
+    // ALL-INTEGER, so the energies, the argmax frame (ties → lowest
+    // index, via the packed struct max) and the totals are cross-engine
+    // exact.
+    ("multimodal_audio_energy",
+      (s: SparkSession, d: String) =>
+        graft.Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+          .withColumn("f",
+            explode(sequence(lit(0), ((col("n") - 1) / lit(32)).cast("int"))))
+          .withColumn("fr", expr("substring(text, f*32 + 1, 32)"))
+          .withColumn("energy", expr(
+            "aggregate(transform(sequence(1, length(fr)), " +
+              "j -> CAST(ascii(substring(fr, j, 1)) - 96 AS BIGINT)), " +
+              "0L, (a, x) -> a + x*x)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum("energy").as("total_energy"),
+            max(struct(col("energy"), (-col("f")).cast("long").as("nf")))
+              .as("best"))
+          .select(col("doc_id"), col("n_frames"), col("total_energy"),
+            col("best.energy").as("max_energy"),
+            (-col("best.nf")).as("loudest_f"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH fr AS (
+          |  SELECT doc_id, CAST(r.i AS BIGINT) AS f,
+          |         substr(text, CAST(r.i*32 + 1 AS INT), 32) AS s
+          |  FROM documents, UNNEST(range(0, (length(text)-1)//32 + 1)) r(i)
+          |), en AS (
+          |  SELECT doc_id, f,
+          |         CAST(list_sum([(ord(s[j]) - 96) * (ord(s[j]) - 96)
+          |                        FOR j IN range(1, len(s)+1)]) AS BIGINT) AS energy
+          |  FROM fr
+          |), agg AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+          |         CAST(sum(energy) AS BIGINT) AS total_energy,
+          |         CAST(max(energy) AS BIGINT) AS max_energy
+          |  FROM en GROUP BY 1
+          |)
+          |SELECT a.doc_id, a.n_frames, a.total_energy, a.max_energy,
+          |       min(e.f) AS loudest_f
+          |FROM agg a JOIN en e
+          |  ON e.doc_id = a.doc_id AND e.energy = a.max_energy
+          |GROUP BY 1, 2, 3, 4 ORDER BY a.doc_id""".stripMargin))
   )
 }

@@ -38,6 +38,23 @@ class MultimodalSpec extends SparkTestBase {
       .forall { r => val l2 = r.getDouble(2); l2 > 0.0 && l2 <= 1.0 })
   }
 
+  test("multimodal_audio_energy matches a naive windowed-energy replay") {
+    import org.apache.spark.sql.functions._
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val expect = texts.map { case (id, t) =>
+      val frames = t.grouped(32).toSeq
+      val energies = frames.map(_.map(c => { val x = c.toLong - 96; x * x }).sum)
+      val maxE = energies.max
+      (id, frames.size.toLong, energies.sum, maxE,
+        energies.indexOf(maxE).toLong)
+    }.toSet
+    val got = q("multimodal_audio_energy").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect)
+  }
+
   test("fakeResize strides bytes and pins length") {
     val r = MultimodalOps.fakeResize("abcdefghij".getBytes("UTF-8"), 4)
     assert(new String(r, "UTF-8") == "aei")
