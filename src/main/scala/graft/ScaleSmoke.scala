@@ -428,33 +428,21 @@ object ScaleSmoke {
     // multiply the match set exactly ×N — candidate generation through
     // the inverted trigram relation cannot lose or fabricate a copy.
     timed("trigram_xN") {
-      val baseHits = graft.operators.RelOps.entries
-        .find(_._1 == "part_trigram_search").get._2(spark, sfDir)
+      val baseHits = SparkEntry.queries("part_trigram_search")(spark, sfDir)
         .collect().map(r => (r.getLong(0), r.getString(1)))
       val expected = (0 until mult).flatMap { i =>
         baseHits.map { case (k, n) => (k + i.toLong * pkStride, n) }
       }.toSet
-      // inline the same pipeline over the multiplied corpus (bigPart is
-      // the skyline projection — rebuild with names)
-      val pat = "gear"
-      val qtris = pat.sliding(3).toSeq.distinct
+      // the SHIPPED pipeline (RelOps.trigramSearch) over a key-offset
+      // multiplied part relation rebuilt with names (the skyline leg's
+      // copies carry only the price/size projection)
       val namedBase = Tables.part(spark, sfDir).select("p_partkey", "p_name")
       val parts = (0 until mult).map { i =>
         namedBase.select(
           (col("p_partkey") + lit(i.toLong * pkStride)).as("p_partkey"),
           col("p_name"))
       }.reduce(_ unionAll _)
-      val tri = parts.select(col("p_partkey"),
-        explode(array_distinct(
-          when(length(col("p_name")) >= 3,
-            expr("transform(sequence(1, length(p_name) - 2), " +
-              "i -> substring(p_name, i, 3))"))
-            .otherwise(array()))).as("tg"))
-      val cand = tri.filter(col("tg").isin(qtris: _*))
-        .groupBy("p_partkey").agg(count(lit(1)).as("hits"))
-        .filter(col("hits") === qtris.size)
-      val got = parts.join(cand.select("p_partkey"), "p_partkey")
-        .filter(col("p_name").contains(pat))
+      val got = graft.operators.RelOps.trigramSearch(parts, "gear")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       assert(got == expected, "trigram matches must scale exactly with the corpus")
       got.size

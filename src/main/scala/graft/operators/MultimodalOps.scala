@@ -226,6 +226,11 @@ object MultimodalOps {
       (s: SparkSession, d: String) =>
         graft.Tables.documents(s, d)
           .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+          // empty payloads have no frames and must be ABSENT, matching
+          // the oracle's range(0, ceil) = empty — the unguarded Spark
+          // framing fabricated one phantom frame (sequence(0, (0-1)/32)
+          // = [0], then sequence(1, 0) steps DOWN) for text = ''
+          .filter(col("n") > 0)
           .withColumn("f",
             explode(sequence(lit(0), ((col("n") - 1) / lit(32)).cast("int"))))
           .withColumn("fr", expr("substring(text, f*32 + 1, 32)"))

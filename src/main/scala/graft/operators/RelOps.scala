@@ -385,13 +385,58 @@ object RelOps {
             "aggregate(slice(cs, 1, i), 0L, (a, y) -> a + y.ps) AS off))"))
           .as("e"))
       .select(col("e.pid").as("pid"), col("e.off").as("off"), col("t"))
+    // boundary compare in decimal(38,0): cum·100 and t·90 both overflow
+    // int64 once total revenue passes ~1e17 cents (≈ TPC-H SF 1e4) — at
+    // the 100 TB target the int64 form wraps negative and labels garbage
+    val cumD = col("cum").cast("decimal(38,0)") * 100
+    val tD = col("t").cast("decimal(38,0)")
     sorted.join(broadcast(offs), "pid")
       .withColumn("cum", col("off") + col("lcum"))
       .select(col("p").as("p_partkey"), col("rev").as("rev_cents"),
         col("cum").as("cum_cents"),
-        when(col("cum") * 100 <= col("t") * 70, "A")
-          .when(col("cum") * 100 <= col("t") * 90, "B")
+        when(cumD <= tD * 70, "A")
+          .when(cumD <= tD * 90, "B")
           .otherwise("C").as("abc"))
+      .orderBy("p_partkey")
+  }
+
+  /** Content-fingerprinted identity of a corpus table file — the reuse
+    * key for the pay-once layout operators (bucketed tables, DPP
+    * partition layouts). Keying on the PATH alone would serve a stale
+    * layout after the corpus is regenerated in place (the driver ships
+    * new testdata generations at the same paths); folding in the source
+    * file's length and mtime makes a regenerated corpus a new key. MD5
+    * over the whole identity string also removes the 32-bit
+    * String.hashCode collision risk between distinct paths.
+    */
+  private[graft] def layoutTag(s: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+    val id = s"$dir|$table|${st.getLen}|${st.getModificationTime}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Inverted-trigram accelerated substring search (see the
+    * `part_trigram_search` entry) — shared by the gate query and
+    * ScaleSmoke so the smoke exercises the shipped pipeline, not a
+    * copy. Lossless for patterns of ≥ 3 characters.
+    */
+  def trigramSearch(parts: DataFrame, pat: String): DataFrame = {
+    require(pat.length >= 3, "trigram prefilter is lossless only for >=3 chars")
+    val qtris = pat.sliding(3).toSeq.distinct
+    val tri = parts.select(col("p_partkey"),
+      explode(array_distinct(
+        when(length(col("p_name")) >= 3,
+          expr("transform(sequence(1, length(p_name) - 2), " +
+            "i -> substring(p_name, i, 3))"))
+          .otherwise(array()))).as("tg"))
+    val cand = tri.filter(col("tg").isin(qtris: _*))
+      .groupBy("p_partkey").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === qtris.size)
+    parts.join(cand.select("p_partkey"), "p_partkey")
+      .filter(col("p_name").contains(pat))
+      .select("p_partkey", "p_name")
       .orderBy("p_partkey")
   }
 
@@ -1613,8 +1658,8 @@ object RelOps {
           |  FROM pr
           |)
           |SELECT p AS p_partkey, rev AS rev_cents, cum AS cum_cents,
-          |       CASE WHEN cum * 100 <= t * 70 THEN 'A'
-          |            WHEN cum * 100 <= t * 90 THEN 'B'
+          |       CASE WHEN CAST(cum AS HUGEINT) * 100 <= CAST(t AS HUGEINT) * 70 THEN 'A'
+          |            WHEN CAST(cum AS HUGEINT) * 100 <= CAST(t AS HUGEINT) * 90 THEN 'B'
           |            ELSE 'C' END AS abc
           |FROM c ORDER BY p_partkey""".stripMargin)),
 
@@ -1668,9 +1713,12 @@ object RelOps {
     // pruning rides a real filterable source, not a literal relation.
     ("events_partition_pruned_join",
       (s: SparkSession, d: String) => {
-        val tag = d.hashCode.toLong & 0xffffffffL
-        val factDir = s"/tmp/graft_dpp_fact_$tag"
-        val dimDir = s"/tmp/graft_dpp_dim_$tag"
+        // per-user dirs (a shared /tmp across users would collide on
+        // permissions) keyed by the corpus fingerprint, not the path
+        val user = sys.props.getOrElse("user.name", "u")
+        val tag = layoutTag(s, d, "events")
+        val factDir = s"/tmp/graft_dpp_fact_${user}_$tag"
+        val dimDir = s"/tmp/graft_dpp_dim_${user}_$tag"
         // pay-once layout: the dir is per-corpus-dir and the corpus is
         // immutable, so a completed write (marked by _SUCCESS) is reused
         // — timed runs measure the pruned query, not the layout build
@@ -1712,9 +1760,8 @@ object RelOps {
     // gate runs at different SFs can't collide in one session.
     ("lineitem_bucketed_join",
       (s: SparkSession, d: String) => {
-        val suffix = (d.hashCode.toLong & 0xffffffffL).toString
-        val liT = s"graft_li_b$suffix"
-        val ordT = s"graft_ord_b$suffix"
+        val liT = s"graft_li_b${layoutTag(s, d, "lineitem")}"
+        val ordT = s"graft_ord_b${layoutTag(s, d, "orders")}"
         // pay-once semantics, literally: if THIS session already built
         // the layout (the table name is per-corpus-dir and the corpus is
         // immutable), reuse it — the bench's timed passes then measure
@@ -1761,24 +1808,8 @@ object RelOps {
     // pay the exact contains() verify — at 100 TB the index is a
     // precomputed layout and a LIKE query never full-scans the text.
     ("part_trigram_search",
-      (s: SparkSession, d: String) => {
-        val pat = "gear"
-        val qtris = pat.sliding(3).toSeq.distinct
-        val parts = part(s, d).select(col("p_partkey"), col("p_name"))
-        val tri = parts.select(col("p_partkey"),
-          explode(array_distinct(
-            when(length(col("p_name")) >= 3,
-              expr("transform(sequence(1, length(p_name) - 2), " +
-                "i -> substring(p_name, i, 3))"))
-              .otherwise(array()))).as("tg"))
-        val cand = tri.filter(col("tg").isin(qtris: _*))
-          .groupBy("p_partkey").agg(count(lit(1)).as("hits"))
-          .filter(col("hits") === qtris.size)
-        parts.join(cand.select("p_partkey"), "p_partkey")
-          .filter(col("p_name").contains(pat))
-          .select("p_partkey", "p_name")
-          .orderBy("p_partkey")
-      },
+      (s: SparkSession, d: String) =>
+        trigramSearch(part(s, d).select(col("p_partkey"), col("p_name")), "gear"),
       Some(
         """SELECT p_partkey, p_name FROM part
           |WHERE p_name LIKE '%gear%' ORDER BY p_partkey""".stripMargin)),

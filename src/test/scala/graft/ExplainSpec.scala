@@ -264,9 +264,11 @@ class ExplainSpec extends SparkTestBase {
 
   test("bucketed join: sort-merge join with NO exchange on either side") {
     q("lineitem_bucketed_join").collect() // writes + registers the bucketed tables
-    val suffix = (sf.hashCode.toLong & 0xffffffffL).toString
-    val join = spark.table(s"graft_ord_b$suffix")
-      .join(spark.table(s"graft_li_b$suffix").hint("merge"),
+    val join = spark
+      .table(s"graft_ord_b${operators.RelOps.layoutTag(spark, sf, "orders")}")
+      .join(spark
+        .table(s"graft_li_b${operators.RelOps.layoutTag(spark, sf, "lineitem")}")
+        .hint("merge"),
         org.apache.spark.sql.functions.col("o_orderkey") ===
           org.apache.spark.sql.functions.col("l_orderkey"))
     val p = join.queryExecution.executedPlan.toString

@@ -42,7 +42,7 @@ class MultimodalSpec extends SparkTestBase {
     import org.apache.spark.sql.functions._
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
-    val expect = texts.map { case (id, t) =>
+    val expect = texts.filter(_._2.nonEmpty).map { case (id, t) =>
       val frames = t.grouped(32).toSeq
       val energies = frames.map(_.map(c => { val x = c.toLong - 96; x * x }).sum)
       val maxE = energies.max
