@@ -1814,6 +1814,44 @@ object RelOps {
         """SELECT p_partkey, p_name FROM part
           |WHERE p_name LIKE '%gear%' ORDER BY p_partkey""".stripMargin)),
 
+    // Month-over-month growth — the time-series reporting staple: per
+    // priority, monthly revenue and its lag-based growth rate. Revenue
+    // is per-row-quantized integer cents and the rate is ppm fixed-point
+    // ((cur·1e6) div prev − 1e6), so every value is cross-engine exact
+    // (a double ratio would be, too, but the integer form survives the
+    // driver's bit-level hash without rounding conventions). The window
+    // partitions by priority over MONTHS — bounded by the key's time
+    // range, never the order count. First month per priority is NULL.
+    ("orders_monthly_growth",
+      (s: SparkSession, d: String) => {
+        val m = orders(s, d)
+          .groupBy(col("o_orderpriority"),
+            unix_micros(date_trunc("MONTH", col("o_orderdate"))).as("month_us"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("rev_cents"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("month_us")
+        m.withColumn("prev", lag("rev_cents", 1).over(w))
+          .withColumn("growth6",
+            expr("(rev_cents * 1000000) div prev - 1000000"))
+          .select(col("o_orderpriority"), col("month_us"), col("rev_cents"),
+            col("growth6"))
+          .orderBy("o_orderpriority", "month_us")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT o_orderpriority,
+          |         epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+          |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+          |              AS BIGINT) AS rev_cents
+          |  FROM orders GROUP BY 1, 2
+          |)
+          |SELECT o_orderpriority, month_us, rev_cents,
+          |       CAST((rev_cents * 1000000) // lag(rev_cents) OVER w - 1000000
+          |            AS BIGINT) AS growth6
+          |FROM m
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month_us)
+          |ORDER BY o_orderpriority, month_us""".stripMargin)),
+
     // CUSUM changepoint detection — the classic sequential drift monitor
     // over per-day totals. The recursion s_t = max(0, s_{t−1} + x_t − μ − k)
     // is CLOSED-FORM as prefix sums: s_t = P_t − min(0, min_{j≤t} P_j)

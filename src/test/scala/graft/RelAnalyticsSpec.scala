@@ -452,6 +452,34 @@ class RelAnalyticsSpec extends SparkTestBase {
     k15.values.foreach(d => assert(d >= 15, "every member keeps >= k in-core neighbors"))
   }
 
+  test("orders_monthly_growth equals a naive lag replay; nulls only on first months") {
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        unix_micros(date_trunc("MONTH", col("o_orderdate"))), col("o_totalprice"))
+      .as[(String, Long, Double)].collect()
+    val monthly = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(v => math.floor(v._3 * 100 + 0.5).toLong).sum).toMap
+    val expect = monthly.keys.toSeq.groupBy(_._1).toSeq.flatMap { case (prio, ks) =>
+      val months = ks.map(_._2).sorted
+      months.zipWithIndex.map { case (mo, i) =>
+        val rev = monthly((prio, mo))
+        val g = if (i == 0) None
+                else Some(rev * 1000000L / monthly((prio, months(i - 1))) - 1000000L)
+        (prio, mo) -> (rev, g)
+      }
+    }.toMap
+    val got = q("orders_monthly_growth").collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (rev, g) = expect((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == rev)
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == g,
+        s"growth mismatch at (${r.getString(0)}, ${r.getLong(1)})")
+    }
+    assert(got.count(_.isNullAt(3)) == expect.keys.map(_._1).toSet.size,
+      "exactly one NULL (the first month) per priority")
+  }
+
   test("lineitem_abc_classes equals a naive global cumulative-share replay") {
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_partkey"), col("l_extendedprice"))
