@@ -1830,9 +1830,14 @@ object RelOps {
           .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
             .as("rev_cents"))
         val w = Window.partitionBy("o_orderpriority").orderBy("month_us")
+        // ppm scaling in decimal(38,0): rev·1e6 wraps int64 once a month
+        // slice passes ~9e12 cents (the ABC boundary lesson); div in
+        // decimal is the same truncating integral quotient both engines
+        // compute
         m.withColumn("prev", lag("rev_cents", 1).over(w))
           .withColumn("growth6",
-            expr("(rev_cents * 1000000) div prev - 1000000"))
+            expr("CAST((CAST(rev_cents AS DECIMAL(38,0)) * 1000000) div prev" +
+              " - 1000000 AS BIGINT)"))
           .select(col("o_orderpriority"), col("month_us"), col("rev_cents"),
             col("growth6"))
           .orderBy("o_orderpriority", "month_us")
