@@ -20,6 +20,39 @@ def canon(df):
     return df
 
 
+def type_cat(t):
+    """Canonical physical-width category for an arrow type. The driver's
+    value hash encodes the physical encoding, so an oracle column that
+    DuckDB promotes to HUGEINT (int128) or DECIMAL hash-mismatches a Spark
+    BIGINT even when every value is identical (round-7 graph_pagerank)."""
+    s = str(t)
+    if s.startswith("int") or s.startswith("uint"):
+        return "int:" + s.lstrip("uint")  # width matters: int64 vs int128
+    if s.startswith("decimal"):
+        return s  # precision/scale matter
+    if s.startswith("timestamp"):
+        return "timestamp"  # tz annotation is normalized by the driver
+    if s in ("string", "large_string"):
+        return "string"
+    if s.startswith("list") or s.startswith("large_list"):
+        return "list<" + type_cat(t.value_type) + ">"
+    return s
+
+
+def type_mismatches(con, name, sql, out_dir):
+    """Compare arrow physical types of Spark's parquet result vs the DuckDB
+    oracle result. Returns list of (col, spark_type, oracle_type)."""
+    got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").arrow()
+    exp = con.sql(f"SELECT * FROM ({sql}) LIMIT 0").arrow()
+    gs = {f.name: f.type for f in got.schema}
+    es = {f.name: f.type for f in exp.schema}
+    bad = []
+    for c in sorted(set(gs) & set(es)):
+        if type_cat(gs[c]) != type_cat(es[c]):
+            bad.append((c, str(gs[c]), str(es[c])))
+    return bad
+
+
 def cmp_cell(a, b):
     if a is None and b is None:
         return True
@@ -79,6 +112,13 @@ def main(sf_dir, out_dir):
                 break
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: got={bad[2]!r} exp={bad[3]!r}")
+            n_fail += 1
+            continue
+        tbad = type_mismatches(con, name, sql, out_dir)
+        if tbad:
+            for c, gt, et in tbad:
+                print(f"FAIL {name}: col {c} physical type spark={gt} oracle={et}"
+                      " (driver hash encodes width — cast the oracle)")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")

@@ -2,11 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: one JSON line with per-query seconds and the
-  * total. A full untimed warm-up pass runs first so the timed pass
-  * measures steady-state execution (codegen compiled, classes loaded,
-  * parquet footers cached) rather than first-query JVM warm-up — the
-  * throughput number the 2× gate is about, not JIT noise.
+/** Driver-run benchmark: two JSON lines — a full-detail line (every
+  * query + stage counts) for BENCH_COMPARE tooling, then a compact final
+  * line sized to fit the driver's 2000-char output-tail capture (the
+  * driver-parsed artifact). A full untimed warm-up pass runs first so the
+  * timed passes measure steady-state execution (codegen compiled, classes
+  * loaded, parquet footers cached) rather than first-query JVM warm-up —
+  * the throughput number the 2× gate is about, not JIT noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,7 +43,7 @@ object Bench {
       // every pass (PageRank's edge cache alone measured 2.6 s warm vs
       // 4-8 s rebuilt). Production sizes this to executor storage memory
       // like any cache budget — same knob, same reasoning.
-      .config("graft.dedup.maxLiveCorpora", "64")
+      .config("graft.cache.maxLiveCorpora", "64")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -127,7 +129,29 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fjson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor_sec":$floor,"floor_shuffle_sec":$floor2,"passes":2,"agg":"min","queries":$qjson,"stages":$sjson,"failures":$fjson,"sf":"$sfDir"}""")
+    // FULL detail line (every query + stage counts) for BENCH_COMPARE
+    // tooling — deliberately NOT the driver-facing metric name.
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","floor_sec":$floor,"floor_shuffle_sec":$floor2,"passes":2,"agg":"min","queries":$qjson,"stages":$sjson,"failures":$fjson,"sf":"$sfDir"}""")
+    // FINAL driver-facing line, budgeted to survive the driver's 2000-char
+    // output-tail window (round 7's full line was ~4 KB → the tail cut its
+    // head and `parsed` came back null despite rc=0). The "queries" map
+    // holds the slowest queries that fit the budget; "n_queries" carries
+    // the true count and the full map is on the total_full line above.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val budget = 1700 // chars for the whole line; sbt's [success] tail ~80
+    val slowestFirst = results.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${f2(total)},"unit":"sec","floor_sec":${f2(floor)},"floor_shuffle_sec":${f2(floor2)},"passes":2,"agg":"min","n_queries":${results.size},"failures":$fjson,"sf":"$sfDir","queries":{"""
+    val tailStr = "}}"
+    val sb = new StringBuilder(head)
+    var first = true
+    slowestFirst.foreach { case (k, v, _) =>
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + f2(v)
+      if (sb.length + entry.length + tailStr.length <= budget) {
+        sb.append(entry); first = false
+      }
+    }
+    sb.append(tailStr)
+    println(sb.toString)
     graft.operators.ConnectorOps.shutdownStubs()
     spark.stop()
   }

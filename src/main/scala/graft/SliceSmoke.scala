@@ -8,14 +8,16 @@ import graft.sources.loki.testkit.LokiStubServer
 /** Slice-balance smoke for the connector's `partitions=N` time-range
   * split: seeds a stub with a BURSTY corpus (80% of rows inside one day
   * of a 30-day window — the realistic incident-spike shape) and a uniform
-  * corpus, reads each back through 8 equal-width time slices, and prints
-  * rows per slice. Equal-WIDTH slicing is the reference-shaped scale-out
-  * (disjoint-range composable, no coordination); on bursty data the spike
-  * slice dominates the scan's wall clock — the measured skew here is the
-  * evidence for when to reach for a count-based split (probe Loki's
-  * `index/stats` row counts per sub-window, then split boundaries on
-  * cumulative count, at the cost of an extra round-trip and a
-  * non-reference API). Not part of the driver gate:
+  * corpus, reads each back through 8 time slices under BOTH placement
+  * modes, and prints rows per slice + plan-time probe counts.
+  * `split=width` is the reference-shaped scale-out (disjoint-range
+  * composable, zero coordination) — on bursty data the spike slice
+  * dominates the scan's wall clock (measured max/mean = 4.00 here).
+  * `split=stats` (round 8) probes Loki's `index/stats` row counts and
+  * places boundaries on cumulative count (LokiScan.statsBounds) —
+  * measured max/mean = 1.11 on the same bursty corpus, at the cost of
+  * O(clusters·log) cheap index-only probes paid once at plan time.
+  * Not part of the driver gate:
   * `runMain graft.SliceSmoke [rows]` → table in BASELINE.md.
   */
 object SliceSmoke {
@@ -60,25 +62,31 @@ object SliceSmoke {
           .option("endpoint", stub.endpoint)
           .option("push_batch_size", "8192")
           .mode("append").save()
-        val scan = spark.read.format("loki")
-          .option("endpoint", stub.endpoint)
-          .option("default_label", "app")
-          .option("partitions", "8")
-          .load()
-          .filter(
-            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
-            col("timestamp") < lit("2024-01-31 00:00:00").cast("timestamp"))
-        val t0 = System.nanoTime()
-        val per = scan
-          .select(spark_partition_id().as("slice"))
-          .groupBy("slice").count().orderBy("slice")
-          .collect().map(r => (r.getInt(0), r.getLong(1)))
-        val secs = (System.nanoTime() - t0) / 1e9
-        val counts = per.map(_._2)
-        val total = counts.sum
-        println(s"[slice] $name rows=$total wall=${f"$secs%.2f"}s " +
-          s"per-slice=${per.map { case (i, c) => s"$i:$c" }.mkString(",")} " +
-          f"max/mean=${counts.max.toDouble * counts.length / total}%.2f")
+        Seq("width", "stats").foreach { split =>
+          val probes0 = stub.statsCalls.get()
+          val scan = spark.read.format("loki")
+            .option("endpoint", stub.endpoint)
+            .option("default_label", "app")
+            .option("partitions", "8")
+            .option("split", split)
+            .load()
+            .filter(
+              col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-01-31 00:00:00").cast("timestamp"))
+          val t0 = System.nanoTime()
+          val per = scan
+            .select(spark_partition_id().as("slice"))
+            .groupBy("slice").count().orderBy("slice")
+            .collect().map(r => (r.getInt(0), r.getLong(1)))
+          val secs = (System.nanoTime() - t0) / 1e9
+          val counts = per.map(_._2)
+          val total = counts.sum
+          val probes = stub.statsCalls.get() - probes0
+          println(s"[slice] $name split=$split rows=$total wall=${f"$secs%.2f"}s " +
+            s"probes=$probes " +
+            s"per-slice=${per.map { case (i, c) => s"$i:$c" }.mkString(",")} " +
+            f"max/mean=${counts.max.toDouble * counts.length / total}%.2f")
+        }
       } finally stub.stop()
     }
     spark.stop()

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Live cache registry for multi-consumer cached relations, keyed by the
+  * primary cached relation (for the dedup pair family, the collapsed
+  * groups relation). Began life inside DedupOps; by round 5 it also backed
+  * [[TextOps]] / [[RelOps]] / [[SimilarityOps]] caches, so it lives here
+  * under a neutral name (round-7 verdict item 7).
+  *
+  * Holds up to [[maxLiveCorpora]] corpora LRU-style PER SparkSession: gate
+  * queries interleave SEVERAL corpora in one pass (the shingle corpus, the
+  * simhash union-with-copies corpus, its 100-doc slice, the SRP corpora),
+  * and a one-corpus policy evicted the expensive union caches mid-query
+  * while a no-bound policy ran property-test sessions out of heap.
+  * Plan-level comparison, NOT object identity — same-plan DataFrames share
+  * one CacheManager entry, so unpersisting an "old" object with the same
+  * plan would evict the new invocation's entry too. Sessions never share
+  * an entry (plans from two sessions over the same files can compare
+  * sameResult, and evicting across sessions would drop the other session's
+  * live cache).
+  *
+  * Hazard (documented, accepted): registration happens at DataFrame
+  * CONSTRUCTION time, not action time — composing more than
+  * [[maxLiveCorpora]] distinct-corpus plans before executing any of them
+  * evicts the oldest plans' caches before they ever materialize
+  * (correctness unaffected; those plans recompute). Entries whose session
+  * has been stopped are dropped without touching the (already torn down)
+  * cache, and unpersist is best-effort.
+  *
+  * The cap (`graft.cache.maxLiveCorpora`; legacy key
+  * `graft.dedup.maxLiveCorpora` still honored, default 12) is a
+  * per-session memory knob: the full gate interleaves ~10 distinct
+  * registered corpora (shingle groups, embedding groups, simhash union +
+  * slice, BPE rounds, PMI/dup-spans gram relations, the incremental
+  * index), so the default covers that working set — an 8-corpus cap
+  * measurably evicted the BPE round caches between bench passes, forcing a
+  * full 8-round retrain on re-invocation. Sessions on small heaps (the
+  * property-test suites) set it lower; a production session sizes it to
+  * executor storage memory like any cache budget.
+  */
+object CacheRegistry {
+
+  private def maxLiveCorpora(session: org.apache.spark.sql.SparkSession): Int =
+    session.conf.getOption("graft.cache.maxLiveCorpora")
+      .orElse(session.conf.getOption("graft.dedup.maxLiveCorpora"))
+      .map(_.toInt).getOrElse(12)
+
+  private var live: Seq[(DataFrame, Seq[DataFrame])] = Nil
+
+  private[operators] def dropOrUnpersist(df: DataFrame): Unit =
+    if (!df.sparkSession.sparkContext.isStopped) {
+      scala.util.Try(df.unpersist())
+      ()
+    }
+
+  def register(key: DataFrame, caches: Seq[DataFrame]): Unit =
+    synchronized {
+      // entries from stopped sessions: nothing to unpersist, just forget
+      live = live.filter(!_._1.sparkSession.sparkContext.isStopped)
+      val keyPlan = key.queryExecution.analyzed
+      val (same, others) = live.partition(e =>
+        (e._1.sparkSession eq key.sparkSession) &&
+          e._1.queryExecution.analyzed.sameResult(keyPlan))
+      val merged = same.headOption match {
+        case Some((k, cs)) =>
+          val fresh = caches.filterNot(c => cs.exists(
+            _.queryExecution.analyzed.sameResult(c.queryExecution.analyzed)))
+          (k, cs ++ fresh)
+        case None => (key, caches)
+      }
+      // most-recent first; evict beyond the cap — but never another
+      // session's entries on THIS session's behalf (each session gets its
+      // own LRU window)
+      val (sameSession, otherSessions) = others.partition(
+        _._1.sparkSession eq key.sparkSession)
+      val (keep, evict) =
+        (merged +: sameSession).splitAt(maxLiveCorpora(key.sparkSession))
+      evict.foreach(_._2.foreach(dropOrUnpersist))
+      live = keep ++ otherSessions
+    }
+}

@@ -171,6 +171,32 @@ object ConnectorOps {
           |  AND ts < TIMESTAMP '2024-01-27 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),
 
+    // Count-balanced time-range split (`split=stats`): identical relation
+    // to loki_connector_split — boundary PLACEMENT must never change the
+    // result, only the per-slice row balance — but the slices come from
+    // plan-time index/stats probes (LokiScan.statsBounds; SliceSmoke
+    // measures the balance win: max/mean 4.0 → ~1.2 on the bursty corpus).
+    ("loki_connector_split_stats",
+      (s: SparkSession, d: String) =>
+        s.read.format("loki")
+          .option("endpoint", stubFor(s, d).endpoint)
+          .option("default_label", "event_type")
+          .option("partitions", "4")
+          .option("split", "stats")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-03 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-01-27 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line"),
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-27 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // LIMIT through the connector: pushed to Loki's `limit` query param
     // (stub enforces it server-side, returning the earliest n rows by ts —
     // deterministic because the events corpus has unique timestamps).

@@ -79,7 +79,7 @@ object DedupOps {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-    registerDedupCaches(groups, Seq(groups, chunks))
+    CacheRegistry.register(groups, Seq(groups, chunks))
     // identical token arrays always hamming-0 qualify (an empty-toks pair
     // had identical signatures pre-collapse too)
     expandRepPairs(repPairs, groups, "hamming", lit(0), _ => lit(true))
@@ -115,7 +115,7 @@ object DedupOps {
       .withColumn("cos", cosine_sim(col("va"), col("vb")))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
-    registerDedupCaches(groups, Seq(groups, banded))
+    CacheRegistry.register(groups, Seq(groups, banded))
     // zero vector ⇒ cosine_sim's 0.0 convention fails the τ filter, so the
     // group doesn't qualify; a NaN-containing vector paired with itself is
     // cos NaN pre-collapse, and Spark's NaN-is-greatest ordering PASSES
@@ -261,7 +261,7 @@ object DedupOps {
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("sh1"))
       .cache()
-    registerDedupCaches(groups, Seq(groups, prefix, ex))
+    CacheRegistry.register(groups, Seq(groups, prefix, ex))
     // length filter (AllPairs): J ≥ τ ⇒ min(|x|,|y|) ≥ |x∩y| ≥ τ·max(|x|,|y|),
     // so size-incompatible pairs are pruned inside the join
     val cand = prefix.as("a")
@@ -317,75 +317,8 @@ object DedupOps {
   // iterate), evicted when the next invocation begins — see below
   private var prevCcCaches: Seq[DataFrame] = Nil
 
-  /** Live cache registry for the dedup pair family (and, since round 5,
-    * the multi-consumer cached relations in [[TextOps]]), keyed by the
-    * collapsed groups relation (or the primary cached relation). Holds up to [[maxLiveCorpora]] corpora LRU-style PER
-    * SparkSession: gate queries interleave SEVERAL corpora in one pass
-    * (the shingle corpus, the simhash union-with-copies corpus, its
-    * 100-doc slice, the SRP corpora), and a one-corpus policy evicted the
-    * expensive union caches mid-query while a no-bound policy ran
-    * property-test sessions out of heap. Plan-level comparison, NOT object
-    * identity — same-plan DataFrames share one CacheManager entry, so
-    * unpersisting an "old" object with the same plan would evict the new
-    * invocation's entry too. Sessions never share an entry (plans from two
-    * sessions over the same files can compare sameResult, and evicting
-    * across sessions would drop the other session's live cache).
-    *
-    * Hazard (documented, accepted): registration happens at DataFrame
-    * CONSTRUCTION time, not action time — composing more than
-    * [[maxLiveCorpora]] distinct-corpus dedup plans before executing any
-    * of them evicts the oldest plans' caches before they ever materialize
-    * (correctness unaffected; those plans recompute). Entries whose
-    * session has been stopped are dropped without touching the (already
-    * torn down) cache, and unpersist is best-effort.
-    *
-    * The cap (`graft.dedup.maxLiveCorpora`, default 12) is a per-session
-    * memory knob: the full gate interleaves ~10 distinct registered
-    * corpora (shingle groups, embedding groups, simhash union + slice,
-    * BPE rounds, PMI/dup-spans gram relations, the incremental index), so
-    * the default covers that working set — an 8-corpus cap measurably
-    * evicted the BPE round caches between bench passes, forcing a full
-    * 8-round retrain on re-invocation. Sessions on small heaps (the
-    * property-test suites) set it lower; a production session sizes it to
-    * executor storage memory like any cache budget.
-    */
-  private def maxLiveCorpora(session: org.apache.spark.sql.SparkSession): Int =
-    session.conf.getOption("graft.dedup.maxLiveCorpora")
-      .map(_.toInt).getOrElse(12)
-  private var liveDedupCaches: Seq[(DataFrame, Seq[DataFrame])] = Nil
-
-  private def dropOrUnpersist(df: DataFrame): Unit =
-    if (!df.sparkSession.sparkContext.isStopped) {
-      scala.util.Try(df.unpersist())
-      ()
-    }
-
-  private[operators] def registerDedupCaches(key: DataFrame, caches: Seq[DataFrame]): Unit =
-    synchronized {
-      // entries from stopped sessions: nothing to unpersist, just forget
-      liveDedupCaches = liveDedupCaches.filter(
-        !_._1.sparkSession.sparkContext.isStopped)
-      val keyPlan = key.queryExecution.analyzed
-      val (same, others) = liveDedupCaches.partition(e =>
-        (e._1.sparkSession eq key.sparkSession) &&
-          e._1.queryExecution.analyzed.sameResult(keyPlan))
-      val merged = same.headOption match {
-        case Some((k, cs)) =>
-          val fresh = caches.filterNot(c => cs.exists(
-            _.queryExecution.analyzed.sameResult(c.queryExecution.analyzed)))
-          (k, cs ++ fresh)
-        case None => (key, caches)
-      }
-      // most-recent first; evict beyond the cap — but never another
-      // session's entries on THIS session's behalf (each session gets its
-      // own LRU window)
-      val (sameSession, otherSessions) = others.partition(
-        _._1.sparkSession eq key.sparkSession)
-      val (keep, evict) =
-        (merged +: sameSession).splitAt(maxLiveCorpora(key.sparkSession))
-      evict.foreach(_._2.foreach(dropOrUnpersist))
-      liveDedupCaches = keep ++ otherSessions
-    }
+  // The live-cache LRU moved to graft.operators.CacheRegistry (round 8):
+  // it backs RelOps/TextOps/SimilarityOps too, not just dedup.
 
   def connectedComponents(edges: DataFrame, maxIters: Int = 64): DataFrame = {
     // cache the INPUT, not the symmetrized union: the union's two branches
@@ -409,7 +342,7 @@ object DedupOps {
       if (!sameInput) {
         // best-effort: a stopped session's caches are already gone, and an
         // eviction failure must not fail the unrelated new invocation
-        prevCcCaches.foreach(dropOrUnpersist)
+        prevCcCaches.foreach(CacheRegistry.dropOrUnpersist)
       }
       // register IMMEDIATELY (not after the convergence require): an
       // exception mid-loop must not orphan the cache outside the registry
@@ -536,7 +469,7 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    registerDedupCaches(groups, Seq(groups, banded))
+    CacheRegistry.register(groups, Seq(groups, banded))
     expandRepPairs(verifyJaccard(cand, reps, tau), groups, "jaccard", lit(1.0),
       arr => size(arr) > 0)
   }
@@ -588,7 +521,7 @@ object DedupOps {
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("sh1"))
       .cache()
-    registerDedupCaches(groups, Seq(groups, prefix, ex))
+    CacheRegistry.register(groups, Seq(groups, prefix, ex))
     // groups the batch touches: any member satisfies the delta predicate
     // (no distinct — both consumers are left-semi joins, which dedup on
     // their own without the extra exchange)
@@ -673,7 +606,7 @@ object DedupOps {
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
       .select(col("doc_id"), col("sh1"))
       .cache()
-    registerDedupCaches(groups, Seq(groups, prefix, ex))
+    CacheRegistry.register(groups, Seq(groups, prefix, ex))
     val cand = prefix.as("a")
       .join(ex.as("b"),
         col("a.sh1") === col("b.sh1") && col("a.doc_id") =!= col("b.doc_id"))
@@ -728,7 +661,7 @@ object DedupOps {
     // delta (probe + flags + per-doc totals) — uncached it re-executed
     // ~6 times (review finding)
     val chunked = chunks20(docs).cache()
-    registerDedupCaches(chunked, Seq(chunked))
+    CacheRegistry.register(chunked, Seq(chunked))
     val base = chunked.filter(!deltaPred).select("chunk")
     val delta = chunked.filter(deltaPred)
     val bf = graft.functions.BloomSketch.build(
@@ -979,7 +912,8 @@ object DedupOps {
         planted.crossJoin(spurious).orderBy("a_id")
       },
       Some(
-        """SELECT vec_id AS a_id, vec_id + 100000 AS b_id, 1.0 AS cos_sim,
+        """SELECT vec_id AS a_id, vec_id + 100000 AS b_id,
+          |       CAST(1.0 AS DOUBLE) AS cos_sim,
           |       CAST(0 AS BIGINT) AS open_srp_spurious
           |FROM embeddings WHERE vec_id < 100 ORDER BY a_id""".stripMargin)),
 

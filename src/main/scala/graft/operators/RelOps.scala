@@ -127,7 +127,7 @@ object RelOps {
     */
   def triangleCensus(li: DataFrame): DataFrame = {
     val e = copurchaseCounts(li).select("p1", "p2").persist()
-    DedupOps.registerDedupCaches(e, Seq(e))
+    CacheRegistry.register(e, Seq(e))
     val deg = e.select(col("p1").as("n")).unionAll(e.select(col("p2").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     // rank packs (deg, id) lexicographically into one comparable int64
@@ -204,7 +204,7 @@ object RelOps {
         }
       }.toDF("pid", "price", "msize", "local_prev")
       .cache()
-    DedupOps.registerDedupCaches(sorted, Seq(sorted))
+    CacheRegistry.register(sorted, Seq(sorted))
     // per-partition prefix max, in-row over the bounded stat list (MinValue
     // +1 as the identity: one below any real msize, and a plain SQL long
     // literal — MinValue itself can't be written as a negated literal)
@@ -250,7 +250,7 @@ object RelOps {
     val edges = pairs.select(col("p1").as("s"), col("p2").as("d"))
       .union(pairs.select(col("p2").as("s"), col("p1").as("d")))
       .repartition(col("s")).persist()
-    DedupOps.registerDedupCaches(edges, Seq(edges))
+    CacheRegistry.register(edges, Seq(edges))
     edges
   }
 
@@ -376,7 +376,7 @@ object RelOps {
         it.map { case (p, rev) => run += rev; (pid, p, rev, run) }
       }.toDF("pid", "p", "rev", "lcum")
       .cache()
-    DedupOps.registerDedupCaches(sorted, Seq(sorted))
+    CacheRegistry.register(sorted, Seq(sorted))
     val offs = sorted.groupBy("pid").agg(sum("rev").as("ps"))
       .agg(sort_array(collect_list(struct(col("pid"), col("ps")))).as("cs"))
       .select(expr("aggregate(cs, 0L, (a, y) -> a + y.ps)").as("t"),
@@ -412,9 +412,43 @@ object RelOps {
   private[graft] def layoutTag(s: SparkSession, dir: String, table: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
-    val id = s"$dir|$table|${st.getLen}|${st.getModificationTime}"
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(id.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    // two-part tag <pathHash>_<contentHash>: the PATH part scopes stale-
+    // layout pruning (an sf0.01 layout must not evict the sf0.1 one —
+    // different paths, both live); the CONTENT part (length+mtime) makes
+    // an in-place corpus regeneration a new key, so the superseded
+    // generation's layout is identifiable garbage under the same path hash.
+    def md5(id: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    s"${md5(s"$dir|$table")}_${md5(s"${st.getLen}|${st.getModificationTime}")}"
+  }
+
+  /** The path-scoped prefix of a [[layoutTag]] — everything up to and
+    * including the `_` that separates the path hash from the content
+    * hash. Layout dirs sharing this prefix describe the SAME source path;
+    * among those, any tag other than the current one is superseded.
+    */
+  private[graft] def layoutPathPrefix(tag: String): String =
+    tag.substring(0, tag.indexOf('_') + 1)
+
+  /** Delete sibling pay-once layout dirs whose corpus tag differs from
+    * the current one. Layout dirs are keyed by [[layoutTag]] (content
+    * fingerprint), so each corpus regeneration mints a new dir — without
+    * pruning, every generation leaks a full partitioned/bucketed copy of
+    * its table into /tmp or the warehouse. `parent/prefix<tag>` naming:
+    * anything matching the prefix with a DIFFERENT tag is superseded.
+    */
+  private[graft] def pruneStaleLayouts(
+      s: SparkSession, parent: String, prefix: String, keepName: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(parent)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) && n != keepName)
+          try fs.delete(st.getPath, true) catch { case _: Exception => () }
+      }
+    }
   }
 
   /** Inverted-trigram accelerated substring search (see the
@@ -582,7 +616,7 @@ object RelOps {
       Some(
         """SELECT o_custkey, rn, o_orderkey, running_spend FROM (
           |  SELECT o_custkey, o_orderkey,
-          |         row_number() OVER w AS rn,
+          |         CAST(row_number() OVER w AS INTEGER) AS rn,
           |         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
           |           ORDER BY o_orderdate, o_orderkey
           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
@@ -1120,7 +1154,13 @@ object RelOps {
         val dev = ev.join(broadcast(med), "event_type")
         val mad = dev.groupBy("event_type")
           .agg(median(abs(col("value") - col("med"))).as("mad"))
-        val rz = lit(0.6745) * (col("value") - col("med")) / col("mad")
+        // nullif guard: a type where >= half the values equal the median
+        // has MAD = 0, and an unguarded divide yields ±Inf/NaN whose
+        // round/compare semantics diverge across engines. NULL rz instead
+        // drops identically out of the conditional count and max on both
+        // sides (mirrored in the oracle SQL below).
+        val rz = lit(0.6745) * (col("value") - col("med")) /
+          nullif(col("mad"), lit(0d))
         dev.join(broadcast(mad), "event_type")
           .groupBy("event_type")
           .agg(
@@ -1145,9 +1185,9 @@ object RelOps {
           |       CAST(count(*) AS BIGINT) AS n,
           |       round(max(d.med), 4) AS med,
           |       round(max(a.mad), 4) AS mad,
-          |       CAST(sum(CASE WHEN abs(0.6745 * (d.value - d.med) / a.mad) > 3.5
+          |       CAST(sum(CASE WHEN abs(0.6745 * (d.value - d.med) / nullif(a.mad, 0)) > 3.5
           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-          |       round(max(abs(0.6745 * (d.value - d.med) / a.mad)), 4) AS max_abs_rz
+          |       round(max(abs(0.6745 * (d.value - d.med) / nullif(a.mad, 0))), 4) AS max_abs_rz
           |FROM dev d JOIN mad a USING (event_type)
           |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
 
@@ -1446,7 +1486,7 @@ object RelOps {
         // (node-count-sized) ranks side to move per round, the iterative-
         // graph layout a 100 TB run must have
         val ed = edges.join(deg, "src").repartition(col("src")).persist()
-        DedupOps.registerDedupCaches(ed, Seq(ed))
+        CacheRegistry.register(ed, Seq(ed))
         val nNodes = ed.select(col("src")).distinct().count()
         val Q = 1000000000000L
         val teleport = (15L * Q) / (100L * nNodes)
@@ -1489,37 +1529,37 @@ object RelOps {
           |  SELECT src AS node, 1000000000000 // (SELECT n FROM nn) AS r FROM dg
           |), r1 AS (
           |  SELECT e.dst AS node,
-          |         (SELECT 15000000000000 // (100*n) FROM nn)
-          |           + (85 * sum(p.r // dg.deg)) // 100 AS r
+          |         CAST((SELECT 15000000000000 // (100*n) FROM nn)
+          |           + (85 * sum(p.r // dg.deg)) // 100 AS BIGINT) AS r
           |  FROM e JOIN r0 p ON e.src = p.node JOIN dg ON dg.src = e.src
           |  GROUP BY e.dst
           |), r2 AS (
           |  SELECT e.dst AS node,
-          |         (SELECT 15000000000000 // (100*n) FROM nn)
-          |           + (85 * sum(p.r // dg.deg)) // 100 AS r
+          |         CAST((SELECT 15000000000000 // (100*n) FROM nn)
+          |           + (85 * sum(p.r // dg.deg)) // 100 AS BIGINT) AS r
           |  FROM e JOIN r1 p ON e.src = p.node JOIN dg ON dg.src = e.src
           |  GROUP BY e.dst
           |), r3 AS (
           |  SELECT e.dst AS node,
-          |         (SELECT 15000000000000 // (100*n) FROM nn)
-          |           + (85 * sum(p.r // dg.deg)) // 100 AS r
+          |         CAST((SELECT 15000000000000 // (100*n) FROM nn)
+          |           + (85 * sum(p.r // dg.deg)) // 100 AS BIGINT) AS r
           |  FROM e JOIN r2 p ON e.src = p.node JOIN dg ON dg.src = e.src
           |  GROUP BY e.dst
           |), r4 AS (
           |  SELECT e.dst AS node,
-          |         (SELECT 15000000000000 // (100*n) FROM nn)
-          |           + (85 * sum(p.r // dg.deg)) // 100 AS r
+          |         CAST((SELECT 15000000000000 // (100*n) FROM nn)
+          |           + (85 * sum(p.r // dg.deg)) // 100 AS BIGINT) AS r
           |  FROM e JOIN r3 p ON e.src = p.node JOIN dg ON dg.src = e.src
           |  GROUP BY e.dst
           |), r5 AS (
           |  SELECT e.dst AS node,
-          |         (SELECT 15000000000000 // (100*n) FROM nn)
-          |           + (85 * sum(p.r // dg.deg)) // 100 AS r
+          |         CAST((SELECT 15000000000000 // (100*n) FROM nn)
+          |           + (85 * sum(p.r // dg.deg)) // 100 AS BIGINT) AS r
           |  FROM e JOIN r4 p ON e.src = p.node JOIN dg ON dg.src = e.src
           |  GROUP BY e.dst
           |)
           |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
-          |       node // 2 AS node_key, r AS rank12
+          |       node // 2 AS node_key, CAST(r AS BIGINT) AS rank12
           |FROM r5 ORDER BY rank12 DESC, kind, node_key LIMIT 20""".stripMargin)),
 
     // Trailing 7-day moving window per event type — the time-series RANGE
@@ -1719,6 +1759,16 @@ object RelOps {
         val tag = layoutTag(s, d, "events")
         val factDir = s"/tmp/graft_dpp_fact_${user}_$tag"
         val dimDir = s"/tmp/graft_dpp_dim_${user}_$tag"
+        // evict layouts of superseded corpus generations — without this
+        // every regeneration leaks a partitioned events copy into /tmp.
+        // Scoped to the same source PATH (tag's path-hash half), so the
+        // sf0.1 layout survives an sf0.01 run and vice versa.
+        pruneStaleLayouts(s, "/tmp",
+          s"graft_dpp_fact_${user}_${layoutPathPrefix(tag)}",
+          s"graft_dpp_fact_${user}_$tag")
+        pruneStaleLayouts(s, "/tmp",
+          s"graft_dpp_dim_${user}_${layoutPathPrefix(tag)}",
+          s"graft_dpp_dim_${user}_$tag")
         // pay-once layout: the dir is per-corpus-dir and the corpus is
         // immutable, so a completed write (marked by _SUCCESS) is reused
         // — timed runs measure the pruned query, not the layout build
@@ -1760,8 +1810,18 @@ object RelOps {
     // gate runs at different SFs can't collide in one session.
     ("lineitem_bucketed_join",
       (s: SparkSession, d: String) => {
-        val liT = s"graft_li_b${layoutTag(s, d, "lineitem")}"
-        val ordT = s"graft_ord_b${layoutTag(s, d, "orders")}"
+        val liTag = layoutTag(s, d, "lineitem")
+        val ordTag = layoutTag(s, d, "orders")
+        val liT = s"graft_li_b$liTag"
+        val ordT = s"graft_ord_b$ordTag"
+        // evict warehouse dirs of superseded corpus generations (tables
+        // are session-scoped in the in-memory catalog; the DIRS outlive
+        // the JVM and would otherwise accumulate per regeneration).
+        // Path-hash-scoped like the DPP prune: other SFs' layouts stay.
+        pruneStaleLayouts(s, s.conf.get("spark.sql.warehouse.dir"),
+          s"graft_li_b${layoutPathPrefix(liTag)}", s"graft_li_b$liTag")
+        pruneStaleLayouts(s, s.conf.get("spark.sql.warehouse.dir"),
+          s"graft_ord_b${layoutPathPrefix(ordTag)}", s"graft_ord_b$ordTag")
         // pay-once semantics, literally: if THIS session already built
         // the layout (the table name is per-corpus-dir and the corpus is
         // immutable), reuse it — the bench's timed passes then measure
@@ -2048,7 +2108,7 @@ object RelOps {
         // otherwise carry the full run-walk pair pipeline twice — same
         // reasoning as triangleCensus's edge persist
         val pairs = copurchaseCounts(li).persist()
-        DedupOps.registerDedupCaches(pairs, Seq(pairs))
+        CacheRegistry.register(pairs, Seq(pairs))
         val rules = pairs
           .select(col("p1").as("ante"), col("p2").as("cons"), col("n_orders").as("n_pair"))
           .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"),

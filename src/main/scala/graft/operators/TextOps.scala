@@ -189,7 +189,7 @@ object TextOps {
       .withColumn("nll",
         round(-(col("sum_lp6").cast("double") / 1e6) / col("n_tokens"), 4))
       .cache()
-    DedupOps.registerDedupCaches(perDoc, Seq(perDoc))
+    CacheRegistry.register(perDoc, Seq(perDoc))
     perDoc
   }
 
@@ -223,7 +223,7 @@ object TextOps {
         it.map { d => li += 1; (pid, d, li) }
       }.toDF("pid", "doc_id", "li")
       .cache()
-    DedupOps.registerDedupCaches(sorted, Seq(sorted))
+    CacheRegistry.register(sorted, Seq(sorted))
     val offs = sorted.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .agg(sort_array(collect_list(struct(col("pid"), col("cnt")))).as("cs"))
       .select(explode(expr(
@@ -276,7 +276,7 @@ object TextOps {
         }
       }.toDF("pid", "lang", "nll", "n_tokens", "li")
       .cache()
-    DedupOps.registerDedupCaches(sorted, Seq(sorted))
+    CacheRegistry.register(sorted, Seq(sorted))
     // The count table is (partitions × langs)-sized — bounded by the
     // CLUSTER, not the data — so its per-lang running sum is computed
     // in-row over the collected per-lang count list (higher-order
@@ -362,7 +362,7 @@ object TextOps {
       .cache()
     // managed like the dedup family's caches: LRU-evicted per session
     // past the corpus cap, never leaked across a long-lived session
-    DedupOps.registerDedupCaches(uni, Seq(uni, bi))
+    CacheRegistry.register(uni, Seq(uni, bi))
     val n2 = bi.agg(sum("c12").as("n2"))
     bi
       .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -447,7 +447,7 @@ object TextOps {
     // train→apply pair in the gate) replays the loop against the warm
     // per-round materializations instead of re-training
     val caches = cached.result()
-    if (caches.nonEmpty) DedupOps.registerDedupCaches(caches.head, caches)
+    if (caches.nonEmpty) CacheRegistry.register(caches.head, caches)
     (cur, merges.result())
   }
 
@@ -831,7 +831,7 @@ object TextOps {
           .select(col("doc_id"),
             xxhash64(col("g")).as("gh1"), xxhash64(lit(1), col("g")).as("gh2"))
           .cache()
-        DedupOps.registerDedupCaches(grams, Seq(grams))
+        CacheRegistry.register(grams, Seq(grams))
         val bench = grams.filter(col("doc_id") % 5 === 0)
           .select("gh1", "gh2").distinct()
         val train = grams.filter(col("doc_id") % 5 =!= 0)
@@ -1464,7 +1464,7 @@ object TextOps {
           .cache()
         // managed like the dedup family's caches (LRU per session) — the
         // gram relation is corpus-sized, exactly what must not leak
-        DedupOps.registerDedupCaches(grams, Seq(grams, cnts))
+        CacheRegistry.register(grams, Seq(grams, cnts))
         val totals = cnts.agg(sum("cs").as("ns"), sum("ct").as("nt"))
         val ratios = cnts
           .crossJoin(broadcast(totals))

@@ -63,7 +63,18 @@ final case class LokiOptions(
       * excluded. Flag-selectable so the one remaining semantic divergence
       * from the reference is a user choice, not a hidden default.
       */
-    strictBounds: Boolean = true) extends Serializable
+    strictBounds: Boolean = true,
+    /** Slice-boundary placement for `partitions=N`. "width" (default,
+      * reference-shaped): N equal-WIDTH time slices — zero extra round
+      * trips, but a bursty corpus serializes through the spike slice
+      * (SliceSmoke measured max/mean = 4.0 with 80% of rows in one day).
+      * "stats": probe Loki's `index/stats` entry counts at plan time and
+      * place boundaries on cumulative ROW COUNT — balanced slices at the
+      * cost of O(N·log) cheap index-only probes (BASELINE.md "Connector
+      * time-range split under bursty logs"). Falls back to width when the
+      * stats probe fails or reports zero entries.
+      */
+    split: String = "width") extends Serializable
 
 object LokiOptions {
   def from(m: CaseInsensitiveStringMap): LokiOptions = from(m.asScala.toMap)
@@ -81,7 +92,12 @@ object LokiOptions {
       // at load time, not first-task time. Opt out with
       // check_connection=false.
       checkConnection = m.getOrElse("check_connection", "true").toBoolean,
-      strictBounds = m.getOrElse("strict_bounds", "true").toBoolean)
+      strictBounds = m.getOrElse("strict_bounds", "true").toBoolean,
+      split = m.getOrElse("split", "width") match {
+        case s @ ("width" | "stats") => s
+        case other => throw new IllegalArgumentException(
+          s"split must be 'width' or 'stats', got '$other'")
+      })
   }
 }
 

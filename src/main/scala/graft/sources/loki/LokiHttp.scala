@@ -55,6 +55,37 @@ object LokiHttp {
     resp.body()
   }
 
+  /** `GET /loki/api/v1/index/stats` — entry count for a stream SELECTOR
+    * over [startNs, endNs). Powers the `split=stats` plan-time boundary
+    * placement: index-only, so each probe is cheap on real Loki (it reads
+    * the TSDB index, not chunks). Real Loki accepts only a stream
+    * selector here (no line-filter stages), which is fine for balancing —
+    * line-filter selectivity shifts slice sizes uniformly, not boundaries.
+    * Returns the `entries` field.
+    */
+  def indexStats(
+      endpoint: String,
+      selector: String,
+      startNs: Long,
+      endNs: Long): Long = {
+    val enc = java.net.URLEncoder.encode(selector, "UTF-8")
+    val uri = URI.create(
+      s"$endpoint/loki/api/v1/index/stats?query=$enc&start=$startNs&end=$endNs")
+    val req = HttpRequest.newBuilder(uri)
+      .timeout(Duration.ofSeconds(30)).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200) {
+      throw new RuntimeException(
+        s"Loki index/stats failed: HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+    }
+    // {"streams":S,"chunks":C,"bytes":B,"entries":E}
+    val m = java.util.regex.Pattern.compile("\"entries\"\\s*:\\s*(\\d+)")
+      .matcher(resp.body())
+    if (!m.find()) throw new RuntimeException(
+      s"Loki index/stats: no entries field in: ${resp.body().take(200)}")
+    m.group(1).toLong
+  }
+
   /** push-API POST; body is the JSON `{"streams":[...]}` payload. */
   def push(endpoint: String, json: String): Unit = {
     val req = HttpRequest.newBuilder(URI.create(s"$endpoint/loki/api/v1/push"))

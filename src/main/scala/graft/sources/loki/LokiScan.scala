@@ -123,20 +123,121 @@ case class LokiScan(
       // partition count is capped at the window width in ns — otherwise a
       // window narrower than n produces slices with start > end that Loki
       // rejects at runtime.
-      val s = startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
-      val e = endNs.getOrElse(LokiHttp.nowNs)
-      val eff = math.max(1L, math.min(n.toLong, e - s)).toInt
-      val width = math.max((e - s) / eff, 1L)
-      (0 until eff).map { i =>
-        val lo = s + i * width
-        val hi = if (i == eff - 1) e else s + (i + 1) * width
+      plannedBounds.map { case (lo, hi) =>
         LokiInputPartition(options.endpoint, logql, Some(lo), Some(hi), None, requiredSchema)
       }.toArray
     }
   }
 
+  // memoized twice: per-instance (lazy val — Spark calls
+  // planInputPartitions more than once per query) AND across instances
+  // (LokiScan.boundsCache — DSv2 rebuilds the Scan several times during
+  // optimization/execution; SliceSmoke measured ~6 rebuilds × ~63 probes
+  // before the shared cache). Keyed on exactly the probe inputs; windows
+  // from now()-relative defaults just miss the cache, which is correct.
+  @transient private lazy val plannedBounds: Seq[(Long, Long)] = {
+    val n = math.max(options.numPartitions, 1)
+    val s = startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
+    val e = endNs.getOrElse(LokiHttp.nowNs)
+    val eff = math.max(1L, math.min(n.toLong, e - s)).toInt
+    if (options.split == "stats")
+      LokiScan.boundsCache.synchronized {
+        LokiScan.trimBoundsCache()
+        LokiScan.boundsCache.getOrElseUpdate(
+          (options.endpoint, logql, s, e, eff),
+          statsBounds(s, e, eff).getOrElse(widthBounds(s, e, eff)))
+      }
+    else widthBounds(s, e, eff)
+  }
+
+  private def widthBounds(s: Long, e: Long, eff: Int): Seq[(Long, Long)] = {
+    val width = math.max((e - s) / eff, 1L)
+    (0 until eff).map { i =>
+      val lo = s + i * width
+      val hi = if (i == eff - 1) e else s + (i + 1) * width
+      (lo, hi)
+    }
+  }
+
+  /** Count-balanced slice boundaries via plan-time `index/stats` probes
+    * (BASELINE.md "Connector time-range split under bursty logs"): equal-
+    * WIDTH slicing serializes a bursty corpus through the spike slice
+    * (SliceSmoke measured max/mean = 4.0 at 80%-in-one-day skew — a skew
+    * AQE cannot touch because it lives inside one partition's HTTP read).
+    *
+    * Recursive bisection builds a count histogram fine only where the
+    * mass is: a [lo, hi) bin splits while its count exceeds target/4
+    * (one probe per split — the sibling's count is the difference).
+    * Boundaries then land on bin edges at cumulative multiples of
+    * total/eff, so each slice carries ≤ target + target/4 rows —
+    * max/mean ≤ ~1.25 regardless of burst shape. Probe cost is
+    * O(eff · log(window/burst)) index-only GETs, paid once at plan time
+    * on the driver. Returns None (→ width fallback) on probe failure or
+    * an empty window.
+    */
+  private def statsBounds(s: Long, e: Long, eff: Int): Option[Seq[(Long, Long)]] = {
+    val selector = logql.substring(0, logql.indexOf('}') + 1)
+    def count(lo: Long, hi: Long): Long =
+      LokiHttp.indexStats(options.endpoint, selector, lo, hi)
+    try {
+      val total = count(s, e)
+      if (total <= 0) return None
+      val target = math.max(total / eff, 1L)
+      val grain = math.max(target / 4, 1L)
+      // hard probe budget: probe count is O(#clusters · log(window/
+      // cluster_width)) — sharp sub-second bursts in a month-wide window
+      // cost ~20 probes each (SliceSmoke measured 462 on a 30-cluster
+      // corpus). Each probe is an index-only call, but an adversarial
+      // mass structure must not turn plan time into a probe storm; past
+      // the budget the remaining bins stay coarse (balance degrades
+      // gracefully toward width-split, never correctness).
+      var probesLeft = 64 * eff
+      // bins in time order, each ≤ grain rows (or un-splittable)
+      def refine(lo: Long, hi: Long, cnt: Long, depth: Int): Vector[(Long, Long, Long)] =
+        if (cnt <= grain || hi - lo <= 1000L || depth >= 48 || probesLeft <= 0)
+          Vector((lo, hi, cnt))
+        else {
+          val mid = lo + (hi - lo) / 2
+          probesLeft -= 1
+          val cl = count(lo, mid)
+          refine(lo, mid, cl, depth + 1) ++ refine(mid, hi, cnt - cl, depth + 1)
+        }
+      val bins = refine(s, e, total, 0)
+      val cuts = Array.newBuilder[Long]
+      var acc = 0L
+      var i = 1
+      bins.foreach { case (_, hi, c) =>
+        acc += c
+        if (i < eff && acc >= i * total / eff && hi < e) {
+          cuts += hi
+          i += 1
+        }
+      }
+      val edges = (s +: cuts.result().toSeq) :+ e
+      Some(edges.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq)
+    } catch {
+      case _: Exception => None // width fallback: stats endpoint absent/err
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     LokiReaderFactory()
+}
+
+object LokiScan {
+  /** Cross-instance stats-split bounds memo (see plannedBounds). Bounded:
+    * a long-lived session planning many distinct windows must not grow a
+    * probe cache without limit — beyond 256 entries the oldest half is
+    * dropped (plan-time re-probe, never a correctness event).
+    */
+  private[loki] val boundsCache =
+    scala.collection.mutable.LinkedHashMap.empty[
+      (String, String, Long, Long, Int), Seq[(Long, Long)]]
+
+  private[loki] def trimBoundsCache(): Unit =
+    if (boundsCache.size > 256)
+      boundsCache.keys.take(boundsCache.size / 2).toSeq
+        .foreach(boundsCache.remove)
 }
 
 case class LokiInputPartition(

@@ -65,6 +65,7 @@ final class LokiStubServer {
       respond(ex, 200, """{"version":"stub"}""".getBytes(UTF_8)))
     server.createContext("/loki/api/v1/push", (ex: HttpExchange) => handlePush(ex))
     server.createContext("/loki/api/v1/query_range", (ex: HttpExchange) => handleQuery(ex))
+    server.createContext("/loki/api/v1/index/stats", (ex: HttpExchange) => handleStats(ex))
     // start from a daemon thread: HttpServer's dispatcher inherits daemon
     // status, so a stub can never keep the harness JVM alive
     val t = new Thread(() => server.start())
@@ -161,6 +162,32 @@ final class LokiStubServer {
       }
       respond(ex, 200, body)
     }
+  }
+
+  /** `GET /loki/api/v1/index/stats` — entry count for a stream selector
+    * over [start, end). Like real Loki: selector only (any line-filter
+    * stages after the selector are ignored), and the response carries the
+    * streams/chunks/bytes/entries quartet. Powers `split=stats` boundary
+    * probing; `statsCalls` lets specs assert the probe count.
+    */
+  val statsCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def handleStats(ex: HttpExchange): Unit = {
+    statsCalls.incrementAndGet()
+    val params = ex.getRequestURI.getRawQuery.split('&').map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+    val (matchers, _) = parseLogql(params("query"))
+    val start = params.get("start").map(_.toLong).getOrElse(Long.MinValue)
+    val end = params.get("end").map(_.toLong).getOrElse(Long.MaxValue)
+    val hits = rows.synchronized(rows.toSeq)
+      .filter(r => r.tsNs >= start && r.tsNs < end)
+      .filter(r => matchers.forall(_.matches(r.labels)))
+    val streams = hits.map(_.labels).distinct.size
+    val body = s"""{"streams":$streams,"chunks":$streams,""" +
+      s""""bytes":${hits.map(_.line.length.toLong).sum},"entries":${hits.size}}"""
+    respond(ex, 200, body.getBytes(UTF_8))
   }
 
   private case class Matcher(label: String, op: String, value: String) {

@@ -256,7 +256,7 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expected)
   }
 
-  test("sim_knn_graph census equals a naive 2-probe replay") {
+  test("sim_knn_graph census equals a naive 4-probe replay") {
     val raw = spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
@@ -269,18 +269,18 @@ class SimilaritySpec extends SparkTestBase {
     val (naive, cents) = naiveKmeans()
     val q6 = raw.view.mapValues(_.map(x => java.math.BigDecimal.valueOf(x * 1e6)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue)).toMap
-    // 2 nearest clusters per node by the same int64 (distance, c_id) order
-    val probe2: Map[Long, Seq[Long]] = raw.keys.map { id =>
+    // 4 nearest clusters per node by the same int64 (distance, c_id) order
+    val probe4: Map[Long, Seq[Long]] = raw.keys.map { id =>
       id -> cents.toSeq.map { case (cid, cv) =>
         (q6(id).zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
-      }.sorted.take(2).map(_._2)
+      }.sorted.take(4).map(_._2)
     }.toMap
     val byCluster = naive.keys.toSeq.groupBy(naive)
     def top3(src: Long, cands: Seq[Long]): Seq[Long] =
       cands.filter(_ != src)
         .sortBy(d => (-cos(raw(src), raw(d)), d)).take(3)
     val knn = raw.keys.toSeq.flatMap { src =>
-      top3(src, probe2(src).flatMap(c => byCluster.getOrElse(c, Nil)))
+      top3(src, probe4(src).flatMap(c => byCluster.getOrElse(c, Nil)))
         .map(src -> _)
     }.toSet
     val all = raw.keys.toSeq
@@ -293,9 +293,10 @@ class SimilaritySpec extends SparkTestBase {
     val r = q("sim_knn_graph").collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) == expected)
-    // pruning is real and useful: the 2-probe graph recovers more than a
-    // third of the true top-3 edges while scoring only ~2/8 of the corpus
-    assert(r.getLong(4) > 333333L, s"recall6 ${r.getLong(4)} too low")
+    // pruning is real AND the recall is production-usable: the 4-probe
+    // graph recovers >= 0.7 of the true top-3 edges while scoring only
+    // ~half the corpus (round-7 verdict item 5: was 0.53 at nprobe=2)
+    assert(r.getLong(4) >= 700000L, s"recall6 ${r.getLong(4)} below 0.7")
   }
 
   test("dedup_semdedup removals equal the naive within-cluster pair scan") {

@@ -249,6 +249,39 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(golden(df) == golden(lokiDf()))
   }
 
+  test("split=stats balances a bursty window and keeps the relation exact") {
+    // a spike corpus: 90 of 100 rows inside one hour of a 4-day window.
+    // width-split puts ~all rows in one slice; stats-split must (a) return
+    // the identical relation, (b) probe index/stats at plan time, and
+    // (c) spread the spike across slices (no slice holds > total/2 once
+    // boundaries follow cumulative count at grain target/4)
+    val statsStub = new graft.sources.loki.testkit.LokiStubServer
+    statsStub.start()
+    try {
+      val base = 1704067200000000000L // 2024-01-01 ns
+      val hour = 3600L * 1000000000L
+      statsStub.seed((0 until 100).map { i =>
+        val ts = if (i < 90) base + 24 * hour + i * (hour / 90)
+                 else base + (i - 90) * 9 * hour
+        statsStub.LogRow(ts, Map("app" -> "s"), s"r$i")
+      })
+      def scan(split: String) = spark.read.format("loki")
+        .option("endpoint", statsStub.endpoint)
+        .option("default_label", "app")
+        .option("partitions", "4")
+        .option("split", split)
+        .load()
+        .filter(
+          col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-01-05 00:00:00").cast("timestamp"))
+      assert(golden(scan("stats")) == golden(scan("width")))
+      assert(statsStub.statsCalls.get() > 0, "stats split must probe index/stats")
+      val per = scan("stats").select(spark_partition_id().as("p"))
+        .groupBy("p").count().collect().map(_.getLong(1))
+      assert(per.max <= 50, s"stats split must break the spike: ${per.toSeq}")
+    } finally statsStub.stop()
+  }
+
   test("label regex keeps Spark's unanchored find semantics through pushdown") {
     // "app[0-9]" is a SUBSTRING of the label value "my-app1"; Spark rlike
     // matches it, and the pushed full-match matcher must too (wrapped form)
