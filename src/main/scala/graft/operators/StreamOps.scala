@@ -155,8 +155,11 @@ object StreamOps {
         StreamingOps.runToMemory(
           StreamingOps.streamStreamClickPurchase(s, d), name, OutputMode.Append(),
           // interval-join state buffers both watermark windows — the
-          // heaviest state in the gate; sized up accordingly
-          statePartitions = 4)
+          // heaviest state in the gate — but even here the round-8
+          // StreamTuneSmoke sweep measured 1 state partition fastest on
+          // the bounded drain (1.63 s vs 1.72 s at 4): per-store commit
+          // tax beats parallelism until state outgrows one task
+          statePartitions = 1)
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_pairs"),
             round(sum("p_value"), 2).as("sum_value"))

@@ -385,16 +385,17 @@ object StreamingOps {
       // watermark-gated opt in.
       watermarkFlush: Boolean = false,
       // per-query state sizing, exactly as production would size a
-      // long-lived query to its state volume: only the stream-stream
-      // interval join (4 state stores per partition, both watermark
-      // windows buffered) measurably prefers more partitions; every
-      // other shape — including session windows and the chained
-      // stateful plans — is faster at 2 (each state store pays its own
-      // checkpoint, commit, and maintenance task on a bounded drain,
-      // and that per-store tax beats the parallelism at gate-scale
-      // state). `graft.stream.statePartitions` still overrides globally
-      // for experiments.
-      statePartitions: Int = 2): DataFrame =
+      // long-lived query to its state volume: on a bounded drain each
+      // state store pays its own checkpoint, commit, and maintenance
+      // task, and that per-store tax beats parallelism at gate-scale
+      // state — the round-8 StreamTuneSmoke sweep measured the heavy-3
+      // family at 5.6 s with 1 state partition vs 6.1 s at 2/4, and
+      // RocksDBStateStoreProvider at 7.1-8.1 s (native DB open/commit
+      // per partition per batch is pure overhead when state is tiny;
+      // RocksDB is the production pick only once state outgrows the
+      // executor heap). `graft.stream.statePartitions` still overrides
+      // globally for experiments.
+      statePartitions: Int = 1): DataFrame =
     drainToMemory(df, name, mode, watermarkFlush, statePartitions)._1
 
   /** Drain a bounded stream into a DURABLE parquet FILE sink — the
@@ -431,7 +432,7 @@ object StreamingOps {
       spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("graft.stream.statePartitions").getOrElse("2"))
+      spark.conf.getOption("graft.stream.statePartitions").getOrElse("1"))
     try {
       val q = df.writeStream
         .outputMode(OutputMode.Append())
@@ -462,7 +463,7 @@ object StreamingOps {
       name: String,
       mode: OutputMode = OutputMode.Update(),
       watermarkFlush: Boolean = false,
-      statePartitions: Int = 2): (DataFrame, Int) = {
+      statePartitions: Int = 1): (DataFrame, Int) = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData =
