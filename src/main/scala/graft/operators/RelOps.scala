@@ -211,8 +211,12 @@ object RelOps {
     nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         // global clustering coefficient ×1e6, floored — the operands are
-        // exactly-representable int64s, so the floor is cross-engine exact
-        floor(lit(3.0) * col("n_triangles") * 1000000L / col("n_wedges"))
+        // exactly-representable int64s, so the floor is cross-engine
+        // exact. nullif guard: a matching-only graph (every degree 1) has
+        // zero wedges, and an unguarded divide makes floor(Inf) an ANSI
+        // cast error — NULL coeff6 instead, identically in the oracle.
+        floor(lit(3.0) * col("n_triangles") * 1000000L /
+            nullif(col("n_wedges"), lit(0L)))
           .cast("long").as("coeff6"))
   }
 
@@ -2214,8 +2218,8 @@ object RelOps {
           |         AS n_wedges,
           |       tri.n_triangles,
           |       CAST(floor(3.0 * tri.n_triangles * 1000000 /
-          |         (SELECT sum(deg * (deg - 1) // 2) FROM deg)) AS BIGINT)
-          |         AS coeff6
+          |         nullif((SELECT sum(deg * (deg - 1) // 2) FROM deg), 0))
+          |         AS BIGINT) AS coeff6
           |FROM tri""".stripMargin))
   )
 }

@@ -118,6 +118,27 @@ class DedupSpec extends SparkTestBase {
     assert(comp.size == 41 && comp.values.forall(_ == 0L))
   }
 
+  test("connected components memoize identical invocations, not lookalikes") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("a_id", "b_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 20L -> 20L, 21L -> 20L)
+    def run(df: org.apache.spark.sql.DataFrame, cap: Int = 64) =
+      DedupOps.connectedComponents(df, cap).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = run(edges)
+    // same plan again: the memo must return the SAME correct relation
+    assert(run(edges) == expected && first == expected)
+    // a DIFFERENT input plan must not hit the memo (different graph,
+    // different clusters — a stale memo would return the old components)
+    val other = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    assert(run(other) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // a different cap is a different slot key (the require semantics
+    // depend on it); same input + new cap recomputes, same result
+    assert(run(edges, cap = 63) == expected)
+    // and the original (input, cap) entry is still live after the others
+    assert(run(edges) == expected)
+  }
+
   test("edit-distance verification pairs and rejects by the 20% rule") {
     import spark.implicits._
     val docs = Seq(
