@@ -249,6 +249,47 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(golden(df) == golden(lokiDf()))
   }
 
+  test("split=stats holds its invariants over randomized burst shapes") {
+    // three seeded corpora with different burst structures (one spike,
+    // several clusters, mixed cluster+background). For each: the sliced
+    // relation equals the unsliced one exactly (disjoint cover of the
+    // window — no row lost or duplicated at any boundary), and slice
+    // balance beats the grain bound with slack (target + target/4 ⇒
+    // max/mean ≤ 1.25 + quantization; asserted at 1.5)
+    val base = 1704067200000000000L
+    val day = 86400L * 1000000000L
+    val shapes: Seq[(String, Long => Long)] = Seq(
+      ("one_spike", i => if (i % 10 < 7) base + 3 * day + (i * 7919) % (day / 24)
+                         else base + (i % 20) * day + (i * 104729) % day),
+      ("five_clusters", i => base + (i % 5) * 4 * day + (i * 7919) % (day / 6)),
+      ("mixed", i => if (i % 3 == 0) base + 11 * day + (i * 31) % (day / 48)
+                     else base + (i * 2654435761L) % (20 * day)))
+    shapes.foreach { case (name, tsOf) =>
+      val st = new graft.sources.loki.testkit.LokiStubServer
+      st.start()
+      try {
+        st.seed((0L until 3000L).map(i =>
+          st.LogRow(tsOf(i), Map("app" -> "p"), s"$name-$i")))
+        def scan(split: String) = spark.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "app")
+          .option("partitions", "6")
+          .option("split", split)
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-01-21 00:00:00").cast("timestamp"))
+        val expect = golden(scan("width"))
+        assert(golden(scan("stats")) == expect, s"$name: relation must not change")
+        val per = scan("stats").select(spark_partition_id().as("p"))
+          .groupBy("p").count().collect().map(_.getLong(1))
+        val total = per.sum
+        val ratio = per.max.toDouble * per.length / total
+        assert(ratio <= 1.5, s"$name: max/mean $ratio per-slice ${per.toSeq}")
+      } finally st.stop()
+    }
+  }
+
   test("split=stats balances a bursty window and keeps the relation exact") {
     // a spike corpus: 90 of 100 rows inside one hour of a 4-day window.
     // width-split puts ~all rows in one slice; stats-split must (a) return
