@@ -54,6 +54,46 @@ object CacheRegistry {
       ()
     }
 
+  /** Plan-keyed result memo for ITERATIVE operators (k-core, BFS — the
+    * pagerank/CC precedent): their driver-looped localCheckpoints mint
+    * fresh RDDs every invocation, so unlike any declarative plan they can
+    * never hit Spark's own CacheManager on a repeat run — this memo
+    * restores exactly that reuse and nothing more (single-plan operators
+    * stay un-memoized; persist() already serves them). Keyed on the input
+    * DataFrame's analyzed plan + an operator parameter, bounded LRU of 8
+    * (results are small — component/level/core relations — and reclaimed
+    * by the ContextCleaner once evicted). Stopped sessions' entries are
+    * dropped on the next call.
+    */
+  private var resultSlots:
+    List[((DataFrame, Any), DataFrame)] = Nil
+
+  def memoizeResult(input: DataFrame, param: Any)(
+      compute: => DataFrame): DataFrame = {
+    val hit = synchronized {
+      resultSlots = resultSlots.filter(
+        !_._1._1.sparkSession.sparkContext.isStopped)
+      val keyPlan = input.queryExecution.analyzed
+      resultSlots.find { case ((in, p), _) =>
+        p == param && (in.sparkSession eq input.sparkSession) &&
+          in.queryExecution.analyzed.sameResult(keyPlan)
+      }
+    }
+    hit match {
+      case Some(entry @ (_, res)) =>
+        synchronized {
+          resultSlots = entry :: resultSlots.filterNot(_ eq entry)
+        }
+        res
+      case None =>
+        val res = compute // outside the lock: the iterate runs jobs
+        synchronized {
+          resultSlots = (((input, param), res) :: resultSlots).take(8)
+        }
+        res
+    }
+  }
+
   def register(key: DataFrame, caches: Seq[DataFrame]): Unit =
     synchronized {
       // entries from stopped sessions: nothing to unpersist, just forget

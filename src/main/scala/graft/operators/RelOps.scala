@@ -309,6 +309,12 @@ object RelOps {
 
   def kcore(li: DataFrame, k: Int): DataFrame = {
     val edges = repeatCopurchaseEdges(li)
+    CacheRegistry.memoizeResult(edges, ("kcore", k)) {
+      kcoreCompute(edges, k)
+    }
+  }
+
+  private def kcoreCompute(edges: DataFrame, k: Int): DataFrame = {
     def liveRestrict(live: DataFrame): DataFrame =
       edges
         .join(live, edges("s") === live("n"), "left_semi")
@@ -342,7 +348,13 @@ object RelOps {
     */
   def bfsLevels(li: DataFrame): DataFrame = {
     val edges = repeatCopurchaseEdges(li)
-    val spark = li.sparkSession
+    CacheRegistry.memoizeResult(edges, "bfsLevels") {
+      bfsLevelsCompute(edges, li.sparkSession)
+    }
+  }
+
+  private def bfsLevelsCompute(
+      edges: DataFrame, spark: SparkSession): DataFrame = {
     val srcRow = edges.agg(min("s")).head()
     if (srcRow.isNullAt(0)) // empty graph: no source, empty level relation
       return spark.range(0).select(col("id").as("part"), col("id").as("lvl"))
