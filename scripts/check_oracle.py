@@ -26,8 +26,10 @@ def type_cat(t):
     DuckDB promotes to HUGEINT (int128) or DECIMAL hash-mismatches a Spark
     BIGINT even when every value is identical (round-7 graph_pagerank)."""
     s = str(t)
-    if s.startswith("int") or s.startswith("uint"):
-        return "int:" + s.lstrip("uint")  # width matters: int64 vs int128
+    if s.startswith("uint"):
+        return "uint:" + s[4:]  # width AND signedness matter
+    if s.startswith("int"):
+        return "int:" + s[3:]   # width matters: int64 vs int128
     if s.startswith("decimal"):
         return s  # precision/scale matter
     if s.startswith("timestamp"):

@@ -140,7 +140,13 @@ object Bench {
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val budget = 1700 // chars for the whole line; sbt's [success] tail ~80
     val slowestFirst = results.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${f2(total)},"unit":"sec","floor_sec":${f2(floor)},"floor_shuffle_sec":${f2(floor2)},"passes":2,"agg":"min","n_queries":${results.size},"failures":$fjson,"sf":"$sfDir","queries":{"""
+    // failures are budgeted too: a failure-heavy regression run must not
+    // blow the head past the driver's tail window (the exact truncation
+    // bug this line exists to avoid) — cap at 10 names + the true count
+    val fjsonCompact =
+      if (failures.size <= 10) fjson
+      else failures.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val head = s"""{"metric":"total","value":${f2(total)},"unit":"sec","floor_sec":${f2(floor)},"floor_shuffle_sec":${f2(floor2)},"passes":2,"agg":"min","n_queries":${results.size},"n_failures":${failures.size},"failures":$fjsonCompact,"sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val sb = new StringBuilder(head)
     var first = true

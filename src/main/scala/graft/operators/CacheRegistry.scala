@@ -66,16 +66,51 @@ object CacheRegistry {
     * dropped on the next call.
     */
   private var resultSlots:
-    List[((DataFrame, Any), DataFrame)] = Nil
+    List[((DataFrame, Any, String), DataFrame)] = Nil
+
+  /** Content fingerprint of a plan's leaf file sources (path + length +
+    * mtime of up to 64 files, plus the file count): an IN-PLACE corpus
+    * regeneration leaves the analyzed plan sameResult-identical (same
+    * paths), so plan identity alone would serve a stale memoized result
+    * for the new data — the same invalidation event RelOps.layoutTag
+    * fingerprints for the pay-once layouts. Statuses come fresh from the
+    * filesystem at memo-lookup time (the plan's own listing may itself
+    * be cached); beyond 64 files the count still shifts on any
+    * add/remove, and a same-count in-place rewrite of file 65+ only is
+    * accepted as a miss-risk trade against unbounded status calls.
+    */
+  private[operators] def sourceFingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val files = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.take(64).foreach { f =>
+      val id = try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f|${st.getLen}|${st.getModificationTime}"
+      } catch { case _: Exception => f }
+      md.update(id.getBytes("UTF-8"))
+    }
+    md.update(files.size.toString.getBytes("UTF-8"))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
 
   def memoizeResult(input: DataFrame, param: Any)(
       compute: => DataFrame): DataFrame = {
+    val fp = sourceFingerprint(input)
     val hit = synchronized {
       resultSlots = resultSlots.filter(
         !_._1._1.sparkSession.sparkContext.isStopped)
       val keyPlan = input.queryExecution.analyzed
-      resultSlots.find { case ((in, p), _) =>
-        p == param && (in.sparkSession eq input.sparkSession) &&
+      resultSlots.find { case ((in, p, f), _) =>
+        p == param && f == fp && (in.sparkSession eq input.sparkSession) &&
           in.queryExecution.analyzed.sameResult(keyPlan)
       }
     }
@@ -88,7 +123,7 @@ object CacheRegistry {
       case None =>
         val res = compute // outside the lock: the iterate runs jobs
         synchronized {
-          resultSlots = (((input, param), res) :: resultSlots).take(8)
+          resultSlots = (((input, param, fp), res) :: resultSlots).take(8)
         }
         res
     }

@@ -325,7 +325,11 @@ object DedupOps {
   // without the round-7 one-slot policy's A→B→A thrash across bench
   // passes; inputs and results are pairs/components relations — small —
   // so the memory bound is a few node-count-sized cached relations.
-  private var ccSlots: List[(DataFrame, Int, Option[DataFrame])] = Nil
+  // slot key carries the leaf-source CONTENT fingerprint alongside the
+  // plan: an in-place corpus regeneration leaves the plan
+  // sameResult-identical, and plan identity alone would serve the OLD
+  // graph's components (see CacheRegistry.sourceFingerprint)
+  private var ccSlots: List[(DataFrame, Int, String, Option[DataFrame])] = Nil
   private val ccSlotCap = 4
 
   // The live-cache LRU moved to graft.operators.CacheRegistry (round 8):
@@ -355,25 +359,27 @@ object DedupOps {
     // IMMEDIATELY (not after the convergence require — an exception
     // mid-loop must not orphan the cache outside the slot list), evicting
     // the oldest past the cap.
+    val srcFp = CacheRegistry.sourceFingerprint(e)
     synchronized {
       val keyPlan = e.queryExecution.analyzed
-      ccSlots.find { case (in, cap, _) =>
-        (in.sparkSession eq e.sparkSession) && cap == maxIters &&
+      ccSlots.find { case (in, cap, f, _) =>
+        (in.sparkSession eq e.sparkSession) && cap == maxIters && f == srcFp &&
           in.queryExecution.analyzed.sameResult(keyPlan)
       } match {
-        case Some((in, _, Some(res))) =>
+        case Some((in, _, _, Some(res))) =>
           // refresh recency; the new e cache is redundant with the
           // slot's live input (same plan → same CacheManager entry)
-          ccSlots = (in, maxIters, Some(res)) ::
+          ccSlots = (in, maxIters, srcFp, Some(res)) ::
             ccSlots.filterNot(_._1 eq in)
           return res
-        case Some((in, _, None)) =>
+        case Some((in, _, _, None)) =>
           // same input already in flight / failed mid-loop: recompute
           // into the existing slot
-          ccSlots = (in, maxIters, None) :: ccSlots.filterNot(_._1 eq in)
+          ccSlots = (in, maxIters, srcFp, None) ::
+            ccSlots.filterNot(_._1 eq in)
         case None =>
           val (keep, evict) =
-            ((e, maxIters, Option.empty[DataFrame]) :: ccSlots)
+            ((e, maxIters, srcFp, Option.empty[DataFrame]) :: ccSlots)
               .splitAt(ccSlotCap)
           // best-effort: a stopped session's caches are already gone, and
           // an eviction failure must not fail the unrelated new invocation
@@ -453,10 +459,10 @@ object DedupOps {
     synchronized {
       val keyPlan = e.queryExecution.analyzed
       ccSlots = ccSlots.map {
-        case (in, cap, _) if cap == maxIters &&
+        case (in, cap, f, _) if cap == maxIters && f == srcFp &&
           (in.sparkSession eq e.sparkSession) &&
           in.queryExecution.analyzed.sameResult(keyPlan) =>
-          (in, cap, Some(result))
+          (in, cap, f, Some(result))
         case other => other
       }
     }

@@ -140,14 +140,29 @@ case class LokiScan(
     val s = startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
     val e = endNs.getOrElse(LokiHttp.nowNs)
     val eff = math.max(1L, math.min(n.toLong, e - s)).toInt
-    if (options.split == "stats")
-      LokiScan.boundsCache.synchronized {
-        LokiScan.trimBoundsCache()
-        LokiScan.boundsCache.getOrElseUpdate(
-          (options.endpoint, logql, s, e, eff),
-          statsBounds(s, e, eff).getOrElse(widthBounds(s, e, eff)))
+    if (options.split == "stats") {
+      val key = (options.endpoint, logql, s, e, eff)
+      LokiScan.cachedBounds(key) match {
+        case Some(b) => b
+        case None =>
+          // probe OUTSIDE the cache lock: statsBounds is a sequence of
+          // HTTP GETs (30 s timeout each) — holding a JVM-global lock
+          // across it would serialize planning of every other
+          // stats-split scan behind one slow/hung endpoint. Concurrent
+          // same-key planners may both probe (rare, harmless — last
+          // write wins with identical bounds).
+          statsBounds(s, e, eff) match {
+            case Some(b) =>
+              LokiScan.putBounds(key, b); b
+            case None =>
+              // deliberately NOT cached: a transient index/stats outage
+              // must not pin the width fallback for the session — the
+              // next plan of this query re-probes and recovers the
+              // count-balanced split
+              widthBounds(s, e, eff)
+          }
       }
-    else widthBounds(s, e, eff)
+    } else widthBounds(s, e, eff)
   }
 
   private def widthBounds(s: Long, e: Long, eff: Int): Seq[(Long, Long)] = {
@@ -225,19 +240,31 @@ case class LokiScan(
 }
 
 object LokiScan {
-  /** Cross-instance stats-split bounds memo (see plannedBounds). Bounded:
-    * a long-lived session planning many distinct windows must not grow a
-    * probe cache without limit — beyond 256 entries the oldest half is
-    * dropped (plan-time re-probe, never a correctness event).
+  /** Cross-instance stats-split bounds memo (see plannedBounds). True
+    * LRU: a hit re-inserts the key at the back, so a session planning
+    * many one-off windows evicts THOSE, not its hot repeated queries.
+    * Bounded at 256 entries (eviction is a plan-time re-probe, never a
+    * correctness event). Only successful stats placements are stored —
+    * width fallbacks from probe failures stay uncached (see
+    * plannedBounds).
     */
+  private type BoundsKey = (String, String, Long, Long, Int)
   private[loki] val boundsCache =
-    scala.collection.mutable.LinkedHashMap.empty[
-      (String, String, Long, Long, Int), Seq[(Long, Long)]]
+    scala.collection.mutable.LinkedHashMap.empty[BoundsKey, Seq[(Long, Long)]]
 
-  private[loki] def trimBoundsCache(): Unit =
-    if (boundsCache.size > 256)
-      boundsCache.keys.take(boundsCache.size / 2).toSeq
-        .foreach(boundsCache.remove)
+  private[loki] def cachedBounds(key: BoundsKey): Option[Seq[(Long, Long)]] =
+    boundsCache.synchronized {
+      boundsCache.remove(key) match {
+        case Some(b) => boundsCache.update(key, b); Some(b) // refresh recency
+        case None => None
+      }
+    }
+
+  private[loki] def putBounds(key: BoundsKey, b: Seq[(Long, Long)]): Unit =
+    boundsCache.synchronized {
+      boundsCache.update(key, b)
+      while (boundsCache.size > 256) boundsCache.remove(boundsCache.head._1)
+    }
 }
 
 case class LokiInputPartition(

@@ -139,6 +139,36 @@ class DedupSpec extends SparkTestBase {
     assert(run(edges) == expected)
   }
 
+  test("result memo invalidates on in-place source regeneration") {
+    // same path, same plan — regenerated CONTENT: plan identity alone
+    // would serve the old result; the leaf-source fingerprint (length +
+    // mtime) must force a recompute (CacheRegistry.sourceFingerprint)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo-regen").toFile
+    try {
+      val path = dir.getAbsolutePath + "/t.parquet"
+      Seq((1L, 2L)).toDF("a", "b").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      def memoCount(): Long = {
+        val df = spark.read.parquet(path)
+        operators.CacheRegistry.memoizeResult(df, "regen-test") {
+          df.groupBy("a").count().localCheckpoint()
+        }.count()
+      }
+      assert(memoCount() == 1L)
+      Thread.sleep(5) // distinct mtime even on coarse filesystem clocks
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      assert(memoCount() == 3L,
+        "regenerated source must miss the memo and recompute")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("edit-distance verification pairs and rejects by the 20% rule") {
     import spark.implicits._
     val docs = Seq(
