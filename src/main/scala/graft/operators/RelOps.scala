@@ -176,9 +176,14 @@ object RelOps {
 
   def triangleCensus(li: DataFrame): DataFrame = {
     val e = copurchaseCounts(li).select("p1", "p2").persist()
-    CacheRegistry.register(e, Seq(e))
+    // deg feeds rank, n_nodes AND n_wedges; oriented feeds the adjacency
+    // build AND the wedge probe; adj feeds BOTH broadcast sides — all
+    // multi-consumer, all edge/node-count-sized, so each is persisted
+    // once instead of re-executed per consumer (the census re-ran the
+    // orientation joins four times before round 8)
     val deg = e.select(col("p1").as("n")).unionAll(e.select(col("p2").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+      .persist()
     // rank packs (deg, id) lexicographically into one comparable int64
     // (ids are far below 1e9)
     val rank = deg.select(col("n"), (col("deg") * 1000000000L + col("n")).as("r"))
@@ -190,8 +195,11 @@ object RelOps {
       .select(
         when(col("r1") < col("r2"), col("p1")).otherwise(col("p2")).as("lo"),
         when(col("r1") < col("r2"), col("p2")).otherwise(col("p1")).as("hi"))
+      .persist()
     val adj = oriented.groupBy(col("lo").as("n"))
       .agg(array_sort(collect_list(col("hi"))).as("nbrs"))
+      .persist()
+    CacheRegistry.register(e, Seq(e, deg, oriented, adj))
     val nTri = oriented
       .join(TextOps.broadcastIfSmall(
         adj.select(col("n").as("lo"), col("nbrs").as("alo"))), Seq("lo"), "left")
