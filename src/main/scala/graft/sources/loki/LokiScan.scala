@@ -192,44 +192,10 @@ case class LokiScan(
     */
   private def statsBounds(s: Long, e: Long, eff: Int): Option[Seq[(Long, Long)]] = {
     val selector = logql.substring(0, logql.indexOf('}') + 1)
-    def count(lo: Long, hi: Long): Long =
-      LokiHttp.indexStats(options.endpoint, selector, lo, hi)
     try {
-      val total = count(s, e)
-      if (total <= 0) return None
-      val target = math.max(total / eff, 1L)
-      val grain = math.max(target / 4, 1L)
-      // hard probe budget: probe count is O(#clusters · log(window/
-      // cluster_width)) — sharp sub-second bursts in a month-wide window
-      // cost ~20 probes each (SliceSmoke measured 462 on a 30-cluster
-      // corpus). Each probe is an index-only call, but an adversarial
-      // mass structure must not turn plan time into a probe storm; past
-      // the budget the remaining bins stay coarse (balance degrades
-      // gracefully toward width-split, never correctness).
-      var probesLeft = 64 * eff
-      // bins in time order, each ≤ grain rows (or un-splittable)
-      def refine(lo: Long, hi: Long, cnt: Long, depth: Int): Vector[(Long, Long, Long)] =
-        if (cnt <= grain || hi - lo <= 1000L || depth >= 48 || probesLeft <= 0)
-          Vector((lo, hi, cnt))
-        else {
-          val mid = lo + (hi - lo) / 2
-          probesLeft -= 1
-          val cl = count(lo, mid)
-          refine(lo, mid, cl, depth + 1) ++ refine(mid, hi, cnt - cl, depth + 1)
-        }
-      val bins = refine(s, e, total, 0)
-      val cuts = Array.newBuilder[Long]
-      var acc = 0L
-      var i = 1
-      bins.foreach { case (_, hi, c) =>
-        acc += c
-        if (i < eff && acc >= i * total / eff && hi < e) {
-          cuts += hi
-          i += 1
-        }
-      }
-      val edges = (s +: cuts.result().toSeq) :+ e
-      Some(edges.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq)
+      LokiScan.balancedCuts(
+        (lo, hi) => LokiHttp.indexStats(options.endpoint, selector, lo, hi),
+        s, e, eff)
     } catch {
       case _: Exception => None // width fallback: stats endpoint absent/err
     }
@@ -248,6 +214,55 @@ object LokiScan {
     * width fallbacks from probe failures stay uncached (see
     * plannedBounds).
     */
+  /** The pure count-balanced boundary placement behind `split=stats`,
+    * parameterized over the count source so LogQLProps can property-test
+    * it against synthetic distributions without HTTP. Recursive bisection
+    * builds a histogram fine only where the mass is (one probe per
+    * split); boundaries land on bin edges at cumulative multiples of
+    * total/eff.
+    *
+    * Invariants (property-tested): the returned slices are a disjoint,
+    * strictly-increasing cover of [s, e) regardless of what the count
+    * function reports — correctness never depends on the stats, only
+    * balance does. Probe budget 64×eff: probe count is O(#clusters ·
+    * log(window/cluster_width)) — sharp sub-second bursts in a month-wide
+    * window cost ~20 probes each (SliceSmoke measured 462 on a 30-cluster
+    * corpus); past the budget the remaining bins stay coarse (balance
+    * degrades gracefully toward width-split, never correctness).
+    */
+  private[graft] def balancedCuts(
+      count: (Long, Long) => Long,
+      s: Long, e: Long, eff: Int): Option[Seq[(Long, Long)]] = {
+    val total = count(s, e)
+    if (total <= 0) return None
+    val target = math.max(total / eff, 1L)
+    val grain = math.max(target / 4, 1L)
+    var probesLeft = 64 * eff
+    // bins in time order, each ≤ grain rows (or un-splittable)
+    def refine(lo: Long, hi: Long, cnt: Long, depth: Int): Vector[(Long, Long, Long)] =
+      if (cnt <= grain || hi - lo <= 1000L || depth >= 48 || probesLeft <= 0)
+        Vector((lo, hi, cnt))
+      else {
+        val mid = lo + (hi - lo) / 2
+        probesLeft -= 1
+        val cl = count(lo, mid)
+        refine(lo, mid, cl, depth + 1) ++ refine(mid, hi, cnt - cl, depth + 1)
+      }
+    val bins = refine(s, e, total, 0)
+    val cuts = Array.newBuilder[Long]
+    var acc = 0L
+    var i = 1
+    bins.foreach { case (_, hi, c) =>
+      acc += c
+      if (i < eff && acc >= i * total / eff && hi < e) {
+        cuts += hi
+        i += 1
+      }
+    }
+    val edges = (s +: cuts.result().toSeq) :+ e
+    Some(edges.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq)
+  }
+
   private type BoundsKey = (String, String, Long, Long, Int)
   private[loki] val boundsCache =
     scala.collection.mutable.LinkedHashMap.empty[BoundsKey, Seq[(Long, Long)]]

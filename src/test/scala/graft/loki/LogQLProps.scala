@@ -101,4 +101,62 @@ object LogQLProps extends Properties("LogQL") {
         Seq(LogQL.LabelMatcher(k, "=", v)), Seq(LogQL.LineFilter("|=", pat)))
       q.startsWith(s"""{$k="$v"}""") && q.endsWith(s"`$pat`")
     }
+
+  // ---- split=stats boundary placement (LokiScan.balancedCuts) ----
+
+  private val windowGen: Gen[(Long, Long)] = for {
+    s0 <- Gen.chooseNum(0L, 1L << 40)
+    w <- Gen.chooseNum(10000L, 1L << 50)
+  } yield (s0, s0 + w)
+
+  // synthetic mass: a set of point-clusters with weights inside the window
+  private def clustersGen(s0: Long, e0: Long): Gen[Seq[(Long, Long)]] =
+    Gen.chooseNum(1, 12).flatMap { k =>
+      Gen.listOfN(k, for {
+        pos <- Gen.chooseNum(s0, e0 - 1)
+        w <- Gen.chooseNum(1L, 100000L)
+      } yield (pos, w))
+    }
+
+  private def countFn(cl: Seq[(Long, Long)]): (Long, Long) => Long =
+    (lo, hi) => cl.collect { case (p, w) if p >= lo && p < hi => w }.sum
+
+  property("balancedCuts covers [s,e) disjointly for any mass structure") =
+    Prop.forAll(windowGen) { case (s0, e0) =>
+      Prop.forAll(clustersGen(s0, e0), Gen.chooseNum(2, 16)) { (cl, eff) =>
+        graft.sources.loki.LokiScan
+          .balancedCuts(countFn(cl), s0, e0, eff) match {
+          case None => Prop.passed // zero mass: width fallback handles it
+          case Some(bounds) =>
+            val coverOk = bounds.head._1 == s0 && bounds.last._2 == e0
+            val chainOk = bounds.sliding(2).forall {
+              case Seq((_, h1), (l2, _)) => h1 == l2
+              case _ => true
+            }
+            val orderOk = bounds.forall { case (l, h) => l < h }
+            val countOk = bounds.size <= eff
+            Prop(coverOk && chainOk && orderOk && countOk) :|
+              s"bounds=$bounds eff=$eff"
+        }
+      }
+    }
+
+  property("balancedCuts covers exactly even against a LYING count source") =
+    Prop.forAll(windowGen, Gen.chooseNum(2, 8), Gen.long) { case ((s0, e0), eff, seed) =>
+      // adversarial: counts are arbitrary (inconsistent, non-additive) —
+      // the cover/disjoint/order invariants must hold anyway, because
+      // correctness never depends on what the stats endpoint reports
+      val rnd = new scala.util.Random(seed)
+      val lying: (Long, Long) => Long = (_, _) => rnd.nextLong(1L << 40) + 1
+      graft.sources.loki.LokiScan.balancedCuts(lying, s0, e0, eff) match {
+        case None => Prop.passed
+        case Some(bounds) =>
+          Prop(bounds.head._1 == s0 && bounds.last._2 == e0 &&
+            bounds.forall { case (l, h) => l < h } &&
+            bounds.sliding(2).forall {
+              case Seq((_, h1), (l2, _)) => h1 == l2
+              case _ => true
+            }) :| s"bounds=$bounds"
+      }
+    }
 }
