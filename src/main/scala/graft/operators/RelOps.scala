@@ -524,6 +524,30 @@ object RelOps {
     }
   }
 
+  /** One-time sweep of LEGACY layout dirs: earlier rounds tagged layouts
+    * with other formats (a bare 32-bit hash, then a single 16-hex MD5) —
+    * the path-scoped pruner above never matches them, so they'd leak
+    * forever. Anything under `basePrefix` whose suffix is NOT the current
+    * `<16hex>_<16hex>` two-part tag is a superseded generation (current
+    * layouts of OTHER corpus paths all carry the two-part tag and are
+    * kept). Deletes are best-effort (another user's dir fails on
+    * permissions and is skipped).
+    */
+  private[graft] def pruneLegacyLayouts(
+      s: SparkSession, parent: String, basePrefix: String): Unit = {
+    val current = ("^" + java.util.regex.Pattern.quote(basePrefix) +
+      "(?:.+_)?[0-9a-f]{16}_[0-9a-f]{16}$").r
+    val dir = new org.apache.hadoop.fs.Path(parent)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(basePrefix) && current.findFirstIn(n).isEmpty)
+          try fs.delete(st.getPath, true) catch { case _: Exception => () }
+      }
+    }
+  }
+
   /** Inverted-trigram accelerated substring search (see the
     * `part_trigram_search` entry) — shared by the gate query and
     * ScaleSmoke so the smoke exercises the shipped pipeline, not a
@@ -1813,6 +1837,8 @@ object RelOps {
         pruneStaleLayouts(s, "/tmp",
           s"graft_dpp_dim_${user}_${layoutPathPrefix(tag)}",
           s"graft_dpp_dim_${user}_$tag")
+        pruneLegacyLayouts(s, "/tmp", "graft_dpp_fact_")
+        pruneLegacyLayouts(s, "/tmp", "graft_dpp_dim_")
         // pay-once layout: the dir is per-corpus-dir and the corpus is
         // immutable, so a completed write (marked by _SUCCESS) is reused
         // — timed runs measure the pruned query, not the layout build
@@ -1866,6 +1892,8 @@ object RelOps {
           s"graft_li_b${layoutPathPrefix(liTag)}", s"graft_li_b$liTag")
         pruneStaleLayouts(s, s.conf.get("spark.sql.warehouse.dir"),
           s"graft_ord_b${layoutPathPrefix(ordTag)}", s"graft_ord_b$ordTag")
+        pruneLegacyLayouts(s, s.conf.get("spark.sql.warehouse.dir"), "graft_li_b")
+        pruneLegacyLayouts(s, s.conf.get("spark.sql.warehouse.dir"), "graft_ord_b")
         // pay-once semantics, literally: if THIS session already built
         // the layout (the table name is per-corpus-dir and the corpus is
         // immutable), reuse it — the bench's timed passes then measure
