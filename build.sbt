@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line of `sbt runMain` as
+// JSON. Two sbt behaviors defeat that: the logger's "[info] " prefix on
+// forked output, and the "[success] Total time: ..." footer printed after
+// the run (every round 1-8 BENCH artifact ends with that footer and
+// `parsed: null`). Route forked stdout straight through (stderr stays on
+// stderr, so Spark logs leave the stdout capture too) and suppress the
+// footer so the process's last stdout line is the program's last println.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// the two keys are read by sbt's command engine, not a task — lint
+// can't see that
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -87,6 +87,37 @@ object SliceSmoke {
             s"per-slice=${per.map { case (i, c) => s"$i:$c" }.mkString(",")} " +
             f"max/mean=${counts.max.toDouble * counts.length / total}%.2f")
         }
+        // real-endpoint-latency leg (round-8 verdict item 4): 20 ms RTT
+        // per index/stats probe — the serial bisection would pay
+        // ~probes×20 ms ≈ 9 s of plan time; the level-synchronous
+        // parallel frontier must plan in under a second while keeping
+        // the balance. Narrower window than the legs above so the
+        // cross-instance bounds cache can't serve a pre-RTT placement.
+        if (bursty) {
+          stub.statsLatencyMs = 20L
+          val probes0 = stub.statsCalls.get()
+          val scan = spark.read.format("loki")
+            .option("endpoint", stub.endpoint)
+            .option("default_label", "app")
+            .option("partitions", "8")
+            .option("split", "stats")
+            .load()
+            .filter(
+              col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-01-30 00:00:00").cast("timestamp"))
+          val t0 = System.nanoTime()
+          val per = scan
+            .select(spark_partition_id().as("slice"))
+            .groupBy("slice").count().orderBy("slice")
+            .collect().map(r => (r.getInt(0), r.getLong(1)))
+          val secs = (System.nanoTime() - t0) / 1e9
+          stub.statsLatencyMs = 0L
+          val counts = per.map(_._2)
+          val probes = stub.statsCalls.get() - probes0
+          println(s"[slice] $name split=stats rtt=20ms rows=${counts.sum} " +
+            f"wall=$secs%.2fs probes=$probes " +
+            f"max/mean=${counts.max.toDouble * counts.length / counts.sum}%.2f")
+        }
       } finally stub.stop()
     }
     spark.stop()

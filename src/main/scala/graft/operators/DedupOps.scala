@@ -332,6 +332,16 @@ object DedupOps {
   private var ccSlots: List[(DataFrame, Int, String, Option[DataFrame])] = Nil
   private val ccSlotCap = 4
 
+  /** Drop `session`'s CC memo slots (unpersisting their cached inputs) —
+    * the bench's cold-pass reset; see [[CacheRegistry.clearSession]].
+    */
+  def clearCcSlots(session: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      val (mine, others) = ccSlots.partition(_._1.sparkSession eq session)
+      mine.foreach(s => CacheRegistry.dropOrUnpersist(s._1))
+      ccSlots = others
+    }
+
   // The live-cache LRU moved to graft.operators.CacheRegistry (round 8):
   // it backs RelOps/TextOps/SimilarityOps too, not just dedup.
 

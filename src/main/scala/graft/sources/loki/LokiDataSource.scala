@@ -74,7 +74,19 @@ final case class LokiOptions(
       * time-range split under bursty logs"). Falls back to width when the
       * stats probe fails or reports zero entries.
       */
-    split: String = "width") extends Serializable
+    split: String = "width",
+    /** Plan-time wall-clock budget for the `split=stats` bisection probes.
+      * Against a real endpoint each probe is an HTTP round trip; past the
+      * budget the remaining bins stay coarse (balance degrades gracefully
+      * toward width-split, correctness never depends on it). */
+    statsBudgetMs: Long = 2000L,
+    /** Concurrent `index/stats` probes per refinement level. The probes
+      * are independent index-only GETs, so the frontier parallelizes —
+      * plan-time latency is O(levels × RTT) instead of O(probes × RTT)
+      * at ~20 ms real-endpoint RTTs. 1 = serial (the stub-test default
+      * path is identical either way — placement is deterministic in the
+      * counts, not the probe order). */
+    statsProbeParallelism: Int = 8) extends Serializable
 
 object LokiOptions {
   def from(m: CaseInsensitiveStringMap): LokiOptions = from(m.asScala.toMap)
@@ -97,7 +109,10 @@ object LokiOptions {
         case s @ ("width" | "stats") => s
         case other => throw new IllegalArgumentException(
           s"split must be 'width' or 'stats', got '$other'")
-      })
+      },
+      statsBudgetMs = m.getOrElse("stats_budget_ms", "2000").toLong,
+      statsProbeParallelism =
+        m.getOrElse("stats_probe_parallelism", "8").toInt)
   }
 }
 

@@ -59,8 +59,26 @@ final class LokiStubServer {
   // harness scans (bench warm-up + timed pass) from re-encoding parquet.
   private val respCache = mutable.Map.empty[(String, Long, Long, Option[Int]), Array[Byte]]
 
+  /** Simulated per-request RTT for index/stats probes (ms), for the
+    * SliceSmoke real-endpoint-latency leg: plan-time probe latency is the
+    * thing the budgeted parallel frontier exists to bound, and a 0-RTT
+    * loopback stub can't exercise it.
+    */
+  @volatile var statsLatencyMs: Long = 0L
+
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // a real Loki serves concurrent requests; the default (null) executor
+    // runs every handler on the single dispatcher thread, which would
+    // serialize the connector's parallel slice reads and parallel stats
+    // probes, hiding exactly the latency behavior the smoke measures.
+    // Daemon threads so a stub can never keep the harness JVM alive.
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "loki-stub-handler")
+        t.setDaemon(true)
+        t
+      }))
     server.createContext("/loki/api/v1/status/buildinfo", (ex: HttpExchange) =>
       respond(ex, 200, """{"version":"stub"}""".getBytes(UTF_8)))
     server.createContext("/loki/api/v1/push", (ex: HttpExchange) => handlePush(ex))
@@ -174,6 +192,7 @@ final class LokiStubServer {
 
   private def handleStats(ex: HttpExchange): Unit = {
     statsCalls.incrementAndGet()
+    if (statsLatencyMs > 0) Thread.sleep(statsLatencyMs)
     val params = ex.getRequestURI.getRawQuery.split('&').map { kv =>
       val Array(k, v) = kv.split("=", 2)
       k -> java.net.URLDecoder.decode(v, "UTF-8")

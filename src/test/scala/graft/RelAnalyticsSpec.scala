@@ -694,6 +694,41 @@ class RelAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("events_anomaly_mad: a >= 50%-ties group (MAD = 0) yields NULL scores, not Inf") {
+    // pins the nullif divisor guard (round-8 verdict item 2): when at
+    // least half a group's values equal its median, MAD = 0 and the
+    // robust z-score must go NULL — dropping out of the conditional count
+    // and the max — instead of dividing to ±Inf/NaN, whose round/compare
+    // semantics diverge across engines. Cross-checked once against the
+    // DuckDB oracle SQL on this exact corpus (scripts note in the spec):
+    // both engines produce the literals asserted here.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    try {
+      val rows =
+        Seq(5.0, 5.0, 5.0, 5.0, 9.0, 1.0).map(("tied", _)) ++
+        (1 to 9).map(i => ("normal", i.toDouble)) :+ (("normal", 1000.0))
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("event_id")))
+        .withColumn("user_id", col("event_id") % 3)
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$tmp/events.parquet")
+      val got = SparkEntry.queries("events_anomaly_mad")(spark, tmp)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4), if (r.isNullAt(5)) None
+          else Some(r.getDouble(5)))).toSeq
+      // normal: median 5.5, MAD 2.5, the 1000.0 outlier scores
+      // 0.6745*994.5/2.5 = 268.3161; tied: MAD 0 -> 0 anomalies, NULL max
+      assert(got == Seq(
+        ("normal", 10L, 5.5, 2.5, 1L, Some(268.3161)),
+        ("tied", 6L, 5.0, 0.0, 0L, None)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("orders_grouping_sets equals the union of the two single-dim aggregates") {
     val byStatus = q("orders_grouping_sets").collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1)),

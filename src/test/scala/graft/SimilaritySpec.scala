@@ -326,4 +326,27 @@ class SimilaritySpec extends SparkTestBase {
     // corpus-wide pair relation restricted to co-clustered rows
     assert(got.forall { case (v, c, k) => naive(v) == c && naive(k) == c })
   }
+
+  test("mmr rerank with a < 5-candidate pool returns the short list, no throw") {
+    // pins the greedy-loop bound (round-8 verdict item 3): 4 vectors mean
+    // every query's pool has 3 candidates, so the loop must stop at 3
+    // instead of minBy-ing an empty iterator on round 4
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.9, 0.1, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.9, 0.1))
+    ).toDF("vec_id", "v")
+    val got = operators.SimilarityOps.mmrRerank(e).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == 12) // 4 queries x 3-deep lists
+    assert(got.map(t => (t._1, t._2)).toSet ==
+      (for (q0 <- 0L to 3L; r <- 1 to 3) yield (q0, r)).toSet)
+    // each list is a permutation of the other three ids — nothing dropped
+    got.groupBy(_._1).foreach { case (q0, rows) =>
+      assert(rows.map(_._3).toSet == Set(0L, 1L, 2L, 3L) - q0)
+    }
+  }
 }
