@@ -33,7 +33,11 @@ def type_cat(t):
     if s.startswith("decimal"):
         return s  # precision/scale matter
     if s.startswith("timestamp"):
-        return "timestamp"  # tz annotation is normalized by the driver
+        # unit (us vs ns) is physical width and must match — collapsing
+        # it would let a Spark timestamp[us] silently pass against an
+        # oracle timestamp[ns] locally and then fail the driver hash;
+        # only the tz annotation is normalized (driver does the same)
+        return "timestamp:" + t.unit
     if s in ("string", "large_string"):
         return "string"
     if s.startswith("list") or s.startswith("large_list"):

@@ -357,7 +357,25 @@ object DedupOps {
     // invocation evicts the previous one's pair — one live instance at a
     // time, bounded memory, and the gate's repeated same-plan invocations
     // still reuse the live entry.
-    val e = edges.select(col("a_id"), col("b_id")).cache()
+    val eRaw = edges.select(col("a_id"), col("b_id"))
+    val srcFp = CacheRegistry.sourceFingerprint(eRaw)
+    // evict any slot holding the SAME plan with a DIFFERENT content
+    // fingerprint BEFORE caching: Spark's CacheManager serves equivalent
+    // plans, so after an in-place corpus rewrite the .cache() below
+    // would attach to the superseded generation's cached rows and CC
+    // would compute on stale data — the slot fingerprint alone only
+    // protects the memoized RESULT, not a stale Spark-cache hit on the
+    // input (pinned by DedupSpec's rewrite-hygiene test).
+    synchronized {
+      val keyPlan0 = eRaw.queryExecution.analyzed
+      val (stale, rest) = ccSlots.partition { case (in, _, f, _) =>
+        (in.sparkSession eq eRaw.sparkSession) && f != srcFp &&
+          in.queryExecution.analyzed.sameResult(keyPlan0)
+      }
+      stale.foreach(s => CacheRegistry.dropOrUnpersist(s._1))
+      ccSlots = rest
+    }
+    val e = eRaw.cache()
     // plan-keyed slot lookup (round 8): the iterate's localCheckpoints
     // mint fresh RDDs every call, so unlike the pair pipelines feeding
     // this, repeated identical invocations could never cache-hit — yet
@@ -369,7 +387,6 @@ object DedupOps {
     // IMMEDIATELY (not after the convergence require — an exception
     // mid-loop must not orphan the cache outside the slot list), evicting
     // the oldest past the cap.
-    val srcFp = CacheRegistry.sourceFingerprint(e)
     synchronized {
       val keyPlan = e.queryExecution.analyzed
       ccSlots.find { case (in, cap, f, _) =>

@@ -531,18 +531,29 @@ object RelOps {
     * `<16hex>_<16hex>` two-part tag is a superseded generation (current
     * layouts of OTHER corpus paths all carry the two-part tag and are
     * kept). Deletes are best-effort (another user's dir fails on
-    * permissions and is skipped).
+    * permissions and is skipped). Two safety scopes on a sweep that
+    * recursively deletes by name pattern: callers pass a prefix that
+    * embeds the current user where the naming allows (a legacy dir
+    * another user is actively reading must not be a candidate at all,
+    * permissions or not), and any candidate with a recent mtime is
+    * skipped — a concurrently running older-build session's layout is
+    * recently written, and deleting it mid-read would fail that
+    * session's in-flight query. Truly-abandoned legacy dirs age past
+    * the window and get swept on a later call.
     */
   private[graft] def pruneLegacyLayouts(
       s: SparkSession, parent: String, basePrefix: String): Unit = {
     val current = ("^" + java.util.regex.Pattern.quote(basePrefix) +
       "(?:.+_)?[0-9a-f]{16}_[0-9a-f]{16}$").r
+    val recentMs = 60L * 60L * 1000L
+    val cutoff = System.currentTimeMillis() - recentMs
     val dir = new org.apache.hadoop.fs.Path(parent)
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) {
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(basePrefix) && current.findFirstIn(n).isEmpty)
+        if (n.startsWith(basePrefix) && current.findFirstIn(n).isEmpty &&
+            st.getModificationTime < cutoff)
           try fs.delete(st.getPath, true) catch { case _: Exception => () }
       }
     }
@@ -1837,8 +1848,10 @@ object RelOps {
         pruneStaleLayouts(s, "/tmp",
           s"graft_dpp_dim_${user}_${layoutPathPrefix(tag)}",
           s"graft_dpp_dim_${user}_$tag")
-        pruneLegacyLayouts(s, "/tmp", "graft_dpp_fact_")
-        pruneLegacyLayouts(s, "/tmp", "graft_dpp_dim_")
+        // user-scoped: /tmp is shared across users, and a bare prefix
+        // would make another user's live legacy dirs sweep candidates
+        pruneLegacyLayouts(s, "/tmp", s"graft_dpp_fact_${user}_")
+        pruneLegacyLayouts(s, "/tmp", s"graft_dpp_dim_${user}_")
         // pay-once layout: the dir is per-corpus-dir and the corpus is
         // immutable, so a completed write (marked by _SUCCESS) is reused
         // — timed runs measure the pruned query, not the layout build

@@ -386,4 +386,52 @@ class DedupSpec extends SparkTestBase {
     assert(q("dedup_embedding").collect()
       .forall { r => val c = r.getDouble(2); c >= 0.4 && c <= 1.0 })
   }
+
+  test("in-place corpus rewrite MISSES the result memo and the CC slots") {
+    // the fingerprint logic is load-bearing: an in-place regeneration at
+    // the SAME path leaves fresh reads sameResult-identical (Spark's
+    // InMemoryFileIndex compares root paths, not listings), so plan
+    // identity alone would serve the old generation's memoized result —
+    // this fails if CacheRegistry.sourceFingerprint is dropped from
+    // either key (round-8 verdict item 8)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    try {
+      Seq((1L, 2L)).toDF("a_id", "b_id").write.mode("overwrite").parquet(dir)
+      def edges = spark.read.parquet(dir)
+      var computes = 0
+      def memoed() =
+        operators.CacheRegistry.memoizeResult(edges, "hygiene") {
+          computes += 1
+          spark.range(1).toDF
+        }
+      memoed(); memoed()
+      assert(computes == 1, "repeat invocation over unchanged files must hit")
+      def cc() = DedupOps.connectedComponents(edges).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cc() == Set((1L, 1L), (2L, 1L)))
+      // regenerate IN PLACE via raw file ops — same directory, new files
+      // underneath. Deliberately NOT a Spark overwrite: that path fires
+      // CacheManager.recacheByPath and hides the hazard; the driver's
+      // corpus regenerations (and any external producer) rewrite the
+      // files behind Spark's back, and then both the result memo and the
+      // CC slot (including its live plan-keyed Spark cache of the input)
+      // must treat the path as new data on their own.
+      val staging = java.nio.file.Files.createTempDirectory("graft_memo_s")
+      Seq((3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+        .write.mode("overwrite").parquet(staging.toString)
+      val dirP = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.list(dirP).forEach(p =>
+        java.nio.file.Files.delete(p))
+      java.nio.file.Files.list(staging).forEach(p =>
+        java.nio.file.Files.move(p, dirP.resolve(p.getFileName.toString)))
+      java.nio.file.Files.delete(staging)
+      memoed()
+      assert(computes == 2, "rewritten files must MISS the result memo")
+      assert(cc() == Set((3L, 3L), (4L, 3L), (5L, 5L), (6L, 5L)),
+        "CC after rewrite must reflect the new graph, not stale caches")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
