@@ -411,6 +411,43 @@ object ConnectorOps {
       },
       Some("SELECT CAST(count(*) AS BIGINT) AS count FROM events WHERE event_type = 'purchase'"))
  ,
+    // §2.1 row 13's WRITE half (insert.rs:122-134): the reference's
+    // LokiLogInsertExec DisplayAs shows the endpoint and the input's
+    // rows=n statistic (fed by the child plan's statistics). EXPLAIN of
+    // a 2-row VALUES insert must carry both — LokiInsertRowsRule
+    // captures the static count, LokiLogWrite renders it — paired with
+    // the real insert through the same plan so display and write path
+    // regress together (the loki_plan_display idiom).
+    ("loki_insert_display",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val scratch = stubs.getOrElseUpdate(s"$d#insert_display", {
+          val st = new LokiStubServer
+          st.start()
+          sys.addShutdownHook(st.stop())
+          st
+        })
+        scratch.clear()
+        s.read.format("loki")
+          .option("endpoint", scratch.endpoint)
+          .option("default_label", "app")
+          .load()
+          .createOrReplaceTempView("loki_insert_display_probe")
+        val values =
+          "(current_timestamp(), map('app','d'), 'display probe 1')," +
+          "(current_timestamp(), map('app','d'), 'display probe 2')"
+        val plan = s.sql(
+          s"EXPLAIN INSERT INTO loki_insert_display_probe VALUES $values")
+          .collect().map(_.getString(0)).mkString("\n")
+        s.sql(s"INSERT INTO loki_insert_display_probe VALUES $values")
+        Seq((plan.contains("LokiLogInsert: endpoint="),
+          plan.contains("rows=2"),
+          LokiWrite.lastCommittedRows(scratch.endpoint)))
+          .toDF("display_insert_ok", "display_rows_ok", "n_written")
+      },
+      Some(
+        """SELECT true AS display_insert_ok, true AS display_rows_ok,
+          |       CAST(2 AS BIGINT) AS n_written""".stripMargin)),
     // Log analytics THROUGH the connector: the most frequent lines per
     // label value (the "top error messages per service" staple), counted
     // from a pushed-down connector scan and ranked by the custom

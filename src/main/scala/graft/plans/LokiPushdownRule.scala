@@ -73,6 +73,45 @@ object LokiPushdownRule extends Rule[LogicalPlan] {
   }
 }
 
+/** Insert plan display `rows=n` parity (SURVEY §7.4(c), reference
+  * insert.rs:122-134): DataFusion feeds `LokiLogInsertExec`'s DisplayAs
+  * from the child plan's statistics; Spark's DSv2 `WriteBuilder` is built
+  * from `LogicalWriteInfo` (schema + options + queryId) and structurally
+  * cannot see the input plan. This rule closes the gap from the HOST
+  * side: when an INSERT's input row count is statically known (a
+  * VALUES / LocalRelation input — exactly the reference README's case),
+  * the count rides into the [[LokiTable]] so `newWriteBuilder` bakes it
+  * into [[graft.sources.loki.LokiLogWrite]]'s description, and EXPLAIN
+  * shows `LokiLogInsert: endpoint=…, rows=n`. Handles both rule orders:
+  * before V2Writes (count via the table) and after (wrap the built
+  * Write directly).
+  */
+object LokiInsertRowsRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{AppendData, LocalRelation, Project, SubqueryAlias}
+
+  private def staticRows(q: LogicalPlan): Option[Long] = q match {
+    case l: LocalRelation => Some(l.data.length.toLong)
+    case t: org.apache.spark.sql.catalyst.analysis.ResolvedInlineTable =>
+      Some(t.rows.size.toLong)
+    case p: Project => staticRows(p.child)
+    case s: SubqueryAlias => staticRows(s.child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case a @ AppendData(
+        r @ DataSourceV2Relation(t: LokiTable, _, _, _, _, _), _, _, _, _, _)
+        if t.staticInputRows.isEmpty && staticRows(a.query).isDefined =>
+      val n = staticRows(a.query).get
+      val a2 = a.copy(table = r.copy(table = t.copy(staticInputRows = Some(n))))
+      a.write match {
+        case Some(w: graft.sources.loki.LokiLogWrite) if w.rows.isEmpty =>
+          a2.copy(write = Some(w.copy(rows = Some(n))))
+        case _ => a2
+      }
+  }
+}
+
 /** Session extensions wiring (register via
   * `spark.sql.extensions=graft.plans.GraftExtensions` or
   * `.withExtensions(new GraftExtensions)`).
@@ -80,6 +119,7 @@ object LokiPushdownRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LokiPushdownRule)
+    e.injectOptimizerRule(_ => LokiInsertRowsRule)
     e.injectPlannerStrategy(_ => TopKStrategy)
     graft.functions.GraftFunctions.inject(e)
   }

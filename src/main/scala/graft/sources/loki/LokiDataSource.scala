@@ -140,7 +140,15 @@ class LokiTableProvider extends TableProvider with DataSourceRegister {
 case class LokiTable(
     options: LokiOptions,
     pushedLabelMatchers: Seq[LogQL.LabelMatcher] = Nil,
-    pushedLineFilters: Seq[LogQL.LineFilter] = Nil)
+    pushedLineFilters: Seq[LogQL.LineFilter] = Nil,
+    /** Statically-known input row count for a pending INSERT, captured by
+      * [[graft.plans.LokiInsertRowsRule]] from a VALUES/LocalRelation
+      * input — the reference's insert plan display carries `rows=n` from
+      * the child plan's statistics (insert.rs:122-134), and DSv2's
+      * `WriteBuilder` can't see the input plan, so the host-side rule
+      * smuggles the count in through the table (SURVEY §7.4(c)).
+      */
+    staticInputRows: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"loki(${options.endpoint})"
@@ -163,5 +171,5 @@ case class LokiTable(
     new LokiScanBuilder(this)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new LokiWriteBuilder(options, info.schema())
+    new LokiWriteBuilder(options, info.schema(), staticInputRows)
 }

@@ -78,7 +78,10 @@ case class LokiRowsWrittenTaskMetric(value: Long) extends CustomTaskMetric {
   override def name(): String = "loki_rows_written"
 }
 
-class LokiWriteBuilder(options: LokiOptions, inputSchema: StructType)
+class LokiWriteBuilder(
+    options: LokiOptions,
+    inputSchema: StructType,
+    staticRows: Option[Long] = None)
   extends WriteBuilder {
 
   override def build(): Write = {
@@ -92,13 +95,27 @@ class LokiWriteBuilder(options: LokiOptions, inputSchema: StructType)
       throw new IllegalArgumentException(
         s"input schema $inputSchema does not match the Loki log table schema $expected")
     }
-    new Write {
-      override def toBatch: BatchWrite = LokiBatchWrite(options)
-      override def description(): String = s"LokiLogInsert: endpoint=${options.endpoint}"
-      override def supportedCustomMetrics(): Array[CustomMetric] =
-        Array(new LokiRowsWrittenMetric)
-    }
+    LokiLogWrite(options, staticRows)
   }
+}
+
+/** The insert's Write, named (not anonymous) because the AppendData plan
+  * node renders it via toString — the EXPLAIN surface of insert.rs's
+  * DisplayAs (`LokiLogInsertExec: endpoint=…[, rows=n]`,
+  * insert.rs:122-134). `rows` is present when the input's row count is
+  * statically known (VALUES/LocalRelation — fed by
+  * [[graft.plans.LokiInsertRowsRule]]); the reference's statistics() on
+  * an arbitrary child plan is similarly known-or-absent.
+  */
+case class LokiLogWrite(options: LokiOptions, rows: Option[Long] = None)
+  extends Write {
+  override def toBatch: BatchWrite = LokiBatchWrite(options)
+  override def description(): String =
+    s"LokiLogInsert: endpoint=${options.endpoint}" +
+      rows.map(n => s", rows=$n").getOrElse("")
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new LokiRowsWrittenMetric)
+  override def toString: String = description()
 }
 
 case class LokiBatchWrite(options: LokiOptions) extends BatchWrite {
