@@ -28,6 +28,12 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // see Tables.readerConfs: the inferred under-Generate filter
+    // duplicates the generator child into scan filters (O(n²) for HOF
+    // lambdas over computed arrays) and only skips rows explode drops
+    // anyway
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   /** A fresh pre-configured builder. */
   def builder(): SparkSession.Builder = configure(SparkSession.builder())

@@ -35,6 +35,26 @@ object Tables {
   private[graft] def readerConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // InferFiltersFromGenerate infers `size(e) > 0 AND isnotnull(e)`
+    // under every explode; predicate pushdown then substitutes the FULL
+    // generator-child expression into the scan's data filter, so the
+    // (often expensive) array construction is evaluated twice per row —
+    // and once the projection chain is inlined into one filter
+    // expression, a HOF lambda over a computed token array re-evaluates
+    // that token expression per ELEMENT, degrading to O(|tokens|²) per
+    // row (measured 3.3 s → 0.33 s on the sf0.1 shingle explode; the
+    // scan filter contained the whole split+transform+concat pipeline).
+    // The inferred filter only skips rows an explode drops anyway
+    // (outer=false generators emit nothing for empty/null arrays), so
+    // excluding the rule is semantics-preserving. Merged, not
+    // overwritten, in case the deployment excludes its own rules.
+    val inferGen =
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val cur = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .getOrElse("")
+    if (!cur.split(",").map(_.trim).contains(inferGen))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        if (cur.isEmpty) inferGen else s"$cur,$inferGen")
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

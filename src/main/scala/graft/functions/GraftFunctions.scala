@@ -25,6 +25,9 @@ object GraftFunctions {
 
   def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(ex(a), ex(b)))
 
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(ex(a), ex(b)))
+
   def term_counts(tokens: Column): Column = toCol(TermCounts(ex(tokens)))
 
   def srp_sig(v: Column, bits: Int, seed: Long): Column =
@@ -82,6 +85,9 @@ object GraftFunctions {
       es => CosineSim(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("term_counts"), info("term_counts"),
       es => TermCounts(es.head)))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count"),
+      es => SortedIntersectCount(es.head, es(1))))
   }
 
   /** Register SQL names for the custom expressions on this session. */
@@ -100,5 +106,7 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("term_counts", es => TermCounts(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      es => SortedIntersectCount(es.head, es(1)), "scala_udf")
   }
 }

@@ -35,6 +35,26 @@ object VectorOps {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Intersection size of two SORTED long arrays — one merge scan, no
+    * per-row set allocation. The hot inner loop of hashed-shingle
+    * similarity verification (evaluated once per candidate pair).
+    */
+  def sortedIntersect(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Sign-random-projection LSH signature: `bits` hyperplanes, each drawn
     * deterministically from (seed, plane index, dim index) via a splitmix64
     * step — no stored projection matrix, so executors recompute it locally
@@ -80,6 +100,25 @@ case class CosineSim(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.VectorOps.cosine($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `sorted_intersect_count(array<bigint>, array<bigint>)` → int.
+  * Both inputs MUST be sorted ascending (callers build them with
+  * `sort_array`); the merge scan silently under-counts otherwise.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sortedIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.sortedIntersect($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
     copy(left = l, right = r)
 }
 

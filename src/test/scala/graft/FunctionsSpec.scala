@@ -117,6 +117,24 @@ class FunctionsSpec extends SparkTestBase {
     assert(cs.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
   }
 
+  test("sorted_intersect_count equals set intersection on random sorted arrays") {
+    import graft.functions.GraftFunctions.sorted_intersect_count
+    val rnd = new scala.util.Random(11)
+    val cases = (0 until 50).map { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size)
+    }
+    val got = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(sorted_intersect_count($"a", $"b")).as[Int].collect()
+    assert(got.toSeq == cases.map(_._3))
+    // empties on either side
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq(1L), Seq.empty[Long]))
+      .toDF("a", "b").select(sorted_intersect_count($"a", $"b"))
+      .as[Int].collect()
+    assert(e.toSeq == Seq(0, 0))
+  }
+
   test("srp_sig: identical vectors identical sigs; opposite vectors flip all bits") {
     val v = (0 until 16).map(_.toDouble + 1.0)
     val df = Seq(("p", v), ("n", v.map(-_))).toDF("id", "v")
