@@ -2111,18 +2111,29 @@ object RelOps {
     // quadratic self-join of days, no per-day window.
     ("events_sliding_wau",
       (s: SparkSession, d: String) => {
+        // ONE data exchange, on user_id alone: hash(user) clusters equal
+        // (day, user) pairs too, so it satisfies BOTH (day, user)
+        // dedups — the daily distinct AND countDistinct's internal
+        // dedup of the ×7 fan-out — partition-locally; without the
+        // explicit repartition Spark exchanges the fanned relation a
+        // second time on (day, user). The end-bound filter runs AFTER
+        // the aggregation (6 partial trailing days are counted then
+        // dropped — identical result, and the broadcast barrier leaves
+        // the main pipeline). Remaining exchanges ship only per-day
+        // partial counts.
         val daily = events(s, d).select(
           (unix_micros(date_trunc("DAY", col("ts"))) / 86400000000L)
             .cast("long").as("day"),
-          col("user_id")).distinct()
+          col("user_id")).repartition(col("user_id")).distinct()
         val bounds = daily.agg(max("day").as("hi"))
         daily
           .select(col("user_id"), explode(sequence(col("day"),
             col("day") + 6L)).as("day"))
-          .crossJoin(broadcast(bounds))
-          .filter(col("day") <= col("hi"))
           .groupBy("day")
           .agg(countDistinct("user_id").as("wau"))
+          .crossJoin(broadcast(bounds))
+          .filter(col("day") <= col("hi"))
+          .select(col("day"), col("wau"))
           .orderBy("day")
       },
       Some(
