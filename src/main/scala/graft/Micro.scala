@@ -29,14 +29,25 @@ object Micro {
     // streaming experiments: override the per-query state partition sizing
     sys.env.get("SPARK_GRAFT_STATE_PARTS")
       .foreach(p => spark.conf.set("graft.stream.statePartitions", p))
+    // SPARK_GRAFT_COLD=1: clear all plan-keyed caches/memos before every
+    // timed iteration, so min/med measure the Bench artifact's
+    // cache-cold path (JIT-warm) instead of the repeat-consumer path
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    def clearAll(): Unit = {
+      graft.operators.CacheRegistry.clearSession(spark)
+      graft.operators.DedupOps.clearCcSlots(spark)
+      spark.sqlContext.clearCache()
+    }
     names.foreach { n => SparkEntry.queries(n)(spark, sfDir).count() } // warm
     names.foreach { n =>
       val ts = (1 to iters).map { _ =>
+        if (cold) clearAll()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[micro] $n%-28s min=${ts.min}%.3f med=${ts.sorted.apply(iters / 2)}%.3f max=${ts.max}%.3f")
+      val tag = if (cold) "[micro-cold]" else "[micro]"
+      println(f"$tag $n%-28s min=${ts.min}%.3f med=${ts.sorted.apply(iters / 2)}%.3f max=${ts.max}%.3f")
     }
     graft.operators.ConnectorOps.shutdownStubs()
     spark.stop()

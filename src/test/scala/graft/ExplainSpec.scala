@@ -167,6 +167,19 @@ class ExplainSpec extends SparkTestBase {
       s"expected at most partial-agg + sort exchanges:\n$p")
   }
 
+  test("sliding WAU: one data exchange — hash(user) serves both dedups") {
+    // round 9: hash-partitioning on user_id alone clusters equal
+    // (day, user) pairs, so the daily distinct AND countDistinct's
+    // internal fan-out dedup both run partition-local. Exchanges in the
+    // plan: the user repartition, the tiny per-day count, the bounds
+    // max (single row), the final sort — and NO (day, user) re-exchange
+    // of the fanned relation.
+    val p = plan("events_sliding_wau")
+    val fanReexchange = "hashpartitioning\\((day|user_id)#\\d+L?, (user_id|day)#\\d+L?".r
+    assert(fanReexchange.findFirstIn(p).isEmpty,
+      s"fanned relation re-exchanged on (day, user):\n$p")
+  }
+
   test("composed pipeline samples without a per-stratum window") {
     val p = plan("pipeline_quality_dedup_sample")
     assert(!p.contains("Window"), s"pipeline sampler must not use a window:\n$p")

@@ -141,6 +141,40 @@ object LogQLProps extends Properties("LogQL") {
       }
     }
 
+  property("balancedCuts is deterministic in the counts: parallel == serial") =
+    Prop.forAll(windowGen) { case (s0, e0) =>
+      Prop.forAll(clustersGen(s0, e0), Gen.chooseNum(2, 16)) { (cl, eff) =>
+        // the level-synchronous frontier decides which bins split from
+        // their counts alone — probe order/parallelism must not change
+        // the placement (the round-9 parallel-probe rewrite's contract)
+        val serial = graft.sources.loki.LokiScan
+          .balancedCuts(countFn(cl), s0, e0, eff)
+        val par = graft.sources.loki.LokiScan
+          .balancedCuts(countFn(cl), s0, e0, eff, probeParallelism = 7)
+        Prop(serial == par) :| s"serial=$serial par=$par"
+      }
+    }
+
+  property("balancedCuts under an immediate stop budget still covers [s,e)") =
+    Prop.forAll(windowGen) { case (s0, e0) =>
+      Prop.forAll(clustersGen(s0, e0), Gen.chooseNum(2, 16)) { (cl, eff) =>
+        // wall-clock budget exhausted before any refinement: balance
+        // degrades toward width-split, the cover/disjoint/order
+        // invariants must hold anyway
+        graft.sources.loki.LokiScan.balancedCuts(
+          countFn(cl), s0, e0, eff, shouldStop = () => true) match {
+          case None => Prop.passed // zero mass
+          case Some(bounds) =>
+            Prop(bounds.head._1 == s0 && bounds.last._2 == e0 &&
+              bounds.forall { case (l, h) => l < h } &&
+              bounds.sliding(2).forall {
+                case Seq((_, h1), (l2, _)) => h1 == l2
+                case _ => true
+              }) :| s"bounds=$bounds"
+        }
+      }
+    }
+
   property("balancedCuts covers exactly even against a LYING count source") =
     Prop.forAll(windowGen, Gen.chooseNum(2, 8), Gen.long) { case ((s0, e0), eff, seed) =>
       // adversarial: counts are arbitrary (inconsistent, non-additive) —
