@@ -238,15 +238,46 @@ final class LokiStubServer {
   }
 
   /** Parse `{a="b", c=~"d"} |= `x` != `y`` — the exact grammar the
-    * connector emits (LogQL.assemble).
+    * connector emits (LogQL.assemble). Like real Loki's parser, the
+    * selector scan respects double-quoted strings: a matcher value may
+    * contain `}` or `,` (e.g. a pushed regex `s[0-9]{1}`), so the close
+    * brace and the matcher separators are found OUTSIDE quotes — the
+    * first-`}` shortcut truncated mid-value and killed the handler
+    * (the same bug class the connector's probe selector had).
     */
+  private def scanOutsideQuotes(s: String, from: Int)(
+      hit: Char => Boolean): Int = {
+    var i = from
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else if (c == '"') inStr = true
+      else if (hit(c)) return i
+      i += 1
+    }
+    -1
+  }
+
   private def parseLogql(q: String): (Seq[Matcher], Seq[LineF]) = {
-    val selEnd = q.indexOf('}')
+    val selEnd = scanOutsideQuotes(q, 1)(_ == '}')
     require(q.startsWith("{") && selEnd > 0, s"bad logql: $q")
     val sel = q.substring(1, selEnd).trim
+    val matcherStrs = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var start = 0
+      var i = 0
+      while (i >= 0 && start < sel.length) {
+        i = scanOutsideQuotes(sel, start)(_ == ',')
+        if (i < 0) { out += sel.substring(start); start = sel.length }
+        else { out += sel.substring(start, i); start = i + 1 }
+      }
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
     val matchers =
-      if (sel.isEmpty) Nil
-      else sel.split(",").toSeq.map(_.trim).map { m =>
+      matcherStrs.map { m =>
         val opIdx = Seq("=~", "!~", "!=", "=")
           .map(op => (op, m.indexOf(op))).filter(_._2 > 0).minBy(_._2)
         val (op, i) = opIdx

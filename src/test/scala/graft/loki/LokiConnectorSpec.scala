@@ -323,6 +323,41 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally statsStub.stop()
   }
 
+  test("split=stats probes survive a brace inside a pushed regex matcher") {
+    // round-9 regression pin: the probe selector was substring-parsed to
+    // the first '}', so a pushed rlike pattern like 'r[0-9]{1}' truncated
+    // the selector mid-matcher, every index/stats probe threw, and
+    // split=stats silently degraded to width. The selector now renders
+    // from the matchers; probes must succeed and the split must balance.
+    val statsStub = new graft.sources.loki.testkit.LokiStubServer
+    statsStub.start()
+    try {
+      val base = 1704067200000000000L // 2024-01-01 ns
+      val hour = 3600L * 1000000000L
+      statsStub.seed((0 until 100).map { i =>
+        val ts = if (i < 90) base + 24 * hour + i * (hour / 90)
+                 else base + (i - 90) * 9 * hour
+        statsStub.LogRow(ts, Map("app" -> s"s${i % 3}"), s"r$i")
+      })
+      val df = spark.read.format("loki")
+        .option("endpoint", statsStub.endpoint)
+        .option("default_label", "app")
+        .option("partitions", "4")
+        .option("split", "stats")
+        .load()
+        .filter(col("labels")("app").rlike("s[0-9]{1}") &&
+          col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-01-05 00:00:00").cast("timestamp"))
+      val per = df.select(spark_partition_id().as("p"))
+        .groupBy("p").count().collect().map(_.getLong(1))
+      assert(per.sum == 100, s"brace regex must still match all rows: ${per.toSeq}")
+      assert(statsStub.statsCalls.get() > 0,
+        "probes must fire (selector no longer truncates at the first '}')")
+      assert(per.max <= 50,
+        s"stats split must balance (width fallback means probes failed): ${per.toSeq}")
+    } finally statsStub.stop()
+  }
+
   test("label regex keeps Spark's unanchored find semantics through pushdown") {
     // "app[0-9]" is a SUBSTRING of the label value "my-app1"; Spark rlike
     // matches it, and the pushed full-match matcher must too (wrapped form)
