@@ -28,12 +28,12 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    // see Tables.readerConfs: the inferred under-Generate filter
-    // duplicates the generator child into scan filters (O(n²) for HOF
-    // lambdas over computed arrays) and only skips rows explode drops
-    // anyway
-    .config("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+  // NOT set here: spark.sql.optimizer.excludedRules
+  // (InferFiltersFromGenerate — see Tables.readerConfs). A static
+  // builder .config would CLOBBER a deployment's own excluded-rules
+  // list; the library instead MERGES the exclusion into the runtime
+  // conf at every table load (readerConfs), which runs before any
+  // graft query plans.
 
   /** A fresh pre-configured builder. */
   def builder(): SparkSession.Builder = configure(SparkSession.builder())

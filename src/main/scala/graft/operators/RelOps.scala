@@ -531,15 +531,15 @@ object RelOps {
     * `<16hex>_<16hex>` two-part tag is a superseded generation (current
     * layouts of OTHER corpus paths all carry the two-part tag and are
     * kept). Deletes are best-effort (another user's dir fails on
-    * permissions and is skipped). Two safety scopes on a sweep that
-    * recursively deletes by name pattern: callers pass a prefix that
-    * embeds the current user where the naming allows (a legacy dir
-    * another user is actively reading must not be a candidate at all,
-    * permissions or not), and any candidate with a recent mtime is
-    * skipped — a concurrently running older-build session's layout is
-    * recently written, and deleting it mid-read would fail that
-    * session's in-flight query. Truly-abandoned legacy dirs age past
-    * the window and get swept on a later call.
+    * permissions and is skipped). Safety scope on a sweep that
+    * recursively deletes by name pattern: any candidate with a recent
+    * mtime is skipped — a concurrently running older-build session's
+    * layout is recently written, and deleting it mid-read would fail
+    * that session's in-flight query. Truly-abandoned legacy dirs age
+    * past the window and get swept on a later call. Callers pass the
+    * BARE family prefix (not user-scoped): the oldest legacy formats
+    * predate the per-user naming, and a user-scoped prefix would leak
+    * them forever.
     */
   private[graft] def pruneLegacyLayouts(
       s: SparkSession, parent: String, basePrefix: String): Unit = {
@@ -1858,10 +1858,16 @@ object RelOps {
         pruneStaleLayouts(s, "/tmp",
           s"graft_dpp_dim_${user}_${layoutPathPrefix(tag)}",
           s"graft_dpp_dim_${user}_$tag")
-        // user-scoped: /tmp is shared across users, and a bare prefix
-        // would make another user's live legacy dirs sweep candidates
-        pruneLegacyLayouts(s, "/tmp", s"graft_dpp_fact_${user}_")
-        pruneLegacyLayouts(s, "/tmp", s"graft_dpp_dim_${user}_")
+        // bare prefix ON PURPOSE: the oldest legacy formats predate the
+        // per-user naming (e.g. graft_dpp_fact_<32bit>), so a user-scoped
+        // prefix would never match them and the /tmp leak this sweep
+        // exists to fix would quietly return for pre-user-era dirs. The
+        // protections against sweeping a LIVE dir are inside
+        // pruneLegacyLayouts: recently-modified dirs are skipped (a
+        // concurrent session's layout is recently written) and deletes
+        // are best-effort (another user's stale dir fails on permissions)
+        pruneLegacyLayouts(s, "/tmp", "graft_dpp_fact_")
+        pruneLegacyLayouts(s, "/tmp", "graft_dpp_dim_")
         // pay-once layout: the dir is per-corpus-dir and the corpus is
         // immutable, so a completed write (marked by _SUCCESS) is reused
         // — timed runs measure the pruned query, not the layout build

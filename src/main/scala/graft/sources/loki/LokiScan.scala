@@ -318,7 +318,16 @@ object LokiScan {
       }
     }
     val edges = (s +: cuts.result().toSeq) :+ e
-    Some(edges.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq)
+    // a DEGENERATE placement — one slice where the caller asked for
+    // several — can only mean refinement never produced a usable interior
+    // edge (budget/stop fired before the first split, or one un-splittable
+    // bin). Returning it would be strictly WORSE than the width fallback
+    // (a partitions=N scan would serialize through one HTTP request) and
+    // plannedBounds would cache the degenerate placement for every
+    // subsequent plan of the query; None → uncached width split instead.
+    // Partial refinements (≥2 slices) remain usable and cacheable.
+    if (eff > 1 && edges.size <= 2) None
+    else Some(edges.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq)
   }
 
   /** Probe one refinement level's midpoints: (bin index, lo, mid) →
