@@ -16,10 +16,18 @@ object StreamOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-dataset memory-sink name. Non-negative via mask, NOT math.abs:
+    * abs(Int.MinValue) is negative, and a '-' in the name fails the
+    * temp-view identifier parse; the mask also halves (not eliminates)
+    * abs-style collisions between distinct dirs. Hex keeps it short.
+    */
+  private def sinkName(prefix: String, d: String): String =
+    f"${prefix}_${d.hashCode & 0x7fffffff}%x"
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("stream_hourly_window",
       (s: SparkSession, d: String) => {
-        val name = s"stream_hw_${math.abs(d.hashCode)}"
+        val name = sinkName("stream_hw", d)
         StreamingOps.runToMemory(
           StreamingOps.hourlyWindow(s, d), name, OutputMode.Complete())
           .orderBy("bucket_us", "event_type")
@@ -40,7 +48,7 @@ object StreamOps {
     // session_window's strictly-within-gap merge rule).
     ("stream_session_window",
       (s: SparkSession, d: String) => {
-        val name = s"stream_sw_${math.abs(d.hashCode)}"
+        val name = sinkName("stream_sw", d)
         StreamingOps.runToMemory(
           StreamingOps.sessionWindows(s, d), name, OutputMode.Complete())
           .orderBy("user_id", "start_us")
@@ -77,7 +85,7 @@ object StreamOps {
     // three SFs in StreamingSpec.
     ("stream_sessions_fmgws",
       (s: SparkSession, d: String) => {
-        val name = s"stream_fm_${math.abs(d.hashCode)}"
+        val name = sinkName("stream_fm", d)
         StreamingOps.runToMemory(
           StreamingOps.closedSessions(s, d).toDF(), name, OutputMode.Append(),
           watermarkFlush = true)
@@ -118,7 +126,7 @@ object StreamOps {
     // drops a survivor.
     ("stream_dedup_exact",
       (s: SparkSession, d: String) => {
-        val name = s"stream_de_${math.abs(d.hashCode)}"
+        val name = sinkName("stream_de", d)
         StreamingOps.runToMemory(
           StreamingOps.dedupExactStream(s, d), name, OutputMode.Append())
           .orderBy("lang", "fingerprint")
@@ -138,7 +146,7 @@ object StreamOps {
       (s: SparkSession, d: String) =>
         StreamingOps.runToParquetSink(
           StreamingOps.dedupExactStream(s, d),
-          s"stream_ps_${math.abs(d.hashCode)}")
+          sinkName("stream_ps", d))
           .orderBy("lang", "fingerprint"),
       Some(
         """SELECT DISTINCT lang, md5(lower(text)) AS fingerprint
@@ -151,7 +159,7 @@ object StreamOps {
     // interval join.
     ("stream_stream_join",
       (s: SparkSession, d: String) => {
-        val name = s"stream_cp_${math.abs(d.hashCode)}"
+        val name = sinkName("stream_cp", d)
         StreamingOps.runToMemory(
           StreamingOps.streamStreamClickPurchase(s, d), name, OutputMode.Append(),
           // interval-join state buffers both watermark windows — the
@@ -185,7 +193,7 @@ object StreamOps {
     // semantics and the emission contract.
     ("stream_stream_agg_chained",
       (s: SparkSession, d: String) => {
-        val name = s"stream_ca_${math.abs(d.hashCode)}"
+        val name = sinkName("stream_ca", d)
         StreamingOps.runToMemory(
           StreamingOps.streamStreamJoinAggChained(s, d), name,
           OutputMode.Append(), watermarkFlush = true)
@@ -193,10 +201,15 @@ object StreamOps {
       },
       Some(
         """WITH wm AS (
+          |  -- Spark tracks event-time watermarks in MILLISECONDS: each
+          |  -- side's max event time floors to ms before the 2 h delay
+          |  -- subtracts (the fmgws oracle's // 1000 rule) — an un-floored
+          |  -- µs watermark would claim a window Spark keeps open whenever
+          |  -- the max timestamp carries sub-ms digits
           |  SELECT least(
-          |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
-          |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END))
-          |    - 7200000000 AS wm_us
+          |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) // 1000,
+          |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) // 1000)
+          |    * 1000 - 7200000000 AS wm_us
           |  FROM events
           |), pairs AS (
           |  SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, c.ts)) AS bucket_us,
@@ -222,7 +235,7 @@ object StreamOps {
     // i.e. all but the max bucket).
     ("stream_dedup_agg_chained",
       (s: SparkSession, d: String) => {
-        val name = s"stream_da_${math.abs(d.hashCode)}"
+        val name = sinkName("stream_da", d)
         StreamingOps.runToMemory(
           StreamingOps.dedupAggChainedStream(s, d), name,
           OutputMode.Append(), watermarkFlush = true)
@@ -244,7 +257,7 @@ object StreamOps {
     // batch join + aggregate.
     ("stream_static_join",
       (s: SparkSession, d: String) => {
-        val name = s"stream_ss_${math.abs(d.hashCode)}"
+        val name = sinkName("stream_ss", d)
         StreamingOps.runToMemory(
           StreamingOps.streamStaticSegments(s, d), name, OutputMode.Complete())
           .orderBy("c_mktsegment")
@@ -262,7 +275,7 @@ object StreamOps {
     // DISTINCT over the same key.
     ("stream_dedup_prefix",
       (s: SparkSession, d: String) => {
-        val name = s"stream_dp_${math.abs(d.hashCode)}"
+        val name = sinkName("stream_dp", d)
         StreamingOps.runToMemory(
           StreamingOps.dedupPrefixStream(s, d), name, OutputMode.Append())
           .orderBy("k")
@@ -277,11 +290,22 @@ object StreamOps {
     // batch aggregate, which is exactly what the oracle asserts.
     ("stream_user_totals",
       (s: SparkSession, d: String) => {
-        val name = s"stream_ut_${math.abs(d.hashCode)}"
+        val name = sinkName("stream_ut", d)
         StreamingOps.runToMemory(
           StreamingOps.userTotals(s, d).toDF(), name, OutputMode.Update())
-          .select(col("user_id"), col("n_events"),
-            round(col("total_value"), 2).as("total_value"))
+          // Update mode re-emits a user's row once per micro-batch that
+          // touches the user, and the memory sink APPENDS updates — the
+          // FINAL state is the emission with the highest n_events
+          // (totals are strictly monotone per emission). Today the
+          // bounded corpus drains in one batch, but without this
+          // collapse any multi-batch source (chunked files,
+          // maxFilesPerTrigger) would duplicate users and fail the gate
+          // — StreamingSpec's own twin already collapsed; the gate row
+          // must too.
+          .groupBy("user_id")
+          .agg(max(struct(col("n_events"), col("total_value"))).as("st"))
+          .select(col("user_id"), col("st.n_events").as("n_events"),
+            round(col("st.total_value"), 2).as("total_value"))
           .orderBy("user_id")
       },
       Some(

@@ -16,13 +16,38 @@ import graft.Tables
   */
 object StreamingOps {
 
+  /** Source-schema memo: every stream construction needs the file's
+    * schema, read via a batch footer scan — and a stream-stream join
+    * constructs TWO sources, so uncached each query construction paid
+    * the footer read repeatedly. Keyed per (session, file); schema
+    * STRUCTURE is corpus-contract-stable across regenerations (only
+    * data changes), so no content fingerprint is needed here.
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), StructType]
+
+  private def fileSchema(
+      spark: SparkSession, path: String): StructType =
+    schemaCache.getOrElseUpdate((spark, path), {
+      Tables.readerConfs(spark)
+      spark.read.parquet(path).schema
+    })
+
   /** Schema of events.parquet under Tables.readerConfs (ns columns as
     * Long, µs columns as TimestampType — both corpus generations).
     */
-  private def eventsSchema(spark: SparkSession, dir: String): StructType = {
-    Tables.readerConfs(spark)
-    spark.read.parquet(s"$dir/events.parquet").schema
-  }
+  private def eventsSchema(spark: SparkSession, dir: String): StructType =
+    fileSchema(spark, s"$dir/events.parquet")
+
+  /** Streaming source over the documents parquet file — the shared shape
+    * of the three dedup streams (exact, chained, prefix), which each
+    * repeated the readerConfs + batch-schema-read + glob-filter dance.
+    */
+  private def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(fileSchema(spark, s"$dir/documents.parquet"))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
 
   /** Streaming source over the events parquet file(s). The ns-Long → µs
     * truncation applies only when the corpus actually shipped ns
@@ -95,16 +120,9 @@ object StreamingOps {
     * nondeterminism into the result; keying on everything emitted makes
     * the survivor set exactly the batch-distinct relation.
     */
-  def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {
-    Tables.readerConfs(spark)
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    dedupExactOn(
-      spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-        .withColumn("copy", explode(array(lit(0), lit(1)))))
-  }
+  def dedupExactStream(spark: SparkSession, dir: String): DataFrame =
+    dedupExactOn(documentsStream(spark, dir)
+      .withColumn("copy", explode(array(lit(0), lit(1)))))
 
   /** The watermarked exact-dedup core over any documents stream — split
     * from the source/dup-planting so the multi-batch replay spec can feed
@@ -216,12 +234,7 @@ object StreamingOps {
     * by the oracle.
     */
   def dedupAggChainedStream(spark: SparkSession, dir: String): DataFrame = {
-    Tables.readerConfs(spark)
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    documentsStream(spark, dir)
       .select(col("doc_id"), col("lang"), md5(lower(col("text"))).as("fingerprint"))
       .withColumn("copy", explode(array(lit(0), lit(1))))
       .withColumn("bucket_ts",
@@ -255,12 +268,7 @@ object StreamingOps {
     * (that is what bounds the state).
     */
   def dedupPrefixStream(spark: SparkSession, dir: String): DataFrame = {
-    Tables.readerConfs(spark)
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    documentsStream(spark, dir)
       .select(col("doc_id"),
         array_join(slice(split(col("text"), " "), 1, 5), " ").as("k"))
       .withColumn("event_ts",
@@ -330,7 +338,18 @@ object StreamingOps {
               else if (t - st.last > gapUs) {
                 out ::= SessionOut(user, st.start, st.n, st.last - st.start)
                 st = SessionState(t, t, 1)
-              } else st = SessionState(st.start, t, st.n + 1)
+              } else {
+                // min/max, NOT (start, t): the per-batch sort only orders
+                // WITHIN a batch — a legal late event from a later batch
+                // (above the watermark) can be older than the stored
+                // last, and taking it as the new last would move the
+                // session boundary BACKWARDS (even to a negative
+                // duration), spuriously splitting on the next on-time
+                // event. The batch oracle computes sessions as min/max
+                // per gap-group; the merge must too.
+                st = SessionState(math.min(st.start, t),
+                  math.max(st.last, t), st.n + 1)
+              }
             }
             state.update(st)
             // timeout is ms-precision (the watermark's unit)
@@ -411,29 +430,67 @@ object StreamingOps {
   def runToParquetSink(df: DataFrame, name: String): DataFrame =
     runToParquetSinkWithDir(df, name)._1
 
-  private[graft] def runToParquetSinkWithDir(
-      df: DataFrame, name: String): (DataFrame, java.io.File) = {
-    val spark = df.sparkSession
+  /** Shared conf dance for the bounded drains. Streaming queries capture
+    * session conf at `.start()`, so the shuffle-partition and
+    * no-data-batch settings must be in place around it. The save/restore
+    * on a SHARED session is not reentrant — two interleaved drains would
+    * restore each other's saved values and leave the session degraded —
+    * so a JVM-wide lock serializes drains (they are bounded harness
+    * operations; a production query owns its session). Also raises the
+    * progress retention: `recentProgress` is the data-batch counter and
+    * its default cap (100) silently undercounts a >100-file chunked
+    * replay.
+    */
+  private val drainLock = new Object
+  private def withStreamConfs[A](
+      spark: SparkSession, partitions: String, noData: Boolean)(
+      body: => A): A = drainLock.synchronized {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val prevProg =
+      spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noData.toString)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("graft.stream.statePartitions").getOrElse(partitions))
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(x) => spark.conf.set(k, x)
+      case None => spark.conf.unset(k)
+    }
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      restore("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      restore("spark.sql.streaming.numRecentProgressUpdates", prevProg)
+    }
+  }
+
+  /** tmpfs-backed scratch dir when available (checkpoints/sinks of the
+    * bounded drains are ephemeral; fsync through the disk costs more
+    * than the queries they feed — production keeps durable storage).
+    */
+  private def scratchDir(prefix: String): java.io.File = {
     val shm = new java.io.File("/dev/shm")
     val base =
       if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    val out = java.nio.file.Files
-      .createTempDirectory(base, s"graft-sink-$name-").toFile
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(base, s"graft-sinkck-$name-").toFile
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    sys.addShutdownHook { rm(out); rm(ckpt) }
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData =
-      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("graft.stream.statePartitions").getOrElse("1"))
-    try {
+    java.nio.file.Files.createTempDirectory(base, prefix).toFile
+  }
+
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
+  private[graft] def runToParquetSinkWithDir(
+      df: DataFrame, name: String): (DataFrame, java.io.File) = {
+    val spark = df.sparkSession
+    val out = scratchDir(s"graft-sink-$name-")
+    val ckpt = scratchDir(s"graft-sinkck-$name-")
+    sys.addShutdownHook { rmTree(out); rmTree(ckpt) }
+    withStreamConfs(spark, "1", noData = false) {
       val q = df.writeStream
         .outputMode(OutputMode.Append())
         .format("parquet")
@@ -442,14 +499,6 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      prevNoData match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
     }
     (spark.read.schema(df.schema).parquet(out.getAbsolutePath), out)
   }
@@ -465,49 +514,27 @@ object StreamingOps {
       watermarkFlush: Boolean = false,
       statePartitions: Int = 1): (DataFrame, Int) = {
     val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData =
-      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-      watermarkFlush.toString)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("graft.stream.statePartitions")
-        .getOrElse(statePartitions.toString))
     // The state store commits a checkpoint per partition per microbatch;
     // on a bounded drain that fsync-heavy I/O is pure overhead, so the
-    // checkpoint lives on tmpfs when available. A long-lived production
-    // query keeps its checkpoint on durable storage — this is the
-    // run-to-completion harness path only.
-    val ckptBase = new java.io.File("/dev/shm")
-    val ckpt = java.nio.file.Files.createTempDirectory(
-      (if (ckptBase.isDirectory && ckptBase.canWrite) ckptBase.toPath
-       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))),
-      s"graft-ckpt-$name-").toFile
+    // checkpoint lives on tmpfs when available (scratchDir). A long-lived
+    // production query keeps its checkpoint on durable storage — this is
+    // the run-to-completion harness path only.
+    val ckpt = scratchDir(s"graft-ckpt-$name-")
     var dataBatches = 0
     try {
-      val q = df.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      prevNoData match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      withStreamConfs(spark, statePartitions.toString,
+          noData = watermarkFlush) {
+        val q = df.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        dataBatches = q.recentProgress.count(_.numInputRows > 0)
       }
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(ckpt)
-    }
+    } finally rmTree(ckpt)
     (spark.table(name), dataBatches)
   }
 }

@@ -83,10 +83,13 @@ class StreamingSpec extends SparkTestBase {
     // the emission contract: a window is in the result iff its end is at
     // or before the final global watermark, min over both sides of
     // (max event time − 2 h) — the same rule the gate oracle replays
+    // Spark tracks watermarks in MILLISECONDS — each side's max floors
+    // to ms before the delay subtracts (the gate oracle replays the same)
+    val usDivMs = expr("unix_micros(ts) div 1000")
     val wm = e.agg(least(
-      max(when(col("event_type") === "click", unix_micros(col("ts")))),
-      max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
-      .as("m")).collect()(0).getLong(0) - 7200000000L
+      max(when(col("event_type") === "click", usDivMs)),
+      max(when(col("event_type") === "purchase", usDivMs)))
+      .as("m")).collect()(0).getLong(0) * 1000L - 7200000000L
     val batch = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"))
       .join(e.filter(col("event_type") === "purchase")
