@@ -167,8 +167,14 @@ object MultimodalOps {
     ("multimodal_features",
       (s: SparkSession, d: String) => {
         val media = mediaTable(s, d)
-        val session = s
-        val feats = media.select(col("doc_id"), col("media"), col("meta.n_bytes").as("nb"))
+        // empty payloads must be ABSENT, matching the oracle's inner
+        // join on the per-bin histogram (no characters → no h rows →
+        // doc dropped); unguarded, an empty doc emitted
+        // (doc_id, 0, NULL, 0.0) on the Spark side — the same
+        // empty-payload parity rule audio_energy and frame_sample pin
+        val feats = media
+          .filter(col("meta.n_bytes") > 0)
+          .select(col("doc_id"), col("media"), col("meta.n_bytes").as("nb"))
           .mapPartitions { rows =>
             rows.map { r =>
               val payload = r.getAs[Array[Byte]]("media")
@@ -226,10 +232,12 @@ object MultimodalOps {
       (s: SparkSession, d: String) =>
         graft.Tables.documents(s, d)
           .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-          // empty payloads have no frames and must be ABSENT, matching
-          // the oracle's range(0, ceil) = empty — the unguarded Spark
-          // framing fabricated one phantom frame (sequence(0, (0-1)/32)
-          // = [0], then sequence(1, 0) steps DOWN) for text = ''
+          // empty payloads have no frames and must be ABSENT on both
+          // sides: the unguarded Spark framing fabricated a phantom
+          // frame (sequence(0, (0-1)/32) = [0]) for text = '', and the
+          // oracle's range(0, (length-1)//32 + 1) does too (DuckDB //
+          // truncates toward zero, so (-1)//32 = 0 → range(0,1) = one
+          // frame) — both sides carry an explicit length > 0 guard
           .filter(col("n") > 0)
           .withColumn("f",
             explode(sequence(lit(0), ((col("n") - 1) / lit(32)).cast("int"))))
@@ -249,9 +257,13 @@ object MultimodalOps {
           .orderBy("doc_id"),
       Some(
         """WITH fr AS (
+          |  -- length > 0: (-1)//32 truncates to 0 in DuckDB, so an empty
+          |  -- text would otherwise fabricate one phantom frame whose NULL
+          |  -- energy only vanished by luck of the final equality join
           |  SELECT doc_id, CAST(r.i AS BIGINT) AS f,
           |         substr(text, CAST(r.i*32 + 1 AS INT), 32) AS s
           |  FROM documents, UNNEST(range(0, (length(text)-1)//32 + 1)) r(i)
+          |  WHERE length(text) > 0
           |), en AS (
           |  SELECT doc_id, f,
           |         CAST(list_sum([(ord(s[j]) - 96) * (ord(s[j]) - 96)

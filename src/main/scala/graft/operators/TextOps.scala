@@ -103,6 +103,12 @@ object TextOps {
     */
   def intradocDedup(docs: DataFrame): DataFrame =
     docs
+      // empty token arrays have no chunks and must be ABSENT (the oracle's
+      // range(0, 0) UNNEST drops the doc): unguarded, sequence(0, -1)
+      // steps DOWN to [0, -1] — Spark defaults to step -1 when start >
+      // stop, the exact trap multimodal_frame_sample documents — and
+      // fabricated two phantom ''-chunks for a chunkless document
+      .filter(size(col("tk")) > 0)
       .withColumn("chunks",
         transform(
           sequence(lit(0L),
@@ -209,6 +215,16 @@ object TextOps {
     * scalar collect_list is the one permitted SinglePartition, a
     * one-row-per-partition reduction).
     */
+  /** In-row EXCLUSIVE prefix sum over a collected, sorted (pid, cnt)
+    * struct array `cs`: for each element, the total of all counts before
+    * it. The bounded-array alternative to a Window that [[shuffleOrder]]
+    * and [[pplBuckets]] both rank with — one definition so the subtle
+    * slice/aggregate lambda can't drift between the two call sites.
+    */
+  private val prefixOffsetsExpr =
+    "transform(cs, (x, i) -> struct(x.pid AS pid, " +
+      "aggregate(slice(cs, 1, i), 0L, (a, y) -> a + y.cnt) AS off))"
+
   def shuffleOrder(docs: DataFrame): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._
@@ -226,10 +242,7 @@ object TextOps {
     CacheRegistry.register(sorted, Seq(sorted))
     val offs = sorted.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .agg(sort_array(collect_list(struct(col("pid"), col("cnt")))).as("cs"))
-      .select(explode(expr(
-        "transform(cs, (x, i) -> struct(x.pid AS pid, " +
-          "aggregate(slice(cs, 1, i), 0L, (a, y) -> a + y.cnt) AS off))"))
-        .as("e"))
+      .select(explode(expr(prefixOffsetsExpr)).as("e"))
       .select(col("e.pid").as("pid"), col("e.off").as("off"))
     sorted.join(broadcast(offs), "pid")
       .select(col("doc_id"), (col("off") + col("li")).as("pos"))
@@ -290,10 +303,7 @@ object TextOps {
       .agg(sort_array(collect_list(struct(col("pid"), col("cnt")))).as("cs"))
       .select(col("lang"),
         expr("aggregate(cs, 0L, (a, y) -> a + y.cnt)").as("n_lang"),
-        explode(expr(
-          "transform(cs, (x, i) -> struct(x.pid AS pid, " +
-            "aggregate(slice(cs, 1, i), 0L, (a, y) -> a + y.cnt) AS off))"))
-          .as("e"))
+        explode(expr(prefixOffsetsExpr)).as("e"))
       .select(col("e.pid").as("pid"), col("lang"),
         col("e.off").as("off"), col("n_lang"))
     val ranked = sorted.join(broadcast(offs), Seq("pid", "lang"))
@@ -330,6 +340,39 @@ object TextOps {
     * is the one alternative, and a token-level cache is the thing this
     * file's conventions (aggregate-compress, then cache) exist to avoid.
     */
+  /** BM25 top-20 over a fixed term set (k1=1.2, b=0.75) — the shared
+    * lexical scorer behind `text_bm25_search` AND `text_hybrid_rrf`'s
+    * lexical leg (previously two verbatim copies that could drift).
+    * Per-doc term frequencies are scan-local lambda counts; the corpus
+    * statistics (N, avgdl, per-term df) are ONE aggregate row
+    * cross-joined back as a broadcast — the corpus never shuffles, and
+    * the top-k is a TakeOrdered. All score inputs are
+    * exactly-representable integers in doubles, so both engines compute
+    * bit-identical scores; ranking runs on the ×1e6 quantized BIGINT.
+    */
+  private[graft] def bm25Top20(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val base = docs.select(col("doc_id"), toks.as("tk"))
+      .select(Seq(col("doc_id"), size(col("tk")).cast("double").as("dl")) ++
+        terms.indices.map(i =>
+          size(filter(col("tk"), x => x === terms(i)))
+            .cast("double").as(s"tf$i")): _*)
+    val aggs = Seq(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.map { i =>
+      log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0) *
+        (col(s"tf$i") * 2.2) /
+        (col(s"tf$i") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score * 1e6, 0).cast("long").as("score6"))
+      .filter(col("score6") > 0)
+      .orderBy(col("score6").desc, col("doc_id")).limit(20)
+  }
+
   def tfidfScored(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(term_counts(toks)).as(Seq("term", "tf")))
@@ -1518,29 +1561,8 @@ object TextOps {
     // compute bit-identical scores; the ranking runs on the ×1e6
     // quantized BIGINT.
     ("text_bm25_search",
-      (s: SparkSession, d: String) => {
-        val terms = Seq("spark", "table", "query")
-        val base = documents(s, d).select(col("doc_id"), toks.as("tk"))
-          .select(Seq(col("doc_id"), size(col("tk")).cast("double").as("dl")) ++
-            terms.indices.map(i =>
-              size(filter(col("tk"), x => x === terms(i)))
-                .cast("double").as(s"tf$i")): _*)
-        val aggs = Seq(count(lit(1)).cast("double").as("n"),
-          avg("dl").as("avgdl")) ++
-          terms.indices.map(i =>
-            sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
-        val stats = base.agg(aggs.head, aggs.tail: _*)
-        val score = terms.indices.map { i =>
-          log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0) *
-            (col(s"tf$i") * 2.2) /
-            (col(s"tf$i") +
-              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-        }.reduce(_ + _)
-        base.crossJoin(broadcast(stats))
-          .select(col("doc_id"), round(score * 1e6, 0).cast("long").as("score6"))
-          .filter(col("score6") > 0)
-          .orderBy(col("score6").desc, col("doc_id")).limit(20)
-      },
+      (s: SparkSession, d: String) =>
+        bm25Top20(documents(s, d), Seq("spark", "table", "query")),
       Some(
         """WITH base AS (
           |  SELECT doc_id,
@@ -1736,9 +1758,15 @@ object TextOps {
     // self-verifying boolean).
     ("text_heavy_hitters_cms",
       (s: SparkSession, d: String) => {
+        // cached: the vocabulary-compressed count relation feeds BOTH the
+        // grid build and the top-20 probe — uncached, each consumer
+        // re-ran the corpus explode + token aggregate (the file's
+        // multi-consumer convention: pmiBigrams/unigramLogprob)
         val cnt = documents(s, d)
           .select(explode(toks).as("token"))
           .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .cache()
+        CacheRegistry.register(cnt, Seq(cnt))
         val cells = cnt.select(col("cnt"),
           posexplode(transform(sequence(lit(0), lit(3)),
             i => substring(md5(concat(col("token"), lit("#"), i.cast("string"))), 1, 3)))
@@ -1797,27 +1825,9 @@ object TextOps {
     // with doc_id tie-break — no raw-double ordering crosses the hash.
     ("text_hybrid_rrf",
       (s: SparkSession, d: String) => {
-        val terms = Seq("spark", "table", "query")
-        val base = documents(s, d).select(col("doc_id"), toks.as("tk"))
-          .select(Seq(col("doc_id"), size(col("tk")).cast("double").as("dl")) ++
-            terms.indices.map(i =>
-              size(filter(col("tk"), x => x === terms(i)))
-                .cast("double").as(s"tf$i")): _*)
-        val aggs = Seq(count(lit(1)).cast("double").as("n"),
-          avg("dl").as("avgdl")) ++
-          terms.indices.map(i =>
-            sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
-        val stats = base.agg(aggs.head, aggs.tail: _*)
-        val score = terms.indices.map { i =>
-          log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0) *
-            (col(s"tf$i") * 2.2) /
-            (col(s"tf$i") +
-              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-        }.reduce(_ + _)
-        val lexTop = base.crossJoin(broadcast(stats))
-          .select(col("doc_id"), round(score * 1e6, 0).cast("long").as("score6"))
-          .filter(col("score6") > 0)
-          .orderBy(col("score6").desc, col("doc_id")).limit(20)
+        // lexical leg = the SAME bm25Top20 scorer as text_bm25_search
+        // (shared helper — the two legs can't drift apart)
+        val lexTop = bm25Top20(documents(s, d), Seq("spark", "table", "query"))
         val lex = lexTop.select(col("doc_id"),
           row_number().over(Window.orderBy(col("score6").desc, col("doc_id")))
             .cast("long").as("lrank"))
