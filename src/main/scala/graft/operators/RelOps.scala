@@ -108,23 +108,6 @@ object RelOps {
       .agg(count(lit(1)).as("n_orders"))
   }
 
-  /** Triangle census over the co-purchase part graph — the graph-shape
-    * statistic (global clustering) community detection and fraud
-    * pipelines compute. Degree-ordered orientation: every edge points
-    * from its lower-(degree, id) endpoint to the higher, so each
-    * triangle is counted EXACTLY once — at its minimum-rank edge as
-    * |N⁺(lo) ∩ N⁺(hi)| — and, the scale property, out-degrees are capped
-    * near √m on any graph (hubs receive edges instead of fanning
-    * wedges). The intersection form materializes per-node out-adjacency
-    * ARRAYS (≤ √m entries each) instead of the wedge relation (Σ outdeg²
-    * rows — 41M vs 1.2M edges on the sf0.1 graph, measured): the
-    * adjacency attaches to the edge list through two size-gated
-    * broadcast joins (vocabulary-sized relation; falls back to shuffle
-    * joins past the gate, the standard distributed shape), and the
-    * intersection itself is scan-local columnar arithmetic.
-    * All-integer: (deg, id) packs into one int64 rank, so orientation
-    * and census are bit-identical across engines.
-    */
   /** Five-round integer fixed-point PageRank over a directed edge list
     * (src, dst) — the iterate behind the `graph_pagerank` gate row and
     * ScaleSmoke's pagerank leg. All arithmetic is ×1e12 fixed-point
@@ -156,6 +139,12 @@ object RelOps {
     val ed = edges.join(deg, "src").repartition(col("src")).persist()
     CacheRegistry.register(ed, Seq(ed))
     val nNodes = ed.select(col("src")).distinct().count()
+    // empty graph: zero nodes would divide the teleport by zero on the
+    // driver; return the empty rank relation instead (the bfsLevels
+    // empty-graph precedent)
+    if (nNodes == 0) {
+      return ed.select(col("src").as("node"), col("deg").as("r")).limit(0)
+    }
     val Q = 1000000000000L
     val teleport = (15L * Q) / (100L * nNodes)
     var ranks = ed.select(col("src").as("node")).distinct()
@@ -174,6 +163,23 @@ object RelOps {
     ranks
   }
 
+  /** Triangle census over the co-purchase part graph — the graph-shape
+    * statistic (global clustering) community detection and fraud
+    * pipelines compute. Degree-ordered orientation: every edge points
+    * from its lower-(degree, id) endpoint to the higher, so each
+    * triangle is counted EXACTLY once — at its minimum-rank edge as
+    * |N⁺(lo) ∩ N⁺(hi)| — and, the scale property, out-degrees are capped
+    * near √m on any graph (hubs receive edges instead of fanning
+    * wedges). The intersection form materializes per-node out-adjacency
+    * ARRAYS (≤ √m entries each) instead of the wedge relation (Σ outdeg²
+    * rows — 41M vs 1.2M edges on the sf0.1 graph, measured): the
+    * adjacency attaches to the edge list through two size-gated
+    * broadcast joins (vocabulary-sized relation; falls back to shuffle
+    * joins past the gate, the standard distributed shape), and the
+    * intersection itself is scan-local columnar arithmetic.
+    * All-integer: (deg, id) packs into one int64 rank, so orientation
+    * and census are bit-identical across engines.
+    */
   def triangleCensus(li: DataFrame): DataFrame = {
     val e = copurchaseCounts(li).select("p1", "p2").persist()
     // deg feeds rank, n_nodes AND n_wedges; oriented feeds the adjacency
@@ -515,10 +521,17 @@ object RelOps {
       s: SparkSession, parent: String, prefix: String, keepName: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(parent)
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // same recent-mtime cutoff as pruneLegacyLayouts: a superseded-
+    // generation dir can still be mid-read by a concurrent session that
+    // started on the old corpus — deleting it would fail that session's
+    // in-flight scan. A recently-written stale dir survives one sweep
+    // window (bounded leak) and goes on the next call.
+    val cutoff = System.currentTimeMillis() - 60L * 60L * 1000L
     if (fs.exists(dir)) {
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(prefix) && n != keepName)
+        if (n.startsWith(prefix) && n != keepName &&
+            st.getModificationTime < cutoff)
           try fs.delete(st.getPath, true) catch { case _: Exception => () }
       }
     }
@@ -1661,11 +1674,18 @@ object RelOps {
     // in the frame) so no float accumulation order can flip the hash.
     ("events_daily_moving",
       (s: SparkSession, d: String) => {
+        // quantize PER ROW, then integer-sum: round(sum(double)*100)
+        // quantizes an accumulation-order-dependent value — a cell
+        // landing within double-summation noise of an x.5 boundary could
+        // round differently between engines (or runs) and every trailing
+        // window containing it would diverge (the cusum/abc precedent).
+        // Per-row value*100 is the same double multiply in both engines;
+        // the sum is then exact integer arithmetic.
         val daily = events(s, d)
           .groupBy(col("event_type"),
             (unix_micros(date_trunc("day", col("ts"))) / 86400000000L)
               .cast("long").as("day_num"))
-          .agg(round(sum("value") * 100, 0).cast("long").as("day_cents"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("day_cents"))
         val w = Window.partitionBy("event_type").orderBy("day_num")
           .rangeBetween(-6, 0)
         daily.select(col("event_type"), col("day_num"), col("day_cents"),
@@ -1681,7 +1701,7 @@ object RelOps {
         """WITH daily AS (
           |  SELECT event_type,
           |         epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS day_num,
-          |         CAST(round(sum(value) * 100, 0) AS BIGINT) AS day_cents
+          |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
           |  FROM events GROUP BY 1, 2
           |)
           |SELECT event_type, day_num, day_cents,

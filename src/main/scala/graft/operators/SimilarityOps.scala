@@ -91,6 +91,10 @@ object SimilarityOps {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("c_id"), transform(col("pm"), p => p("m")).as("cv"))
       .cache()
+    // registered like every other persisted relation in the family, so
+    // the session LRU accounts for it and the bench's cold-pass
+    // clearSession() can actually unpersist it
+    CacheRegistry.register(cents, Seq(cents))
     val assigned = assign(e, cents)
     val wProbe = Window.partitionBy("q_id").orderBy(
       cosine_sim(col("qv"), col("cv")).desc, col("c_id"))
@@ -116,9 +120,16 @@ object SimilarityOps {
     */
   private def pqScored(e: DataFrame): DataFrame = {
     val nSub = 8
+    // subspace width derives from the DATA (size(v)/nSub), not a
+    // hard-coded 64: hard-coding PQ-encoded only the first 64 components
+    // of any wider corpus while the exact re-rank used all of them —
+    // silent recall collapse with no error. Dims not divisible by nSub
+    // drop the remainder dims from the CODES only (shortlist quality
+    // degrades marginally; the exact re-rank stays full-dimension).
+    val subW = (size(col("v")) / nSub).cast("int")
     val sub = e.select(col("vec_id"), posexplode(
         transform(sequence(lit(0), lit(nSub - 1)),
-          m => slice(col("v"), m * lit(64 / nSub) + 1, lit(64 / nSub)))))
+          m => slice(col("v"), m * subW + 1, subW))))
       .toDF("vec_id", "m", "sv")
     val seeds = sub.filter(col("vec_id") < 16)
       .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cv"))
@@ -144,6 +155,7 @@ object SimilarityOps {
       .select(col("m"), col("c_id"),
         transform(col("pm"), p => p("mu")).as("cv"))
     val cents = lloyd(lloyd(seeds)).cache()
+    CacheRegistry.register(cents, Seq(cents))
     val codes = assign(sub, cents).select("vec_id", "m", "code")
     // query-side ADC table: ⟨q_m, c⟩ and ‖c‖² per (query, subspace, code)
     val adc = sub.filter(col("vec_id") < 20)
@@ -247,6 +259,7 @@ object SimilarityOps {
     val seeds = vs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("v6").as("cv"))
     val cents = lloyd6(vs, lloyd6(vs, seeds)).cache()
+    CacheRegistry.register(cents, Seq(cents))
     (assign6(vs, cents), cents)
   }
 
@@ -516,12 +529,11 @@ object SimilarityOps {
     // so the gate proves operator equivalence. Requires GraftExtensions.
     ("sim_topk_exec",
       (s: SparkSession, d: String) => {
-        val e = vecs(s, d)
-        val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            cosine_sim(col("qv"), col("v")).as("cos"))
+        // SAME scored relation as sim_brute_topk (shared helper — the two
+        // entries share an oracle precisely because the inputs are
+        // identical; a drifted copy would make the equivalence gate
+        // compare non-equivalent relations)
+        val scored = bruteScored(vecs(s, d))
         val top = graft.plans.GraftPlans.topKPerKey(
           scored, Seq("q_id"), Seq("cos" -> false, "vec_id" -> true), 5)
         // rank over the tiny top-k result (≤ 5 rows per key)
@@ -895,8 +907,9 @@ object SimilarityOps {
 
     // Product quantization with asymmetric-distance (ADC) scoring — the
     // compressed-domain ANN tier below IVF: 8 subspaces × 16 centroids
-    // (one Lloyd round per subspace, trained exactly like the IVF
-    // codebook), each vector stored as 8 one-byte codes. Scoring never
+    // (TWO Lloyd rounds per subspace — lloyd(lloyd(seeds)) in pqScored —
+    // the same training shape as the IVF codebook), each vector stored
+    // as 8 one-byte codes. Scoring never
     // touches the raw corpus vectors: the query-side distance table
     // (Q × 8 × 16 inner products against centroids) broadcasts, the code
     // relation equi-joins it on (subspace, code), and cos is assembled
