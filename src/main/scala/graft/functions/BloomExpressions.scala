@@ -28,14 +28,21 @@ object BloomSketch {
     * lowers the realized fpp. Insertion uses the UTF-8 bytes, matching
     * [[BloomMightContain]]'s probe by construction.
     */
-  def build(col: Dataset[String], expected: Long, fpp: Double): BloomFilter =
-    col.rdd
+  def build(col: Dataset[String], expected: Long, fpp: Double): BloomFilter = {
+    val parts = col.rdd
       .mapPartitions { it =>
         val f = BloomFilter.create(math.max(expected, 1L), fpp)
         it.foreach(s => f.putBinary(s.getBytes("UTF-8")))
         Iterator(f)
       }
-      .treeReduce((a, b) => { a.mergeInPlace(b); a })
+    // treeReduce throws on an empty RDD; mapPartitions emits one filter
+    // per partition even for empty ones, so the only empty case is a
+    // ZERO-partition RDD (an empty pre-filtered base corpus) — a legal
+    // "no base yet" input that yields the empty sketch (every probe
+    // false). getNumPartitions is metadata, no extra job.
+    if (parts.getNumPartitions == 0) BloomFilter.create(math.max(expected, 1L), fpp)
+    else parts.treeReduce((a, b) => { a.mergeInPlace(b); a })
+  }
 
   def mightContain(bloom: Broadcast[BloomFilter], c: Column): Column =
     ColumnShim.column(BloomMightContain(ColumnShim.expression(c), bloom))

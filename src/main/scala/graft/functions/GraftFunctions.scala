@@ -64,49 +64,45 @@ object GraftFunctions {
       .otherwise(array(concat_ws(" ", tokens)))
   }
 
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def intArg(es: Seq[Expr], i: Int): Int =
+    es(i).eval().asInstanceOf[Number].intValue()
+  private def longArg(es: Seq[Expr], i: Int): Long =
+    es(i).eval().asInstanceOf[Number].longValue()
+
+  /** (name → builder) pairs consumed by BOTH SQL registration paths —
+    * one list so extension injection and temp-function registration
+    * cannot drift (they were maintained as two verbatim copies, and
+    * srp_sig had already drifted: Column-API-only, absent from both).
+    */
+  private val sqlBuilders: Seq[(String, Seq[Expr] => Expr)] = Seq(
+    "minhash_sig" -> (es => MinHashSignature(es.head, intArg(es, 1))),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "rolling_fp" -> (es => RollingFingerprint(es.head)),
+    "winnow_fp" -> (es => WinnowSelect(es.head, intArg(es, 1), intArg(es, 2))),
+    "cosine_sim" -> (es => CosineSim(es.head, es(1))),
+    "term_counts" -> (es => TermCounts(es.head)),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es.head, es(1))),
+    "srp_sig" -> (es => SrpSignature(es.head, intArg(es, 1), longArg(es, 2))))
+
   /** Make the custom expressions SQL-callable in every session built with
     * [[graft.plans.GraftExtensions]].
     */
   def inject(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    def info(name: String) = new ExpressionInfo("graft", name)
-    e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
-      es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Number].intValue())))
-    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
-      es => SimHash64(es.head)))
-    e.injectFunction((FunctionIdentifier("rolling_fp"), info("rolling_fp"),
-      es => RollingFingerprint(es.head)))
-    e.injectFunction((FunctionIdentifier("winnow_fp"), info("winnow_fp"),
-      es => WinnowSelect(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue())))
-    e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
-      es => CosineSim(es.head, es(1))))
-    e.injectFunction((FunctionIdentifier("term_counts"), info("term_counts"),
-      es => TermCounts(es.head)))
-    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
-      info("sorted_intersect_count"),
-      es => SortedIntersectCount(es.head, es(1))))
+    sqlBuilders.foreach { case (name, build) =>
+      e.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo("graft", name), build))
+    }
   }
 
   /** Register SQL names for the custom expressions on this session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "minhash_sig",
-      es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Number].intValue()),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("rolling_fp", es => RollingFingerprint(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("winnow_fp",
-      es => WinnowSelect(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue()),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("term_counts", es => TermCounts(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("sorted_intersect_count",
-      es => SortedIntersectCount(es.head, es(1)), "scala_udf")
+    sqlBuilders.foreach { case (name, build) =>
+      reg.createOrReplaceTempFunction(name, build, "scala_udf")
+    }
   }
 }

@@ -16,9 +16,20 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
-  /** Sequential-order cosine similarity of two double arrays. */
+  /** Sequential-order cosine similarity of two double arrays. Mismatched
+    * lengths are an ERROR, not a silent prefix score: the function is
+    * SQL-registered and user-callable, and a pipeline bug pairing a
+    * 768-dim with a 512-dim vector would otherwise return a plausible
+    * similarity over the shared prefix — DuckDB's
+    * list_cosine_similarity (the oracle twin) rejects the same input.
+    */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"cosine_sim: mismatched vector lengths ${a.numElements()} vs " +
+          s"${b.numElements()}")
+    }
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

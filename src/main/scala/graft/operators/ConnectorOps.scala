@@ -30,8 +30,15 @@ object ConnectorOps {
     stubs.clear()
   }
 
+  /** TrieMap.getOrElseUpdate does NOT evaluate its thunk atomically
+    * (compute-then-putIfAbsent): two threads first-touching the same key
+    * would each start and seed a stub, leaking the loser's port and rows
+    * until JVM exit — so every stub lookup serializes on the map.
+    */
+  private def stubSync[A](body: => A): A = stubs.synchronized(body)
+
   private def stubFor(s: SparkSession, d: String): LokiStubServer =
-    stubs.getOrElseUpdate(d, {
+    stubSync(stubs.getOrElseUpdate(d, {
       val st = new LokiStubServer
       st.start()
       // seed through the connector's own write path: executors POST to the
@@ -47,7 +54,7 @@ object ConnectorOps {
         .mode("append").save()
       sys.addShutdownHook(st.stop())
       st
-    })
+    }))
 
   private def lokiDf(s: SparkSession, d: String): DataFrame =
     s.read.format("loki")
@@ -65,6 +72,14 @@ object ConnectorOps {
     * abs(Int.MinValue) negative; a fresh `createTempDirectory` per call
     * (the runToMemory checkpoint pattern) closes all three.
     */
+  // previous roundtrip dir per prefix: each new invocation reclaims the
+  // PRIOR one, so a long bench session holds at most one corpus copy per
+  // format in tmpfs instead of one per invocation (3 formats × N passes
+  // of RAM-backed /dev/shm was an ENOSPC/OOM risk at larger sf). The
+  // prior result has been consumed by the time the harness re-invokes
+  // the entry (gate/bench consume each relation eagerly).
+  private val lastRoundtripDir = TrieMap.empty[String, java.io.File]
+
   private def roundtrip(prefix: String)(write: String => Unit)(
       read: String => DataFrame): DataFrame = {
     // tmpfs when available, exactly like runToMemory's checkpoints: the
@@ -81,6 +96,7 @@ object ConnectorOps {
       f.delete(): Unit
     }
     sys.addShutdownHook(rm(dir))
+    lastRoundtripDir.put(prefix, dir).foreach(rm)
     write(dir.getAbsolutePath)
     read(dir.getAbsolutePath)
   }
@@ -236,6 +252,7 @@ object ConnectorOps {
           |FROM events
           |WHERE concat(event_type, ' value=', CAST(value AS VARCHAR)) LIKE '%value=1%'
           |  AND concat(event_type, ' value=', CAST(value AS VARCHAR)) NOT LIKE '%value=12%'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),
 
     // Absent-label semantics end-to-end (SURVEY.md §7.4(f)): a corpus where
@@ -249,7 +266,7 @@ object ConnectorOps {
     // too → row-count mismatch, red.
     ("loki_absent_label_neq",
       (s: SparkSession, d: String) => {
-        val st = stubs.getOrElseUpdate(s"$d#absent", {
+        val st = stubSync(stubs.getOrElseUpdate(s"$d#absent", {
           val stub = new LokiStubServer
           stub.start()
           Tables.events(s, d).select(
@@ -267,7 +284,7 @@ object ConnectorOps {
             .mode("append").save()
           sys.addShutdownHook(stub.stop())
           stub
-        })
+        }))
         s.read.format("loki")
           .option("endpoint", st.endpoint)
           .option("default_label", "event_type")
@@ -374,12 +391,12 @@ object ConnectorOps {
     ("loki_connector_insert_count",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val scratch = stubs.getOrElseUpdate(s"$d#insert", {
+        val scratch = stubSync(stubs.getOrElseUpdate(s"$d#insert", {
           val st = new LokiStubServer
           st.start()
           sys.addShutdownHook(st.stop())
           st
-        })
+        }))
         scratch.clear()
         Tables.lokiView(s, d)
           .filter(element_at(col("labels"), "event_type") === "signup")
@@ -397,12 +414,12 @@ object ConnectorOps {
     // directly, instead of fishing the count out of metrics.
     ("loki_insert_count_table",
       (s: SparkSession, d: String) => {
-        val scratch = stubs.getOrElseUpdate(s"$d#insert_table", {
+        val scratch = stubSync(stubs.getOrElseUpdate(s"$d#insert_table", {
           val st = new LokiStubServer
           st.start()
           sys.addShutdownHook(st.stop())
           st
-        })
+        }))
         scratch.clear()
         LokiWrite.insert(
           Tables.lokiView(s, d)
@@ -421,12 +438,12 @@ object ConnectorOps {
     ("loki_insert_display",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val scratch = stubs.getOrElseUpdate(s"$d#insert_display", {
+        val scratch = stubSync(stubs.getOrElseUpdate(s"$d#insert_display", {
           val st = new LokiStubServer
           st.start()
           sys.addShutdownHook(st.stop())
           st
-        })
+        }))
         scratch.clear()
         s.read.format("loki")
           .option("endpoint", scratch.endpoint)

@@ -164,7 +164,15 @@ private final class TopKPartitionIterator(
     val entries = new java.util.ArrayList[(Array[Byte], Array[UnsafeRow])](heaps.size())
     heaps.forEach { (key, h) => entries.add((key.getBytes, drainHeapWorstFirst(h))); () }
     entries.sort((x, y) => compareKeys(x._1, y._1))
-    val f = File.createTempFile("graft-topk-spill", ".bin")
+    // spill into Spark's configured scratch dirs, not java.io.tmpdir: on
+    // a real cluster spark.local.dir points at the large local volumes
+    // while /tmp is typically the small root filesystem — Spark's own
+    // spilling operators target the local dirs for the same reason
+    val localDir = Option(org.apache.spark.SparkEnv.get)
+      .map(_.conf.get("spark.local.dir", sys.props("java.io.tmpdir")))
+      .getOrElse(sys.props("java.io.tmpdir"))
+      .split(",").head.trim
+    val f = File.createTempFile("graft-topk-spill", ".bin", new File(localDir))
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 16))
     try {
       entries.forEach { case (keyBytes, rows) =>
@@ -307,10 +315,20 @@ object GraftPlans {
       orderSpec: Seq[(String, Boolean)],
       k: Int): DataFrame = {
     val plan = df.queryExecution.analyzed
-    def attr(n: String): Attribute =
-      plan.output.find(_.name == n).getOrElse(
+    def attr(n: String): Attribute = {
+      val matches = plan.output.filter(_.name == n)
+      // ambiguity is an error, like Spark's own resolver: a post-join
+      // relation with two same-named columns would otherwise silently
+      // key/order on whichever came first — a wrong-but-plausible top-k
+      if (matches.size > 1) {
+        throw new IllegalArgumentException(
+          s"column $n is ambiguous (${matches.size} matches) in " +
+            plan.output.map(_.name).mkString(","))
+      }
+      matches.headOption.getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in ${plan.output.map(_.name).mkString(",")}"))
+    }
     val keys = keyNames.map(attr)
     val order = orderSpec.map { case (n, asc) =>
       SortOrder(attr(n),
