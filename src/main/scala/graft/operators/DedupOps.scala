@@ -53,17 +53,33 @@ object DedupOps {
     *    relation stays bit-identical to the naive baseline and the DuckDB
     *    oracle — a collision-inflated borderline pair is discarded here.
     */
-  private def verifyJaccard(pairs: DataFrame, docs: DataFrame, tau: Double): DataFrame = {
+  /** Stage-1 hash prefilter shared by the jaccard and overlap verifiers:
+    * attach per-doc sorted xxhash64 arrays to the candidate pairs and
+    * keep those whose hashed `score(inter, |A|, |B|)` clears τ. The
+    * losslessness argument is the score's monotonicity under hashing —
+    * collisions only MERGE shingles (inter ≥ true, sizes ≤ true), so any
+    * score non-decreasing in inter and non-increasing in the sizes can
+    * only OVER-state (jaccard and overlap both qualify).
+    */
+  private def hashPrefilter(
+      pairs: DataFrame, docs: DataFrame, tau: Double,
+      score: (Column, Column, Column) => Column): DataFrame = {
     val h = docs.select(col("doc_id"),
       sort_array(transform(col("sh"), x => xxhash64(x))).as("sh64"))
     val ha = h.select(col("doc_id").as("a_id"), col("sh64").as("ha"))
     val hb = h.select(col("doc_id").as("b_id"), col("sh64").as("hb"))
     val ih = graft.functions.GraftFunctions
       .sorted_intersect_count(col("ha"), col("hb")).cast("double")
-    val pre = pairs
+    pairs
       .join(ha, "a_id").join(hb, "b_id")
-      .filter(ih / (size(col("ha")) + size(col("hb")) - ih) >= tau)
+      .filter(score(ih,
+        size(col("ha")).cast("double"), size(col("hb")).cast("double")) >= tau)
       .select("a_id", "b_id")
+  }
+
+  private def verifyJaccard(pairs: DataFrame, docs: DataFrame, tau: Double): DataFrame = {
+    val pre = hashPrefilter(pairs, docs, tau,
+      (ih, na, nb) => ih / (na + nb - ih))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
     pre
@@ -245,48 +261,52 @@ object DedupOps {
     * array (see [[jaccardPairsPrefix]] — `groups` rides along only for
     * the cache-eviction bookkeeping).
     */
-  private def prefixJoinOnReps(
+  /** Exploded-and-hashed shingle relation + rare-first AllPairs prefix
+    * for a rep-level (doc_id, sh) relation — ONE definition shared by
+    * the full prefix path and the delta probe, whose warm-index
+    * guarantee rests on plan-IDENTITY with the full path (Spark's
+    * CacheManager keys on the canonicalized plan): structural sharing
+    * instead of two copies that must stay byte-identical.
+    *
+    * 8-byte hashed shingle keys shuffle/compare faster than the strings;
+    * a cross-shingle hash collision merges two tokens under one key, which
+    * only ADDS candidates (identical shingles still collide), and the
+    * exact verification downstream discards any false candidate — lossless.
+    * NOTE: hash as a plain column AFTER the explode, not via a transform()
+    * lambda — lambda variables get fresh expression ids per invocation,
+    * which defeats plan canonicalization and with it the Exchange reuse
+    * the self-join depends on.
+    * `ex` cached: it feeds TWO consumers with DIFFERENT shuffle shapes —
+    * the document-frequency aggregate and the dfreq join's probe side —
+    * so Exchange reuse cannot unify them and the scan+explode+hash pass
+    * ran twice (caching measured 5.5 s → 3.1 s on the sf0.1 pipeline);
+    * the row shape is small (two longs + an int, no strings).
+    * `prefix` cached: feeds BOTH sides of the candidate self-join (and
+    * the delta probe across batches). An aggregate-based ranking
+    * (collect_list + sort_array + slice) was measured against the window
+    * form and LOST (6.4 s vs 5.9 s uncached) — the window stays. Same
+    * LRU eviction policy as the other dedup caches.
+    */
+  private def prefixIndex(
       docs: DataFrame, tau: Double, groups: DataFrame): DataFrame = {
-    // 8-byte hashed shingle keys shuffle/compare faster than the strings;
-    // a cross-shingle hash collision merges two tokens under one key, which
-    // only ADDS candidates (identical shingles still collide), and the
-    // exact verification below discards any false candidate — lossless.
-    // NOTE: hash as a plain column AFTER the explode, not via a transform()
-    // lambda — lambda variables get fresh expression ids per invocation,
-    // which defeats plan canonicalization and with it the Exchange reuse
-    // the self-join below depends on (without reuse the whole df-count +
-    // window pipeline executes once per join side).
-    // The exploded (doc_id, n, hashed-shingle) relation feeds TWO
-    // consumers with DIFFERENT shuffle shapes — the document-frequency
-    // aggregate (partial agg below its sh1 exchange) and the dfreq join's
-    // probe side (raw sh1 exchange) — so Exchange reuse cannot unify them
-    // and the scan+explode+hash pass ran twice. Caching it halves the
-    // pipeline's dominant cost (measured 5.5 s → 3.1 s on the sf0.1
-    // candidate pipeline); at corpus scale the cache degrades gracefully
-    // (MEMORY_AND_DISK spill / recompute), and the row shape is small
-    // (two longs + an int — no strings survive the hash).
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shs"))
       .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh1"))
       .cache()
     val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
     val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
-    // cached: feeds BOTH sides of the self-join (Spark's CacheManager keys
-    // on the canonicalized plan, so repeated invocations share one entry);
-    // without it the df-count + window pipeline executes once per side.
-    // (An aggregate-based ranking — collect_list + in-row sort_array +
-    // slice — was measured against this window form and LOST, 6.4 s vs
-    // 5.9 s on the uncached pipeline: the window's partition sort is
-    // codegen'd while collect_list pays array-buffer churn. The window
-    // stays.) Same LRU eviction policy as the other dedup caches —
-    // retained across the caller's action, evicted when the per-session
-    // corpus cap is exceeded.
     val prefix = ex.join(dfreq, "sh1")
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("sh1"))
       .cache()
     CacheRegistry.register(groups, Seq(groups, prefix, ex))
+    prefix
+  }
+
+  private def prefixJoinOnReps(
+      docs: DataFrame, tau: Double, groups: DataFrame): DataFrame = {
+    val prefix = prefixIndex(docs, tau, groups)
     // length filter (AllPairs): J ≥ τ ⇒ min(|x|,|y|) ≥ |x∩y| ≥ τ·max(|x|,|y|),
     // so size-incompatible pairs are pruned inside the join
     val cand = prefix.as("a")
@@ -449,7 +469,13 @@ object DedupOps {
     // setting — a 100 TB dedup graph keeps full parallelism, exactly the
     // drainToMemory state-partition precedent. The count() is against the
     // just-registered cache, which the first round pays anyway.
+    // the set/restore of a SESSION-global conf is not reentrant: two
+    // interleaved CC invocations on one session would restore each
+    // other's saved values and leave the tiny round partitioning behind
+    // permanently — serialize the conf window like StreamingOps'
+    // drainLock (CC runs are bounded; a concurrent caller waits)
     val spark = e.sparkSession
+    ccConfLock.synchronized {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val roundParts = math.max(1L,
       math.min(prevShuffle.toLong, e.count() / 500000L + 1L)).toString
@@ -520,7 +546,10 @@ object DedupOps {
     }
     result
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
+
+  private val ccConfLock = new Object
 
   /** Multiset fingerprint of a two-Long-column relation: row count + sum
     * of per-row hashes. Equal fingerprints ⟺ equal multisets, up to an
@@ -612,18 +641,10 @@ object DedupOps {
     // the warm index at a fraction of the full re-pairing.
     val groups = groupedByArray(docs, "doc_id", "sh")
     val reps = groups.select(col("rep").as("doc_id"), col("arr").as("sh"))
-    val ex = reps.select(col("doc_id"),
-        size(col("sh")).as("n"), explode(col("sh")).as("shs"))
-      .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh1"))
-      .cache()
-    val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
-    val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
-    val prefix = ex.join(dfreq, "sh1")
-      .withColumn("rn", row_number().over(wP))
-      .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
-      .select(col("doc_id"), col("n"), col("sh1"))
-      .cache()
-    CacheRegistry.register(groups, Seq(groups, prefix, ex))
+    // the SAME index construction as the full prefix path — structurally,
+    // via the shared helper, so a prior full-corpus run's cached index
+    // serves the delta probe (plan-keyed CacheManager entry)
+    val prefix = prefixIndex(reps, tau, groups)
     // groups the batch touches: any member satisfies the delta predicate
     // (no distinct — both consumers are left-semi joins, which dedup on
     // their own without the extra exchange)
@@ -715,21 +736,12 @@ object DedupOps {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       .distinct()
-    // two-stage verification, as in [[verifyJaccard]]: hash collisions
-    // only merge shingles, so hashed overlap (intersection ≥ true over
-    // min-size ≤ true) can only OVER-state — the ≥ τ hash prefilter keeps
-    // a superset of the true pairs, and the exact string pass on the
-    // survivors keeps the output identical to the naive computation.
-    val h = docs.select(col("doc_id"),
-      sort_array(transform(col("sh"), x => xxhash64(x))).as("sh64"))
-    val ha = h.select(col("doc_id").as("a_id"), col("sh64").as("ha"))
-    val hb = h.select(col("doc_id").as("b_id"), col("sh64").as("hb"))
-    val ihc = graft.functions.GraftFunctions
-      .sorted_intersect_count(col("ha"), col("hb")).cast("double")
-    val pre = cand
-      .join(ha, "a_id").join(hb, "b_id")
-      .filter(ihc / least(size(col("ha")), size(col("hb"))) >= tau)
-      .select("a_id", "b_id")
+    // two-stage verification via the shared [[hashPrefilter]] (overlap's
+    // score i/min(|A|,|B|) is monotone in the required direction), then
+    // the exact string pass keeps the output identical to the naive
+    // computation.
+    val pre = hashPrefilter(cand, docs, tau,
+      (ih, na, nb) => ih / least(na, nb))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
     pre
@@ -764,10 +776,10 @@ object DedupOps {
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        explode(transform(
+        posexplode(transform(
           sequence(lit(0), ((size(col("toks")) - 1) / lit(20)).cast("int")),
           i => array_join(slice(col("toks"), i * lit(20) + 1, lit(20)), " ")))
-          .as("chunk"))
+          .as(Seq("pos", "chunk")))
 
   def bloomDeltaChunkDedup(docs: DataFrame, deltaPred: Column,
                            fpp: Double = 0.001): DataFrame = {
@@ -1147,11 +1159,9 @@ object DedupOps {
       (s: SparkSession, d: String) => {
         val docs = documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val chunks = docs.select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), ((size(col("toks")) - 1) / lit(20)).cast("int")),
-            i => array_join(slice(col("toks"), i * lit(20) + 1, lit(20)), " ")))
-            .as(Seq("pos", "chunk")))
+        // the shared 20-token chunking unit (chunks20) — the same rule
+        // the bloom path and ScaleSmoke use; one definition, no drift
+        val chunks = chunks20(documents(s, d))
         val winners = chunks.groupBy("chunk")
           .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
         val kept = chunks.join(winners, "chunk")

@@ -56,6 +56,13 @@ object LogQL {
     s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
+      // control characters: a raw newline/tab inside a double-quoted
+      // (Go-syntax) LogQL string is a parse error — the option promises
+      // "safe escaping beyond parity", so it must cover them too
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
 
@@ -143,8 +150,10 @@ object LogQL {
     case EqualTo(StrLit(v), LabelsKey(k)) => Some(LabelMatcher(k, "=", v))
     case Not(EqualTo(LabelsKey(k), StrLit(v))) => Some(LabelMatcher(k, "!=", v))
     case Not(EqualTo(StrLit(v), LabelsKey(k))) => Some(LabelMatcher(k, "!=", v))
-    case RLike(LabelsKey(k), StrLit(v)) => Some(LabelMatcher(k, "=~", findSemantics(v)))
-    case Not(RLike(LabelsKey(k), StrLit(v))) => Some(LabelMatcher(k, "!~", findSemantics(v)))
+    case RLike(LabelsKey(k), StrLit(v)) if re2Compatible(v) =>
+      Some(LabelMatcher(k, "=~", findSemantics(v)))
+    case Not(RLike(LabelsKey(k), StrLit(v))) if re2Compatible(v) =>
+      Some(LabelMatcher(k, "!~", findSemantics(v)))
     case _ => None
   }
 
@@ -153,6 +162,22 @@ object LogQL {
     s.flatMap { c =>
       if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) s"\\$c" else c.toString
     }
+
+  /** Conservative RE2-compatibility screen: Loki's regex engine is RE2,
+    * which rejects lookaround, backreferences, atomic groups, and
+    * possessive quantifiers that Java regex (Spark's evaluator) accepts.
+    * Pushing such a pattern turns a Spark-valid residual predicate into
+    * a runtime HTTP 400 from Loki — and a pushed LINE filter has no
+    * residual to fall back on. False positives here (the construct text
+    * inside a character class or literal) merely keep the predicate as a
+    * residual Filter — conservative in the safe direction.
+    */
+  private def re2Compatible(p: String): Boolean = {
+    val javaOnly = Seq("(?=", "(?!", "(?<=", "(?<!", "(?>",
+      "*+", "++", "?+", "}+")
+    !javaOnly.exists(p.contains) &&
+      !(1 to 9).exists(i => p.contains(s"\\$i"))
+  }
 
   private object LineAttr {
     def unapply(e: Expression): Boolean = e match {
@@ -183,26 +208,36 @@ object LogQL {
     // on whether the optimizer fired the pushdown — and "push for pruning
     // only" is unsound here too, since the Loki match set is not a superset
     // of the SQL one. The form stays a residual Filter; SQL semantics win.
-    case RLike(LineAttr(), StrLit(p)) => Some(LineFilter("|~", p))
-    case Not(RLike(LineAttr(), StrLit(p))) => Some(LineFilter("!~", p))
-    // LIKE family (expr.rs:98-105): (neg?, case-insensitive?)
-    case Like(LineAttr(), StrLit(p), _) =>
+    case RLike(LineAttr(), StrLit(p)) if re2Compatible(p) =>
+      Some(LineFilter("|~", p))
+    case Not(RLike(LineAttr(), StrLit(p))) if re2Compatible(p) =>
+      Some(LineFilter("!~", p))
+    // LIKE family (expr.rs:98-105): (neg?, case-insensitive?). A pattern
+    // CONTAINING its escape character is not translated: containsPattern
+    // reads the raw pattern text, so '%a\\b%' (matching lines with `a\b`)
+    // would push the two-character sequence `\b` — silent row loss under
+    // the Exact claim. Escape-free patterns need no processing and stay
+    // pushable; escaped ones keep their residual Filter.
+    case Like(LineAttr(), StrLit(p), esc) if !p.contains(esc) =>
       containsPattern(p).map(x => LineFilter("|=", x))
-    case Not(Like(LineAttr(), StrLit(p), _)) =>
+    case Not(Like(LineAttr(), StrLit(p), esc)) if !p.contains(esc) =>
       containsPattern(p).map(x => LineFilter("!=", x))
-    case ILike(LineAttr(), StrLit(p), _) =>
+    case ILike(LineAttr(), StrLit(p), esc) if !p.contains(esc) =>
       // the LIKE literal is plain text: regex-escape it before embedding in
       // the (?i) regex (a raw dot/paren would change semantics or break the
       // query — the reference pushes it raw, expr.rs:101-104)
       containsPattern(p).map(x => LineFilter("|~", s"(?i)${regexEscape(x)}"))
-    case Not(ILike(LineAttr(), StrLit(p), _)) =>
+    case Not(ILike(LineAttr(), StrLit(p), esc)) if !p.contains(esc) =>
       containsPattern(p).map(x => LineFilter("!~", s"(?i)${regexEscape(x)}"))
     // post-LikeSimplification forms
     case Contains(LineAttr(), StrLit(x)) => Some(LineFilter("|=", x))
     case Not(Contains(LineAttr(), StrLit(x))) => Some(LineFilter("!=", x))
-    case Contains(Lower(LineAttr()), StrLit(x)) =>
+    // sound only for a lowercase literal: lower(line) can never contain
+    // an uppercase character, so the SQL result is empty — pushing the
+    // case-insensitive regex would RETURN rows the query must not
+    case Contains(Lower(LineAttr()), StrLit(x)) if x == x.toLowerCase =>
       Some(LineFilter("|~", s"(?i)${regexEscape(x)}"))
-    case Not(Contains(Lower(LineAttr()), StrLit(x))) =>
+    case Not(Contains(Lower(LineAttr()), StrLit(x))) if x == x.toLowerCase =>
       Some(LineFilter("!~", s"(?i)${regexEscape(x)}"))
     case _ => None
   }
@@ -214,10 +249,29 @@ object LogQL {
     }
   }
 
+  /** µs → ns with SATURATION: timestamps past 2262-04-11 (the int64-ns
+    * horizon — e.g. the common `<= TIMESTAMP '9999-12-31'` open-bound
+    * sentinel) overflow a plain ×1000, wrapping to a negative bound and
+    * silently emptying the scan under an Exact claim. Saturating keeps
+    * the pushed window semantically exact: no log can carry an ns
+    * timestamp beyond the horizon, so a clamped bound admits/excludes
+    * exactly the same rows.
+    */
+  private[loki] def usToNsSat(us: Long): Long =
+    try math.multiplyExact(us, 1000L)
+    catch {
+      case _: ArithmeticException =>
+        if (us > 0) Long.MaxValue else Long.MinValue
+    }
+
+  /** ns + 1 without wrapping at the saturated horizon. */
+  private def nsPlus1(ns: Long): Long =
+    if (ns == Long.MaxValue) ns else ns + 1
+
   private object TsLit {
     /** µs timestamp literal → ns (SURVEY.md §7.4(b)). */
     def unapply(e: Expression): Option[Long] = e match {
-      case Literal(us: java.lang.Long, TimestampType) => Some(us * 1000L)
+      case Literal(us: java.lang.Long, TimestampType) => Some(usToNsSat(us))
       case _ => None
     }
   }
@@ -230,13 +284,13 @@ object LogQL {
     * which is off by one nanosecond at the boundary under an Exact claim.
     */
   def timestampBound(e: Expression): Option[TsBound] = e match {
-    case GreaterThan(TsAttr(), TsLit(ns)) => Some(Start(ns + 1))
+    case GreaterThan(TsAttr(), TsLit(ns)) => Some(Start(nsPlus1(ns)))
     case GreaterThanOrEqual(TsAttr(), TsLit(ns)) => Some(Start(ns))
     case LessThan(TsAttr(), TsLit(ns)) => Some(End(ns))
-    case LessThanOrEqual(TsAttr(), TsLit(ns)) => Some(End(ns + 1))
+    case LessThanOrEqual(TsAttr(), TsLit(ns)) => Some(End(nsPlus1(ns)))
     case GreaterThan(TsLit(ns), TsAttr()) => Some(End(ns))       // lit > ts ⇔ ts < lit
-    case GreaterThanOrEqual(TsLit(ns), TsAttr()) => Some(End(ns + 1))
-    case LessThan(TsLit(ns), TsAttr()) => Some(Start(ns + 1))    // lit < ts ⇔ ts > lit
+    case GreaterThanOrEqual(TsLit(ns), TsAttr()) => Some(End(nsPlus1(ns)))
+    case LessThan(TsLit(ns), TsAttr()) => Some(Start(nsPlus1(ns)))    // lit < ts ⇔ ts > lit
     case LessThanOrEqual(TsLit(ns), TsAttr()) => Some(Start(ns))
     case _ => None
   }
@@ -247,21 +301,31 @@ object LogQL {
   // ---------------------------------------------------------------------
 
   def fromSourceFilter(f: sources.Filter): Option[Either[LineFilter, TsBound]] = {
+    // same saturation as TsLit: ms×1e6 / s×1e9 overflow past the int64-ns
+    // horizon and a wrapped bound empties the scan under an Exact claim
+    def satScale(v: Long, f: Long, add: Long): Long =
+      try math.addExact(math.multiplyExact(v, f), add)
+      catch {
+        case _: ArithmeticException =>
+          if (v > 0) Long.MaxValue else Long.MinValue
+      }
     def ts(v: Any): Option[Long] = v match {
-      case t: java.sql.Timestamp => Some(t.getTime * 1000000L + (t.getNanos % 1000000))
+      case t: java.sql.Timestamp =>
+        Some(satScale(t.getTime, 1000000L, (t.getNanos % 1000000).toLong))
       case i: java.time.Instant =>
-        Some(i.getEpochSecond * 1000000000L + i.getNano)
+        Some(satScale(i.getEpochSecond, 1000000000L, i.getNano.toLong))
       case _ => None
     }
+    def plus1(ns: Long): Long = if (ns == Long.MaxValue) ns else ns + 1
     f match {
       case sources.StringContains("line", x) => Some(Left(LineFilter("|=", x)))
       case sources.Not(sources.StringContains("line", x)) => Some(Left(LineFilter("!=", x)))
       // [start, end) window: strict > excludes the boundary ns, non-strict
       // <= includes it (see timestampBound)
-      case sources.GreaterThan("timestamp", v) => ts(v).map(n => Right(Start(n + 1)))
+      case sources.GreaterThan("timestamp", v) => ts(v).map(n => Right(Start(plus1(n))))
       case sources.GreaterThanOrEqual("timestamp", v) => ts(v).map(n => Right(Start(n)))
       case sources.LessThan("timestamp", v) => ts(v).map(n => Right(End(n)))
-      case sources.LessThanOrEqual("timestamp", v) => ts(v).map(n => Right(End(n + 1)))
+      case sources.LessThanOrEqual("timestamp", v) => ts(v).map(n => Right(End(plus1(n))))
       case _ => None
     }
   }

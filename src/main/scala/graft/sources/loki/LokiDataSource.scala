@@ -86,7 +86,15 @@ final case class LokiOptions(
       * at ~20 ms real-endpoint RTTs. 1 = serial (the stub-test default
       * path is identical either way — placement is deterministic in the
       * counts, not the probe order). */
-    statsProbeParallelism: Int = 8) extends Serializable
+    statsProbeParallelism: Int = 8,
+    /** Explicit per-request `limit` when the query pushes none. 0
+      * (default) omits the parameter — REFERENCE PARITY
+      * (scan.rs:113-115 omits it too) — but a real Loki then applies its
+      * server-side query_range default (typically 100 entries) and
+      * SILENTLY truncates unlimited scans; deployments should set this
+      * to their server's max_entries_limit. A pushed LIMIT always wins.
+      */
+    queryLimit: Int = 0) extends Serializable
 
 object LokiOptions {
   def from(m: CaseInsensitiveStringMap): LokiOptions = from(m.asScala.toMap)
@@ -112,7 +120,8 @@ object LokiOptions {
       },
       statsBudgetMs = m.getOrElse("stats_budget_ms", "2000").toLong,
       statsProbeParallelism =
-        m.getOrElse("stats_probe_parallelism", "8").toInt)
+        m.getOrElse("stats_probe_parallelism", "8").toInt,
+      queryLimit = m.getOrElse("query_limit", "0").toInt)
   }
 }
 

@@ -122,8 +122,12 @@ case class LokiScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = if (limit.isDefined) 1 else math.max(options.numPartitions, 1)
+    // no pushed LIMIT → the configured explicit request limit, if any
+    // (query_limit option; 0 = reference-parity omit — see LokiOptions)
+    val eff = limit.orElse(
+      if (options.queryLimit > 0) Some(options.queryLimit) else None)
     if (n == 1) {
-      Array(LokiInputPartition(options.endpoint, logql, startNs, endNs, limit, requiredSchema))
+      Array(LokiInputPartition(options.endpoint, logql, startNs, endNs, eff, requiredSchema))
     } else {
       // slice [start, end) into n disjoint ranges; bounds must be concrete
       // at planning time, so defaults are materialized here. The effective
@@ -131,7 +135,7 @@ case class LokiScan(
       // window narrower than n produces slices with start > end that Loki
       // rejects at runtime.
       plannedBounds.map { case (lo, hi) =>
-        LokiInputPartition(options.endpoint, logql, Some(lo), Some(hi), None, requiredSchema)
+        LokiInputPartition(options.endpoint, logql, Some(lo), Some(hi), eff, requiredSchema)
       }.toArray
     }
   }

@@ -92,6 +92,41 @@ class LogQLSpec extends AnyFunSuite {
     assert(LogQL.timestampBound(EqualTo(ts, tsLit(5L))).isEmpty)
   }
 
+  test("round-9 soundness guards: escapes, case, RE2 dialect, ns overflow") {
+    import LogQL.{End, Start}
+    // a LIKE pattern containing its escape char is NOT pushed: the raw
+    // pattern text would ship the escape sequence verbatim (silent row
+    // loss under the Exact claim) — it stays a residual Filter
+    assert(LogQL.lineFilter(Like(line, s("%a\\\\b%"), '\\')).isEmpty)
+    assert(LogQL.lineFilter(Like(line, s("%a!!b%"), '!')).isEmpty)
+    assert(LogQL.lineFilter(ILike(line, s("%a\\\\b%"), '\\')).isEmpty)
+    // lower(line) CONTAINS an uppercase literal is vacuously false in
+    // SQL; pushing (?i) would RETURN rows — only lowercase literals push
+    assert(LogQL.lineFilter(Contains(Lower(line), s("ERROR"))).isEmpty)
+    assert(LogQL.lineFilter(Contains(Lower(line), s("error"))).isDefined)
+    // Java-only regex constructs (lookaround, backrefs, possessive) are
+    // rejected by Loki's RE2 at runtime — they stay residual
+    assert(LogQL.lineFilter(RLike(line, s("(?!debug).*err"))).isEmpty)
+    assert(LogQL.lineFilter(RLike(line, s("(a)\\1"))).isEmpty)
+    assert(LogQL.lineFilter(RLike(line, s("a*+b"))).isEmpty)
+    assert(LogQL.labelMatcher(RLike(key("app"), s("(?=x)y"))).isEmpty)
+    assert(LogQL.lineFilter(RLike(line, s("a{3}"))).isDefined, "RE2-valid stays pushable")
+    // ns overflow saturates instead of wrapping: TIMESTAMP '9999-12-31'
+    // (µs ≈ 2.53e17) must clamp to the int64-ns horizon, not go negative
+    val farFuture = 253402300799000000L // 9999-12-31T23:59:59 in µs
+    assert(LogQL.timestampBound(LessThanOrEqual(ts, tsLit(farFuture)))
+      .contains(End(Long.MaxValue)))
+    assert(LogQL.timestampBound(GreaterThan(ts, tsLit(farFuture)))
+      .contains(Start(Long.MaxValue)))
+    // DSv2-side conversion saturates identically
+    val inst = java.time.Instant.parse("9999-12-31T23:59:59Z")
+    LogQL.fromSourceFilter(
+      org.apache.spark.sql.sources.LessThanOrEqual("timestamp", inst)) match {
+      case Some(scala.Right(End(ns))) => assert(ns == Long.MaxValue)
+      case other => fail(s"expected saturated End bound, got $other")
+    }
+  }
+
   test("repeated ts conjuncts: tightest-wins default vs last-wins parity (table.rs:106-110)") {
     import org.apache.spark.sql.{sources => sf}
     import graft.sources.loki.{LokiOptions, LokiScan, LokiScanBuilder, LokiTable}
