@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.planning.PhysicalOperation
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -101,13 +100,17 @@ object LokiInsertRowsRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case a @ AppendData(
         r @ DataSourceV2Relation(t: LokiTable, _, _, _, _, _), _, _, _, _, _)
-        if t.staticInputRows.isEmpty && staticRows(a.query).isDefined =>
-      val n = staticRows(a.query).get
-      val a2 = a.copy(table = r.copy(table = t.copy(staticInputRows = Some(n))))
-      a.write match {
-        case Some(w: graft.sources.loki.LokiLogWrite) if w.rows.isEmpty =>
-          a2.copy(write = Some(w.copy(rows = Some(n))))
-        case _ => a2
+        if t.staticInputRows.isEmpty =>
+      staticRows(a.query) match {
+        case Some(n) =>
+          val a2 =
+            a.copy(table = r.copy(table = t.copy(staticInputRows = Some(n))))
+          a.write match {
+            case Some(w: graft.sources.loki.LokiLogWrite) if w.rows.isEmpty =>
+              a2.copy(write = Some(w.copy(rows = Some(n))))
+            case _ => a2
+          }
+        case None => a
       }
   }
 }

@@ -31,6 +31,10 @@ final class ByteArrayInputFile(bytes: Array[Byte]) extends InputFile {
       else { val b = bytes(pos) & 0xff; pos += 1; b }
 
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      // InputStream contract: a zero-length read returns 0 even at EOF
+      // (-1 here would make a wrapping stream treat a zero-length poll
+      // as end-of-stream and truncate the read)
+      if (len == 0) return 0
       if (pos >= bytes.length) return -1
       val n = math.min(len, bytes.length - pos)
       System.arraycopy(bytes, pos, b, off, n)
@@ -47,6 +51,7 @@ final class ByteArrayInputFile(bytes: Array[Byte]) extends InputFile {
     }
 
     override def read(buf: ByteBuffer): Int = {
+      if (buf.remaining() == 0) return 0 // see read(b, off, len)
       if (pos >= bytes.length) return -1
       val n = math.min(buf.remaining(), bytes.length - pos)
       buf.put(bytes, pos, n)

@@ -173,8 +173,12 @@ object LogQL {
     * residual Filter — conservative in the safe direction.
     */
   private def re2Compatible(p: String): Boolean = {
+    // lookaround/atomic groups/possessive quantifiers: RE2 parse errors.
+    // "&&" (Java char-class intersection) and "\\uXXXX"/"\\p{java...}"
+    // are worse — RE2 REINTERPRETS or rejects them, so a pushed filter
+    // silently matches a different language than Spark evaluated.
     val javaOnly = Seq("(?=", "(?!", "(?<=", "(?<!", "(?>",
-      "*+", "++", "?+", "}+")
+      "*+", "++", "?+", "}+", "&&", "\\u", "\\p{java")
     !javaOnly.exists(p.contains) &&
       !(1 to 9).exists(i => p.contains(s"\\$i"))
   }

@@ -45,13 +45,22 @@ class LokiCatalog extends TableCatalog {
       (ident.namespace().isEmpty || ident.namespace().sameElements(ns))
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(ns, "loki"))
+    // honor the namespace argument: the one table lives in `default`
+    // only — listing it under arbitrary namespaces showed a phantom
+    // table to catalog-enumerating tooling
+    if (namespace.isEmpty || namespace.sameElements(ns))
+      Array(Identifier.of(ns, "loki"))
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace)
 
   override def loadTable(ident: Identifier): Table =
     if (isLoki(ident)) {
       val o = LokiOptions.from(opts)
-      // probe at table-load time like the reference (table.rs:60-73)
-      if (o.checkConnection) LokiHttp.checkConnection(o.endpoint)
+      // probe like the reference (table.rs:60-73 — once at table
+      // CONSTRUCTION), memoized per endpoint: loadTable runs per SQL
+      // query during analysis, and an un-memoized probe added a
+      // blocking GET (10 s connect timeout) to every query's planning
+      if (o.checkConnection) LokiCatalog.probeOnce(o.endpoint)
       LokiTable(o)
     } else throw new NoSuchTableException(ident)
 
@@ -62,13 +71,37 @@ class LokiCatalog extends TableCatalog {
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table =
-    throw new TableAlreadyExistsException(ident)
+    // the loki ident genuinely exists; anything else is unsupported DDL,
+    // not "already exists" (the old unconditional AlreadyExists produced
+    // a false error message for arbitrary names)
+    if (isLoki(ident)) throw new TableAlreadyExistsException(ident)
+    else throw new UnsupportedOperationException(
+      "the Loki catalog is fixed-schema: CREATE TABLE is not supported")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("Loki catalog tables are fixed-schema")
 
-  override def dropTable(ident: Identifier): Boolean = false
+  override def dropTable(ident: Identifier): Boolean =
+    // returning false for the loki ident made Spark report "table not
+    // found" while tableExists says it exists — refuse honestly instead
+    if (isLoki(ident)) throw new UnsupportedOperationException(
+      "the Loki catalog is fixed-schema: DROP TABLE is not supported")
+    else false
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("Loki catalog tables cannot be renamed")
+}
+
+object LokiCatalog {
+  // per-endpoint one-shot connection probe (JVM-wide): the typo-detection
+  // value of checkConnection without per-query planning I/O. A FAILED
+  // probe is not cached — a transient outage at first touch must not
+  // poison the endpoint for the session's lifetime.
+  private val probed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def probeOnce(endpoint: String): Unit =
+    if (!probed.contains(endpoint)) {
+      LokiHttp.checkConnection(endpoint)
+      probed.put(endpoint, true)
+      ()
+    }
 }

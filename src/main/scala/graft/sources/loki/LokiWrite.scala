@@ -150,7 +150,18 @@ class LokiDataWriter(options: LokiOptions) extends DataWriter[InternalRow] {
       // insert.rs:176-179: timestamp is required
       throw new IllegalArgumentException("null timestamp in Loki insert")
     }
-    val ns = row.getLong(0) * 1000L // µs → ns (§7.4(b))
+    // µs → ns (§7.4(b)); reject rather than wrap past the int64-ns
+    // horizon: a wrapped timestamp would push a corrupted value (or fail
+    // the whole batch with an opaque Loki 400) — unlike the SCAN side,
+    // which saturates bounds (LogQL.usToNsSat), a write has no exact
+    // clamped representation, so it errors with the offending value
+    val ns =
+      try math.multiplyExact(row.getLong(0), 1000L)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"timestamp ${row.getLong(0)}µs exceeds the int64 nanosecond " +
+            "range Loki stores (max 2262-04-11)")
+      }
     val labels =
       if (row.isNullAt(1)) "{}"
       else {
@@ -158,7 +169,12 @@ class LokiDataWriter(options: LokiOptions) extends DataWriter[InternalRow] {
         val keys = m.keyArray()
         val vals = m.valueArray()
         (0 until m.numElements()).map { i =>
-          s"${jsonStr(keys.getUTF8String(i).toString)}:${jsonStr(vals.getUTF8String(i).toString)}"
+          // a null map VALUE renders as "" — the same missing≡empty rule
+          // Loki/Prometheus apply to labels and the NULL-literal
+          // precedent in LogQL.StrLit (a bare NPE here was an opaque
+          // executor-side task failure after earlier batches had POSTed)
+          val v = if (vals.isNullAt(i)) "" else vals.getUTF8String(i).toString
+          s"${jsonStr(keys.getUTF8String(i).toString)}:${jsonStr(v)}"
         }.mkString("{", ",", "}")
       }
     val line = if (row.isNullAt(2)) "" else row.getUTF8String(2).toString
