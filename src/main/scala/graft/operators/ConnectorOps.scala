@@ -548,7 +548,7 @@ object ConnectorOps {
             new java.io.ByteArrayInputStream(bos.toByteArray)).readObject()
         }
         val part = LokiInputPartition("http://codec-probe", "{a=\"b\"}",
-          Some(1L), Some(2L), Some(3), LokiDataSource.LOG_SCHEMA)
+          Some(1L), Some(2L), Some(3), None, LokiDataSource.LOG_SCHEMA)
         val scanRows = lokiDf(s, d)
           .filter(element_at(col("labels"), "event_type") === "click" &&
             col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&

@@ -37,11 +37,16 @@ object LokiHttp {
       logql: String,
       startNs: Long,
       endNs: Long,
-      limit: Option[Int]): Array[Byte] = {
+      limit: Option[Int],
+      // forward=true is the PAGINATION path (reader cursor walks the
+      // window oldest-first); the default omits the param like the
+      // reference (scan.rs:106-121), leaving Loki's default direction
+      forward: Boolean = false): Array[Byte] = {
     val enc = java.net.URLEncoder.encode(logql, "UTF-8")
     val limitParam = limit.map(n => s"&limit=$n").getOrElse("")
+    val dirParam = if (forward) "&direction=forward" else ""
     val uri = URI.create(
-      s"$endpoint/loki/api/v1/query_range?query=$enc&start=$startNs&end=$endNs$limitParam")
+      s"$endpoint/loki/api/v1/query_range?query=$enc&start=$startNs&end=$endNs$limitParam$dirParam")
     val req = HttpRequest.newBuilder(uri)
       .timeout(Duration.ofMinutes(5))
       .header("Accept", "application/vnd.apache.parquet")

@@ -122,20 +122,26 @@ case class LokiScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = if (limit.isDefined) 1 else math.max(options.numPartitions, 1)
-    // no pushed LIMIT → the configured explicit request limit, if any
-    // (query_limit option; 0 = reference-parity omit — see LokiOptions)
-    val eff = limit.orElse(
-      if (options.queryLimit > 0) Some(options.queryLimit) else None)
+    // no pushed LIMIT → page through the window with query_limit-sized
+    // forward requests (the real-Loki completeness path: an unlimited
+    // single request is truncated at the SERVER's default, silently);
+    // query_limit=0 keeps the reference-parity single un-limited request
+    val pageSize =
+      if (limit.isEmpty && options.queryLimit > 0) Some(options.queryLimit)
+      else None
     if (n == 1) {
-      Array(LokiInputPartition(options.endpoint, logql, startNs, endNs, eff, requiredSchema))
+      Array(LokiInputPartition(
+        options.endpoint, logql, startNs, endNs, limit, pageSize, requiredSchema))
     } else {
       // slice [start, end) into n disjoint ranges; bounds must be concrete
       // at planning time, so defaults are materialized here. The effective
       // partition count is capped at the window width in ns — otherwise a
       // window narrower than n produces slices with start > end that Loki
-      // rejects at runtime.
+      // rejects at runtime. Each slice pages independently (disjoint
+      // cursors over disjoint windows).
       plannedBounds.map { case (lo, hi) =>
-        LokiInputPartition(options.endpoint, logql, Some(lo), Some(hi), eff, requiredSchema)
+        LokiInputPartition(
+          options.endpoint, logql, Some(lo), Some(hi), None, pageSize, requiredSchema)
       }.toArray
     }
   }
@@ -389,7 +395,12 @@ case class LokiInputPartition(
     logql: String,
     startNs: Option[Long],
     endNs: Option[Long],
+    /** Pushed LIMIT — single request, reference shape. */
     limit: Option[Int],
+    /** Page size for cursor pagination (query_limit option); mutually
+      * exclusive with `limit` by construction in planInputPartitions.
+      */
+    pageSize: Option[Int],
     requiredSchema: StructType) extends InputPartition
 
 case class LokiReaderFactory() extends PartitionReaderFactory {
@@ -397,13 +408,28 @@ case class LokiReaderFactory() extends PartitionReaderFactory {
     new LokiPartitionReader(partition.asInstanceOf[LokiInputPartition])
 }
 
-/** Executor-side reader: one HTTP range query, buffered body, parquet
+/** Executor-side reader: HTTP range query(-ies), buffered body, parquet
   * decode via the parquet-java Group API with column projection. Decode is
   * INCREMENTAL — one record materialized at a time, row group by row group
   * (the reference decodes in bounded batches the same way, scan.rs:200-213).
   * Holding only the response bytes plus one row keeps the reader's memory
   * bounded regardless of scan size; the earlier ArrayBuffer materialization
   * held body bytes and every decoded InternalRow simultaneously.
+  *
+  * PAGINATION (`pageSize`, from the `query_limit` option): the reference
+  * issues ONE request with no `limit` param (scan.rs:113-115), and a real
+  * Loki then truncates at its server-side query_range default — silent
+  * row loss on any window bigger than ~100 entries. With a page size set,
+  * the reader walks the window in `direction=forward` pages, advancing
+  * the cursor to (last timestamp + 1 ns) after each FULL page, until a
+  * short page ends the window. The cursor needs the timestamp column even
+  * when the projection pruned it, so the decode always requests it and
+  * simply doesn't emit it. Known boundary: if more than `pageSize` rows
+  * share one identical ns timestamp, the rows beyond the page cut at that
+  * exact ns are skipped (advancing by the minimum representable tick is
+  * the only cursor Loki's API offers; pick a page size above the max
+  * same-ns burst). A cursor that fails to advance stops the loop rather
+  * than re-reading the same page forever.
   */
 class LokiPartitionReader(p: LokiInputPartition)
   extends PartitionReader[InternalRow] {
@@ -414,9 +440,55 @@ class LokiPartitionReader(p: LokiInputPartition)
   private lazy val rows: Iterator[InternalRow] = {
     val start = p.startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
     val end = p.endNs.getOrElse(LokiHttp.nowNs)
-    val body = LokiHttp.queryRange(p.endpoint, p.logql, start, end, p.limit)
-    if (body.isEmpty) Iterator.empty else decode(body)
+    p.pageSize match {
+      case None =>
+        val body = LokiHttp.queryRange(p.endpoint, p.logql, start, end, p.limit)
+        if (body.isEmpty) Iterator.empty else decode(body)
+      case Some(ps) => pagedRows(start, end, ps)
+    }
   }
+
+  private def pagedRows(start0: Long, end: Long, ps: Int): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private var cursor = start0
+      private var done = false
+      private var fetched = false
+      private var page: Iterator[InternalRow] = Iterator.empty
+      private var pageRows = 0
+
+      private def fetch(): Unit = {
+        close() // release the previous page's parquet reader
+        val body = LokiHttp.queryRange(
+          p.endpoint, p.logql, cursor, end, Some(ps), forward = true)
+        maxTsNs = Long.MinValue
+        page = if (body.isEmpty) Iterator.empty else decode(body)
+        pageRows = 0
+        fetched = true
+      }
+
+      override def hasNext: Boolean = {
+        while (!page.hasNext && !done) {
+          if (!fetched) fetch() // first page
+          else if (pageRows < ps) done = true // short/empty page: window drained
+          else {
+            // full page: advance past the last seen timestamp; a cursor
+            // that cannot advance (every row of the page at one ns, or
+            // already at the window edge) must stop, not loop
+            val next = if (maxTsNs == Long.MinValue) end else maxTsNs + 1
+            if (next <= cursor || next >= end) done = true
+            else { cursor = next; fetch() }
+          }
+        }
+        if (done) close()
+        page.hasNext
+      }
+
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException("exhausted Loki scan")
+        pageRows += 1
+        page.next()
+      }
+    }
 
   private var current: InternalRow = _
 
@@ -429,14 +501,25 @@ class LokiPartitionReader(p: LokiInputPartition)
   override def close(): Unit =
     if (parquetReader != null) { parquetReader.close(); parquetReader = null }
 
+  // running max of the decoded rows' raw ns timestamps — the pagination
+  // cursor source (updated in decode's iterator whether or not the
+  // projection includes the column)
+  private var maxTsNs: Long = Long.MinValue
+
   private def decode(body: Array[Byte]): Iterator[InternalRow] = {
     parquetReader = ParquetFileReader.open(new ByteArrayInputFile(body))
     val fileSchema = parquetReader.getFooter.getFileMetaData.getSchema
     // projection: requested subset of the file schema, by column name
-    // (the ProjectionMask.roots analog, scan.rs:203-206)
+    // (the ProjectionMask.roots analog, scan.rs:203-206). Paging needs
+    // the timestamp column for its cursor even when pruned from the
+    // output projection.
     val wanted = p.requiredSchema.fieldNames
+    val decodeCols =
+      if (p.pageSize.isDefined && !wanted.contains("timestamp"))
+        wanted :+ "timestamp"
+      else wanted
     val requested = new MessageType(fileSchema.getName,
-      wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+      decodeCols.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
     val columnIO = new ColumnIOFactory().getColumnIO(requested, fileSchema)
     new Iterator[InternalRow] {
       private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
@@ -458,7 +541,12 @@ class LokiPartitionReader(p: LokiInputPartition)
       override def next(): InternalRow = {
         if (!hasNext) throw new NoSuchElementException("exhausted Loki scan")
         remaining -= 1
-        toRow(recordReader.read(), wanted)
+        val g = recordReader.read()
+        if (p.pageSize.isDefined) {
+          val ts = g.getLong("timestamp", 0)
+          if (ts > maxTsNs) maxTsNs = ts
+        }
+        toRow(g, wanted)
       }
     }
   }

@@ -129,6 +129,47 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(stub.queries.last == "{app=\"my-app1\"} |= `aaa`")
   }
 
+  test("query_limit pages an unbounded scan through the server cap (round 9)") {
+    // a real Loki truncates a no-limit query_range at its server default
+    // (~100 entries) — the stub enforces the limit param the same way.
+    // With query_limit=100, the reader must walk the window in forward
+    // pages and return the COMPLETE 250-row relation; with a pushed
+    // LIMIT, the single-request reference shape stays.
+    val pageStub = new LokiStubServer
+    pageStub.start()
+    try {
+      val base = 1704067200000000000L // 2024-01-01 ns
+      pageStub.seed((0 until 250).map { i =>
+        pageStub.LogRow(base + i * 1000000000L, Map("app" -> "pg"), s"row-$i")
+      })
+      def scan(opts: Map[String, String]) = {
+        val r = spark.read.format("loki")
+          .option("endpoint", pageStub.endpoint)
+          .option("default_label", "app")
+        opts.foreach { case (k, v) => r.option(k, v) }
+        r.load().filter(
+          col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      }
+      // paged: complete relation in ceil(250/100)=3 pages
+      val reqs0 = pageStub.ranges.synchronized(pageStub.ranges.size)
+      val lines = scan(Map("query_limit" -> "100"))
+        .select("line").collect().map(_.getString(0)).toSet
+      val pagedReqs = pageStub.ranges.synchronized(pageStub.ranges.size) - reqs0
+      assert(lines == (0 until 250).map(i => s"row-$i").toSet,
+        s"paged scan must be complete (got ${lines.size} rows)")
+      assert(pagedReqs >= 3, s"expected >= 3 page requests, saw $pagedReqs")
+      // projection that prunes the timestamp still pages correctly (the
+      // cursor decodes the column internally)
+      assert(scan(Map("query_limit" -> "100")).select("line").count() == 250)
+      // pushed LIMIT: single request, no paging
+      val reqs1 = pageStub.ranges.synchronized(pageStub.ranges.size)
+      assert(scan(Map("query_limit" -> "100")).limit(50).count() == 50)
+      val limitReqs = pageStub.ranges.synchronized(pageStub.ranges.size) - reqs1
+      assert(limitReqs == 1, s"pushed LIMIT must stay single-request, saw $limitReqs")
+    } finally pageStub.stop()
+  }
+
   test("scan output schema matches the declared log schema (tests/table.rs:177-218)") {
     assert(lokiDf().schema == LokiDataSource.LOG_SCHEMA)
   }
@@ -138,7 +179,7 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     // is Java-serializability of the partition + factories
     import graft.sources.loki._
     val part = LokiInputPartition("http://x", "{a=\"b\"}", Some(1L), Some(2L),
-      Some(3), LokiDataSource.LOG_SCHEMA)
+      Some(3), None, LokiDataSource.LOG_SCHEMA)
     val out = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(out)
     oos.writeObject(part)
