@@ -167,6 +167,12 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       assert(scan(Map("query_limit" -> "100")).limit(50).count() == 50)
       val limitReqs = pageStub.ranges.synchronized(pageStub.ranges.size) - reqs1
       assert(limitReqs == 1, s"pushed LIMIT must stay single-request, saw $limitReqs")
+      // slicing × paging: each of the 4 time slices pages its own
+      // disjoint window independently — the relation stays complete
+      val sliced = scan(Map("query_limit" -> "40", "partitions" -> "4"))
+        .select("line").collect().map(_.getString(0)).toSet
+      assert(sliced == (0 until 250).map(i => s"row-$i").toSet,
+        s"sliced+paged scan must be complete (got ${sliced.size} rows)")
     } finally pageStub.stop()
   }
 
