@@ -116,6 +116,11 @@ case class LokiScan(
     val parts = Seq(s"endpoint=${options.endpoint}", s"query=$logql") ++
       startNs.map(s => s"start=$s") ++ endNs.map(e => s"end=$e") ++
       limit.map(l => s"limit=$l") ++
+      // paged scans disclose their page size in EXPLAIN (a no-limit scan
+      // with query_limit set reads the window in forward pages)
+      (if (limit.isEmpty && options.queryLimit > 0)
+         Seq(s"page_size=${options.queryLimit}")
+       else Nil) ++
       Seq(s"projection=[${requiredSchema.fieldNames.mkString(",")}]")
     s"LokiLogScan: ${parts.mkString(", ")}"
   }

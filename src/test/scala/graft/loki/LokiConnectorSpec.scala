@@ -173,6 +173,10 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
         .select("line").collect().map(_.getString(0)).toSet
       assert(sliced == (0 until 250).map(i => s"row-$i").toSet,
         s"sliced+paged scan must be complete (got ${sliced.size} rows)")
+      // paged scans disclose the page size in EXPLAIN
+      val plan = scan(Map("query_limit" -> "100"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("page_size=100"), s"plan was:\n$plan")
     } finally pageStub.stop()
   }
 
