@@ -111,10 +111,14 @@ object Bench {
     }
     val pass1 = timedPass() // cold
     val pass2 = timedPass() // warm
-    // (name, cold secs, min secs, warm-pass stages, cold-pass stages)
+    // (name, cold secs, min secs, min-pass stages, cold-pass stages).
+    // The min-time stage count comes from WHICHEVER pass produced the min:
+    // when background noise makes the cold pass the minimum, pairing it
+    // with the warm pass's (smaller) stage count would under-subtract the
+    // per-stage scheduling floor in BENCH_COMPARE.
     val results = pass1.zip(pass2).map {
       case ((n, t1, st1), (_, t2, st2)) =>
-        (n, t1, math.min(t1, t2), st2, st1)
+        (n, t1, math.min(t1, t2), if (t1 <= t2) st1 else st2, st1)
     }
     // per-query scheduling floor: wall time of a trivial one-stage job —
     // the irreducible cost local Spark pays per stage that a
@@ -145,7 +149,7 @@ object Bench {
       results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     val qjson = jmap(_._3)       // min (warm) — headline aggregate
     val qcold = jmap(_._2)       // pass-1, caches/memos cleared
-    val sjson = jmap(_._4)       // warm-pass stage counts (pair with min)
+    val sjson = jmap(_._4)       // min-pass stage counts (pair with min)
     val scold = jmap(_._5)       // cold-pass stage counts (pair with cold)
     val total = results.map(_._3).sum
     val totalCold = results.map(_._2).sum

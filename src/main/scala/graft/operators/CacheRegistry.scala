@@ -136,13 +136,16 @@ object CacheRegistry {
     * caches — the "cold" column the bench artifact discloses — while
     * pass 2 measures the memo/cache-warm repeat-consumer path.
     */
-  def clearSession(session: org.apache.spark.sql.SparkSession): Unit =
+  def clearSession(session: org.apache.spark.sql.SparkSession): Unit = {
     synchronized {
       val (mine, others) = live.partition(_._1.sparkSession eq session)
       mine.foreach(_._2.foreach(dropOrUnpersist))
       live = others
       resultSlots = resultSlots.filterNot(_._1._1.sparkSession eq session)
     }
+    // session-scoped memos owned by other modules ride the same reset
+    graft.streaming.StreamingOps.clearSchemaCache(session)
+  }
 
   def register(key: DataFrame, caches: Seq[DataFrame]): Unit =
     synchronized {

@@ -213,6 +213,53 @@ object ConnectorOps {
           |  AND ts < TIMESTAMP '2024-01-27 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),
 
+    // Paged unbounded scan (round 10): a real Loki truncates query_range
+    // at a server-side entry cap, so completeness on big windows needs the
+    // forward-cursor pager (query_limit). The corpus is adversarial: every
+    // `click` row is pinned to ONE nanosecond — a same-ns burst ~10× the
+    // page size — so the gate certifies the round-10 held-run/doubling
+    // boundary (LokiPartitionReader.pagedRows) against the full-relation
+    // oracle, not just the easy distinct-ns walk. Lines carry the original
+    // µs so the pinned rows stay distinct entries (Loki ingest dedups
+    // identical (ts, labels, line) triples).
+    ("loki_paged_scan",
+      (s: SparkSession, d: String) => {
+        val st = stubSync(stubs.getOrElseUpdate(s"$d#paged", {
+          val stub = new LokiStubServer
+          stub.start()
+          Tables.events(s, d).select(
+            when(col("event_type") === "click",
+              lit("2024-02-15 00:00:00").cast("timestamp"))
+              .otherwise(col("ts")).as("timestamp"),
+            map(lit("event_type"), col("event_type")).as("labels"),
+            concat(col("event_type"), lit(" u="), col("user_id").cast("string"),
+              lit(" t="), unix_micros(col("ts")).cast("string")).as("line"))
+            .write.format("loki")
+            .option("endpoint", stub.endpoint)
+            .option("push_batch_size", "8192")
+            .mode("append").save()
+          sys.addShutdownHook(stub.stop())
+          stub
+        }))
+        s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "event_type")
+          .option("query_limit", "2000")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line")
+      },
+      Some(
+        """SELECT CASE WHEN event_type = 'click'
+          |            THEN epoch_us(TIMESTAMP '2024-02-15 00:00:00')
+          |            ELSE epoch_us(ts) END AS ts_us,
+          |       concat(event_type, ' u=', CAST(user_id AS VARCHAR),
+          |              ' t=', CAST(epoch_us(ts) AS VARCHAR)) AS line
+          |FROM events ORDER BY ts_us, line""".stripMargin)),
+
     // LIMIT through the connector: pushed to Loki's `limit` query param
     // (stub enforces it server-side, returning the earliest n rows by ts —
     // deterministic because the events corpus has unique timestamps).

@@ -177,8 +177,15 @@ object LogQL {
     // "&&" (Java char-class intersection) and "\\uXXXX"/"\\p{java...}"
     // are worse — RE2 REINTERPRETS or rejects them, so a pushed filter
     // silently matches a different language than Spark evaluated.
-    val javaOnly = Seq("(?=", "(?!", "(?<=", "(?<!", "(?>",
-      "*+", "++", "?+", "}+", "&&", "\\u", "\\p{java")
+    // "(?<" additionally covers Java named groups `(?<name>...)` (rejected
+    // by the RE2 vintage in pre-Go-1.22 Lokis) beyond the lookbehind forms
+    // it prefixes; "\\Z" (end-before-final-newline) and "\\G" are
+    // Java-only anchors (RE2 keeps \A and \z, which both engines agree
+    // on); "\\b{" is Java's \b{g} grapheme boundary; "\\0" is a Java
+    // octal escape that RE2 reads differently.
+    val javaOnly = Seq("(?=", "(?!", "(?<", "(?>",
+      "*+", "++", "?+", "}+", "&&", "\\u", "\\p{java",
+      "\\Z", "\\G", "\\b{", "\\0")
     !javaOnly.exists(p.contains) &&
       !(1 to 9).exists(i => p.contains(s"\\$i"))
   }

@@ -425,16 +425,22 @@ case class LokiReaderFactory() extends PartitionReaderFactory {
   * issues ONE request with no `limit` param (scan.rs:113-115), and a real
   * Loki then truncates at its server-side query_range default — silent
   * row loss on any window bigger than ~100 entries. With a page size set,
-  * the reader walks the window in `direction=forward` pages, advancing
-  * the cursor to (last timestamp + 1 ns) after each FULL page, until a
-  * short page ends the window. The cursor needs the timestamp column even
-  * when the projection pruned it, so the decode always requests it and
-  * simply doesn't emit it. Known boundary: if more than `pageSize` rows
-  * share one identical ns timestamp, the rows beyond the page cut at that
-  * exact ns are skipped (advancing by the minimum representable tick is
-  * the only cursor Loki's API offers; pick a page size above the max
-  * same-ns burst). A cursor that fails to advance stops the loop rather
-  * than re-reading the same page forever.
+  * the reader walks the window in `direction=forward` pages. The cursor
+  * needs the timestamp column even when the projection pruned it, so the
+  * decode always requests it and simply doesn't emit it.
+  *
+  * SAME-NS COMPLETENESS: Loki's only cursor is the `start` timestamp
+  * (inclusive), so a page cut can land inside a run of rows sharing one
+  * identical ns. Advancing to maxTs+1 would silently drop the rest of
+  * that run (the round-9 boundary). Instead the reader never emits the
+  * trailing max-ts run of a FULL page: rows strictly below the page's max
+  * ts stream out, the max-ts run is held back and re-read by the next
+  * request at `start = maxTs` — no content-equality or server-tie-order
+  * assumption needed. The degenerate full page (every row at one ns,
+  * where re-requesting at the same limit would loop) emits nothing and
+  * retries the same cursor with a DOUBLED limit until the burst fits in
+  * one page; past `maxAdaptivePageSize` it fails loudly with the ns and
+  * the needed query_limit instead of dropping rows.
   */
 class LokiPartitionReader(p: LokiInputPartition)
   extends PartitionReader[InternalRow] {
@@ -453,45 +459,99 @@ class LokiPartitionReader(p: LokiInputPartition)
     }
   }
 
-  private def pagedRows(start0: Long, end: Long, ps: Int): Iterator[InternalRow] =
+  private def pagedRows(start0: Long, end: Long, ps0: Int): Iterator[InternalRow] =
     new Iterator[InternalRow] {
+      // adaptive-limit ceiling for single-ns bursts: generous (a burst this
+      // size is pathological data) but bounded, so a misbehaving server
+      // can't grow requests forever
+      private val maxPs = math.max(ps0, 1 << 20)
+      private var ps = ps0
       private var cursor = start0
-      private var done = false
+      private var done = false      // emitted everything; no more fetches
+      private var drained = false   // server window exhausted (short page seen)
       private var fetched = false
       private var page: Iterator[InternalRow] = Iterator.empty
       private var pageRows = 0
+      // rows cleared for emission (flushed below-max runs, or the final tail)
+      private val flushQ = scala.collection.mutable.Queue.empty[InternalRow]
+      // the current page's trailing run at its max ts — provisional until a
+      // higher ts supersedes it (flush) or the page proves short (flush) or
+      // full (discard: the next request re-reads it from cursor = heldTs)
+      private val held = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      private var heldTs = Long.MinValue
 
       private def fetch(): Unit = {
         close() // release the previous page's parquet reader
         val body = LokiHttp.queryRange(
           p.endpoint, p.logql, cursor, end, Some(ps), forward = true)
-        maxTsNs = Long.MinValue
         page = if (body.isEmpty) Iterator.empty else decode(body)
         pageRows = 0
+        held.clear()
+        heldTs = Long.MinValue
         fetched = true
       }
 
       override def hasNext: Boolean = {
-        while (!page.hasNext && !done) {
+        while (flushQ.isEmpty && !done) {
           if (!fetched) fetch() // first page
-          else if (pageRows < ps) done = true // short/empty page: window drained
-          else {
-            // full page: advance past the last seen timestamp; a cursor
-            // that cannot advance (every row of the page at one ns, or
-            // already at the window edge) must stop, not loop
-            val next = if (maxTsNs == Long.MinValue) end else maxTsNs + 1
-            if (next <= cursor || next >= end) done = true
-            else { cursor = next; fetch() }
+          else if (page.hasNext) {
+            val r = page.next()
+            pageRows += 1
+            if (curTsNs > heldTs) {
+              // the held run is superseded by a later ts — it can no
+              // longer be cut by the page boundary, so it emits
+              flushQ ++= held
+              held.clear()
+              heldTs = curTsNs
+            } else if (curTsNs < heldTs) {
+              // forward-direction responses are ascending by contract; an
+              // out-of-order row would break the held-run completeness
+              // argument, so fail loudly rather than risk silent loss
+              throw new IllegalStateException(
+                s"Loki scan: out-of-order forward response (ts $curTsNs " +
+                s"after $heldTs) from ${p.endpoint}")
+            }
+            held += r
+          } else if (drained || pageRows < ps) {
+            // short/empty page: the window is exhausted — the trailing
+            // run cannot be cut, emit it
+            flushQ ++= held
+            held.clear()
+            drained = true
+            done = flushQ.isEmpty
+          } else if (heldTs <= cursor) {
+            // degenerate FULL page: every row at the cursor's own ns, so
+            // the cursor cannot advance. Re-requesting from the same
+            // cursor at the same limit would loop; emit nothing and retry
+            // with a doubled limit until the burst fits inside one
+            // (then-short) page. (A full page entirely at some LATER ns
+            // advances normally through the branch below.)
+            if (ps >= maxPs)
+              throw new IllegalStateException(
+                s"Loki scan: more than $ps entries share the nanosecond " +
+                s"timestamp $heldTs and the forward cursor cannot advance " +
+                "past it; raise the query_limit option above the largest " +
+                "same-timestamp burst")
+            ps = math.min(ps.toLong * 2, maxPs.toLong).toInt
+            held.clear()
+            fetch()
+          } else {
+            // full page: rows below the max ts were flushed as they were
+            // superseded; the trailing max-ts run may have been cut by
+            // the page limit, so discard it and re-read from its ts
+            // (start is inclusive). Strict progress: the guard above
+            // ensures heldTs > cursor here.
+            cursor = heldTs
+            fetch()
           }
         }
         if (done) close()
-        page.hasNext
+        flushQ.nonEmpty
       }
 
       override def next(): InternalRow = {
         if (!hasNext) throw new NoSuchElementException("exhausted Loki scan")
-        pageRows += 1
-        page.next()
+        flushQ.dequeue()
       }
     }
 
@@ -506,10 +566,10 @@ class LokiPartitionReader(p: LokiInputPartition)
   override def close(): Unit =
     if (parquetReader != null) { parquetReader.close(); parquetReader = null }
 
-  // running max of the decoded rows' raw ns timestamps — the pagination
-  // cursor source (updated in decode's iterator whether or not the
-  // projection includes the column)
-  private var maxTsNs: Long = Long.MinValue
+  // the just-decoded row's raw ns timestamp — the pagination cursor
+  // source (updated in decode's iterator whether or not the projection
+  // includes the column)
+  private var curTsNs: Long = Long.MinValue
 
   private def decode(body: Array[Byte]): Iterator[InternalRow] = {
     parquetReader = ParquetFileReader.open(new ByteArrayInputFile(body))
@@ -547,10 +607,7 @@ class LokiPartitionReader(p: LokiInputPartition)
         if (!hasNext) throw new NoSuchElementException("exhausted Loki scan")
         remaining -= 1
         val g = recordReader.read()
-        if (p.pageSize.isDefined) {
-          val ts = g.getLong("timestamp", 0)
-          if (ts > maxTsNs) maxTsNs = ts
-        }
+        if (p.pageSize.isDefined) curTsNs = g.getLong("timestamp", 0)
         toRow(g, wanted)
       }
     }

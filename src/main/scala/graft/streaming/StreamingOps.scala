@@ -19,19 +19,34 @@ object StreamingOps {
   /** Source-schema memo: every stream construction needs the file's
     * schema, read via a batch footer scan — and a stream-stream join
     * constructs TWO sources, so uncached each query construction paid
-    * the footer read repeatedly. Keyed per (session, file); schema
-    * STRUCTURE is corpus-contract-stable across regenerations (only
-    * data changes), so no content fingerprint is needed here.
+    * the footer read repeatedly. Keyed per (session, file, mtime, length):
+    * the two corpus generations differ PHYSICALLY (ns-Long vs µs-timestamp
+    * `ts`, CorpusGenerationsSpec), so an in-place regeneration at the same
+    * path must miss — the same rewrite-hygiene rule the dedup result memos
+    * follow (DedupSpec). The fingerprint stat is one filesystem call per
+    * stream construction, which the footer scan it guards dwarfs.
     */
   private val schemaCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), StructType]
+    .empty[(SparkSession, String, Long, Long), StructType]
 
   private def fileSchema(
-      spark: SparkSession, path: String): StructType =
-    schemaCache.getOrElseUpdate((spark, path), {
+      spark: SparkSession, path: String): StructType = {
+    val f = new java.io.File(path)
+    schemaCache.getOrElseUpdate((spark, path, f.lastModified, f.length), {
       Tables.readerConfs(spark)
       spark.read.parquet(path).schema
     })
+  }
+
+  /** Drop this session's schema memos (and any stopped session's) —
+    * called from [[graft.operators.CacheRegistry.clearSession]] so a
+    * stopped or bench-reset session doesn't pin entries forever.
+    */
+  def clearSchemaCache(spark: SparkSession): Unit =
+    schemaCache.keys.foreach { k =>
+      if ((k._1 eq spark) || k._1.sparkContext.isStopped)
+        schemaCache.remove(k)
+    }
 
   /** Schema of events.parquet under Tables.readerConfs (ns columns as
     * Long, µs columns as TimestampType — both corpus generations).

@@ -180,6 +180,61 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally pageStub.stop()
   }
 
+  test("paging is complete through same-ns bursts wider than a page (round 10)") {
+    // Loki's only cursor is the inclusive start timestamp, so a page cut
+    // inside a run of rows sharing one ns is the silent-loss hazard: the
+    // round-9 reader advanced to maxTs+1 and dropped the rest of the run.
+    // The round-10 reader holds back each page's trailing max-ts run,
+    // re-reads it from cursor = maxTs, and doubles the limit on a
+    // degenerate full page (all rows at the cursor's own ns).
+    val burstStub = new LokiStubServer
+    burstStub.start()
+    try {
+      val base = 1704067200000000000L // 2024-01-01 ns
+      val burstTs = base + 50L * 1000000000L
+      // 50 distinct-ns rows, then 120 rows at ONE ns, then 80 distinct-ns
+      val rows =
+        (0 until 50).map(i =>
+          burstStub.LogRow(base + i * 1000000000L, Map("app" -> "b"), s"pre-$i")) ++
+        (0 until 120).map(i =>
+          burstStub.LogRow(burstTs, Map("app" -> "b"), s"burst-$i")) ++
+        (0 until 80).map(i =>
+          burstStub.LogRow(burstTs + (i + 1) * 1000000000L, Map("app" -> "b"), s"post-$i"))
+      burstStub.seed(rows)
+      def scan(opts: Map[String, String]) = {
+        val r = spark.read.format("loki")
+          .option("endpoint", burstStub.endpoint)
+          .option("default_label", "app")
+        opts.foreach { case (k, v) => r.option(k, v) }
+        r.load().filter(
+          col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      }
+      val expected = rows.map(_.line)
+      // page size 100 cuts inside the 120-row burst: the scan must still
+      // return all 250 rows, exactly once each (Seq equality catches dups)
+      val got = scan(Map("query_limit" -> "100"))
+        .select("line").collect().map(_.getString(0)).toSeq
+      assert(got.sorted == expected.sorted,
+        s"burst scan must be complete+exact (got ${got.size} rows)")
+      // degenerate from the first request: page size 30 << burst, and the
+      // window STARTS at the burst — the reader must double 30→60→120→240
+      // until the 120-row run fits one (short) page
+      val onlyBurst = spark.read.format("loki")
+        .option("endpoint", burstStub.endpoint)
+        .option("default_label", "app")
+        .option("query_limit", "30")
+        .load()
+        .filter(col("timestamp") >= lit("2024-01-01 00:00:50").cast("timestamp") &&
+          col("timestamp") < lit("2024-01-01 00:00:51").cast("timestamp"))
+        .select("line").collect().map(_.getString(0)).toSeq
+      assert(onlyBurst.sorted == (0 until 120).map(i => s"burst-$i").sorted,
+        s"degenerate-page scan must be complete+exact (got ${onlyBurst.size} rows)")
+      // pruned projection still pages correctly through the burst
+      assert(scan(Map("query_limit" -> "64")).select("line").count() == 250)
+    } finally burstStub.stop()
+  }
+
   test("scan output schema matches the declared log schema (tests/table.rs:177-218)") {
     assert(lokiDf().schema == LokiDataSource.LOG_SCHEMA)
   }
