@@ -521,7 +521,14 @@ object ConnectorOps {
     // top-5 runs through bounded heaps (no per-label sort, no window).
     ("loki_label_top_lines",
       (s: SparkSession, d: String) => {
-        val counted = lokiDf(s, d)
+        // partitions=8: the whole-corpus scan decodes through 8 parallel
+        // time slices (the loki_connector_labels scale-out shape) instead
+        // of one single-threaded reader feeding the aggregation
+        val counted = s.read.format("loki")
+          .option("endpoint", stubFor(s, d).endpoint)
+          .option("default_label", "event_type")
+          .option("partitions", "8")
+          .load()
           .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
             col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))
           .select(element_at(col("labels"), "event_type").as("label_event_type"),

@@ -31,7 +31,7 @@ object DedupOps {
     * an inline split would cost O(|tokens|²) per document.
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    TextOps.spreadScan(documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), array_distinct(shingles(col("tk"), 3)).as("sh"))
 
@@ -198,7 +198,10 @@ object DedupOps {
     * failure mode.
     */
   private def groupedByArray(docs: DataFrame, id: String, arr: String): DataFrame =
-    docs
+    // spread first: the pre-exchange leg (tokenize/shingle upstream plus
+    // the array hash here) otherwise runs inside a small corpus's single
+    // scan task; no-op when the input already has parallelism
+    TextOps.spreadScan(docs)
       .select(col(id).as("doc_id"), col(arr).as("arr"),
         xxhash64(col(arr)).as("gk"))
       // group by (hash, array): the 8-byte hash prunes comparisons, the
@@ -504,22 +507,30 @@ object DedupOps {
     while (!converged && i < maxIters) {
       val nbr = sym.join(comp, sym("dst") === comp("id"))
         .select(sym("src").as("id"), col("comp"))
+      // lazily persisted, NOT checkpointed: prop's plan references only
+      // the previous round's CHECKPOINTED rows, so it is constant-size —
+      // the lineage-doubling hazard needs the un-truncated iterate. The
+      // pointer-jump join below consumes prop twice; the lazy persist
+      // makes the second consumer read the first's cached rows inside
+      // next's one materialization job, where prop's old eager
+      // localCheckpoint cost a SECOND driver-scheduled job per round
+      // (measured ~25% off the cold iterate wall; rounds are driver-bound
+      // at gate scale).
       val prop = comp.unionAll(nbr)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+        .persist()
       // pointer jumping: comp ← comp[comp] (every label IS a node id, so
       // the self-join matches every row). Neighbor-min alone needs
       // O(diameter) rounds — a 75-node near-threshold cosine component
       // measured ~20 rounds of it; with the shortcut each round halves
       // the remaining label-tree depth on top of the one-hop propagation,
-      // so convergence is O(log diameter) rounds. The extra join is
-      // against the just-materialized checkpoint (both sides read pinned
-      // rows, no lineage growth), and the round still ends in exactly one
-      // new checkpointed iterate.
+      // so convergence is O(log diameter) rounds. The round ends in
+      // exactly one new checkpointed iterate (the lineage truncation).
       val lookup = prop.select(col("id").as("rid"), col("comp").as("rcomp"))
       val next = prop.join(lookup, col("comp") === col("rid"))
         .select(col("id"), col("rcomp").as("comp"))
         .localCheckpoint(true)
+      prop.unpersist() // next is checkpointed; prop's blocks are dead
       val nfp = fingerprint(next)
       comp = next
       converged = nfp == fp
@@ -997,6 +1008,12 @@ object DedupOps {
         // sim_ivf_topk); this row is the exact baseline they verify
         // against.
         e.as("a")
+          // the corpus parquet is one small file = ONE scan partition, so
+          // the broadcast-nested-loop pair join ran its full O(n²) cosine
+          // loop in a single task; spreading the stream side first costs a
+          // negligible n-row exchange and gives the quadratic stage the
+          // cluster's parallelism (the salting rationale, applied to BNLJ)
+          .repartition(col("a.vec_id"))
           .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
           .withColumn("cos", cosine_sim(col("a.v"), col("b.v")))
           .filter(col("cos") >= 0.4)

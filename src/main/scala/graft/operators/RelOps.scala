@@ -136,7 +136,13 @@ object RelOps {
     */
   def pageRankRanks(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src").repartition(col("src")).persist()
+    // no explicit repartition: the deg equi-join on src already leaves
+    // the joined relation hash(src)-partitioned (EnsureRequirements
+    // exchanges the edge side for the join), the cache preserves that
+    // partitioning for the per-round ranks joins, and the previous
+    // explicit repartition(src) re-exchanged the full edge relation a
+    // third time for nothing (measured ~0.3-1 s of the cold build)
+    val ed = edges.join(deg, "src").persist()
     CacheRegistry.register(ed, Seq(ed))
     val nNodes = ed.select(col("src")).distinct().count()
     // empty graph: zero nodes would divide the teleport by zero on the
@@ -1551,7 +1557,12 @@ object RelOps {
           .agg(round(sum("l_quantity"), 2).as("sum_qty"))
           .filter(col("sum_qty") > 300.0)
         orders(s, d)
-          .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+          // the >300 filter keeps a few hundred orders out of ~10⁵ per SF,
+          // but the static planner sizes bigOrders by its pre-aggregate
+          // input and plans a sort-merge join, exchanging+sorting the
+          // whole orders side; the hint makes the orders scan shuffle-free
+          // (AQE would discover this at runtime — the hint pins it)
+          .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
           .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
             // o_orderdate reads as TimestampType under Tables.readerConfs
@@ -2152,22 +2163,24 @@ object RelOps {
         // dedups — the daily distinct AND countDistinct's internal
         // dedup of the ×7 fan-out — partition-locally; without the
         // explicit repartition Spark exchanges the fanned relation a
-        // second time on (day, user). The end-bound filter runs AFTER
-        // the aggregation (6 partial trailing days are counted then
-        // dropped — identical result, and the broadcast barrier leaves
-        // the main pipeline). Remaining exchanges ship only per-day
-        // partial counts.
+        // second time on (day, user). The end bound needs max(original
+        // day), which equals max(FANNED day) − 6 (the max original day
+        // fans through i=6), so it reads off the aggregated ~window-count
+        // relation via a global window — the events scan runs ONCE (the
+        // previous separate bounds branch re-ran scan+exchange+distinct),
+        // and the single-partition barrier holds only per-day counts.
+        // 6 partial trailing days are counted then dropped — identical
+        // result.
         val daily = events(s, d).select(
           (unix_micros(date_trunc("DAY", col("ts"))) / 86400000000L)
             .cast("long").as("day"),
           col("user_id")).repartition(col("user_id")).distinct()
-        val bounds = daily.agg(max("day").as("hi"))
         daily
           .select(col("user_id"), explode(sequence(col("day"),
             col("day") + 6L)).as("day"))
           .groupBy("day")
           .agg(countDistinct("user_id").as("wau"))
-          .crossJoin(broadcast(bounds))
+          .withColumn("hi", max("day").over(Window.partitionBy()) - 6L)
           .filter(col("day") <= col("hi"))
           .select(col("day"), col("wau"))
           .orderBy("day")

@@ -96,6 +96,23 @@ object TextOps {
   private[graft] def broadcastIfSmall(df: DataFrame): DataFrame =
     if (estimatedSmall(df)) broadcast(df) else df
 
+  /** Spread a narrow scan to the session's parallelism before CPU-heavy
+    * per-row work (tokenize → shingle → hash pipelines). A small corpus
+    * arrives as ONE parquet file = one scan partition, so everything up
+    * to the first exchange — the expensive shingle construction included —
+    * ran in a single task while 31 cores idled; the exchange this inserts
+    * ships only the raw corpus rows, which the per-row work it unlocks
+    * dwarfs. NO-OP past `target/2` existing partitions: a real many-file
+    * corpus (the 100 TB case) already has scan parallelism, and adding a
+    * full-corpus exchange there would be a scale-killer, not a win.
+    */
+  private[graft] def spreadScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2))
+      df.repartition(target)
+    else df
+  }
+
   /** Intra-document keep-first dedup of 10-token chunks over (doc_id, tk)
     * rows — the library form under the `text_intradoc_dedup` entry (which
     * adds the planted-repeat construction); entirely per-row columnar
@@ -351,11 +368,18 @@ object TextOps {
     * bit-identical scores; ranking runs on the ×1e6 quantized BIGINT.
     */
   private[graft] def bm25Top20(docs: DataFrame, terms: Seq[String]): DataFrame = {
-    val base = docs.select(col("doc_id"), toks.as("tk"))
+    val base = spreadScan(docs).select(col("doc_id"), toks.as("tk"))
       .select(Seq(col("doc_id"), size(col("tk")).cast("double").as("dl")) ++
         terms.indices.map(i =>
           size(filter(col("tk"), x => x === terms(i)))
             .cast("double").as(s"tf$i")): _*)
+      // base feeds TWO consumers — the corpus-stats aggregate and the
+      // scoring projection — and producing it is the expensive part (the
+      // full tokenize pass); uncached, both consumers re-tokenized the
+      // corpus. The cached relation is tiny: one row of (id, dl, tf…)
+      // counts per document, the tokens themselves never persist.
+      .persist()
+    CacheRegistry.register(base, Seq(base))
     val aggs = Seq(count(lit(1)).cast("double").as("n"),
       avg("dl").as("avgdl")) ++
       terms.indices.map(i =>
@@ -524,7 +548,7 @@ object TextOps {
     * text as the single span (the [[graft.functions.GraftFunctions.shingles]] contract).
     */
   def dupSpans(docs: DataFrame): DataFrame = {
-    val sp = docs
+    val sp = spreadScan(docs)
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("tk"), 8))).as("g"))
@@ -558,7 +582,7 @@ object TextOps {
     // token array materialized before shingling — shingles' lambda
     // re-evaluates its token expression per element (see its docstring):
     // an inline split would cost O(|tokens|²) per doc
-    val cnts = docs
+    val cnts = spreadScan(docs)
       .select(col("lang"), toks.as("tk"))
       .select(col("lang"), explode(shingles(col("tk"), n)).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))

@@ -72,7 +72,10 @@ class ExplainSpec extends SparkTestBase {
     df.collect() // materialize so the AQE plan is final
     val p = df.queryExecution.executedPlan.toString
     // codegen stages render as "*(n) " prefixes in the final AQE plan
-    assert(p.contains("*(2) BroadcastNestedLoopJoin") || p.contains("WholeStageCodegen"), p)
+    // (the stage NUMBER shifts with upstream plan changes — only the
+    // codegen'd-join property is pinned)
+    assert("\\*\\(\\d+\\) BroadcastNestedLoopJoin".r.findFirstIn(p).isDefined ||
+      p.contains("WholeStageCodegen"), p)
     assert(p.contains("cosine_sim"), p)
   }
 
