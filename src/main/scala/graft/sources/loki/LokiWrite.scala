@@ -11,10 +11,12 @@ import org.apache.spark.sql.types.StructType
 
 /** Write half of the connector — the rebuild of `LokiLogInsertExec`
   * (`src/insert.rs`). Rows are buffered per task and POSTed to the push
-  * API in `pushBatchSize` chunks; like the reference, each row becomes its
-  * own stream object (no label-set grouping, insert.rs:186-205) and null
-  * handling mirrors insert.rs:167-236: null timestamp is an error, null
-  * labels → {}, null line → "".
+  * API in `pushBatchSize` chunks; by default each row becomes its own
+  * stream object like the reference (no label-set grouping,
+  * insert.rs:186-205 — `group_streams=true` collapses a batch's rows
+  * with identical label sets into one stream object, the wire shape real
+  * log shippers use at scale). Null handling mirrors insert.rs:167-236:
+  * null timestamp is an error, null labels → {}, null line → "".
   *
   * Delivery semantics are AT-LEAST-ONCE, matching the reference: batches
   * POST during `write()` (insert.rs:104-113), so a failed or speculative
@@ -143,6 +145,11 @@ case class LokiWriterFactory(options: LokiOptions) extends DataWriterFactory {
 class LokiDataWriter(options: LokiOptions) extends DataWriter[InternalRow] {
 
   private val buf = ArrayBuffer.empty[String]
+  // group_streams=true: per-batch (label set → value tuples), insertion
+  // order preserved so the payload is deterministic in row order
+  private val grouped =
+    scala.collection.mutable.LinkedHashMap.empty[String, ArrayBuffer[String]]
+  private var buffered = 0
   private var count = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -178,16 +185,31 @@ class LokiDataWriter(options: LokiOptions) extends DataWriter[InternalRow] {
         }.mkString("{", ",", "}")
       }
     val line = if (row.isNullAt(2)) "" else row.getUTF8String(2).toString
-    // one stream object per row, like insert.rs:186-205
-    buf += s"""{"stream":$labels,"values":[["$ns",${jsonStr(line)}]]}"""
+    if (options.groupStreams) {
+      // one stream object per distinct label set, many values
+      grouped.getOrElseUpdate(labels, ArrayBuffer.empty) +=
+        s"""["$ns",${jsonStr(line)}]"""
+    } else {
+      // one stream object per row, like insert.rs:186-205 (parity default)
+      buf += s"""{"stream":$labels,"values":[["$ns",${jsonStr(line)}]]}"""
+    }
+    buffered += 1
     count += 1
-    if (buf.length >= options.pushBatchSize) flush()
+    if (buffered >= options.pushBatchSize) flush()
   }
 
   private def flush(): Unit = {
-    if (buf.nonEmpty) {
-      LokiHttp.push(options.endpoint, s"""{"streams":[${buf.mkString(",")}]}""")
+    if (buffered > 0) {
+      val streams =
+        if (options.groupStreams)
+          grouped.map { case (labels, values) =>
+            s"""{"stream":$labels,"values":[${values.mkString(",")}]}"""
+          }.mkString(",")
+        else buf.mkString(",")
+      LokiHttp.push(options.endpoint, s"""{"streams":[$streams]}""")
       buf.clear()
+      grouped.clear()
+      buffered = 0
     }
   }
 
@@ -217,7 +239,7 @@ class LokiDataWriter(options: LokiOptions) extends DataWriter[InternalRow] {
 
   // at-least-once: batches already POSTed by write() stay in Loki (see
   // class doc); only the unflushed tail is dropped
-  override def abort(): Unit = buf.clear()
+  override def abort(): Unit = { buf.clear(); grouped.clear(); buffered = 0 }
 
   override def close(): Unit = ()
 }

@@ -99,8 +99,15 @@ final class LokiStubServer {
 
   // ------------------------------------------------------------------ push
 
+  /** Raw push payloads as received — wire-shape assertions (e.g. the
+    * group_streams stream-object count) read these; `ingested` stays the
+    * row-level view.
+    */
+  val pushBodies = mutable.ArrayBuffer.empty[String]
+
   private def handlePush(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    pushBodies.synchronized(pushBodies += body)
     parsePush(body).foreach { r =>
       val svc = r.labels.getOrElse("app", "unknown")
       val injected = r.labels ++ Map(

@@ -235,6 +235,47 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally burstStub.stop()
   }
 
+  test("group_streams groups a batch's rows by label set; default stays per-row (round 10)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ws = new LokiStubServer
+    ws.start()
+    try {
+      val schema = StructType(Seq(
+        StructField("timestamp", TimestampType, nullable = false),
+        StructField("labels", MapType(StringType, StringType), nullable = true),
+        StructField("line", StringType, nullable = true)))
+      def rows = (0 until 6).map { i =>
+        Row(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i)),
+          Map("app" -> s"a${i % 2}"), s"line-$i")
+      }
+      def writeWith(opts: Map[String, String]): Unit = {
+        val w = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+          .write.format("loki").option("endpoint", ws.endpoint)
+          .option("push_batch_size", "100")
+        opts.foreach { case (k, v) => w.option(k, v) }
+        w.mode("append").save()
+      }
+      // parity default: one stream object PER ROW in one POST
+      writeWith(Map.empty)
+      val flat = ws.pushBodies.synchronized(ws.pushBodies.last)
+      assert("\\{\"stream\":".r.findAllIn(flat).size == 6, flat)
+      val flatRows = ws.ingested.toSet
+      // grouped: one stream object PER LABEL SET (2 here), same rows
+      ws.clear()
+      ws.pushBodies.synchronized(ws.pushBodies.clear())
+      writeWith(Map("group_streams" -> "true"))
+      val g = ws.pushBodies.synchronized(ws.pushBodies.last)
+      assert("\\{\"stream\":".r.findAllIn(g).size == 2, g)
+      assert("\\[\"17040".r.findAllIn(g).size == 6, g) // all 6 values present
+      assert(ws.ingested.toSet == flatRows,
+        "grouped payload must ingest the identical row set")
+      assert(LokiWrite.lastCommittedRows(ws.endpoint) == 6L)
+    } finally ws.stop()
+  }
+
   test("scan output schema matches the declared log schema (tests/table.rs:177-218)") {
     assert(lokiDf().schema == LokiDataSource.LOG_SCHEMA)
   }
