@@ -241,10 +241,14 @@ object ConnectorOps {
           sys.addShutdownHook(stub.stop())
           stub
         }))
+        // slicing × paging — the scale shape: 8 disjoint time slices each
+        // page their own window in parallel (the burst ns lands in one
+        // slice, which walks the adaptive-doubling path alone)
         s.read.format("loki")
           .option("endpoint", st.endpoint)
           .option("default_label", "event_type")
           .option("query_limit", "2000")
+          .option("partitions", "8")
           .load()
           .filter(
             col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
@@ -475,6 +479,54 @@ object ConnectorOps {
       },
       Some("SELECT CAST(count(*) AS BIGINT) AS count FROM events WHERE event_type = 'purchase'"))
  ,
+    // Grouped write path under the oracle (round 10): insert the error
+    // rows with group_streams=true (one stream object per label set on
+    // the wire instead of per row), then read them BACK through the
+    // connector scan — a full write→read roundtrip through the grouped
+    // payload, so a grouping bug (lost value, wrong stream association,
+    // bad JSON) surfaces as a row mismatch against the events oracle,
+    // not just a spec assertion. The in-query check also pins that the
+    // wire really grouped: stream objects on the wire << rows written.
+    ("loki_insert_grouped_roundtrip",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val scratch = stubSync(stubs.getOrElseUpdate(s"$d#grouped", {
+          val st = new LokiStubServer
+          st.start()
+          sys.addShutdownHook(st.stop())
+          st
+        }))
+        scratch.clear()
+        scratch.pushBodies.synchronized(scratch.pushBodies.clear())
+        Tables.lokiView(s, d)
+          .filter(element_at(col("labels"), "event_type") === "error")
+          .write.format("loki")
+          .option("endpoint", scratch.endpoint)
+          .option("push_batch_size", "8192")
+          .option("group_streams", "true")
+          .mode("append").save()
+        val streamObjs = scratch.pushBodies.synchronized(
+          scratch.pushBodies.map("\\{\"stream\":".r.findAllIn(_).size).sum)
+        val nRows = LokiWrite.lastCommittedRows(scratch.endpoint)
+        val back = s.read.format("loki")
+          .option("endpoint", scratch.endpoint)
+          .option("default_label", "event_type")
+          .load()
+          .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line")
+        back.crossJoin(broadcast(
+          Seq(streamObjs.toLong < nRows).toDF("wire_grouped_ok")))
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line,
+          |       true AS wire_grouped_ok
+          |FROM events
+          |WHERE event_type = 'error'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // §2.1 row 13's WRITE half (insert.rs:122-134): the reference's
     // LokiLogInsertExec DisplayAs shows the endpoint and the input's
     // rows=n statistic (fed by the child plan's statistics). EXPLAIN of

@@ -235,6 +235,46 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally burstStub.stop()
   }
 
+  test("paging property: complete+exact over randomized burst shapes and page sizes") {
+    // seeded randomized sweep over timestamp multisets (runs of 1..~60
+    // rows per ns, including runs far above the page size) × page sizes —
+    // every shape must return the corpus exactly once. Deterministic seed
+    // so a failure reproduces.
+    val rnd = new scala.util.Random(42)
+    val propStub = new LokiStubServer
+    propStub.start()
+    try {
+      (1 to 6).foreach { iter =>
+        propStub.clear()
+        val base = 1704067200000000000L + iter * 1000000000000L
+        var ts = base
+        val rows = scala.collection.mutable.ArrayBuffer.empty[propStub.LogRow]
+        var i = 0
+        while (rows.size < 300) {
+          // run length: mostly 1, sometimes a burst up to 60
+          val run = if (rnd.nextInt(5) == 0) 1 + rnd.nextInt(60) else 1
+          (0 until run).foreach { _ =>
+            rows += propStub.LogRow(ts, Map("app" -> "p"), s"r$iter-$i")
+            i += 1
+          }
+          ts += 1 + rnd.nextInt(3).toLong * 1000000000L // 1ns..3s gaps
+        }
+        propStub.seed(rows)
+        val ps = Seq(7, 30, 100)(rnd.nextInt(3))
+        val got = spark.read.format("loki")
+          .option("endpoint", propStub.endpoint)
+          .option("default_label", "app")
+          .option("query_limit", ps.toString)
+          .load()
+          .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+          .select("line").collect().map(_.getString(0)).toSeq
+        assert(got.sorted == rows.map(_.line).sorted,
+          s"iter=$iter ps=$ps: expected ${rows.size} rows exactly once, " +
+            s"got ${got.size}")
+      }
+    } finally propStub.stop()
+  }
+
   test("group_streams groups a batch's rows by label set; default stays per-row (round 10)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
