@@ -10,6 +10,36 @@ import graft.streaming.StreamingOps
   */
 class StreamingSpec extends SparkTestBase {
 
+  test("stream source schema memo misses after an in-place corpus rewrite (round 10)") {
+    // the schema memo keys on (session, path, mtime, length): regenerating
+    // the file at the SAME path (the DedupSpec rewrite-hygiene scenario —
+    // e.g. the ns-Long vs µs-timestamp corpus generations) must re-read
+    // the footer, not serve the first generation's schema
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_schema_memo").toFile
+    try {
+      val p = new java.io.File(dir, "events.parquet").getAbsolutePath
+      import spark.implicits._
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+        .toDF("ts", "user_id").coalesce(1)
+        .write.mode("overwrite").format("parquet").save(p)
+      val s1 = StreamingOps.eventsStream(spark, dir.getAbsolutePath).schema
+      assert(!s1.fieldNames.contains("extra"))
+      // rewrite IN PLACE with an extra column (different length + mtime)
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "x"))
+        .toDF("ts", "user_id", "extra").coalesce(1)
+        .write.mode("overwrite").format("parquet").save(p)
+      val s2 = StreamingOps.eventsStream(spark, dir.getAbsolutePath).schema
+      assert(s2.fieldNames.contains("extra"),
+        s"stale schema served after in-place rewrite: $s2")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming hourly window equals the batch events_hourly_window") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.hourlyWindow(spark, sf), "hourly_mem", OutputMode.Update())
