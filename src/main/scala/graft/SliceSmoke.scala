@@ -118,6 +118,35 @@ object SliceSmoke {
             f"wall=$secs%.2fs probes=$probes " +
             f"max/mean=${counts.max.toDouble * counts.length / counts.sum}%.2f")
         }
+        // paging-at-RTT leg (round 10): an unbounded paged scan is a
+        // serial page walk per slice — pages × RTT of wall. partitions=N
+        // divides the walk into N parallel disjoint windows; at 20 ms RTT
+        // and ~2000-row pages over the same corpus, 8 slices should cut
+        // the wall close to 8× (each slice pages its own window
+        // concurrently, the stub serves handlers on a thread pool).
+        if (!bursty) {
+          stub.queryLatencyMs = 20L
+          try {
+            Seq(1, 8).foreach { parts =>
+              val reqs0 = stub.ranges.synchronized(stub.ranges.size)
+              val scan = spark.read.format("loki")
+                .option("endpoint", stub.endpoint)
+                .option("default_label", "app")
+                .option("partitions", parts.toString)
+                .option("query_limit", "2000")
+                .load()
+                .filter(
+                  col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+                  col("timestamp") < lit("2024-01-31 00:00:00").cast("timestamp"))
+              val t0 = System.nanoTime()
+              val rows = scan.count()
+              val secs = (System.nanoTime() - t0) / 1e9
+              val reqs = stub.ranges.synchronized(stub.ranges.size) - reqs0
+              println(f"[slice] paged rtt=20ms partitions=$parts rows=$rows " +
+                f"pages=$reqs wall=$secs%.2fs")
+            }
+          } finally stub.queryLatencyMs = 0L
+        }
       } finally stub.stop()
     }
     spark.stop()

@@ -66,6 +66,12 @@ final class LokiStubServer {
     */
   @volatile var statsLatencyMs: Long = 0L
 
+  /** Simulated per-request RTT for query_range (ms) — the SliceSmoke
+    * paging leg: a paged scan's wall is pages × RTT per slice, which is
+    * what `partitions=N` divides; a 0-RTT loopback hides it.
+    */
+  @volatile var queryLatencyMs: Long = 0L
+
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     // a real Loki serves concurrent requests; the default (null) executor
@@ -155,6 +161,7 @@ final class LokiStubServer {
   // ----------------------------------------------------------- query_range
 
   private def handleQuery(ex: HttpExchange): Unit = {
+    if (queryLatencyMs > 0) Thread.sleep(queryLatencyMs)
     val params = ex.getRequestURI.getRawQuery.split('&').map { kv =>
       val Array(k, v) = kv.split("=", 2)
       k -> java.net.URLDecoder.decode(v, "UTF-8")
