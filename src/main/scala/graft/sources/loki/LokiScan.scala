@@ -439,8 +439,10 @@ case class LokiReaderFactory() extends PartitionReaderFactory {
   * assumption needed. The degenerate full page (every row at one ns,
   * where re-requesting at the same limit would loop) emits nothing and
   * retries the same cursor with a DOUBLED limit until the burst fits in
-  * one page; past `maxAdaptivePageSize` it fails loudly with the ns and
-  * the needed query_limit instead of dropping rows.
+  * one page — re-anchoring to the requested page size once the cursor
+  * advances, so payloads grow only while inside a burst; past the
+  * adaptive ceiling it fails loudly with the ns and the needed
+  * query_limit instead of dropping rows.
   */
 class LokiPartitionReader(p: LokiInputPartition)
   extends PartitionReader[InternalRow] {
@@ -540,8 +542,13 @@ class LokiPartitionReader(p: LokiInputPartition)
             // superseded; the trailing max-ts run may have been cut by
             // the page limit, so discard it and re-read from its ts
             // (start is inclusive). Strict progress: the guard above
-            // ensures heldTs > cursor here.
+            // ensures heldTs > cursor here. The limit re-anchors to the
+            // user's page size: a doubled limit exists only to swallow a
+            // single-ns burst, and keeping it for the rest of the window
+            // would grow every later payload past what query_limit asked
+            // for.
             cursor = heldTs
+            ps = ps0
             fetch()
           }
         }
