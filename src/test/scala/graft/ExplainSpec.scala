@@ -376,6 +376,27 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
   }
 
+  test("spreadScan is a NO-OP on a corpus that already has scan parallelism") {
+    // the round-10 scale contract: spreading exists for the one-file
+    // local corpus (1 scan partition); a many-partition corpus — the
+    // 100 TB case — must pass through UNTOUCHED, because a full-corpus
+    // exchange there is a scale-killer. Both branches pinned:
+    import org.apache.spark.sql.functions._
+    val narrow = Tables.documents(spark, sf) // one file → 1-2 partitions
+    val wide = narrow.repartition(
+      spark.sparkContext.defaultParallelism) // already parallel
+    val spreadNarrow = operators.TextOps.spreadScan(narrow)
+    val spreadWide = operators.TextOps.spreadScan(wide)
+    assert(spreadNarrow.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism,
+      "a single-partition scan must spread to session parallelism")
+    assert(spreadWide eq wide,
+      "an already-parallel input must pass through without a new exchange")
+    // and the spread relation computes the identical corpus
+    assert(spreadNarrow.agg(sum(length(col("text")))).head() ==
+      narrow.agg(sum(length(col("text")))).head())
+  }
+
   test("winnowing is scan-local: no exchange below the per-doc projection") {
     val p = plan("text_winnowing")
     assert(!p.contains("Window") && !p.contains("BroadcastHashJoin"),
