@@ -479,6 +479,36 @@ object ConnectorOps {
       },
       Some("SELECT CAST(count(*) AS BIGINT) AS count FROM events WHERE event_type = 'purchase'"))
  ,
+    // Pure-SQL catalog access (round 10): the reference registers its
+    // table into the DataFusion SessionContext and queries it by name
+    // (examples/datafusion.rs:10-18); the Spark analog is the catalog
+    // plugin — configured HERE at runtime, resolved lazily by name — so
+    // the whole surface (name resolution → pushdown rule → paged scan)
+    // runs from one SQL string under the oracle, no DataFrame API at all.
+    ("loki_catalog_sql",
+      (s: SparkSession, d: String) => {
+        val st = stubFor(s, d)
+        s.conf.set("spark.sql.catalog.lokigate",
+          "graft.sources.loki.LokiCatalog")
+        s.conf.set("spark.sql.catalog.lokigate.endpoint", st.endpoint)
+        s.conf.set("spark.sql.catalog.lokigate.default_label", "event_type")
+        s.sql(
+          """SELECT unix_micros(timestamp) AS ts_us, line
+            |FROM lokigate.default.loki
+            |WHERE labels['event_type'] = 'signup'
+            |  AND timestamp >= TIMESTAMP '2024-01-01 00:00:00'
+            |  AND timestamp < TIMESTAMP '2024-02-01 00:00:00'
+            |ORDER BY ts_us, line""".stripMargin)
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE event_type = 'signup'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // Grouped write path under the oracle (round 10): insert the error
     // rows with group_streams=true (one stream object per label set on
     // the wire instead of per row), then read them BACK through the
