@@ -365,14 +365,15 @@ object ScaleSmoke {
     // the slice assignment reshuffles arbitrarily) must give n×N, sums×N,
     // identical min/max/mean6, and varq×N² — the merge is provably
     // slice-assignment-independent, which is the whole point of algebraic
-    // state. Quantization is ×100 here (not the gate's ×1000): varq's
-    // n·Σv² sits at 2.0e18 at sf0.1 — 4.6× int64 headroom for the gate,
-    // but ×N² under duplication; the algebra invariant is scale-free, so
-    // the smoke drops one decimal instead of promoting to decimal math.
+    // state. The partial/final sums themselves stay in int64 (the gate's
+    // representation), but the varq INVARIANT n·Σv² − (Σv)² is computed in
+    // decimal(38,0): n·ss grows ×N² under duplication, so any fixed int64
+    // quantization eventually overflows (×64 did, at q100) while the
+    // algebra identity itself is exact at any width.
     timed("partial_agg_merge_xN") {
       val ev = Tables.events(spark, sfDir)
       val eidStride = ev.agg(max("event_id")).head().getLong(0) + 1L
-      def census(e: DataFrame): Seq[(String, Long, Long, Long, Long, Long, Long, Long)] = {
+      def census(e: DataFrame): Seq[(String, Long, Long, Long, Long, Long, Long, BigDecimal)] = {
         val q = e.select(col("event_type"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"),
           pmod(col("event_id"), lit(16)).as("slice"))
@@ -385,10 +386,13 @@ object ScaleSmoke {
             min("pmn").as("mn"), max("pmx").as("mx"))
           .select(col("event_type"), col("n"), col("s"), col("ss"),
             col("mn"), col("mx"), expr("(s * 1000) div n").as("mean6"),
-            (col("n") * col("ss") - col("s") * col("s")).as("varq"))
+            (col("n").cast("decimal(38,0)") * col("ss").cast("decimal(38,0)") -
+              col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+              .cast("decimal(38,0)").as("varq"))
           .orderBy("event_type")
           .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+            BigDecimal(r.getDecimal(7))))
           .toSeq
       }
       val baseC = census(ev)
