@@ -1072,8 +1072,13 @@ object RelOps {
     // fixed-point first, so every state is an int64 and the merge is
     // bit-exact regardless of slice order — the oracle recomputes the
     // same integers directly from the rows, proving merged ≡ direct.
-    // (Magnitudes: n·Σv² ≈ 2e17 here; a real 100 TB run promotes the
-    // variance numerator to decimal/int128.)
+    // The derived variance NUMERATOR n·Σv² − (Σv)² is decimal(38,0),
+    // not int64: it grows ×N² with row count (n·Σv² ≈ 2e17 at sf0.1 —
+    // only ~46× headroom, gone well before 100 TB; the ×64 scale smoke
+    // measured the int64 version overflowing), while the merge STATES
+    // stay int64 — the partial representation is scale-safe, only the
+    // final derivation needs width. DuckDB mirrors exactly: its
+    // sum(BIGINT) is already HUGEINT, cast to the same DECIMAL(38,0).
     ("events_partial_agg_merge",
       (s: SparkSession, d: String) => {
         val ev = events(s, d).select(col("event_type"),
@@ -1090,8 +1095,11 @@ object RelOps {
           .select(col("event_type"), col("n"), col("sum1000"),
             col("sumsq1000"), col("min1000"), col("max1000"),
             expr("(sum1000 * 1000) div n").as("mean6"),
-            (col("n") * col("sumsq1000") - col("sum1000") * col("sum1000"))
-              .as("varq"))
+            (col("n").cast("decimal(38,0)") *
+              col("sumsq1000").cast("decimal(38,0)") -
+              col("sum1000").cast("decimal(38,0)") *
+                col("sum1000").cast("decimal(38,0)"))
+              .cast("decimal(38,0)").as("varq"))
           .orderBy("event_type")
       },
       Some(
@@ -1106,7 +1114,7 @@ object RelOps {
           |       CAST(sum(v * v) AS BIGINT) AS sumsq1000,
           |       min(v) AS min1000, max(v) AS max1000,
           |       CAST((sum(v) * 1000) // count(*) AS BIGINT) AS mean6,
-          |       CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT) AS varq
+          |       CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS DECIMAL(38,0)) AS varq
           |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Semi + anti join cardinalities in one row.

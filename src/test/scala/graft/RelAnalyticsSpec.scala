@@ -591,8 +591,11 @@ class RelAnalyticsSpec extends SparkTestBase {
       assert(r.getLong(1) == n && r.getLong(2) == s && r.getLong(3) == ss)
       assert(r.getLong(4) == vs.min && r.getLong(5) == vs.max)
       assert(r.getLong(6) == (s * 1000) / n)
-      assert(r.getLong(7) == n * ss - s * s)
-      assert(r.getLong(7) >= 0, "variance numerator must be non-negative")
+      // varq is decimal(38,0): the numerator grows xN^2 with row count
+      // and int64 overflows at scale (the x64 smoke measured it)
+      val vq = BigDecimal(r.getDecimal(7))
+      assert(vq == BigDecimal(n) * BigDecimal(ss) - BigDecimal(s) * BigDecimal(s))
+      assert(vq >= 0, "variance numerator must be non-negative")
     }
     // the sketch-merge invariants are in-query booleans; they must hold
     q("events_hll_distinct_merge").collect().foreach { r =>
