@@ -199,17 +199,22 @@ object RelOps {
     val deg = e.select(col("p1").as("n")).unionAll(e.select(col("p2").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
       .persist()
-    // rank packs (deg, id) lexicographically into one comparable int64
-    // (ids are far below 1e9)
-    val rank = deg.select(col("n"), (col("deg") * 1000000000L + col("n")).as("r"))
+    // orientation order is lexicographic (deg, id), compared on the two
+    // columns directly — packing into deg*1e9+id was equivalent but
+    // capped both deg and id below 1e9, a silent-wraparound (or ANSI
+    // error) wall a 100 TB graph can actually hit
     val oriented = e
       .join(TextOps.broadcastIfSmall(
-        rank.select(col("n").as("p1"), col("r").as("r1"))), "p1")
+        deg.select(col("n").as("p1"), col("deg").as("d1"))), "p1")
       .join(TextOps.broadcastIfSmall(
-        rank.select(col("n").as("p2"), col("r").as("r2"))), "p2")
+        deg.select(col("n").as("p2"), col("deg").as("d2"))), "p2")
       .select(
-        when(col("r1") < col("r2"), col("p1")).otherwise(col("p2")).as("lo"),
-        when(col("r1") < col("r2"), col("p2")).otherwise(col("p1")).as("hi"))
+        when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("p1") < col("p2")),
+          col("p1")).otherwise(col("p2")).as("lo"),
+        when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("p1") < col("p2")),
+          col("p2")).otherwise(col("p1")).as("hi"))
       .persist()
     val adj = oriented.groupBy(col("lo").as("n"))
       .agg(array_sort(collect_list(col("hi"))).as("nbrs"))
@@ -1094,7 +1099,12 @@ object RelOps {
             min("pmn").as("min1000"), max("pmx").as("max1000"))
           .select(col("event_type"), col("n"), col("sum1000"),
             col("sumsq1000"), col("min1000"), col("max1000"),
-            expr("(sum1000 * 1000) div n").as("mean6"),
+            // decimal intermediate: sum1000 grows xN (already ~5e11 at
+            // sf0.1 x1000 scale), and the x1000 mean shift eats 3 more
+            // digits -- int64 dies near sf200; the BIGINT terminal is
+            // tiny (a x1e6 mean)
+            expr("CAST((CAST(sum1000 AS DECIMAL(38,0)) * 1000) DIV n" +
+              " AS BIGINT)").as("mean6"),
             (col("n").cast("decimal(38,0)") *
               col("sumsq1000").cast("decimal(38,0)") -
               col("sum1000").cast("decimal(38,0)") *
@@ -2226,7 +2236,10 @@ object RelOps {
         val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
         pairs.join(TextOps.broadcastIfSmall(totals), "from_type")
           .select(col("from_type"), col("to_type"), col("n"),
-            expr("CAST((n * 1000000) DIV n_from AS BIGINT)").as("prob6"))
+            // decimal intermediate: n x 1e6 leaves int64 only ~9x
+            // headroom at 1e12 transitions; the ratio terminal is tiny
+            expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) DIV n_from" +
+              " AS BIGINT)").as("prob6"))
           .orderBy("from_type", "to_type")
       },
       Some(
@@ -2278,14 +2291,20 @@ object RelOps {
             supp.select(col("p").as("cons"), col("n_p").as("n_cons"))), "cons")
           .crossJoin(broadcast(nOrders))
         // lift6 composes from the already-floored conf6 ((conf6·N) div
-        // n_cons) — identical composition in the oracle, and the bounded
-        // intermediate (conf6 ≤ 1e6 × orders) keeps int64 exact far past
-        // the direct n_pair·1e6·N product's overflow point
+        // n_cons) — identical composition in the oracle; both ratio
+        // intermediates run in decimal(38,0) so no row count overflows
+        // them (the int64 versions had single-digit headroom at 1e12
+        // orders — the class the ×64 scale smoke surfaced)
         rules.select(col("ante"), col("cons"), col("n_pair"),
             col("n_cons"), col("n_orders"),
-            expr("CAST((n_pair * 1000000) DIV n_ante AS BIGINT)").as("conf6"))
+            // decimal intermediates: n_pair x 1e6 and conf6 x n_orders
+            // each leave int64 only single-digit headroom at 1e12
+            // orders; the x1e6-ratio terminals are tiny
+            expr("CAST((CAST(n_pair AS DECIMAL(38,0)) * 1000000)" +
+              " DIV n_ante AS BIGINT)").as("conf6"))
           .withColumn("lift6",
-            expr("CAST((conf6 * n_orders) DIV n_cons AS BIGINT)"))
+            expr("CAST((CAST(conf6 AS DECIMAL(38,0)) * n_orders)" +
+              " DIV n_cons AS BIGINT)"))
           .select("ante", "cons", "n_pair", "conf6", "lift6")
           .orderBy(col("conf6").desc, col("ante"), col("cons"))
           .limit(20)
