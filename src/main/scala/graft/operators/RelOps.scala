@@ -92,6 +92,28 @@ object RelOps {
     }
   }
 
+  /** `(num × by) DIV den` with a decimal(38,0) intermediate and a BIGINT
+    * terminal — the scaled-ratio shape every ×1e6/×1000 derivation in
+    * this module uses. The intermediate grows linearly with row count,
+    * so an int64 version leaves only single-digit headroom at 1e12-row
+    * scale (the overflow class the ×64 scale smoke surfaced); the
+    * terminal is a tiny fixed-point ratio, so BIGINT output — and with
+    * it the DuckDB oracle terminals and driver hashes — is unchanged.
+    * `by` is a SQL snippet (a literal scale or a column name).
+    */
+  private[graft] def scaledDiv(num: String, by: String, den: String): Column =
+    expr(s"CAST((CAST($num AS DECIMAL(38,0)) * $by) DIV $den AS BIGINT)")
+
+  /** The variance numerator n·Σv² − (Σv)² in decimal(38,0): it grows
+    * ×N² with row count, so it overflows int64 at a scale the merge
+    * STATES (all int64) comfortably survive — the terminal itself needs
+    * the width, unlike [[scaledDiv]]'s.
+    */
+  private[graft] def varqDecimal(n: Column, s: Column, ss: Column): Column =
+    (n.cast("decimal(38,0)") * ss.cast("decimal(38,0)") -
+      s.cast("decimal(38,0)") * s.cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+
   /** The FULL co-purchase pair-count relation (p1 < p2, n_orders) — the
     * run-walk pipeline without the top-20 cap; also the co-purchase
     * graph's edge list for [[triangleCensus]].
@@ -186,8 +208,10 @@ object RelOps {
     * broadcast joins (vocabulary-sized relation; falls back to shuffle
     * joins past the gate, the standard distributed shape), and the
     * intersection itself is scan-local columnar arithmetic.
-    * All-integer: (deg, id) packs into one int64 rank, so orientation
-    * and census are bit-identical across engines.
+    * All-integer: orientation compares (deg, id) lexicographically on
+    * the two columns (no packed-int64 rank — packing capped degree and
+    * id below 1e9), so orientation and census are bit-identical across
+    * engines at any graph size.
     */
   def triangleCensus(li: DataFrame): DataFrame = {
     val e = copurchaseCounts(li).select("p1", "p2").persist()
@@ -1099,17 +1123,9 @@ object RelOps {
             min("pmn").as("min1000"), max("pmx").as("max1000"))
           .select(col("event_type"), col("n"), col("sum1000"),
             col("sumsq1000"), col("min1000"), col("max1000"),
-            // decimal intermediate: sum1000 grows xN (already ~5e11 at
-            // sf0.1 x1000 scale), and the x1000 mean shift eats 3 more
-            // digits -- int64 dies near sf200; the BIGINT terminal is
-            // tiny (a x1e6 mean)
-            expr("CAST((CAST(sum1000 AS DECIMAL(38,0)) * 1000) DIV n" +
-              " AS BIGINT)").as("mean6"),
-            (col("n").cast("decimal(38,0)") *
-              col("sumsq1000").cast("decimal(38,0)") -
-              col("sum1000").cast("decimal(38,0)") *
-                col("sum1000").cast("decimal(38,0)"))
-              .cast("decimal(38,0)").as("varq"))
+            scaledDiv("sum1000", "1000", "n").as("mean6"),
+            varqDecimal(col("n"), col("sum1000"), col("sumsq1000"))
+              .as("varq"))
           .orderBy("event_type")
       },
       Some(
@@ -2236,10 +2252,7 @@ object RelOps {
         val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
         pairs.join(TextOps.broadcastIfSmall(totals), "from_type")
           .select(col("from_type"), col("to_type"), col("n"),
-            // decimal intermediate: n x 1e6 leaves int64 only ~9x
-            // headroom at 1e12 transitions; the ratio terminal is tiny
-            expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) DIV n_from" +
-              " AS BIGINT)").as("prob6"))
+            scaledDiv("n", "1000000", "n_from").as("prob6"))
           .orderBy("from_type", "to_type")
       },
       Some(
@@ -2297,14 +2310,8 @@ object RelOps {
         // orders — the class the ×64 scale smoke surfaced)
         rules.select(col("ante"), col("cons"), col("n_pair"),
             col("n_cons"), col("n_orders"),
-            // decimal intermediates: n_pair x 1e6 and conf6 x n_orders
-            // each leave int64 only single-digit headroom at 1e12
-            // orders; the x1e6-ratio terminals are tiny
-            expr("CAST((CAST(n_pair AS DECIMAL(38,0)) * 1000000)" +
-              " DIV n_ante AS BIGINT)").as("conf6"))
-          .withColumn("lift6",
-            expr("CAST((CAST(conf6 AS DECIMAL(38,0)) * n_orders)" +
-              " DIV n_cons AS BIGINT)"))
+            scaledDiv("n_pair", "1000000", "n_ante").as("conf6"))
+          .withColumn("lift6", scaledDiv("conf6", "n_orders", "n_cons"))
           .select("ante", "cons", "n_pair", "conf6", "lift6")
           .orderBy(col("conf6").desc, col("ante"), col("cons"))
           .limit(20)

@@ -379,6 +379,42 @@ class RelAnalyticsSpec extends SparkTestBase {
       math.floor(3.0 * expTri * 1000000L / expWedges).toLong, "coeff6")
   }
 
+  test("scaled-integer derivations survive int64-edge magnitudes") {
+    import graft.operators.RelOps
+    // varq: the intermediate n*ss = 1.6e19 overflows int64 (9.2e18) even
+    // though the final value 7e18 fits -- the int64 form raised
+    // ARITHMETIC_OVERFLOW here (the x64 smoke's failure class)
+    val n = 4000000000L; val s0 = 3000000000L; val ss = 4000000000L
+    val vq = Seq((n, s0, ss)).toDF("n", "s", "ss")
+      .select(RelOps.varqDecimal(col("n"), col("s"), col("ss"))).head.getDecimal(0)
+    assert(BigDecimal(vq) == BigDecimal(n) * BigDecimal(ss) - BigDecimal(s0) * BigDecimal(s0))
+    // scaled ratio: num*1e6 = 2e19 overflows int64; the floored quotient
+    // is exact against a BigInt replay
+    val num = 20000000000000L; val den = 7L
+    val r = Seq((num, den)).toDF("num", "den")
+      .select(RelOps.scaledDiv("num", "1000000", "den")).head.getLong(0)
+    assert(r == (BigInt(num) * 1000000 / den).toLong)
+    // column factor form (the lift6 shape)
+    val r2 = Seq((num, 3000000L, 11L)).toDF("num", "f", "den")
+      .select(RelOps.scaledDiv("num", "f", "den")).head.getLong(0)
+    assert(r2 == (BigInt(num) * 3000000L / 11L).toLong)
+  }
+
+  test("triangle census is exact with node ids beyond the old 1e9 packing cap") {
+    // ids near 2^41: the retired deg*1e9+id orientation rank would have
+    // overflowed (ANSI error) or collided; the two-column compare must
+    // count exactly. Graph: co-purchase of orders {1:(a,b,c), 2:(b,c,d)}
+    // -> edges ab,ac,bc,bd,cd; triangles {a,b,c},{b,c,d}; wedges
+    // 1+3+3+1 = 8; coeff6 = floor(3*2*1e6/8) = 750000.
+    val base = 1L << 41
+    val li = Seq(1L -> (base + 1), 1L -> (base + 2), 1L -> (base + 3),
+      2L -> (base + 2), 2L -> (base + 3), 2L -> (base + 4))
+      .toDF("l_orderkey", "l_partkey")
+    val r = graft.operators.RelOps.triangleCensus(li).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((4L, 5L, 8L, 2L, 750000L)))
+  }
+
   test("graph_triangles plan: scan-local intersection over broadcast adjacency") {
     val p = q("graph_triangles").queryExecution.executedPlan.toString
     // the closure check is columnar array_intersect on attached adjacency
