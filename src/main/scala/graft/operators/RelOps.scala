@@ -2378,6 +2378,51 @@ object RelOps {
           |       CAST(floor(3.0 * tri.n_triangles * 1000000 /
           |         nullif((SELECT sum(deg * (deg - 1) // 2) FROM deg), 0))
           |         AS BIGINT) AS coeff6
-          |FROM tri""".stripMargin))
+          |FROM tri""".stripMargin)),
+
+    // Join-key skew census (see [[skewCensus]]) — the diagnostic a
+    // 100 TB join runs BEFORE choosing its strategy: per candidate key,
+    // the key-space size, hottest-key share (×1e6), and the salt factor
+    // a 32-way shuffle of that key needs so the hottest key's rows fit
+    // one partition's fair share. All integer, exact.
+    ("diag_skew_census",
+      (s: SparkSession, d: String) =>
+        skewCensus(lineitem(s, d),
+          Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      Some(Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+        s"""SELECT '$k' AS join_key,
+           |       CAST(count(*) AS BIGINT) AS n_keys,
+           |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |       CAST(max(cnt) AS BIGINT) AS max_cnt,
+           |       CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT)
+           |         AS top_share6,
+           |       CAST(greatest(1, (max(cnt) * 32 + sum(cnt) - 1)
+           |         // sum(cnt)) AS BIGINT) AS salt32
+           |FROM (SELECT $k, count(*) AS cnt FROM lineitem GROUP BY $k)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY join_key")))
   )
+
+  /** Per-candidate-key skew census (see the `diag_skew_census` entry).
+    * One partial-aggregated exchange per key (the per-key count), then a
+    * scalar reduce — the census never materializes more than one row per
+    * distinct key value, so it runs at full scan parallelism on any
+    * corpus. `top_share6` is the hottest key's row share ×1e6;
+    * `salt32` = ceil(max_cnt × 32 ÷ rows) is the salt factor under
+    * which the hottest key's rows spread to a 32-way shuffle's fair
+    * per-partition share (1 = no salting needed). Decimal intermediates
+    * per the [[scaledDiv]] rationale: max_cnt×1e6 outgrows int64 well
+    * before 1e12-row relations do.
+    */
+  def skewCensus(df: DataFrame, keys: Seq[String]): DataFrame =
+    keys.map { k =>
+      df.groupBy(col(k)).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"))
+        .select(lit(k).as("join_key"), col("n_keys"), col("n_rows"),
+          col("max_cnt"),
+          scaledDiv("max_cnt", "1000000", "n_rows").as("top_share6"),
+          greatest(lit(1L), expr(
+            "CAST((CAST(max_cnt AS DECIMAL(38,0)) * 32 + n_rows - 1)" +
+              " DIV n_rows AS BIGINT)")).as("salt32"))
+    }.reduce(_ unionAll _).orderBy("join_key")
 }

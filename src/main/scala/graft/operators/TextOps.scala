@@ -571,6 +571,82 @@ object TextOps {
       .withColumn("is_dup_heavy", col("dup_ratio") > 0.5)
   }
 
+  /** Maximal cross-document duplicated spans (see the
+    * `text_dup_span_merge` entry) — the span-level half of
+    * substring-style dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): where [[dupSpans]] counts WHICH
+    * 8-grams repeat across documents, this merges each document's
+    * duplicated gram positions into MAXIMAL token spans (gap-and-islands
+    * over positions: intervals [pos, pos+7] coalesce while the next
+    * start is ≤ prev start + 8), the unit a pipeline actually cuts or
+    * masks. Only documents with ≥8 tokens participate — a shorter
+    * document has no 8-token span by definition (unlike the shingles
+    * whole-text fallback, whose span length would misreport coverage).
+    *
+    * Shape: gram identity ships as the 128-bit two-lane fingerprint
+    * (the dupSpans convention); cross-document detection is
+    * min(doc)≠max(doc) over the gram window — ONE exchange on the
+    * high-cardinality gram key, no count-distinct, no join-back. The
+    * island pass is one exchange on doc_id; both island windows share
+    * its sort, and the two downstream aggregates ride the doc_id
+    * partitioning exchange-free. Nothing is quadratic in corpus size.
+    */
+  def dupSpanMerge(docs: DataFrame): DataFrame = {
+    val g = spreadScan(docs)
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), posexplode(shingles(col("tk"), 8)))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("col")).as("gh1"), xxhash64(lit(1), col("col")).as("gh2"))
+    val byGram = Window.partitionBy("gh1", "gh2")
+    val dup = g
+      .withColumn("xdoc",
+        min("doc_id").over(byGram) =!= max("doc_id").over(byGram))
+      .filter(col("xdoc"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = dup
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      // new island when the gap breaks contiguity (pos > prev + 8: the
+      // intervals [prev, prev+7] and [pos, pos+7] neither overlap nor
+      // touch); first row's null prev starts island 0
+      .withColumn("brk",
+        when(col("pos") - col("prev") > 8, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max("pos") + lit(7L)).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("covered_tokens"),
+        max(col("e") - col("s") + 1).as("max_span_len"))
+  }
+
+  /** Latest-wins upsert merge (see the `corpus_upsert_latest` entry) —
+    * the incremental-refresh shape a 100 TB corpus actually runs: the
+    * standing snapshot unioned with a change feed of upserts and delete
+    * tombstones, reduced to one surviving row per key. `rows` carries
+    * (key, version, op, payload...); per key the row with the highest
+    * version wins, and a winning `deleteOp` removes the key entirely.
+    *
+    * Shape: ONE hash exchange on the key — `max_by(struct(*), version)`
+    * is partial-aggregatable, so each map task pre-reduces its slice to
+    * one candidate row per local key before the shuffle (a window
+    * row_number formulation would ship every version of every key and
+    * sort it). Versions must be unique per key (any CDC feed's
+    * guarantee); ties would make max_by nondeterministic.
+    */
+  def upsertLatest(
+      rows: DataFrame, key: String, version: String,
+      op: String, deleteOp: String = "D"): DataFrame = {
+    val others = rows.columns.filter(_ != key)
+    rows
+      .groupBy(col(key))
+      .agg(max_by(struct(others.map(col): _*), col(version)).as("w"))
+      .select(col(key) +: others.map(c => col(s"w.$c")): _*)
+      .filter(col(op) =!= deleteOp)
+  }
+
   /** Per-language top-k n-grams (see the `text_ngram_topk` entry): counts
     * aggregate with map-side combine on the high-cardinality (lang, gram)
     * key, then [[graft.plans.TopKPerKey]] keeps `k` rows per language —
@@ -2059,6 +2135,96 @@ object TextOps {
           |  FROM k GROUP BY doc_id
           |)
           |SELECT doc_id, n_chunks, n_kept, dedup_md5 FROM agg
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Maximal duplicated spans (see [[dupSpanMerge]]): per document, the
+    // cross-document duplicated 8-gram positions merged into maximal
+    // token spans — span count, covered tokens, longest span. The oracle
+    // replays the same pipeline on the gram STRINGS (the fingerprints
+    // stand for them), so island bounds, coverage, and the ≥8-token
+    // participation rule are all differentially checked.
+    ("text_dup_span_merge",
+      (s: SparkSession, d: String) =>
+        dupSpanMerge(documents(s, d)).orderBy("doc_id"),
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (
+          |  SELECT doc_id, i - 1 AS pos,
+          |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '
+          |         ||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS g
+          |  FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+          |  WHERE len(ws) >= 8
+          |), d AS (
+          |  SELECT doc_id, pos,
+          |         min(doc_id) OVER (PARTITION BY g)
+          |           <> max(doc_id) OVER (PARTITION BY g) AS xdoc
+          |  FROM g
+          |), lagged AS (
+          |  SELECT doc_id, pos,
+          |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          |  FROM d WHERE xdoc
+          |), isl AS (
+          |  SELECT doc_id, pos,
+          |         sum(CASE WHEN pos - prev > 8 THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY doc_id ORDER BY pos
+          |                 ROWS UNBOUNDED PRECEDING) AS island
+          |  FROM lagged
+          |), sp AS (
+          |  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+          |  FROM isl GROUP BY doc_id, island
+          |)
+          |SELECT doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_spans,
+          |       CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens,
+          |       CAST(max(e - s + 1) AS BIGINT) AS max_span_len
+          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Latest-wins upsert merge (see [[upsertLatest]]): snapshot + a
+    // deterministic change feed (rev-2 rewrites for doc_id%7, delete
+    // tombstones for doc_id%13, net-new docs for doc_id%11) reduced to
+    // the surviving corpus — key count, final version, and the final
+    // text's length per key differentially checked against DuckDB's
+    // arg_max replay of the same feed.
+    ("corpus_upsert_latest",
+      (s: SparkSession, d: String) => {
+        val docs = documents(s, d)
+        val snapshot = docs.select(col("doc_id"),
+          lit(1L).as("version"), lit("U").as("op"), col("text"))
+        val updates = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit(2L).as("version"), lit("U").as("op"),
+            concat(lit("rev2 "), col("text")).as("text"))
+        val deletes = docs.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"), lit(3L).as("version"), lit("D").as("op"),
+            lit("").as("text"))
+        val inserts = docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit(1L).as("version"), lit("U").as("op"), col("text"))
+        val feed = snapshot.unionAll(updates).unionAll(deletes)
+          .unionAll(inserts)
+        upsertLatest(feed, "doc_id", "version", "op")
+          .select(col("doc_id"), col("version").as("final_version"),
+            length(col("text")).cast("long").as("final_len"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH feed AS (
+          |  SELECT doc_id, 1 AS version, 'U' AS op, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, 2, 'U', 'rev2 ' || text
+          |  FROM documents WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT doc_id, 3, 'D', '' FROM documents WHERE doc_id % 13 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, 1, 'U', text
+          |  FROM documents WHERE doc_id % 11 = 0
+          |), latest AS (
+          |  SELECT doc_id,
+          |         CAST(max(version) AS BIGINT) AS final_version,
+          |         arg_max(op, version) AS fop,
+          |         CAST(arg_max(length(text), version) AS BIGINT) AS final_len
+          |  FROM feed GROUP BY doc_id
+          |)
+          |SELECT doc_id, final_version, final_len
+          |FROM latest WHERE fop = 'U' ORDER BY doc_id""".stripMargin))
   )
 }

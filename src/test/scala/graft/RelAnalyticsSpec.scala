@@ -415,6 +415,25 @@ class RelAnalyticsSpec extends SparkTestBase {
       == ((4L, 5L, 8L, 2L, 750000L)))
   }
 
+  test("skewCensus reports exact key stats and the ceil-div salt factor") {
+    import spark.implicits._
+    import graft.operators.RelOps
+    // key k: a is hot (7 of 10 rows), 3 singletons; key g: uniform
+    val df = (Seq.fill(7)("a") ++ Seq("b", "c", "d")).zipWithIndex
+      .map { case (k, i) => (k, s"g${i % 5}") }.toDF("k", "g")
+    val got = RelOps.skewCensus(df, Seq("g", "k")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // k: 4 keys, 10 rows, max 7 → share6 = 700000, salt = ceil(224/10) = 23
+    assert(got("k") == ((4L, 10L, 7L, 700000L, 23L)), s"got ${got.get("k")}")
+    // g: 5 keys, max 2 → share6 = 200000, salt = ceil(64/10) = 7
+    assert(got("g") == ((5L, 10L, 2L, 200000L, 7L)), s"got ${got.get("g")}")
+    // a perfectly-uniform wide key needs no salt: 32 keys × 1 row
+    val uni = (0 until 32).map(i => Tuple1(s"u$i")).toDF("u")
+    val r = RelOps.skewCensus(uni, Seq("u")).collect().head
+    assert(r.getLong(5) == 1L, s"uniform salt must be 1, got ${r.getLong(5)}")
+  }
+
   test("graph_triangles plan: scan-local intersection over broadcast adjacency") {
     val p = q("graph_triangles").queryExecution.executedPlan.toString
     // the closure check is columnar array_intersect on attached adjacency

@@ -456,4 +456,73 @@ class TextStatsSpec extends SparkTestBase {
         assert(r.getLong(2) == r.getLong(1), s"doc $id organic must keep all")
     }
   }
+
+  test("dupSpanMerge: islands merge overlap+adjacency, exclude short docs and intra-doc repeats") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    def words(ids: Range, p: String): String = ids.map(i => s"$p$i").mkString(" ")
+    // docs 1 and 2 share tokens w0..w11 (a 12-token run = five 8-gram
+    // positions 0..4 in doc 1 — one maximal span [0, 11], 12 tokens) and,
+    // separately, w20..w27 (one 8-gram). In doc 1 the two shared runs are
+    // separated by 10 unique tokens, so they must stay TWO islands; in
+    // doc 3 an intra-doc repeated phrase (x0..x7 twice) must not count
+    // (cross-document only). Doc 4 has 7 tokens — below the span width.
+    val d1 = words(0 to 11, "w") + " " + words(0 to 9, "u") + " " + words(20 to 27, "w")
+    val d2 = words(100 to 105, "z") + " " + words(0 to 11, "w") + " " +
+      words(200 to 205, "y") + " " + words(20 to 27, "w")
+    val d3 = words(0 to 7, "x") + " " + words(300 to 309, "v") + " " + words(0 to 7, "x")
+    val d4 = words(0 to 6, "s")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
+    val got = TextOps.dupSpanMerge(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: spans [0,11] (12 tokens) and [22,29] (8) — 2 islands, 20 covered
+    assert(got(1L) == ((2L, 20L, 12L)), s"doc1 got ${got.get(1L)}")
+    // doc 2: same two runs at positions [6,17] and [24,31]
+    assert(got(2L) == ((2L, 20L, 12L)), s"doc2 got ${got.get(2L)}")
+    // doc 3: intra-doc repeat only → no cross-doc span; doc 4: too short
+    assert(!got.contains(3L) && !got.contains(4L), s"got $got")
+  }
+
+  test("dupSpanMerge merges ADJACENT spans (gap exactly 8) into one island") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // doc 5 shares a0..a7 with doc 6 and b0..b7 with doc 7; in doc 5 they
+    // are back-to-back (positions 0 and 8: touching intervals [0,7]+[8,15])
+    // → ONE island of 16 tokens even though no single 8-gram spans the seam
+    val d5 = (0 to 7).map(i => s"a$i").mkString(" ") + " " +
+      (0 to 7).map(i => s"b$i").mkString(" ")
+    val d6 = (0 to 7).map(i => s"a$i").mkString(" ") + " " +
+      (0 to 9).map(i => s"q$i").mkString(" ")
+    val d7 = (0 to 9).map(i => s"r$i").mkString(" ") + " " +
+      (0 to 7).map(i => s"b$i").mkString(" ")
+    val docs = Seq((5L, d5), (6L, d6), (7L, d7)).toDF("doc_id", "text")
+    val got = TextOps.dupSpanMerge(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(5L) == ((1L, 16L, 16L)), s"doc5 got ${got.get(5L)}")
+    assert(got(6L) == ((1L, 8L, 8L)) && got(7L) == ((1L, 8L, 8L)), s"got $got")
+  }
+
+  test("upsertLatest keeps the highest version and drops tombstoned keys in one exchange") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val feed = Seq(
+      (1L, 1L, "U", "one-v1"), (1L, 3L, "U", "one-v3"), (1L, 2L, "U", "one-v2"),
+      (2L, 1L, "U", "two-v1"), (2L, 2L, "D", ""),
+      (3L, 1L, "U", "three-v1"),
+      (4L, 2L, "D", ""), (4L, 5L, "U", "four-v5")
+    ).toDF("doc_id", "version", "op", "text")
+    val out = TextOps.upsertLatest(feed, "doc_id", "version", "op")
+    val got = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    // key 2's latest is the tombstone → gone; key 4's delete is SUPERSEDED
+    // by a later upsert → resurrected (CDC latest-wins, not sticky delete)
+    assert(got == Seq((1L, 3L, "one-v3"), (3L, 1L, "three-v1"),
+      (4L, 5L, "four-v5")), s"got $got")
+    // plan shape: the merge is ONE shuffle (partial max_by + exchange +
+    // final), not a window sort of every version
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), "latest-wins must not window-sort")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange:\n$plan")
+  }
 }
