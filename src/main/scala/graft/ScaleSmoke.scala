@@ -113,6 +113,27 @@ object ScaleSmoke {
     timed("pmi_bigrams") {
       graft.operators.TextOps.pmiBigrams(big).count()
     }
+    // Span-merge islands (round 10) on the multiplied corpus, with an
+    // EXACT invariant: every doc has mult−1 identical copies, so each
+    // ≥8-token doc's every 8-gram position is cross-document duplicated
+    // → exactly ONE island covering the full token range. A violation
+    // means the gram window or the island merge dropped/split positions
+    // at scale.
+    timed("dup_span_merge") {
+      val spans = graft.operators.TextOps.dupSpanMerge(big)
+      val nt = big.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 8)
+      val bad = spans.join(nt, "doc_id")
+        .filter(col("n_spans") =!= 1L ||
+          col("covered_tokens") =!= col("n_tokens") ||
+          col("max_span_len") =!= col("n_tokens"))
+        .count()
+      val missing = nt.count() - spans.count()
+      require(bad == 0 && missing == 0,
+        s"span-merge invariant broken at x$mult: bad=$bad missing=$missing")
+      bad
+    }
     timed("bpe_merges_8") {
       // 8 rounds, as in the gate: with the per-round cache each round is
       // one replace pass over the previous materialization — time should

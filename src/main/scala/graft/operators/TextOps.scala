@@ -633,8 +633,12 @@ object TextOps {
     * is partial-aggregatable, so each map task pre-reduces its slice to
     * one candidate row per local key before the shuffle (a window
     * row_number formulation would ship every version of every key and
-    * sort it). Versions must be unique per key (any CDC feed's
-    * guarantee); ties would make max_by nondeterministic.
+    * sort it). The struct aggregation buffer forces SortAggregate (a
+    * per-partition sort by key on each side of the one shuffle) rather
+    * than HashAggregate — the standard Spark argmax cost, still far
+    * cheaper than a second exchange. Versions must be unique per key
+    * (any CDC feed's guarantee); ties would make max_by
+    * nondeterministic.
     */
   def upsertLatest(
       rows: DataFrame, key: String, version: String,

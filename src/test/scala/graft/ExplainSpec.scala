@@ -496,4 +496,37 @@ class ExplainSpec extends SparkTestBase {
     assert("(BroadcastHashJoin|SortMergeJoin) \\[cluster".r.findAllIn(p).nonEmpty,
       s"expected an equi-join keyed on cluster:\n$p")
   }
+
+  test("span merge: two data exchanges; windows and aggregates share the doc partitioning") {
+    val p = plan("text_dup_span_merge")
+    // hash exchanges: the gram-fingerprint window + the doc_id island
+    // window (spreadScan is round-robin, the final orderBy is range) —
+    // the two aggregates must RIDE the doc_id partitioning, and the two
+    // island windows must share one sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"expected exactly two hash exchanges:\n$p")
+    // (doc_id, pos) local sorts: exactly one, shared by lag + island-sum
+    // (the final orderBy's global doc_id sort is a different shape)
+    val docSorts = "Sort \\[doc_id#\\d+L ASC NULLS FIRST, pos".r.findAllIn(p).length
+    assert(docSorts == 1, s"island windows must share one doc sort (saw $docSorts):\n$p")
+  }
+
+  test("upsert merge: one exchange, partial-aggregated, no window rank") {
+    val p = plan("corpus_upsert_latest")
+    assert(!p.contains("WindowExec") && !p.contains("Window ["),
+      s"latest-wins must not window-rank:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one hash exchange:\n$p")
+    // map-side pre-reduction: a partial aggregate below the exchange
+    assert("SortAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final aggregation around the shuffle:\n$p")
+  }
+
+  test("skew census: each branch scans exactly one pruned key column") {
+    val p = q("diag_skew_census").queryExecution.executedPlan.toString
+    Seq("l_orderkey", "l_partkey", "l_suppkey").foreach { k =>
+      assert(p.contains(s"ReadSchema: struct<$k:bigint>"),
+        s"branch for $k must read only its key column:\n$p")
+    }
+  }
 }
