@@ -616,6 +616,45 @@ object DedupOps {
       arr => size(arr) > 0)
   }
 
+  /** Fuzzy train/benchmark decontamination (see the
+    * `text_decontaminate_fuzzy` entry) — the near-duplicate half of the
+    * contamination check next to text_decontaminate's exact-6-gram
+    * membership: flag every TRAIN document whose shingle-set Jaccard
+    * with ANY benchmark document reaches `tau`, catching paraphrased or
+    * lightly-edited eval leakage an exact n-gram test misses. Both
+    * inputs are (doc_id, sh) distinct-shingle relations with disjoint
+    * id spaces.
+    *
+    * Shape: the MinHash band join of [[minhashLshPairs]], made
+    * two-sided — the benchmark side is small by definition, so its
+    * banded signatures broadcast (size-gated with shuffle fallback) and
+    * the train corpus never shuffles for candidate generation; exact
+    * Jaccard verification (with the lossless hashed prefilter) runs on
+    * candidates only. Per flagged train doc: hit count and best
+    * Jaccard — the relation a pipeline joins back to drop or audit.
+    */
+  def decontaminateFuzzy(
+      train: DataFrame, bench: DataFrame, tau: Double,
+      k: Int = 128, rows: Int = 2): DataFrame = {
+    val bands = k / rows
+    def banded(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), minhash_sig(col("sh"), k).as("sig"))
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          hash((0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)) :+ lit(b): _*)): _*)))
+      .toDF("doc_id", "band", "bucket")
+    val cand = banded(train).as("t")
+      .join(TextOps.broadcastIfSmall(banded(bench)).as("b"),
+        col("t.band") === col("b.band") && col("t.bucket") === col("b.bucket"))
+      .select(col("t.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, train.unionAll(bench), tau)
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max("jaccard").as("max_jaccard"))
+  }
+
   /** Oracle: all pairs with 3-shingle Jaccard ≥ 0.5, computed exactly. */
   /** Incremental near-dup matching — the continuously-ingesting pipeline
     * shape: find every Jaccard ≥ tau pair TOUCHING a delta batch without
@@ -944,6 +983,44 @@ object DedupOps {
       (s: SparkSession, d: String) =>
         minhashLshPairs(shingled(s, d).cache(), 0.5),
       Some(jaccardOracle)),
+
+    // Fuzzy decontamination (see [[decontaminateFuzzy]]): the doc_id%5=0
+    // slice is the benchmark (the text_decontaminate convention), the
+    // rest is training data; the oracle computes the TRUE cross-side
+    // Jaccard ≥ 0.5 relation exactly, so a band-join miss, a broken
+    // verify, or a side leak (train×train or bench×bench pairs) all
+    // surface as row mismatches.
+    ("text_decontaminate_fuzzy",
+      (s: SparkSession, d: String) => {
+        val sh = shingled(s, d).cache()
+        CacheRegistry.register(sh, Seq(sh))
+        decontaminateFuzzy(
+          sh.filter(col("doc_id") % 5 =!= 0),
+          sh.filter(col("doc_id") % 5 === 0), 0.5)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+          |              ELSE array_to_string(ws, ' ') END AS s
+          |  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+          |), c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |i AS (
+          |  SELECT a.doc_id AS t_id, b.doc_id AS b_id, count(*) AS i
+          |  FROM sh a JOIN sh b ON a.s = b.s
+          |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+          |  GROUP BY 1, 2
+          |), j AS (
+          |  SELECT t_id, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jac
+          |  FROM i JOIN c ca ON ca.doc_id = t_id JOIN c cb ON cb.doc_id = b_id
+          |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+          |)
+          |SELECT t_id AS doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_bench_hits,
+          |       max(jac) AS max_jaccard
+          |FROM j GROUP BY t_id ORDER BY doc_id""".stripMargin)),
 
     // SimHash(64) near-dup pairs at hamming ≤ 3 via the 4×16-bit chunk
     // pigeonhole join (lossless for ≤3 bit flips). The signature is

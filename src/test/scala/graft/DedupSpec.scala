@@ -47,6 +47,34 @@ class DedupSpec extends SparkTestBase {
       "jaccard values must agree between the prefix and naive paths")
   }
 
+  test("fuzzy decontamination equals the cross-side naive relation; no side leaks") {
+    val docs = Tables.documents(spark, sf).select(
+      col("doc_id"),
+      array_distinct(graft.functions.GraftFunctions.shingles(
+        split(col("text"), " "), 3)).as("sh"))
+    // naive cross-side expectation from the full exact pair relation
+    val full = DedupOps.jaccardPairsNaive(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cross = full.toSeq.flatMap { case ((a, b), j) =>
+      // pairs straddling the %5 split, keyed by the TRAIN endpoint
+      if (a % 5 == 0 && b % 5 != 0) Seq(b -> j)
+      else if (b % 5 == 0 && a % 5 != 0) Seq(a -> j)
+      else Nil
+    }
+    val expected = cross.groupBy(_._1).map { case (id, js) =>
+      id -> ((js.size.toLong, js.map(_._2).max))
+    }
+    val got = q("text_decontaminate_fuzzy").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected,
+      s"missed=${expected.keySet -- got.keySet} spurious=${got.keySet -- expected.keySet}")
+    // side-leak guard: a train×train near-dup pair exists in the corpus
+    // (the planting is %5-agnostic), so if the operator leaked same-side
+    // pairs the relation would be strictly larger than the cross-side one
+    assert(full.keys.exists { case (a, b) => a % 5 != 0 && b % 5 != 0 },
+      "corpus must contain a train-train near-dup for the leak guard to bite")
+  }
+
   test("incremental delta matching equals the full pair relation restricted to the delta") {
     val docs = Tables.documents(spark, sf).select(
       col("doc_id"),
