@@ -644,8 +644,15 @@ object DedupOps {
           hash((0 until rows).map(r =>
             element_at(col("sig"), b * rows + r + 1)) :+ lit(b): _*)): _*)))
       .toDF("doc_id", "band", "bucket")
-    val cand = banded(train).as("t")
-      .join(TextOps.broadcastIfSmall(banded(bench)).as("b"),
+    // the train side's banded signatures are the expensive leg (k minhash
+    // lanes over every shingle) and the relation is narrow (doc_id, band,
+    // bucket) — cache it so repeat consumers (and the verify join's plan
+    // reuse) skip the signature pass
+    val tb = banded(train).cache()
+    val bb = banded(bench).cache()
+    CacheRegistry.register(tb, Seq(tb, bb))
+    val cand = tb.as("t")
+      .join(TextOps.broadcastIfSmall(bb).as("b"),
         col("t.band") === col("b.band") && col("t.bucket") === col("b.bucket"))
       .select(col("t.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()

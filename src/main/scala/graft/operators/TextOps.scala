@@ -2205,9 +2205,16 @@ object TextOps {
             lit(1L).as("version"), lit("U").as("op"), col("text"))
         val feed = snapshot.unionAll(updates).unionAll(deletes)
           .unionAll(inserts)
+          // project the payload down to what the query keeps BEFORE the
+          // merge: max_by(struct(*)) carries every column through the
+          // shuffle and both sort-agg passes, so shipping the full text
+          // where only its length survives paid ~50× the bytes (the
+          // operator is payload-generic; pruning is the caller's lever)
+          .select(col("doc_id"), col("version"), col("op"),
+            length(col("text")).cast("long").as("text_len"))
         upsertLatest(feed, "doc_id", "version", "op")
           .select(col("doc_id"), col("version").as("final_version"),
-            length(col("text")).cast("long").as("final_len"))
+            col("text_len").as("final_len"))
           .orderBy("doc_id")
       },
       Some(
