@@ -709,6 +709,66 @@ object TextOps {
         (col("z") >= 0).as("above_lang_mean"))
   }
 
+  /** Budget-constrained quality selection (see the
+    * `documents_token_budget` entry) — the data-mixing step that turns a
+    * per-source token BUDGET into a concrete keep set: within each
+    * source, documents are taken greedily in quality order (the
+    * text_quality_score formula, ×1e6-quantized; ties to lowest doc_id)
+    * until the running token total would exceed the budget. The
+    * cumulative sum is the [[pplBuckets]] distributed-prefix
+    * construction — one range shuffle + in-partition scan for local
+    * per-(partition, source) token prefixes, plus a cluster-bounded
+    * (partitions × sources) offset table prefix-summed in-row and
+    * broadcast — so no source ever serializes through a single-task
+    * window at corpus scale, the property ExplainSpec pins (no Window
+    * in the plan).
+    */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val scored = docs
+      .withColumn("ntd", size(toks).cast("double"))
+      .withColumn("score",
+        log(col("ntd")) * 0.3 +
+          (size(array_distinct(toks)).cast("double") / col("ntd")) * 0.5 +
+          ((length(col("text")) - col("ntd") + lit(1.0)) / col("ntd")) * 0.02)
+      .select(col("source"), col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(col("score") * 1e6, 0).cast("long").as("sq"))
+    val sorted = scored
+      .repartitionByRange(col("source"), col("sq").desc, col("doc_id"))
+      .sortWithinPartitions(col("source"), col("sq").desc, col("doc_id"))
+      .select(col("source").as[String], col("doc_id").as[Long],
+        col("n_tokens").as[Long], col("sq").as[Long])
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null
+        var lt = 0L // inclusive local token prefix within (partition, source)
+        it.map { case (src, id, nt, _) =>
+          if (src != cur) { cur = src; lt = 0L }
+          lt += nt
+          (pid, src, id, nt, lt)
+        }
+      }.toDF("pid", "source", "doc_id", "n_tokens", "lt")
+      .cache()
+    CacheRegistry.register(sorted, Seq(sorted))
+    // per-source partition offsets over TOKEN sums (the pplBuckets count
+    // table with cnt = tokens); prefix-summed in-row over the bounded
+    // array, broadcast — the plan stays lazy and Window-free
+    val counts = sorted.groupBy("pid", "source").agg(sum("n_tokens").as("cnt"))
+    val offs = counts.groupBy("source")
+      .agg(sort_array(collect_list(struct(col("pid"), col("cnt")))).as("cs"))
+      .select(col("source"), explode(expr(prefixOffsetsExpr)).as("e"))
+      .select(col("e.pid").as("pid"), col("source"), col("e.off").as("off"))
+    sorted.join(broadcast(offs), Seq("pid", "source"))
+      .withColumn("kept", col("off") + col("lt") <= budget)
+      .groupBy("source")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens_total"))
+  }
+
   /** Per-source document cap — the anti-domination guard corpus curation
     * applies before training (no single domain/source may contribute more
     * than `k` documents): rank within each source by length (n_chars
@@ -2140,6 +2200,42 @@ object TextOps {
           |)
           |SELECT doc_id, n_chunks, n_kept, dedup_md5 FROM agg
           |ORDER BY doc_id""".stripMargin)),
+
+    // Budget-constrained selection (see [[tokenBudgetSelect]]): 600
+    // tokens per source (binds at every SF), greedy by the quality score. The oracle replays
+    // the greedy order as the window cumulative sum the Spark plan must
+    // NOT contain; per-source kept/total counts and token sums pin both
+    // the order (a one-doc swap changes tokens_kept) and the boundary
+    // (inclusive ≤ budget).
+    ("documents_token_budget",
+      (s: SparkSession, d: String) =>
+        tokenBudgetSelect(documents(s, d), 600L).orderBy("source"),
+      Some(
+        """WITH q AS (
+          |  SELECT doc_id, source,
+          |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+          |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+          |         CAST(length(text) AS DOUBLE) AS n_chars
+          |  FROM documents
+          |), s AS (
+          |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |         CAST(round((ln(n_tokens) * 0.3 + (n_distinct / n_tokens) * 0.5 +
+          |           ((n_chars - n_tokens + 1.0) / n_tokens) * 0.02) * 1e6, 0) AS BIGINT) AS sq
+          |  FROM q
+          |), r AS (
+          |  SELECT source, n_tokens,
+          |         sum(n_tokens) OVER (PARTITION BY source
+          |                             ORDER BY sq DESC, doc_id
+          |                             ROWS UNBOUNDED PRECEDING) AS ct
+          |  FROM s
+          |)
+          |SELECT source,
+          |       CAST(count(*) FILTER (ct <= 600) AS BIGINT) AS n_kept,
+          |       CAST(coalesce(sum(n_tokens) FILTER (ct <= 600), 0) AS BIGINT)
+          |         AS tokens_kept,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+          |FROM r GROUP BY source ORDER BY source""".stripMargin)),
 
     // Maximal duplicated spans (see [[dupSpanMerge]]): per document, the
     // cross-document duplicated 8-gram positions merged into maximal

@@ -497,6 +497,16 @@ class ExplainSpec extends SparkTestBase {
       s"expected an equi-join keyed on cluster:\n$p")
   }
 
+  test("token budget selects without a per-source window") {
+    // the greedy cumulative sum is the distributed-prefix construction
+    // (local scan + broadcast offset table), never a per-source Window
+    // that would serialize a 100 TB source through one task
+    val p = plan("documents_token_budget")
+    assert(!p.contains("Window"), s"budget selection must be window-free:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset table must attach via broadcast:\n$p")
+  }
+
   test("span merge: two data exchanges; windows and aggregates share the doc partitioning") {
     val p = plan("text_dup_span_merge")
     // hash exchanges: the gram-fingerprint window + the doc_id island

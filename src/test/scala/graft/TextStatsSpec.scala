@@ -502,6 +502,37 @@ class TextStatsSpec extends SparkTestBase {
     assert(got(6L) == ((1L, 8L, 8L)) && got(7L) == ((1L, 8L, 8L)), s"got $got")
   }
 
+  test("documents_token_budget equals a naive greedy per-source replay") {
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // replay the x1e6-quantized quality score exactly (Spark round = HALF_UP)
+    def sq(text: String): Long = {
+      val ts = text.split(" ", -1)
+      val nt = ts.length.toDouble
+      val score = math.log(nt) * 0.3 + (ts.distinct.length / nt) * 0.5 +
+        ((text.length - nt + 1.0) / nt) * 0.02
+      BigDecimal(score * 1e6).setScale(0, RoundingMode.HALF_UP).toLong
+    }
+    val expected = rows.groupBy(_._2).map { case (src, ds) =>
+      val ordered = ds.map { case (id, _, t) =>
+        (id, t.split(" ", -1).length.toLong, sq(t))
+      }.sortBy { case (id, _, s) => (-s, id) }
+      var ct = 0L
+      val kept = ordered.takeWhile { case (_, nt, _) => ct += nt; ct <= 600L }
+      src -> ((kept.size.toLong, kept.map(_._2).sum, ds.size.toLong,
+        ordered.map(_._2).sum))
+    }
+    val got = q("documents_token_budget").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected,
+      s"diff=${expected.toSet.diff(got.toSet)} | ${got.toSet.diff(expected.toSet)}")
+    // the budget must actually bind somewhere (else the row tests nothing)
+    assert(expected.exists { case (_, (k, _, n, _)) => k < n },
+      "at least one source must be cut by the budget")
+  }
+
   test("upsertLatest keeps the highest version and drops tombstoned keys in one exchange") {
     import spark.implicits._
     import graft.operators.TextOps
