@@ -71,6 +71,24 @@ object ScaleSmoke {
     assert(prefixPairs == lshPairs,
       s"exact paths disagree at scale: prefix=$prefixPairs lsh=$lshPairs")
 
+    // Fuzzy decontamination (round 10) with an EXACT invariant: bench =
+    // the original corpus (copy 0), train = every later copy — each
+    // train doc is an identical copy of a bench doc, so EVERY train doc
+    // must be flagged with max_jaccard = 1.0 (a missed band bucket, a
+    // broken verify, or a side leak all break the count or the value).
+    timed("decontaminate_fuzzy") {
+      val out = DedupOps.decontaminateFuzzy(
+        docs.filter(col("doc_id") >= docStride),
+        docs.filter(col("doc_id") < docStride), 0.5).cache()
+      val n = out.count()
+      val exact = out.filter(col("max_jaccard") === 1.0).count()
+      out.unpersist()
+      require(n == nDocs - nDocs / mult && exact == n,
+        s"fuzzy-decontam invariant broken at x$mult: flagged=$n exact=$exact" +
+          s" expected=${nDocs - nDocs / mult}")
+      n
+    }
+
     // Incremental matching: the FIRST delta pays the index build (its
     // cost ≈ the full path's candidate machinery), every NEXT delta
     // probes the warm plan-keyed cache — the amortized per-batch cost of

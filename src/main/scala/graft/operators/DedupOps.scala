@@ -895,6 +895,45 @@ object DedupOps {
         jaccardPairsPrefix(shingled(s, d).cache(), 0.5),
       Some(jaccardOracle)),
 
+    // Threshold-tuning census: the jaccard histogram a curator reads
+    // BEFORE picking a dedup threshold — every ≥0.3 pair bucketed into
+    // 0.05-wide bins. Runs the lossless-prefix path in a regime the 0.5
+    // rows never exercise (τ=0.3 → prefixes cover ~70% of each shingle
+    // set, an order more candidates), so the oracle differential also
+    // re-certifies the prefix bound at a loose threshold. bucket20 =
+    // floor(jaccard×20): integer, identical across engines on the
+    // shared round(·,4) jaccard values.
+    ("dedup_threshold_census",
+      (s: SparkSession, d: String) =>
+        jaccardPairsPrefix(shingled(s, d).cache(), 0.3)
+          .groupBy(floor(col("jaccard") * 20).cast("long").as("bucket20"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(min("jaccard"), 4).as("min_j"),
+            round(max("jaccard"), 4).as("max_j"))
+          .orderBy("bucket20"),
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+          |              ELSE array_to_string(ws, ' ') END AS s
+          |  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+          |), c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |i AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |), j AS (
+          |  SELECT round(i * 1.0 / (ca.n + cb.n - i), 4) AS jac
+          |  FROM i JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+          |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.3
+          |)
+          |SELECT CAST(floor(jac * 20) AS BIGINT) AS bucket20,
+          |       CAST(count(*) AS BIGINT) AS n_pairs,
+          |       round(min(jac), 4) AS min_j,
+          |       round(max(jac), 4) AS max_j
+          |FROM j GROUP BY bucket20 ORDER BY bucket20""".stripMargin)),
+
     // Incremental near-dup matching (see [[jaccardPairsDelta]]): the 20%
     // delta slice (doc_id % 5 = 3) probed against the full-corpus prefix
     // index — every qualifying pair touching the delta, none of the
