@@ -974,6 +974,65 @@ object DedupOps {
           |SELECT s AS doc_id, least(s, min(d)) AS rep
           |FROM r GROUP BY s ORDER BY doc_id""".stripMargin)),
 
+    // Cluster-safe train/val/test split — the leakage guard the plain
+    // content-addressed split (documents_train_split) cannot give:
+    // trainSplit keeps EXACT duplicates in one split (same text → same
+    // md5), but a near-dup pair can still straddle the boundary and leak
+    // test content into training. Here every document routes by its
+    // near-dup CLUSTER representative's content hash (components from
+    // the same jaccard-0.5 relation as dedup_clusters, memo-shared), so
+    // a whole cluster lands in one split BY CONSTRUCTION — the oracle's
+    // recursive-CTE replay certifies the clustering, the routing, and
+    // the per-split census together. Singletons route by their own text,
+    // degenerating to trainSplit's rule.
+    ("documents_cluster_safe_split",
+      (s: SparkSession, d: String) => {
+        val docs = documents(s, d)
+        val comps = connectedComponents(
+          jaccardPairsPrefix(shingled(s, d).cache(), 0.5).select("a_id", "b_id"))
+        val clustered = docs.select(col("doc_id"), col("n_chars"))
+          .join(comps, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("rep"), col("doc_id")).as("cluster"))
+        val repNib = docs.select(col("doc_id").as("cluster"),
+          substring(md5(col("text")), 1, 1).as("nib"))
+        clustered.join(TextOps.broadcastIfSmall(repNib), "cluster")
+          .withColumn("split",
+            when(col("nib") <= "c", "train")
+              .when(col("nib") <= "e", "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("cluster").as("n_clusters"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("split")
+      },
+      Some(
+        """WITH RECURSIVE p AS (
+          |  SELECT a_id, b_id FROM (""".stripMargin + "\n" + jaccardOracle + "\n" +
+        """  )
+          |), e AS (
+          |  SELECT a_id AS s, b_id AS d FROM p
+          |  UNION SELECT b_id, a_id FROM p
+          |), r(s, d) AS (
+          |  SELECT s, d FROM e
+          |  UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+          |), comp AS (
+          |  SELECT s AS doc_id, least(s, min(d)) AS rep FROM r GROUP BY s
+          |), cl AS (
+          |  SELECT d.doc_id, d.n_chars, coalesce(c.rep, d.doc_id) AS cluster
+          |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+          |), sp AS (
+          |  SELECT cl.n_chars, cl.cluster,
+          |         CASE WHEN substr(md5(t.text), 1, 1) <= 'c' THEN 'train'
+          |              WHEN substr(md5(t.text), 1, 1) <= 'e' THEN 'val'
+          |              ELSE 'test' END AS split
+          |  FROM cl JOIN documents t ON t.doc_id = cl.cluster
+          |)
+          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
+
     // Keep-BEST cluster dedup — production near-dup pipelines keep the
     // highest-quality member of each duplicate cluster, not the lowest
     // id (the min-id rep is an arbitrary survivor; the longest document
