@@ -311,6 +311,48 @@ object StreamOps {
       Some(
         """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
           |       round(sum(value), 2) AS total_value
-          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Streaming latest-wins upsert (see StreamingOps.upsertLatestStream):
+    // the CDC merge as a LIVE VIEW — per-key mapGroupsWithState keeps the
+    // highest-version row, tombstones filter out downstream, later
+    // upserts resurrect. The oracle is the BATCH merge's arg_max replay
+    // verbatim, so stream-state semantics must converge to exactly the
+    // batch relation. Update-mode re-emissions collapse by the
+    // version-monotone max struct (the stream_user_totals convention).
+    ("stream_upsert_latest",
+      (s: SparkSession, d: String) => {
+        val name = sinkName("stream_ul", d)
+        StreamingOps.runToMemory(
+          StreamingOps.upsertLatestStream(s, d).toDF(), name,
+          OutputMode.Update())
+          .groupBy("doc_id")
+          .agg(max(struct(col("final_version"), col("op"), col("final_len")))
+            .as("w"))
+          .filter(col("w.op") =!= "D")
+          .select(col("doc_id"), col("w.final_version").as("final_version"),
+            col("w.final_len").as("final_len"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH feed AS (
+          |  SELECT doc_id, 1 AS version, 'U' AS op, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, 2, 'U', 'rev2 ' || text
+          |  FROM documents WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT doc_id, 3, 'D', '' FROM documents WHERE doc_id % 13 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, 1, 'U', text
+          |  FROM documents WHERE doc_id % 11 = 0
+          |), latest AS (
+          |  SELECT doc_id,
+          |         CAST(max(version) AS BIGINT) AS final_version,
+          |         arg_max(op, version) AS fop,
+          |         CAST(arg_max(length(text), version) AS BIGINT) AS final_len
+          |  FROM feed GROUP BY doc_id
+          |)
+          |SELECT doc_id, final_version, final_len
+          |FROM latest WHERE fop = 'U' ORDER BY doc_id""".stripMargin))
   )
 }

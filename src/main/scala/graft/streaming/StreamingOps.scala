@@ -397,6 +397,63 @@ object StreamingOps {
       }
   }
 
+  final case class UpsertRow(
+      doc_id: Long, final_version: Long, op: String, final_len: Long)
+
+  /** Streaming latest-wins upsert view — the streaming twin of the batch
+    * `corpus_upsert_latest` merge: a CDC feed arrives incrementally and
+    * per-key state keeps the highest-version row seen so far, emitting
+    * the current winner whenever a key is touched (Update mode). A later
+    * upsert resurrects a tombstoned key exactly as the batch max_by
+    * does; the consumer filters winners whose op is the tombstone. State
+    * is one (version, op, len) triple per key — O(keys), the live-view
+    * shape a CDC subscriber keeps indefinitely.
+    *
+    * The feed derives from the streamed documents with the SAME rules as
+    * the batch entry (v1 snapshot, %7 rev2 at +5 chars, %13 tombstone,
+    * %11 net-new at id+1e6), expanded per row as a columnar
+    * filter(array(struct…)) → explode — no UDF, no second source.
+    */
+  def upsertLatestStream(spark: SparkSession, dir: String): Dataset[UpsertRow] =
+    upsertLatestOn(spark, documentsStream(spark, dir))
+
+  /** The upsert pipeline over any (doc_id, text) stream — split from the
+    * source so the multi-batch replay spec can drive chunked arrivals
+    * (a key's versions split across micro-batches must converge to the
+    * same winner).
+    */
+  private[graft] def upsertLatestOn(
+      spark: SparkSession, src: DataFrame): Dataset[UpsertRow] = {
+    import spark.implicits._
+    def ev(keep: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
+        v: Long, op: String, len: org.apache.spark.sql.Column) =
+      struct(keep.as("keep"), id.as("doc_id"), lit(v).as("version"),
+        lit(op).as("op"), len.as("len"))
+    val len = length(col("text")).cast(LongType)
+    src
+      .select(col("doc_id"), len.as("len"))
+      .select(explode(filter(array(
+        ev(lit(true), col("doc_id"), 1L, "U", col("len")),
+        ev(col("doc_id") % 7 === 0, col("doc_id"), 2L, "U", col("len") + 5L),
+        ev(col("doc_id") % 13 === 0, col("doc_id"), 3L, "D", lit(0L)),
+        ev(col("doc_id") % 11 === 0, col("doc_id") + 1000000L, 1L, "U",
+          col("len"))),
+        x => x.getField("keep"))).as("r"))
+      .select(col("r.doc_id"), col("r.version"), col("r.op"), col("r.len"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Long, String, Long)]) =>
+          var (v, op, ln) = state.getOption.getOrElse((Long.MinValue, "", 0L))
+          rows.foreach { case (_, rv, rop, rlen) =>
+            if (rv > v) { v = rv; op = rop; ln = rlen }
+          }
+          state.update((v, op, ln))
+          UpsertRow(key, v, op, ln)
+      }
+  }
+
   /** Run a streaming query over the bounded file source to completion and
     * return the final result from the memory sink (test/verify harness
     * path). `Trigger.AvailableNow` drains the bounded source and terminates

@@ -220,6 +220,33 @@ class StreamingSpec extends SparkTestBase {
     } finally rmTree(dir)
   }
 
+  test("multi-batch replay: upsert state converges under chunked, redelivered arrivals") {
+    // batch 0 delivers the even-id docs' feed rows; batch 1 redelivers
+    // them AND first-delivers the odd ids — an at-least-once CDC shape:
+    // redelivered versions must be idempotent against the carried state
+    // (rv > v rejects them) and late first arrivals must still converge
+    // to exactly the batch merge.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = stageChunks(docs, 2,
+      i => df => if (i == 0) df.filter(col("doc_id") % 2 === 0) else df)
+    try {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+      val (streamed, nBatches) = StreamingOps.drainToMemory(
+        StreamingOps.upsertLatestOn(spark, src).toDF(), "replay_upsert_mem",
+        OutputMode.Update())
+      assert(nBatches == 2, s"expected 2 data micro-batches, got $nBatches")
+      val s = streamed.groupBy("doc_id")
+        .agg(max(struct(col("final_version"), col("op"), col("final_len"))).as("w"))
+        .filter(col("w.op") =!= "D")
+        .collect().map(r => (r.getLong(0),
+          r.getStruct(1).getLong(0), r.getStruct(1).getLong(2))).toSet
+      val b = q("corpus_upsert_latest").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(s == b, s"missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
+    } finally rmTree(dir)
+  }
+
   test("multi-batch replay: hourly window with the watermark advancing across micro-batches") {
     // time-ordered quarters, one per micro-batch: the watermark advances
     // between batches (after batch i it sits at maxTs(quarter i) − 2 h),
