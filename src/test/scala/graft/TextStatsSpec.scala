@@ -533,6 +533,31 @@ class TextStatsSpec extends SparkTestBase {
       "at least one source must be cut by the budget")
   }
 
+  test("upsertLatest equals a naive fold on random feeds (seeded)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { round =>
+      val nKeys = 1 + rnd.nextInt(20)
+      val raw = (1 to 200).map { _ =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(1000000).toLong,
+          if (rnd.nextInt(4) == 0) "D" else "U",
+          rnd.alphanumeric.take(5).mkString)
+      }
+      // versions unique per key (the operator's CDC-feed precondition)
+      val uniq = raw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val expected = uniq.groupBy(_._1).flatMap { case (k, rs) =>
+        val w = rs.maxBy(_._2)
+        if (w._3 == "D") None else Some((k, w._2, w._4))
+      }.toSet
+      val got = TextOps.upsertLatest(
+          uniq.toDF("doc_id", "version", "op", "text"),
+          "doc_id", "version", "op")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+      assert(got == expected, s"seeded round $round diverged")
+    }
+  }
+
   test("upsertLatest keeps the highest version and drops tombstoned keys in one exchange") {
     import spark.implicits._
     import graft.operators.TextOps
