@@ -415,6 +415,33 @@ class RelAnalyticsSpec extends SparkTestBase {
       == ((4L, 5L, 8L, 2L, 750000L)))
   }
 
+  test("scaledDiv/varqDecimal equal BigInt replays across 200 random magnitudes") {
+    import graft.operators.RelOps
+    // one DataFrame, one job: seeded magnitudes spanning 1..int64-edge,
+    // every row checked against an exact BigInt replay — the bulk twin of
+    // the two fixed edge tests
+    val rnd = new scala.util.Random(11)
+    def mag(): Long = {
+      val bits = 1 + rnd.nextInt(62)
+      math.max(1L, rnd.nextLong() & ((1L << bits) - 1))
+    }
+    val rows = Seq.fill(200)((mag(), mag(), mag(), 1L + rnd.nextInt(1000000)))
+    val df = spark.createDataFrame(rows).toDF("n", "s", "ss", "den")
+    val got = df.select(col("n"), col("s"), col("ss"), col("den"),
+        RelOps.scaledDiv("s", "1000000", "den").as("r1"),
+        RelOps.scaledDiv("s", "n", "den").as("r2"),
+        RelOps.varqDecimal(col("n"), col("s"), col("ss")).as("vq"))
+      .collect()
+    got.foreach { r =>
+      val (n, s, ss, den) = (BigInt(r.getLong(0)), BigInt(r.getLong(1)),
+        BigInt(r.getLong(2)), BigInt(r.getLong(3)))
+      assert(r.getLong(4) == (s * 1000000 / den).toLong, s"r1 at $r")
+      assert(r.getLong(5) == (s * n / den).toLong, s"r2 at $r")
+      assert(BigDecimal(r.getDecimal(6)) == BigDecimal(n * ss - s * s),
+        s"vq at $r")
+    }
+  }
+
   test("skewCensus reports exact key stats and the ceil-div salt factor") {
     import spark.implicits._
     import graft.operators.RelOps
