@@ -107,6 +107,9 @@ object TextOps {
     * full-corpus exchange there would be a scale-killer, not a win.
     */
   private[graft] def spreadScan(df: DataFrame): DataFrame = {
+    // streaming plans can't answer the .rdd partition probe (and their
+    // per-batch parallelism is the source's concern) — pass through
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(2, target / 2))
       df.repartition(target)
