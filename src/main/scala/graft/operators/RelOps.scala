@@ -1124,8 +1124,14 @@ object RelOps {
           .select(col("event_type"), col("n"), col("sum1000"),
             col("sumsq1000"), col("min1000"), col("max1000"),
             scaledDiv("sum1000", "1000", "n").as("mean6"),
+            // varq is computed in DECIMAL(38,0) (×N² growth overflows
+            // int64) but EMITTED as VARCHAR: the driver's value hash
+            // cannot digest a decimal128 terminal symmetrically (round-10
+            // red; same class as the round-7 HUGEINT lesson), and the
+            // digit string is width-independent. varq ≥ 0 by
+            // Cauchy-Schwarz, so no sign-format divergence either.
             varqDecimal(col("n"), col("sum1000"), col("sumsq1000"))
-              .as("varq"))
+              .cast("string").as("varq"))
           .orderBy("event_type")
       },
       Some(
@@ -1140,7 +1146,7 @@ object RelOps {
           |       CAST(sum(v * v) AS BIGINT) AS sumsq1000,
           |       min(v) AS min1000, max(v) AS max1000,
           |       CAST((sum(v) * 1000) // count(*) AS BIGINT) AS mean6,
-          |       CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS DECIMAL(38,0)) AS varq
+          |       CAST(CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS DECIMAL(38,0)) AS VARCHAR) AS varq
           |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Semi + anti join cardinalities in one row.
@@ -1598,8 +1604,15 @@ object RelOps {
           // but the static planner sizes bigOrders by its pre-aggregate
           // input and plans a sort-merge join, exchanging+sorting the
           // whole orders side; the hint makes the orders scan shuffle-free
-          // (AQE would discover this at runtime — the hint pins it)
-          .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+          // (AQE would discover this at runtime — the hint pins it).
+          // SIZE-GATED like every other broadcast site (round-11 ADVICE):
+          // the >300 survivor set grows linearly with SF, so an
+          // unconditional hint removes the planner's fallback and OOMs at
+          // the scales the size-estimate gate exists for; past the cap
+          // the join degrades to the SMJ the static planner would pick
+          // (and AQE re-promotes at runtime when the survivors are small).
+          .join(graft.operators.TextOps.broadcastIfSmall(bigOrders),
+            col("o_orderkey") === col("l_orderkey"))
           .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
             // o_orderdate reads as TimestampType under Tables.readerConfs

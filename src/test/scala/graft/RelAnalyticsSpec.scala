@@ -673,9 +673,11 @@ class RelAnalyticsSpec extends SparkTestBase {
       assert(r.getLong(1) == n && r.getLong(2) == s && r.getLong(3) == ss)
       assert(r.getLong(4) == vs.min && r.getLong(5) == vs.max)
       assert(r.getLong(6) == (s * 1000) / n)
-      // varq is decimal(38,0): the numerator grows xN^2 with row count
-      // and int64 overflows at scale (the x64 smoke measured it)
-      val vq = BigDecimal(r.getDecimal(7))
+      // varq is computed in decimal(38,0) (the numerator grows xN^2 with
+      // row count and int64 overflows at scale — the x64 smoke measured
+      // it) but EMITTED as a digit string: the driver's value hash can't
+      // digest decimal128 terminals (round-10 red)
+      val vq = BigDecimal(r.getString(7))
       assert(vq == BigDecimal(n) * BigDecimal(ss) - BigDecimal(s) * BigDecimal(s))
       assert(vq >= 0, "variance numerator must be non-negative")
     }
