@@ -145,6 +145,7 @@ object CacheRegistry {
     }
     // session-scoped memos owned by other modules ride the same reset
     graft.streaming.StreamingOps.clearSchemaCache(session)
+    graft.streaming.StreamingOps.clearDrainMemo(session)
   }
 
   def register(key: DataFrame, caches: Seq[DataFrame]): Unit =
