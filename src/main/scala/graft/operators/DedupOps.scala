@@ -1179,28 +1179,44 @@ object DedupOps {
     // Embedding near-dup: all pairs with cosine ≥ 0.4 (exact baseline).
     ("dedup_embedding",
       (s: SparkSession, d: String) => {
+        import s.implicits._
         val e = embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        // deliberately the simple exact all-pairs plan: a pre-normalized
-        // dot prefilter (2 vs 6 flops/element) was built and MEASURED at
-        // no gain — at gate scale the cartesian's row machinery and the
-        // per-query fixed costs dominate, not the codegen'd inner loop —
-        // so the simpler single-join form stays. The scale path for this
-        // operator is the SRP/IVF variants (dedup_embedding_srp,
-        // sim_ivf_topk); this row is the exact baseline they verify
-        // against.
-        e.as("a")
-          // the corpus parquet is one small file = ONE scan partition, so
-          // the broadcast-nested-loop pair join ran its full O(n²) cosine
-          // loop in a single task; spreading the stream side first costs a
-          // negligible n-row exchange and gives the quadratic stage the
-          // cluster's parallelism (the salting rationale, applied to BNLJ)
-          .repartition(col("a.vec_id"))
-          .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos", cosine_sim(col("a.v"), col("b.v")))
+        // Exact all-pairs cosine. O(n²) WORK is inherent to the exact
+        // relation (the DuckDB oracle is quadratic too; the sub-quadratic
+        // paths are the SRP/IVF siblings this row baselines) — but
+        // through round 10 the PLAN paid it as a BroadcastNestedLoopJoin:
+        // the whole relation broadcast to every task, a memory wall at
+        // scale and the gate's one surviving BNLJ. The blocked pair
+        // self-join keeps the exact result and distributes the same work
+        // as an EQUI-join: rows hash into P blocks, the P(P+1)/2
+        // unordered block pairs enumerate as a broadcast literal, each
+        // side replicates to its pair rows, and the join on (bi, bj)
+        // gives one balanced task per block pair — peak memory is two
+        // n/P blocks (pick P so a block fits an executor), shuffle
+        // volume is n·(P+1)/2 rows per side, and parallelism is
+        // P(P+1)/2 tasks. Same-block pairs dedup by id order; cross-
+        // block pairs appear exactly once because blocks are disjoint.
+        val P = 16
+        val blockPairs =
+          (for { i <- 0 until P; j <- i until P } yield (i, j)).toDF("bi", "bj")
+        val blk = pmod(hash(col("vec_id")), lit(P))
+        val left = e
+          .select(col("vec_id").as("a_id0"), col("v").as("av"), blk.as("ablk"))
+          .join(broadcast(blockPairs), col("ablk") === col("bi"))
+        val right = e
+          .select(col("vec_id").as("b_id0"), col("v").as("bv"), blk.as("bblk"))
+          .join(broadcast(blockPairs
+            .select(col("bi").as("rbi"), col("bj").as("rbj"))),
+            col("bblk") === col("rbj"))
+        left.join(right,
+            col("bi") === col("rbi") && col("bj") === col("rbj"))
+          .filter(col("ablk") < col("bblk") || col("a_id0") < col("b_id0"))
+          .withColumn("cos", cosine_sim(col("av"), col("bv")))
           .filter(col("cos") >= 0.4)
           .select(
-            col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            least(col("a_id0"), col("b_id0")).as("a_id"),
+            greatest(col("a_id0"), col("b_id0")).as("b_id"),
             round(col("cos"), 4).as("cos_sim"))
           .orderBy("a_id", "b_id")
       },

@@ -71,12 +71,14 @@ class ExplainSpec extends SparkTestBase {
     val df = q("dedup_embedding")
     df.collect() // materialize so the AQE plan is final
     val p = df.queryExecution.executedPlan.toString
-    // codegen stages render as "*(n) " prefixes in the final AQE plan
-    // (the stage NUMBER shifts with upstream plan changes — only the
-    // codegen'd-join property is pinned)
-    assert("\\*\\(\\d+\\) BroadcastNestedLoopJoin".r.findFirstIn(p).isDefined ||
-      p.contains("WholeStageCodegen"), p)
+    assert(p.contains("WholeStageCodegen") ||
+      "\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined, p)
     assert(p.contains("cosine_sim"), p)
+    // round-11: the exact all-pairs row must pay its inherent O(n²) WORK
+    // through the blocked equi-join (memory two blocks per task), never
+    // a whole-relation broadcast — no gate row carries a BNLJ pair plan
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"dedup_embedding regressed to a broadcast nested-loop pair join:\n$p")
   }
 
   test("brute-force topk broadcasts the query side (corpus never shuffles)") {
