@@ -488,13 +488,20 @@ object ConnectorOps {
     ("loki_catalog_sql",
       (s: SparkSession, d: String) => {
         val st = stubFor(s, d)
-        s.conf.set("spark.sql.catalog.lokigate",
+        // per-dataset catalog NAME: Spark's CatalogManager caches the
+        // plugin instance per name after first resolution, so re-pointing
+        // a fixed name's endpoint conf at a different dataset's stub
+        // would be silently ignored (the cached instance keeps the old
+        // endpoint) — keying the name by the dataset makes each dataset
+        // resolve its own instance (round-11 ADVICE)
+        val cat = f"lokigate_${d.hashCode & 0x7fffffff}%x"
+        s.conf.set(s"spark.sql.catalog.$cat",
           "graft.sources.loki.LokiCatalog")
-        s.conf.set("spark.sql.catalog.lokigate.endpoint", st.endpoint)
-        s.conf.set("spark.sql.catalog.lokigate.default_label", "event_type")
+        s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
+        s.conf.set(s"spark.sql.catalog.$cat.default_label", "event_type")
         s.sql(
-          """SELECT unix_micros(timestamp) AS ts_us, line
-            |FROM lokigate.default.loki
+          s"""SELECT unix_micros(timestamp) AS ts_us, line
+            |FROM $cat.default.loki
             |WHERE labels['event_type'] = 'signup'
             |  AND timestamp >= TIMESTAMP '2024-01-01 00:00:00'
             |  AND timestamp < TIMESTAMP '2024-02-01 00:00:00'
@@ -594,6 +601,56 @@ object ConnectorOps {
       Some(
         """SELECT true AS display_insert_ok, true AS display_rows_ok,
           |       CAST(2 AS BIGINT) AS n_written""".stripMargin)),
+
+    // Loki label injection under the oracle (round 11): real Loki injects
+    // `detected_level` (log-level discovery over the line) and
+    // `service_name` (first label in the discover_service_name list) at
+    // ingest — visible in every reference golden output
+    // (tests/table.rs:21-22, the init.sql rows). This row replays the
+    // reference's exact init.sql inserts through the SQL INSERT surface
+    // plus one detection-positive row, scans back through the connector
+    // (default_label = service_name, so the dispatcher's {service_name=~".+"}
+    // matcher itself depends on the injection), and pins the full label
+    // maps byte-for-byte against literal goldens. The first two output
+    // rows ARE the reference's golden label sets.
+    ("loki_injected_labels",
+      (s: SparkSession, d: String) => {
+        val scratch = stubSync(stubs.getOrElseUpdate(s"$d#golden", {
+          val st = new LokiStubServer
+          st.start()
+          sys.addShutdownHook(st.stop())
+          st
+        }))
+        scratch.clear()
+        s.read.format("loki")
+          .option("endpoint", scratch.endpoint)
+          .option("default_label", "app")
+          .load()
+          .createOrReplaceTempView("loki_golden_probe")
+        s.sql(
+          """INSERT INTO loki_golden_probe VALUES
+            |  (TIMESTAMP'2024-01-10 00:00:00', map('app','my-app1'), 'this is aaa log'),
+            |  (TIMESTAMP'2024-01-10 00:00:01', map('app','my-app2'), 'this is bbb log'),
+            |  (TIMESTAMP'2024-01-10 00:00:02', map('job','payments'), 'ERROR failed to charge')""".stripMargin)
+        s.read.format("loki")
+          .option("endpoint", scratch.endpoint)
+          .option("default_label", "service_name")
+          .load()
+          .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .select(
+            array_join(transform(array_sort(map_entries(col("labels"))),
+              e => concat(e("key"), lit("="), e("value"))), ",").as("labels_kv"),
+            col("line"))
+          .orderBy("labels_kv")
+      },
+      Some(
+        """SELECT labels_kv, line FROM (VALUES
+          |  ('app=my-app1,detected_level=unknown,service_name=my-app1', 'this is aaa log'),
+          |  ('app=my-app2,detected_level=unknown,service_name=my-app2', 'this is bbb log'),
+          |  ('detected_level=error,job=payments,service_name=payments', 'ERROR failed to charge'))
+          |  AS t(labels_kv, line) ORDER BY labels_kv""".stripMargin)),
+
     // Log analytics THROUGH the connector: the most frequent lines per
     // label value (the "top error messages per service" staple), counted
     // from a pushed-down connector scan and ranked by the custom

@@ -107,13 +107,65 @@ object TextOps {
     * full-corpus exchange there would be a scale-killer, not a win.
     */
   private[graft] def spreadScan(df: DataFrame): DataFrame = {
-    // streaming plans can't answer the .rdd partition probe (and their
+    // streaming plans can't answer a partition probe (and their
     // per-batch parallelism is the source's concern) — pass through
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2))
-      df.repartition(target)
-    else df
+    // Estimate the scan's split count from the plan's FILE SOURCES
+    // (already-listed FileIndex: total bytes + file count through
+    // Spark's own bin-packing formula) instead of probing
+    // df.rdd.getNumPartitions — the probe forced FULL physical planning
+    // of the subtree on every operator construction and read the
+    // pre-AQE count (round-11 ADVICE). Non-file-backed plans (memory
+    // sinks, local relations) keep the probe as the fallback.
+    val est = estimateScanSplits(df).getOrElse(df.rdd.getNumPartitions)
+    if (est < math.max(2, target / 2)) df.repartition(target) else df
+  }
+
+  /** Approximate FileSourceScan split count from the analyzed plan's
+    * HadoopFsRelations, replaying FilePartition's packing math
+    * (maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    * totalPadded/defaultParallelism)); splits ≈ totalPadded/maxSplitBytes)
+    * over the FileIndex's cached listing — no physical planning, no jobs.
+    * None when the plan has no file source.
+    */
+  private def estimateScanSplits(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // only scan-shaped plans (project/filter over a file source — the hot
+    // construction paths this probe serves): anything that can change
+    // partitioning (repartition, aggregate, join, …) falls back to the
+    // physical probe, which is always right
+    val narrow = df.queryExecution.analyzed.collect {
+      case n @ (_: Project | _: Filter | _: SubqueryAlias |
+                _: org.apache.spark.sql.execution.datasources.LogicalRelation) => n
+    }.size == df.queryExecution.analyzed.collect { case n => n }.size
+    val rels = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Seq(h)
+          case _ => Seq.empty
+        }
+    }.flatten
+    if (rels.isEmpty || !narrow) None
+    else {
+      val conf = df.sparkSession.sessionState.conf
+      val openCost = conf.filesOpenCostInBytes
+      val maxPB = conf.filesMaxPartitionBytes
+      val nFiles = rels.map(_.location.inputFiles.length.toLong).sum
+      val totalRaw = rels.map(_.location.sizeInBytes).sum.toLong
+      val totalPadded = totalRaw + nFiles * openCost
+      val bytesPerCore =
+        totalPadded / math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+      val maxSplit = math.min(maxPB, math.max(openCost, bytesPerCore))
+      // two regimes, take the larger: big files split by raw bytes
+      // (padding is per-file, not per-split); many small files pack by
+      // padded bytes but never exceed the file count
+      val bySplit = math.ceil(totalRaw.toDouble / maxSplit).toLong
+      val byPack = math.min(nFiles,
+        math.ceil(totalPadded.toDouble / maxSplit).toLong)
+      Some(math.max(1L, math.max(bySplit, byPack)).toInt)
+    }
   }
 
   /** Intra-document keep-first dedup of 10-token chunks over (doc_id, tk)

@@ -95,6 +95,16 @@ final case class LokiOptions(
       * to their server's max_entries_limit. A pushed LIMIT always wins.
       */
     queryLimit: Int = 0,
+    /** The server's own `max_entries_limit` contract. 0 (default) =
+      * unlimited. When set, the paged reader never REQUESTS a limit above
+      * it — including the adaptive same-ns-burst doubling, which
+      * otherwise grows toward 2²⁰ and past a real Loki's cap (real Loki
+      * rejects oversized limits loudly, but clamping middleware would
+      * silently shorten every full page and the drain test would
+      * truncate the window) — and a burst larger than the cap fails
+      * loudly instead of looping.
+      */
+    serverMaxEntries: Int = 0,
     /** Group a push batch's rows by identical label set into ONE stream
       * object with many values. false (default) = REFERENCE PARITY: one
       * stream object per row (insert.rs:186-205), byte-identical
@@ -130,7 +140,15 @@ object LokiOptions {
       statsBudgetMs = m.getOrElse("stats_budget_ms", "2000").toLong,
       statsProbeParallelism =
         m.getOrElse("stats_probe_parallelism", "8").toInt,
-      queryLimit = m.getOrElse("query_limit", "0").toInt,
+      queryLimit = {
+        val ql = m.getOrElse("query_limit", "0").toInt
+        val sm = m.getOrElse("server_max_entries", "0").toInt
+        require(sm == 0 || ql <= sm,
+          s"query_limit ($ql) exceeds server_max_entries ($sm) — the " +
+            "server would reject or clamp every page")
+        ql
+      },
+      serverMaxEntries = m.getOrElse("server_max_entries", "0").toInt,
       groupStreams = m.getOrElse("group_streams", "false").toBoolean)
   }
 }

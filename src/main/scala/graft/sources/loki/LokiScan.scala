@@ -134,9 +134,11 @@ case class LokiScan(
     val pageSize =
       if (limit.isEmpty && options.queryLimit > 0) Some(options.queryLimit)
       else None
+    val serverMax = Some(options.serverMaxEntries).filter(_ > 0)
     if (n == 1) {
       Array(LokiInputPartition(
-        options.endpoint, logql, startNs, endNs, limit, pageSize, requiredSchema))
+        options.endpoint, logql, startNs, endNs, limit, pageSize,
+        requiredSchema, serverMax))
     } else {
       // slice [start, end) into n disjoint ranges; bounds must be concrete
       // at planning time, so defaults are materialized here. The effective
@@ -146,7 +148,8 @@ case class LokiScan(
       // cursors over disjoint windows).
       plannedBounds.map { case (lo, hi) =>
         LokiInputPartition(
-          options.endpoint, logql, Some(lo), Some(hi), None, pageSize, requiredSchema)
+          options.endpoint, logql, Some(lo), Some(hi), None, pageSize,
+          requiredSchema, serverMax)
       }.toArray
     }
   }
@@ -406,7 +409,12 @@ case class LokiInputPartition(
       * exclusive with `limit` by construction in planInputPartitions.
       */
     pageSize: Option[Int],
-    requiredSchema: StructType) extends InputPartition
+    requiredSchema: StructType,
+    /** The server's max_entries_limit contract (server_max_entries
+      * option): the reader never requests a limit above it — see
+      * [[LokiOptions.serverMaxEntries]].
+      */
+    serverMax: Option[Int] = None) extends InputPartition
 
 case class LokiReaderFactory() extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -465,9 +473,14 @@ class LokiPartitionReader(p: LokiInputPartition)
     new Iterator[InternalRow] {
       // adaptive-limit ceiling for single-ns bursts: generous (a burst this
       // size is pathological data) but bounded, so a misbehaving server
-      // can't grow requests forever
-      private val maxPs = math.max(ps0, 1 << 20)
-      private var ps = ps0
+      // can't grow requests forever — and never above the server's own
+      // declared max_entries_limit (server_max_entries option): a request
+      // past that contract is either rejected loudly (real Loki) or
+      // silently clamped (middleware), and a clamped full page would make
+      // the drain test truncate the window (round-11 ADVICE)
+      private val maxPs =
+        p.serverMax.getOrElse(math.max(ps0, 1 << 20))
+      private var ps = math.min(ps0, maxPs)
       private var cursor = start0
       private var done = false      // emitted everything; no more fetches
       private var drained = false   // server window exhausted (short page seen)
@@ -533,7 +546,10 @@ class LokiPartitionReader(p: LokiInputPartition)
                 s"Loki scan: more than $ps entries share the nanosecond " +
                 s"timestamp $heldTs and the forward cursor cannot advance " +
                 "past it; raise the query_limit option above the largest " +
-                "same-timestamp burst")
+                "same-timestamp burst" +
+                p.serverMax.fold("")(m => s" (adaptive growth is capped " +
+                  s"at server_max_entries=$m — a burst must fit strictly " +
+                  "inside one page to prove itself complete)"))
             ps = math.min(ps.toLong * 2, maxPs.toLong).toInt
             held.clear()
             fetch()

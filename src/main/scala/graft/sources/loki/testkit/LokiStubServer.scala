@@ -111,13 +111,49 @@ final class LokiStubServer {
     */
   val pushBodies = mutable.ArrayBuffer.empty[String]
 
+  /** Loki's documented `discover_service_name` default label list: the
+    * first present label's value becomes `service_name` (the reference
+    * goldens show it copying `app`, tests/table.rs:21-22); none present →
+    * "unknown". An explicitly-pushed `service_name` is kept as-is.
+    */
+  private val serviceLabels = Seq("service", "app", "application", "name",
+    "app_kubernetes_io_name", "container", "container_name", "component",
+    "workload", "job")
+
+  /** Loki's log-level discovery: an explicit level-ish label wins;
+    * otherwise a case-insensitive token scan of the line (the goldens'
+    * "this is aaa log" carries none → "unknown"). Synonyms normalize the
+    * way Loki's detector does (warning→warn, err→error).
+    */
+  private val levelRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(trace|debug|info|warn(?:ing)?|err(?:or)?|critical|fatal)\\b")
+
+  private def normLevel(v: String): String = v.toLowerCase match {
+    case "warning" => "warn"
+    case "err" => "error"
+    case x => x
+  }
+
+  private def detectLevel(labels: Map[String, String], line: String): String =
+    labels.collectFirst {
+      case (k, v) if Set("level", "severity", "lvl")(k.toLowerCase) => normLevel(v)
+    }.getOrElse {
+      val m = levelRe.matcher(line)
+      if (m.find()) normLevel(m.group(1)) else "unknown"
+    }
+
   private def handlePush(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     pushBodies.synchronized(pushBodies += body)
     parsePush(body).foreach { r =>
-      val svc = r.labels.getOrElse("app", "unknown")
+      val svc = r.labels.get("service_name").getOrElse(
+        serviceLabels.collectFirst {
+          case l if r.labels.contains(l) => r.labels(l)
+        }.getOrElse("unknown"))
+      val lvl = r.labels.getOrElse("detected_level",
+        detectLevel(r.labels, r.line))
       val injected = r.labels ++ Map(
-        "detected_level" -> "unknown", "service_name" -> svc)
+        "detected_level" -> lvl, "service_name" -> svc)
       // Loki ingest drops entries identical in (ts, labels, line) — the
       // semantics the writer's at-least-once delivery relies on
       // (LokiWrite: a retried/speculative task re-POSTs its batches), so

@@ -48,6 +48,36 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       s"{$ls} ${r.getAs[String]("line")}"
     }.sorted
 
+  test("label injection models Loki's discovery rules (tests/table.rs:21-22)") {
+    val st = new LokiStubServer
+    st.start()
+    try {
+      Seq(
+        (Map("app" -> "a1"), "plain line"),            // golden shape: unknown/app
+        (Map("app" -> "a2"), "WARNING: low disk"),     // warning → warn
+        (Map("level" -> "ERR", "job" -> "j"), "text"), // explicit label wins, err → error
+        (Map("service_name" -> "svc", "app" -> "a3"), "x"), // explicit service kept
+        (Map("container" -> "c", "job" -> "j2"), "err at 3"), // list order: container first
+        (Map.empty[String, String], "no labels at all")
+      ).zipWithIndex.foreach { case ((labels, line), i) =>
+        val df = Seq((labels, line)).toDF("labels", "line")
+          .select(lit(java.sql.Timestamp.valueOf(s"2024-03-01 00:00:0$i"))
+            .as("timestamp"), col("labels"), col("line"))
+        df.write.format("loki").option("endpoint", st.endpoint)
+          .mode("append").save()
+      }
+      val got = st.ingested.map(r =>
+        (r.line, r.labels("detected_level"), r.labels("service_name"))).toSet
+      assert(got == Set(
+        ("plain line", "unknown", "a1"),
+        ("WARNING: low disk", "warn", "a2"),
+        ("text", "error", "j"),
+        ("x", "unknown", "svc"),
+        ("err at 3", "error", "c"),
+        ("no labels at all", "unknown", "unknown")))
+    } finally st.stop()
+  }
+
   test("insert roundtrip surfaces the row count (reference count table)") {
     assert(LokiWrite.lastCommittedRows(stub.endpoint) == 2L)
     val ing = stub.ingested
@@ -232,6 +262,28 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
         s"degenerate-page scan must be complete+exact (got ${onlyBurst.size} rows)")
       // pruned projection still pages correctly through the burst
       assert(scan(Map("query_limit" -> "64")).select("line").count() == 250)
+      // server_max_entries (round 11): adaptive doubling never requests
+      // past the server's declared max_entries_limit. 200 > burst: the
+      // capped growth 30→60→120→200 fits the 120-row run in one short
+      // page — complete scan, no request ever exceeds the contract.
+      val capped = scan(
+        Map("query_limit" -> "30", "server_max_entries" -> "200"))
+        .select("line").collect().map(_.getString(0)).toSeq
+      assert(capped.sorted == expected.sorted,
+        s"capped scan must be complete (got ${capped.size} rows)")
+      // cap BELOW the burst: the reader cannot prove the run complete
+      // within the contract — loud failure, never silent truncation
+      val e = intercept[org.apache.spark.SparkException] {
+        scan(Map("query_limit" -> "30", "server_max_entries" -> "100"))
+          .select("line").count()
+      }
+      assert(e.getMessage.contains("server_max_entries") ||
+        Option(e.getCause).exists(_.getMessage.contains("server_max_entries")),
+        s"expected the cap in the failure message: ${e.getMessage}")
+      // query_limit above the declared server max is a load-time error
+      intercept[IllegalArgumentException] {
+        scan(Map("query_limit" -> "300", "server_max_entries" -> "200")).count()
+      }
     } finally burstStub.stop()
   }
 
