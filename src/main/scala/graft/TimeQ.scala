@@ -13,7 +13,7 @@ object TimeQ {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")) // the Bench default
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // corpus timestamp contract at construction (Tables.readerConfs
@@ -36,8 +36,16 @@ object TimeQ {
       try { qs(n)(spark, sfDir).count(); () }
       catch { case e: Throwable => println(s"$n WARMUP-FAILED: ${e.getMessage}") }
     }
+    // SPARK_GRAFT_COLD=1: clear every graft cache/memo before each timed
+    // query, reproducing the bench's cache-cold pass per query
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     (1 to 2).foreach { pass =>
       names.foreach { n =>
+        if (cold) {
+          graft.operators.CacheRegistry.clearSession(spark)
+          graft.operators.DedupOps.clearCcSlots(spark)
+          spark.sqlContext.clearCache()
+        }
         System.gc()
         val t0 = System.nanoTime()
         try { qs(n)(spark, sfDir).count(); () }

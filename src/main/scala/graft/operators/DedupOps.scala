@@ -179,6 +179,44 @@ object DedupOps {
     * is the gate/bench path (the 100 TB shape); DedupSpec asserts it is
     * identical to [[jaccardPairsNaive]].
     */
+  /** Exact all-pairs cosine ≥ tau relation (a_id < b_id, cos) via the
+    * blocked pair equi-join — O(n²) WORK is inherent to the exact
+    * relation, but the plan distributes it as P(P+1)/2 balanced
+    * block-pair tasks instead of a whole-relation broadcast (see the
+    * `dedup_embedding` entry's rationale). Cached + registered: the
+    * relation feeds both the pair gate row and the SemDeDup component
+    * collapse in one pass, and re-deriving it was the single biggest
+    * avoidable cold cost of the embedding family.
+    */
+  def embeddingPairsExact(e: DataFrame, tau: Double): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val P = 16
+    val blockPairs =
+      (for { i <- 0 until P; j <- i until P } yield (i, j)).toDF("bi", "bj")
+    val blk = pmod(hash(col("vec_id")), lit(P))
+    val left = e
+      .select(col("vec_id").as("a_id0"), col("v").as("av"), blk.as("ablk"))
+      .join(broadcast(blockPairs), col("ablk") === col("bi"))
+    val right = e
+      .select(col("vec_id").as("b_id0"), col("v").as("bv"), blk.as("bblk"))
+      .join(broadcast(blockPairs
+        .select(col("bi").as("rbi"), col("bj").as("rbj"))),
+        col("bblk") === col("rbj"))
+    val pairs = left.join(right,
+        col("bi") === col("rbi") && col("bj") === col("rbj"))
+      .filter(col("ablk") < col("bblk") || col("a_id0") < col("b_id0"))
+      .withColumn("cos", cosine_sim(col("av"), col("bv")))
+      .filter(col("cos") >= tau)
+      .select(
+        least(col("a_id0"), col("b_id0")).as("a_id"),
+        greatest(col("a_id0"), col("b_id0")).as("b_id"),
+        col("cos"))
+      .cache()
+    CacheRegistry.register(pairs, Seq(pairs))
+    pairs
+  }
+
   def jaccardPairsPrefix(docs: DataFrame, tau: Double): DataFrame = {
     val groups = groupedByArray(docs, "doc_id", "sh")
     expandRepPairs(
@@ -1179,7 +1217,6 @@ object DedupOps {
     // Embedding near-dup: all pairs with cosine ≥ 0.4 (exact baseline).
     ("dedup_embedding",
       (s: SparkSession, d: String) => {
-        import s.implicits._
         val e = embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         // Exact all-pairs cosine. O(n²) WORK is inherent to the exact
@@ -1187,37 +1224,19 @@ object DedupOps {
         // paths are the SRP/IVF siblings this row baselines) — but
         // through round 10 the PLAN paid it as a BroadcastNestedLoopJoin:
         // the whole relation broadcast to every task, a memory wall at
-        // scale and the gate's one surviving BNLJ. The blocked pair
-        // self-join keeps the exact result and distributes the same work
-        // as an EQUI-join: rows hash into P blocks, the P(P+1)/2
+        // scale and the gate's one surviving BNLJ. embeddingPairsExact
+        // keeps the exact result and distributes the same work as a
+        // BLOCKED equi-join: rows hash into P blocks, the P(P+1)/2
         // unordered block pairs enumerate as a broadcast literal, each
         // side replicates to its pair rows, and the join on (bi, bj)
         // gives one balanced task per block pair — peak memory is two
         // n/P blocks (pick P so a block fits an executor), shuffle
-        // volume is n·(P+1)/2 rows per side, and parallelism is
-        // P(P+1)/2 tasks. Same-block pairs dedup by id order; cross-
-        // block pairs appear exactly once because blocks are disjoint.
-        val P = 16
-        val blockPairs =
-          (for { i <- 0 until P; j <- i until P } yield (i, j)).toDF("bi", "bj")
-        val blk = pmod(hash(col("vec_id")), lit(P))
-        val left = e
-          .select(col("vec_id").as("a_id0"), col("v").as("av"), blk.as("ablk"))
-          .join(broadcast(blockPairs), col("ablk") === col("bi"))
-        val right = e
-          .select(col("vec_id").as("b_id0"), col("v").as("bv"), blk.as("bblk"))
-          .join(broadcast(blockPairs
-            .select(col("bi").as("rbi"), col("bj").as("rbj"))),
-            col("bblk") === col("rbj"))
-        left.join(right,
-            col("bi") === col("rbi") && col("bj") === col("rbj"))
-          .filter(col("ablk") < col("bblk") || col("a_id0") < col("b_id0"))
-          .withColumn("cos", cosine_sim(col("av"), col("bv")))
-          .filter(col("cos") >= 0.4)
-          .select(
-            least(col("a_id0"), col("b_id0")).as("a_id"),
-            greatest(col("a_id0"), col("b_id0")).as("b_id"),
-            round(col("cos"), 4).as("cos_sim"))
+        // volume is n·(P+1)/2 rows per side. Same-block pairs dedup by
+        // id order; cross-block pairs appear exactly once because blocks
+        // are disjoint. The cached relation is shared with the SemDeDup
+        // component collapse (dedup_semantic_clusters).
+        embeddingPairsExact(e, 0.4)
+          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
           .orderBy("a_id", "b_id")
       },
       Some(
@@ -1330,11 +1349,10 @@ object DedupOps {
       (s: SparkSession, d: String) => {
         val e = embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val pairs = e.as("a")
-          .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .filter(cosine_sim(col("a.v"), col("b.v")) >= 0.4)
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        connectedComponents(pairs)
+        // the SAME cached blocked-join pair relation the dedup_embedding
+        // row materializes — one exact pair build per pass, two consumers
+        connectedComponents(
+          embeddingPairsExact(e, 0.4).select("a_id", "b_id"))
           .select(col("doc_id").as("vec_id"), col("rep"))
           .orderBy("vec_id")
       },

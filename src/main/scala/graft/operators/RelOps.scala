@@ -114,20 +114,37 @@ object RelOps {
       s.cast("decimal(38,0)") * s.cast("decimal(38,0)"))
       .cast("decimal(38,0)")
 
+  /** Stable function INSTANCE for the [[copurchaseCounts]] mapPartitions:
+    * an eta-expansion at the call site mints a fresh Function1 per
+    * invocation, which defeats logical-plan canonicalization (MapPartitions
+    * compares the function by equality) and with it the CacheManager
+    * sharing five gate rows rely on — one val, one instance, equal plans.
+    */
+  private val runWalkPairsF: Iterator[(Long, Long)] => Iterator[(Long, Long)] =
+    runWalkPairs
+
   /** The FULL co-purchase pair-count relation (p1 < p2, n_orders) — the
     * run-walk pipeline without the top-20 cap; also the co-purchase
-    * graph's edge list for [[triangleCensus]].
+    * graph's edge list for [[triangleCensus]]. Cached + registered HERE:
+    * five gate rows (copurchase top-20, triangles, BFS levels, k-core,
+    * association rules) derive from this one relation, and each paid the
+    * full run-walk build on the bench's cold pass — with the cache at
+    * the shared definition (and [[runWalkPairsF]] keeping the plans
+    * canonicalization-equal) the first consumer builds, the rest reuse.
     */
   def copurchaseCounts(li: DataFrame): DataFrame = {
     val s = li.sparkSession
     import s.implicits._
-    li.repartition(col("l_orderkey"))
+    val counts = li.repartition(col("l_orderkey"))
       .sortWithinPartitions("l_orderkey", "l_partkey")
       .select(col("l_orderkey").as[Long], col("l_partkey").as[Long])
-      .mapPartitions(runWalkPairs)
+      .mapPartitions(runWalkPairsF)
       .toDF("p1", "p2")
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
+      .cache()
+    graft.operators.CacheRegistry.register(counts, Seq(counts))
+    counts
   }
 
   /** Five-round integer fixed-point PageRank over a directed edge list
@@ -214,7 +231,9 @@ object RelOps {
     * engines at any graph size.
     */
   def triangleCensus(li: DataFrame): DataFrame = {
-    val e = copurchaseCounts(li).select("p1", "p2").persist()
+    // copurchaseCounts is itself cached (shared by five rows); the bare
+    // two-column projection over it needs no second persist
+    val e = copurchaseCounts(li).select("p1", "p2")
     // deg feeds rank, n_nodes AND n_wedges; oriented feeds the adjacency
     // build AND the wedge probe; adj feeds BOTH broadcast sides — all
     // multi-consumer, all edge/node-count-sized, so each is persisted
@@ -2302,11 +2321,10 @@ object RelOps {
         val supp = li.distinct()
           .groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
           .persist()
-        // persisted: both unionAll branches (ante/cons swapped) would
-        // otherwise carry the full run-walk pair pipeline twice — same
-        // reasoning as triangleCensus's edge persist
-        val pairs = copurchaseCounts(li).persist()
-        CacheRegistry.register(pairs, Seq(pairs, supp))
+        // copurchaseCounts is itself cached (both unionAll branches and
+        // the other co-purchase rows all read the one materialization)
+        val pairs = copurchaseCounts(li)
+        CacheRegistry.register(supp, Seq(supp))
         val rules = pairs
           .select(col("p1").as("ante"), col("p2").as("cons"), col("n_orders").as("n_pair"))
           .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"),
