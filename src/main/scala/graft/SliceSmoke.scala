@@ -147,6 +147,45 @@ object SliceSmoke {
             }
           } finally stub.queryLatencyMs = 0L
         }
+        // decode leg (round 11): the same single-request response drained
+        // through the row reader (per-row Group materialization) vs the
+        // columnar reader (column chunks → OnHeapColumnVectors, 4096-row
+        // batches — the reference's Arrow-batch shape, scan.rs:200-213).
+        // Same wire bytes both ways (the stub's response cache is warm
+        // after the first fetch), so the delta is pure decode cost.
+        if (!bursty) {
+          import graft.sources.loki.{LokiColumnarPartitionReader,
+            LokiDataSource, LokiInputPartition, LokiPartitionReader}
+          val part = LokiInputPartition(
+            stub.endpoint, "{app=~\".+\"}",
+            Some(base * 1000L), Some((base + 31 * day) * 1000L),
+            None, None, LokiDataSource.LOG_SCHEMA)
+          def best(reps: Int)(drain: () => Long): (Long, Double) = {
+            var rows = 0L
+            val t = (1 to reps).map { _ =>
+              val t0 = System.nanoTime()
+              rows = drain()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            (rows, t)
+          }
+          val (rowRows, rowSecs) = best(3) { () =>
+            val r = new LokiPartitionReader(part)
+            var c = 0L
+            try { while (r.next()) { r.get(); c += 1 } } finally r.close()
+            c
+          }
+          val (colRows, colSecs) = best(3) { () =>
+            val r = new LokiColumnarPartitionReader(part)
+            var c = 0L
+            try { while (r.next()) c += r.get().numRows() } finally r.close()
+            c
+          }
+          require(rowRows == colRows,
+            s"decode paths disagree: row=$rowRows columnar=$colRows")
+          println(f"[slice] decode rows=$rowRows row=$rowSecs%.3fs " +
+            f"columnar=$colSecs%.3fs speedup=${rowSecs / colSecs}%.2fx")
+        }
       } finally stub.stop()
     }
     spark.stop()

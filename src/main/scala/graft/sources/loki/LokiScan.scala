@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Scan half of the connector — the rebuild of `LokiLogScanExec`
@@ -419,6 +420,22 @@ case class LokiInputPartition(
 case class LokiReaderFactory() extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new LokiPartitionReader(partition.asInstanceOf[LokiInputPartition])
+
+  /** Columnar decode for the single-request path — the reference streams
+    * Arrow batches end-to-end (scan.rs:200-213, batch 4096) and the row
+    * reader was the remaining connector CPU gap: the wire parquet now
+    * decodes straight into column vectors (low-level column readers, no
+    * per-row Group materialization) and Spark consumes ColumnarBatches.
+    * The PAGED path stays row-based: its cursor/held-run completeness
+    * logic is inherently per-row (same reason the reference's paged
+    * variant would be).
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[LokiInputPartition].pageSize.isEmpty
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new LokiColumnarPartitionReader(partition.asInstanceOf[LokiInputPartition])
 }
 
 /** Executor-side reader: HTTP range query(-ies), buffered body, parquet
@@ -665,5 +682,166 @@ class LokiPartitionReader(p: LokiInputPartition)
       i += 1
     }
     new GenericInternalRow(values)
+  }
+}
+
+/** Columnar decode of the wire parquet for the single-request path: the
+  * response's column chunks stream straight into OnHeapColumnVectors via
+  * parquet's low-level column readers — no per-row Group materialization,
+  * no per-row InternalRow — and Spark consumes 4096-row ColumnarBatches
+  * (the reference's batch size, scan.rs:200-213). The labels map
+  * reconstructs from the key column's repetition levels (rep 0 starts a
+  * row, rep 1 continues; definition 0 is an empty map), with the value
+  * column consumed in lockstep — the two columns share one repetition
+  * structure by schema.
+  */
+class LokiColumnarPartitionReader(p: LokiInputPartition)
+  extends PartitionReader[ColumnarBatch] {
+
+  import org.apache.parquet.column.ColumnReader
+  import org.apache.parquet.column.impl.ColumnReadStoreImpl
+
+  private val BatchRows = 4096
+  private val wanted = p.requiredSchema.fieldNames
+
+  private var parquetReader: ParquetFileReader = _
+  private var fileSchema: MessageType = _
+  private var requested: MessageType = _
+  private var createdBy: String = _
+  private var opened = false
+  private var exhausted = false
+
+  // current row group state
+  private var groupRemaining = 0L
+  private var tsReader: ColumnReader = _
+  private var keyReader: ColumnReader = _
+  private var valReader: ColumnReader = _
+  private var lineReader: ColumnReader = _
+  private var keyValsConsumed = 0L
+  private var keyValsTotal = 0L
+
+  private var batch: ColumnarBatch = _
+
+  private def open(): Unit = {
+    val start = p.startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
+    val end = p.endNs.getOrElse(LokiHttp.nowNs)
+    val body = LokiHttp.queryRange(p.endpoint, p.logql, start, end, p.limit)
+    if (body.nonEmpty) {
+      parquetReader = ParquetFileReader.open(new ByteArrayInputFile(body))
+      val md = parquetReader.getFooter.getFileMetaData
+      fileSchema = md.getSchema
+      createdBy = md.getCreatedBy
+      requested =
+        if (wanted.isEmpty) null // bare count: row counts only, no decode
+        else new MessageType(fileSchema.getName,
+          wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+    } else exhausted = true
+    opened = true
+  }
+
+  private def advanceRowGroup(): Boolean = {
+    if (parquetReader == null) return false
+    val pages = parquetReader.readNextRowGroup()
+    if (pages == null) { exhausted = true; false }
+    else if (pages.getRowCount == 0) advanceRowGroup()
+    else {
+      groupRemaining = pages.getRowCount
+      if (requested != null) {
+        val store = new ColumnReadStoreImpl(pages,
+          new GroupRecordConverter(requested).getRootConverter, requested,
+          createdBy)
+        def rd(path: String*): ColumnReader =
+          store.getColumnReader(requested.getColumnDescription(path.toArray))
+        tsReader = if (wanted.contains("timestamp")) rd("timestamp") else null
+        lineReader = if (wanted.contains("line")) rd("line") else null
+        if (wanted.contains("labels")) {
+          keyReader = rd("labels", "key_value", "key")
+          valReader = rd("labels", "key_value", "value")
+          keyValsConsumed = 0L
+          keyValsTotal = keyReader.getTotalValueCount
+        } else { keyReader = null; valReader = null }
+      }
+      true
+    }
+  }
+
+  override def next(): Boolean = {
+    if (!opened) open()
+    if (batch != null) { batch.close(); batch = null }
+    while (groupRemaining == 0 && !exhausted) {
+      if (!advanceRowGroup()) return false
+    }
+    if (exhausted && groupRemaining == 0) return false
+    val n = math.min(groupRemaining, BatchRows.toLong).toInt
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    val vecs = OnHeapColumnVector.allocateColumns(n, p.requiredSchema)
+    var c = 0
+    while (c < wanted.length) {
+      val v = vecs(c)
+      wanted(c) match {
+        case "timestamp" =>
+          var r = 0
+          while (r < n) {
+            // Loki ns → Spark µs, truncating (§7.4(b)) — the row
+            // reader's rule
+            v.putLong(r, tsReader.getLong / 1000L)
+            tsReader.consume()
+            r += 1
+          }
+        case "line" =>
+          var r = 0
+          while (r < n) {
+            val b = lineReader.getBinary.getBytes
+            v.putByteArray(r, b, 0, b.length)
+            lineReader.consume()
+            r += 1
+          }
+        case "labels" =>
+          val keys = v.getChild(0)
+            .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+          val vals = v.getChild(1)
+            .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+          var offset = 0
+          var r = 0
+          while (r < n) {
+            var cnt = 0
+            if (keyReader.getCurrentDefinitionLevel == 0) {
+              // empty map: one (def 0) placeholder triplet, no value
+              keyReader.consume(); valReader.consume()
+              keyValsConsumed += 1
+            } else {
+              var more = true
+              while (more) {
+                val kb = keyReader.getBinary.getBytes
+                val vb = valReader.getBinary.getBytes
+                keys.appendByteArray(kb, 0, kb.length)
+                vals.appendByteArray(vb, 0, vb.length)
+                keyReader.consume(); valReader.consume()
+                keyValsConsumed += 1
+                cnt += 1
+                more = keyValsConsumed < keyValsTotal &&
+                  keyReader.getCurrentRepetitionLevel == 1
+              }
+            }
+            v.putArray(r, offset, cnt)
+            offset += cnt
+            r += 1
+          }
+        case other =>
+          throw new IllegalStateException(s"unexpected column $other")
+      }
+      c += 1
+    }
+    batch = new ColumnarBatch(vecs.map(_.asInstanceOf[
+      org.apache.spark.sql.vectorized.ColumnVector]), n)
+    groupRemaining -= n
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    if (batch != null) { batch.close(); batch = null }
+    if (parquetReader != null) { parquetReader.close(); parquetReader = null }
   }
 }

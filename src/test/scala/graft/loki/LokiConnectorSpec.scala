@@ -48,6 +48,28 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       s"{$ls} ${r.getAs[String]("line")}"
     }.sorted
 
+  test("single-request scans decode columnar; paged scans stay row-based") {
+    // the reference streams Arrow batches end-to-end (scan.rs:200-213);
+    // the single-request path decodes wire parquet straight into column
+    // vectors, so the plan must carry the ColumnarToRow transition. The
+    // paged path's cursor/held-run logic is per-row by nature — no
+    // columnar claim there.
+    val colPlan = lokiDf().queryExecution.executedPlan.toString
+    assert(colPlan.contains("ColumnarToRow"),
+      s"single-request scan must be columnar:\n$colPlan")
+    val pagedPlan = spark.read.format("loki")
+      .option("endpoint", stub.endpoint)
+      .option("default_label", "app")
+      .option("query_limit", "100")
+      .load().queryExecution.executedPlan.toString
+    assert(!pagedPlan.contains("ColumnarToRow"),
+      s"paged scan must stay row-based:\n$pagedPlan")
+    // both decode paths agree on the relation, map column included
+    assert(golden(lokiDf()) == Seq(
+      "{app=my-app1,detected_level=unknown,service_name=my-app1} this is aaa log",
+      "{app=my-app2,detected_level=unknown,service_name=my-app2} this is bbb log"))
+  }
+
   test("label injection models Loki's discovery rules (tests/table.rs:21-22)") {
     val st = new LokiStubServer
     st.start()
