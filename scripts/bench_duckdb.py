@@ -38,7 +38,10 @@ def main(sf_dir, out_dir, bench_json=None):
                       "unit": "sec", "queries": res, "sf": sf_dir}))
     if not bench_json:
         return 0
-    bench = json.load(open(bench_json))
+    # the bench now emits three JSON lines (total_full, per_query, total);
+    # the full-detail line is the one with the name-keyed maps
+    bench = next(json.loads(l) for l in open(bench_json)
+                 if l.startswith("{") and '"total_full"' in l)
     spark = bench["queries"]
     cold = bench.get("queries_cold", {})
     stages = bench.get("stages", {})
