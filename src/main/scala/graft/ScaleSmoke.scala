@@ -116,6 +116,22 @@ object ScaleSmoke {
     }
     println(s"[scale] simhash_pairs=$simhash srp_pairs=$srp")
 
+    // blocked exact pair join (round 11 — the BNLJ replacement): on the
+    // ×N id-offset corpus every base pair (cos ≥ 0.4) appears in N²
+    // copy combinations and every base vector contributes C(N,2)
+    // identical-copy pairs at cos 1.0 — the same closed form the
+    // containment leg pins. Any deviation means the block-pair
+    // enumeration lost or duplicated a candidate.
+    timed("embedding_pairs_blocked") {
+      val basePairs = DedupOps.embeddingPairsExact(baseV, 0.4).count()
+      val nBaseVecs = baseV.count()
+      val bigPairs = DedupOps.embeddingPairsExact(bigV, 0.4).count()
+      assert(bigPairs == mult.toLong * mult * basePairs +
+        nBaseVecs * (mult.toLong * (mult - 1) / 2),
+        s"blocked pair algebra: $bigPairs != $mult²·$basePairs + C($mult,2)·$nBaseVecs")
+      bigPairs
+    }
+
     // Corpus-statistics family at the multiplied corpus: the explode →
     // aggregate-compressed-broadcast shapes (unigram NLL), the
     // window-count-over-span-key shape (dup spans), the double-counted
