@@ -219,11 +219,20 @@ object DedupOps {
 
   def jaccardPairsPrefix(docs: DataFrame, tau: Double): DataFrame = {
     val groups = groupedByArray(docs, "doc_id", "sh")
-    expandRepPairs(
+    val pairs = expandRepPairs(
       prefixJoinOnReps(
         groups.select(col("rep").as("doc_id"), col("arr").as("sh")), tau, groups),
       groups, "jaccard", lit(1.0),
       arr => size(arr) > 0) // empty shingle set: 0/0 jaccard undefined
+      // cache the PAIR RELATION itself, not just the prefix/ex feeders:
+      // five gate rows consume the τ=0.5 relation (clusters, keep_best,
+      // ngram_jaccard, cluster-safe split, the pipeline row) and each
+      // re-ran the candidate join + verify from the cached feeders; one
+      // materialization per (corpus, τ) serves them all. Pair relations
+      // are output-sized (thousands of rows), not candidate-sized.
+      .cache()
+    CacheRegistry.register(pairs, Seq(pairs))
+    pairs
   }
 
   /** Collapse identical shingle-ARRAYS to one representative each: exact

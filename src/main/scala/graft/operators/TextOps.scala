@@ -75,6 +75,36 @@ object TextOps {
       .select(col("lang"), col("doc_id"))
   }
 
+  /** Weighted Bernoulli sampling: each document keeps with probability
+    * proportional to a PER-DOCUMENT weight (here vocabulary diversity —
+    * the quality-weighted subsampling step between uniform stratified
+    * sampling and hard quality filtering: low-diversity boilerplate is
+    * downweighted, not cliff-dropped). Scan-local like the stratified
+    * sampler — no shuffle, no per-stratum anything — and ALL-INTEGER so
+    * both engines agree exactly: the per-doc uniform is THREE chained
+    * Lehmer steps `x → x·48271 mod (2³¹ − 1)` (one step leaves small
+    * sequential ids clustered near zero — measured keeping 100% of a
+    * 500-doc corpus; three steps equidistribute them, and every
+    * intermediate stays < 2⁴⁷, so DuckDB's overflow-checked BIGINT and
+    * Spark compute the same value), the weight is parts-per-million
+    * `min(1e6, distinct·1e6 div (tokens·2))` (diversity 0.5 ⇒ certain
+    * keep), and the keep test cross-multiplies — no doubles anywhere. A
+    * production variant swaps the Lehmer mix for xxhash64(doc_id); the
+    * SEMANTICS under test are the weighted inclusion, not the mixer's
+    * avalanche.
+    */
+  def weightedSample(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(toks) >= 1)
+      .select(col("doc_id"), col("lang"),
+        least(lit(1000000L), expr(
+          "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000" +
+          " div (CAST(size(split(text, ' ')) AS BIGINT) * 2)")).as("w_ppm"),
+        (col("doc_id") * 48271L % 2147483647L * 48271L % 2147483647L
+          * 48271L % 2147483647L).as("u"))
+      .filter(col("u") * 1000000L < col("w_ppm") * 2147483647L)
+      .select(col("doc_id"), col("lang"), col("w_ppm"))
+
   /** Conditional broadcast for the corpus-statistics family's vocab-/
     * feature-sized relations (unigram log-probs, PMI counts, DSIR ratios,
     * the encode-ids vocab): these are aggregate-compressed but grow with
@@ -969,6 +999,29 @@ object TextOps {
     // sample is reproducible and oracle-checkable, unlike rand()-based
     // sampleBy. The exact-fraction row_number twin below remains as the
     // small-corpus oracle variant.
+    // Weighted Bernoulli sampling (see [[weightedSample]]): keep
+    // probability proportional to vocabulary diversity — the
+    // quality-WEIGHTED subsampling between uniform stratified sampling
+    // and hard quality filtering. Scan-local, all-integer (Lehmer uniform
+    // × ppm weight, cross-multiplied), so the oracle replays it exactly.
+    ("documents_weighted_sample",
+      (s: SparkSession, d: String) =>
+        weightedSample(documents(s, d)).orderBy("doc_id"),
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, lang,
+          |         least(1000000,
+          |           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+          |             * 1000000
+          |             // (CAST(len(string_split(text, ' ')) AS BIGINT) * 2)) AS w_ppm,
+          |         doc_id * 48271 % 2147483647 * 48271 % 2147483647
+          |           * 48271 % 2147483647 AS u
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 1
+          |)
+          |SELECT doc_id, lang, w_ppm FROM w
+          |WHERE u * 1000000 < w_ppm * 2147483647
+          |ORDER BY doc_id""".stripMargin)),
+
     ("documents_stratified_sample",
       (s: SparkSession, d: String) =>
         stratifiedSampleHash(documents(s, d)).orderBy("lang", "doc_id"),

@@ -147,6 +147,27 @@ object DedupProps extends Properties("DedupPrefixJoin") {
       Prop(srp.subsetOf(exact)) :| s"tau=$tau spurious=${srp -- exact}"
     }
 
+  property("blocked exact pair join == driver all-pairs on random vectors") =
+    Prop.forAllNoShrink(vecGen, Gen.oneOf(0.2, 0.4, 0.6)) { (rows, tau) =>
+      val s = spark
+      import s.implicits._
+      val vecs = rows.toDF("vec_id", "v")
+      // the blocked P(P+1)/2 equi-join (the dedup_embedding plan) must
+      // produce EXACTLY the all-pairs cosine relation — no pair lost to
+      // a block-boundary bug, none duplicated across same/cross-block
+      // emission, values bit-equal to the driver replay
+      val got = DedupOps.embeddingPairsExact(vecs, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val want = (for {
+        (a, va) <- rows; (b, vb) <- rows if a < b
+        c = cosine(va, vb) if c >= tau
+      } yield (a, b) -> c).toMap
+      // cosine_sim and the driver replay accumulate in the same order
+      // (sequential fold over the array), so values are bit-comparable
+      Prop(got == want) :| s"tau=$tau got=${got.size} want=${want.size} " +
+        s"miss=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}"
+    }
+
   property("connected components == union-find on random graphs") =
     Prop.forAllNoShrink(graphGen) { edges =>
       val s = spark

@@ -151,6 +151,41 @@ class ExplainSpec extends SparkTestBase {
     assert(p.contains("PushedFilters"), s"keep predicate should reach the scan:\n$p")
   }
 
+  test("weighted sample is scan-local, integer-exact, and rate-proportional") {
+    // same scale contract as the stratified sampler: pure filter over the
+    // scan, nothing stratum-keyed
+    val p = plan("documents_weighted_sample")
+    assert(!p.contains("Window") && !p.contains("hashpartitioning(lang"),
+      s"weighted sampler must stay scan-local:\n$p")
+    // driver replay of the integer semantics: kept set == the exact
+    // Lehmer × ppm predicate over the corpus
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val want = corpus.flatMap { case (id, tk) =>
+      if (tk.isEmpty) None
+      else {
+        val w = math.min(1000000L, tk.distinct.length.toLong * 1000000L / (tk.length.toLong * 2))
+        val u = id * 48271L % 2147483647L * 48271L % 2147483647L *
+          48271L % 2147483647L
+        if (u * 1000000L < w * 2147483647L) Some(id -> w) else None
+      }
+    }.toMap
+    val got = q("documents_weighted_sample").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want, s"kept-set mismatch: ${got.size} vs ${want.size}")
+    // and the realized rate tracks the mean weight (sanity: weighting is
+    // live, not a constant-rate filter)
+    val meanW = corpus.map { case (_, tk) =>
+      if (tk.isEmpty) 0.0
+      else math.min(1000000L, tk.distinct.length.toLong * 1000000L / (tk.length.toLong * 2)) / 1e6
+    }.sum / corpus.length
+    val rate = got.size.toDouble / corpus.length
+    assert(math.abs(rate - meanW) < 0.15,
+      s"realized rate $rate should track mean weight $meanW")
+  }
+
   test("source cap plans bounded heaps (partial+final TopKPerKey), not a per-source window") {
     // per-domain caps over a web-scale corpus: a row_number window would
     // serialize each source's full document set through one task; the
