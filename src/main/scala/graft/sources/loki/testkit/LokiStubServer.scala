@@ -72,6 +72,14 @@ final class LokiStubServer {
     */
   @volatile var queryLatencyMs: Long = 0L
 
+  /** Parquet row-group size for wire responses (bytes). The default
+    * (128 MB) makes every test response a SINGLE row group, which leaves
+    * the readers' row-group-advance paths unexercised — a real Loki
+    * response to a big window spans several. Set small to force
+    * multi-row-group responses.
+    */
+  @volatile var rowGroupBytes: Long = 128L * 1024 * 1024
+
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     // a real Loki serves concurrent requests; the default (null) executor
@@ -383,6 +391,7 @@ final class LokiStubServer {
     val writer = ExampleParquetWriter.builder(outFile)
       .withType(wireSchema)
       .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
+      .withRowGroupSize(rowGroupBytes)
       .build()
     try {
       hits.foreach { r =>

@@ -70,6 +70,43 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       "{app=my-app2,detected_level=unknown,service_name=my-app2} this is bbb log"))
   }
 
+  test("both decode paths are complete across multiple wire row groups") {
+    // real Loki responses to big windows span several parquet row groups;
+    // the default test stub writes ONE, leaving the readers' row-group
+    // advance unexercised. Force tiny row groups and drain a 5k-row
+    // response through the columnar (single-request) and row (paged)
+    // paths — both must return the corpus exactly once.
+    val rgStub = new LokiStubServer
+    rgStub.start()
+    rgStub.rowGroupBytes = 8 * 1024 // ~dozens of rows per group
+    try {
+      val base = 1704067200000000000L
+      rgStub.seed((0 until 5000).map(i =>
+        rgStub.LogRow(base + i * 1000000000L, Map("app" -> "rg"), s"row-$i")))
+      def scan(opts: Map[String, String]) = {
+        val r = spark.read.format("loki")
+          .option("endpoint", rgStub.endpoint)
+          .option("default_label", "app")
+        opts.foreach { case (k, v) => r.option(k, v) }
+        r.load().filter(
+          col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+      }
+      val expected = (0 until 5000).map(i => s"row-$i").sorted
+      val viaColumnar = scan(Map.empty)
+      assert(viaColumnar.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"))
+      assert(viaColumnar.select("line").collect().map(_.getString(0))
+        .sorted.toSeq == expected, "columnar path dropped/duplicated rows")
+      // labels decode across group boundaries too
+      assert(viaColumnar.select(map_keys(col("labels")))
+        .collect().forall(_.getSeq[String](0).contains("app")))
+      val viaPaged = scan(Map("query_limit" -> "700"))
+        .select("line").collect().map(_.getString(0)).sorted.toSeq
+      assert(viaPaged == expected, "paged path dropped/duplicated rows")
+    } finally rgStub.stop()
+  }
+
   test("label injection models Loki's discovery rules (tests/table.rs:21-22)") {
     val st = new LokiStubServer
     st.start()
