@@ -40,8 +40,11 @@ def main(sf_dir, out_dir, bench_json=None):
         return 0
     # the bench now emits three JSON lines (total_full, per_query, total);
     # the full-detail line is the one with the name-keyed maps
-    bench = next(json.loads(l) for l in open(bench_json)
-                 if l.startswith("{") and '"total_full"' in l)
+    bench = next((json.loads(l) for l in open(bench_json)
+                  if l.startswith("{") and '"total_full"' in l), None)
+    if bench is None:
+        sys.exit(f"no total_full line in {bench_json} — old-format or "
+                 "truncated bench artifact?")
     spark = bench["queries"]
     cold = bench.get("queries_cold", {})
     stages = bench.get("stages", {})

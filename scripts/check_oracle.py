@@ -56,6 +56,10 @@ def banned_terminal(t):
         return True
     if s.startswith("list") or s.startswith("large_list"):
         return banned_terminal(t.value_type)
+    if s.startswith("struct"):
+        return any(banned_terminal(f.type) for f in t)
+    if s.startswith("map"):
+        return banned_terminal(t.key_type) or banned_terminal(t.item_type)
     return False
 
 

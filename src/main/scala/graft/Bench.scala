@@ -178,7 +178,14 @@ object Bench {
     def csArr(f: ((String, Double, Double, Int, Int)) => Double): String =
       results.map(r => math.round(f(r) * 100).toString)
         .mkString("[", ",", "]")
-    println(s"""{"metric":"per_query","unit":"centisec","order":"sorted_query_names","n":${results.size},"cold":${csArr(_._2)},"min":${csArr(_._3)}}""")
+    // failed queries still occupy their positional slot (time-to-failure);
+    // their INDICES are disclosed so a consumer reconstructing names from
+    // a key set that lacks the failed rows can't silently shift every
+    // later timing by one
+    val failedIdx = results.zipWithIndex
+      .collect { case ((n, _, _, _, _), i) if failures.contains(n) => i }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"per_query","unit":"centisec","order":"sorted_query_names","n":${results.size},"failed_idx":$failedIdx,"cold":${csArr(_._2)},"min":${csArr(_._3)}}""")
     // FINAL driver-facing line: printed LAST (after spark.stop(), so no
     // late log write can trail it) and kept tiny — counts and totals only,
     // no per-query maps (they live on the total_full line above and in

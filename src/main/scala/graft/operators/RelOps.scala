@@ -1627,9 +1627,15 @@ object RelOps {
           // SIZE-GATED like every other broadcast site (round-11 ADVICE):
           // the >300 survivor set grows linearly with SF, so an
           // unconditional hint removes the planner's fallback and OOMs at
-          // the scales the size-estimate gate exists for; past the cap
-          // the join degrades to the SMJ the static planner would pick
-          // (and AQE re-promotes at runtime when the survivors are small).
+          // the scales the size-estimate gate exists for. The gate reads
+          // the non-CBO estimate — the PRE-aggregate lineitem scan size —
+          // so it is deliberately conservative: past the cap the join
+          // degrades to the SMJ the static planner would pick even when
+          // the survivors are actually tiny (the bench session runs AQE
+          // off, so no runtime re-promotion THERE; production sessions
+          // keep AQE on and recover the broadcast). At the bench SF the
+          // estimate stays under the cap and the hint survives (measured
+          // q18 0.53 s unchanged by the gating).
           .join(graft.operators.TextOps.broadcastIfSmall(bigOrders),
             col("o_orderkey") === col("l_orderkey"))
           .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))

@@ -132,10 +132,23 @@ case class LokiScan(
     // forward requests (the real-Loki completeness path: an unlimited
     // single request is truncated at the SERVER's default, silently);
     // query_limit=0 keeps the reference-parity single un-limited request
+    val serverMax = Some(options.serverMaxEntries).filter(_ > 0)
+    // a pushed LIMIT above the declared server contract would be clamped
+    // (middleware) or rejected (real Loki) — fail at planning, loudly,
+    // instead of returning a silently short result
+    for (m <- serverMax; l <- limit) require(l <= m,
+      s"pushed LIMIT $l exceeds server_max_entries $m — the server would " +
+        "reject or clamp the request")
     val pageSize =
       if (limit.isEmpty && options.queryLimit > 0) Some(options.queryLimit)
+      // declaring server_max_entries OPTS INTO completeness: an unlimited
+      // single request against a server with a declared max_entries_limit
+      // is guaranteed to be clamped on any window bigger than the cap —
+      // the silent-truncation trap the option exists to close — so the
+      // scan pages at the server max instead of issuing the
+      // reference-parity unlimited request
+      else if (limit.isEmpty) serverMax
       else None
-    val serverMax = Some(options.serverMaxEntries).filter(_ > 0)
     if (n == 1) {
       Array(LokiInputPartition(
         options.endpoint, logql, startNs, endNs, limit, pageSize,
@@ -396,6 +409,24 @@ object LokiScan {
     boundsCache.synchronized {
       boundsCache.update(key, b)
       while (boundsCache.size > 256) boundsCache.remove(boundsCache.head._1)
+    }
+
+  /** Drop every cached bounds placement for `endpoint`. The memo key is
+    * (endpoint, logql, window, eff) with NO data fingerprint — correct
+    * for a live endpoint whose balance staleness is bounded by the LRU,
+    * but an endpoint whose DATASET is replaced under the same address
+    * (a test stub stopped and its port recycled by the OS for a later
+    * stub, or an in-place clear+reseed) would serve the OLD corpus's
+    * boundary placement to the new one: the relation stays exact
+    * (slicing never affects correctness), but the balance the stats
+    * split exists for silently degrades. The stub calls this from
+    * stop()/clear(); a production cache invalidation on ingest would
+    * hang off the same hook.
+    */
+  def dropBoundsFor(endpoint: String): Unit =
+    boundsCache.synchronized {
+      val stale = boundsCache.keys.filter(_._1 == endpoint).toList
+      stale.foreach(boundsCache.remove)
     }
 }
 

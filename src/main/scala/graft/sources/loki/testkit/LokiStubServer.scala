@@ -38,7 +38,12 @@ final class LokiStubServer {
 
   def ingested: Seq[LogRow] = rows.synchronized(rows.toSeq)
 
-  def clear(): Unit = rows.synchronized { rows.clear(); seen.clear(); respCache.clear() }
+  def clear(): Unit = {
+    rows.synchronized { rows.clear(); seen.clear(); respCache.clear() }
+    // the dataset behind this endpoint just changed — stale stats-split
+    // boundary placements for it must not survive (see dropBoundsFor)
+    if (server != null) graft.sources.loki.LokiScan.dropBoundsFor(endpoint)
+  }
 
   /** Direct seeding (no push-API label injection) — for harness queries
     * that need the stored rows to equal a known relation exactly.
@@ -107,7 +112,14 @@ final class LokiStubServer {
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = if (server != null) {
+    // the OS may recycle this port for a LATER stub in the same JVM —
+    // cached boundary placements keyed by the endpoint would alias the
+    // old corpus onto the new one (balance-only, but deterministic tests
+    // must not depend on port-reuse timing)
+    graft.sources.loki.LokiScan.dropBoundsFor(endpoint)
+    server.stop(0)
+  }
 
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
 

@@ -6,8 +6,12 @@ import org.apache.spark.sql.types._
   * the driver's value hash cannot digest DECIMAL/HUGEINT terminals
   * symmetrically even when both engines emit identical bytes, so NO gate
   * row may expose one. Wide math stays internal (scaledDiv/varqDecimal);
-  * terminals must be in the proven-hashable set. Schema-only (analysis,
-  * no execution), so this covers every gate row in milliseconds.
+  * terminals must be in the proven-hashable set. Only the returned
+  * DataFrame's .schema is asserted (no .collect here), but constructing
+  * the entries is NOT free — streaming rows drain eagerly and connector
+  * rows seed stubs — so this runs at suite cost, not milliseconds; the
+  * value is that every row's driver-facing schema is asserted in ONE
+  * place.
   */
 class TerminalTypeSpec extends SparkTestBase {
 

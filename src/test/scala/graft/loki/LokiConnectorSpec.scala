@@ -266,6 +266,25 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       val plan = scan(Map("query_limit" -> "100"))
         .queryExecution.executedPlan.toString
       assert(plan.contains("page_size=100"), s"plan was:\n$plan")
+      // server_max_entries ALONE opts into completeness (round 11): an
+      // unlimited single request against a declared-cap server would be
+      // clamped silently, so the scan pages at the server max instead
+      val reqs2 = pageStub.ranges.synchronized(pageStub.ranges.size)
+      val capOnly = scan(Map("server_max_entries" -> "150"))
+        .select("line").collect().map(_.getString(0)).toSet
+      assert(capOnly == (0 until 250).map(i => s"row-$i").toSet,
+        s"cap-only scan must page to completeness (got ${capOnly.size})")
+      assert(pageStub.ranges.synchronized(pageStub.ranges.size) - reqs2 >= 2,
+        "cap-only scan should have paged")
+      // a pushed LIMIT within the cap keeps the single-request shape;
+      // above it the plan fails loudly instead of silently clamping
+      assert(scan(Map("server_max_entries" -> "150")).limit(50).count() == 50)
+      val e = intercept[Exception] {
+        scan(Map("server_max_entries" -> "150")).limit(200).count()
+      }
+      assert(e.getMessage.contains("server_max_entries") ||
+        Option(e.getCause).exists(_.getMessage.contains("server_max_entries")),
+        s"expected loud over-cap LIMIT failure: ${e.getMessage}")
     } finally pageStub.stop()
   }
 
