@@ -40,6 +40,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("drain memo: hit on unchanged files, miss on rewrite, cleared with the session (round 11)") {
+    // the bounded-drain result memo follows the schema memo's hygiene
+    // rules: same (dir, key) on unchanged source files serves the drained
+    // relation without recomputing; an in-place rewrite of a source file
+    // (mtime/length change) misses; CacheRegistry.clearSession (the bench
+    // cold reset) drops it
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_drain_memo").toFile
+    try {
+      val p = new java.io.File(dir, "documents.parquet").getAbsolutePath
+      import spark.implicits._
+      Seq((1L, "one")).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").format("parquet").save(p)
+      var computes = 0
+      def drain() = StreamingOps.memoDrain(
+        spark, dir.getAbsolutePath, "drain_memo_spec") {
+        computes += 1
+        spark.range(1).toDF("v")
+      }
+      drain(); drain()
+      assert(computes == 1, s"repeat invocation must memo-hit ($computes)")
+      // in-place rewrite with different content length → fingerprint miss
+      Seq((1L, "one rewritten longer")).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").format("parquet").save(p)
+      drain()
+      assert(computes == 2, s"rewrite must invalidate the memo ($computes)")
+      graft.operators.CacheRegistry.clearSession(spark)
+      drain()
+      assert(computes == 3, s"clearSession must drop the memo ($computes)")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming hourly window equals the batch events_hourly_window") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.hourlyWindow(spark, sf), "hourly_mem", OutputMode.Update())
