@@ -107,6 +107,61 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally rgStub.stop()
   }
 
+  test("columnar decode handles empty label maps (definition-0 triplets)") {
+    // a stored row with NO labels encodes its map column as one def-0
+    // placeholder triplet — the one branch the seeded corpora never hit
+    // (push-API injection always adds detected_level/service_name).
+    // Interleave empty and non-empty maps and decode columnar.
+    val emStub = new LokiStubServer
+    emStub.start()
+    try {
+      val base = 1704067200000000000L
+      emStub.seed(Seq(
+        emStub.LogRow(base, Map.empty, "bare-0"),
+        emStub.LogRow(base + 1000000000L, Map("app" -> "a", "z" -> "y"), "labeled-1"),
+        emStub.LogRow(base + 2000000000L, Map.empty, "bare-2"),
+        emStub.LogRow(base + 3000000000L, Map("app" -> "b"), "labeled-3")))
+      val df = spark.read.format("loki")
+        .option("endpoint", emStub.endpoint)
+        // match-all selector over a label EVERY row lacks would return
+        // nothing; Prometheus semantics treat missing as "" so use !=
+        .option("default_label", "app")
+        .load()
+        .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-01-02 00:00:00").cast("timestamp") &&
+          col("line").like("%-%"))
+      assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val got = df.select(col("line"), map_keys(col("labels")))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).sorted.toSeq)
+        .toMap
+      // default_label=app + no explicit label filter → {app=~".+"} matches
+      // only the labeled rows; the bare rows are invisible to this scan
+      assert(got == Map("labeled-1" -> Seq("app", "z"), "labeled-3" -> Seq("app")))
+      // a {app!="a"} matcher selects the LABEL-LESS streams too on the
+      // wire (Prometheus semantics: missing ≡ ""), so the columnar
+      // decoder must walk a response whose map column interleaves def-0
+      // placeholder triplets with real entries; Spark's residual then
+      // drops the NULL-map rows (SQL semantics — the contract the
+      // loki_absent_label_neq gate row pins). A mis-decoded empty map
+      // would shift the runs and corrupt labeled-3's labels.
+      val bare = spark.read.format("loki")
+        .option("endpoint", emStub.endpoint)
+        .option("default_label", "app")
+        .load()
+        .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-01-02 00:00:00").cast("timestamp") &&
+          element_at(col("labels"), "app") =!= "a")
+      assert(bare.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val bareRows = bare
+        .select(col("line"),
+          array_join(transform(array_sort(map_entries(col("labels"))),
+            e => concat(e("key"), lit("="), e("value"))), ","))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(bareRows == Map("labeled-3" -> "app=b"),
+        s"decode through interleaved empty maps must stay aligned, got $bareRows")
+    } finally emStub.stop()
+  }
+
   test("label injection models Loki's discovery rules (tests/table.rs:21-22)") {
     val st = new LokiStubServer
     st.start()
