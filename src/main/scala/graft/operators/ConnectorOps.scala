@@ -602,6 +602,34 @@ object ConnectorOps {
         """SELECT true AS display_insert_ok, true AS display_rows_ok,
           |       CAST(2 AS BIGINT) AS n_written""".stripMargin)),
 
+    // COUNT(*) pushdown under the oracle (round 11): with push_count=true
+    // a bare selector count answers from ONE index/stats request — the
+    // scan never streams a chunk (the 100 TB "how many error lines this
+    // month" query costs one index read; LokiConnectorSpec proves the
+    // zero-query_range shape and the line-filter/GROUP BY fallbacks).
+    // The differential pins that the stats-derived count equals the true
+    // relation count on the stub (exact there; see LokiOptions.pushCount
+    // for the real-server compaction caveat that keeps this opt-in).
+    ("loki_count_pushdown",
+      (s: SparkSession, d: String) => {
+        val st = stubFor(s, d)
+        s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "event_type")
+          .option("push_count", "true")
+          .load().createOrReplaceTempView("loki_count_gate")
+        s.sql(
+          """SELECT count(*) AS n FROM loki_count_gate
+            |WHERE labels['event_type'] = 'click'
+            |  AND timestamp >= TIMESTAMP '2024-01-01 00:00:00'
+            |  AND timestamp < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM events
+          |WHERE event_type = 'click'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)),
+
     // Loki label injection under the oracle (round 11): real Loki injects
     // `detected_level` (log-level discovery over the line) and
     // `service_name` (first label in the discover_service_name list) at

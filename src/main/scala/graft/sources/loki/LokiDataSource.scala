@@ -105,6 +105,18 @@ final case class LokiOptions(
       * loudly instead of looping.
       */
     serverMaxEntries: Int = 0,
+    /** Answer bare `COUNT(*)` queries from `GET index/stats` instead of
+      * scanning — index-only, so a count over a month of logs costs one
+      * cheap request instead of streaming every chunk (the 100 TB win).
+      * Applies only when the whole aggregate can be answered by the
+      * selector: no GROUP BY, no line-filter stages (index/stats is
+      * selector-only), no LIMIT. OFF by default: real Loki's index stats
+      * are EXACT only once chunks are compacted — on a window overlapping
+      * the ingest head they can overcount duplicated un-compacted chunks
+      * — so this is an opt-in for compacted ranges / accuracy-tolerant
+      * dashboards; the default keeps COUNT exact via the scan.
+      */
+    pushCount: Boolean = false,
     /** Group a push batch's rows by identical label set into ONE stream
       * object with many values. false (default) = REFERENCE PARITY: one
       * stream object per row (insert.rs:186-205), byte-identical
@@ -149,6 +161,7 @@ object LokiOptions {
         ql
       },
       serverMaxEntries = m.getOrElse("server_max_entries", "0").toInt,
+      pushCount = m.getOrElse("push_count", "false").toBoolean,
       groupStreams = m.getOrElse("group_streams", "false").toBoolean)
   }
 }

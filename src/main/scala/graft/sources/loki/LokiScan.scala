@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -32,7 +32,8 @@ class LokiScanBuilder(table: LokiTable)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = LokiDataSource.LOG_SCHEMA
   private var pushedLines: Seq[LogQL.LineFilter] = Nil
@@ -40,6 +41,36 @@ class LokiScanBuilder(table: LokiTable)
   private var endNs: Option[Long] = None
   private var limit: Option[Int] = None
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
+
+  /** Bare COUNT(*) → one `index/stats` request (see
+    * [[LokiOptions.pushCount]]). COMPLETE pushdown only — a partial-agg
+    * contract would make Spark re-aggregate rows the source never
+    * produces — and only when the selector alone determines the count:
+    * no grouping, no line-filter stages (index/stats ignores them; a
+    * silent accept would overcount), no LIMIT.
+    */
+  private def canPushCount(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Boolean =
+    table.options.pushCount &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      pushedLines.isEmpty && table.pushedLineFilters.isEmpty &&
+      limit.isEmpty
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Boolean = canPushCount(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Boolean = {
+    countPushed = canPushCount(agg)
+    countPushed
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition(f => LogQL.fromSourceFilter(f).isDefined)
@@ -95,7 +126,16 @@ class LokiScanBuilder(table: LokiTable)
     // contained a brace (e.g. rlike 'app[0-9]{2}'), making every probe
     // throw and split=stats silently degrade to width
     val selector = LogQL.assemble(matchers, Nil, escape = table.options.escapeLogql)
-    LokiScan(table.options, logql, selector, startNs, endNs, limit, requiredSchema)
+    if (countPushed)
+      // complete COUNT(*) pushdown: the scan's read schema IS the
+      // aggregation output (one non-null long; Spark consumes it
+      // positionally), answered by one index/stats request
+      LokiScan(table.options, logql, selector, startNs, endNs, limit,
+        StructType(Seq(StructField("count(*)", LongType, nullable = false))),
+        countOnly = true)
+    else
+      LokiScan(table.options, logql, selector, startNs, endNs, limit,
+        requiredSchema)
   }
 }
 
@@ -106,7 +146,9 @@ case class LokiScan(
     startNs: Option[Long],
     endNs: Option[Long],
     limit: Option[Int],
-    requiredSchema: StructType) extends Scan with Batch {
+    requiredSchema: StructType,
+    /** Complete COUNT(*) pushdown: answer from index/stats, no scan. */
+    countOnly: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
 
@@ -122,11 +164,18 @@ case class LokiScan(
       (if (limit.isEmpty && options.queryLimit > 0)
          Seq(s"page_size=${options.queryLimit}")
        else Nil) ++
+      // pushed COUNT(*) discloses its stats-answered shape in EXPLAIN
+      (if (countOnly) Seq("count=index/stats") else Nil) ++
       Seq(s"projection=[${requiredSchema.fieldNames.mkString(",")}]")
     s"LokiLogScan: ${parts.mkString(", ")}"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (countOnly)
+      // one request answers the whole aggregate — nothing to slice
+      return Array(LokiInputPartition(
+        options.endpoint, selector, startNs, endNs, None, None,
+        requiredSchema, countOnly = true))
     val n = if (limit.isDefined) 1 else math.max(options.numPartitions, 1)
     // no pushed LIMIT → page through the window with query_limit-sized
     // forward requests (the real-Loki completeness path: an unlimited
@@ -446,11 +495,17 @@ case class LokiInputPartition(
       * option): the reader never requests a limit above it — see
       * [[LokiOptions.serverMaxEntries]].
       */
-    serverMax: Option[Int] = None) extends InputPartition
+    serverMax: Option[Int] = None,
+    /** COUNT(*) answered by one index/stats request (logql here is the
+      * bare selector — canPushCount guarantees no line-filter stages).
+      */
+    countOnly: Boolean = false) extends InputPartition
 
 case class LokiReaderFactory() extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LokiPartitionReader(partition.asInstanceOf[LokiInputPartition])
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LokiInputPartition]
+    if (p.countOnly) new LokiCountReader(p) else new LokiPartitionReader(p)
+  }
 
   /** Columnar decode for the single-request path — the reference streams
     * Arrow batches end-to-end (scan.rs:200-213, batch 4096) and the row
@@ -461,8 +516,10 @@ case class LokiReaderFactory() extends PartitionReaderFactory {
     * logic is inherently per-row (same reason the reference's paged
     * variant would be).
     */
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition.asInstanceOf[LokiInputPartition].pageSize.isEmpty
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val p = partition.asInstanceOf[LokiInputPartition]
+    p.pageSize.isEmpty && !p.countOnly // one stats-derived row: row-based
+  }
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] =
@@ -714,6 +771,23 @@ class LokiPartitionReader(p: LokiInputPartition)
     }
     new GenericInternalRow(values)
   }
+}
+
+/** COUNT(*) answered by ONE `index/stats` request — the scan never runs
+  * (see [[LokiOptions.pushCount]] for the accuracy contract). Time
+  * defaults materialize executor-side exactly like the row reader's.
+  */
+class LokiCountReader(p: LokiInputPartition)
+  extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = !done && { done = true; true }
+  override def get(): InternalRow = {
+    val start = p.startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
+    val end = p.endNs.getOrElse(LokiHttp.nowNs)
+    new GenericInternalRow(Array[Any](
+      java.lang.Long.valueOf(LokiHttp.indexStats(p.endpoint, p.logql, start, end))))
+  }
+  override def close(): Unit = ()
 }
 
 /** Columnar decode of the wire parquet for the single-request path: the

@@ -107,6 +107,63 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally rgStub.stop()
   }
 
+  test("push_count answers COUNT(*) from index/stats without scanning") {
+    val cStub = new LokiStubServer
+    cStub.start()
+    try {
+      val base = 1704067200000000000L
+      cStub.seed((0 until 730).map(i =>
+        cStub.LogRow(base + i * 1000000000L,
+          Map("app" -> (if (i % 3 == 0) "a" else "b")), s"r-$i")))
+      def view(push: Boolean): Unit = spark.read.format("loki")
+        .option("endpoint", cStub.endpoint)
+        .option("default_label", "app")
+        .option("push_count", push.toString)
+        .load().createOrReplaceTempView("loki_count_probe")
+      def counted: Long = spark.sql(
+        """SELECT count(*) FROM loki_count_probe
+          |WHERE labels['app'] = 'a'
+          |  AND timestamp >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND timestamp < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+        .collect().head.getLong(0)
+      // enabled: one stats probe, ZERO query_range scans, exact count
+      view(push = true)
+      val scans0 = cStub.queries.synchronized(cStub.queries.size)
+      val stats0 = cStub.statsCalls.get()
+      assert(counted == 244L)
+      assert(cStub.queries.synchronized(cStub.queries.size) == scans0,
+        "pushed COUNT(*) must not issue query_range")
+      assert(cStub.statsCalls.get() > stats0,
+        "pushed COUNT(*) must hit index/stats")
+      // the plan discloses the stats-answered shape
+      val p = spark.sql(
+        """SELECT count(*) FROM loki_count_probe
+          |WHERE labels['app'] = 'a'""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("count=index/stats"), s"plan was:\n$p")
+      // a LINE filter disqualifies the pushdown (index/stats is
+      // selector-only — silently accepting would overcount) — the scan
+      // path answers instead, same result
+      val scans1 = cStub.queries.synchronized(cStub.queries.size)
+      val lineCounted = spark.sql(
+        """SELECT count(*) FROM loki_count_probe
+          |WHERE labels['app'] = 'a' AND line LIKE '%r-3%'
+          |  AND timestamp >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND timestamp < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)
+        .collect().head.getLong(0)
+      assert(cStub.queries.synchronized(cStub.queries.size) > scans1,
+        "line-filtered COUNT must fall back to the scan")
+      assert(lineCounted ==
+        (0 until 730).count(i => i % 3 == 0 && s"r-$i".contains("r-3")))
+      // disabled (default): the scan answers
+      view(push = false)
+      val scans2 = cStub.queries.synchronized(cStub.queries.size)
+      assert(counted == 244L)
+      assert(cStub.queries.synchronized(cStub.queries.size) > scans2,
+        "default path must scan")
+    } finally cStub.stop()
+  }
+
   test("columnar decode handles empty label maps (definition-0 triplets)") {
     // a stored row with NO labels encodes its map column as one def-0
     // placeholder triplet — the one branch the seeded corpora never hit
