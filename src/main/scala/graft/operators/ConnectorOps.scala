@@ -606,7 +606,8 @@ object ConnectorOps {
     // a bare selector count answers from ONE index/stats request — the
     // scan never streams a chunk (the 100 TB "how many error lines this
     // month" query costs one index read; LokiConnectorSpec proves the
-    // zero-query_range shape and the line-filter/GROUP BY fallbacks).
+    // zero-query_range shape and the line-filter, GROUP BY, LIMIT, and
+    // default-off fallbacks).
     // The differential pins that the stats-derived count equals the true
     // relation count on the stub (exact there; see LokiOptions.pushCount
     // for the real-server compaction caveat that keeps this opt-in).

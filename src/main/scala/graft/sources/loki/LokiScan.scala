@@ -8,6 +8,7 @@ import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -33,7 +34,7 @@ class LokiScanBuilder(table: LokiTable)
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = LokiDataSource.LOG_SCHEMA
   private var pushedLines: Seq[LogQL.LineFilter] = Nil
@@ -50,24 +51,18 @@ class LokiScanBuilder(table: LokiTable)
     * no grouping, no line-filter stages (index/stats ignores them; a
     * silent accept would overcount), no LIMIT.
     */
-  private def canPushCount(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-    : Boolean =
+  private def canPushCount(agg: Aggregation): Boolean =
     table.options.pushCount &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
       pushedLines.isEmpty && table.pushedLineFilters.isEmpty &&
       limit.isEmpty
 
-  override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-    : Boolean = canPushCount(agg)
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushCount(agg)
 
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-    : Boolean = {
+  override def pushAggregation(agg: Aggregation): Boolean = {
     countPushed = canPushCount(agg)
     countPushed
   }
@@ -160,8 +155,10 @@ case class LokiScan(
       startNs.map(s => s"start=$s") ++ endNs.map(e => s"end=$e") ++
       limit.map(l => s"limit=$l") ++
       // paged scans disclose their page size in EXPLAIN (a no-limit scan
-      // with query_limit set reads the window in forward pages)
-      (if (limit.isEmpty && options.queryLimit > 0)
+      // with query_limit set reads the window in forward pages); a
+      // pushed COUNT never pages — disclosing page_size there would
+      // claim a scan that doesn't run
+      (if (!countOnly && limit.isEmpty && options.queryLimit > 0)
          Seq(s"page_size=${options.queryLimit}")
        else Nil) ++
       // pushed COUNT(*) discloses its stats-answered shape in EXPLAIN
@@ -499,7 +496,18 @@ case class LokiInputPartition(
     /** COUNT(*) answered by one index/stats request (logql here is the
       * bare selector — canPushCount guarantees no line-filter stages).
       */
-    countOnly: Boolean = false) extends InputPartition
+    countOnly: Boolean = false) extends InputPartition {
+
+  /** The executor-side concrete window: defaults materialize at execute
+    * time, like scan.rs:104-115 (now−30d…now). ONE definition for all
+    * three readers (row, columnar, count) — the default is a semantic
+    * contract, and a copy drifting in one reader would silently diverge
+    * the paths that are differential-tested against each other.
+    */
+  def effectiveWindow: (Long, Long) =
+    (startNs.getOrElse(LokiHttp.thirtyDaysAgoNs),
+      endNs.getOrElse(LokiHttp.nowNs))
+}
 
 case class LokiReaderFactory() extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -562,10 +570,9 @@ class LokiPartitionReader(p: LokiInputPartition)
 
   private var parquetReader: ParquetFileReader = _
 
-  // defaults evaluated at execute time, like scan.rs:104-115
+  // defaults evaluated at execute time (p.effectiveWindow)
   private lazy val rows: Iterator[InternalRow] = {
-    val start = p.startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
-    val end = p.endNs.getOrElse(LokiHttp.nowNs)
+    val (start, end) = p.effectiveWindow
     p.pageSize match {
       case None =>
         val body = LokiHttp.queryRange(p.endpoint, p.logql, start, end, p.limit)
@@ -782,8 +789,7 @@ class LokiCountReader(p: LokiInputPartition)
   private var done = false
   override def next(): Boolean = !done && { done = true; true }
   override def get(): InternalRow = {
-    val start = p.startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
-    val end = p.endNs.getOrElse(LokiHttp.nowNs)
+    val (start, end) = p.effectiveWindow
     new GenericInternalRow(Array[Any](
       java.lang.Long.valueOf(LokiHttp.indexStats(p.endpoint, p.logql, start, end))))
   }
@@ -828,8 +834,7 @@ class LokiColumnarPartitionReader(p: LokiInputPartition)
   private var batch: ColumnarBatch = _
 
   private def open(): Unit = {
-    val start = p.startNs.getOrElse(LokiHttp.thirtyDaysAgoNs)
-    val end = p.endNs.getOrElse(LokiHttp.nowNs)
+    val (start, end) = p.effectiveWindow
     val body = LokiHttp.queryRange(p.endpoint, p.logql, start, end, p.limit)
     if (body.nonEmpty) {
       parquetReader = ParquetFileReader.open(new ByteArrayInputFile(body))

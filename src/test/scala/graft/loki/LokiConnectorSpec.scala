@@ -155,6 +155,32 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
         "line-filtered COUNT must fall back to the scan")
       assert(lineCounted ==
         (0 until 730).count(i => i % 3 == 0 && s"r-$i".contains("r-3")))
+      // GROUP BY disqualifies too (index/stats cannot split by label) —
+      // the scan answers, counts exact per group
+      val scansG = cStub.queries.synchronized(cStub.queries.size)
+      val grouped = spark.sql(
+        """SELECT labels['app'] AS app, count(*) AS n FROM loki_count_probe
+          |WHERE labels['app'] != 'zzz'
+          |  AND timestamp >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND timestamp < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cStub.queries.synchronized(cStub.queries.size) > scansG,
+        "grouped COUNT must fall back to the scan")
+      assert(grouped == Map("a" -> 244L, "b" -> 486L), s"got $grouped")
+      // a LIMIT below the aggregate disqualifies as well (the scan obeys
+      // the limit; a stats answer would count the whole window)
+      val scansL = cStub.queries.synchronized(cStub.queries.size)
+      val limited = spark.sql(
+        """SELECT count(*) AS n FROM (
+          |  SELECT * FROM loki_count_probe
+          |  WHERE labels['app'] = 'a'
+          |    AND timestamp >= TIMESTAMP '2024-01-01 00:00:00'
+          |    AND timestamp < TIMESTAMP '2024-02-01 00:00:00'
+          |  LIMIT 10)""".stripMargin).collect().head.getLong(0)
+      assert(cStub.queries.synchronized(cStub.queries.size) > scansL,
+        "limited COUNT must fall back to the scan")
+      assert(limited == 10L, s"got $limited")
       // disabled (default): the scan answers
       view(push = false)
       val scans2 = cStub.queries.synchronized(cStub.queries.size)
