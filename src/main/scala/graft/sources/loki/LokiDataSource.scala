@@ -117,6 +117,17 @@ final case class LokiOptions(
       * dashboards; the default keeps COUNT exact via the scan.
       */
     pushCount: Boolean = false,
+    /** Report scan statistics (row count + bytes from `index/stats`) to
+      * Spark's optimizer, so size-based planning — broadcast-join
+      * decisions above all — works for log scans like it does for files.
+      * One cheap index-only request at plan time, memoized per
+      * (endpoint, selector, window). The numbers are the SELECTOR's
+      * (line-filter stages reduce actual rows below them), i.e. an upper
+      * bound — the safe direction for a broadcast decision. OFF by
+      * default: plan-time network calls are an opt-in, exactly like
+      * `split=stats`.
+      */
+    reportStatistics: Boolean = false,
     /** Group a push batch's rows by identical label set into ONE stream
       * object with many values. false (default) = REFERENCE PARITY: one
       * stream object per row (insert.rs:186-205), byte-identical
@@ -162,6 +173,7 @@ object LokiOptions {
       },
       serverMaxEntries = m.getOrElse("server_max_entries", "0").toInt,
       pushCount = m.getOrElse("push_count", "false").toBoolean,
+      reportStatistics = m.getOrElse("report_statistics", "false").toBoolean,
       groupStreams = m.getOrElse("group_streams", "false").toBoolean)
   }
 }

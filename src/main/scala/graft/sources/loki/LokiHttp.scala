@@ -72,7 +72,19 @@ object LokiHttp {
       endpoint: String,
       selector: String,
       startNs: Long,
-      endNs: Long): Long = {
+      endNs: Long): Long =
+    indexStatsFull(endpoint, selector, startNs, endNs)._1
+
+  /** index/stats `(entries, bytes)` — the scan-statistics report needs
+    * both (row count for join planning, bytes for the broadcast size
+    * estimate); [[indexStats]] keeps the entries-only shape its callers
+    * use.
+    */
+  def indexStatsFull(
+      endpoint: String,
+      selector: String,
+      startNs: Long,
+      endNs: Long): (Long, Long) = {
     val enc = java.net.URLEncoder.encode(selector, "UTF-8")
     val uri = URI.create(
       s"$endpoint/loki/api/v1/index/stats?query=$enc&start=$startNs&end=$endNs")
@@ -84,11 +96,14 @@ object LokiHttp {
         s"Loki index/stats failed: HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
     }
     // {"streams":S,"chunks":C,"bytes":B,"entries":E}
-    val m = java.util.regex.Pattern.compile("\"entries\"\\s*:\\s*(\\d+)")
-      .matcher(resp.body())
-    if (!m.find()) throw new RuntimeException(
-      s"Loki index/stats: no entries field in: ${resp.body().take(200)}")
-    m.group(1).toLong
+    def field(name: String): Long = {
+      val m = java.util.regex.Pattern.compile("\"" + name + "\"\\s*:\\s*(\\d+)")
+        .matcher(resp.body())
+      if (!m.find()) throw new RuntimeException(
+        s"Loki index/stats: no $name field in: ${resp.body().take(200)}")
+      m.group(1).toLong
+    }
+    (field("entries"), field("bytes"))
   }
 
   /** push-API POST; body is the JSON `{"streams":[...]}` payload. */

@@ -143,9 +143,59 @@ case class LokiScan(
     limit: Option[Int],
     requiredSchema: StructType,
     /** Complete COUNT(*) pushdown: answer from index/stats, no scan. */
-    countOnly: Boolean = false) extends Scan with Batch {
+    countOnly: Boolean = false)
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
+
+  /** Optimizer statistics from index/stats (see
+    * [[LokiOptions.reportStatistics]]): row count + an estimated byte
+    * size, so Spark's size-based planning — the broadcast-join decision
+    * above all — works for log scans like it does for file scans. The
+    * probe is one index-only request, memoized like the bounds cache
+    * (same minute-rounded default window, so DSv2 Scan rebuilds hit it),
+    * invalidated by the same per-endpoint drop. Selector-level numbers:
+    * line-filter stages only REDUCE actual rows, so the estimate errs
+    * large — the safe direction for a broadcast decision. A failed probe
+    * reports unknown (planner keeps its defaults), never fails the query.
+    */
+  override def estimateStatistics(): Statistics = {
+    import java.util.OptionalLong
+    def unknown = new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+    if (!options.reportStatistics) return unknown
+    if (countOnly) return new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(16L)
+      override def numRows(): OptionalLong = OptionalLong.of(1L)
+    }
+    val minuteNs = 60L * 1000000000L
+    val s = startNs.getOrElse(LokiHttp.thirtyDaysAgoNs / minuteNs * minuteNs)
+    val e = endNs.getOrElse(
+      (LokiHttp.nowNs + minuteNs - 1) / minuteNs * minuteNs)
+    try {
+      val (entries, bytes) =
+        LokiScan.cachedStats(options.endpoint, selector, s, e)
+      val rows = limit.fold(entries)(l => math.min(entries, l.toLong))
+      // bytes is the LINE payload; each row also carries a timestamp and
+      // its label map — a fixed per-row floor keeps tiny-line corpora
+      // from looking free to broadcast
+      val size = (if (entries == 0) 0L
+                  else bytes * rows / entries) + rows * 48L
+      new Statistics {
+        override def sizeInBytes(): OptionalLong = OptionalLong.of(size)
+        override def numRows(): OptionalLong = OptionalLong.of(rows)
+      }
+    } catch {
+      case scala.util.control.NonFatal(ex) =>
+        LokiScan.log.warn(
+          s"report_statistics probe failed for [$selector] " +
+            s"(${ex.getClass.getSimpleName}: ${ex.getMessage}); " +
+            "reporting unknown statistics")
+        unknown
+    }
+  }
 
   override def toBatch: Batch = this
 
@@ -469,11 +519,40 @@ object LokiScan {
     * stop()/clear(); a production cache invalidation on ingest would
     * hang off the same hook.
     */
-  def dropBoundsFor(endpoint: String): Unit =
+  def dropBoundsFor(endpoint: String): Unit = {
     boundsCache.synchronized {
       val stale = boundsCache.keys.filter(_._1 == endpoint).toList
       stale.foreach(boundsCache.remove)
     }
+    statsCache.synchronized {
+      val stale = statsCache.keys.filter(_._1 == endpoint).toList
+      stale.foreach(statsCache.remove)
+    }
+  }
+
+  /** (entries, bytes) memo for [[LokiScan.estimateStatistics]] — same
+    * LRU/per-endpoint-invalidation discipline as the bounds cache (the
+    * optimizer may ask for statistics on every Scan rebuild).
+    */
+  private val statsCache = scala.collection.mutable.LinkedHashMap
+    .empty[(String, String, Long, Long), (Long, Long)]
+
+  private[loki] def cachedStats(
+      endpoint: String, selector: String, s: Long, e: Long): (Long, Long) = {
+    val key = (endpoint, selector, s, e)
+    statsCache.synchronized {
+      statsCache.remove(key).map { v =>
+        statsCache.update(key, v); v // refresh recency
+      }
+    }.getOrElse {
+      val v = LokiHttp.indexStatsFull(endpoint, selector, s, e)
+      statsCache.synchronized {
+        statsCache.update(key, v)
+        while (statsCache.size > 256) statsCache.remove(statsCache.head._1)
+      }
+      v
+    }
+  }
 }
 
 case class LokiInputPartition(

@@ -107,6 +107,47 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally rgStub.stop()
   }
 
+  test("report_statistics feeds the optimizer: small log scans broadcast") {
+    // SupportsReportStatistics from index/stats: with it, Spark's
+    // size-based planner can broadcast a SMALL log scan against a big
+    // relation — the join-planning integration file scans get for free.
+    val sStub = new LokiStubServer
+    sStub.start()
+    try {
+      val base = 1704067200000000000L
+      sStub.seed((0 until 40).map(i =>
+        sStub.LogRow(base + i * 1000000000L, Map("app" -> "s"), s"ln-$i")))
+      def logs(report: Boolean) = spark.read.format("loki")
+        .option("endpoint", sStub.endpoint)
+        .option("default_label", "app")
+        .option("report_statistics", report.toString)
+        .load()
+        .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      // reported: the optimizer sees ~40 rows / a few KB
+      val stats = logs(report = true).queryExecution.optimizedPlan.stats
+      assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 100000,
+        s"expected a small reported size, got ${stats.sizeInBytes}")
+      assert(stats.rowCount.forall(_.toLong <= 40L),
+        s"row count should be the selector's, got ${stats.rowCount}")
+      // unreported (default): planner keeps its conservative default
+      val defStats = logs(report = false).queryExecution.optimizedPlan.stats
+      assert(defStats.sizeInBytes > stats.sizeInBytes,
+        s"default sizing must stay conservative: ${defStats.sizeInBytes}")
+      // and the size drives the JOIN SHAPE: a big static side joined to
+      // the tiny reported scan must broadcast the SCAN side
+      import spark.implicits._
+      val big = spark.range(50000).select(
+        concat(lit("ln-"), (col("id") % 500).cast("string")).as("line"),
+        col("id"))
+      val joined = big.join(logs(report = true).select("line"), "line")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"reported stats should broadcast the small scan:\n$plan")
+      assert(joined.count() == 40 * 100, "join result must be exact")
+    } finally sStub.stop()
+  }
+
   test("push_count answers COUNT(*) from index/stats without scanning") {
     val cStub = new LokiStubServer
     cStub.start()
