@@ -631,6 +631,43 @@ object ConnectorOps {
           |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)),
 
+    // Optimizer-statistics report under the oracle (round 11,
+    // report_statistics=true → SupportsReportStatistics from
+    // index/stats): the self-verifying booleans pin that (a) the
+    // optimizer actually SEES the probe's numbers (optimizedPlan.stats
+    // row count ≤ the stub's corpus, sizeInBytes far below the
+    // conservative default) and (b) the same scan still returns the
+    // exact relation the oracle computes — sizing must never change
+    // results.
+    ("loki_stats_report",
+      (s: SparkSession, d: String) => {
+        val st = stubFor(s, d)
+        val logs = s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "event_type")
+          .option("report_statistics", "true")
+          .load()
+          .filter(element_at(col("labels"), "event_type") === "signup" &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+        val stats = logs.queryExecution.optimizedPlan.stats
+        val statsOk = stats.rowCount.exists(_.toLong <= 100000L) &&
+          stats.sizeInBytes > 0 && stats.sizeInBytes < (1L << 30)
+        import s.implicits._
+        logs.select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .crossJoin(broadcast(Seq(statsOk).toDF("stats_reported_ok")))
+          .orderBy("ts_us", "line")
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line,
+          |       true AS stats_reported_ok
+          |FROM events
+          |WHERE event_type = 'signup'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // Loki label injection under the oracle (round 11): real Loki injects
     // `detected_level` (log-level discovery over the line) and
     // `service_name` (first label in the discover_service_name list) at
