@@ -53,7 +53,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // iteration aid: SPARK_GRAFT_ONLY=comma,separated,prefixes restricts
+    // the run to matching query names (substring match). The driver never
+    // sets it — full-suite artifacts are unaffected.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
 
     // stage counter: each submitted stage pays one scheduling round-trip,
     // so per-query stage counts let BENCH_COMPARE subtract the measured

@@ -1454,16 +1454,24 @@ object DedupOps {
     // shared-shingle computation; DedupSpec separates the two measures.
     ("dedup_containment",
       (s: SparkSession, d: String) => {
-        val w0 = documents(s, d)
+        // base corpus shingles come from the SAME cached relation the
+        // jaccard family builds ([[shingled]] — plan-keyed, so Spark's
+        // CacheManager serves it to every consumer): round-11's cold
+        // profile showed containment re-tokenizing + re-shingling the
+        // whole corpus that dedup_clusters had already materialized.
+        // Only the planted subset docs (1/7 of the corpus, first ⌈n/3⌉
+        // tokens each) shingle from scratch — they exist in no other row.
+        val base = shingled(s, d).cache()
+        val planted = TextOps.spreadScan(documents(s, d))
+          .filter(col("doc_id") % 7 === 0)
           .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        val planted = w0.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + lit(100000L)).as("doc_id"),
             slice(col("tk"), lit(1),
               greatest(ceil(size(col("tk")) / lit(3.0)).cast("int"), lit(3)))
               .as("tk"))
-        val corpus = w0.unionAll(planted)
-          .select(col("doc_id"), array_distinct(shingles(col("tk"), 3)).as("sh"))
-        overlapPairsPrefix(corpus, 0.9)
+          .select(col("doc_id"),
+            array_distinct(shingles(col("tk"), 3)).as("sh"))
+        overlapPairsPrefix(base.unionAll(planted), 0.9)
       },
       Some(
         """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

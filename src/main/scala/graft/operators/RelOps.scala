@@ -1439,6 +1439,19 @@ object RelOps {
           |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin)),
 
     // Sessionization: 30-minute inactivity gap per user (lag + cumulative flag).
+    // The plan is deliberately the BARE window pipeline: one hash exchange
+    // on user_id + in-partition sort, two Window passes over the same
+    // sort (lag → running sum; the second consumes the first, so they
+    // can't fuse), then a sort-local aggregate (hash(user_id) already
+    // satisfies the (user_id, session_id) clustering — no second
+    // exchange) and the deterministic output sort. Column pruning keeps
+    // only (user_id, ts, event_id) through the exchange. A pre-aggregated
+    // (user_id, ts, cnt) variant (session assignment is tie-invariant, so
+    // collapsing equal-(user, ts) rows is sound) was measured WORSE —
+    // 0.76 s vs 0.42 s warm at sf0.1 — because event timestamps are
+    // distinct per user at every SF: the extra (user_id, ts) exchange
+    // buys zero row reduction. Revisit only for corpora with heavy
+    // same-instant bursts.
     ("events_sessionize",
       (s: SparkSession, d: String) => {
         val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

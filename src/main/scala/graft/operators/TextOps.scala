@@ -84,9 +84,12 @@ object TextOps {
     * both engines agree exactly: the per-doc uniform is THREE chained
     * Lehmer steps `x → x·48271 mod (2³¹ − 1)` (one step leaves small
     * sequential ids clustered near zero — measured keeping 100% of a
-    * 500-doc corpus; three steps equidistribute them, and every
-    * intermediate stays < 2⁴⁷, so DuckDB's overflow-checked BIGINT and
-    * Spark compute the same value), the weight is parts-per-million
+    * 500-doc corpus; three steps equidistribute them). doc_id is reduced
+    * `pmod 2³¹−1` BEFORE the first multiply — doc_id itself is unbounded,
+    * and a raw `doc_id·48271` would wrap silently in Spark past ~1.9e14
+    * while DuckDB's overflow-checked BIGINT errors; after the reduction
+    * every intermediate stays < 2⁴⁷, so both engines compute the same
+    * value on ANY int64 doc_id. The weight is parts-per-million
     * `min(1e6, distinct·1e6 div (tokens·2))` (diversity 0.5 ⇒ certain
     * keep), and the keep test cross-multiplies — no doubles anywhere. A
     * production variant swaps the Lehmer mix for xxhash64(doc_id); the
@@ -100,8 +103,8 @@ object TextOps {
         least(lit(1000000L), expr(
           "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000" +
           " div (CAST(size(split(text, ' ')) AS BIGINT) * 2)")).as("w_ppm"),
-        (col("doc_id") * 48271L % 2147483647L * 48271L % 2147483647L
-          * 48271L % 2147483647L).as("u"))
+        (pmod(col("doc_id"), lit(2147483647L)) * 48271L % 2147483647L
+          * 48271L % 2147483647L * 48271L % 2147483647L).as("u"))
       .filter(col("u") * 1000000L < col("w_ppm") * 2147483647L)
       .select(col("doc_id"), col("lang"), col("w_ppm"))
 
@@ -1014,7 +1017,8 @@ object TextOps {
           |           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
           |             * 1000000
           |             // (CAST(len(string_split(text, ' ')) AS BIGINT) * 2)) AS w_ppm,
-          |         doc_id * 48271 % 2147483647 * 48271 % 2147483647
+          |         ((doc_id % 2147483647 + 2147483647) % 2147483647)
+          |           * 48271 % 2147483647 * 48271 % 2147483647
           |           * 48271 % 2147483647 AS u
           |  FROM documents WHERE len(string_split(text, ' ')) >= 1
           |)

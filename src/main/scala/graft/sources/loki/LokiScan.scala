@@ -180,9 +180,15 @@ case class LokiScan(
       val rows = limit.fold(entries)(l => math.min(entries, l.toLong))
       // bytes is the LINE payload; each row also carries a timestamp and
       // its label map — a fixed per-row floor keeps tiny-line corpora
-      // from looking free to broadcast
-      val size = (if (entries == 0) 0L
-                  else bytes * rows / entries) + rows * 48L
+      // from looking free to broadcast. Computed in BigInt and clamped:
+      // bytes × rows overflows int64 on TB-scale selectors (negative or
+      // tiny sizeInBytes would flip the broadcast decision the WRONG way)
+      val size = {
+        val exact =
+          (if (entries == 0) BigInt(0)
+           else BigInt(bytes) * rows / entries) + BigInt(rows) * 48L
+        if (exact > Long.MaxValue) Long.MaxValue else exact.toLong
+      }
       new Statistics {
         override def sizeInBytes(): OptionalLong = OptionalLong.of(size)
         override def numRows(): OptionalLong = OptionalLong.of(rows)
@@ -204,17 +210,32 @@ case class LokiScan(
     val parts = Seq(s"endpoint=${options.endpoint}", s"query=$logql") ++
       startNs.map(s => s"start=$s") ++ endNs.map(e => s"end=$e") ++
       limit.map(l => s"limit=$l") ++
-      // paged scans disclose their page size in EXPLAIN (a no-limit scan
-      // with query_limit set reads the window in forward pages); a
-      // pushed COUNT never pages — disclosing page_size there would
+      // paged scans disclose their EFFECTIVE page size in EXPLAIN — the
+      // same query_limit-or-server_max computation planInputPartitions
+      // uses, so a scan that pages only because server_max_entries is
+      // declared still says so (a plan claiming a single-request scan
+      // that actually pages would break the EXPLAIN-honesty contract);
+      // a pushed COUNT never pages — disclosing page_size there would
       // claim a scan that doesn't run
-      (if (!countOnly && limit.isEmpty && options.queryLimit > 0)
-         Seq(s"page_size=${options.queryLimit}")
+      (if (!countOnly) effectivePageSize.map(p => s"page_size=$p").toSeq
        else Nil) ++
       // pushed COUNT(*) discloses its stats-answered shape in EXPLAIN
       (if (countOnly) Seq("count=index/stats") else Nil) ++
       Seq(s"projection=[${requiredSchema.fieldNames.mkString(",")}]")
     s"LokiLogScan: ${parts.mkString(", ")}"
+  }
+
+  /** The page size the scan will actually request with: an explicit
+    * query_limit wins; otherwise a declared server_max_entries forces
+    * paging at the server cap (completeness opt-in); a pushed LIMIT
+    * never pages. Shared by EXPLAIN ([[description]]) and
+    * [[planInputPartitions]] so the disclosed plan IS the executed one.
+    */
+  private def effectivePageSize: Option[Int] = {
+    val serverMax = Some(options.serverMaxEntries).filter(_ > 0)
+    if (limit.isEmpty && options.queryLimit > 0) Some(options.queryLimit)
+    else if (limit.isEmpty) serverMax
+    else None
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -235,16 +256,15 @@ case class LokiScan(
     for (m <- serverMax; l <- limit) require(l <= m,
       s"pushed LIMIT $l exceeds server_max_entries $m — the server would " +
         "reject or clamp the request")
-    val pageSize =
-      if (limit.isEmpty && options.queryLimit > 0) Some(options.queryLimit)
-      // declaring server_max_entries OPTS INTO completeness: an unlimited
-      // single request against a server with a declared max_entries_limit
-      // is guaranteed to be clamped on any window bigger than the cap —
-      // the silent-truncation trap the option exists to close — so the
-      // scan pages at the server max instead of issuing the
-      // reference-parity unlimited request
-      else if (limit.isEmpty) serverMax
-      else None
+    // declaring server_max_entries OPTS INTO completeness: an unlimited
+    // single request against a server with a declared max_entries_limit
+    // is guaranteed to be clamped on any window bigger than the cap —
+    // the silent-truncation trap the option exists to close — so the
+    // scan pages at the server max instead of issuing the
+    // reference-parity unlimited request. Same computation EXPLAIN
+    // discloses ([[effectivePageSize]]) — the disclosed plan IS the
+    // executed one.
+    val pageSize = effectivePageSize
     if (n == 1) {
       Array(LokiInputPartition(
         options.endpoint, logql, startNs, endNs, limit, pageSize,

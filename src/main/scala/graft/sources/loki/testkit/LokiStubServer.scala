@@ -260,6 +260,12 @@ final class LokiStubServer {
     */
   val statsCalls = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** When set, `index/stats` reports these (bytes, entries) instead of
+    * the seeded rows' actual sums — lets specs simulate a TB-scale
+    * selector (the int64-overflow regime) without seeding 1e9 rows.
+    */
+  @volatile var statsOverride: Option[(Long, Long)] = None
+
   private def handleStats(ex: HttpExchange): Unit = {
     statsCalls.incrementAndGet()
     if (statsLatencyMs > 0) Thread.sleep(statsLatencyMs)
@@ -274,8 +280,10 @@ final class LokiStubServer {
       .filter(r => r.tsNs >= start && r.tsNs < end)
       .filter(r => matchers.forall(_.matches(r.labels)))
     val streams = hits.map(_.labels).distinct.size
+    val (bytes, entries) = statsOverride.getOrElse(
+      (hits.map(_.line.length.toLong).sum, hits.size.toLong))
     val body = s"""{"streams":$streams,"chunks":$streams,""" +
-      s""""bytes":${hits.map(_.line.length.toLong).sum},"entries":${hits.size}}"""
+      s""""bytes":$bytes,"entries":$entries}"""
     respond(ex, 200, body.getBytes(UTF_8))
   }
 

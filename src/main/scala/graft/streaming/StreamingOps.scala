@@ -27,12 +27,16 @@ object StreamingOps {
     * stream construction, which the footer scan it guards dwarfs.
     */
   private val schemaCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Long, Long), StructType]
+    .empty[(SparkSession, String, String), StructType]
 
   private def fileSchema(
       spark: SparkSession, path: String): StructType = {
-    val f = new java.io.File(path)
-    schemaCache.getOrElseUpdate((spark, path, f.lastModified, f.length), {
+    val fp = pathFingerprint(new java.io.File(path))
+    schemaCache.keys.foreach { k =>
+      if ((k._1 eq spark) && k._2 == path && k._3 != fp)
+        schemaCache.remove(k)
+    }
+    schemaCache.getOrElseUpdate((spark, path, fp), {
       Tables.readerConfs(spark)
       spark.read.parquet(path).schema
     })
@@ -65,15 +69,44 @@ object StreamingOps {
   private val drainMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
+  /** Fingerprint one parquet table path. Testdata ships single files,
+    * but a Spark-written table is a DIRECTORY — and a directory's own
+    * length is filesystem noise while its mtime granularity can miss an
+    * in-place regeneration — so a directory fingerprints its member
+    * FILES (sorted name|mtime|length), which any rewrite must touch.
+    */
+  private def pathFingerprint(f: java.io.File): String =
+    if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty).filter(_.isFile)
+        .sortBy(_.getName)
+        .map(p => s"${p.getName}|${p.lastModified}|${p.length}")
+        .mkString(",")
+    else s"${f.lastModified}|${f.length}"
+
   private def dirFingerprint(dir: String): String =
     Seq("events.parquet", "documents.parquet").map { n =>
-      val f = new java.io.File(s"$dir/$n")
-      s"$n|${f.lastModified}|${f.length}"
+      s"$n|${pathFingerprint(new java.io.File(s"$dir/$n"))}"
     }.mkString(";")
 
   def memoDrain(spark: SparkSession, dir: String, key: String)(
-      compute: => DataFrame): DataFrame =
-    drainMemo.getOrElseUpdate((spark, key, dirFingerprint(dir)), compute)
+      compute: => DataFrame): DataFrame = {
+    val fp = dirFingerprint(dir)
+    // evict prior generations of this (session, key): a regenerated
+    // corpus must not pin the stale drained relation (and its memory-sink
+    // state) for the session's lifetime
+    drainMemo.keys.foreach { k =>
+      if ((k._1 eq spark) && k._2 == key && k._3 != fp) drainMemo.remove(k)
+    }
+    drainMemo.getOrElseUpdate((spark, key, fp), compute)
+  }
+
+  /** Live drain-memo entries for a gate key — spec hook pinning that a
+    * corpus regeneration EVICTS the stale generation's entry (round 12:
+    * without eviction every rewrite leaked the prior drained DataFrame
+    * for the session's lifetime).
+    */
+  private[graft] def drainMemoEntries(spark: SparkSession, key: String): Int =
+    drainMemo.keys.count(k => (k._1 eq spark) && k._2 == key)
 
   /** Drop this session's drained-result memos (and any stopped
     * session's); rides [[graft.operators.CacheRegistry.clearSession]].

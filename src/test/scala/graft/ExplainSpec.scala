@@ -167,8 +167,11 @@ class ExplainSpec extends SparkTestBase {
       if (tk.isEmpty) None
       else {
         val w = math.min(1000000L, tk.distinct.length.toLong * 1000000L / (tk.length.toLong * 2))
-        val u = id * 48271L % 2147483647L * 48271L % 2147483647L *
-          48271L % 2147483647L
+        // doc_id reduced mod 2³¹−1 BEFORE the first multiply (round 12:
+        // raw id·48271 wraps silently in Spark past ~1.9e14 while the
+        // oracle's checked BIGINT errors — engine divergence)
+        val u = id % 2147483647L * 48271L % 2147483647L * 48271L %
+          2147483647L * 48271L % 2147483647L
         if (u * 1000000L < w * 2147483647L) Some(id -> w) else None
       }
     }.toMap
@@ -184,6 +187,28 @@ class ExplainSpec extends SparkTestBase {
     val rate = got.size.toDouble / corpus.length
     assert(math.abs(rate - meanW) < 0.15,
       s"realized rate $rate should track mean weight $meanW")
+    // unbounded doc_id (round 12): the mixer must not wrap — a wrapped
+    // negative u would be ALWAYS-KEPT in Spark while DuckDB's checked
+    // BIGINT errors on the same row. Pin u ≥ 0 and the exact replay on
+    // ids around 2^62.
+    import spark.implicits._
+    val hugeDf = Seq(
+      (4611686018427387904L, "en", "a b c d"),
+      (Long.MaxValue - 1, "en", "x x x x x y"))
+      .toDF("doc_id", "lang", "text")
+    val hugeGot = graft.operators.TextOps.weightedSample(hugeDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hugeWant = Seq(
+      4611686018427387904L -> "a b c d".split(" ").toSeq,
+      (Long.MaxValue - 1) -> "x x x x x y".split(" ").toSeq)
+      .flatMap { case (id, tk) =>
+        val w = math.min(1000000L, tk.distinct.length.toLong * 1000000L / (tk.length.toLong * 2))
+        val u = id % 2147483647L * 48271L % 2147483647L * 48271L %
+          2147483647L * 48271L % 2147483647L
+        assert(u >= 0, s"mixer wrapped on id $id")
+        if (u * 1000000L < w * 2147483647L) Some(id -> w) else None
+      }.toMap
+    assert(hugeGot == hugeWant, s"huge-id kept set: $hugeGot vs $hugeWant")
   }
 
   test("source cap plans bounded heaps (partial+final TopKPerKey), not a per-source window") {

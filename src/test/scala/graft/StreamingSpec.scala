@@ -66,6 +66,11 @@ class StreamingSpec extends SparkTestBase {
         .write.mode("overwrite").format("parquet").save(p)
       drain()
       assert(computes == 2, s"rewrite must invalidate the memo ($computes)")
+      // ...and EVICT the stale generation's entry (round 12): without
+      // eviction every corpus rewrite leaked the prior drained DataFrame
+      // for the session's lifetime
+      assert(StreamingOps.drainMemoEntries(spark, "drain_memo_spec") == 1,
+        "stale generation must be evicted on rewrite, not accumulated")
       graft.operators.CacheRegistry.clearSession(spark)
       drain()
       assert(computes == 3, s"clearSession must drop the memo ($computes)")

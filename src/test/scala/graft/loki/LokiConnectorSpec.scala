@@ -148,6 +148,33 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally sStub.stop()
   }
 
+  test("report_statistics survives TB-scale stats (no int64 overflow)") {
+    // bytes × rows overflows int64 once bytes×entries > 2^63 (a ~10 TB
+    // selector with ~1e9 entries); a wrapped-negative/tiny sizeInBytes
+    // would BROADCAST a huge log scan — the opposite of errs-large-safe.
+    // The BigInt-and-clamp fix must report ≥ the true per-entry share.
+    val oStub = new LokiStubServer
+    oStub.start()
+    try {
+      val base = 1704067200000000000L
+      oStub.seed(Seq(oStub.LogRow(base, Map("app" -> "o"), "x")))
+      // 10 TB over 1e9 entries: bytes×entries ≈ 1e22 >> 2^63 ≈ 9.2e18
+      oStub.statsOverride = Some((10L * 1000 * 1000 * 1000 * 1000, 1000000000L))
+      val logs = spark.read.format("loki")
+        .option("endpoint", oStub.endpoint)
+        .option("default_label", "app")
+        .option("report_statistics", "true")
+        .load()
+        .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      val stats = logs.queryExecution.optimizedPlan.stats
+      // true size ≈ 10 TB payload + row floors — far above any broadcast
+      // threshold; the old code wrapped to a small/negative Long here
+      assert(stats.sizeInBytes > BigInt(1000000000000L),
+        s"TB-scale selector must not look broadcastable: ${stats.sizeInBytes}")
+    } finally oStub.stop()
+  }
+
   test("push_count answers COUNT(*) from index/stats without scanning") {
     val cStub = new LokiStubServer
     cStub.start()
@@ -445,6 +472,17 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       val plan = scan(Map("query_limit" -> "100"))
         .queryExecution.executedPlan.toString
       assert(plan.contains("page_size=100"), s"plan was:\n$plan")
+      // EXPLAIN honesty (round 12): a scan that pages only because
+      // server_max_entries is declared (query_limit unset) must still
+      // disclose its effective page size — the disclosed plan IS the
+      // executed one
+      val capPlan = scan(Map("server_max_entries" -> "150"))
+        .queryExecution.executedPlan.toString
+      assert(capPlan.contains("page_size=150"), s"plan was:\n$capPlan")
+      // ...and a pushed LIMIT never pages, so it must NOT claim a page size
+      val limPlan = scan(Map("server_max_entries" -> "150")).limit(50)
+        .queryExecution.executedPlan.toString
+      assert(!limPlan.contains("page_size="), s"plan was:\n$limPlan")
       // server_max_entries ALONE opts into completeness (round 11): an
       // unlimited single request against a declared-cap server would be
       // clamped silently, so the scan pages at the server max instead
