@@ -551,6 +551,51 @@ object ScaleSmoke {
         s"pagerank copies must rank identically (${byCopy.size} copies, base=$prBaseN)")
     }
 
+    // Connector leg (round 12): a MILLION-row stub corpus scanned through
+    // the full 100 TB read shape at once — sliced (partitions=8) ×
+    // paged (query_limit=2000, so each slice walks ~60 forward pages) ×
+    // columnar (the paged vector decoder) — against closed forms: row
+    // count N and Σ id = N(N−1)/2 parsed back out of the line payload,
+    // so a dropped/duplicated row anywhere in the cursor/slice/decode
+    // stack shifts the checksum. Bursts of 4 rows per shared ns exercise
+    // the held-back max-ts-run on virtually every page cut.
+    {
+      import graft.sources.loki.testkit.LokiStubServer
+      val stub = new LokiStubServer
+      stub.start()
+      try {
+        val n = 1000000
+        val base = 1704067200000000000L
+        val labels = Map("app" -> "scale") // shared instance: 1M rows
+        timed("connector_seed_1m") {
+          stub.seed((0 until n).map(i =>
+            stub.LogRow(base + (i / 4).toLong * 1000000L, labels, s"v=$i")))
+        }
+        val scan = spark.read.format("loki")
+          .option("endpoint", stub.endpoint)
+          .option("default_label", "app")
+          .option("partitions", "8")
+          .option("query_limit", "2000")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+        val plan = scan.queryExecution.executedPlan.toString
+        assert(plan.contains("ColumnarToRow") && plan.contains("page_size=2000"),
+          s"scan must be paged AND columnar:\n$plan")
+        val (cnt, sumV) = timed("connector_1m_scan") {
+          val r = scan
+            .select(substring(col("line"), 3, 10).cast("long").as("v"))
+            .agg(count(lit(1)), sum("v")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        assert(cnt == n.toLong && sumV == n.toLong * (n - 1) / 2,
+          s"sliced×paged×columnar scan: got ($cnt, $sumV), " +
+            s"want ($n, ${n.toLong * (n - 1) / 2})")
+        println(s"[scale] connector 1m sliced×paged×columnar OK (rows=$cnt)")
+      } finally stub.stop()
+    }
+
     println("[scale] OK: exact paths agree")
     spark.stop()
   }

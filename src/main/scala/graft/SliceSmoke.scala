@@ -185,6 +185,29 @@ object SliceSmoke {
             s"decode paths disagree: row=$rowRows columnar=$colRows")
           println(f"[slice] decode rows=$rowRows row=$rowSecs%.3fs " +
             f"columnar=$colSecs%.3fs speedup=${rowSecs / colSecs}%.2fx")
+          // paged twin (round 12): the same corpus walked in 2000-row
+          // forward pages through the row pager (held-run queue of
+          // materialized InternalRows) vs the columnar pager (whole-page
+          // vector decode, prefix-batch emission). Same pages both ways;
+          // the delta is decode + held-run bookkeeping.
+          import graft.sources.loki.LokiColumnarPagedReader
+          val paged = part.copy(limit = None, pageSize = Some(2000))
+          val (rowPRows, rowPSecs) = best(3) { () =>
+            val r = new LokiPartitionReader(paged)
+            var c = 0L
+            try { while (r.next()) { r.get(); c += 1 } } finally r.close()
+            c
+          }
+          val (colPRows, colPSecs) = best(3) { () =>
+            val r = new LokiColumnarPagedReader(paged)
+            var c = 0L
+            try { while (r.next()) c += r.get().numRows() } finally r.close()
+            c
+          }
+          require(rowPRows == colPRows && rowPRows == rowRows,
+            s"paged decode paths disagree: row=$rowPRows columnar=$colPRows")
+          println(f"[slice] decode-paged rows=$rowPRows row=$rowPSecs%.3fs " +
+            f"columnar=$colPSecs%.3fs speedup=${rowPSecs / colPSecs}%.2fx")
         }
       } finally stub.stop()
     }

@@ -136,7 +136,14 @@ final case class LokiOptions(
       * identical either way (Loki associates each value with its
       * stream's labels); only the payload shape changes.
       */
-    groupStreams: Boolean = false) extends Serializable
+    groupStreams: Boolean = false,
+    /** Decode wire parquet into ColumnarBatches (both the single-request
+      * and paged read shapes) — the reference's end-to-end columnar shape
+      * (scan.rs:200-213). false forces the row-based readers; kept as a
+      * user-visible escape hatch and so the differential specs can pin
+      * the two decode paths against each other on the same corpus.
+      */
+    columnar: Boolean = true) extends Serializable
 
 object LokiOptions {
   def from(m: CaseInsensitiveStringMap): LokiOptions = from(m.asScala.toMap)
@@ -174,7 +181,8 @@ object LokiOptions {
       serverMaxEntries = m.getOrElse("server_max_entries", "0").toInt,
       pushCount = m.getOrElse("push_count", "false").toBoolean,
       reportStatistics = m.getOrElse("report_statistics", "false").toBoolean,
-      groupStreams = m.getOrElse("group_streams", "false").toBoolean)
+      groupStreams = m.getOrElse("group_streams", "false").toBoolean,
+      columnar = m.getOrElse("columnar", "true").toBoolean)
   }
 }
 

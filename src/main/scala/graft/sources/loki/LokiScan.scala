@@ -359,7 +359,17 @@ case class LokiScan(
     val deadline = System.nanoTime() + options.statsBudgetMs * 1000000L
     try {
       LokiScan.balancedCuts(
-        (lo, hi) => LokiHttp.indexStats(options.endpoint, selector, lo, hi),
+        // the ROOT probe (the full [s, e) window) routes through the
+        // shared per-(endpoint, selector, window) stats memo that
+        // report_statistics also feeds: a stats-split scan of a query
+        // the optimizer already sized pays zero extra probes for the
+        // total, and vice versa. Bisection sub-probes stay direct —
+        // hundreds of one-off sub-window entries would churn the memo's
+        // LRU without any second consumer.
+        (lo, hi) =>
+          if (lo == s && hi == e)
+            LokiScan.cachedStats(options.endpoint, selector, lo, hi)._1
+          else LokiHttp.indexStats(options.endpoint, selector, lo, hi),
         s, e, eff,
         probeParallelism = options.statsProbeParallelism,
         shouldStop = () => System.nanoTime() > deadline)
@@ -380,7 +390,7 @@ case class LokiScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    LokiReaderFactory()
+    LokiReaderFactory(options.columnar)
 }
 
 object LokiScan {
@@ -608,29 +618,33 @@ case class LokiInputPartition(
       endNs.getOrElse(LokiHttp.nowNs))
 }
 
-case class LokiReaderFactory() extends PartitionReaderFactory {
+case class LokiReaderFactory(columnar: Boolean = true)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LokiInputPartition]
     if (p.countOnly) new LokiCountReader(p) else new LokiPartitionReader(p)
   }
 
-  /** Columnar decode for the single-request path — the reference streams
-    * Arrow batches end-to-end (scan.rs:200-213, batch 4096) and the row
-    * reader was the remaining connector CPU gap: the wire parquet now
-    * decodes straight into column vectors (low-level column readers, no
-    * per-row Group materialization) and Spark consumes ColumnarBatches.
-    * The PAGED path stays row-based: its cursor/held-run completeness
-    * logic is inherently per-row (same reason the reference's paged
-    * variant would be).
+  /** Columnar decode for BOTH scan shapes — the reference streams Arrow
+    * batches end-to-end (scan.rs:200-213, batch 4096) and the row readers
+    * were the remaining connector CPU gap: the wire parquet decodes
+    * straight into column vectors (low-level column readers, no per-row
+    * Group materialization) and Spark consumes ColumnarBatches. The paged
+    * path (the 100 TB shape: unbounded scans page past the server cap)
+    * runs its held-back max-ts-run cursor over the decoded timestamp
+    * VECTOR — the emit range is always a page prefix, so completeness
+    * needs no per-row materialization (see [[LokiColumnarPagedReader]]).
+    * A pushed COUNT stays row-based (one stats-derived row).
     */
-  override def supportColumnarReads(partition: InputPartition): Boolean = {
-    val p = partition.asInstanceOf[LokiInputPartition]
-    p.pageSize.isEmpty && !p.countOnly // one stats-derived row: row-based
-  }
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && !partition.asInstanceOf[LokiInputPartition].countOnly
 
   override def createColumnarReader(
-      partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new LokiColumnarPartitionReader(partition.asInstanceOf[LokiInputPartition])
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[LokiInputPartition]
+    if (p.pageSize.isEmpty) new LokiColumnarPartitionReader(p)
+    else new LokiColumnarPagedReader(p)
+  }
 }
 
 /** Executor-side reader: HTTP range query(-ies), buffered body, parquet
@@ -1053,4 +1067,198 @@ class LokiColumnarPartitionReader(p: LokiInputPartition)
     if (batch != null) { batch.close(); batch = null }
     if (parquetReader != null) { parquetReader.close(); parquetReader = null }
   }
+}
+
+/** Columnar decode for the PAGED path — the 100 TB scan shape (an
+  * unbounded scan against a capped server walks the window in forward
+  * pages). The row pager's held-back max-ts-run completeness argument
+  * maps onto vectors directly: forward pages are ts-ascending, so the
+  * rows that are SAFE to emit from a full page are exactly the prefix
+  * strictly below the page's max timestamp — the trailing max-ts run
+  * (which the page limit may have cut mid-run) is never emitted and the
+  * next request re-reads it from `start = maxTs` (inclusive). A page
+  * therefore decodes once into column vectors (the single-request
+  * reader's wire-decode shape, no per-row Group/InternalRow
+  * materialization) and emits ONE ColumnarBatch over the safe prefix;
+  * the held-back tail is just the rows past the batch's numRows — no
+  * copy, no row materialization. Short pages (window exhausted) emit
+  * whole; the degenerate full page entirely at the cursor's own ns
+  * doubles the limit exactly like the row pager (same loud failure past
+  * the server cap). The timestamp column is always decoded for the
+  * cursor — into a raw-ns array, never into the output vectors unless
+  * projected.
+  */
+class LokiColumnarPagedReader(p: LokiInputPartition)
+  extends PartitionReader[ColumnarBatch] {
+
+  import org.apache.parquet.column.impl.ColumnReadStoreImpl
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val wanted = p.requiredSchema.fieldNames
+
+  private val maxPs = p.serverMax.getOrElse(math.max(p.pageSize.get, 1 << 20))
+  private var ps = math.min(p.pageSize.get, maxPs)
+  private lazy val window = p.effectiveWindow
+  private var cursor = Long.MinValue // initialized on first fetch
+  private var started = false
+  private var done = false
+  private var batch: ColumnarBatch = _
+
+  /** Decode one wire-parquet page body fully into column vectors +
+    * the raw-ns timestamp array (cursor source). Enforces the
+    * forward-ascending contract the held-run argument rests on.
+    */
+  private def decodePage(
+      body: Array[Byte]): (Array[OnHeapColumnVector], Array[Long], Int) = {
+    val reader = ParquetFileReader.open(new ByteArrayInputFile(body))
+    try {
+      val md = reader.getFooter.getFileMetaData
+      val fileSchema = md.getSchema
+      val total = reader.getRecordCount.toInt
+      val tsNs = new Array[Long](total)
+      val vecs = OnHeapColumnVector.allocateColumns(math.max(total, 1),
+        p.requiredSchema)
+      // decode needs the timestamp column for the cursor even when the
+      // projection pruned it (the row pager's rule)
+      val decodeCols =
+        if (!wanted.contains("timestamp")) wanted :+ "timestamp" else wanted
+      val requested = new MessageType(fileSchema.getName,
+        decodeCols.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+      var rowBase = 0
+      var mapOffset = 0
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val n = pages.getRowCount.toInt
+        if (n > 0) {
+          val store = new ColumnReadStoreImpl(pages,
+            new GroupRecordConverter(requested).getRootConverter, requested,
+            md.getCreatedBy)
+          def rd(path: String*) =
+            store.getColumnReader(requested.getColumnDescription(path.toArray))
+          val tsReader = rd("timestamp")
+          val emitTs = wanted.indexOf("timestamp")
+          var r = 0
+          while (r < n) {
+            val ns = tsReader.getLong
+            tsReader.consume()
+            tsNs(rowBase + r) = ns
+            if (rowBase + r > 0 && ns < tsNs(rowBase + r - 1))
+              throw new IllegalStateException(
+                s"Loki scan: out-of-order forward response (ts $ns after " +
+                s"${tsNs(rowBase + r - 1)}) from ${p.endpoint}")
+            // Loki ns → Spark µs, truncating (§7.4(b))
+            if (emitTs >= 0) vecs(emitTs).putLong(rowBase + r, ns / 1000L)
+            r += 1
+          }
+          val emitLine = wanted.indexOf("line")
+          if (emitLine >= 0) {
+            val lineReader = rd("line")
+            r = 0
+            while (r < n) {
+              val b = lineReader.getBinary.getBytes
+              vecs(emitLine).putByteArray(rowBase + r, b, 0, b.length)
+              lineReader.consume()
+              r += 1
+            }
+          }
+          val emitLabels = wanted.indexOf("labels")
+          if (emitLabels >= 0) {
+            val keyReader = rd("labels", "key_value", "key")
+            val valReader = rd("labels", "key_value", "value")
+            val keys = vecs(emitLabels).getChild(0).asInstanceOf[
+              org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+            val vals = vecs(emitLabels).getChild(1).asInstanceOf[
+              org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+            val kvTotal = keyReader.getTotalValueCount
+            var consumed = 0L
+            r = 0
+            while (r < n) {
+              var cnt = 0
+              if (keyReader.getCurrentDefinitionLevel == 0) {
+                keyReader.consume(); valReader.consume()
+                consumed += 1
+              } else {
+                var more = true
+                while (more) {
+                  val kb = keyReader.getBinary.getBytes
+                  val vb = valReader.getBinary.getBytes
+                  keys.appendByteArray(kb, 0, kb.length)
+                  vals.appendByteArray(vb, 0, vb.length)
+                  keyReader.consume(); valReader.consume()
+                  consumed += 1
+                  cnt += 1
+                  more = consumed < kvTotal &&
+                    keyReader.getCurrentRepetitionLevel == 1
+                }
+              }
+              vecs(emitLabels).putArray(rowBase + r, mapOffset, cnt)
+              mapOffset += cnt
+              r += 1
+            }
+          }
+          rowBase += n
+        }
+        pages = reader.readNextRowGroup()
+      }
+      (vecs, tsNs, rowBase)
+    } finally reader.close()
+  }
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    if (!started) { cursor = window._1; started = true }
+    while (!done) {
+      val body = LokiHttp.queryRange(
+        p.endpoint, p.logql, cursor, window._2, Some(ps), forward = true)
+      if (body.isEmpty) { done = true; return false }
+      val (vecs, tsNs, rows) = decodePage(body)
+      if (rows == 0) { done = true; return false }
+      if (rows < ps) {
+        // short page: the window is exhausted — nothing can be cut
+        done = true
+        batch = new ColumnarBatch(vecs.map(_.asInstanceOf[
+          org.apache.spark.sql.vectorized.ColumnVector]), rows)
+        return true
+      }
+      // full page: the trailing max-ts run may be cut mid-run by the
+      // page limit — emit only the prefix strictly below maxTs
+      val maxTs = tsNs(rows - 1)
+      var cut = rows - 1
+      while (cut > 0 && tsNs(cut - 1) == maxTs) cut -= 1
+      if (cut > 0) {
+        cursor = maxTs
+        ps = p.pageSize.get // re-anchor after any burst doubling
+        batch = new ColumnarBatch(vecs.map(_.asInstanceOf[
+          org.apache.spark.sql.vectorized.ColumnVector]), cut)
+        return true
+      }
+      // whole page at ONE ns
+      vecs.foreach(_.close())
+      if (maxTs > cursor) {
+        // ...at a LATER ns: cursor advances, re-read the run whole
+        cursor = maxTs
+        ps = p.pageSize.get
+      } else {
+        // ...at the cursor's own ns: the cursor cannot advance — retry
+        // with a doubled limit until the burst fits in one (then-short)
+        // page; past the ceiling fail loudly instead of dropping rows
+        if (ps >= maxPs)
+          throw new IllegalStateException(
+            s"Loki scan: more than $ps entries share the nanosecond " +
+            s"timestamp $maxTs and the forward cursor cannot advance " +
+            "past it; raise the query_limit option above the largest " +
+            "same-timestamp burst" +
+            p.serverMax.fold("")(m => s" (adaptive growth is capped " +
+              s"at server_max_entries=$m — a burst must fit strictly " +
+              "inside one page to prove itself complete)"))
+        ps = math.min(ps.toLong * 2, maxPs.toLong).toInt
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit =
+    if (batch != null) { batch.close(); batch = null }
 }

@@ -39,7 +39,9 @@ final class LokiStubServer {
   def ingested: Seq[LogRow] = rows.synchronized(rows.toSeq)
 
   def clear(): Unit = {
-    rows.synchronized { rows.clear(); seen.clear(); respCache.clear() }
+    rows.synchronized {
+      rows.clear(); seen.clear(); respCache.clear(); sortedCache = null
+    }
     // the dataset behind this endpoint just changed — stale stats-split
     // boundary placements for it must not survive (see dropBoundsFor)
     if (server != null) graft.sources.loki.LokiScan.dropBoundsFor(endpoint)
@@ -49,7 +51,9 @@ final class LokiStubServer {
     * that need the stored rows to equal a known relation exactly.
     */
   def seed(rs: Iterable[LogRow]): Unit =
-    rows.synchronized { rows ++= rs; seen ++= rs; respCache.clear() }
+    rows.synchronized {
+      rows ++= rs; seen ++= rs; respCache.clear(); sortedCache = null
+    }
 
   /** Requests observed, for pushdown assertions (query string per scan). */
   val queries = mutable.ArrayBuffer.empty[String]
@@ -63,6 +67,17 @@ final class LokiStubServer {
   // Real Loki caches query results the same way; here it keeps repeated
   // harness scans (bench warm-up + timed pass) from re-encoding parquet.
   private val respCache = mutable.Map.empty[(String, Long, Long, Option[Int]), Array[Byte]]
+
+  /** ts-sorted snapshot of `rows`, built once per corpus generation
+    * (invalidated wherever respCache is) — the paged-walk query handler
+    * binary-searches it instead of re-sorting the store per request.
+    */
+  @volatile private var sortedCache: Array[LogRow] = null
+  private def sortedSnapshot(): Array[LogRow] = rows.synchronized {
+    if (sortedCache == null)
+      sortedCache = rows.toArray.sortBy(_.tsNs)
+    sortedCache
+  }
 
   /** Simulated per-request RTT for index/stats probes (ms), for the
     * SliceSmoke real-endpoint-latency leg: plan-time probe latency is the
@@ -180,7 +195,7 @@ final class LokiStubServer {
       // the stub must model it or stub-backed runs double-count retries.
       val row = r.copy(labels = injected)
       rows.synchronized {
-        if (seen.add(row)) { rows += row; respCache.clear() }
+        if (seen.add(row)) { rows += row; respCache.clear(); sortedCache = null }
       }
     }
     respond(ex, 204, Array.emptyByteArray)
@@ -238,14 +253,35 @@ final class LokiStubServer {
       val key = (logql, start, end, limit)
       val body = rows.synchronized(respCache.get(key)).getOrElse {
         val (matchers, lineFilters) = parseLogql(logql)
-        var hits = rows.synchronized(rows.toSeq)
-          .filter(r => r.tsNs >= start && r.tsNs < end)
-          .filter(r => matchers.forall(_.matches(r.labels)))
-          .filter(r => lineFilters.forall(_.matches(r.line)))
-          .sortBy(_.tsNs)
-        limit.foreach(n => hits = hits.take(n))
-        val bytes = toParquet(hits)
-        rows.synchronized(respCache.update(key, bytes))
+        // sorted snapshot + binary-searched lower bound: a paged walk
+        // over a big corpus issues thousands of window requests, and the
+        // old filter-then-sort paid O(n log n) PER PAGE — the snapshot
+        // sorts once per generation and each page scans forward from its
+        // cursor, stopping at the limit (same stable tie order as the
+        // old sortBy: both sort the insertion sequence by tsNs)
+        val all = sortedSnapshot()
+        var lo = 0
+        var hi = all.length
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (all(m).tsNs < start) lo = m + 1 else hi = m
+        }
+        val cap = limit.getOrElse(Int.MaxValue)
+        val hits = mutable.ArrayBuffer.empty[LogRow]
+        var i = lo
+        while (i < all.length && all(i).tsNs < end && hits.size < cap) {
+          val r = all(i)
+          if (matchers.forall(_.matches(r.labels)) &&
+              lineFilters.forall(_.matches(r.line))) hits += r
+          i += 1
+        }
+        val bytes = toParquet(hits.toSeq)
+        rows.synchronized {
+          // bound the per-page body cache: a long paged walk would
+          // otherwise accumulate every page's parquet bytes
+          if (respCache.size > 256) respCache.clear()
+          respCache.update(key, bytes)
+        }
         bytes
       }
       respond(ex, 200, body)
@@ -259,6 +295,12 @@ final class LokiStubServer {
     * probing; `statsCalls` lets specs assert the probe count.
     */
   val statsCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Per-probe (start, end) windows as received — lets specs assert WHICH
+    * windows were probed (e.g. that a stats-split scan's root probe was
+    * served by the shared memo, not re-requested).
+    */
+  val statsRanges = mutable.ArrayBuffer.empty[(Long, Long)]
 
   /** When set, `index/stats` reports these (bytes, entries) instead of
     * the seeded rows' actual sums — lets specs simulate a TB-scale
@@ -276,6 +318,7 @@ final class LokiStubServer {
     val (matchers, _) = parseLogql(params("query"))
     val start = params.get("start").map(_.toLong).getOrElse(Long.MinValue)
     val end = params.get("end").map(_.toLong).getOrElse(Long.MaxValue)
+    statsRanges.synchronized(statsRanges += ((start, end)))
     val hits = rows.synchronized(rows.toSeq)
       .filter(r => r.tsNs >= start && r.tsNs < end)
       .filter(r => matchers.forall(_.matches(r.labels)))

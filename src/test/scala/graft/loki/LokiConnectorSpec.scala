@@ -48,12 +48,12 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       s"{$ls} ${r.getAs[String]("line")}"
     }.sorted
 
-  test("single-request scans decode columnar; paged scans stay row-based") {
+  test("both scan shapes decode columnar; columnar=false forces the row path") {
     // the reference streams Arrow batches end-to-end (scan.rs:200-213);
-    // the single-request path decodes wire parquet straight into column
-    // vectors, so the plan must carry the ColumnarToRow transition. The
-    // paged path's cursor/held-run logic is per-row by nature — no
-    // columnar claim there.
+    // both the single-request path and (round 12) the paged path decode
+    // wire parquet straight into column vectors, so their plans must
+    // carry the ColumnarToRow transition. columnar=false is the escape
+    // hatch that pins the row readers for differential testing.
     val colPlan = lokiDf().queryExecution.executedPlan.toString
     assert(colPlan.contains("ColumnarToRow"),
       s"single-request scan must be columnar:\n$colPlan")
@@ -62,12 +62,23 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       .option("default_label", "app")
       .option("query_limit", "100")
       .load().queryExecution.executedPlan.toString
-    assert(!pagedPlan.contains("ColumnarToRow"),
-      s"paged scan must stay row-based:\n$pagedPlan")
-    // both decode paths agree on the relation, map column included
-    assert(golden(lokiDf()) == Seq(
+    assert(pagedPlan.contains("ColumnarToRow"),
+      s"paged scan must be columnar too:\n$pagedPlan")
+    val rowPlan = spark.read.format("loki")
+      .option("endpoint", stub.endpoint)
+      .option("default_label", "app")
+      .option("columnar", "false")
+      .load().queryExecution.executedPlan.toString
+    assert(!rowPlan.contains("ColumnarToRow"),
+      s"columnar=false must force the row reader:\n$rowPlan")
+    // all decode paths agree on the relation, map column included
+    val want = Seq(
       "{app=my-app1,detected_level=unknown,service_name=my-app1} this is aaa log",
-      "{app=my-app2,detected_level=unknown,service_name=my-app2} this is bbb log"))
+      "{app=my-app2,detected_level=unknown,service_name=my-app2} this is bbb log")
+    assert(golden(lokiDf()) == want)
+    assert(golden(spark.read.format("loki")
+      .option("endpoint", stub.endpoint).option("default_label", "app")
+      .option("columnar", "false").load()) == want)
   }
 
   test("both decode paths are complete across multiple wire row groups") {
@@ -104,6 +115,19 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       val viaPaged = scan(Map("query_limit" -> "700"))
         .select("line").collect().map(_.getString(0)).sorted.toSeq
       assert(viaPaged == expected, "paged path dropped/duplicated rows")
+      // the ROW readers (columnar=false escape hatch) must agree on the
+      // same multi-row-group corpus, both shapes
+      val viaRow = scan(Map("columnar" -> "false"))
+        .select("line").collect().map(_.getString(0)).sorted.toSeq
+      assert(viaRow == expected, "row path dropped/duplicated rows")
+      val viaRowPaged = scan(Map("columnar" -> "false", "query_limit" -> "700"))
+        .select("line").collect().map(_.getString(0)).sorted.toSeq
+      assert(viaRowPaged == expected, "row paged path dropped/duplicated rows")
+      // labels decode across page AND group boundaries on the columnar
+      // paged path too
+      assert(scan(Map("query_limit" -> "700"))
+        .select(map_keys(col("labels")))
+        .collect().forall(_.getSeq[String](0).contains("app")))
     } finally rgStub.stop()
   }
 
@@ -855,6 +879,53 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
         .groupBy("p").count().collect().map(_.getLong(1))
       assert(per.max <= 50, s"stats split must break the spike: ${per.toSeq}")
     } finally statsStub.stop()
+  }
+
+  test("report_statistics and split=stats share the full-window probe (one memo)") {
+    // both features probe the same index/stats endpoint; round 12 unifies
+    // them on one per-(endpoint, selector, window) memo so a stats-split
+    // scan of a query the optimizer already sized never re-probes the
+    // full window (and vice versa) — only bisection SUB-windows go out.
+    val uStub = new graft.sources.loki.testkit.LokiStubServer
+    uStub.start()
+    try {
+      val base = 1704067200000000000L
+      val hour = 3600L * 1000000000L
+      uStub.seed((0 until 100).map { i =>
+        val ts = if (i < 90) base + 24 * hour + i * (hour / 90)
+                 else base + (i - 90) * 9 * hour
+        uStub.LogRow(ts, Map("app" -> "u"), s"r$i")
+      })
+      def scan(extra: Map[String, String]) = {
+        val r = spark.read.format("loki")
+          .option("endpoint", uStub.endpoint)
+          .option("default_label", "app")
+        extra.foreach { case (k, v) => r.option(k, v) }
+        r.load().filter(
+          col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-01-05 00:00:00").cast("timestamp"))
+      }
+      // 1. optimizer sizes the scan — this probes the FULL window once
+      val st = scan(Map("report_statistics" -> "true"))
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.exists(_.toLong == 100L), s"sizing probe: $st")
+      val fullWindows0 = uStub.statsRanges.synchronized(uStub.statsRanges.toList)
+      assert(fullWindows0.nonEmpty, "sizing must have probed")
+      val full = fullWindows0.head // the sized window (s, e)
+      // 2. a stats-split scan of the SAME window: its root count must be
+      //    served by the shared memo — no second full-window probe
+      val before = uStub.statsRanges.synchronized(uStub.statsRanges.size)
+      val per = scan(Map("split" -> "stats", "partitions" -> "4"))
+        .select(spark_partition_id().as("p"))
+        .groupBy("p").count().collect().map(_.getLong(1))
+      assert(per.sum == 100, s"stats-split scan must stay complete: ${per.toSeq}")
+      val probed = uStub.statsRanges.synchronized(
+        uStub.statsRanges.drop(before).toList)
+      assert(probed.nonEmpty, "bisection sub-probes must still fire")
+      assert(!probed.contains(full),
+        s"full window $full re-probed — the memo must serve the root count " +
+          s"(saw ${probed.take(8)}...)")
+    } finally uStub.stop()
   }
 
   test("split=stats probes survive a brace inside a pushed regex matcher") {

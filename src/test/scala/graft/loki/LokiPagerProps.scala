@@ -3,7 +3,7 @@ package graft.loki
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.scalacheck.{Gen, Prop, Properties}
 
-import graft.sources.loki.{LokiInputPartition, LokiPartitionReader}
+import graft.sources.loki.{LokiColumnarPagedReader, LokiInputPartition, LokiPartitionReader}
 import graft.sources.loki.testkit.LokiStubServer
 
 /** Randomized completeness property for the forward-cursor pager
@@ -47,8 +47,19 @@ object LokiPagerProps extends Properties("LokiPager") {
         try {
           while (reader.next()) got += reader.get().getUTF8String(0).toString
         } finally reader.close()
+        // the COLUMNAR pager (round 12) must return the identical
+        // relation through its vector-offset cursor on every profile
+        val creader = new LokiColumnarPagedReader(part)
+        val cgot = scala.collection.mutable.ArrayBuffer.empty[String]
+        try {
+          while (creader.next()) {
+            val it = creader.get().rowIterator()
+            while (it.hasNext) cgot += it.next().getUTF8String(0).toString
+          }
+        } finally creader.close()
         val want = rows.map(_.line).sorted
-        Prop.?=(got.sorted.toSeq, want) :| s"ps=$ps profile=$mult"
+        (Prop.?=(got.sorted.toSeq, want) :| s"row ps=$ps profile=$mult") &&
+          (Prop.?=(cgot.sorted.toSeq, want) :| s"columnar ps=$ps profile=$mult")
       }
     }
 }
