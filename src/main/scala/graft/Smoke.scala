@@ -19,6 +19,11 @@ object Smoke {
     spark.sparkContext.setLogLevel("WARN")
     val n = SparkEntry.entry(spark).count()
     println(s"[smoke] entry rows=$n " + (if (n > 0) "OK" else "EMPTY"))
+    // gate size, derived from the source of truth — precommit.sh compares
+    // this against the count SURVEY.md/BASELINE.md claim, so the docs can
+    // never drift from the artifact again (round-11 verdict item 4: prose
+    // froze at 178 while the gate shipped 179)
+    println(s"[smoke] gate_queries=${SparkEntry.queries.size}")
     spark.stop()
     if (n == 0) sys.exit(1)
   }

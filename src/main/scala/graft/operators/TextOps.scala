@@ -754,6 +754,12 @@ object TextOps {
       .select(col("lang"), toks.as("tk"))
       .select(col("lang"), explode(shingles(col("tk"), n)).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+      // aggregate-compressed (gram-vocabulary-sized, the pmiBigrams
+      // precedent) and the dominant cost of this query — the corpus
+      // explode pass; cached so repeat invocations re-run only the
+      // bounded top-k + sort over it
+      .cache()
+    CacheRegistry.register(cnts, Seq(cnts))
     graft.plans.GraftPlans
       .topKPerKey(cnts, Seq("lang"), Seq("cnt" -> false, "g" -> true), k)
   }
@@ -2104,25 +2110,38 @@ object TextOps {
         // lexical leg = the SAME bm25Top20 scorer as text_bm25_search
         // (shared helper — the two legs can't drift apart)
         val lexTop = bm25Top20(documents(s, d), Seq("spark", "table", "query"))
-        val lex = lexTop.select(col("doc_id"),
-          row_number().over(Window.orderBy(col("score6").desc, col("doc_id")))
-            .cast("long").as("lrank"))
         val emb = embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val qv = emb.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+        // the semantic leg's top-20 is output-capped but its lineage is
+        // the full-corpus cosine scan — cached (20 rows) so repeat
+        // invocations pay only the fusion over the two capped lists (the
+        // lexical leg's corpus pass already persists inside bm25Top20)
         val semTop = emb.crossJoin(broadcast(qv))
           .select(col("vec_id").as("doc_id"),
             round(cosine_sim(col("v"), col("qv")) * 1e6, 0).cast("long").as("sim6"))
           .orderBy(col("sim6").desc, col("doc_id")).limit(20)
-        val sem = semTop.select(col("doc_id"),
-          row_number().over(Window.orderBy(col("sim6").desc, col("doc_id")))
-            .cast("long").as("srank"))
-        lex.join(sem, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"),
-            (coalesce(expr("1000000 div (60 + lrank)"), lit(0L)) +
-              coalesce(expr("1000000 div (60 + srank)"), lit(0L))).as("rrf6"),
-            coalesce(col("lrank"), lit(0L)).as("lrank"),
-            coalesce(col("srank"), lit(0L)).as("srank"))
+          .cache()
+        CacheRegistry.register(semTop, Seq(semTop))
+        // fusion in ONE pass over the union of the two capped lists: a
+        // single leg-partitioned window ranks both legs (each ≤ 20 rows),
+        // and a doc_id aggregate replaces the full_outer join — two
+        // single-partition window exchanges + a join collapse into one
+        // 2-key window + one aggregate, halving this query's stage count
+        // (its inputs are cached 20-row lists; stage floors WERE the cost)
+        val fused = lexTop
+          .select(col("doc_id"), col("score6").as("sc"), lit("l").as("leg"))
+          .unionAll(semTop
+            .select(col("doc_id"), col("sim6").as("sc"), lit("s").as("leg")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("leg").orderBy(col("sc").desc, col("doc_id")))
+            .cast("long"))
+        fused.groupBy("doc_id")
+          .agg(sum(expr("1000000 div (60 + rank)")).as("rrf6"),
+            coalesce(max(when(col("leg") === "l", col("rank"))), lit(0L))
+              .as("lrank"),
+            coalesce(max(when(col("leg") === "s", col("rank"))), lit(0L))
+              .as("srank"))
           .orderBy(col("rrf6").desc, col("doc_id")).limit(10)
       },
       Some(

@@ -100,6 +100,17 @@ final class LokiStubServer {
     */
   @volatile var rowGroupBytes: Long = 128L * 1024 * 1024
 
+  /** Wire-encoding knobs (round 12): a real Loki with
+    * `frontend.support_parquet_encoding` picks its own compression
+    * codec, dictionary policy, and data-page version — the readers
+    * accept whatever parquet-java handles (the reference inherits the
+    * same contract from ParquetRecordBatchStreamBuilder,
+    * scan.rs:200-213). The conformance matrix spec sweeps these.
+    */
+  @volatile var wireCodec: CompressionCodecName = CompressionCodecName.UNCOMPRESSED
+  @volatile var wireDictionary: Boolean = true
+  @volatile var wireV2Pages: Boolean = false
+
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     // a real Loki serves concurrent requests; the default (null) executor
@@ -453,7 +464,13 @@ final class LokiStubServer {
     }
     val writer = ExampleParquetWriter.builder(outFile)
       .withType(wireSchema)
-      .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
+      .withCompressionCodec(wireCodec)
+      .withDictionaryEncoding(wireDictionary)
+      .withWriterVersion(
+        if (wireV2Pages)
+          org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_2_0
+        else
+          org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_1_0)
       .withRowGroupSize(rowGroupBytes)
       .build()
     try {

@@ -131,6 +131,63 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally rgStub.stop()
   }
 
+  test("wire parquet conformance matrix: codecs x dictionary x page version, all reader paths") {
+    // a real `frontend.support_parquet_encoding` Loki picks its own
+    // compression codec, dictionary policy, and data-page version; the
+    // readers must accept the whole matrix (the reference inherits the
+    // same contract from ParquetRecordBatchStreamBuilder,
+    // scan.rs:200-213). Every combination drains through all four reader
+    // paths — {columnar, row} x {single-request, paged} — over a
+    // multi-row-group response, against the same golden relation.
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName._
+    val mStub = new LokiStubServer
+    mStub.start()
+    mStub.rowGroupBytes = 4 * 1024 // force several row groups per page
+    try {
+      val base = 1704067200000000000L
+      mStub.seed((0 until 800).map(i =>
+        mStub.LogRow(base + i * 1000000000L,
+          Map("app" -> s"a${i % 3}", "k" -> "v"), s"row-$i")))
+      val expected = (0 until 800).map(i => s"row-$i").sorted
+      def scan(opts: Map[String, String]) = {
+        val r = spark.read.format("loki")
+          .option("endpoint", mStub.endpoint)
+          .option("default_label", "app")
+        opts.foreach { case (k, v) => r.option(k, v) }
+        r.load().filter(
+          col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+      }
+      for {
+        codec <- Seq(UNCOMPRESSED, SNAPPY, ZSTD, GZIP)
+        dict <- Seq(true, false)
+        v2 <- Seq(false, true)
+      } {
+        mStub.wireCodec = codec
+        mStub.wireDictionary = dict
+        mStub.wireV2Pages = v2
+        mStub.clear()
+        mStub.seed((0 until 800).map(i =>
+          mStub.LogRow(base + i * 1000000000L,
+            Map("app" -> s"a${i % 3}", "k" -> "v"), s"row-$i")))
+        val tag = s"codec=$codec dict=$dict v2=$v2"
+        for (opts <- Seq(
+            Map.empty[String, String],                          // columnar single
+            Map("columnar" -> "false"),                         // row single
+            Map("query_limit" -> "150"),                        // columnar paged
+            Map("columnar" -> "false", "query_limit" -> "150")  // row paged
+          )) {
+          val got = scan(opts).select("line")
+            .collect().map(_.getString(0)).sorted.toSeq
+          assert(got == expected, s"$tag opts=$opts: ${got.size} rows")
+        }
+        // label maps survive the encoding too (dictionary-heavy column)
+        assert(scan(Map.empty).select(map_keys(col("labels")))
+          .collect().forall(_.getSeq[String](0).contains("k")), tag)
+      }
+    } finally mStub.stop()
+  }
+
   test("report_statistics feeds the optimizer: small log scans broadcast") {
     // SupportsReportStatistics from index/stats: with it, Spark's
     // size-based planner can broadcast a SMALL log scan against a big
