@@ -32,6 +32,12 @@ object StreamProfile {
     spark.sparkContext.setLogLevel("WARN")
     // state-store partition count is fixed from this conf at query start
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    // experiment knobs: GRAFT_CONF="k=v,k2=v2" lands in the runtime conf
+    // (streaming queries capture session conf at start)
+    sys.env.get("GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
 
     import graft.streaming.StreamingOps._
     val iters = sys.env.getOrElse("SPARK_GRAFT_PROF_ITERS", "1").toInt

@@ -103,6 +103,40 @@ object ConnectorOps {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
+    // Micro-batch TAILING over the connector (round 12, beyond-parity:
+    // the reference's scan is Boundedness::Bounded, scan.rs:48) — a
+    // readStream over the same endpoint, windowed [2024-01-01,
+    // 2024-02-01) via stream_start/end_ns so Trigger.AvailableNow drains
+    // the bounded replay and terminates. The drained relation must equal
+    // the batch scan of the same window — which is what the DuckDB
+    // oracle recomputes from the events table the stub was seeded from.
+    // Routed through the drain memo like every bounded gate stream.
+    ("loki_stream_tail",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamingOps.memoDrain(s, d, "loki_stream_tail") {
+          val st = stubFor(s, d)
+          val stream = s.readStream.format("loki")
+            .option("endpoint", st.endpoint)
+            .option("default_label", "event_type")
+            .option("stream_start_ns", "1704067200000000000")
+            .option("stream_end_ns", "1706745600000000000")
+            .load()
+            .filter(element_at(col("labels"), "event_type") === "purchase")
+            .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          graft.streaming.StreamingOps.runToMemory(
+            stream, s"loki_tail_${d.hashCode & 0x7fffffff}",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+            .orderBy("ts_us", "line")
+        },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE event_type = 'purchase'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // Full pushdown conjunction through the real connector: label eq +
     // line contains + timestamp bounds, all enforced by the stub.
     ("loki_connector_scan",

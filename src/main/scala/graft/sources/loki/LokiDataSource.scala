@@ -143,7 +143,27 @@ final case class LokiOptions(
       * user-visible escape hatch and so the differential specs can pin
       * the two decode paths against each other on the same corpus.
       */
-    columnar: Boolean = true) extends Serializable
+    columnar: Boolean = true,
+    /** Streaming (readStream) start of the tail, epoch ns. Unset → the
+      * scan's default window start (now − 30 d). Beyond-parity: the
+      * reference's scan is Boundedness::Bounded (scan.rs:48); Spark's
+      * micro-batch model makes log TAILING natural — each batch reads the
+      * disjoint event-time window [prev offset, latest offset).
+      */
+    streamStartNs: Option[Long] = None,
+    /** Streaming end cap, epoch ns. Unset → tail forever (latest offset
+      * tracks now − stream_lag_ms). Set → the stream drains to the cap
+      * and stops advancing, so Trigger.AvailableNow terminates.
+      */
+    streamEndNs: Option[Long] = None,
+    /** Ingest-lag allowance for the tail, ms: the latest offset trails
+      * wall-clock by this much so rows that reach Loki late (ingest
+      * pipeline delay) are still inside a FUTURE batch's window when
+      * they land. Rows arriving later than the lag are missed — the
+      * standard event-time tailing caveat; size it to the ingest
+      * pipeline's p99.
+      */
+    streamLagMs: Long = 0L) extends Serializable
 
 object LokiOptions {
   def from(m: CaseInsensitiveStringMap): LokiOptions = from(m.asScala.toMap)
@@ -182,7 +202,10 @@ object LokiOptions {
       pushCount = m.getOrElse("push_count", "false").toBoolean,
       reportStatistics = m.getOrElse("report_statistics", "false").toBoolean,
       groupStreams = m.getOrElse("group_streams", "false").toBoolean,
-      columnar = m.getOrElse("columnar", "true").toBoolean)
+      columnar = m.getOrElse("columnar", "true").toBoolean,
+      streamStartNs = m.get("stream_start_ns").map(_.toLong),
+      streamEndNs = m.get("stream_end_ns").map(_.toLong),
+      streamLagMs = m.getOrElse("stream_lag_ms", "0").toLong)
   }
 }
 
@@ -226,9 +249,12 @@ case class LokiTable(
   override def schema(): StructType = LokiDataSource.LOG_SCHEMA
 
   // no TRUNCATE/OVERWRITE capabilities → Spark rejects non-append DML for
-  // us, mirroring table.rs:164-169
+  // us, mirroring table.rs:164-169. MICRO_BATCH_READ is beyond-parity:
+  // the reference's scan is bounded-only (scan.rs:48); Spark's
+  // micro-batch model adds log tailing (see [[LokiMicroBatchStream]]).
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   def withPushed(
       labels: Seq[LogQL.LabelMatcher],

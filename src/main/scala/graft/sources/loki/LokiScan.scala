@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -391,6 +392,43 @@ case class LokiScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     LokiReaderFactory(options.columnar)
+
+  /** Partitions for one CONCRETE window [s, e) — the micro-batch path
+    * ([[LokiMicroBatchStream]]): width slices only (a per-batch
+    * `split=stats` probe sequence would pay plan-time HTTP on every
+    * micro-batch for a window that is usually seconds wide), same
+    * pageSize/serverMax discipline as the batch path. A pushed LIMIT
+    * keeps the single-partition shape exactly like batch.
+    */
+  private[loki] def partitionsFor(s: Long, e: Long): Array[InputPartition] = {
+    val serverMax = Some(options.serverMaxEntries).filter(_ > 0)
+    for (m <- serverMax; l <- limit) require(l <= m,
+      s"pushed LIMIT $l exceeds server_max_entries $m — the server would " +
+        "reject or clamp the request")
+    val pageSize = effectivePageSize
+    val n = if (limit.isDefined) 1 else math.max(options.numPartitions, 1)
+    val eff = math.max(1L, math.min(n.toLong, e - s)).toInt
+    if (eff == 1)
+      Array(LokiInputPartition(
+        options.endpoint, logql, Some(s), Some(e), limit, pageSize,
+        requiredSchema, serverMax))
+    else {
+      val width = math.max((e - s) / eff, 1L)
+      (0 until eff).map { i =>
+        val lo = s + i * width
+        val hi = if (i == eff - 1) e else s + (i + 1) * width
+        LokiInputPartition(
+          options.endpoint, logql, Some(lo), Some(hi), None, pageSize,
+          requiredSchema, serverMax)
+      }.toArray
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(!countOnly,
+      "pushed COUNT(*) cannot stream — push_count applies to batch scans")
+    new LokiMicroBatchStream(this)
+  }
 }
 
 object LokiScan {
