@@ -24,10 +24,17 @@ object ConnectorOps {
   // one stub per sf dir, kept alive for the session (readers run lazily)
   private val stubs = TrieMap.empty[String, LokiStubServer]
 
+  // forwarding TARGETS (loki_stream_forward): a separate endpoint per
+  // corpus — pushing forwarded rows into the gate's source stub would
+  // corrupt every other loki oracle's relation
+  private val forwardStubs = TrieMap.empty[String, LokiStubServer]
+
   /** Stop every stub — harness mains call this before exiting. */
   def shutdownStubs(): Unit = {
     stubs.values.foreach(_.stop())
     stubs.clear()
+    forwardStubs.values.foreach(_.stop())
+    forwardStubs.clear()
   }
 
   /** TrieMap.getOrElseUpdate does NOT evaluate its thunk atomically
@@ -133,6 +140,65 @@ object ConnectorOps {
           |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
           |FROM events
           |WHERE event_type = 'purchase'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
+    // Streaming WRITE (round 12, beyond-parity: the reference's insert is
+    // batch-only, insert.rs) — the loki→loki forwarding pipeline: tail
+    // the source endpoint's January window, keep the clicks, push them to
+    // a SEPARATE target endpoint through writeStream.format("loki")
+    // (at-least-once; identical (ts, labels, line) replays collapse
+    // server-side), then the gate relation is the BATCH SCAN READ-BACK of
+    // the target — so the oracle differential certifies the tail window,
+    // the filter, the push encoding, and the read-back decode end-to-end.
+    ("loki_stream_forward",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamingOps.memoDrain(s, d, "loki_stream_forward") {
+          val src = stubFor(s, d)
+          val dst = stubSync(forwardStubs.getOrElseUpdate(d, {
+            val st = new LokiStubServer
+            st.start()
+            sys.addShutdownHook(st.stop())
+            st
+          }))
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_loki_fwd_ck").toFile
+          sys.addShutdownHook {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+            }
+            rm(ckpt)
+          }
+          val q = s.readStream.format("loki")
+            .option("endpoint", src.endpoint)
+            .option("default_label", "event_type")
+            .option("stream_start_ns", "1704067200000000000")
+            .option("stream_end_ns", "1706745600000000000")
+            .load()
+            .filter(element_at(col("labels"), "event_type") === "click")
+            .writeStream.format("loki")
+            .option("endpoint", dst.endpoint)
+            .option("checkpointLocation", ckpt.getAbsolutePath)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.format("loki")
+            .option("endpoint", dst.endpoint)
+            .option("default_label", "event_type")
+            .load()
+            .filter(
+              col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+            .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+            .orderBy("ts_us", "line")
+        },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE event_type = 'click'
           |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),

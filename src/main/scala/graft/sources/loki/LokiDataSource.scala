@@ -254,7 +254,7 @@ case class LokiTable(
   // micro-batch model adds log tailing (see [[LokiMicroBatchStream]]).
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   def withPushed(
       labels: Seq[LogQL.LabelMatcher],

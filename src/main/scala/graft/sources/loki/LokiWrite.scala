@@ -112,12 +112,49 @@ class LokiWriteBuilder(
 case class LokiLogWrite(options: LokiOptions, rows: Option[Long] = None)
   extends Write {
   override def toBatch: BatchWrite = LokiBatchWrite(options)
+  override def toStreaming: streaming.StreamingWrite = LokiStreamingWrite(options)
   override def description(): String =
     s"LokiLogInsert: endpoint=${options.endpoint}" +
       rows.map(n => s", rows=$n").getOrElse("")
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new LokiRowsWrittenMetric)
   override def toString: String = description()
+}
+
+/** Streaming push sink — `writeStream.format("loki")` (beyond-parity:
+  * the reference's insert is batch-only, insert.rs). Each micro-batch's
+  * rows POST through the same buffered per-task writer as the batch
+  * insert; epoch commit records the running per-endpoint total. The
+  * contract is AT-LEAST-ONCE, the standard non-transactional streaming
+  * sink contract: a failed epoch's retry re-pushes its rows, and Loki
+  * (like the stub, and like Loki's own querier dedup of identical
+  * entries) collapses exact (ts, labels, line) duplicates while
+  * non-identical replays duplicate. Append output mode only — the table
+  * declares no TRUNCATE capability, so Spark rejects Complete for us
+  * (same append-only contract as the batch path, table.rs:164-169).
+  */
+case class LokiStreamingWrite(options: LokiOptions)
+  extends streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    LokiStreamingWriterFactory(options)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val total = messages.collect { case LokiCommitMessage(n) => n }.sum
+    // running total across epochs (the batch path overwrites per job;
+    // a stream is one job of many epochs)
+    LokiWrite.counts.merge(
+      options.endpoint.stripSuffix("/"), total, (a, b) => a + b)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class LokiStreamingWriterFactory(options: LokiOptions)
+  extends streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new LokiDataWriter(options)
 }
 
 case class LokiBatchWrite(options: LokiOptions) extends BatchWrite {

@@ -176,6 +176,54 @@ class LokiStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming write: loki-to-loki forwarding pipeline (at-least-once push sink)") {
+    // the bidirectional streaming story: tail one endpoint, transform,
+    // push to another — writeStream.format("loki") through the same
+    // buffered per-task writer as the batch insert, epoch-committed
+    withStub { src =>
+      withStub { dst =>
+        src.seed((0 until 120).map(i =>
+          src.LogRow(base + i * 1000000000L,
+            Map("app" -> (if (i % 3 == 0) "keep" else "drop")), s"fwd-$i")))
+        val cap = base + 86400L * 1000000000L
+        val q = streamDf(src, Map("stream_end_ns" -> cap.toString))
+          .filter(element_at(col("labels"), "app") === "keep")
+          .writeStream.format("loki")
+          .option("endpoint", dst.endpoint)
+          .option("checkpointLocation", tmp("loki_fwd_ck"))
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val want = (0 until 120 by 3).map(i => s"fwd-$i").toSet
+        assert(dst.ingested.map(_.line).toSet == want,
+          s"forwarded ${dst.ingested.size} rows")
+        // epoch commit recorded the pushed total
+        assert(graft.sources.loki.LokiWrite.lastCommittedRows(dst.endpoint)
+          == want.size.toLong)
+        // a non-log-schema write is rejected exactly like the batch path
+        // (schema identity, insert.rs:44-46); streaming planning is
+        // async, so the failure surfaces at awaitTermination
+        val agg = streamDf(src, Map("stream_end_ns" -> cap.toString))
+          .groupBy(element_at(col("labels"), "app").as("app"))
+          .agg(count(lit(1)).as("n"))
+        val e = intercept[Exception] {
+          val bad = agg.writeStream.format("loki")
+            .option("endpoint", dst.endpoint)
+            .option("checkpointLocation", tmp("loki_fwd_bad_ck"))
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          bad.awaitTermination()
+        }
+        val msg = (e.getMessage + Option(e.getCause).fold("")(_.getMessage))
+          .toLowerCase
+        assert(msg.contains("schema") || msg.contains("complete") ||
+          msg.contains("truncate"), e.getMessage)
+      }
+    }
+  }
+
   test("offset json roundtrips and empty windows plan zero partitions") {
     import graft.sources.loki.LokiOffset
     val off = LokiOffset(1704067200000000123L)
