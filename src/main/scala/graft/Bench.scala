@@ -58,6 +58,7 @@ object Bench {
     // sets it — full-suite artifacts are unaffected.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // set-but-empty var = unset, not match-nothing
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
 

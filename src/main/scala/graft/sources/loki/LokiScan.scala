@@ -412,16 +412,14 @@ case class LokiScan(
       Array(LokiInputPartition(
         options.endpoint, logql, Some(s), Some(e), limit, pageSize,
         requiredSchema, serverMax))
-    else {
-      val width = math.max((e - s) / eff, 1L)
-      (0 until eff).map { i =>
-        val lo = s + i * width
-        val hi = if (i == eff - 1) e else s + (i + 1) * width
+    else
+      // the batch path's width slicer — ONE slicing arithmetic, so a fix
+      // to the batch clamps can never diverge the micro-batch windows
+      widthBounds(s, e, eff).map { case (lo, hi) =>
         LokiInputPartition(
           options.endpoint, logql, Some(lo), Some(hi), None, pageSize,
           requiredSchema, serverMax)
       }.toArray
-    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {

@@ -51,8 +51,18 @@ class LokiMicroBatchStream(scan: LokiScan)
   override def prepareForTriggerAvailableNow(): Unit =
     availableEnd = Some(latestNs)
 
+  /** Start of the tail: TIGHTEST bound wins — max over a pushed lower
+    * timestamp bound and `stream_start_ns` — mirroring [[capNs]]'s min
+    * (an `orElse` priority would let a stale pushed bound widen the tail
+    * past what stream_start_ns asked for). Note Spark currently applies
+    * no DSv2 filter pushdown to micro-batch scans, so scan.startNs is
+    * populated only if that changes (or a bounded scan is constructed
+    * directly); stream_start_ns is the live control.
+    */
   override def initialOffset(): Offset = LokiOffset(
-    scan.startNs.orElse(opts.streamStartNs).getOrElse(LokiHttp.thirtyDaysAgoNs))
+    (scan.startNs.toSeq ++ opts.streamStartNs.toSeq)
+      .reduceOption((a, b) => math.max(a, b))
+      .getOrElse(LokiHttp.thirtyDaysAgoNs))
 
   override def latestOffset(): Offset =
     LokiOffset(availableEnd.getOrElse(latestNs))

@@ -139,12 +139,18 @@ case class LokiStreamingWrite(options: LokiOptions)
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     LokiStreamingWriterFactory(options)
 
+  // THIS query's running total (the Write instance is per-query,
+  // commit() runs driver-side per epoch): the shared per-endpoint cell
+  // is OVERWRITTEN with it, preserving lastCommittedRows' meaning —
+  // "rows committed by the most recent write" — across queries exactly
+  // like the batch path's per-job put (a cross-query merge would report
+  // a cumulative total no single query ever committed)
+  private val queryTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val total = messages.collect { case LokiCommitMessage(n) => n }.sum
-    // running total across epochs (the batch path overwrites per job;
-    // a stream is one job of many epochs)
-    LokiWrite.counts.merge(
-      options.endpoint.stripSuffix("/"), total, (a, b) => a + b)
+    val epochRows = messages.collect { case LokiCommitMessage(n) => n }.sum
+    LokiWrite.counts.put(
+      options.endpoint.stripSuffix("/"), queryTotal.addAndGet(epochRows))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
