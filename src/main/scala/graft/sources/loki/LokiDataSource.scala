@@ -163,7 +163,17 @@ final case class LokiOptions(
       * standard event-time tailing caveat; size it to the ingest
       * pipeline's p99.
       */
-    streamLagMs: Long = 0L) extends Serializable
+    streamLagMs: Long = 0L,
+    /** Admission control for the tail: cap each micro-batch at roughly
+      * this many rows. A tail recovering from a long outage otherwise
+      * reads the WHOLE missed window in one batch — at 100 TB scale an
+      * unbounded backfill batch. The per-trigger end offset is placed by
+      * bisecting `index/stats` entry counts (the split=stats machinery),
+      * so the cap is approximate (stats granularity; a single-ns burst
+      * can overshoot — progress is guaranteed) and costs O(log) cheap
+      * index-only probes per trigger. 0 (default) = unbounded batches.
+      */
+    maxRowsPerBatch: Long = 0L) extends Serializable
 
 object LokiOptions {
   def from(m: CaseInsensitiveStringMap): LokiOptions = from(m.asScala.toMap)
@@ -205,7 +215,8 @@ object LokiOptions {
       columnar = m.getOrElse("columnar", "true").toBoolean,
       streamStartNs = m.get("stream_start_ns").map(_.toLong),
       streamEndNs = m.get("stream_end_ns").map(_.toLong),
-      streamLagMs = m.getOrElse("stream_lag_ms", "0").toLong)
+      streamLagMs = m.getOrElse("stream_lag_ms", "0").toLong,
+      maxRowsPerBatch = m.getOrElse("max_rows_per_batch", "0").toLong)
   }
 }
 

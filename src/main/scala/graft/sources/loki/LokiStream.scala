@@ -1,7 +1,7 @@
 package graft.sources.loki
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 
 /** Micro-batch TAILING over Loki — beyond-parity: the reference's scan is
   * `Boundedness::Bounded` (scan.rs:48), but Spark's micro-batch model
@@ -67,12 +67,62 @@ class LokiMicroBatchStream(scan: LokiScan)
   override def latestOffset(): Offset =
     LokiOffset(availableEnd.getOrElse(latestNs))
 
-  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no
-  // rate-limit shaping — a window-read source admits its whole window;
-  // rows-per-batch shaping would need an index/stats probe per candidate
-  // cut and buys nothing for disjoint-window replay
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    latestOffset()
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow):
+  // `max_rows_per_batch` caps each trigger's window by row count — the
+  // backfill-shaping control. A tail recovering from a long outage
+  // otherwise reads the whole missed window in ONE batch; with the cap,
+  // Trigger.AvailableNow drains it in ≈⌈total/cap⌉ bounded batches and a
+  // live tail never admits more than a batch's worth. The end offset is
+  // placed by bisecting `index/stats` entry counts (O(log) index-only
+  // probes per trigger); the cap is approximate — stats granularity, and
+  // a burst inside one minimal step can overshoot — but progress is
+  // guaranteed (the returned offset always advances when rows exist).
+  override def getDefaultReadLimit: ReadLimit =
+    if (opts.maxRowsPerBatch > 0) ReadLimit.maxRows(opts.maxRowsPerBatch)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LokiOffset].ns
+    val cap = availableEnd.getOrElse(latestNs)
+    limit match {
+      case mr: ReadMaxRows if cap > s =>
+        LokiOffset(boundedEnd(s, cap, mr.maxRows))
+      case _ => LokiOffset(cap)
+    }
+  }
+
+  /** Largest probed e ∈ (s, cap] with count([s, e)) ≤ maxRows, by
+    * bisection on the time axis against `index/stats` (memoized root
+    * probe shared with report_statistics/split=stats). Falls back to
+    * `cap` when the stats endpoint fails — shaping is best-effort, the
+    * tail's completeness never depends on it.
+    */
+  private def boundedEnd(s: Long, cap: Long, maxRows: Long): Long = {
+    def count(e: Long): Long =
+      LokiScan.cachedStats(opts.endpoint, scan.selector, s, e)._1
+    try {
+      if (count(cap) <= maxRows) return cap
+      var lo = s + 1 // smallest admissible advance: progress guaranteed
+      var hi = cap
+      var probes = 0
+      // invariant: count([s, lo)) ≤ maxRows (a 1-ns window can overshoot
+      // on a burst — accepted, ReadLimit is advisory); count([s, hi)) > maxRows
+      while (hi - lo > 1 && probes < 24) {
+        val mid = lo + (hi - lo) / 2
+        if (count(mid) <= maxRows) lo = mid else hi = mid
+        probes += 1
+      }
+      lo
+    } catch {
+      case ie: InterruptedException => throw ie
+      case ex @ (_: java.io.IOException | _: RuntimeException) =>
+        LokiScan.log.warn(
+          s"max_rows_per_batch probe failed for [${scan.selector}] " +
+            s"(${ex.getClass.getSimpleName}: ${ex.getMessage}); " +
+            "admitting the full window")
+        cap
+    }
+  }
 
   override def reportLatestOffset(): Offset = LokiOffset(latestNs)
 

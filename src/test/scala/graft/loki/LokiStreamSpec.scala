@@ -224,6 +224,43 @@ class LokiStreamSpec extends SparkTestBase {
     }
   }
 
+  test("max_rows_per_batch shapes a backfill into bounded batches (admission control)") {
+    // a tail recovering from a long outage reads the whole missed window;
+    // with the cap, Trigger.AvailableNow drains it in ~ceil(total/cap)
+    // batches whose end offsets are placed by index/stats bisection —
+    // the relation stays complete and duplicate-free
+    withStub { stub =>
+      stub.seed((0 until 600).map(i =>
+        stub.LogRow(base + i * 1000000000L, Map("app" -> "b"), s"bf-$i")))
+      val cap = base + 86400L * 1000000000L
+      val stats0 = stub.statsCalls.get()
+      val q = streamDf(stub, Map(
+        "stream_end_ns" -> cap.toString,
+        "max_rows_per_batch" -> "150"))
+        .select("line")
+        .writeStream.format("memory").queryName("loki_tail_shaped")
+        .option("checkpointLocation", tmp("loki_tail_shaped_ck"))
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("loki_tail_shaped")
+        .collect().map(_.getString(0)).toSet
+      assert(got == (0 until 600).map(i => s"bf-$i").toSet,
+        s"shaped backfill must stay complete (got ${got.size})")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4,
+        s"600 rows / cap 150 must take >= 4 batches, took $dataBatches")
+      val maxBatch = q.recentProgress.map(_.numInputRows).max
+      // stats bisection is approximate (ns granularity), but a batch
+      // should stay in the cap's neighborhood, not swallow the window
+      assert(maxBatch <= 300,
+        s"batches must stay near the 150-row cap, saw $maxBatch")
+      assert(stub.statsCalls.get() > stats0,
+        "shaping must have probed index/stats")
+    }
+  }
+
   test("offset json roundtrips and empty windows plan zero partitions") {
     import graft.sources.loki.LokiOffset
     val off = LokiOffset(1704067200000000123L)
