@@ -91,11 +91,19 @@ class LokiMicroBatchStream(scan: LokiScan)
     }
   }
 
-  /** Largest probed e ∈ (s, cap] with count([s, e)) ≤ maxRows, by
-    * bisection on the time axis against `index/stats` (memoized root
-    * probe shared with report_statistics/split=stats). Falls back to
-    * `cap` when the stats endpoint fails — shaping is best-effort, the
-    * tail's completeness never depends on it.
+  /** Largest e ∈ (s, cap] with count([s, e)) ≤ maxRows, by bisection on
+    * the time axis against `index/stats` (root probe shared with the
+    * report_statistics/split=stats memo). The bisection runs to FULL ns
+    * resolution (hi − lo ≤ 1, ≤ ~47 probes for a 30-day window): a
+    * truncated bisection cannot resolve a µs-wide burst cluster out of a
+    * day-wide range — its returned cut lands in the zero-count zone
+    * below the burst on EVERY trigger and the drain admits nothing
+    * forever (found by the round-12 adversarial sweep). At full
+    * resolution every trigger either admits rows or lands exactly on a
+    * burst start, whose next trigger admits the burst whole (overshoot —
+    * ReadLimit is advisory); ≤ 2 triggers per burst. Falls back to `cap`
+    * when the stats endpoint fails — shaping is best-effort, the tail's
+    * completeness never depends on it.
     */
   private def boundedEnd(s: Long, cap: Long, maxRows: Long): Long = {
     def count(e: Long): Long =
@@ -104,13 +112,12 @@ class LokiMicroBatchStream(scan: LokiScan)
       if (count(cap) <= maxRows) return cap
       var lo = s + 1 // smallest admissible advance: progress guaranteed
       var hi = cap
-      var probes = 0
-      // invariant: count([s, lo)) ≤ maxRows (a 1-ns window can overshoot
-      // on a burst — accepted, ReadLimit is advisory); count([s, hi)) > maxRows
-      while (hi - lo > 1 && probes < 24) {
+      // invariant: count([s, hi)) > maxRows; lo is the best-known
+      // admissible cut (count ≤ maxRows) once any mid passes — the
+      // initial s+1 may overshoot on a burst at s itself, accepted
+      while (hi - lo > 1) {
         val mid = lo + (hi - lo) / 2
         if (count(mid) <= maxRows) lo = mid else hi = mid
-        probes += 1
       }
       lo
     } catch {

@@ -261,6 +261,42 @@ class LokiStreamSpec extends SparkTestBase {
     }
   }
 
+  test("admission control sweep: random burst profiles stay complete under any cap") {
+    // adversarial shapes for the bisection: clustered bursts (many rows
+    // on one ns), sparse tails, caps smaller than a burst (overshoot
+    // allowed, progress required), caps larger than the corpus (one
+    // batch). Deterministic seeds — failures reproduce.
+    val rnd = new scala.util.Random(12)
+    for (case_ <- 0 until 3) {
+      withStub { stub =>
+        val clusters = 1 + rnd.nextInt(4)
+        val rows = (0 until clusters).flatMap { c =>
+          val at = base + c * 3600L * 1000000000L + rnd.nextInt(1000) * 1000000L
+          (0 until 20 + rnd.nextInt(120)).map(i =>
+            stub.LogRow(at + (if (rnd.nextBoolean()) 0L else i * 1000L),
+              Map("app" -> "s"), s"c$c-$i"))
+        }
+        stub.seed(rows)
+        val cap = 10 + rnd.nextInt(200)
+        val q = streamDf(stub, Map(
+          "stream_end_ns" -> (base + 86400L * 1000000000L).toString,
+          "max_rows_per_batch" -> cap.toString))
+          .select("line")
+          .writeStream.format("memory").queryName(s"loki_acsweep_$case_")
+          .option("checkpointLocation", tmp(s"loki_acsweep_ck$case_"))
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val got = spark.table(s"loki_acsweep_$case_")
+          .collect().map(_.getString(0)).toSeq
+        assert(got.sorted == rows.map(_.line).sorted,
+          s"case $case_ cap=$cap: ${got.size} vs ${rows.size} " +
+            "(shaped drain lost or duplicated rows)")
+      }
+    }
+  }
+
   test("offset json roundtrips and empty windows plan zero partitions") {
     import graft.sources.loki.LokiOffset
     val off = LokiOffset(1704067200000000123L)
