@@ -106,8 +106,13 @@ class LokiMicroBatchStream(scan: LokiScan)
     * completeness never depends on it.
     */
   private def boundedEnd(s: Long, cap: Long, maxRows: Long): Long = {
+    // root probe through the shared stats memo (the split=stats rule);
+    // bisection mids go DIRECT — ~47 one-off sub-window entries per
+    // trigger would churn the 256-entry LRU out from under the
+    // report_statistics consumers
     def count(e: Long): Long =
-      LokiScan.cachedStats(opts.endpoint, scan.selector, s, e)._1
+      if (e == cap) LokiScan.cachedStats(opts.endpoint, scan.selector, s, e)._1
+      else LokiHttp.indexStats(opts.endpoint, scan.selector, s, e)
     try {
       if (count(cap) <= maxRows) return cap
       var lo = s + 1 // smallest admissible advance: progress guaranteed
