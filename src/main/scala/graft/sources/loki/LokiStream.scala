@@ -83,7 +83,10 @@ class LokiMicroBatchStream(scan: LokiScan)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LokiOffset].ns
-    val cap = availableEnd.getOrElse(latestNs)
+    // clamped at the committed position: a backwards wall-clock step
+    // (NTP) must never move the offset BACKWARDS — a smaller committed
+    // end would re-read rows the previous batch already emitted
+    val cap = math.max(s, availableEnd.getOrElse(latestNs))
     limit match {
       case mr: ReadMaxRows if cap > s =>
         LokiOffset(boundedEnd(s, cap, mr.maxRows))
