@@ -173,7 +173,36 @@ final case class LokiOptions(
       * can overshoot — progress is guaranteed) and costs O(log) cheap
       * index-only probes per trigger. 0 (default) = unbounded batches.
       */
-    maxRowsPerBatch: Long = 0L) extends Serializable
+    maxRowsPerBatch: Long = 0L) extends Serializable {
+
+  /** The option-map rendering of this config — the inverse of
+    * [[LokiOptions.from]], so per-read options can OVERLAY a catalog
+    * table's base config (`LokiOptions.from(base.toMap ++ overrides)`):
+    * `spark.read(.Stream).option(...)` on a catalog table otherwise has
+    * no way to reach the scan.
+    */
+  def toMap: Map[String, String] = Map(
+    "endpoint" -> endpoint,
+    "partitions" -> numPartitions.toString,
+    "push_batch_size" -> pushBatchSize.toString,
+    "escape_logql" -> escapeLogql.toString,
+    "check_connection" -> checkConnection.toString,
+    "strict_bounds" -> strictBounds.toString,
+    "split" -> split,
+    "stats_budget_ms" -> statsBudgetMs.toString,
+    "stats_probe_parallelism" -> statsProbeParallelism.toString,
+    "query_limit" -> queryLimit.toString,
+    "server_max_entries" -> serverMaxEntries.toString,
+    "push_count" -> pushCount.toString,
+    "report_statistics" -> reportStatistics.toString,
+    "group_streams" -> groupStreams.toString,
+    "columnar" -> columnar.toString,
+    "stream_lag_ms" -> streamLagMs.toString,
+    "max_rows_per_batch" -> maxRowsPerBatch.toString) ++
+    defaultLabel.map("default_label" -> _) ++
+    streamStartNs.map(v => "stream_start_ns" -> v.toString) ++
+    streamEndNs.map(v => "stream_end_ns" -> v.toString)
+}
 
 object LokiOptions {
   def from(m: CaseInsensitiveStringMap): LokiOptions = from(m.asScala.toMap)
@@ -274,8 +303,19 @@ case class LokiTable(
       pushedLabelMatchers = pushedLabelMatchers ++ labels,
       pushedLineFilters = pushedLineFilters ++ lines)
 
-  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new LokiScanBuilder(this)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // per-read overrides (`spark.read(.Stream).option(...)` on a catalog
+    // table) overlay the table's base config; `endpoint` cannot be
+    // overridden — a scan against a different endpoint is a different
+    // TABLE, and silently rescoping the identifier would be a trap
+    val overrides = caseInsensitiveOptions.asScala.toMap
+      .filter { case (k, _) => !k.equalsIgnoreCase("endpoint") &&
+        !k.equalsIgnoreCase("path") && !k.equalsIgnoreCase("paths") }
+    val effective =
+      if (overrides.isEmpty) this
+      else copy(options = LokiOptions.from(options.toMap ++ overrides))
+    new LokiScanBuilder(effective)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LokiWriteBuilder(options, info.schema(), staticInputRows)

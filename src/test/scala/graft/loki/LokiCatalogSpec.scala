@@ -40,6 +40,47 @@ class LokiCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(stub.queries.last.startsWith("{app=\"cat-app\"}"))
   }
 
+  test("readStream.table through the catalog tails the endpoint (round 12)") {
+    // the MICRO_BATCH_READ capability makes catalog tables streamable
+    // with zero extra wiring — the tail composes with the SQL-catalog
+    // entry point exactly like a batch SELECT
+    val base = 1704067200000000000L
+    stub.seed((0 until 30).map(i =>
+      stub.LogRow(base + i * 1000000000L, Map("app" -> "ct"), s"cat-$i")))
+    // the stream window rides PER-READ options — newScanBuilder overlays
+    // them on the catalog table's base config (round 12)
+    val q = spark.readStream
+      .option("stream_start_ns", base.toString)
+      .option("stream_end_ns", (base + 3600L * 1000000000L).toString)
+      .table("lokicat.default.loki")
+      .filter(org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.col("labels"), "app") === "ct")
+      .select("line")
+      .writeStream.format("memory").queryName("cat_tail")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cat_tail_ck").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("cat_tail").collect().map(_.getString(0)).toSet
+    assert(got == (0 until 30).map(i => s"cat-$i").toSet, s"got ${got.size}")
+    // per-read overrides reach BATCH catalog reads too: an explicit
+    // window + partitions override against the same table
+    val batch = spark.read
+      .option("partitions", "4")
+      .table("lokicat.default.loki")
+      .filter(
+        org.apache.spark.sql.functions.col("timestamp") >=
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.lit(base / 1000)) &&
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.col("labels"), "app") === "ct")
+    assert(batch.rdd.getNumPartitions == 4,
+      "per-read partitions override must reach the scan")
+    assert(batch.count() == 30)
+  }
+
   test("DDL is rejected; unknown table errors") {
     intercept[Exception] {
       spark.sql("CREATE TABLE lokicat.default.other (x INT)")
