@@ -127,6 +127,31 @@ class LogQLSpec extends AnyFunSuite {
     }
   }
 
+  test("LokiOptions.from(toMap) is the identity — overlay round-trip drift guard") {
+    // the per-read overlay works by re-parsing toMap ++ overrides; a new
+    // LokiOptions field whose toMap rendering is forgotten would be
+    // silently RESET to its default on every per-read override. Pin the
+    // round trip on a fully non-default instance.
+    import graft.sources.loki.LokiOptions
+    val full = LokiOptions.from(Map(
+      "endpoint" -> "http://x:3100/", "default_label" -> "app",
+      "partitions" -> "7", "push_batch_size" -> "1234",
+      "escape_logql" -> "true", "check_connection" -> "false",
+      "strict_bounds" -> "false", "split" -> "stats",
+      "stats_budget_ms" -> "999", "stats_probe_parallelism" -> "3",
+      "query_limit" -> "77", "server_max_entries" -> "88",
+      "push_count" -> "true", "report_statistics" -> "true",
+      "group_streams" -> "true", "columnar" -> "false",
+      "stream_start_ns" -> "123", "stream_end_ns" -> "456",
+      "stream_lag_ms" -> "11", "max_rows_per_batch" -> "500"))
+    assert(LokiOptions.from(full.toMap) == full,
+      s"round trip drifted:\n${LokiOptions.from(full.toMap)}\nvs\n$full")
+    // every case-class field must be representable: the field count is
+    // pinned so adding a field forces this test (and toMap) to be updated
+    assert(full.productArity == 20,
+      "LokiOptions gained/lost a field — update toMap AND this round trip")
+  }
+
   test("repeated ts conjuncts: tightest-wins default vs last-wins parity (table.rs:106-110)") {
     import org.apache.spark.sql.{sources => sf}
     import graft.sources.loki.{LokiOptions, LokiScan, LokiScanBuilder, LokiTable}
