@@ -18,6 +18,52 @@ object LokiHttp {
   private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
 
+  /** Transient statuses a retry can heal: throttling and gateway/server
+    * hiccups. 4xx contract errors (bad query, over-limit) are permanent
+    * and fail immediately.
+    */
+  private def transient(status: Int): Boolean =
+    status == 429 || status == 500 || status == 502 || status == 503 ||
+      status == 504
+
+  /** Bounded retry with exponential backoff + jitter for the wire calls.
+    * A 100 TB paged scan issues thousands of requests per task; without
+    * in-reader retry a single transient 503 fails the TASK and Spark
+    * re-reads the whole partition's pages. All retried calls are safe:
+    * the GETs are idempotent, and the push POST is at-least-once by the
+    * sink contract (identical (ts, labels, line) replays collapse
+    * server-side). Connection-level IOExceptions retry on the same
+    * schedule; interruption propagates immediately (a cancelled task
+    * must not sit in backoff).
+    */
+  private def withRetry[T](what: String)(send: () => HttpResponse[T])(
+      status: HttpResponse[T] => Int): HttpResponse[T] = {
+    val attempts = 4
+    var k = 0
+    var last: Either[Throwable, HttpResponse[T]] = null
+    while (k < attempts) {
+      if (k > 0) {
+        val backoffMs = (200L << (k - 1)) +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(100L)
+        Thread.sleep(backoffMs)
+      }
+      try {
+        val resp = send()
+        if (!transient(status(resp))) return resp
+        last = Right(resp)
+      } catch {
+        case ie: InterruptedException => throw ie
+        case io: java.io.IOException => last = Left(io)
+      }
+      k += 1
+    }
+    last match {
+      case Right(resp) => resp // caller renders the terminal status error
+      case Left(io) => throw new RuntimeException(
+        s"Loki $what failed after $attempts attempts: ${io.getMessage}", io)
+    }
+  }
+
   def checkConnection(endpoint: String): Unit = {
     val req = HttpRequest.newBuilder(URI.create(s"$endpoint/loki/api/v1/status/buildinfo"))
       .timeout(Duration.ofSeconds(10)).GET().build()
@@ -51,7 +97,8 @@ object LokiHttp {
       .timeout(Duration.ofMinutes(5))
       .header("Accept", "application/vnd.apache.parquet")
       .GET().build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    val resp = withRetry("query_range")(() =>
+      client.send(req, HttpResponse.BodyHandlers.ofByteArray()))(_.statusCode())
     if (resp.statusCode() != 200) {
       throw new RuntimeException(
         s"Loki query_range failed: HTTP ${resp.statusCode()}: " +
@@ -90,7 +137,8 @@ object LokiHttp {
       s"$endpoint/loki/api/v1/index/stats?query=$enc&start=$startNs&end=$endNs")
     val req = HttpRequest.newBuilder(uri)
       .timeout(Duration.ofSeconds(30)).GET().build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val resp = withRetry("index/stats")(() =>
+      client.send(req, HttpResponse.BodyHandlers.ofString()))(_.statusCode())
     if (resp.statusCode() != 200) {
       throw new RuntimeException(
         s"Loki index/stats failed: HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
@@ -112,7 +160,8 @@ object LokiHttp {
       .timeout(Duration.ofMinutes(1))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(json)).build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val resp = withRetry("push")(() =>
+      client.send(req, HttpResponse.BodyHandlers.ofString()))(_.statusCode())
     if (resp.statusCode() / 100 != 2) {
       throw new RuntimeException(
         s"Loki push failed: HTTP ${resp.statusCode()}: ${resp.body().take(500)}")

@@ -111,6 +111,21 @@ final class LokiStubServer {
   @volatile var wireDictionary: Boolean = true
   @volatile var wireV2Pages: Boolean = false
 
+  /** Fault injection (round 12): fail the next N requests of each kind
+    * with HTTP 503, for the bounded-retry specs — a real Loki throttles
+    * (429) and its gateways hiccup (5xx) routinely at scale.
+    */
+  val failNextQueries = new java.util.concurrent.atomic.AtomicInteger(0)
+  val failNextStats = new java.util.concurrent.atomic.AtomicInteger(0)
+  val failNextPushes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def injectFailure(
+      ex: HttpExchange, counter: java.util.concurrent.atomic.AtomicInteger): Boolean =
+    counter.getAndUpdate(n => math.max(n - 1, 0)) > 0 && {
+      respond(ex, 503, "stub: injected transient failure".getBytes(UTF_8))
+      true
+    }
+
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     // a real Loki serves concurrent requests; the default (null) executor
@@ -189,6 +204,7 @@ final class LokiStubServer {
     }
 
   private def handlePush(ex: HttpExchange): Unit = {
+    if (injectFailure(ex, failNextPushes)) return
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     pushBodies.synchronized(pushBodies += body)
     parsePush(body).foreach { r =>
@@ -243,6 +259,7 @@ final class LokiStubServer {
   // ----------------------------------------------------------- query_range
 
   private def handleQuery(ex: HttpExchange): Unit = {
+    if (injectFailure(ex, failNextQueries)) return
     if (queryLatencyMs > 0) Thread.sleep(queryLatencyMs)
     val params = ex.getRequestURI.getRawQuery.split('&').map { kv =>
       val Array(k, v) = kv.split("=", 2)
@@ -320,6 +337,7 @@ final class LokiStubServer {
   @volatile var statsOverride: Option[(Long, Long)] = None
 
   private def handleStats(ex: HttpExchange): Unit = {
+    if (injectFailure(ex, failNextStats)) return
     statsCalls.incrementAndGet()
     if (statsLatencyMs > 0) Thread.sleep(statsLatencyMs)
     val params = ex.getRequestURI.getRawQuery.split('&').map { kv =>

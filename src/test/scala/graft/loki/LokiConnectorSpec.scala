@@ -188,6 +188,60 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally mStub.stop()
   }
 
+  test("transient 5xx heal in-reader: scan, paged walk, stats probe, push (round 12)") {
+    // a 100 TB paged scan issues thousands of requests per task — a
+    // single transient 503 must retry inside the reader instead of
+    // failing the task (which re-reads the whole partition). 4xx contract
+    // errors stay immediate; exhaustion of the 4 attempts still fails.
+    val rStub = new LokiStubServer
+    rStub.start()
+    try {
+      val base = 1704067200000000000L
+      rStub.seed((0 until 90).map(i =>
+        rStub.LogRow(base + i * 1000000000L, Map("app" -> "r"), s"rt-$i")))
+      def scan(opts: Map[String, String]) = {
+        val r = spark.read.format("loki")
+          .option("endpoint", rStub.endpoint)
+          .option("default_label", "app")
+          .option("check_connection", "false")
+        opts.foreach { case (k, v) => r.option(k, v) }
+        r.load().filter(
+          col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+      }
+      // single-request scan heals 2 consecutive 503s
+      rStub.failNextQueries.set(2)
+      assert(scan(Map.empty).count() == 90)
+      // paged walk heals failures mid-walk (pages after the first)
+      rStub.failNextQueries.set(3)
+      assert(scan(Map("query_limit" -> "20"))
+        .select("line").collect().map(_.getString(0)).toSet ==
+        (0 until 90).map(i => s"rt-$i").toSet)
+      // stats probe heals (report_statistics sizing)
+      rStub.failNextStats.set(2)
+      val st = scan(Map("report_statistics" -> "true"))
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.exists(_.toLong == 90L), s"stats after retry: $st")
+      // push heals
+      rStub.failNextPushes.set(2)
+      import spark.implicits._
+      Seq((java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+        Map("app" -> "r"), "pushed-after-retry"))
+        .toDF("timestamp", "labels", "line")
+        .write.format("loki").option("endpoint", rStub.endpoint)
+        .mode("append").save()
+      assert(rStub.ingested.exists(_.line == "pushed-after-retry"))
+      // exhaustion (more failures than attempts) still fails loudly
+      rStub.failNextQueries.set(10)
+      val e = intercept[Exception] { scan(Map.empty).count() }
+      def chain(t: Throwable): List[String] =
+        if (t == null) Nil else t.getMessage :: chain(t.getCause)
+      assert(chain(e).exists(m => m != null && m.contains("503")),
+        s"terminal failure must surface the status: ${chain(e)}")
+      rStub.failNextQueries.set(0)
+    } finally rStub.stop()
+  }
+
   test("report_statistics feeds the optimizer: small log scans broadcast") {
     // SupportsReportStatistics from index/stats: with it, Spark's
     // size-based planner can broadcast a SMALL log scan against a big
