@@ -375,12 +375,14 @@ object ConnectorOps {
           .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
           .orderBy("ts_us", "line"),
       Some(
+        // real Loki's default direction is BACKWARD: a bare LIMIT returns
+        // the NEWEST n entries (the stub models this, round 12)
         """SELECT ts_us, line FROM (
           |  SELECT epoch_us(ts) AS ts_us,
           |         concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
           |  FROM events
           |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
-          |  ORDER BY ts LIMIT 50
+          |  ORDER BY ts DESC LIMIT 50
           |) ORDER BY ts_us, line""".stripMargin)),
 
     // Chained line filters through the connector: a positive contains AND

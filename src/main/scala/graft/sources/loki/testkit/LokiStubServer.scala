@@ -278,15 +278,21 @@ final class LokiStubServer {
     if (ex.getRequestHeaders.getFirst("Accept") != "application/vnd.apache.parquet") {
       respond(ex, 406, "stub only speaks parquet".getBytes(UTF_8))
     } else {
-      val key = (logql, start, end, limit)
+      // direction semantics like real Loki: the DEFAULT is backward —
+      // a limited query returns the NEWEST entries, newest-first — and
+      // the readers' paged walks opt into forward explicitly. The old
+      // stub silently served oldest-first under the default, certifying
+      // a row SET real Loki would not return for a bare LIMIT (round 12).
+      val forward = params.get("direction").contains("forward")
+      val key = (s"$logql|fwd=$forward", start, end, limit)
       val body = rows.synchronized(respCache.get(key)).getOrElse {
         val (matchers, lineFilters) = parseLogql(logql)
-        // sorted snapshot + binary-searched lower bound: a paged walk
-        // over a big corpus issues thousands of window requests, and the
-        // old filter-then-sort paid O(n log n) PER PAGE — the snapshot
-        // sorts once per generation and each page scans forward from its
-        // cursor, stopping at the limit (same stable tie order as the
-        // old sortBy: both sort the insertion sequence by tsNs)
+        // sorted snapshot + binary-searched bounds: a paged walk over a
+        // big corpus issues thousands of window requests, and the old
+        // filter-then-sort paid O(n log n) PER PAGE — the snapshot sorts
+        // once per generation and each request scans from its boundary,
+        // stopping at the limit (same stable tie order as the old
+        // sortBy: both sort the insertion sequence by tsNs)
         val all = sortedSnapshot()
         var lo = 0
         var hi = all.length
@@ -294,14 +300,30 @@ final class LokiStubServer {
           val m = (lo + hi) >>> 1
           if (all(m).tsNs < start) lo = m + 1 else hi = m
         }
+        var up = lo
+        var upHi = all.length
+        while (up < upHi) {
+          val m = (up + upHi) >>> 1
+          if (all(m).tsNs < end) up = m + 1 else upHi = m
+        }
         val cap = limit.getOrElse(Int.MaxValue)
         val hits = mutable.ArrayBuffer.empty[LogRow]
-        var i = lo
-        while (i < all.length && all(i).tsNs < end && hits.size < cap) {
-          val r = all(i)
-          if (matchers.forall(_.matches(r.labels)) &&
-              lineFilters.forall(_.matches(r.line))) hits += r
-          i += 1
+        if (forward) {
+          var i = lo
+          while (i < up && hits.size < cap) {
+            val r = all(i)
+            if (matchers.forall(_.matches(r.labels)) &&
+                lineFilters.forall(_.matches(r.line))) hits += r
+            i += 1
+          }
+        } else {
+          var i = up - 1
+          while (i >= lo && hits.size < cap) {
+            val r = all(i)
+            if (matchers.forall(_.matches(r.labels)) &&
+                lineFilters.forall(_.matches(r.line))) hits += r
+            i -= 1
+          }
         }
         val bytes = toParquet(hits.toSeq)
         rows.synchronized {

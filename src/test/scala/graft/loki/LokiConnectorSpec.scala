@@ -188,6 +188,29 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally mStub.stop()
   }
 
+  test("pushed LIMIT keeps the NEWEST n (real Loki's backward default, round 12)") {
+    // real Loki's query_range direction defaults to backward, so a bare
+    // LIMIT n returns the LATEST n entries — the reference omits the
+    // param (scan.rs:106-121) and would see the same against a real
+    // server. The old stub silently served the OLDEST n.
+    val dStub = new LokiStubServer
+    dStub.start()
+    try {
+      val base = 1704067200000000000L
+      dStub.seed((0 until 100).map(i =>
+        dStub.LogRow(base + i * 1000000000L, Map("app" -> "d"), s"d-$i")))
+      val got = spark.read.format("loki")
+        .option("endpoint", dStub.endpoint)
+        .option("default_label", "app")
+        .load()
+        .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+        .limit(10)
+        .select("line").collect().map(_.getString(0)).toSet
+      assert(got == (90 until 100).map(i => s"d-$i").toSet,
+        s"bare LIMIT must return the newest entries, got $got")
+    } finally dStub.stop()
+  }
+
   test("transient 5xx heal in-reader: scan, paged walk, stats probe, push (round 12)") {
     // a 100 TB paged scan issues thousands of requests per task — a
     // single transient 503 must retry inside the reader instead of
