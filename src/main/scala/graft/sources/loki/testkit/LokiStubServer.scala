@@ -119,6 +119,17 @@ final class LokiStubServer {
   val failNextStats = new java.util.concurrent.atomic.AtomicInteger(0)
   val failNextPushes = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Real-Loki server limits (round 12). `serverDefaultLimit` models
+    * `limits_config.max_entries_limit_per_query` ON AN UNLIMITED REQUEST:
+    * a query_range without `limit` is answered with at most this many
+    * entries (in the request's direction) — the SILENT truncation the
+    * `query_limit` option exists to close. `rejectOverLimit` models the
+    * same cap on an EXPLICIT limit: real Loki answers 400 instead of
+    * clamping. 0 = unlimited (the frictionless test default).
+    */
+  @volatile var serverDefaultLimit: Int = 0
+  @volatile var rejectOverLimit: Int = 0
+
   private def injectFailure(
       ex: HttpExchange, counter: java.util.concurrent.atomic.AtomicInteger): Boolean =
     counter.getAndUpdate(n => math.max(n - 1, 0)) > 0 && {
@@ -284,7 +295,18 @@ final class LokiStubServer {
       // stub silently served oldest-first under the default, certifying
       // a row SET real Loki would not return for a bare LIMIT (round 12).
       val forward = params.get("direction").contains("forward")
-      val key = (s"$logql|fwd=$forward", start, end, limit)
+      // real-Loki server limits: reject an explicit over-cap limit (400),
+      // silently truncate an unlimited request at the server default
+      val cap0 = rejectOverLimit
+      if (cap0 > 0 && limit.exists(_ > cap0)) {
+        respond(ex, 400,
+          s"max entries limit per query exceeded: $cap0".getBytes(UTF_8))
+        return
+      }
+      val effLimit =
+        if (limit.isEmpty && serverDefaultLimit > 0) Some(serverDefaultLimit)
+        else limit
+      val key = (s"$logql|fwd=$forward", start, end, effLimit)
       val body = rows.synchronized(respCache.get(key)).getOrElse {
         val (matchers, lineFilters) = parseLogql(logql)
         // sorted snapshot + binary-searched bounds: a paged walk over a
@@ -306,7 +328,7 @@ final class LokiStubServer {
           val m = (up + upHi) >>> 1
           if (all(m).tsNs < end) up = m + 1 else upHi = m
         }
-        val cap = limit.getOrElse(Int.MaxValue)
+        val cap = effLimit.getOrElse(Int.MaxValue)
         val hits = mutable.ArrayBuffer.empty[LogRow]
         if (forward) {
           var i = lo

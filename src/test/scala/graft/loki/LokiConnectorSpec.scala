@@ -188,6 +188,48 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally mStub.stop()
   }
 
+  test("the silent-truncation trap is REAL and query_limit closes it (round 12)") {
+    // against a server with max_entries_limit: (a) the reference-parity
+    // unlimited request is SILENTLY truncated at the server default —
+    // wrong row count, no error; (b) query_limit pages to completeness;
+    // (c) an explicit over-cap limit is rejected with 400 by the server,
+    // and our planning-time require fails before ever sending it.
+    val tStub = new LokiStubServer
+    tStub.start()
+    try {
+      val base = 1704067200000000000L
+      tStub.seed((0 until 250).map(i =>
+        tStub.LogRow(base + i * 1000000000L, Map("app" -> "t"), s"t-$i")))
+      tStub.serverDefaultLimit = 100
+      tStub.rejectOverLimit = 100
+      def scan(opts: Map[String, String]) = {
+        val r = spark.read.format("loki")
+          .option("endpoint", tStub.endpoint)
+          .option("default_label", "app")
+          .option("check_connection", "false")
+        opts.foreach { case (k, v) => r.option(k, v) }
+        r.load().filter(
+          col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+      }
+      // (a) reference parity: silently short — THE trap
+      assert(scan(Map.empty).count() == 100,
+        "parity config must show the silent truncation this models")
+      // (b) query_limit at the cap: paged walk, complete
+      assert(scan(Map("query_limit" -> "100")).count() == 250)
+      // (c) over-cap page size: the server 400s; the request fails loudly
+      // (not silently clamped) — surfaced through the reader
+      val e = intercept[Exception] {
+        scan(Map("query_limit" -> "100")).limit(150).count()
+      }
+      def chain(t: Throwable): List[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).getOrElse("") :: chain(t.getCause)
+      assert(chain(e).exists(_.contains("max entries limit")),
+        s"over-cap limit must fail loudly: ${chain(e)}")
+    } finally tStub.stop()
+  }
+
   test("pushed LIMIT keeps the NEWEST n (real Loki's backward default, round 12)") {
     // real Loki's query_range direction defaults to backward, so a bare
     // LIMIT n returns the LATEST n entries — the reference omits the
