@@ -162,6 +162,12 @@ object ConnectorOps {
             sys.addShutdownHook(st.stop())
             st
           }))
+          // The memo can be evicted and this compute re-run against a
+          // REGENERATED corpus for the same dir; the target stub survives
+          // across runs (keyed by dir), so stale rows from the prior
+          // generation would superset the read-back. Start every forward
+          // run from an empty target, like every other scratch-stub gate.
+          dst.clear()
           val ckpt = java.nio.file.Files
             .createTempDirectory("graft_loki_fwd_ck").toFile
           sys.addShutdownHook {

@@ -147,10 +147,24 @@ case class LokiStreamingWrite(options: LokiOptions)
   // a cumulative total no single query ever committed)
   private val queryTotal = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // Per-epoch idempotence: if Spark fails between the sink commit and the
+  // offset-log write, it replays the epoch and commit() runs again with the
+  // same epochId — counting its rows twice would overstate the query total
+  // (the server-side ingest dedup already collapses the re-pushed rows, so
+  // only the COUNTER needs protection). Remember each epoch's contribution
+  // and overwrite rather than re-add on a repeat.
+  private val epochContribs =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val epochRows = messages.collect { case LokiCommitMessage(n) => n }.sum
+    val prev = Option(epochContribs.put(epochId, epochRows)).map(_.longValue).getOrElse(0L)
     LokiWrite.counts.put(
-      options.endpoint.stripSuffix("/"), queryTotal.addAndGet(epochRows))
+      options.endpoint.stripSuffix("/"), queryTotal.addAndGet(epochRows - prev))
+    // Only an epoch near the tail can replay (a driver restart builds a new
+    // Write instance); prune so a months-long stream doesn't grow the map
+    // one entry per epoch forever.
+    epochContribs.keySet.removeIf(e => e < epochId - 64)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()

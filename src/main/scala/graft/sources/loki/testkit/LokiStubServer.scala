@@ -133,6 +133,11 @@ final class LokiStubServer {
   private def injectFailure(
       ex: HttpExchange, counter: java.util.concurrent.atomic.AtomicInteger): Boolean =
     counter.getAndUpdate(n => math.max(n - 1, 0)) > 0 && {
+      // Drain the request body before answering: com.sun.net.httpserver can
+      // reset a keep-alive connection when a POST body is left unread, which
+      // would turn the deterministic injected 503 into a flaky client-side
+      // IOException (same retry path, different spec assertion).
+      try { ex.getRequestBody.readAllBytes(): Unit } catch { case _: Exception => }
       respond(ex, 503, "stub: injected transient failure".getBytes(UTF_8))
       true
     }

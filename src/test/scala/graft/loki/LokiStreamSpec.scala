@@ -310,4 +310,23 @@ class LokiStreamSpec extends SparkTestBase {
       assert(got.isEmpty, "empty window must produce no rows")
     }
   }
+
+  test("streaming write commit is idempotent per epoch (replay between sink commit and offset log)") {
+    // If the driver fails AFTER the sink commit but BEFORE the offset-log
+    // write, Spark replays the epoch: commit(epochId, ...) runs again with
+    // the same id. The counter must not double-count (the server-side
+    // ingest dedup already collapses the re-pushed rows themselves).
+    import graft.sources.loki.{LokiCommitMessage, LokiOptions, LokiStreamingWrite, LokiWrite}
+    val ep = "http://127.0.0.1:1/idempotent-epoch-test"
+    val w = LokiStreamingWrite(LokiOptions.from(Map("endpoint" -> ep)))
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(LokiCommitMessage(5L), LokiCommitMessage(7L))
+    w.commit(0L, msgs)
+    assert(LokiWrite.lastCommittedRows(ep.stripSuffix("/")) == 12L)
+    w.commit(0L, msgs) // replayed epoch — same id, same rows
+    assert(LokiWrite.lastCommittedRows(ep.stripSuffix("/")) == 12L,
+      "a replayed epoch must not double-count")
+    w.commit(1L, Array(LokiCommitMessage(3L)))
+    assert(LokiWrite.lastCommittedRows(ep.stripSuffix("/")) == 15L)
+  }
 }
