@@ -144,6 +144,48 @@ object ConnectorOps {
           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),
 
+    // Filtered tail (round 13): Spark applies no DSv2 filter pushdown to
+    // micro-batch scans, so the `selector` option is the tail's explicit
+    // pushdown channel — raw LogQL matchers + line stages assembled into
+    // every batch's query_range (LokiOptions.selector; matcher model per
+    // reference table.rs:116-128). NO host-side filter here: the rows the
+    // oracle certifies are exactly the rows the WIRE returned, and the
+    // compute block additionally self-checks that every recorded wire
+    // query carried the selector (a silent fallback to the full firehose
+    // would still produce oracle-correct rows after host filtering — the
+    // wire pin is what proves the pushdown).
+    ("loki_stream_tail_filtered",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamingOps.memoDrain(s, d, "loki_stream_tail_filtered") {
+          val st = stubFor(s, d)
+          val q0 = st.queries.synchronized(st.queries.size)
+          val stream = s.readStream.format("loki")
+            .option("endpoint", st.endpoint)
+            .option("selector", """{event_type="purchase"} |= "value=1"""")
+            .option("stream_start_ns", "1704067200000000000")
+            .option("stream_end_ns", "1706745600000000000")
+            .load()
+            .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          val out = graft.streaming.StreamingOps.runToMemory(
+            stream, s"loki_tail_flt_${d.hashCode & 0x7fffffff}",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+            .orderBy("ts_us", "line")
+          val wire = st.queries.synchronized(st.queries.drop(q0).toList)
+          require(wire.nonEmpty &&
+            wire.forall(_ == """{event_type="purchase"} |= `value=1`"""),
+            s"filtered tail leaked an unselected wire query: ${wire.distinct}")
+          out
+        },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE event_type = 'purchase'
+          |  AND concat(event_type, ' value=', CAST(value AS VARCHAR)) LIKE '%value=1%'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // Streaming WRITE (round 12, beyond-parity: the reference's insert is
     // batch-only, insert.rs) — the loki→loki forwarding pipeline: tail
     // the source endpoint's January window, keep the clicks, push them to

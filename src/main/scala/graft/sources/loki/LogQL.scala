@@ -86,6 +86,115 @@ object LogQL {
   def defaultMatcher(defaultLabel: String): LabelMatcher =
     LabelMatcher(defaultLabel, "=~", ".+")
 
+  /** Parse a raw LogQL log-selector string — the `selector` option's
+    * value: `{label op "v", …}` (ops `=`, `!=`, `=~`, `!~`; values
+    * double-quoted with Go-style escapes or backtick-raw) followed by
+    * optional line-filter stages (`|=`, `!=`, `|~`, `!~`). This is the
+    * matcher model of reference table.rs:116-128, accepted as user text
+    * so a STREAMING read can push a selector: Spark applies no DSv2
+    * filter pushdown to micro-batch scans, and without this option a
+    * filtered tail reads the full firehose and filters host-side.
+    *
+    * Semantics are Loki's, verbatim — including Prometheus matcher
+    * treatment of ABSENT labels (`{k!="v"}` also matches streams with no
+    * label `k`, see [[matchesAbsentLabel]]), which differs from the SQL
+    * `labels['k'] != 'v'` (NULL → dropped). The option states what goes
+    * on the wire; no host-side residual is added or implied.
+    *
+    * Throws IllegalArgumentException with position context on malformed
+    * input — at option-parse time, not first-task time.
+    */
+  def parseSelector(s: String): (Seq[LabelMatcher], Seq[LineFilter]) = {
+    var i = 0
+    def err(msg: String): Nothing = throw new IllegalArgumentException(
+      s"selector parse error at offset $i: $msg (in: $s)")
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def ident(): String = {
+      val st = i
+      while (i < s.length &&
+        (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+      if (i == st) err("expected label name")
+      s.substring(st, i)
+    }
+    // Go-style double-quoted string or raw backtick string. Unknown
+    // escapes (e.g. the `\d` of a regex value typed without doubling)
+    // pass through backslash-intact — lenient in the direction users
+    // expect, and round-trippable through the raw renderer.
+    def str(): String = {
+      if (i >= s.length) err("expected a string value")
+      s.charAt(i) match {
+        case '"' =>
+          i += 1
+          val sb = new StringBuilder
+          while (i < s.length && s.charAt(i) != '"') {
+            if (s.charAt(i) == '\\' && i + 1 < s.length) {
+              s.charAt(i + 1) match {
+                case '"' => sb += '"'; i += 2
+                case '\\' => sb += '\\'; i += 2
+                case 'n' => sb += '\n'; i += 2
+                case 'r' => sb += '\r'; i += 2
+                case 't' => sb += '\t'; i += 2
+                case 'u' if i + 5 < s.length =>
+                  sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+                  i += 6
+                case c => sb += '\\'; sb += c; i += 2
+              }
+            } else { sb += s.charAt(i); i += 1 }
+          }
+          if (i >= s.length) err("unterminated quoted string")
+          i += 1
+          sb.toString
+        case '`' =>
+          i += 1
+          val st = i
+          while (i < s.length && s.charAt(i) != '`') i += 1
+          if (i >= s.length) err("unterminated backtick string")
+          val v = s.substring(st, i); i += 1; v
+        case c => err(s"expected '\"' or '`', got '$c'")
+      }
+    }
+    def matcherOp(): String = {
+      if (i < s.length && (s.charAt(i) == '!' || s.charAt(i) == '=')) {
+        val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+        if (two == "!=" || two == "=~" || two == "!~") { i += 2; two }
+        else if (s.charAt(i) == '=') { i += 1; "=" }
+        else err("expected one of =, !=, =~, !~")
+      } else err("expected one of =, !=, =~, !~")
+    }
+    ws()
+    if (i >= s.length || s.charAt(i) != '{') err("selector must start with '{'")
+    i += 1
+    val matchers = Seq.newBuilder[LabelMatcher]
+    ws()
+    if (i < s.length && s.charAt(i) != '}') {
+      var more = true
+      while (more) {
+        ws()
+        val l = ident(); ws(); val op = matcherOp(); ws(); val v = str()
+        matchers += LabelMatcher(l, op, v)
+        ws()
+        if (i < s.length && s.charAt(i) == ',') { i += 1 } else more = false
+      }
+    }
+    if (i >= s.length || s.charAt(i) != '}') err("expected '}' or ','")
+    i += 1
+    val lines = Seq.newBuilder[LineFilter]
+    ws()
+    while (i < s.length) {
+      val op = s.charAt(i) match {
+        case '|' if i + 1 < s.length && s.charAt(i + 1) == '=' => i += 2; "|="
+        case '|' if i + 1 < s.length && s.charAt(i + 1) == '~' => i += 2; "|~"
+        case '!' if i + 1 < s.length && s.charAt(i + 1) == '=' => i += 2; "!="
+        case '!' if i + 1 < s.length && s.charAt(i + 1) == '~' => i += 2; "!~"
+        case _ => err("expected a line-filter stage (|=, !=, |~, !~)")
+      }
+      ws()
+      lines += LineFilter(op, str())
+      ws()
+    }
+    (matchers.result(), lines.result())
+  }
+
   /** Whether this matcher also selects streams WITHOUT the label. Loki
     * treats a missing label as "" (Prometheus selector semantics), so:
     * `!=`/`!~` match absent unless they reject "" … `=` matches absent iff

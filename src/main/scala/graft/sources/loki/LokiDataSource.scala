@@ -173,7 +173,21 @@ final case class LokiOptions(
       * can overshoot — progress is guaranteed) and costs O(log) cheap
       * index-only probes per trigger. 0 (default) = unbounded batches.
       */
-    maxRowsPerBatch: Long = 0L) extends Serializable {
+    maxRowsPerBatch: Long = 0L,
+    /** Raw LogQL selector (plus optional line-filter stages) to push to
+      * the wire, e.g. `{app="api",env!="dev"} |= "error"`. The explicit
+      * pushdown channel for STREAMING reads — Spark applies no DSv2
+      * filter pushdown to micro-batch scans, so without it
+      * `readStream.format("loki").load().filter(labels…)` tails the FULL
+      * firehose and filters host-side; with it the tail's query_range
+      * carries the selector and only matching streams cross the wire.
+      * Also honored on batch reads (a raw-LogQL escape hatch). Matchers
+      * compose (AND) with anything the optimizer pushes; semantics are
+      * Loki's verbatim — `{k!="v"}` also matches streams WITHOUT label k
+      * (see [[LogQL.matchesAbsentLabel]]), unlike the SQL
+      * `labels['k'] != 'v'`. Parsed and validated at option time.
+      */
+    selector: Option[String] = None) extends Serializable {
 
   /** The option-map rendering of this config — the inverse of
     * [[LokiOptions.from]], so per-read options can OVERLAY a catalog
@@ -201,7 +215,8 @@ final case class LokiOptions(
     "max_rows_per_batch" -> maxRowsPerBatch.toString) ++
     defaultLabel.map("default_label" -> _) ++
     streamStartNs.map(v => "stream_start_ns" -> v.toString) ++
-    streamEndNs.map(v => "stream_end_ns" -> v.toString)
+    streamEndNs.map(v => "stream_end_ns" -> v.toString) ++
+    selector.map("selector" -> _)
 }
 
 object LokiOptions {
@@ -245,7 +260,11 @@ object LokiOptions {
       streamStartNs = m.get("stream_start_ns").map(_.toLong),
       streamEndNs = m.get("stream_end_ns").map(_.toLong),
       streamLagMs = m.getOrElse("stream_lag_ms", "0").toLong,
-      maxRowsPerBatch = m.getOrElse("max_rows_per_batch", "0").toLong)
+      maxRowsPerBatch = m.getOrElse("max_rows_per_batch", "0").toLong,
+      selector = m.get("selector").filter(_.nonEmpty).map { sel =>
+        LogQL.parseSelector(sel) // validate now: fail at load, not first task
+        sel
+      })
   }
 }
 

@@ -58,6 +58,9 @@ class LokiScanBuilder(table: LokiTable)
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
       pushedLines.isEmpty && table.pushedLineFilters.isEmpty &&
+      // a `selector` option carrying line-filter stages also disqualifies:
+      // index/stats answers the SELECTOR's count, stages reduce rows below it
+      table.options.selector.forall(s => LogQL.parseSelector(s)._2.isEmpty) &&
       limit.isEmpty
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -104,8 +107,15 @@ class LokiScanBuilder(table: LokiTable)
   }
 
   override def build(): Scan = {
+    // explicit `selector` option (the streaming pushdown channel — DSv2
+    // filter pushdown never reaches micro-batch scans): its matchers and
+    // line stages CONJOIN with whatever the optimizer pushed, selector
+    // stages first (user-stated order ahead of derived predicates)
+    val (optMatchers, optLines) = table.options.selector
+      .map(LogQL.parseSelector).getOrElse((Nil, Nil))
     val matchers =
-      if (table.pushedLabelMatchers.nonEmpty) table.pushedLabelMatchers
+      if (optMatchers.nonEmpty || table.pushedLabelMatchers.nonEmpty)
+        optMatchers ++ table.pushedLabelMatchers
       else table.options.defaultLabel match {
         // no matcher at all → default-label fallback, else error
         // (table.rs:116-122: LogQL requires at least one matcher)
@@ -114,7 +124,8 @@ class LokiScanBuilder(table: LokiTable)
           "no label matcher in query and no default_label configured; " +
             "LogQL requires at least one label matcher")
       }
-    val logql = LogQL.assemble(matchers, table.pushedLineFilters ++ pushedLines,
+    val logql = LogQL.assemble(
+      matchers, optLines ++ table.pushedLineFilters ++ pushedLines,
       escape = table.options.escapeLogql)
     // matcher-only selector for index/stats probes, rendered from the
     // matchers directly — substring-parsing the assembled query to the

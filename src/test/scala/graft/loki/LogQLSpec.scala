@@ -143,12 +143,13 @@ class LogQLSpec extends AnyFunSuite {
       "push_count" -> "true", "report_statistics" -> "true",
       "group_streams" -> "true", "columnar" -> "false",
       "stream_start_ns" -> "123", "stream_end_ns" -> "456",
-      "stream_lag_ms" -> "11", "max_rows_per_batch" -> "500"))
+      "stream_lag_ms" -> "11", "max_rows_per_batch" -> "500",
+      "selector" -> """{app="x"} |= "err""""))
     assert(LokiOptions.from(full.toMap) == full,
       s"round trip drifted:\n${LokiOptions.from(full.toMap)}\nvs\n$full")
     // every case-class field must be representable: the field count is
     // pinned so adding a field forces this test (and toMap) to be updated
-    assert(full.productArity == 20,
+    assert(full.productArity == 21,
       "LokiOptions gained/lost a field — update toMap AND this round trip")
   }
 
@@ -197,5 +198,50 @@ class LogQLSpec extends AnyFunSuite {
     assert(lf.render(escape = true) == """|= "has`tick"""")
     assert(LogQL.assemble(Seq(m), Seq(lf), escape = true) ==
       """{app="va\"lue"} |= "has`tick"""")
+  }
+
+  test("parseSelector: matchers, all four ops, line stages, both string forms") {
+    val (ms, ls) = LogQL.parseSelector(
+      """{app="api", env!="dev", pod=~"web-.*", zone!~`us-(east|west)`} |= "error" != "noise" |~ `\d{3}` !~ "debug"""")
+    assert(ms == Seq(
+      LogQL.LabelMatcher("app", "=", "api"),
+      LogQL.LabelMatcher("env", "!=", "dev"),
+      LogQL.LabelMatcher("pod", "=~", "web-.*"),
+      LogQL.LabelMatcher("zone", "!~", "us-(east|west)")))
+    assert(ls == Seq(
+      LogQL.LineFilter("|=", "error"),
+      LogQL.LineFilter("!=", "noise"),
+      LogQL.LineFilter("|~", "\\d{3}"),
+      LogQL.LineFilter("!~", "debug")))
+    // round trip through the raw renderer (backtick regex re-renders
+    // backticked, quoted values re-render quoted — same query semantics)
+    assert(LogQL.assemble(ms, ls) ==
+      """{app="api", env!="dev", pod=~"web-.*", zone!~"us-(east|west)"} |= `error` != `noise` |~ `\d{3}` !~ `debug`""")
+  }
+
+  test("parseSelector: Go escapes decode; unknown escapes keep their backslash") {
+    val (ms, _) = LogQL.parseSelector("""{a="q\"b", b="back\\slash", c="tab\there", d=~"re\d+"}""")
+    assert(ms(0).value == "q\"b")
+    assert(ms(1).value == "back\\slash")
+    assert(ms(2).value == "tab\there")
+    assert(ms(3).value == "re\\d+") // \d is regex, not a Go escape — kept
+  }
+
+  test("parseSelector: empty selector and whitespace tolerance") {
+    assert(LogQL.parseSelector("{}") == ((Nil, Nil)))
+    assert(LogQL.parseSelector("""  { app = "x" }  |=  "y"  """) ==
+      ((Seq(LogQL.LabelMatcher("app", "=", "x")), Seq(LogQL.LineFilter("|=", "y")))))
+  }
+
+  test("parseSelector: malformed input fails loudly at parse time") {
+    for (bad <- Seq(
+      "app=\"x\"",              // no braces
+      "{app=\"x\"",             // unterminated selector
+      "{app~\"x\"}",            // bad operator
+      "{app=\"x}",              // unterminated string
+      "{app=\"x\"} |= noquote", // unquoted stage value
+      "{app=\"x\"} | \"y\"",    // bad stage op
+      "{=\"x\"}"))              // missing label name
+      assertThrows[IllegalArgumentException](LogQL.parseSelector(bad))
   }
 }

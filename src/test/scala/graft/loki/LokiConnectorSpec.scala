@@ -1274,6 +1274,47 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       assert(st.ingested.size == 2, "re-POSTed batch must not double-count")
     } finally st.stop()
   }
+
+  test("batch selector option conjoins with optimizer-pushed filters on the wire") {
+    val st = new LokiStubServer
+    st.start()
+    try {
+      st.seed((0 until 60).map { i =>
+        val env = if (i % 2 == 0) "prod" else "dev"
+        val app = if (i % 3 == 0) "api" else "web"
+        st.LogRow(1704067200000000000L + i * 1000000000L,
+          Map("app" -> app, "env" -> env),
+          s"${if (i % 5 == 0) "error" else "ok"} i=$i")
+      })
+      st.queries.synchronized(st.queries.clear())
+      val got = spark.read.format("loki")
+        .option("endpoint", st.endpoint)
+        .option("selector", """{env="prod"} |= "i="""")
+        .load()
+        .filter(element_at(col("labels"), "app") === "api" &&
+          col("line").like("%error%") &&
+          // explicit window: the seeded 2024 rows sit outside the
+          // default now−30d scan window
+          col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+        .select("line")
+        .collect().map(_.getString(0)).toSet
+      // env=prod (i even) ∧ app=api (i%3==0) ∧ error (i%5==0) → i%30==0
+      assert(got == Set("error i=0", "error i=30"))
+      // ONE wire query carrying selector-option matchers AND stages first,
+      // then the optimizer-pushed matcher and line filter
+      val wire = st.queries.synchronized(st.queries.distinct.toList)
+      assert(wire == List("""{env="prod", app="api"} |= `i=` |= `error`"""),
+        s"wire: $wire")
+      // a malformed selector fails at load(), not first-task time
+      assertThrows[IllegalArgumentException] {
+        spark.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("selector", "{app=}")
+          .load()
+      }
+    } finally st.stop()
+  }
 }
 
 /** JVM-local failure-injection probe for the task-retry test (accumulator

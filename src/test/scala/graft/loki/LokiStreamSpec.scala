@@ -311,6 +311,72 @@ class LokiStreamSpec extends SparkTestBase {
     }
   }
 
+  test("selector option pushes label+line filters into the tail's wire queries") {
+    // Spark applies no DSv2 filter pushdown to micro-batch scans, so the
+    // explicit `selector` option is the ONLY way a tail avoids reading
+    // the full firehose. Prove both halves: (a) every query_range the
+    // stub served carried the selector — only matching streams crossed
+    // the wire; (b) the drained rows equal the batch-filtered result.
+    withStub { stub =>
+      stub.seed((0 until 240).map { i =>
+        val app = if (i % 3 == 0) "api" else if (i % 3 == 1) "web" else "db"
+        val line = if (i % 2 == 0) s"error code=$i" else s"ok code=$i"
+        stub.LogRow(base + i * 1000000000L, Map("app" -> app), line)
+      })
+      val cap = base + 86400L * 1000000000L
+      stub.queries.synchronized(stub.queries.clear())
+      val got = drain(
+        streamDf(stub, Map(
+          "stream_end_ns" -> cap.toString,
+          "selector" -> """{app="api"} |= "error"""",
+          // shape the drain into several batches so the selector is
+          // proven on EVERY batch's wire query, not just one
+          "max_rows_per_batch" -> "16"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line")),
+        "loki_tail_sel", tmp("loki_tail_sel_ck"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val want = (0 until 240 by 6)
+        .map(i => ((base / 1000) + i * 1000000L, s"error code=$i")).sorted
+      assert(got == want, s"${got.size} rows vs ${want.size} expected")
+      val wire = stub.queries.synchronized(stub.queries.toSeq)
+      assert(wire.nonEmpty)
+      assert(wire.forall(_ == """{app="api"} |= `error`"""),
+        s"unexpected wire queries: ${wire.distinct}")
+    }
+  }
+
+  test("selector option composes with stream window and survives checkpointed re-drain") {
+    withStub { stub =>
+      stub.seed((0 until 100).map(i =>
+        stub.LogRow(base + i * 1000000000L,
+          Map("app" -> (if (i % 2 == 0) "keep" else "drop")), s"s-$i")))
+      val mid = base + 50L * 1000000000L
+      val ck = tmp("loki_tail_sel2_ck")
+      val out = tmp("loki_tail_sel2_out")
+      // durable sink: memory cannot recover from a checkpoint, and the
+      // second drain must resume from the first's committed offset
+      def drainTo(capNs: Long): Set[String] = {
+        val q = streamDf(stub, Map(
+          "stream_end_ns" -> capNs.toString,
+          "selector" -> """{app="keep"}"""))
+          .select("line")
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(out).collect().map(_.getString(0)).toSet
+      }
+      assert(drainTo(mid) == (0 until 50 by 2).map(i => s"s-$i").toSet)
+      // extend the cap; the re-drain reads ONLY [mid, cap) — still selected
+      assert(drainTo(base + 100L * 1000000000L) ==
+        (0 until 100 by 2).map(i => s"s-$i").toSet,
+        "re-drain must append only the new window, still selector-filtered")
+    }
+  }
+
   test("streaming write commit is idempotent per epoch (replay between sink commit and offset log)") {
     // If the driver fails AFTER the sink commit but BEFORE the offset-log
     // write, Spark replays the epoch: commit(epochId, ...) runs again with
