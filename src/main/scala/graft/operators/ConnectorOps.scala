@@ -433,6 +433,56 @@ object ConnectorOps {
           |  ORDER BY ts DESC LIMIT 50
           |) ORDER BY ts_us, line""".stripMargin)),
 
+    // Explicit direction (round 13): "the last 40 purchases" — a pushed
+    // label matcher + LIMIT with direction=backward STATED on the wire
+    // (not inherited from the server default), the newest-n read every
+    // log user runs first. The twin `loki_forward_firstn` pins the flip:
+    // the same query under direction=forward keeps the OLDEST n, proving
+    // the option reaches the request rather than riding defaults.
+    ("loki_backward_lastn",
+      (s: SparkSession, d: String) =>
+        s.read.format("loki")
+          .option("endpoint", stubFor(s, d).endpoint)
+          .option("default_label", "event_type")
+          .option("direction", "backward")
+          .load()
+          .filter(element_at(col("labels"), "event_type") === "purchase" &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+          .limit(40)
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line"),
+      Some(
+        """SELECT ts_us, line FROM (
+          |  SELECT epoch_us(ts) AS ts_us,
+          |         concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |  FROM events
+          |  WHERE event_type = 'purchase'
+          |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  ORDER BY ts DESC LIMIT 40
+          |) ORDER BY ts_us, line""".stripMargin)),
+
+    ("loki_forward_firstn",
+      (s: SparkSession, d: String) =>
+        s.read.format("loki")
+          .option("endpoint", stubFor(s, d).endpoint)
+          .option("default_label", "event_type")
+          .option("direction", "forward")
+          .load()
+          .filter(element_at(col("labels"), "event_type") === "purchase" &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+          .limit(40)
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line"),
+      Some(
+        """SELECT ts_us, line FROM (
+          |  SELECT epoch_us(ts) AS ts_us,
+          |         concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |  FROM events
+          |  WHERE event_type = 'purchase'
+          |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  ORDER BY ts ASC LIMIT 40
+          |) ORDER BY ts_us, line""".stripMargin)),
+
     // Chained line filters through the connector: a positive contains AND
     // a negative contains on the same scan — the reference's multi-filter
     // LogQL shape (`{sel} |= `x` != `y``, table.rs:124-128). The stub

@@ -187,7 +187,18 @@ final case class LokiOptions(
       * (see [[LogQL.matchesAbsentLabel]]), unlike the SQL
       * `labels['k'] != 'v'`. Parsed and validated at option time.
       */
-    selector: Option[String] = None) extends Serializable {
+    selector: Option[String] = None,
+    /** Explicit query direction for single-request reads. None (default)
+      * omits the param — REFERENCE PARITY (scan.rs:106-121), leaving
+      * Loki's own default (backward: a bare LIMIT keeps the NEWEST n).
+      * Some("backward") states newest-n explicitly ("last 1000 errors");
+      * Some("forward") flips a LIMIT to the OLDEST n. Paged walks
+      * (query_limit / server_max_entries, never combined with a LIMIT)
+      * always cursor forward — the row SET of an unlimited scan is
+      * direction-independent, so a configured direction is logged and
+      * ignored there rather than failing a query it cannot affect.
+      */
+    direction: Option[String] = None) extends Serializable {
 
   /** The option-map rendering of this config — the inverse of
     * [[LokiOptions.from]], so per-read options can OVERLAY a catalog
@@ -216,7 +227,8 @@ final case class LokiOptions(
     defaultLabel.map("default_label" -> _) ++
     streamStartNs.map(v => "stream_start_ns" -> v.toString) ++
     streamEndNs.map(v => "stream_end_ns" -> v.toString) ++
-    selector.map("selector" -> _)
+    selector.map("selector" -> _) ++
+    direction.map("direction" -> _)
 }
 
 object LokiOptions {
@@ -264,6 +276,11 @@ object LokiOptions {
       selector = m.get("selector").filter(_.nonEmpty).map { sel =>
         LogQL.parseSelector(sel) // validate now: fail at load, not first task
         sel
+      },
+      direction = m.get("direction").filter(_.nonEmpty).map {
+        case d @ ("forward" | "backward") => d
+        case other => throw new IllegalArgumentException(
+          s"direction must be 'forward' or 'backward', got '$other'")
       })
   }
 }

@@ -84,13 +84,14 @@ object LokiHttp {
       startNs: Long,
       endNs: Long,
       limit: Option[Int],
-      // forward=true is the PAGINATION path (reader cursor walks the
-      // window oldest-first); the default omits the param like the
-      // reference (scan.rs:106-121), leaving Loki's default direction
-      forward: Boolean = false): Array[Byte] = {
+      // Some("forward") is the PAGINATION path (reader cursor walks the
+      // window oldest-first); Some("backward") is the explicit newest-n
+      // `direction` option; None omits the param like the reference
+      // (scan.rs:106-121), leaving Loki's default direction (backward)
+      direction: Option[String] = None): Array[Byte] = {
     val enc = java.net.URLEncoder.encode(logql, "UTF-8")
     val limitParam = limit.map(n => s"&limit=$n").getOrElse("")
-    val dirParam = if (forward) "&direction=forward" else ""
+    val dirParam = direction.map(d => s"&direction=$d").getOrElse("")
     val uri = URI.create(
       s"$endpoint/loki/api/v1/query_range?query=$enc&start=$startNs&end=$endNs$limitParam$dirParam")
     val req = HttpRequest.newBuilder(uri)

@@ -231,6 +231,10 @@ case class LokiScan(
       // claim a scan that doesn't run
       (if (!countOnly) effectivePageSize.map(p => s"page_size=$p").toSeq
        else Nil) ++
+      // explicit direction, disclosed only where it is honored (the
+      // single-request path — paged cursors walk forward regardless)
+      (if (!countOnly) effectiveDirection.map(d => s"direction=$d").toSeq
+       else Nil) ++
       // pushed COUNT(*) discloses its stats-answered shape in EXPLAIN
       (if (countOnly) Seq("count=index/stats") else Nil) ++
       Seq(s"projection=[${requiredSchema.fieldNames.mkString(",")}]")
@@ -249,6 +253,28 @@ case class LokiScan(
     else if (limit.isEmpty) serverMax
     else None
   }
+
+  /** The `direction` option where it is honored: the single-request path
+    * (which n rows a LIMIT keeps — see [[LokiOptions.direction]]). A
+    * paged walk's cursor goes forward by construction, and since paging
+    * never coexists with a LIMIT the unlimited row set is
+    * direction-independent — log and ignore rather than fail a query the
+    * option cannot affect (a catalog table carrying direction=backward
+    * as base config must not break its unlimited paged scans).
+    */
+  private def effectiveDirection: Option[String] =
+    options.direction match {
+      case some @ Some(d) =>
+        if (effectivePageSize.isEmpty) some
+        else {
+          LokiScan.log.warn(
+            s"direction=$d ignored: the scan pages " +
+              s"(page_size=${effectivePageSize.get}) and paged cursors walk " +
+              "forward; an unlimited scan's row set is direction-independent")
+          None
+        }
+      case None => None
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (countOnly)
@@ -280,7 +306,7 @@ case class LokiScan(
     if (n == 1) {
       Array(LokiInputPartition(
         options.endpoint, logql, startNs, endNs, limit, pageSize,
-        requiredSchema, serverMax))
+        requiredSchema, serverMax, direction = effectiveDirection))
     } else {
       // slice [start, end) into n disjoint ranges; bounds must be concrete
       // at planning time, so defaults are materialized here. The effective
@@ -291,7 +317,7 @@ case class LokiScan(
       plannedBounds.map { case (lo, hi) =>
         LokiInputPartition(
           options.endpoint, logql, Some(lo), Some(hi), None, pageSize,
-          requiredSchema, serverMax)
+          requiredSchema, serverMax, direction = effectiveDirection)
       }.toArray
     }
   }
@@ -422,14 +448,14 @@ case class LokiScan(
     if (eff == 1)
       Array(LokiInputPartition(
         options.endpoint, logql, Some(s), Some(e), limit, pageSize,
-        requiredSchema, serverMax))
+        requiredSchema, serverMax, direction = effectiveDirection))
     else
       // the batch path's width slicer — ONE slicing arithmetic, so a fix
       // to the batch clamps can never diverge the micro-batch windows
       widthBounds(s, e, eff).map { case (lo, hi) =>
         LokiInputPartition(
           options.endpoint, logql, Some(lo), Some(hi), None, pageSize,
-          requiredSchema, serverMax)
+          requiredSchema, serverMax, direction = effectiveDirection)
       }.toArray
   }
 
@@ -652,7 +678,13 @@ case class LokiInputPartition(
     /** COUNT(*) answered by one index/stats request (logql here is the
       * bare selector — canPushCount guarantees no line-filter stages).
       */
-    countOnly: Boolean = false) extends InputPartition {
+    countOnly: Boolean = false,
+    /** Explicit `direction` for the single-request path (the `direction`
+      * option): which n rows a LIMIT keeps (backward = newest, forward =
+      * oldest). Never set on paged partitions — their cursors walk
+      * forward by construction.
+      */
+    direction: Option[String] = None) extends InputPartition {
 
   /** The executor-side concrete window: defaults materialize at execute
     * time, like scan.rs:104-115 (now−30d…now). ONE definition for all
@@ -735,7 +767,7 @@ class LokiPartitionReader(p: LokiInputPartition)
     val (start, end) = p.effectiveWindow
     p.pageSize match {
       case None =>
-        val body = LokiHttp.queryRange(p.endpoint, p.logql, start, end, p.limit)
+        val body = LokiHttp.queryRange(p.endpoint, p.logql, start, end, p.limit, p.direction)
         if (body.isEmpty) Iterator.empty else decode(body)
       case Some(ps) => pagedRows(start, end, ps)
     }
@@ -770,7 +802,7 @@ class LokiPartitionReader(p: LokiInputPartition)
       private def fetch(): Unit = {
         close() // release the previous page's parquet reader
         val body = LokiHttp.queryRange(
-          p.endpoint, p.logql, cursor, end, Some(ps), forward = true)
+          p.endpoint, p.logql, cursor, end, Some(ps), Some("forward"))
         page = if (body.isEmpty) Iterator.empty else decode(body)
         pageRows = 0
         held.clear()
@@ -995,7 +1027,7 @@ class LokiColumnarPartitionReader(p: LokiInputPartition)
 
   private def open(): Unit = {
     val (start, end) = p.effectiveWindow
-    val body = LokiHttp.queryRange(p.endpoint, p.logql, start, end, p.limit)
+    val body = LokiHttp.queryRange(p.endpoint, p.logql, start, end, p.limit, p.direction)
     if (body.nonEmpty) {
       parquetReader = ParquetFileReader.open(new ByteArrayInputFile(body))
       val md = parquetReader.getFooter.getFileMetaData
@@ -1256,7 +1288,7 @@ class LokiColumnarPagedReader(p: LokiInputPartition)
     if (!started) { cursor = window._1; started = true }
     while (!done) {
       val body = LokiHttp.queryRange(
-        p.endpoint, p.logql, cursor, window._2, Some(ps), forward = true)
+        p.endpoint, p.logql, cursor, window._2, Some(ps), Some("forward"))
       if (body.isEmpty) { done = true; return false }
       val (vecs, tsNs, rows) = decodePage(body)
       if (rows == 0) { done = true; return false }

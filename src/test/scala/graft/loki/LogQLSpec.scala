@@ -144,13 +144,16 @@ class LogQLSpec extends AnyFunSuite {
       "group_streams" -> "true", "columnar" -> "false",
       "stream_start_ns" -> "123", "stream_end_ns" -> "456",
       "stream_lag_ms" -> "11", "max_rows_per_batch" -> "500",
-      "selector" -> """{app="x"} |= "err""""))
+      "selector" -> """{app="x"} |= "err"""", "direction" -> "backward"))
     assert(LokiOptions.from(full.toMap) == full,
       s"round trip drifted:\n${LokiOptions.from(full.toMap)}\nvs\n$full")
     // every case-class field must be representable: the field count is
     // pinned so adding a field forces this test (and toMap) to be updated
-    assert(full.productArity == 21,
+    assert(full.productArity == 22,
       "LokiOptions gained/lost a field — update toMap AND this round trip")
+    // direction is validated at option time
+    assertThrows[IllegalArgumentException](
+      LokiOptions.from(Map("endpoint" -> "http://x:3100", "direction" -> "sideways")))
   }
 
   test("repeated ts conjuncts: tightest-wins default vs last-wins parity (table.rs:106-110)") {

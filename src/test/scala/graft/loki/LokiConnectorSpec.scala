@@ -1275,6 +1275,57 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally st.stop()
   }
 
+  test("direction option: which n rows a LIMIT keeps (backward=newest, forward=oldest, paged=ignored)") {
+    val st = new LokiStubServer
+    st.start()
+    try {
+      val base = 1704067200000000000L
+      st.seed((0 until 100).map(i =>
+        st.LogRow(base + i * 1000000000L, Map("app" -> "d"), s"d-$i")))
+      def read(extra: (String, String)*): Set[String] = {
+        val r = spark.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "app")
+        extra.foreach { case (k, v) => r.option(k, v) }
+        r.load()
+          .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+          .limit(10)
+          .select("line")
+          .collect().map(_.getString(0)).toSet
+      }
+      // parity default (param omitted): server default is backward → newest
+      assert(read() == (90 until 100).map(i => s"d-$i").toSet)
+      // explicit backward: same newest-n, stated on the wire
+      assert(read("direction" -> "backward") == (90 until 100).map(i => s"d-$i").toSet)
+      // explicit forward flips the LIMIT to the OLDEST n
+      assert(read("direction" -> "forward") == (0 until 10).map(i => s"d-$i").toSet)
+      // paged (unlimited) scan: direction is ignored — the forward-cursor
+      // walk still returns the COMPLETE row set
+      val paged = spark.read.format("loki")
+        .option("endpoint", st.endpoint)
+        .option("default_label", "app")
+        .option("query_limit", "16")
+        .option("direction", "backward")
+        .load()
+        .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+        .select("line")
+        .collect().map(_.getString(0)).toSet
+      assert(paged == (0 until 100).map(i => s"d-$i").toSet)
+      // EXPLAIN honesty: the single-request scan discloses its direction,
+      // the paged scan does not claim one
+      val dirPlan = spark.read.format("loki")
+        .option("endpoint", st.endpoint).option("default_label", "app")
+        .option("direction", "backward").load().limit(5)
+        .queryExecution.executedPlan.toString
+      assert(dirPlan.contains("direction=backward"), dirPlan)
+      val pagedPlan2 = spark.read.format("loki")
+        .option("endpoint", st.endpoint).option("default_label", "app")
+        .option("query_limit", "16").option("direction", "backward").load()
+        .queryExecution.executedPlan.toString
+      assert(!pagedPlan2.contains("direction="), pagedPlan2)
+    } finally st.stop()
+  }
+
   test("batch selector option conjoins with optimizer-pushed filters on the wire") {
     val st = new LokiStubServer
     st.start()
