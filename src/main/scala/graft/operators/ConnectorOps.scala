@@ -433,6 +433,41 @@ object ConnectorOps {
           |  ORDER BY ts DESC LIMIT 50
           |) ORDER BY ts_us, line""".stripMargin)),
 
+    // Metadata census (round 13, beyond-parity): the labels/label-values
+    // API surfaced as a catalog relation (loki.meta.label_values,
+    // LokiMeta.scala) — SHOW-style discovery over the endpoint. The
+    // oracle recomputes the census from the events table the stub was
+    // seeded from, INCLUDING Loki's ingest-time label injection rules
+    // (detected_level from a level token in the line — the 'error'
+    // event_type is the one that carries one — service_name 'unknown'
+    // when no service-ish label exists), so a drifting injection model
+    // in the stub fails the gate rather than hiding.
+    ("loki_label_values",
+      (s: SparkSession, d: String) => {
+        val st = stubFor(s, d)
+        val cat = s"lokimeta${d.hashCode & 0x7fffffff}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
+        s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
+        s.read
+          .option("start_ns", "0")
+          .option("end_ns", "4102444800000000000") // 2100: whole retention
+          .table(s"$cat.meta.label_values")
+          .orderBy("label", "value")
+      },
+      Some(
+        """SELECT label, value FROM (
+          |  SELECT DISTINCT 'event_type' AS label, event_type AS value FROM events
+          |  UNION
+          |  SELECT DISTINCT 'user' AS label, CAST(user_id AS VARCHAR) AS value FROM events
+          |  UNION
+          |  SELECT DISTINCT 'detected_level' AS label,
+          |         CASE WHEN event_type = 'error' THEN 'error' ELSE 'unknown' END AS value
+          |  FROM events
+          |  UNION
+          |  SELECT 'service_name' AS label, 'unknown' AS value
+          |) ORDER BY label, value""".stripMargin)),
+
     // Explicit direction (round 13): "the last 40 purchases" — a pushed
     // label matcher + LIMIT with direction=backward STATED on the wire
     // (not inherited from the server default), the newest-n read every

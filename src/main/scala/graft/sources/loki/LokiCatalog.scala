@@ -39,17 +39,30 @@ class LokiCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   private val ns = Array("default")
+  private val metaNs = Array("meta")
 
   private def isLoki(ident: Identifier): Boolean =
     ident.name().equalsIgnoreCase("loki") &&
       (ident.namespace().isEmpty || ident.namespace().sameElements(ns))
 
+  /** `meta.labels` / `meta.label_values` — the metadata relations
+    * ([[LokiMetaTable]]): SHOW-style label discovery over the endpoint's
+    * labels / label-values API.
+    */
+  private def metaKind(ident: Identifier): Option[String] =
+    if (ident.namespace().sameElements(metaNs) &&
+      LokiMetaTable.names.exists(_.equalsIgnoreCase(ident.name())))
+      Some(ident.name().toLowerCase)
+    else None
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    // honor the namespace argument: the one table lives in `default`
-    // only — listing it under arbitrary namespaces showed a phantom
-    // table to catalog-enumerating tooling
+    // honor the namespace argument: the log table lives in `default`,
+    // the metadata relations in `meta` — listing either under arbitrary
+    // namespaces showed phantom tables to catalog-enumerating tooling
     if (namespace.isEmpty || namespace.sameElements(ns))
       Array(Identifier.of(ns, "loki"))
+    else if (namespace.sameElements(metaNs))
+      LokiMetaTable.names.map(Identifier.of(metaNs, _)).toArray
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchNamespaceException(namespace)
 
@@ -62,9 +75,16 @@ class LokiCatalog extends TableCatalog {
       // blocking GET (10 s connect timeout) to every query's planning
       if (o.checkConnection) LokiCatalog.probeOnce(o.endpoint)
       LokiTable(o)
-    } else throw new NoSuchTableException(ident)
+    } else metaKind(ident) match {
+      case Some(kind) =>
+        val o = LokiOptions.from(opts)
+        if (o.checkConnection) LokiCatalog.probeOnce(o.endpoint)
+        LokiMetaTable(kind, o)
+      case None => throw new NoSuchTableException(ident)
+    }
 
-  override def tableExists(ident: Identifier): Boolean = isLoki(ident)
+  override def tableExists(ident: Identifier): Boolean =
+    isLoki(ident) || metaKind(ident).isDefined
 
   override def createTable(
       ident: Identifier,

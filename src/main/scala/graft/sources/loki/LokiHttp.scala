@@ -155,6 +155,86 @@ object LokiHttp {
     (field("entries"), field("bytes"))
   }
 
+  /** Minimal parse of the metadata response shape
+    * `{"status":"success","data":["a","b",…]}` → the data strings.
+    * Handles the standard JSON escapes; anything structurally off fails
+    * loudly with the body prefix.
+    */
+  private[loki] def parseStringArray(body: String): Seq[String] = {
+    val di = body.indexOf("\"data\"")
+    if (di < 0) throw new RuntimeException(
+      s"Loki metadata response has no data field: ${body.take(200)}")
+    var i = body.indexOf('[', di)
+    if (i < 0) throw new RuntimeException(
+      s"Loki metadata data field is not an array: ${body.take(200)}")
+    i += 1
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var done = false
+    while (!done && i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < body.length) {
+          body.charAt(i + 1) match {
+            case '"' => sb += '"'; i += 1
+            case '\\' => sb += '\\'; i += 1
+            case 'n' => sb += '\n'; i += 1
+            case 'r' => sb += '\r'; i += 1
+            case 't' => sb += '\t'; i += 1
+            case 'u' if i + 5 < body.length =>
+              sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
+              i += 5
+            case o => sb += o; i += 1
+          }
+        } else if (c == '"') { out += sb.toString; sb.clear(); inStr = false }
+        else sb += c
+      } else c match {
+        case '"' => inStr = true
+        case ']' => done = true
+        case _ => // comma / whitespace
+      }
+      i += 1
+    }
+    if (!done) throw new RuntimeException(
+      s"Loki metadata response truncated: ${body.take(200)}")
+    out.result()
+  }
+
+  private def getJson(what: String, uri: URI): String = {
+    val req = HttpRequest.newBuilder(uri)
+      .timeout(Duration.ofSeconds(30)).GET().build()
+    val resp = withRetry(what)(() =>
+      client.send(req, HttpResponse.BodyHandlers.ofString()))(_.statusCode())
+    if (resp.statusCode() != 200) throw new RuntimeException(
+      s"Loki $what failed: HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+    resp.body()
+  }
+
+  /** `GET /loki/api/v1/labels` — distinct label names in the window.
+    * The window is always sent explicitly: real Loki's metadata default
+    * (last 6 h) silently narrows an unwindowed census.
+    */
+  def labelNames(endpoint: String, startNs: Long, endNs: Long): Seq[String] =
+    parseStringArray(getJson("labels", URI.create(
+      s"$endpoint/loki/api/v1/labels?start=$startNs&end=$endNs")))
+
+  /** `GET /loki/api/v1/label/<name>/values` — distinct values of one
+    * label; `selector` (optional) narrows to matching streams.
+    */
+  def labelValues(
+      endpoint: String,
+      label: String,
+      startNs: Long,
+      endNs: Long,
+      selector: Option[String] = None): Seq[String] = {
+    val q = selector.map(s =>
+      "&query=" + java.net.URLEncoder.encode(s, "UTF-8")).getOrElse("")
+    val name = java.net.URLEncoder.encode(label, "UTF-8")
+    parseStringArray(getJson("label_values", URI.create(
+      s"$endpoint/loki/api/v1/label/$name/values?start=$startNs&end=$endNs$q")))
+  }
+
   /** push-API POST; body is the JSON `{"streams":[...]}` payload. */
   def push(endpoint: String, json: String): Unit = {
     val req = HttpRequest.newBuilder(URI.create(s"$endpoint/loki/api/v1/push"))

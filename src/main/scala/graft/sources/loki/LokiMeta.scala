@@ -1,0 +1,197 @@
+package graft.sources.loki
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Loki METADATA relations, exposed by [[LokiCatalog]] under the `meta`
+  * namespace — beyond-parity (the reference surfaces only the log table;
+  * its Loki nevertheless serves these endpoints):
+  *
+  *   - `loki.meta.labels`        → `GET /loki/api/v1/labels`
+  *     one column `label`: the distinct label NAMES in the window
+  *   - `loki.meta.label_values`  → `GET /loki/api/v1/label/<l>/values`
+  *     columns `(label, value)`: the label→value census
+  *
+  * The SHOW-style discovery every log user runs before writing a
+  * selector, and the same index-backed requests `split=stats` leans on —
+  * index-only on a real Loki, so a census over a month of logs never
+  * touches chunk data. The window is ALWAYS sent explicitly (real Loki's
+  * metadata default is the last 6 h — a silently narrowed census
+  * otherwise); it defaults to the scan's own now−30d…now contract and is
+  * settable per read:
+  *
+  * {{{
+  *   spark.read
+  *     .option("start_ns", "...").option("end_ns", "...")
+  *     .table("loki.meta.label_values")
+  *     .where($"label" === "app")          // pushed: ONE values request
+  * }}}
+  *
+  * `label = 'x'` / `label IN (...)` predicates are pushed Exact into the
+  * request set (no /labels round trip, one /values call per named label);
+  * a configured `selector` narrows `label_values` to matching streams via
+  * the endpoint's `query` param. Cardinality is metadata-scale (label
+  * names × values, not rows), so the scan is a single partition by
+  * design — even at 100 TB of logs the census is KB-sized.
+  */
+case class LokiMetaTable(kind: String, options: LokiOptions)
+  extends Table with SupportsRead {
+
+  require(kind == "labels" || kind == "label_values",
+    s"unknown loki meta table: $kind")
+
+  override def name(): String = s"loki.meta.$kind(${options.endpoint})"
+
+  override def schema(): StructType = LokiMetaTable.schemaOf(kind)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val overrides = o.asScala.toMap.filter { case (k, _) =>
+      !k.equalsIgnoreCase("endpoint") && !k.equalsIgnoreCase("path") &&
+        !k.equalsIgnoreCase("paths") && !k.equalsIgnoreCase("start_ns") &&
+        !k.equalsIgnoreCase("end_ns")
+    }
+    val effective =
+      if (overrides.isEmpty) options
+      else LokiOptions.from(options.toMap ++ overrides)
+    new LokiMetaScanBuilder(kind, effective,
+      Option(o.get("start_ns")).map(_.toLong),
+      Option(o.get("end_ns")).map(_.toLong))
+  }
+}
+
+object LokiMetaTable {
+  val names: Seq[String] = Seq("labels", "label_values")
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "labels" =>
+      StructType(Seq(StructField("label", StringType, nullable = false)))
+    case "label_values" =>
+      StructType(Seq(
+        StructField("label", StringType, nullable = false),
+        StructField("value", StringType, nullable = false)))
+  }
+}
+
+class LokiMetaScanBuilder(
+    kind: String,
+    options: LokiOptions,
+    startNs: Option[Long],
+    endNs: Option[Long])
+  extends ScanBuilder with SupportsPushDownFilters {
+
+  // `label = 'x'` / `label IN (...)` on label_values → request only those
+  // labels' values (Exact: the request set IS the predicate)
+  private var labelEq: Option[Seq[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (kind != "label_values") return filters
+    val (accepted, residual) = filters.partition {
+      case sources.EqualTo("label", _: String) => true
+      case sources.In("label", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    accepted.foreach {
+      case sources.EqualTo("label", v: String) =>
+        labelEq = Some(labelEq.getOrElse(Seq(v)).intersect(Seq(v)))
+      case sources.In("label", vs) =>
+        val set = vs.toSeq.map(_.asInstanceOf[String])
+        labelEq = Some(labelEq.fold(set)(_.intersect(set)))
+      case _ =>
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = LokiMetaScan(
+    kind, options,
+    startNs.getOrElse(LokiHttp.thirtyDaysAgoNs),
+    endNs.getOrElse(LokiHttp.nowNs),
+    labelEq)
+}
+
+case class LokiMetaScan(
+    kind: String,
+    options: LokiOptions,
+    startNs: Long,
+    endNs: Long,
+    labelEq: Option[Seq[String]])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = LokiMetaTable.schemaOf(kind)
+
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val parts = Seq(s"endpoint=${options.endpoint}", s"kind=$kind",
+      s"start=$startNs", s"end=$endNs") ++
+      labelEq.map(ls => s"labels=[${ls.mkString(",")}]") ++
+      options.selector.map(s => s"selector=$s")
+    s"LokiMetaScan: ${parts.mkString(", ")}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LokiMetaPartition(
+      options.endpoint, kind, startNs, endNs, labelEq,
+      // matcher-only render: the values endpoint's `query` param takes a
+      // stream selector, not line stages
+      options.selector.map(s =>
+        LogQL.assemble(LogQL.parseSelector(s)._1, Nil, options.escapeLogql))
+        .filter(_ != "{}")))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LokiMetaReaderFactory()
+}
+
+case class LokiMetaPartition(
+    endpoint: String,
+    kind: String,
+    startNs: Long,
+    endNs: Long,
+    labelEq: Option[Seq[String]],
+    selector: Option[String]) extends InputPartition
+
+case class LokiMetaReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new LokiMetaReader(p.asInstanceOf[LokiMetaPartition])
+}
+
+class LokiMetaReader(p: LokiMetaPartition)
+  extends PartitionReader[InternalRow] {
+
+  private lazy val rows: Iterator[InternalRow] = p.kind match {
+    case "labels" =>
+      LokiHttp.labelNames(p.endpoint, p.startNs, p.endNs).iterator.map(l =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(l))))
+    case "label_values" =>
+      val labels = p.labelEq.getOrElse(
+        LokiHttp.labelNames(p.endpoint, p.startNs, p.endNs))
+      labels.iterator.flatMap { l =>
+        LokiHttp.labelValues(p.endpoint, l, p.startNs, p.endNs, p.selector)
+          .map(v => new GenericInternalRow(Array[Any](
+            UTF8String.fromString(l), UTF8String.fromString(v))))
+      }
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { cur = rows.next(); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

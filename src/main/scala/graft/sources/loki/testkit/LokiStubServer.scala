@@ -160,6 +160,11 @@ final class LokiStubServer {
     server.createContext("/loki/api/v1/push", (ex: HttpExchange) => handlePush(ex))
     server.createContext("/loki/api/v1/query_range", (ex: HttpExchange) => handleQuery(ex))
     server.createContext("/loki/api/v1/index/stats", (ex: HttpExchange) => handleStats(ex))
+    server.createContext("/loki/api/v1/labels", (ex: HttpExchange) => handleLabels(ex))
+    // label VALUES live under /label/<name>/values — a PREFIX context;
+    // the handler parses the name out of the path like real Loki's router
+    server.createContext("/loki/api/v1/label/", (ex: HttpExchange) => handleLabelValues(ex))
+    server.createContext("/loki/api/v1/series", (ex: HttpExchange) => handleSeries(ex))
     // start from a daemon thread: HttpServer's dispatcher inherits daemon
     // status, so a stub can never keep the harness JVM alive
     val t = new Thread(() => server.start())
@@ -406,6 +411,84 @@ final class LokiStubServer {
     val body = s"""{"streams":$streams,"chunks":$streams,""" +
       s""""bytes":$bytes,"entries":$entries}"""
     respond(ex, 200, body.getBytes(UTF_8))
+  }
+
+  // -------------------------------------------------- metadata endpoints
+  // Real-Loki series/labels API shape: {"status":"success","data":[...]}.
+  // Windows here are INCLUSIVE of end like real Loki's metadata queries
+  // (they take RFC/epoch range params; we accept epoch ns and treat the
+  // window as [start, end) for consistency with the stub's query_range).
+
+  private def qparams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty)
+      .map(_.split('&').map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap).getOrElse(Map.empty)
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def windowRows(params: Map[String, String]): Seq[LogRow] = {
+    val start = params.get("start").map(_.toLong).getOrElse(Long.MinValue)
+    val end = params.get("end").map(_.toLong).getOrElse(Long.MaxValue)
+    rows.synchronized(rows.toSeq).filter(r => r.tsNs >= start && r.tsNs < end)
+  }
+
+  /** `GET /loki/api/v1/labels` — distinct label NAMES in the window. */
+  private def handleLabels(ex: HttpExchange): Unit = {
+    val names = windowRows(qparams(ex))
+      .flatMap(_.labels.keys).distinct.sorted
+    respond(ex, 200,
+      s"""{"status":"success","data":[${names.map(jsonStr).mkString(",")}]}"""
+        .getBytes(UTF_8))
+  }
+
+  /** `GET /loki/api/v1/label/<name>/values` — distinct VALUES of one
+    * label in the window; optional `query` selector narrows the streams
+    * (real Loki supports it for TSDB indexes).
+    */
+  private def handleLabelValues(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val m = java.util.regex.Pattern
+      .compile(".*/label/([^/]+)/values$").matcher(path)
+    if (!m.matches()) { respond(ex, 404, "not found".getBytes(UTF_8)); return }
+    val name = java.net.URLDecoder.decode(m.group(1), "UTF-8")
+    val params = qparams(ex)
+    val sel = params.get("query").map(q => parseLogql(q)._1).getOrElse(Nil)
+    val values = windowRows(params)
+      .filter(r => sel.forall(_.matches(r.labels)))
+      .flatMap(_.labels.get(name)).distinct.sorted
+    respond(ex, 200,
+      s"""{"status":"success","data":[${values.map(jsonStr).mkString(",")}]}"""
+        .getBytes(UTF_8))
+  }
+
+  /** `GET /loki/api/v1/series` — distinct label SETS matching any of the
+    * `match[]` selectors (no selector = all streams in the window).
+    */
+  private def handleSeries(ex: HttpExchange): Unit = {
+    val params = qparams(ex)
+    val sels = params.get("match[]").toSeq.map(q => parseLogql(q)._1)
+    val sets = windowRows(params)
+      .filter(r => sels.isEmpty || sels.exists(_.forall(_.matches(r.labels))))
+      .map(_.labels).distinct
+      .sortBy(_.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
+    val body = sets.map(s =>
+      "{" + s.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+        .mkString(",") + "}").mkString(",")
+    respond(ex, 200,
+      s"""{"status":"success","data":[$body]}""".getBytes(UTF_8))
   }
 
   private case class Matcher(label: String, op: String, value: String) {

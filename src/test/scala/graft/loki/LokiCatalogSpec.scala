@@ -81,6 +81,49 @@ class LokiCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(batch.count() == 30)
   }
 
+  test("meta.labels / meta.label_values: SHOW-style discovery with label pushdown (round 13)") {
+    val base = 1704067200000000000L
+    stub.seed(Seq(
+      stub.LogRow(base + 1, Map("app" -> "a1", "env" -> "prod"), "m1"),
+      stub.LogRow(base + 2, Map("app" -> "a2", "env" -> "dev"), "m2"),
+      stub.LogRow(base + 3, Map("app" -> "a1", "zone" -> "us"), "m3")))
+    def windowed(table: String) = spark.read
+      .option("start_ns", (base + 1).toString)
+      .option("end_ns", (base + 4).toString)
+      .table(table)
+    val labels = windowed("lokicat.meta.labels")
+      .collect().map(_.getString(0)).toSet
+    assert(labels == Set("app", "env", "zone"))
+    val values = windowed("lokicat.meta.label_values")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(values == Set(
+      "app" -> "a1", "app" -> "a2",
+      "env" -> "prod", "env" -> "dev", "zone" -> "us"))
+    // `label = 'x'` is pushed: one /values request, no /labels round trip
+    val one = windowed("lokicat.meta.label_values")
+      .where(org.apache.spark.sql.functions.col("label") === "env")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(one == Set("env" -> "prod", "env" -> "dev"))
+    // a selector narrows the census to matching streams (values API's
+    // `query` param); per-read option overlay carries it
+    val sel = spark.read
+      .option("start_ns", (base + 1).toString)
+      .option("end_ns", (base + 4).toString)
+      .option("selector", """{env="prod"}""")
+      .table("lokicat.meta.label_values")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sel == Set("app" -> "a1", "env" -> "prod"))
+    // window honored: an empty window sees nothing
+    val none = spark.read
+      .option("start_ns", "1").option("end_ns", "2")
+      .table("lokicat.meta.labels").count()
+    assert(none == 0L)
+    // SHOW TABLES surfaces the namespace's relations
+    val shown = spark.sql("SHOW TABLES IN lokicat.meta")
+      .collect().map(_.getString(1)).toSet
+    assert(shown == Set("labels", "label_values"))
+  }
+
   test("DDL is rejected; unknown table errors") {
     intercept[Exception] {
       spark.sql("CREATE TABLE lokicat.default.other (x INT)")
