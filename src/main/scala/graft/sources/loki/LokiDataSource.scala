@@ -174,6 +174,28 @@ final case class LokiOptions(
       * index-only probes per trigger. 0 (default) = unbounded batches.
       */
     maxRowsPerBatch: Long = 0L,
+    /** Byte-based admission control for the tail, composing with
+      * `max_rows_per_batch`: cap each micro-batch's window at roughly
+      * this many ingested bytes, placed by the same `index/stats`
+      * bisection (stats carries bytes AND entries, so one probe serves
+      * both caps). Rows are a poor proxy for work when line sizes vary
+      * 1000×; bytes bound the actual decode/transfer. 0 = off.
+      */
+    maxBytesPerBatch: Long = 0L,
+    /** Minimum rows before a LIVE tail triggers a batch: below this the
+      * latest offset holds still, so low-lag tailing coalesces trickle
+      * arrivals instead of emitting thousands of tiny windows (each one
+      * a checkpoint write + a task round). Forced through after
+      * `min_batch_delay_ms` regardless, bounding staleness. IGNORED in a
+      * Trigger.AvailableNow drain — the end is pinned, nothing new will
+      * arrive, and holding the final sliver would strand it. 0 = off.
+      */
+    minRowsPerBatch: Long = 0L,
+    /** Max staleness for `min_rows_per_batch`: a batch is triggered at
+      * this age even below the row minimum (maps to Spark's
+      * ReadMinRows#maxTriggerDelayMs).
+      */
+    minBatchDelayMs: Long = 60000L,
     /** Raw LogQL selector (plus optional line-filter stages) to push to
       * the wire, e.g. `{app="api",env!="dev"} |= "error"`. The explicit
       * pushdown channel for STREAMING reads — Spark applies no DSv2
@@ -223,7 +245,10 @@ final case class LokiOptions(
     "group_streams" -> groupStreams.toString,
     "columnar" -> columnar.toString,
     "stream_lag_ms" -> streamLagMs.toString,
-    "max_rows_per_batch" -> maxRowsPerBatch.toString) ++
+    "max_rows_per_batch" -> maxRowsPerBatch.toString,
+    "max_bytes_per_batch" -> maxBytesPerBatch.toString,
+    "min_rows_per_batch" -> minRowsPerBatch.toString,
+    "min_batch_delay_ms" -> minBatchDelayMs.toString) ++
     defaultLabel.map("default_label" -> _) ++
     streamStartNs.map(v => "stream_start_ns" -> v.toString) ++
     streamEndNs.map(v => "stream_end_ns" -> v.toString) ++
@@ -273,6 +298,9 @@ object LokiOptions {
       streamEndNs = m.get("stream_end_ns").map(_.toLong),
       streamLagMs = m.getOrElse("stream_lag_ms", "0").toLong,
       maxRowsPerBatch = m.getOrElse("max_rows_per_batch", "0").toLong,
+      maxBytesPerBatch = m.getOrElse("max_bytes_per_batch", "0").toLong,
+      minRowsPerBatch = m.getOrElse("min_rows_per_batch", "0").toLong,
+      minBatchDelayMs = m.getOrElse("min_batch_delay_ms", "60000").toLong,
       selector = m.get("selector").filter(_.nonEmpty).map { sel =>
         LogQL.parseSelector(sel) // validate now: fail at load, not first task
         sel

@@ -1,7 +1,7 @@
 package graft.sources.loki
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxRows, ReadMinRows, SupportsTriggerAvailableNow}
 
 /** Micro-batch TAILING over Loki — beyond-parity: the reference's scan is
   * `Boundedness::Bounded` (scan.rs:48), but Spark's micro-batch model
@@ -73,18 +73,43 @@ class LokiMicroBatchStream(scan: LokiScan)
     LokiOffset(availableEnd.getOrElse(latestNs))
 
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow):
-  // `max_rows_per_batch` caps each trigger's window by row count — the
-  // backfill-shaping control. A tail recovering from a long outage
-  // otherwise reads the whole missed window in ONE batch; with the cap,
-  // Trigger.AvailableNow drains it in ≈⌈total/cap⌉ bounded batches and a
-  // live tail never admits more than a batch's worth. The end offset is
-  // placed by bisecting `index/stats` entry counts (O(log) index-only
-  // probes per trigger); the cap is approximate — stats granularity, and
-  // a burst inside one minimal step can overshoot — but progress is
-  // guaranteed (the returned offset always advances when rows exist).
-  override def getDefaultReadLimit: ReadLimit =
-    if (opts.maxRowsPerBatch > 0) ReadLimit.maxRows(opts.maxRowsPerBatch)
-    else ReadLimit.allAvailable()
+  // `max_rows_per_batch` / `max_bytes_per_batch` cap each trigger's
+  // window — the backfill-shaping controls. A tail recovering from a
+  // long outage otherwise reads the whole missed window in ONE batch;
+  // with a cap, Trigger.AvailableNow drains it in bounded batches and a
+  // live tail never admits more than a batch's worth. Both caps are
+  // placed by ONE `index/stats` bisection (the response carries entries
+  // AND bytes); each is approximate — stats granularity, and a burst
+  // inside one minimal step can overshoot — but progress is guaranteed
+  // (the returned offset always advances when rows exist).
+  // `min_rows_per_batch` is the other direction: a LIVE tail holds the
+  // offset until enough rows accumulate (or min_batch_delay_ms passes),
+  // coalescing trickle arrivals instead of emitting thousands of tiny
+  // windows — each one a checkpoint commit and a task round.
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq.empty[ReadLimit] ++
+      (if (opts.maxRowsPerBatch > 0) Seq(ReadLimit.maxRows(opts.maxRowsPerBatch)) else Nil) ++
+      (if (opts.maxBytesPerBatch > 0) Seq(ReadLimit.maxBytes(opts.maxBytesPerBatch)) else Nil) ++
+      (if (opts.minRowsPerBatch > 0)
+        Seq(ReadLimit.minRows(opts.minRowsPerBatch, opts.minBatchDelayMs)) else Nil)
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Wall-clock of the last non-held trigger decision, for ReadMinRows'
+    * staleness bound. Driver-side state only (admission control runs on
+    * the driver); not checkpointed — a restart resets the delay window,
+    * which merely triggers one possibly-small batch early.
+    */
+  @volatile private var lastAdvanceMs: Long = -1L
+
+  private def flatten(limit: ReadLimit): Seq[ReadLimit] = limit match {
+    case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+    case other => Seq(other)
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LokiOffset].ns
@@ -92,15 +117,46 @@ class LokiMicroBatchStream(scan: LokiScan)
     // (NTP) must never move the offset BACKWARDS — a smaller committed
     // end would re-read rows the previous batch already emitted
     val cap = math.max(s, availableEnd.getOrElse(latestNs))
-    limit match {
-      case mr: ReadMaxRows if cap > s =>
-        LokiOffset(boundedEnd(s, cap, mr.maxRows))
-      case _ => LokiOffset(cap)
+    if (cap <= s) return LokiOffset(cap)
+    val parts = flatten(limit)
+    val maxRows = parts.collectFirst { case mr: ReadMaxRows => mr.maxRows }
+    val maxBytes = parts.collectFirst { case mb: ReadMaxBytes => mb.maxBytes }
+    val minRows = parts.collectFirst { case mn: ReadMinRows => mn }
+    // min-rows hold applies to a LIVE tail only: under AvailableNow the
+    // end is pinned and nothing new will arrive — holding the final
+    // sliver would strand it (the drain treats "no new offset" as done)
+    val held = minRows.exists { mn =>
+      availableEnd.isEmpty && {
+        val now = System.currentTimeMillis()
+        if (lastAdvanceMs < 0) lastAdvanceMs = now
+        val young = now - lastAdvanceMs < mn.maxTriggerDelayMs
+        young && countAvailable(s, cap) < mn.minRows
+      }
+    }
+    if (held) LokiOffset(s)
+    else {
+      lastAdvanceMs = System.currentTimeMillis()
+      if (maxRows.isEmpty && maxBytes.isEmpty) LokiOffset(cap)
+      else LokiOffset(boundedEnd(s, cap,
+        maxRows.getOrElse(Long.MaxValue), maxBytes.getOrElse(Long.MaxValue)))
     }
   }
 
-  /** Largest e ∈ (s, cap] with count([s, e)) ≤ maxRows, by bisection on
-    * the time axis against `index/stats` (root probe shared with the
+  /** Rows available in [s, cap) per index/stats, for the min-rows hold;
+    * best-effort — a probe failure triggers the batch (the hold is an
+    * optimization, never a correctness gate).
+    */
+  private def countAvailable(s: Long, cap: Long): Long =
+    try LokiScan.cachedStats(opts.endpoint, scan.selector, s, cap)._1
+    catch {
+      case ie: InterruptedException => throw ie
+      case _: java.io.IOException | _: RuntimeException => Long.MaxValue
+    }
+
+  /** Largest e ∈ (s, cap] with entries([s, e)) ≤ maxRows AND
+    * bytes([s, e)) ≤ maxBytes, by ONE bisection on the time axis against
+    * `index/stats` (the response carries both measures, so composing the
+    * caps costs no extra probes; root probe shared with the
     * report_statistics/split=stats memo). The bisection runs to FULL ns
     * resolution (hi − lo ≤ 1, ≤ ~47 probes for a 30-day window): a
     * truncated bisection cannot resolve a µs-wide burst cluster out of a
@@ -113,31 +169,34 @@ class LokiMicroBatchStream(scan: LokiScan)
     * when the stats endpoint fails — shaping is best-effort, the tail's
     * completeness never depends on it.
     */
-  private def boundedEnd(s: Long, cap: Long, maxRows: Long): Long = {
+  private def boundedEnd(s: Long, cap: Long, maxRows: Long, maxBytes: Long): Long = {
     // root probe through the shared stats memo (the split=stats rule);
     // bisection mids go DIRECT — ~47 one-off sub-window entries per
     // trigger would churn the 256-entry LRU out from under the
     // report_statistics consumers
-    def count(e: Long): Long =
-      if (e == cap) LokiScan.cachedStats(opts.endpoint, scan.selector, s, e)._1
-      else LokiHttp.indexStats(opts.endpoint, scan.selector, s, e)
+    def within(e: Long): Boolean = {
+      val (entries, bytes) =
+        if (e == cap) LokiScan.cachedStats(opts.endpoint, scan.selector, s, e)
+        else LokiHttp.indexStatsFull(opts.endpoint, scan.selector, s, e)
+      entries <= maxRows && bytes <= maxBytes
+    }
     try {
-      if (count(cap) <= maxRows) return cap
+      if (within(cap)) return cap
       var lo = s + 1 // smallest admissible advance: progress guaranteed
       var hi = cap
-      // invariant: count([s, hi)) > maxRows; lo is the best-known
-      // admissible cut (count ≤ maxRows) once any mid passes — the
-      // initial s+1 may overshoot on a burst at s itself, accepted
+      // invariant: [s, hi) exceeds a cap; lo is the best-known admissible
+      // cut once any mid passes — the initial s+1 may overshoot on a
+      // burst at s itself, accepted
       while (hi - lo > 1) {
         val mid = lo + (hi - lo) / 2
-        if (count(mid) <= maxRows) lo = mid else hi = mid
+        if (within(mid)) lo = mid else hi = mid
       }
       lo
     } catch {
       case ie: InterruptedException => throw ie
       case ex @ (_: java.io.IOException | _: RuntimeException) =>
         LokiScan.log.warn(
-          s"max_rows_per_batch probe failed for [${scan.selector}] " +
+          s"admission-control probe failed for [${scan.selector}] " +
             s"(${ex.getClass.getSimpleName}: ${ex.getMessage}); " +
             "admitting the full window")
         cap

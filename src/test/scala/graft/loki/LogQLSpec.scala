@@ -144,12 +144,14 @@ class LogQLSpec extends AnyFunSuite {
       "group_streams" -> "true", "columnar" -> "false",
       "stream_start_ns" -> "123", "stream_end_ns" -> "456",
       "stream_lag_ms" -> "11", "max_rows_per_batch" -> "500",
+      "max_bytes_per_batch" -> "65536", "min_rows_per_batch" -> "32",
+      "min_batch_delay_ms" -> "12345",
       "selector" -> """{app="x"} |= "err"""", "direction" -> "backward"))
     assert(LokiOptions.from(full.toMap) == full,
       s"round trip drifted:\n${LokiOptions.from(full.toMap)}\nvs\n$full")
     // every case-class field must be representable: the field count is
     // pinned so adding a field forces this test (and toMap) to be updated
-    assert(full.productArity == 22,
+    assert(full.productArity == 25,
       "LokiOptions gained/lost a field — update toMap AND this round trip")
     // direction is validated at option time
     assertThrows[IllegalArgumentException](

@@ -297,6 +297,99 @@ class LokiStreamSpec extends SparkTestBase {
     }
   }
 
+  test("max_bytes_per_batch shapes a bursty backfill by BYTES (composes with max_rows)") {
+    // bursty line sizes: rows are a poor work proxy when one hour's lines
+    // are 100× another's — the byte cap bounds actual transfer/decode.
+    // First 200 rows are ~10 B, last 200 are ~1000 B; a 40 kB byte cap
+    // must slice the fat region into many more batches than the thin one.
+    withStub { stub =>
+      val thin = (0 until 200).map(i =>
+        stub.LogRow(base + i * 1000000000L, Map("app" -> "y"), s"t-$i"))
+      val fat = (0 until 200).map(i =>
+        stub.LogRow(base + (1000L + i) * 1000000000L, Map("app" -> "y"),
+          s"f-$i-" + ("x" * 1000)))
+      stub.seed(thin ++ fat)
+      val cap = base + 86400L * 1000000000L
+      val q = streamDf(stub, Map(
+        "stream_end_ns" -> cap.toString,
+        "max_bytes_per_batch" -> "40000",
+        // a row cap too loose to bind: proves composition picks the
+        // TIGHTER of the two caps per region
+        "max_rows_per_batch" -> "100000"))
+        .select("line")
+        .writeStream.format("memory").queryName("loki_tail_bytes")
+        .option("checkpointLocation", tmp("loki_tail_bytes_ck"))
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("loki_tail_bytes")
+        .collect().map(_.getString(0)).toSet
+      assert(got == (thin ++ fat).map(_.line).toSet,
+        s"byte-shaped backfill must stay complete (got ${got.size})")
+      // fat region ~200 kB / 40 kB cap → ≥ 4 data batches overall; and no
+      // batch may hold more than ~2 caps of bytes (single-step overshoot
+      // tolerance) — the thin region (~2 kB total) legally fits in one
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progress.length >= 4,
+        s"~202 kB / 40 kB cap must take >= 4 batches, took ${progress.length}")
+      val rowsByLine = (thin ++ fat).map(r => r.line -> r.line.length.toLong).toMap
+      // reconstruct per-batch byte sums from the wire windows
+      val windows = stub.ranges.synchronized(stub.ranges.toList)
+        .collect { case (_, Some(s0), Some(e0)) => (s0, e0) }.distinct
+      val all = thin ++ fat
+      val batchBytes = windows.map { case (s0, e0) =>
+        all.filter(r => r.tsNs >= s0 && r.tsNs < e0).map(_.line.length.toLong).sum
+      }.filter(_ > 0)
+      assert(batchBytes.forall(_ <= 80000L),
+        s"a batch exceeded 2x the byte cap: ${batchBytes.max}")
+      assert(rowsByLine.nonEmpty) // silence unused in case of refactor
+    }
+  }
+
+  test("min_rows_per_batch: live tail holds below the minimum, AvailableNow never strands the sliver") {
+    import graft.sources.loki.{LokiOffset, LokiScan, LokiTable, LokiOptions}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    withStub { stub =>
+      stub.seed((0 until 5).map(i =>
+        stub.LogRow(base + i * 1000000000L, Map("app" -> "m"), s"mr-$i")))
+      def stream(minRows: Long, delayMs: Long) = {
+        val opts = LokiOptions.from(Map(
+          "endpoint" -> stub.endpoint, "default_label" -> "app",
+          "check_connection" -> "false",
+          "stream_start_ns" -> base.toString,
+          "min_rows_per_batch" -> minRows.toString,
+          "min_batch_delay_ms" -> delayMs.toString))
+        LokiTable(opts)
+          .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Collections.emptyMap()))
+          .build().asInstanceOf[LokiScan]
+          .toMicroBatchStream("unused")
+          .asInstanceOf[graft.sources.loki.LokiMicroBatchStream]
+      }
+      // live tail (no AvailableNow pin): 5 rows < min 10 and the delay is
+      // young → the offset HOLDS at start
+      val live = stream(10, 3600000L)
+      val s0 = live.initialOffset()
+      val held = live.latestOffset(s0, live.getDefaultReadLimit)
+      assert(held.asInstanceOf[LokiOffset].ns == s0.asInstanceOf[LokiOffset].ns,
+        "a live tail below min_rows must hold the offset")
+      // delay exceeded (0 ms): the batch is forced through
+      val forced = stream(10, 0L)
+      val f = forced.latestOffset(s0, forced.getDefaultReadLimit)
+      assert(f.asInstanceOf[LokiOffset].ns > s0.asInstanceOf[LokiOffset].ns,
+        "past min_batch_delay_ms the batch must trigger regardless")
+      // AvailableNow: the pin disables the hold — the final sliver drains
+      val drain = stream(1000, 3600000L)
+      drain.prepareForTriggerAvailableNow()
+      val d = drain.latestOffset(s0, drain.getDefaultReadLimit)
+      assert(d.asInstanceOf[LokiOffset].ns > s0.asInstanceOf[LokiOffset].ns,
+        "AvailableNow must never strand rows below min_rows")
+      // and the composite default limit carries the min-rows piece
+      assert(drain.getDefaultReadLimit.isInstanceOf[ReadLimit])
+    }
+  }
+
   test("offset json roundtrips and empty windows plan zero partitions") {
     import graft.sources.loki.LokiOffset
     val off = LokiOffset(1704067200000000123L)
