@@ -593,6 +593,44 @@ object ScaleSmoke {
           s"sliced×paged×columnar scan: got ($cnt, $sumV), " +
             s"want ($n, ${n.toLong * (n - 1) / 2})")
         println(s"[scale] connector 1m sliced×paged×columnar OK (rows=$cnt)")
+
+        // Streaming-tail leg (round 13): the SAME million-row corpus
+        // drained through the micro-batch reader — admission-controlled
+        // (max_rows_per_batch=200k → ~5 stats-bisected windows), each
+        // batch walking paged columnar reads, with a pushed selector on
+        // the wire — against the same closed-form checksums. A window
+        // gap/overlap between batches, a paging cursor slip inside one,
+        // or a selector that silently widened all shift Σ id.
+        val ck = java.nio.file.Files
+          .createTempDirectory("graft_scale_tail_ck").toFile
+        val (tailCnt, tailSum) = timed("connector_1m_tail") {
+          val q = spark.readStream.format("loki")
+            .option("endpoint", stub.endpoint)
+            .option("selector", """{app="scale"}""")
+            .option("stream_start_ns", base.toString)
+            .option("stream_end_ns", (base + (n / 4).toLong * 1000000L).toString)
+            .option("query_limit", "2000")
+            .option("max_rows_per_batch", "200000")
+            .load()
+            .select(substring(col("line"), 3, 10).cast("long").as("v"))
+            .writeStream.format("memory").queryName("scale_tail")
+            .option("checkpointLocation", ck.getAbsolutePath)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val r = spark.table("scale_tail")
+            .agg(count(lit(1)), sum("v")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        assert(tailCnt == n.toLong && tailSum == n.toLong * (n - 1) / 2,
+          s"tail drain: got ($tailCnt, $tailSum), " +
+            s"want ($n, ${n.toLong * (n - 1) / 2})")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(ck)
+        println(s"[scale] connector 1m micro-batch tail OK (rows=$tailCnt)")
       } finally stub.stop()
     }
 
