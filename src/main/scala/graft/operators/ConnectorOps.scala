@@ -468,6 +468,34 @@ object ConnectorOps {
           |  SELECT 'service_name' AS label, 'unknown' AS value
           |) ORDER BY label, value""".stripMargin)),
 
+    // Stream census (round 13): /series as loki.meta.series — each
+    // stream's canonical sorted-key selector, the SHOW STREAMS a user
+    // pastes back into a query. The oracle reconstructs every distinct
+    // (event_type, user) stream INCLUDING the injected labels, so it
+    // certifies the series endpoint, the object-array decode, and the
+    // canonical rendering together.
+    ("loki_series",
+      (s: SparkSession, d: String) => {
+        val st = stubFor(s, d)
+        val cat = s"lokimeta${d.hashCode & 0x7fffffff}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
+        s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
+        s.read
+          .option("start_ns", "0")
+          .option("end_ns", "4102444800000000000")
+          .table(s"$cat.meta.series")
+          .orderBy("stream")
+      },
+      Some(
+        """SELECT DISTINCT concat(
+          |  '{detected_level="',
+          |  CASE WHEN event_type = 'error' THEN 'error' ELSE 'unknown' END,
+          |  '", event_type="', event_type,
+          |  '", service_name="unknown", user="', CAST(user_id AS VARCHAR),
+          |  '"}') AS stream
+          |FROM events ORDER BY stream""".stripMargin)),
+
     // Explicit direction (round 13): "the last 40 purchases" — a pushed
     // label matcher + LIMIT with direction=backward STATED on the wire
     // (not inherited from the server default), the newest-n read every

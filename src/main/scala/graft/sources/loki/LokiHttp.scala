@@ -235,6 +235,94 @@ object LokiHttp {
       s"$endpoint/loki/api/v1/label/$name/values?start=$startNs&end=$endNs$q")))
   }
 
+  /** Parse the series response shape
+    * `{"status":"success","data":[{"k":"v",…},…]}` → one sorted
+    * (key, value) seq per stream. Flat string→string objects only —
+    * exactly what the endpoint returns.
+    */
+  private[loki] def parseObjectArray(body: String): Seq[Seq[(String, String)]] = {
+    val di = body.indexOf("\"data\"")
+    if (di < 0) throw new RuntimeException(
+      s"Loki series response has no data field: ${body.take(200)}")
+    var i = body.indexOf('[', di)
+    if (i < 0) throw new RuntimeException(
+      s"Loki series data field is not an array: ${body.take(200)}")
+    i += 1
+    val out = Seq.newBuilder[Seq[(String, String)]]
+    while (i < body.length && body.charAt(i) != ']') {
+      body.charAt(i) match {
+        case '{' =>
+          // find the object's true end, skipping '}' inside quoted values
+          var j = i
+          var inStr = false
+          var end = -1
+          while (end < 0 && j < body.length) {
+            val c = body.charAt(j)
+            if (inStr) {
+              if (c == '\\') j += 1
+              else if (c == '"') inStr = false
+            } else if (c == '"') inStr = true
+            else if (c == '}') end = j
+            j += 1
+          }
+          if (end < 0) throw new RuntimeException(
+            s"Loki series response truncated: ${body.take(200)}")
+          // one flat object: the string-array walk over its k/v strings —
+          // they alternate key, value
+          val kv = parseStringArrayRaw(body.substring(i, end + 1))
+          out += kv.grouped(2).collect { case Seq(k, v) => (k, v) }.toSeq
+          i = end + 1
+        case _ => i += 1 // comma / whitespace
+      }
+    }
+    if (i >= body.length) throw new RuntimeException(
+      s"Loki series response truncated: ${body.take(200)}")
+    out.result()
+  }
+
+  /** All JSON strings in `chunk`, in order (escape-aware). */
+  private def parseStringArrayRaw(chunk: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < chunk.length) {
+      val c = chunk.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < chunk.length) {
+          chunk.charAt(i + 1) match {
+            case '"' => sb += '"'; i += 1
+            case '\\' => sb += '\\'; i += 1
+            case 'n' => sb += '\n'; i += 1
+            case 'r' => sb += '\r'; i += 1
+            case 't' => sb += '\t'; i += 1
+            case 'u' if i + 5 < chunk.length =>
+              sb += Integer.parseInt(chunk.substring(i + 2, i + 6), 16).toChar
+              i += 5
+            case o => sb += o; i += 1
+          }
+        } else if (c == '"') { out += sb.toString; sb.clear(); inStr = false }
+        else sb += c
+      } else if (c == '"') inStr = true
+      i += 1
+    }
+    out.result()
+  }
+
+  /** `GET /loki/api/v1/series` — distinct label sets (streams) in the
+    * window, optionally narrowed by a `match[]` selector.
+    */
+  def series(
+      endpoint: String,
+      startNs: Long,
+      endNs: Long,
+      selector: Option[String] = None): Seq[Seq[(String, String)]] = {
+    val q = selector.map(s =>
+      "&match%5B%5D=" + java.net.URLEncoder.encode(s, "UTF-8")).getOrElse("")
+    parseObjectArray(getJson("series", URI.create(
+      s"$endpoint/loki/api/v1/series?start=$startNs&end=$endNs$q")))
+  }
+
   /** push-API POST; body is the JSON `{"streams":[...]}` payload. */
   def push(endpoint: String, json: String): Unit = {
     val req = HttpRequest.newBuilder(URI.create(s"$endpoint/loki/api/v1/push"))

@@ -22,6 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     one column `label`: the distinct label NAMES in the window
   *   - `loki.meta.label_values`  → `GET /loki/api/v1/label/<l>/values`
   *     columns `(label, value)`: the label→value census
+  *   - `loki.meta.series`        → `GET /loki/api/v1/series`
+  *     one column `stream`: each stream's canonical selector (sorted
+  *     keys, `{k="v", …}`) — SHOW STREAMS; a configured `selector`
+  *     narrows via `match[]`
   *
   * The SHOW-style discovery every log user runs before writing a
   * selector, and the same index-backed requests `split=stats` leans on —
@@ -48,7 +52,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class LokiMetaTable(kind: String, options: LokiOptions)
   extends Table with SupportsRead {
 
-  require(kind == "labels" || kind == "label_values",
+  require(LokiMetaTable.names.contains(kind),
     s"unknown loki meta table: $kind")
 
   override def name(): String = s"loki.meta.$kind(${options.endpoint})"
@@ -74,7 +78,7 @@ case class LokiMetaTable(kind: String, options: LokiOptions)
 }
 
 object LokiMetaTable {
-  val names: Seq[String] = Seq("labels", "label_values")
+  val names: Seq[String] = Seq("labels", "label_values", "series")
 
   def schemaOf(kind: String): StructType = kind match {
     case "labels" =>
@@ -83,6 +87,11 @@ object LokiMetaTable {
       StructType(Seq(
         StructField("label", StringType, nullable = false),
         StructField("value", StringType, nullable = false)))
+    case "series" =>
+      // each stream rendered as its canonical selector — sorted keys,
+      // `{k="v", k2="v2"}` — the SHOW STREAMS form a user can paste
+      // straight back into a `selector` option or LogQL query
+      StructType(Seq(StructField("stream", StringType, nullable = false)))
   }
 }
 
@@ -187,6 +196,13 @@ class LokiMetaReader(p: LokiMetaPartition)
           .map(v => new GenericInternalRow(Array[Any](
             UTF8String.fromString(l), UTF8String.fromString(v))))
       }
+    case "series" =>
+      LokiHttp.series(p.endpoint, p.startNs, p.endNs, p.selector)
+        .iterator.map { kvs =>
+          val sel = kvs.sortBy(_._1)
+            .map { case (k, v) => s"""$k="$v"""" }.mkString("{", ", ", "}")
+          new GenericInternalRow(Array[Any](UTF8String.fromString(sel)))
+        }
   }
 
   private var cur: InternalRow = _

@@ -121,7 +121,26 @@ class LokiCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     // SHOW TABLES surfaces the namespace's relations
     val shown = spark.sql("SHOW TABLES IN lokicat.meta")
       .collect().map(_.getString(1)).toSet
-    assert(shown == Set("labels", "label_values"))
+    assert(shown == Set("labels", "label_values", "series"))
+    // series: each stream's canonical selector, match[]-narrowed by the
+    // selector option; pasteable straight back into a LogQL query
+    val streams = spark.read
+      .option("start_ns", (base + 1).toString)
+      .option("end_ns", (base + 4).toString)
+      .table("lokicat.meta.series")
+      .collect().map(_.getString(0)).toSet
+    assert(streams == Set(
+      """{app="a1", env="prod"}""",
+      """{app="a2", env="dev"}""",
+      """{app="a1", zone="us"}"""), streams)
+    val matched = spark.read
+      .option("start_ns", (base + 1).toString)
+      .option("end_ns", (base + 4).toString)
+      .option("selector", """{app="a1"}""")
+      .table("lokicat.meta.series")
+      .collect().map(_.getString(0)).toSet
+    assert(matched == Set(
+      """{app="a1", env="prod"}""", """{app="a1", zone="us"}"""), matched)
   }
 
   test("DDL is rejected; unknown table errors") {
