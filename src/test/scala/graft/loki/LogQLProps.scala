@@ -187,4 +187,49 @@ object LogQLProps extends Properties("LogQL") {
             }) :| s"bounds=$bounds"
       }
     }
+
+  // ------------------------------------------------------ selector parser
+
+  private val matcherOp: Gen[String] = Gen.oneOf("=", "!=", "=~", "!~")
+  private val lineOp: Gen[String] = Gen.oneOf("|=", "!=", "|~", "!~")
+
+  /** Values sweeping the escaping-relevant space: quotes, backslashes,
+    * backticks, control chars, regex metachars, unicode.
+    */
+  private val hardValue: Gen[String] =
+    Gen.listOfN(10, Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('"', '\\', '`', '\n', '\t', ' '),
+      1 -> Gen.oneOf('.', '*', '+', '(', ')', '{', '}', ',', '|'),
+      1 -> Gen.oneOf('é', 'λ', '日'))).map(_.mkString)
+
+  private val matcherGen: Gen[LogQL.LabelMatcher] = for {
+    k <- ident; op <- matcherOp; v <- hardValue
+  } yield LogQL.LabelMatcher(k, op, v)
+
+  private val lineGen: Gen[LogQL.LineFilter] = for {
+    op <- lineOp; p <- hardValue
+  } yield LogQL.LineFilter(op, p)
+
+  property("parseSelector inverts assemble(escape=true) for ANY value bytes") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(matcherGen).map(_.take(4)),
+      Gen.listOf(lineGen).map(_.take(3))) { (ms, ls) =>
+      val q = LogQL.assemble(ms, ls, escape = true)
+      val (pm, pl) = LogQL.parseSelector(q)
+      // quoted-string rendering escapes; parse decodes — matcher values
+      // and stage patterns must round-trip byte-for-byte. One accepted
+      // asymmetry: an escape-free BACKTICK render (`p`) re-parses exactly
+      // too, so both renderers are covered by the same property.
+      (Prop(pm == ms) :| s"matchers: $pm vs $ms (q=$q)") &&
+        (Prop(pl == ls) :| s"lines: $pl vs $ls (q=$q)")
+    }
+
+  property("parseSelector rejects junk after the stages (no silent tail drop)") =
+    Prop.forAll(ident, hardValue) { (k, v) =>
+      val q = LogQL.assemble(
+        Seq(LogQL.LabelMatcher(k, "=", v)), Nil, escape = true)
+      Prop.throws(classOf[IllegalArgumentException])(
+        LogQL.parseSelector(q + " garbage"))
+    }
 }
