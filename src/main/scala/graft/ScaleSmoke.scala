@@ -603,6 +603,9 @@ object ScaleSmoke {
         // or a selector that silently widened all shift Σ id.
         val ck = java.nio.file.Files
           .createTempDirectory("graft_scale_tail_ck").toFile
+        // hook, not post-assert inline delete: a failed gate must not
+        // leak the checkpoint dir
+        sys.addShutdownHook(graft.streaming.StreamingOps.rmrf(ck))
         val (tailCnt, tailSum) = timed("connector_1m_tail") {
           val q = spark.readStream.format("loki")
             .option("endpoint", stub.endpoint)
@@ -626,10 +629,6 @@ object ScaleSmoke {
         assert(tailCnt == n.toLong && tailSum == n.toLong * (n - 1) / 2,
           s"tail drain: got ($tailCnt, $tailSum), " +
             s"want ($n, ${n.toLong * (n - 1) / 2})")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(ck)
         println(s"[scale] connector 1m micro-batch tail OK (rows=$tailCnt)")
       } finally stub.stop()
     }

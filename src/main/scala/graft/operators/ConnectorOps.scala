@@ -98,10 +98,7 @@ object ConnectorOps {
       if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
     val dir = java.nio.file.Files.createTempDirectory(base, s"graft_$prefix").toFile
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
+    val rm = graft.streaming.StreamingOps.rmrf _
     sys.addShutdownHook(rm(dir))
     lastRoundtripDir.put(prefix, dir).foreach(rm)
     write(dir.getAbsolutePath)
@@ -212,12 +209,7 @@ object ConnectorOps {
           dst.clear()
           val ckpt = java.nio.file.Files
             .createTempDirectory("graft_loki_fwd_ck").toFile
-          sys.addShutdownHook {
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-            }
-            rm(ckpt)
-          }
+          sys.addShutdownHook(graft.streaming.StreamingOps.rmrf(ckpt))
           val q = s.readStream.format("loki")
             .option("endpoint", src.endpoint)
             .option("default_label", "event_type")
@@ -445,7 +437,9 @@ object ConnectorOps {
     ("loki_label_values",
       (s: SparkSession, d: String) => {
         val st = stubFor(s, d)
-        val cat = s"lokimeta${d.hashCode & 0x7fffffff}"
+        // catalogs initialize ONCE per name (conf changes after first
+        // load are ignored), so each meta gate uses its own name
+        val cat = s"lokimetav${d.hashCode & 0x7fffffff}"
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
         s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
@@ -477,10 +471,14 @@ object ConnectorOps {
     ("loki_series",
       (s: SparkSession, d: String) => {
         val st = stubFor(s, d)
-        val cat = s"lokimeta${d.hashCode & 0x7fffffff}"
+        val cat = s"lokimetas${d.hashCode & 0x7fffffff}"
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
         s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
+        // /series REQUIRES a matcher on real Loki (and now on the stub);
+        // the default-label fallback supplies {event_type=~".+"} —
+        // every seeded stream carries it, so the census stays complete
+        s.conf.set(s"spark.sql.catalog.$cat.default_label", "event_type")
         s.read
           .option("start_ns", "0")
           .option("end_ns", "4102444800000000000")

@@ -161,44 +161,40 @@ object LokiHttp {
     * loudly with the body prefix.
     */
   private[loki] def parseStringArray(body: String): Seq[String] = {
+    val start = dataArrayStart(body)
+    val end = scanToCloser(body, start, ']')
+    if (end < 0) throw new RuntimeException(
+      s"Loki metadata response truncated: ${body.take(200)}")
+    parseStringArrayRaw(body.substring(start, end))
+  }
+
+  /** Index just past the `"data"` field's `[`; loud on a missing field. */
+  private def dataArrayStart(body: String): Int = {
     val di = body.indexOf("\"data\"")
     if (di < 0) throw new RuntimeException(
       s"Loki metadata response has no data field: ${body.take(200)}")
-    var i = body.indexOf('[', di)
-    if (i < 0) throw new RuntimeException(
+    val bi = body.indexOf('[', di)
+    if (bi < 0) throw new RuntimeException(
       s"Loki metadata data field is not an array: ${body.take(200)}")
-    i += 1
-    val out = Seq.newBuilder[String]
-    val sb = new StringBuilder
+    bi + 1
+  }
+
+  /** First `closer` at/after `from` OUTSIDE any quoted string (escape
+    * aware), or −1.
+    */
+  private def scanToCloser(body: String, from: Int, closer: Char): Int = {
+    var i = from
     var inStr = false
-    var done = false
-    while (!done && i < body.length) {
+    while (i < body.length) {
       val c = body.charAt(i)
       if (inStr) {
-        if (c == '\\' && i + 1 < body.length) {
-          body.charAt(i + 1) match {
-            case '"' => sb += '"'; i += 1
-            case '\\' => sb += '\\'; i += 1
-            case 'n' => sb += '\n'; i += 1
-            case 'r' => sb += '\r'; i += 1
-            case 't' => sb += '\t'; i += 1
-            case 'u' if i + 5 < body.length =>
-              sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
-              i += 5
-            case o => sb += o; i += 1
-          }
-        } else if (c == '"') { out += sb.toString; sb.clear(); inStr = false }
-        else sb += c
-      } else c match {
-        case '"' => inStr = true
-        case ']' => done = true
-        case _ => // comma / whitespace
-      }
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else if (c == '"') inStr = true
+      else if (c == closer) return i
       i += 1
     }
-    if (!done) throw new RuntimeException(
-      s"Loki metadata response truncated: ${body.take(200)}")
-    out.result()
+    -1
   }
 
   private def getJson(what: String, uri: URI): String = {
@@ -241,30 +237,13 @@ object LokiHttp {
     * exactly what the endpoint returns.
     */
   private[loki] def parseObjectArray(body: String): Seq[Seq[(String, String)]] = {
-    val di = body.indexOf("\"data\"")
-    if (di < 0) throw new RuntimeException(
-      s"Loki series response has no data field: ${body.take(200)}")
-    var i = body.indexOf('[', di)
-    if (i < 0) throw new RuntimeException(
-      s"Loki series data field is not an array: ${body.take(200)}")
-    i += 1
+    var i = dataArrayStart(body)
     val out = Seq.newBuilder[Seq[(String, String)]]
     while (i < body.length && body.charAt(i) != ']') {
       body.charAt(i) match {
         case '{' =>
-          // find the object's true end, skipping '}' inside quoted values
-          var j = i
-          var inStr = false
-          var end = -1
-          while (end < 0 && j < body.length) {
-            val c = body.charAt(j)
-            if (inStr) {
-              if (c == '\\') j += 1
-              else if (c == '"') inStr = false
-            } else if (c == '"') inStr = true
-            else if (c == '}') end = j
-            j += 1
-          }
+          // the object's true end — '}' inside quoted values skipped
+          val end = scanToCloser(body, i, '}')
           if (end < 0) throw new RuntimeException(
             s"Loki series response truncated: ${body.take(200)}")
           // one flat object: the string-array walk over its k/v strings —

@@ -128,11 +128,18 @@ class LokiMetaScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = LokiMetaScan(
-    kind, options,
-    startNs.getOrElse(LokiHttp.thirtyDaysAgoNs),
-    endNs.getOrElse(LokiHttp.nowNs),
-    labelEq)
+  override def build(): Scan = {
+    // same minute-truncated default window as the log scan (its
+    // report_statistics contract): stable across the several DSv2 scan
+    // rebuilds of one query (case-class equality holds), cache-friendly,
+    // and never disagreeing with a log scan planned in the same minute
+    val minuteNs = 60L * 1000000000L
+    LokiMetaScan(
+      kind, options,
+      startNs.getOrElse(LokiHttp.thirtyDaysAgoNs / minuteNs * minuteNs),
+      endNs.getOrElse((LokiHttp.nowNs + minuteNs - 1) / minuteNs * minuteNs),
+      labelEq)
+  }
 }
 
 case class LokiMetaScan(
@@ -155,14 +162,29 @@ case class LokiMetaScan(
     s"LokiMetaScan: ${parts.mkString(", ")}"
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // matcher-only render, ALWAYS escaped: the selector option is parsed
+    // (escape-decoded) at load, and parse∘assemble is the identity only
+    // under the escaping renderer — the log-scan builder applies the
+    // same rule to its selector-derived pieces
+    val sel = options.selector.map(s =>
+      LogQL.assemble(LogQL.parseSelector(s)._1, Nil, escape = true))
+      .filter(_ != "{}")
+    // real Loki REQUIRES at least one match[] on /series (labels and
+    // label-values take their selector optionally); fall back to the
+    // default-label matcher exactly like the log scan, else fail at plan
+    // time instead of shipping a request the server must reject
+    val seriesSel =
+      if (kind != "series") sel
+      else sel.orElse(options.defaultLabel.map(l =>
+        LogQL.assemble(Seq(LogQL.defaultMatcher(l)), Nil, escape = true)))
+        .orElse(throw new IllegalArgumentException(
+          "loki.meta.series requires a selector: real Loki rejects a " +
+            "match[]-less /series request — set the `selector` option " +
+            "or configure default_label"))
     Array(LokiMetaPartition(
-      options.endpoint, kind, startNs, endNs, labelEq,
-      // matcher-only render: the values endpoint's `query` param takes a
-      // stream selector, not line stages
-      options.selector.map(s =>
-        LogQL.assemble(LogQL.parseSelector(s)._1, Nil, options.escapeLogql))
-        .filter(_ != "{}")))
+      options.endpoint, kind, startNs, endNs, labelEq, seriesSel))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     LokiMetaReaderFactory()
@@ -199,8 +221,13 @@ class LokiMetaReader(p: LokiMetaPartition)
     case "series" =>
       LokiHttp.series(p.endpoint, p.startNs, p.endNs, p.selector)
         .iterator.map { kvs =>
-          val sel = kvs.sortBy(_._1)
-            .map { case (k, v) => s"""$k="$v"""" }.mkString("{", ", ", "}")
+          // the escaping renderer, so the promise holds for ANY label
+          // value: the rendered selector re-parses (property-pinned) and
+          // real Loki accepts it — raw interpolation broke on values
+          // containing a quote/backslash/newline
+          val sel = LogQL.assemble(
+            kvs.sortBy(_._1).map { case (k, v) => LogQL.LabelMatcher(k, "=", v) },
+            Nil, escape = true)
           new GenericInternalRow(Array[Any](UTF8String.fromString(sel)))
         }
   }

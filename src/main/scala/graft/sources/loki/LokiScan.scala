@@ -110,29 +110,39 @@ class LokiScanBuilder(table: LokiTable)
     // explicit `selector` option (the streaming pushdown channel — DSv2
     // filter pushdown never reaches micro-batch scans): its matchers and
     // line stages CONJOIN with whatever the optimizer pushed, selector
-    // stages first (user-stated order ahead of derived predicates)
+    // stages first (user-stated order ahead of derived predicates).
+    // Selector-derived pieces ALWAYS re-render escaped: the option is
+    // parsed (escape-decoded) at load time, and parse∘assemble is the
+    // identity only under the escaping renderer (property-pinned) — a
+    // raw re-render of a value that needed escaping would put a
+    // malformed or semantically different query on the wire despite the
+    // "validated at option time" promise. escape_logql keeps governing
+    // the OPTIMIZER-pushed pieces (that flag exists for reference
+    // parity of derived predicates, not for user-typed LogQL).
+    val esc = table.options.escapeLogql
     val (optMatchers, optLines) = table.options.selector
       .map(LogQL.parseSelector).getOrElse((Nil, Nil))
-    val matchers =
+    val matcherParts =
       if (optMatchers.nonEmpty || table.pushedLabelMatchers.nonEmpty)
-        optMatchers ++ table.pushedLabelMatchers
+        optMatchers.map(_.render(escape = true)) ++
+          table.pushedLabelMatchers.map(_.render(esc))
       else table.options.defaultLabel match {
         // no matcher at all → default-label fallback, else error
         // (table.rs:116-122: LogQL requires at least one matcher)
-        case Some(l) => Seq(LogQL.defaultMatcher(l))
+        case Some(l) => Seq(LogQL.defaultMatcher(l).render(esc))
         case None => throw new IllegalArgumentException(
           "no label matcher in query and no default_label configured; " +
             "LogQL requires at least one label matcher")
       }
-    val logql = LogQL.assemble(
-      matchers, optLines ++ table.pushedLineFilters ++ pushedLines,
-      escape = table.options.escapeLogql)
+    val lineParts = optLines.map(_.render(escape = true)) ++
+      (table.pushedLineFilters ++ pushedLines).map(_.render(esc))
     // matcher-only selector for index/stats probes, rendered from the
     // matchers directly — substring-parsing the assembled query to the
     // first '}' truncated mid-selector whenever a pushed value or regex
     // contained a brace (e.g. rlike 'app[0-9]{2}'), making every probe
     // throw and split=stats silently degrade to width
-    val selector = LogQL.assemble(matchers, Nil, escape = table.options.escapeLogql)
+    val selector = matcherParts.mkString("{", ", ", "}")
+    val logql = (selector +: lineParts).mkString(" ")
     if (countPushed)
       // complete COUNT(*) pushdown: the scan's read schema IS the
       // aggregation output (one non-null long; Spark consumes it
@@ -260,9 +270,12 @@ case class LokiScan(
     * never coexists with a LIMIT the unlimited row set is
     * direction-independent — log and ignore rather than fail a query the
     * option cannot affect (a catalog table carrying direction=backward
-    * as base config must not break its unlimited paged scans).
+    * as base config must not break its unlimited paged scans). Lazy val:
+    * description() (every EXPLAIN render) and each planInputPartitions
+    * call (DSv2 rebuilds the scan several times per query) evaluate it —
+    * a def would emit the ignored-direction warning once per evaluation.
     */
-  private def effectiveDirection: Option[String] =
+  @transient private lazy val effectiveDirection: Option[String] =
     options.direction match {
       case some @ Some(d) =>
         if (effectivePageSize.isEmpty) some

@@ -474,10 +474,17 @@ final class LokiStubServer {
   }
 
   /** `GET /loki/api/v1/series` — distinct label SETS matching any of the
-    * `match[]` selectors (no selector = all streams in the window).
+    * `match[]` selectors. Like real Loki, a request WITHOUT at least one
+    * `match[]` is rejected 400 — a stub that answered it would certify a
+    * client that breaks against every real endpoint.
     */
   private def handleSeries(ex: HttpExchange): Unit = {
     val params = qparams(ex)
+    if (!params.contains("match[]")) {
+      respond(ex, 400,
+        "at least one matcher is required in a series request".getBytes(UTF_8))
+      return
+    }
     val sels = params.get("match[]").toSeq.map(q => parseLogql(q)._1)
     val sets = windowRows(params)
       .filter(r => sels.isEmpty || sels.exists(_.forall(_.matches(r.labels))))

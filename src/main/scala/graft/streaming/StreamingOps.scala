@@ -16,6 +16,15 @@ import graft.Tables
   */
 object StreamingOps {
 
+  /** Recursive delete for scratch checkpoint/roundtrip dirs — the one
+    * definition (the helper had grown three verbatim copies across
+    * ConnectorOps and ScaleSmoke; a cleanup fix must land once).
+    */
+  def rmrf(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmrf))
+    f.delete(): Unit
+  }
+
   /** Source-schema memo: every stream construction needs the file's
     * schema, read via a batch footer scan — and a stream-stream join
     * constructs TWO sources, so uncached each query construction paid

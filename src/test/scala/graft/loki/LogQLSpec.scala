@@ -238,6 +238,26 @@ class LogQLSpec extends AnyFunSuite {
       ((Seq(LogQL.LabelMatcher("app", "=", "x")), Seq(LogQL.LineFilter("|=", "y")))))
   }
 
+  test("selector option re-renders ESCAPED regardless of escape_logql (round-13 review fix)") {
+    // the option is parsed (escape-decoded) at load; a raw re-render of a
+    // value that needed escaping would ship a malformed wire query while
+    // "validated at option time" still claimed success
+    import graft.sources.loki.{LokiOptions, LokiScan, LokiTable}
+    val opts = LokiOptions.from(Map(
+      "endpoint" -> "http://127.0.0.1:1", "check_connection" -> "false",
+      "selector" -> """{msg="say \"hi\""} |= "tick`mark""""))
+    val scan = LokiTable(opts)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+      .build().asInstanceOf[LokiScan]
+    assert(scan.logql == """{msg="say \"hi\""} |= "tick`mark"""", scan.logql)
+    assert(scan.selector == """{msg="say \"hi\""}""")
+    // the wire query re-parses to exactly the pieces the user stated
+    val (ms, ls) = LogQL.parseSelector(scan.logql)
+    assert(ms == Seq(LogQL.LabelMatcher("msg", "=", "say \"hi\"")))
+    assert(ls == Seq(LogQL.LineFilter("|=", "tick`mark")))
+  }
+
   test("parseSelector: malformed input fails loudly at parse time") {
     for (bad <- Seq(
       "app=\"x\"",              // no braces
