@@ -571,7 +571,14 @@ final class LokiStubServer {
           .map(op => (op, m.indexOf(op))).filter(_._2 > 0).minBy(_._2)
         val (op, i) = opIdx
         val label = m.substring(0, i)
-        val value = m.substring(i + op.length).stripPrefix("\"").stripSuffix("\"")
+        val raw = m.substring(i + op.length)
+        // real Loki parses Go-escaped double-quoted values — the
+        // connector's escaping renderer emits them, so a stub that only
+        // stripped the quotes would mis-match every escaped value
+        val value =
+          if (raw.startsWith("\"") && raw.endsWith("\"") && raw.length >= 2)
+            unescapeGo(raw.substring(1, raw.length - 1))
+          else raw
         Matcher(label, op, value)
       }
     var rest = q.substring(selEnd + 1).trim
@@ -580,12 +587,57 @@ final class LokiStubServer {
       val op = Seq("|=", "!=", "|~", "!~").find(rest.startsWith)
         .getOrElse(sys.error(s"bad line filter in: $rest"))
       rest = rest.substring(2).trim
-      require(rest.startsWith("`"), s"expected backtick literal in: $rest")
-      val close = rest.indexOf('`', 1)
-      lineFilters += LineF(op, rest.substring(1, close))
-      rest = rest.substring(close + 1).trim
+      // both LogQL string forms, like real Loki: backtick-raw and
+      // Go-escaped double-quoted (the renderer falls back to the quoted
+      // form when a pattern contains a backtick)
+      if (rest.startsWith("`")) {
+        val close = rest.indexOf('`', 1)
+        require(close > 0, s"unterminated backtick literal in: $rest")
+        lineFilters += LineF(op, rest.substring(1, close))
+        rest = rest.substring(close + 1).trim
+      } else {
+        require(rest.startsWith("\""), s"expected string literal in: $rest")
+        // the closing quote, escape-aware
+        var j = 1
+        var end = -1
+        while (end < 0 && j < rest.length) {
+          val c = rest.charAt(j)
+          if (c == '\\') j += 1
+          else if (c == '"') end = j
+          j += 1
+        }
+        require(end > 0, s"unterminated string literal in: $rest")
+        lineFilters += LineF(op, unescapeGo(rest.substring(1, end)))
+        rest = rest.substring(end + 1).trim
+      }
     }
     (matchers, lineFilters.toSeq)
+  }
+
+  /** Go-style string unescape (the inverse of the connector's escaping
+    * renderer); unknown escapes keep their backslash, like Loki's lenient
+    * regex-value handling.
+    */
+  private def unescapeGo(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' if i + 5 < s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case o => sb += '\\'; sb += o; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   // ------------------------------------------------------ parquet encoding

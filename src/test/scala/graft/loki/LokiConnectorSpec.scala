@@ -1326,6 +1326,31 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally st.stop()
   }
 
+  test("escaped selector values survive the full wire round trip (round-13 review fix)") {
+    // a label value containing a quote and a line pattern containing a
+    // backtick: parsed at load, re-rendered ESCAPED onto the wire, and
+    // the stub (like real Loki) Go-unescapes them back before matching
+    val st = new LokiStubServer
+    st.start()
+    try {
+      val base = 1704067200000000000L
+      st.seed(Seq(
+        st.LogRow(base + 1, Map("msg" -> "say \"hi\""), "has tick`mark here"),
+        st.LogRow(base + 2, Map("msg" -> "say \"hi\""), "no tick"),
+        st.LogRow(base + 3, Map("msg" -> "other"), "has tick`mark here")))
+      val got = spark.read.format("loki")
+        .option("endpoint", st.endpoint)
+        .option("selector", """{msg="say \"hi\""} |= "tick`mark"""")
+        .load()
+        .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+        .select("line")
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq("has tick`mark here"))
+      val wire = st.queries.synchronized(st.queries.distinct.toList)
+      assert(wire == List("""{msg="say \"hi\""} |= "tick`mark""""), wire)
+    } finally st.stop()
+  }
+
   test("batch selector option conjoins with optimizer-pushed filters on the wire") {
     val st = new LokiStubServer
     st.start()
