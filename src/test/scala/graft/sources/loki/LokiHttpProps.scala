@@ -1,0 +1,65 @@
+package graft.sources.loki
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties for the metadata-response decoders
+  * ([[LokiHttp.parseStringArray]] / [[LokiHttp.parseObjectArray]]): an
+  * independently-written JSON encoder in the generator round-trips
+  * through the production parser for arbitrary label names/values —
+  * quotes, backslashes, braces, brackets, control chars, unicode. Lives
+  * in the source package (the decoders are private[loki] by design).
+  */
+object LokiHttpProps extends Properties("LokiHttpCodec") {
+
+  /** Independent JSON string encoder (NOT the stub's — a shared bug
+    * would hide).
+    */
+  private def enc(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private val hard: Gen[String] =
+    Gen.listOfN(8, Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('"', '\\', '{', '}', '[', ']', ',', ':'),
+      1 -> Gen.oneOf('\n', '\t', '\u0001'),
+      1 -> Gen.oneOf('é', '日'))).map(_.mkString)
+
+  property("parseStringArray inverts encoding for any value bytes") =
+    Prop.forAll(Gen.listOf(hard).map(_.take(6))) { vs =>
+      val body =
+        s"""{"status":"success","data":[${vs.map(enc).mkString(",")}]}"""
+      LokiHttp.parseStringArray(body) == vs
+    }
+
+  property("parseObjectArray inverts encoding for any label maps") =
+    Prop.forAll(Gen.listOf(Gen.nonEmptyListOf(Gen.zip(
+      Gen.identifier.map(_.take(6)), hard)).map(_.take(4))).map(_.take(4))) { objs =>
+      // distinct keys per object (JSON object semantics)
+      val clean = objs.map(_.distinctBy(_._1))
+      val body = s"""{"status":"success","data":[${
+        clean.map(o => "{" + o.map { case (k, v) => s"${enc(k)}:${enc(v)}" }
+          .mkString(",") + "}").mkString(",")
+      }]}"""
+      LokiHttp.parseObjectArray(body) == clean
+    }
+
+  property("truncated / malformed metadata bodies fail loudly") =
+    Prop.forAll(hard) { v =>
+      val whole = s"""{"status":"success","data":[${enc(v)}]}"""
+      Prop.throws(classOf[RuntimeException])(
+        LokiHttp.parseStringArray(whole.dropRight(2))) &&
+        Prop.throws(classOf[RuntimeException])(
+          LokiHttp.parseStringArray("""{"status":"success"}""")) &&
+        Prop.throws(classOf[RuntimeException])(
+          LokiHttp.parseObjectArray(
+            s"""{"status":"success","data":[{${enc("k")}:${enc(v)}"""))
+    }
+}
