@@ -494,6 +494,68 @@ object ConnectorOps {
           |  '"}') AS stream
           |FROM events ORDER BY stream""".stripMargin)),
 
+    // Volume census (round 13, beyond-parity): /index/volume as
+    // loki.meta.volume — aggregate log volume per stream, the capacity
+    // question ("which streams are big?") every log user at scale asks
+    // first, answered from the INDEX server-side. target_labels=event_type
+    // groups the census by one label; the oracle recomputes per-type line
+    // bytes from the seeding corpus, so it certifies the endpoint model,
+    // the Prometheus-vector decode, and the canonical metric rendering
+    // together.
+    ("loki_label_volume",
+      (s: SparkSession, d: String) => {
+        val st = stubFor(s, d)
+        val cat = s"lokimetavol${d.hashCode & 0x7fffffff}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
+        s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
+        // the volume endpoints REQUIRE a query selector (like /series);
+        // the default-label fallback supplies {event_type=~".+"}
+        s.conf.set(s"spark.sql.catalog.$cat.default_label", "event_type")
+        s.read
+          .option("start_ns", "0")
+          .option("end_ns", "4102444800000000000") // 2100: whole retention
+          .option("target_labels", "event_type")
+          .option("volume_limit", "1000") // full census, not the server's top-100
+          .table(s"$cat.meta.volume")
+          .orderBy("stream")
+      },
+      Some(
+        """SELECT concat('{event_type="', event_type, '"}') AS stream,
+          |       CAST(sum(length(concat(event_type, ' value=',
+          |                              CAST(value AS VARCHAR)))) AS BIGINT) AS bytes
+          |FROM events GROUP BY event_type ORDER BY stream""".stripMargin)),
+
+    // Volume TREND (round 13): /index/volume_range as
+    // loki.meta.volume_range — the same census bucketed by day, the
+    // ingest-growth dashboard every capacity review reads. The oracle
+    // recomputes per-(type, day) byte sums; bucket starts are epoch
+    // seconds (the precision the Prometheus-style response carries), so
+    // the gate also pins the second-truncation contract.
+    ("loki_volume_range",
+      (s: SparkSession, d: String) => {
+        val st = stubFor(s, d)
+        val cat = s"lokimetavr${d.hashCode & 0x7fffffff}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
+        s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
+        s.conf.set(s"spark.sql.catalog.$cat.default_label", "event_type")
+        s.read
+          .option("start_ns", "0") // buckets = whole UTC days
+          .option("end_ns", "4102444800000000000")
+          .option("target_labels", "event_type")
+          .option("volume_limit", "1000")
+          .option("step_ns", (86400L * 1000000000L).toString)
+          .table(s"$cat.meta.volume_range")
+          .orderBy("stream", "ts_s")
+      },
+      Some(
+        """SELECT concat('{event_type="', event_type, '"}') AS stream,
+          |       CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) * 86400 AS ts_s,
+          |       CAST(sum(length(concat(event_type, ' value=',
+          |                              CAST(value AS VARCHAR)))) AS BIGINT) AS bytes
+          |FROM events GROUP BY 1, 2 ORDER BY stream, ts_s""".stripMargin)),
+
     // Explicit direction (round 13): "the last 40 purchases" — a pushed
     // label matcher + LIMIT with direction=backward STATED on the wire
     // (not inherited from the server default), the newest-n read every

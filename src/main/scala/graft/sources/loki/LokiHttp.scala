@@ -302,6 +302,218 @@ object LokiHttp {
       s"$endpoint/loki/api/v1/series?start=$startNs&end=$endNs$q")))
   }
 
+  /** Index of the closing quote of the JSON string opening at
+    * `openQuote` (escape-aware), or −1.
+    */
+  private def stringEnd(s: String, openQuote: Int): Int = {
+    var i = openQuote + 1
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => i += 1
+        case '"' => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of the closer matching the `{`/`[` at `open`, accounting for
+    * NESTED objects/arrays and quoted strings, or −1. The flat-object
+    * scans above can use [[scanToCloser]]; the Prometheus-style volume
+    * response nests (`result` elements hold a metric object and a value
+    * array), so its walk needs real depth tracking.
+    */
+  private def scanToMatching(body: String, open: Int): Int = {
+    var i = open
+    var depth = 0
+    var inStr = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse a Prometheus-style vector/matrix response — the shape of real
+    * Loki's `index/volume` / `index/volume_range` endpoints:
+    *
+    * {{{
+    *   {"status":"success","data":{"resultType":"vector","result":[
+    *     {"metric":{"k":"v"},"value":[1712345600,"123"]}, …]}}
+    *   {"status":"success","data":{"resultType":"matrix","result":[
+    *     {"metric":{"k":"v"},"values":[[1712300000,"12"],…]}, …]}}
+    * }}}
+    *
+    * → one (sorted metric kvs, samples) per series; each sample is
+    * (epoch SECONDS, numeric value). Vector elements decode as a single
+    * sample. Element fields are walked structurally (depth- and
+    * string-aware), so a label VALUE containing `"metric"`/`"values"` or
+    * brackets cannot derail the scan; anything structurally off fails
+    * loudly with the body prefix.
+    */
+  private[loki] def parseMetricSamples(
+      body: String): Seq[(Seq[(String, String)], Seq[(Long, Long)])] = {
+    def die(msg: String): Nothing =
+      throw new RuntimeException(s"Loki volume response $msg: ${body.take(200)}")
+    val ri = body.indexOf("\"result\"")
+    if (ri < 0) die("has no result field")
+    val ro = body.indexOf('[', ri)
+    if (ro < 0) die("result field is not an array")
+    val rc = scanToMatching(body, ro)
+    if (rc < 0) die("truncated")
+
+    val out = Seq.newBuilder[(Seq[(String, String)], Seq[(Long, Long)])]
+    var i = ro + 1
+    while (i < rc) {
+      body.charAt(i) match {
+        case '{' =>
+          val end = scanToMatching(body, i)
+          if (end < 0 || end > rc) die("truncated")
+          out += parseSeriesElement(body.substring(i, end + 1), die)
+          i = end + 1
+        case _ => i += 1 // comma / whitespace
+      }
+    }
+    out.result()
+  }
+
+  /** One `result` element `{"metric":{…},"value(s)":…}` → (metric kvs,
+    * samples). Walks the element's TOP-LEVEL fields structurally.
+    */
+  private def parseSeriesElement(
+      el: String, die: String => Nothing): (Seq[(String, String)], Seq[(Long, Long)]) = {
+    var metric: Option[Seq[(String, String)]] = None
+    var samples: Option[Seq[(Long, Long)]] = None
+    var i = 1 // past the element's '{'
+    while (i < el.length - 1) {
+      el.charAt(i) match {
+        case '"' =>
+          val ke = stringEnd(el, i)
+          if (ke < 0) die("truncated")
+          val key = parseStringArrayRaw(el.substring(i, ke + 1)).head
+          val ci = el.indexOf(':', ke + 1)
+          if (ci < 0) die("truncated")
+          var v = ci + 1
+          while (v < el.length && el.charAt(v).isWhitespace) v += 1
+          val ve = el.charAt(v) match {
+            case '{' | '[' => scanToMatching(el, v)
+            case '"' => stringEnd(el, v)
+            case _ => // bare literal: runs to the next ',' or the closing '}'
+              var j = v
+              while (j < el.length && el.charAt(j) != ',' && el.charAt(j) != '}') j += 1
+              j - 1
+          }
+          if (ve < 0) die("truncated")
+          val chunk = el.substring(v, ve + 1)
+          key match {
+            case "metric" =>
+              metric = Some(parseStringArrayRaw(chunk)
+                .grouped(2).collect { case Seq(k, vv) => (k, vv) }.toSeq)
+            case "value" => samples = Some(Seq(parseSample(chunk, die)))
+            case "values" =>
+              // the inner sample arrays, walked at depth
+              val ss = Seq.newBuilder[(Long, Long)]
+              var j = 1
+              while (j < chunk.length - 1) {
+                chunk.charAt(j) match {
+                  case '[' =>
+                    val se = scanToMatching(chunk, j)
+                    if (se < 0) die("truncated")
+                    ss += parseSample(chunk.substring(j, se + 1), die)
+                    j = se + 1
+                  case _ => j += 1
+                }
+              }
+              samples = Some(ss.result())
+            case _ => // resultType etc. — ignored
+          }
+          i = ve + 1
+        case _ => i += 1
+      }
+    }
+    (metric.getOrElse(die("element has no metric")),
+      samples.getOrElse(die("element has no value")))
+  }
+
+  /** `[<ts>,"<value>"]` → (ts floor seconds, value). Prometheus sample
+    * timestamps may carry a fractional part; the value is a quoted
+    * integer string.
+    */
+  private def parseSample(chunk: String, die: String => Nothing): (Long, Long) = {
+    val m = java.util.regex.Pattern.compile("^\\[\\s*(-?\\d+)(?:\\.\\d+)?\\s*,")
+      .matcher(chunk)
+    if (!m.find()) die(s"has a malformed sample")
+    val vs = parseStringArrayRaw(chunk)
+    if (vs.size != 1) die(s"has a malformed sample value")
+    (m.group(1).toLong, vs.head.toLong)
+  }
+
+  /** `GET /loki/api/v1/index/volume` — aggregate log volume (bytes) per
+    * series (or per label name under `aggregateBy=labels`) for the
+    * matching streams — real Loki's capacity census, index-only
+    * server-side. Top-`limit` series by volume (server default 100).
+    */
+  def indexVolume(
+      endpoint: String,
+      selector: String,
+      startNs: Long,
+      endNs: Long,
+      targetLabels: Seq[String] = Nil,
+      aggregateBy: Option[String] = None,
+      limit: Int = 0): Seq[(Seq[(String, String)], Long)] =
+    parseMetricSamples(getJson("index/volume", URI.create(
+      s"$endpoint/loki/api/v1/index/volume?" + volumeParams(
+        selector, startNs, endNs, targetLabels, aggregateBy, limit))))
+      .map { case (m, samples) => (m, samples.map(_._2).sum) }
+
+  /** `GET /loki/api/v1/index/volume_range` — the step-bucketed form:
+    * volume per series per `stepNs` bucket from `startNs` (the capacity
+    * TREND). Samples are (bucket-start epoch seconds, bytes), ascending;
+    * empty buckets are omitted (Prometheus matrix shape).
+    */
+  def indexVolumeRange(
+      endpoint: String,
+      selector: String,
+      startNs: Long,
+      endNs: Long,
+      stepNs: Long,
+      targetLabels: Seq[String] = Nil,
+      aggregateBy: Option[String] = None,
+      limit: Int = 0): Seq[(Seq[(String, String)], Seq[(Long, Long)])] =
+    parseMetricSamples(getJson("index/volume_range", URI.create(
+      s"$endpoint/loki/api/v1/index/volume_range?" + volumeParams(
+        selector, startNs, endNs, targetLabels, aggregateBy, limit) +
+        s"&step=$stepNs")))
+
+  private def volumeParams(
+      selector: String,
+      startNs: Long,
+      endNs: Long,
+      targetLabels: Seq[String],
+      aggregateBy: Option[String],
+      limit: Int): String = {
+    val enc = java.net.URLEncoder.encode(selector, "UTF-8")
+    s"query=$enc&start=$startNs&end=$endNs" +
+      (if (targetLabels.nonEmpty)
+        "&targetLabels=" + java.net.URLEncoder.encode(
+          targetLabels.mkString(","), "UTF-8")
+      else "") +
+      aggregateBy.map(a => s"&aggregateBy=$a").getOrElse("") +
+      (if (limit > 0) s"&limit=$limit" else "")
+  }
+
   /** push-API POST; body is the JSON `{"streams":[...]}` payload. */
   def push(endpoint: String, json: String): Unit = {
     val req = HttpRequest.newBuilder(URI.create(s"$endpoint/loki/api/v1/push"))

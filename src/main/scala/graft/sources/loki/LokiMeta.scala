@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,6 +26,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *     one column `stream`: each stream's canonical selector (sorted
   *     keys, `{k="v", …}`) — SHOW STREAMS; a configured `selector`
   *     narrows via `match[]`
+  *   - `loki.meta.volume`        → `GET /loki/api/v1/index/volume`
+  *     columns `(stream, bytes)`: aggregate log volume per series — the
+  *     capacity census ("which streams are big?"), answered from the
+  *     INDEX server-side, so sizing a month of logs never reads a chunk
+  *   - `loki.meta.volume_range`  → `GET /loki/api/v1/index/volume_range`
+  *     columns `(stream, ts_s, bytes)`: the step-bucketed form (volume
+  *     per series per `step_ns` bucket) — the capacity TREND. `ts_s` is
+  *     the bucket start in epoch SECONDS: the precision the endpoint's
+  *     Prometheus-style response actually carries, so `step_ns` must be
+  *     a whole-second multiple (enforced at plan time — a finer step
+  *     would alias on the wire, and real Loki takes whole-second steps)
+  *
+  *   Volume knobs (per-read options): `target_labels` (csv) restricts
+  *   the grouping key — `target_labels=app` answers "volume per app";
+  *   `aggregate_by` = `series` (default) | `labels` (group by label
+  *   NAME); `volume_limit` caps at the top-N series by volume (server
+  *   default 100 otherwise — set it explicitly for a full census). Both
+  *   volume relations REQUIRE a selector (the endpoint does); the
+  *   `default_label` fallback supplies `{l=~".+"}` like the log scan.
   *
   * The SHOW-style discovery every log user runs before writing a
   * selector, and the same index-backed requests `split=stats` leans on —
@@ -63,22 +82,28 @@ case class LokiMetaTable(kind: String, options: LokiOptions)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    // volume knobs are META-read options, not LokiOptions fields: they
+    // configure one census read, never a log scan, so they ride the
+    // per-read map instead of widening the connector's option surface
+    val metaKeys = Set("start_ns", "end_ns", "target_labels",
+      "aggregate_by", "volume_limit", "step_ns")
     val overrides = o.asScala.toMap.filter { case (k, _) =>
       !k.equalsIgnoreCase("endpoint") && !k.equalsIgnoreCase("path") &&
-        !k.equalsIgnoreCase("paths") && !k.equalsIgnoreCase("start_ns") &&
-        !k.equalsIgnoreCase("end_ns")
+        !k.equalsIgnoreCase("paths") && !metaKeys(k.toLowerCase)
     }
     val effective =
       if (overrides.isEmpty) options
       else LokiOptions.from(options.toMap ++ overrides)
     new LokiMetaScanBuilder(kind, effective,
       Option(o.get("start_ns")).map(_.toLong),
-      Option(o.get("end_ns")).map(_.toLong))
+      Option(o.get("end_ns")).map(_.toLong),
+      LokiVolumeKnobs.from(kind, o))
   }
 }
 
 object LokiMetaTable {
-  val names: Seq[String] = Seq("labels", "label_values", "series")
+  val names: Seq[String] = Seq(
+    "labels", "label_values", "series", "volume", "volume_range")
 
   def schemaOf(kind: String): StructType = kind match {
     case "labels" =>
@@ -92,6 +117,46 @@ object LokiMetaTable {
       // `{k="v", k2="v2"}` — the SHOW STREAMS form a user can paste
       // straight back into a `selector` option or LogQL query
       StructType(Seq(StructField("stream", StringType, nullable = false)))
+    case "volume" =>
+      StructType(Seq(
+        StructField("stream", StringType, nullable = false),
+        StructField("bytes", LongType, nullable = false)))
+    case "volume_range" =>
+      StructType(Seq(
+        StructField("stream", StringType, nullable = false),
+        StructField("ts_s", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false)))
+  }
+}
+
+/** Per-read knobs of the volume relations (see [[LokiMetaTable]] scaladoc). */
+case class LokiVolumeKnobs(
+    targetLabels: Seq[String],
+    aggregateBy: Option[String],
+    limit: Int,
+    stepNs: Option[Long])
+
+object LokiVolumeKnobs {
+  def from(kind: String, o: CaseInsensitiveStringMap): LokiVolumeKnobs = {
+    val aggBy = Option(o.get("aggregate_by")).filter(_.nonEmpty).map {
+      case a @ ("series" | "labels") => a
+      case other => throw new IllegalArgumentException(
+        s"aggregate_by must be 'series' or 'labels', got '$other'")
+    }
+    val step = Option(o.get("step_ns")).map(_.toLong)
+    if (kind == "volume_range") {
+      val s = step.getOrElse(throw new IllegalArgumentException(
+        "loki.meta.volume_range requires a step_ns option (the bucket width)"))
+      require(s > 0 && s % 1000000000L == 0,
+        s"step_ns must be a positive whole-second multiple, got $s — the " +
+          "endpoint's response carries second-precision sample timestamps")
+    }
+    LokiVolumeKnobs(
+      targetLabels = Option(o.get("target_labels")).toSeq
+        .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty),
+      aggregateBy = aggBy,
+      limit = Option(o.get("volume_limit")).map(_.toInt).getOrElse(0),
+      stepNs = step)
   }
 }
 
@@ -99,7 +164,8 @@ class LokiMetaScanBuilder(
     kind: String,
     options: LokiOptions,
     startNs: Option[Long],
-    endNs: Option[Long])
+    endNs: Option[Long],
+    volume: LokiVolumeKnobs = LokiVolumeKnobs(Nil, None, 0, None))
   extends ScanBuilder with SupportsPushDownFilters {
 
   // `label = 'x'` / `label IN (...)` on label_values → request only those
@@ -138,7 +204,7 @@ class LokiMetaScanBuilder(
       kind, options,
       startNs.getOrElse(LokiHttp.thirtyDaysAgoNs / minuteNs * minuteNs),
       endNs.getOrElse((LokiHttp.nowNs + minuteNs - 1) / minuteNs * minuteNs),
-      labelEq)
+      labelEq, volume)
   }
 }
 
@@ -147,7 +213,8 @@ case class LokiMetaScan(
     options: LokiOptions,
     startNs: Long,
     endNs: Long,
-    labelEq: Option[Seq[String]])
+    labelEq: Option[Seq[String]],
+    volume: LokiVolumeKnobs = LokiVolumeKnobs(Nil, None, 0, None))
   extends Scan with Batch {
 
   override def readSchema(): StructType = LokiMetaTable.schemaOf(kind)
@@ -158,7 +225,12 @@ case class LokiMetaScan(
     val parts = Seq(s"endpoint=${options.endpoint}", s"kind=$kind",
       s"start=$startNs", s"end=$endNs") ++
       labelEq.map(ls => s"labels=[${ls.mkString(",")}]") ++
-      options.selector.map(s => s"selector=$s")
+      options.selector.map(s => s"selector=$s") ++
+      (if (volume.targetLabels.nonEmpty)
+        Seq(s"target_labels=[${volume.targetLabels.mkString(",")}]") else Nil) ++
+      volume.aggregateBy.map(a => s"aggregate_by=$a") ++
+      (if (volume.limit > 0) Seq(s"volume_limit=${volume.limit}") else Nil) ++
+      volume.stepNs.map(s => s"step_ns=$s")
     s"LokiMetaScan: ${parts.mkString(", ")}"
   }
 
@@ -170,20 +242,22 @@ case class LokiMetaScan(
     val sel = options.selector.map(s =>
       LogQL.assemble(LogQL.parseSelector(s)._1, Nil, escape = true))
       .filter(_ != "{}")
-    // real Loki REQUIRES at least one match[] on /series (labels and
-    // label-values take their selector optionally); fall back to the
-    // default-label matcher exactly like the log scan, else fail at plan
-    // time instead of shipping a request the server must reject
-    val seriesSel =
-      if (kind != "series") sel
+    // real Loki REQUIRES at least one match[] on /series, and a `query`
+    // on the volume endpoints (labels and label-values take their
+    // selector optionally); fall back to the default-label matcher
+    // exactly like the log scan, else fail at plan time instead of
+    // shipping a request the server must reject
+    val needsSel = kind == "series" || kind.startsWith("volume")
+    val effSel =
+      if (!needsSel) sel
       else sel.orElse(options.defaultLabel.map(l =>
         LogQL.assemble(Seq(LogQL.defaultMatcher(l)), Nil, escape = true)))
         .orElse(throw new IllegalArgumentException(
-          "loki.meta.series requires a selector: real Loki rejects a " +
-            "match[]-less /series request — set the `selector` option " +
-            "or configure default_label"))
+          s"loki.meta.$kind requires a selector: real Loki rejects the " +
+            "request without one — set the `selector` option or " +
+            "configure default_label"))
     Array(LokiMetaPartition(
-      options.endpoint, kind, startNs, endNs, labelEq, seriesSel))
+      options.endpoint, kind, startNs, endNs, labelEq, effSel, volume))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -196,7 +270,9 @@ case class LokiMetaPartition(
     startNs: Long,
     endNs: Long,
     labelEq: Option[Seq[String]],
-    selector: Option[String]) extends InputPartition
+    selector: Option[String],
+    volume: LokiVolumeKnobs = LokiVolumeKnobs(Nil, None, 0, None))
+  extends InputPartition
 
 case class LokiMetaReaderFactory() extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -230,6 +306,23 @@ class LokiMetaReader(p: LokiMetaPartition)
             Nil, escape = true)
           new GenericInternalRow(Array[Any](UTF8String.fromString(sel)))
         }
+    case "volume" =>
+      LokiHttp.indexVolume(p.endpoint, p.selector.get, p.startNs, p.endNs,
+        p.volume.targetLabels, p.volume.aggregateBy, p.volume.limit)
+        .iterator.map { case (kvs, bytes) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(LokiMetaReader.renderMetric(kvs)), bytes))
+        }
+    case "volume_range" =>
+      LokiHttp.indexVolumeRange(p.endpoint, p.selector.get, p.startNs,
+        p.endNs, p.volume.stepNs.get, p.volume.targetLabels,
+        p.volume.aggregateBy, p.volume.limit)
+        .iterator.flatMap { case (kvs, samples) =>
+          val stream = UTF8String.fromString(LokiMetaReader.renderMetric(kvs))
+          samples.map { case (tsS, bytes) =>
+            new GenericInternalRow(Array[Any](stream, tsS, bytes))
+          }
+        }
   }
 
   private var cur: InternalRow = _
@@ -237,4 +330,16 @@ class LokiMetaReader(p: LokiMetaPartition)
     if (rows.hasNext) { cur = rows.next(); true } else false
   override def get(): InternalRow = cur
   override def close(): Unit = ()
+}
+
+object LokiMetaReader {
+  /** A volume metric rendered as the same canonical selector the series
+    * relation emits (sorted keys, escaping renderer) — so a stream a
+    * user finds big in `loki.meta.volume` pastes straight back into a
+    * `selector` option.
+    */
+  private[loki] def renderMetric(kvs: Seq[(String, String)]): String =
+    LogQL.assemble(
+      kvs.sortBy(_._1).map { case (k, v) => LogQL.LabelMatcher(k, "=", v) },
+      Nil, escape = true)
 }

@@ -165,6 +165,10 @@ final class LokiStubServer {
     // the handler parses the name out of the path like real Loki's router
     server.createContext("/loki/api/v1/label/", (ex: HttpExchange) => handleLabelValues(ex))
     server.createContext("/loki/api/v1/series", (ex: HttpExchange) => handleSeries(ex))
+    server.createContext("/loki/api/v1/index/volume_range", (ex: HttpExchange) =>
+      handleVolume(ex, range = true))
+    server.createContext("/loki/api/v1/index/volume", (ex: HttpExchange) =>
+      handleVolume(ex, range = false))
     // start from a daemon thread: HttpServer's dispatcher inherits daemon
     // status, so a stub can never keep the harness JVM alive
     val t = new Thread(() => server.start())
@@ -496,6 +500,118 @@ final class LokiStubServer {
         .mkString(",") + "}").mkString(",")
     respond(ex, 200,
       s"""{"status":"success","data":[$body]}""".getBytes(UTF_8))
+  }
+
+  /** Volume requests as received (param map per request) — wire-pin
+    * assertions for the `loki.meta.volume*` relations read these.
+    */
+  val volumeRequests = mutable.ArrayBuffer.empty[Map[String, String]]
+
+  /** `GET /loki/api/v1/index/volume` (+ `/index/volume_range`) — aggregate
+    * log VOLUME per series or label over the window, real Loki's capacity
+    * census. Modeled contract:
+    *
+    *   - `query` (selector) is REQUIRED — real Loki rejects a volume
+    *     request without one — as are `start`/`end`; 400 otherwise.
+    *   - volume of a row = its line length (the same size model this
+    *     stub's `index/stats` bytes field uses — self-consistent, and
+    *     exact for the ASCII corpora the gates seed).
+    *   - `targetLabels=a,b` restricts the grouping key to those labels;
+    *     a row carrying NONE of them contributes nothing.
+    *   - `aggregateBy=labels` groups by label NAME instead of value
+    *     (metric `{name=""}`), each row contributing to every target
+    *     name it carries; default `series` groups by the (restricted)
+    *     label SET.
+    *   - `limit` (default 100, like real Loki) keeps the top-N series by
+    *     total bytes — descending, metric-rendering ascending on ties,
+    *     so the cut is deterministic.
+    *   - the range form buckets by `step` ns from `start` and answers a
+    *     Prometheus MATRIX (empty buckets omitted, samples ts-ascending);
+    *     the plain form answers a VECTOR with one sample at `end`.
+    *     Sample timestamps are integer SECONDS — the precision the real
+    *     endpoint's Prometheus response shape carries.
+    */
+  private def handleVolume(ex: HttpExchange, range: Boolean): Unit = {
+    val params = qparams(ex)
+    volumeRequests.synchronized(volumeRequests += params)
+    if (!params.contains("query") || !params.contains("start") ||
+        !params.contains("end")) {
+      respond(ex, 400,
+        "query, start and end are required in a volume request".getBytes(UTF_8))
+      return
+    }
+    val (matchers, _) = parseLogql(params("query"))
+    val start = params("start").toLong
+    val end = params("end").toLong
+    val limit = params.get("limit").map(_.toInt).getOrElse(100)
+    val targets = params.get("targetLabels").toSeq
+      .flatMap(_.split(',').toSeq).filter(_.nonEmpty)
+    val byLabelName = params.get("aggregateBy").contains("labels")
+    val stepNs =
+      if (range) params.get("step").map(_.toLong).getOrElse(end - start)
+      else end - start
+    if (stepNs <= 0) {
+      respond(ex, 400, s"bad volume step/window: $stepNs".getBytes(UTF_8))
+      return
+    }
+
+    val hits = rows.synchronized(rows.toSeq)
+      .filter(r => r.tsNs >= start && r.tsNs < end)
+      .filter(r => matchers.forall(_.matches(r.labels)))
+
+    // metric keys a row contributes to (labels mode: one per target NAME
+    // it carries; series mode: its label set restricted to the targets)
+    def keysOf(r: LogRow): Seq[Seq[(String, String)]] =
+      if (byLabelName) {
+        val names =
+          if (targets.isEmpty) r.labels.keys.toSeq else targets.filter(r.labels.contains)
+        names.map(n => Seq(n -> ""))
+      } else {
+        val kvs =
+          if (targets.isEmpty) r.labels.toSeq.sortBy(_._1)
+          else targets.flatMap(t => r.labels.get(t).map(t -> _))
+        if (kvs.isEmpty) Nil else Seq(kvs)
+      }
+
+    def render(kvs: Seq[(String, String)]): String =
+      "{" + kvs.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+        .mkString(",") + "}"
+
+    // (metric, bucket) → bytes
+    val acc = mutable.Map.empty[(Seq[(String, String)], Long), Long]
+    hits.foreach { r =>
+      val bucket = start + (r.tsNs - start) / stepNs * stepNs
+      keysOf(r).foreach { k =>
+        val key = (k, bucket)
+        acc(key) = acc.getOrElse(key, 0L) + r.line.length.toLong
+      }
+    }
+    val bySeries = acc.groupBy(_._1._1).toSeq
+      .map { case (m, samples) =>
+        (m, samples.values.sum,
+          samples.map { case ((_, b), v) => (b, v) }.toSeq.sortBy(_._1))
+      }
+      .sortBy { case (m, total, _) => (-total, render(m)) }
+      .take(limit)
+
+    val body =
+      if (range) {
+        val els = bySeries.map { case (m, _, samples) =>
+          val vals = samples
+            .map { case (b, v) => s"[${b / 1000000000L},${jsonStr(v.toString)}]" }
+            .mkString(",")
+          s"""{"metric":${render(m)},"values":[$vals]}"""
+        }.mkString(",")
+        s"""{"status":"success","data":{"resultType":"matrix","result":[$els]}}"""
+      } else {
+        val endSec = end / 1000000000L
+        val els = bySeries.map { case (m, total, _) =>
+          s"""{"metric":${render(m)},"value":[$endSec,${jsonStr(total.toString)}]}"""
+        }.mkString(",")
+        s"""{"status":"success","data":{"resultType":"vector","result":[$els]}}"""
+      }
+    respond(ex, 200, body.getBytes(UTF_8))
   }
 
   private case class Matcher(label: String, op: String, value: String) {

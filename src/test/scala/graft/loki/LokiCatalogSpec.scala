@@ -121,7 +121,8 @@ class LokiCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     // SHOW TABLES surfaces the namespace's relations
     val shown = spark.sql("SHOW TABLES IN lokicat.meta")
       .collect().map(_.getString(1)).toSet
-    assert(shown == Set("labels", "label_values", "series"))
+    assert(shown == Set(
+      "labels", "label_values", "series", "volume", "volume_range"))
     // series: each stream's canonical selector, match[]-narrowed by the
     // selector option; pasteable straight back into a LogQL query
     val streams = spark.read
@@ -141,6 +142,167 @@ class LokiCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       .collect().map(_.getString(0)).toSet
     assert(matched == Set(
       """{app="a1", env="prod"}""", """{app="a1", zone="us"}"""), matched)
+  }
+
+  test("meta.volume / meta.volume_range: capacity census and trend (round 13)") {
+    // own time island, clear of every other test's seeds — the stub
+    // accumulates across tests in this suite
+    val dayNs = 86400L * 1000000000L
+    val base = 1804067200L * 1000000000L // second-aligned: ts_s asserts below
+    val baseS = base / 1000000000L
+    stub.seed(Seq(
+      stub.LogRow(base + 1, Map("zone" -> "z", "app" -> "big"), "0123456789"),
+      stub.LogRow(base + 2, Map("zone" -> "z", "app" -> "big"), "x" * 30),
+      stub.LogRow(base + dayNs + 5, Map("zone" -> "z", "app" -> "big"), "y" * 7),
+      stub.LogRow(base + 3, Map("zone" -> "z", "app" -> "small"), "z" * 5),
+      // carries NO app label: excluded under target_labels=app, but
+      // counted in the full-series census
+      stub.LogRow(base + 4, Map("zone" -> "z"), "w" * 100)))
+    def volRead() = spark.read
+      .option("start_ns", base.toString)
+      .option("end_ns", (base + 2 * dayNs).toString)
+      .option("selector", """{zone="z"}""")
+
+    // per-label census: rows without the target label contribute nothing
+    val byApp = volRead()
+      .option("target_labels", "app")
+      .table("lokicat.meta.volume")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(byApp == Set("""{app="big"}""" -> 47L, """{app="small"}""" -> 5L),
+      byApp)
+    // wire pin: the census was computed SERVER-side from one request
+    // carrying the selector, the target labels and the window
+    val req = stub.volumeRequests.synchronized(stub.volumeRequests.last)
+    assert(req("query") == """{zone="z"}""" &&
+      req("targetLabels") == "app" &&
+      req("start") == base.toString, req)
+
+    // full-series census (no targets): the label-set grouping, canonical
+    // selector rendering — pasteable back into a `selector` option
+    val bySeries = volRead()
+      .table("lokicat.meta.volume")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(bySeries == Set(
+      """{app="big", zone="z"}""" -> 47L,
+      """{app="small", zone="z"}""" -> 5L,
+      """{zone="z"}""" -> 100L), bySeries)
+
+    // top-N by volume: limit=1 keeps the biggest stream only
+    val top = volRead()
+      .option("volume_limit", "1")
+      .table("lokicat.meta.volume")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq("""{zone="z"}""" -> 100L), top)
+
+    // aggregate_by=labels: grouped by label NAME, each row contributing
+    // to every target name it carries
+    val byName = volRead()
+      .option("target_labels", "app,zone")
+      .option("aggregate_by", "labels")
+      .table("lokicat.meta.volume")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(byName == Set("""{app=""}""" -> 52L, """{zone=""}""" -> 152L),
+      byName)
+
+    // the trend: day buckets from start_ns, empty buckets omitted,
+    // bucket starts in epoch seconds
+    val trend = volRead()
+      .option("target_labels", "app")
+      .option("step_ns", dayNs.toString)
+      .table("lokicat.meta.volume_range")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(trend == Set(
+      ("""{app="big"}""", baseS, 40L),
+      ("""{app="big"}""", baseS + 86400L, 7L),
+      ("""{app="small"}""", baseS, 5L)), trend)
+
+    // contract errors surface at PLAN time, not as a server 400:
+    // volume_range without a step; a sub-second step (the wire carries
+    // second-precision sample timestamps); a selector-less census
+    intercept[Exception] {
+      volRead().table("lokicat.meta.volume_range").count()
+    }
+    intercept[Exception] {
+      volRead().option("step_ns", "1500000000")
+        .table("lokicat.meta.volume_range").count()
+    }
+    intercept[Exception] {
+      spark.read
+        .option("start_ns", base.toString)
+        .option("end_ns", (base + 2 * dayNs).toString)
+        .option("default_label", "") // drops the catalog's fallback
+        .table("lokicat.meta.volume").count()
+    }
+  }
+
+  test("meta.volume differential: random corpora match an independent census (round 13)") {
+    // seeded-random corpora through the FULL stub→wire→decode→relation
+    // path, compared against a census computed independently here (its
+    // own grouping fold AND its own selector rendering — a shared bug
+    // with the stub or the reader would hide behind either)
+    val rnd = new scala.util.Random(20260816L)
+    val dayNs = 86400L * 1000000000L
+    val apps = Seq("a0", "a1", "a2")
+    for (iter <- 0 until 4) {
+      val isl = s"i$iter"
+      // disjoint time island per iteration (the stub accumulates)
+      val base = (1850000000L + iter * 1000000L) * 1000000000L
+      val rows = (0 until 50).map { j =>
+        val labels = Map("isl" -> isl) ++
+          (if (rnd.nextBoolean()) Map("app" -> apps(rnd.nextInt(3)))
+           else Map.empty) ++
+          (if (rnd.nextInt(4) == 0) Map("env" -> s"e${rnd.nextInt(2)}")
+           else Map.empty)
+        stub.LogRow(
+          base + rnd.nextInt(172000).toLong * 1000000000L + j, // unique ts
+          labels, "x" * (1 + rnd.nextInt(20)))
+      }
+      stub.seed(rows)
+
+      def render(kvs: Seq[(String, String)]): String =
+        "{" + kvs.map { case (k, v) => s"""$k="$v"""" }.mkString(", ") + "}"
+      def expectCensus(targets: Seq[String]): Map[String, Long] =
+        rows.groupBy { r =>
+          if (targets.isEmpty) r.labels.toSeq.sortBy(_._1)
+          else targets.flatMap(t => r.labels.get(t).map(t -> _))
+        }.collect { case (k, rs) if k.nonEmpty =>
+          render(k) -> rs.map(_.line.length.toLong).sum
+        }
+
+      def read(targets: Seq[String]) = {
+        val r = spark.read
+          .option("start_ns", base.toString)
+          .option("end_ns", (base + 2 * dayNs).toString)
+          .option("selector", s"""{isl="$isl"}""")
+          .option("volume_limit", "10000")
+        (if (targets.isEmpty) r else r.option("target_labels", targets.mkString(",")))
+          .table("lokicat.meta.volume")
+          .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+      }
+
+      assert(read(Nil) == expectCensus(Nil), s"full census, iter $iter")
+      assert(read(Seq("app")) == expectCensus(Seq("app")), s"by app, iter $iter")
+      assert(read(Seq("app", "env")) == expectCensus(Seq("app", "env")),
+        s"by app+env, iter $iter")
+
+      // the trend, same corpus: day buckets, independent bucket math
+      val expTrend = rows.groupBy { r =>
+        (r.labels.get("app").map("app" -> _).toSeq,
+          (base + (r.tsNs - base) / dayNs * dayNs) / 1000000000L)
+      }.collect { case ((k, tsS), rs) if k.nonEmpty =>
+        (render(k), tsS) -> rs.map(_.line.length.toLong).sum
+      }
+      val gotTrend = spark.read
+        .option("start_ns", base.toString)
+        .option("end_ns", (base + 2 * dayNs).toString)
+        .option("selector", s"""{isl="$isl"}""")
+        .option("volume_limit", "10000")
+        .option("target_labels", "app")
+        .option("step_ns", dayNs.toString)
+        .table("lokicat.meta.volume_range")
+        .collect().map(x => ((x.getString(0), x.getLong(1)), x.getLong(2))).toMap
+      assert(gotTrend == expTrend, s"trend, iter $iter")
+    }
   }
 
   test("DDL is rejected; unknown table errors") {

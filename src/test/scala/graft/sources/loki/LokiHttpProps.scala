@@ -51,6 +51,62 @@ object LokiHttpProps extends Properties("LokiHttpCodec") {
       LokiHttp.parseObjectArray(body) == clean
     }
 
+  /** (metric kvs, samples) generator for the volume decoder: arbitrary
+    * label bytes, non-negative values, optionally fractional sample
+    * timestamps (Prometheus renders them either way).
+    */
+  private val seriesGen: Gen[(List[(String, String)], List[(Long, Long)])] =
+    Gen.zip(
+      Gen.listOf(Gen.zip(Gen.identifier.map(_.take(6)), hard)).map(_.take(4))
+        .map(_.distinctBy(_._1)),
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.chooseNum(0L, 4102444800L),
+        Gen.chooseNum(0L, Long.MaxValue / 2))).map(_.take(5)))
+
+  private def encSeries(
+      metric: List[(String, String)],
+      samples: List[(Long, Long)],
+      matrix: Boolean,
+      frac: Boolean): String = {
+    val m = "{" + metric.map { case (k, v) => s"${enc(k)}:${enc(v)}" }
+      .mkString(",") + "}"
+    def ts(t: Long) = if (frac) s"$t.000" else t.toString
+    if (matrix) {
+      val vs = samples.map { case (t, v) => s"[${ts(t)},${enc(v.toString)}]" }
+        .mkString(",")
+      s"""{"metric":$m,"values":[$vs]}"""
+    } else
+      s"""{"metric":$m,"value":[${ts(samples.head._1)},${enc(samples.head._2.toString)}]}"""
+  }
+
+  property("parseMetricSamples inverts vector/matrix encoding for any labels") =
+    Prop.forAll(
+      Gen.listOf(seriesGen).map(_.take(4)),
+      Gen.oneOf(true, false),
+      Gen.oneOf(true, false)) { (series, matrix, frac) =>
+      val kept = series.map { case (m, ss) =>
+        (m, if (matrix) ss else ss.take(1))
+      }
+      val body = s"""{"status":"success","data":{"resultType":"${
+        if (matrix) "matrix" else "vector"}","result":[${
+        kept.map { case (m, ss) => encSeries(m, ss, matrix, frac) }.mkString(",")
+      }]}}"""
+      LokiHttp.parseMetricSamples(body) == kept
+    }
+
+  property("truncated / malformed volume bodies fail loudly") =
+    Prop.forAll(seriesGen) { case (m, ss) =>
+      val whole = s"""{"status":"success","data":{"resultType":"matrix",""" +
+        s""""result":[${encSeries(m, ss, matrix = true, frac = false)}]}}"""
+      Prop.throws(classOf[RuntimeException])(
+        LokiHttp.parseMetricSamples(whole.dropRight(3))) &&
+        Prop.throws(classOf[RuntimeException])(
+          LokiHttp.parseMetricSamples("""{"status":"success","data":{}}""")) &&
+        Prop.throws(classOf[RuntimeException])(
+          LokiHttp.parseMetricSamples(
+            """{"status":"success","data":{"result":[{"metric":{}}]}}"""))
+    }
+
   property("truncated / malformed metadata bodies fail loudly") =
     Prop.forAll(hard) { v =>
       val whole = s"""{"status":"success","data":[${enc(v)}]}"""
