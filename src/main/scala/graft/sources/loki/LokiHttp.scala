@@ -419,8 +419,13 @@ object LokiHttp {
           val chunk = el.substring(v, ve + 1)
           key match {
             case "metric" =>
-              metric = Some(parseStringArrayRaw(chunk)
-                .grouped(2).collect { case Seq(k, vv) => (k, vv) }.toSeq)
+              val flat = parseStringArrayRaw(chunk)
+              // strict pairing: an unpaired trailing key means a
+              // truncated/corrupt metric — misattributing the series
+              // would be worse than failing
+              if (flat.size % 2 != 0) die("has an unpaired metric key")
+              metric = Some(flat.grouped(2)
+                .collect { case Seq(k, vv) => (k, vv) }.toSeq)
             case "value" => samples = Some(Seq(parseSample(chunk, die)))
             case "values" =>
               // the inner sample arrays, walked at depth
@@ -447,17 +452,23 @@ object LokiHttp {
       samples.getOrElse(die("element has no value")))
   }
 
+  private val samplePattern =
+    java.util.regex.Pattern.compile("^\\[\\s*(-?\\d+)(?:\\.\\d+)?\\s*,")
+
   /** `[<ts>,"<value>"]` → (ts floor seconds, value). Prometheus sample
     * timestamps may carry a fractional part; the value is a quoted
-    * integer string.
+    * integer string (volume is whole bytes) — anything else dies with
+    * the body prefix like every other malformed-shape path here.
     */
   private def parseSample(chunk: String, die: String => Nothing): (Long, Long) = {
-    val m = java.util.regex.Pattern.compile("^\\[\\s*(-?\\d+)(?:\\.\\d+)?\\s*,")
-      .matcher(chunk)
+    val m = samplePattern.matcher(chunk)
     if (!m.find()) die(s"has a malformed sample")
     val vs = parseStringArrayRaw(chunk)
     if (vs.size != 1) die(s"has a malformed sample value")
-    (m.group(1).toLong, vs.head.toLong)
+    val v = try vs.head.toLong catch {
+      case _: NumberFormatException => die(s"has a non-integer sample value")
+    }
+    (m.group(1).toLong, v)
   }
 
   /** `GET /loki/api/v1/index/volume` — aggregate log volume (bytes) per
@@ -495,7 +506,11 @@ object LokiHttp {
     parseMetricSamples(getJson("index/volume_range", URI.create(
       s"$endpoint/loki/api/v1/index/volume_range?" + volumeParams(
         selector, startNs, endNs, targetLabels, aggregateBy, limit) +
-        s"&step=$stepNs")))
+        // step speaks DURATION, not epoch units: real Loki parses it as
+        // float seconds or a Prometheus duration string (unlike
+        // start/end, which take epoch ns) — stepNs is whole-second by
+        // the plan-time contract, so the division is exact
+        s"&step=${stepNs / 1000000000L}s")))
 
   private def volumeParams(
       selector: String,

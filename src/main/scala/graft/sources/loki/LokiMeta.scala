@@ -137,7 +137,14 @@ case class LokiVolumeKnobs(
     stepNs: Option[Long])
 
 object LokiVolumeKnobs {
+  /** The not-a-volume-read state, shared by every default argument. */
+  val none: LokiVolumeKnobs = LokiVolumeKnobs(Nil, None, 0, None)
+
   def from(kind: String, o: CaseInsensitiveStringMap): LokiVolumeKnobs = {
+    // volume-only knobs: other meta kinds ignore them entirely, so a
+    // malformed step_ns/aggregate_by left on a reused reader must not
+    // crash a labels/series read that never uses it
+    if (!kind.startsWith("volume")) return none
     val aggBy = Option(o.get("aggregate_by")).filter(_.nonEmpty).map {
       case a @ ("series" | "labels") => a
       case other => throw new IllegalArgumentException(
@@ -165,7 +172,7 @@ class LokiMetaScanBuilder(
     options: LokiOptions,
     startNs: Option[Long],
     endNs: Option[Long],
-    volume: LokiVolumeKnobs = LokiVolumeKnobs(Nil, None, 0, None))
+    volume: LokiVolumeKnobs = LokiVolumeKnobs.none)
   extends ScanBuilder with SupportsPushDownFilters {
 
   // `label = 'x'` / `label IN (...)` on label_values → request only those
@@ -214,7 +221,7 @@ case class LokiMetaScan(
     startNs: Long,
     endNs: Long,
     labelEq: Option[Seq[String]],
-    volume: LokiVolumeKnobs = LokiVolumeKnobs(Nil, None, 0, None))
+    volume: LokiVolumeKnobs = LokiVolumeKnobs.none)
   extends Scan with Batch {
 
   override def readSchema(): StructType = LokiMetaTable.schemaOf(kind)
@@ -271,7 +278,7 @@ case class LokiMetaPartition(
     endNs: Long,
     labelEq: Option[Seq[String]],
     selector: Option[String],
-    volume: LokiVolumeKnobs = LokiVolumeKnobs(Nil, None, 0, None))
+    volume: LokiVolumeKnobs = LokiVolumeKnobs.none)
   extends InputPartition
 
 case class LokiMetaReaderFactory() extends PartitionReaderFactory {
@@ -301,10 +308,8 @@ class LokiMetaReader(p: LokiMetaPartition)
           // value: the rendered selector re-parses (property-pinned) and
           // real Loki accepts it — raw interpolation broke on values
           // containing a quote/backslash/newline
-          val sel = LogQL.assemble(
-            kvs.sortBy(_._1).map { case (k, v) => LogQL.LabelMatcher(k, "=", v) },
-            Nil, escape = true)
-          new GenericInternalRow(Array[Any](UTF8String.fromString(sel)))
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(LokiMetaReader.renderMetric(kvs))))
         }
     case "volume" =>
       LokiHttp.indexVolume(p.endpoint, p.selector.get, p.startNs, p.endNs,

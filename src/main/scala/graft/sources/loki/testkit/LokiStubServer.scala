@@ -547,9 +547,33 @@ final class LokiStubServer {
     val targets = params.get("targetLabels").toSeq
       .flatMap(_.split(',').toSeq).filter(_.nonEmpty)
     val byLabelName = params.get("aggregateBy").contains("labels")
+    // step is a DURATION like real Loki's (float seconds or a Prometheus
+    // duration string: "30", "30s", "5m", "1h", "2d") — NOT epoch ns; a
+    // client sending ns here would see every bucket inflated 1e9×
+    // against a real server, so the stub must parse the same dialect
+    def parseStepNs(s: String): Long = {
+      val m = java.util.regex.Pattern
+        .compile("^([0-9]+(?:\\.[0-9]+)?)(s|m|h|d)?$").matcher(s.trim)
+      require(m.matches(), s"bad step duration: $s")
+      val mult = m.group(2) match {
+        case null | "s" => 1L
+        case "m" => 60L
+        case "h" => 3600L
+        case "d" => 86400L
+      }
+      (m.group(1).toDouble * mult * 1e9).toLong
+    }
     val stepNs =
-      if (range) params.get("step").map(_.toLong).getOrElse(end - start)
-      else end - start
+      try {
+        if (range) params.get("step").map(parseStepNs).getOrElse(end - start)
+        else end - start
+      } catch {
+        case e: IllegalArgumentException =>
+          // 400, never an unanswered exchange — a throw here would leave
+          // the client hanging on the socket instead of failing loudly
+          respond(ex, 400, e.getMessage.getBytes(UTF_8))
+          return
+      }
     if (stepNs <= 0) {
       respond(ex, 400, s"bad volume step/window: $stepNs".getBytes(UTF_8))
       return

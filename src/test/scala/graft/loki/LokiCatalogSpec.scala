@@ -215,6 +215,21 @@ class LokiCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       ("""{app="big"}""", baseS, 40L),
       ("""{app="big"}""", baseS + 86400L, 7L),
       ("""{app="small"}""", baseS, 5L)), trend)
+    // wire pin for the step param: a DURATION (seconds), like real Loki
+    // parses — NOT epoch ns (start/end speak ns; step does not)
+    val trendReq = stub.volumeRequests.synchronized(stub.volumeRequests.last)
+    assert(trendReq("step") == "86400s", trendReq)
+
+    // volume-only knobs are inert on other meta kinds: a malformed
+    // step_ns left on a reused reader must not crash a labels read
+    val inert = spark.read
+      .option("start_ns", base.toString)
+      .option("end_ns", (base + 2 * dayNs).toString)
+      .option("step_ns", "not-a-number")
+      .option("aggregate_by", "bogus")
+      .table("lokicat.meta.labels")
+      .collect().map(_.getString(0)).toSet
+    assert(inert == Set("zone", "app"), inert)
 
     // contract errors surface at PLAN time, not as a server 400:
     // volume_range without a step; a sub-second step (the wire carries

@@ -104,7 +104,19 @@ object LokiHttpProps extends Properties("LokiHttpCodec") {
           LokiHttp.parseMetricSamples("""{"status":"success","data":{}}""")) &&
         Prop.throws(classOf[RuntimeException])(
           LokiHttp.parseMetricSamples(
-            """{"status":"success","data":{"result":[{"metric":{}}]}}"""))
+            """{"status":"success","data":{"result":[{"metric":{}}]}}""")) &&
+        // an unpaired metric key (truncated/corrupt object) dies rather
+        // than misattributing the series to a shorter label set
+        Prop.throws(classOf[RuntimeException])(
+          LokiHttp.parseMetricSamples(
+            """{"status":"success","data":{"result":[""" +
+              """{"metric":{"a":"b","c"},"value":[1,"2"]}]}}""")) &&
+        // a non-integer sample value dies with the decoder's own
+        // diagnostic, not a context-free NumberFormatException
+        Prop.throws(classOf[RuntimeException])(
+          LokiHttp.parseMetricSamples(
+            """{"status":"success","data":{"result":[""" +
+              """{"metric":{"a":"b"},"value":[1,"2.5"]}]}}"""))
     }
 
   property("truncated / malformed metadata bodies fail loudly") =
