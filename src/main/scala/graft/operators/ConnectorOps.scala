@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -68,6 +68,35 @@ object ConnectorOps {
       .option("endpoint", stubFor(s, d).endpoint)
       .option("default_label", "event_type")
       .load()
+
+  /** The log-template normalizer (see the `loki_log_patterns` entry):
+    * variable tokens → typed placeholders, applied most-specific-first
+    * (a uuid is also four hex runs; an ip is also four numbers). Every
+    * pattern is deliberately lookaround- and backreference-free so Java
+    * regex (Spark, codegen'd regexp_replace) and RE2 (DuckDB, real
+    * Loki's own regex engine) normalize identically — the same
+    * cross-engine discipline [[graft.operators.TextOps]]' BPE
+    * pre-tokenizer applies.
+    */
+  private val templateRules: Seq[(String, String)] = Seq(
+    ("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}") -> "<uuid>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<ip>",
+    "\\b[0-9a-f]{8,}\\b" -> "<hex>",
+    "\\d+(\\.\\d+)?" -> "<num>")
+
+  private[graft] def logTemplate(line: Column): Column =
+    templateRules.foldLeft(line) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** The identical chain as DuckDB SQL over `col` (global-replace flag;
+    * single-quoted SQL strings pass the backslashes through verbatim).
+    */
+  private def oracleTemplateSql(col: String): String =
+    templateRules.foldLeft(col) { case (e, (pat, rep)) =>
+      s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }
 
   /** Interchange roundtrip through a PER-INVOCATION temp directory: write
     * with `write`, return the lazy `read` relation over it, and delete
@@ -1047,6 +1076,39 @@ object ConnectorOps {
     // operator in one plan. The scan pushes the time window down to the
     // stub (bounded query_range); counts partial-aggregate; the per-label
     // top-5 runs through bounded heaps (no per-label sort, no window).
+    // Log-PATTERN mining (round 13, beyond-parity): the Spark-side
+    // analogue of real Loki's /patterns detection — variable tokens
+    // (uuids, ips, long hex runs, numbers) normalize to typed
+    // placeholders, constants stay, and the template census says which
+    // log SHAPES dominate. Shape: pushed window scan → a codegen'd
+    // regexp_replace chain → ONE groupBy exchange on the template key,
+    // whose cardinality is the number of distinct log shapes (bounded by
+    // the emitting code, not the corpus) — the two sides of why this
+    // holds at 100 TB where real Loki's own pattern sampling degrades.
+    // The oracle replays the SAME normalizer chain in DuckDB (identical
+    // regexes, deliberately lookaround-free so Java regex and RE2 agree),
+    // so template identity, counts and exemplars all hash-match.
+    ("loki_log_patterns",
+      (s: SparkSession, d: String) =>
+        s.read.format("loki")
+          .option("endpoint", stubFor(s, d).endpoint)
+          .option("default_label", "event_type")
+          .option("partitions", "8") // slice the full-corpus decode
+          .load()
+          .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+          .select(logTemplate(col("line")).as("template"), col("line"))
+          .groupBy("template")
+          .agg(count(lit(1)).as("cnt"), min("line").as("exemplar"))
+          .orderBy("template"),
+      Some(
+        s"""SELECT ${oracleTemplateSql("line")} AS template,
+           |       CAST(count(*) AS BIGINT) AS cnt,
+           |       min(line) AS exemplar
+           |FROM (SELECT concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+           |      FROM events
+           |      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00')
+           |GROUP BY 1 ORDER BY template""".stripMargin)),
+
     ("loki_label_top_lines",
       (s: SparkSession, d: String) => {
         // partitions=8: the whole-corpus scan decodes through 8 parallel

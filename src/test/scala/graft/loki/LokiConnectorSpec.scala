@@ -1391,6 +1391,29 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       }
     } finally st.stop()
   }
+
+  test("log template normalizer: typed placeholders, most-specific-first (round 13)") {
+    // the loki_log_patterns gate exercises only numeric lines (the events
+    // corpus); this pins the other token classes and their precedence —
+    // a uuid is ALSO four hex runs, an ip ALSO four numbers, so a wrong
+    // rule order shreds them into mixed placeholders
+    import spark.implicits._
+    val got = Seq(
+      "conn 7f3a9b2c4d5e6f70 from 10.0.12.9 took 3.5ms",
+      "req 550e8400-e29b-41d4-a716-446655440000 status 404",
+      "GET /api/v2/items/123",
+      "DEADBEEF stays: uppercase hex is a word, not an id",
+      "plain text with no variables")
+      .toDF("line")
+      .select(graft.operators.ConnectorOps.logTemplate(col("line")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "conn <hex> from <ip> took <num>ms",
+      "req <uuid> status <num>",
+      "GET /api/v<num>/items/<num>",
+      "DEADBEEF stays: uppercase hex is a word, not an id",
+      "plain text with no variables"), got)
+  }
 }
 
 /** JVM-local failure-injection probe for the task-retry test (accumulator
