@@ -551,6 +551,41 @@ object ScaleSmoke {
         s"pagerank copies must rank identically (${byCopy.size} copies, base=$prBaseN)")
     }
 
+    // Pattern-mining leg (round 13): both template miners over a
+    // MILLION synthetic lines against closed forms. The drain
+    // construction's only corpus-sized pass is the token explode; its
+    // first exchange ships (shape, pos) extrema — here 2 shapes × ≤8
+    // positions regardless of row count — so the wall should be the
+    // scan+explode, never the shuffle. Exact template strings and
+    // counts are closed-form, so a grouping or agreement bug at any
+    // scale shifts them.
+    {
+      val n = 1000000L
+      val lines = spark.range(n).select(
+        when(col("id") % 2 === 0,
+          concat(lit("GET /item "), col("id").cast("string"), lit(" took "),
+            pmod(col("id"), lit(977)).cast("string"), lit(" ms status "),
+            pmod(col("id"), lit(7)).cast("string")))
+          .otherwise(lit("healthcheck ok")).as("line"))
+      val drain = timed("drain_templates_1m") {
+        graft.operators.ConnectorOps.drainTemplates(lines)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      }
+      assert(drain == Set(
+        ("GET /item <*> took <*> ms status <*>", n / 2),
+        ("healthcheck ok", n / 2)), s"drain templates at 1m: $drain")
+      val pats = timed("log_patterns_1m") {
+        lines.select(
+          graft.operators.ConnectorOps.logTemplate(col("line")).as("template"))
+          .groupBy("template").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      }
+      assert(pats == Set(
+        ("GET /item <num> took <num> ms status <num>", n / 2),
+        ("healthcheck ok", n / 2)), s"log patterns at 1m: $pats")
+      println("[scale] template mining 1m OK (2 shapes, closed-form counts)")
+    }
+
     // Connector leg (round 12): a MILLION-row stub corpus scanned through
     // the full 100 TB read shape at once — sliced (partitions=8) ×
     // paged (query_limit=2000, so each slice walks ~60 forward pages) ×

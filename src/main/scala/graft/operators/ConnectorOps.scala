@@ -98,6 +98,45 @@ object ConnectorOps {
       s"regexp_replace($e, '$pat', '$rep', 'g')"
     }
 
+  /** Drain-style LEARNED templates (see the `loki_drain_templates`
+    * entry): where [[logTemplate]] normalizes token CLASSES it knows
+    * a priori (uuid/ip/hex/num), this learns which positions vary —
+    * the Drain/LogMine family's core move. Lines group by their SHAPE
+    * key (token count, head token — Drain's parse-tree path), and
+    * within a shape each token position keeps its token iff every line
+    * agrees on it, else becomes `<*>`; position-wise agreement is
+    * min=max per (shape, pos), an associative+commutative reduction.
+    *
+    * Scale shape: the token explode is the only corpus-sized pass; the
+    * (shape, pos) min/max aggregate combines map-side, so the first
+    * exchange ships one row per distinct (shape, pos, token-extreme) —
+    * bounded by emitted log shapes × positions, not rows. Everything
+    * downstream (template assembly, the count/exemplar aggregate, the
+    * final join) is shape-cardinality-sized, and both final aggregates
+    * hash-partition on the same (n, head) key so the join adds no
+    * exchange. All built-ins, all codegen'd — no UDF, no custom
+    * aggregator needed.
+    */
+  private[graft] def drainTemplates(lines: DataFrame): DataFrame = {
+    val k = lines
+      .select(col("line"), split(col("line"), " ").as("tk"))
+      .select(col("line"), col("tk"),
+        size(col("tk")).as("n"), element_at(col("tk"), 1).as("head"))
+    val a = k.select(col("n"), col("head"), posexplode(col("tk")))
+      .groupBy("n", "head", "pos")
+      .agg(min("col").as("mn"), max("col").as("mx"))
+      .withColumn("t",
+        when(col("mn") === col("mx"), col("mn")).otherwise(lit("<*>")))
+    val tpl = a.groupBy("n", "head")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t"))).as("template"))
+    val c = k.groupBy("n", "head")
+      .agg(count(lit(1)).as("cnt"), min("line").as("exemplar"))
+    tpl.join(c, Seq("n", "head"))
+      .select("template", "cnt", "exemplar")
+  }
+
   /** Interchange roundtrip through a PER-INVOCATION temp directory: write
     * with `write`, return the lazy `read` relation over it, and delete
     * the directory at JVM exit (the returned DataFrame is consumed
@@ -1108,6 +1147,52 @@ object ConnectorOps {
            |      FROM events
            |      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00')
            |GROUP BY 1 ORDER BY template""".stripMargin)),
+
+    // Drain-style LEARNED templates (round 13): the complement of
+    // loki_log_patterns' static token classes — positions that VARY
+    // within a (token-count, head-token) shape group become `<*>`,
+    // positions every line agrees on stay literal, with no a-priori
+    // knowledge of what the variables look like. The oracle replays the
+    // whole construction (shape grouping, per-position min=max
+    // agreement, ordered reassembly, count+exemplar join) in SQL.
+    ("loki_drain_templates",
+      (s: SparkSession, d: String) =>
+        ConnectorOps.drainTemplates(
+          s.read.format("loki")
+            .option("endpoint", stubFor(s, d).endpoint)
+            .option("default_label", "event_type")
+            .option("partitions", "8")
+            .load()
+            .filter(col("timestamp") >=
+              lit("2024-01-01 00:00:00").cast("timestamp"))
+            .select("line"))
+          .orderBy("template"),
+      Some(
+        """WITH l AS (
+          |  SELECT concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |  FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |), k2 AS (
+          |  SELECT line, string_split(line, ' ') AS tk,
+          |         len(string_split(line, ' ')) AS n,
+          |         string_split(line, ' ')[1] AS head
+          |  FROM l
+          |), p AS (
+          |  SELECT n, head, unnest(generate_series(1, n)) AS pos, tk FROM k2
+          |), a AS (
+          |  SELECT n, head, pos,
+          |         CASE WHEN min(tk[pos]) = max(tk[pos]) THEN min(tk[pos])
+          |              ELSE '<*>' END AS t
+          |  FROM p GROUP BY 1, 2, 3
+          |), tpl AS (
+          |  SELECT n, head, string_agg(t, ' ' ORDER BY pos) AS template
+          |  FROM a GROUP BY 1, 2
+          |), c AS (
+          |  SELECT n, head, CAST(count(*) AS BIGINT) AS cnt,
+          |         min(line) AS exemplar
+          |  FROM k2 GROUP BY 1, 2
+          |)
+          |SELECT template, cnt, exemplar
+          |FROM tpl JOIN c USING (n, head) ORDER BY template""".stripMargin)),
 
     ("loki_label_top_lines",
       (s: SparkSession, d: String) => {

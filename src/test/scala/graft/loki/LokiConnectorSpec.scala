@@ -1392,6 +1392,25 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally st.stop()
   }
 
+  test("drain templates: positions that vary become <*>, agreed ones stay (round 13)") {
+    // the gate corpus is shape-uniform (every line "<type> value=<v>");
+    // this pins mixed shapes, the single-line group (fully literal
+    // template), and per-position agreement within a group
+    import spark.implicits._
+    val got = graft.operators.ConnectorOps.drainTemplates(
+      Seq(
+        "GET /a 200", "GET /b 200", "GET /c 500", // pos2 varies, pos3 varies
+        "GET /a done",                            // different shape? no: n=3, head=GET
+        "POST /x 201",                            // its own head → literal
+        "shutdown"                                // 1-token shape → literal
+      ).toDF("line"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("GET <*> <*>", 4L, "GET /a 200"),
+      ("POST /x 201", 1L, "POST /x 201"),
+      ("shutdown", 1L, "shutdown")), got)
+  }
+
   test("log template normalizer: typed placeholders, most-specific-first (round 13)") {
     // the loki_log_patterns gate exercises only numeric lines (the events
     // corpus); this pins the other token classes and their precedence —
