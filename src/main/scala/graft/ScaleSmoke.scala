@@ -561,18 +561,25 @@ object ScaleSmoke {
     // scale shifts them.
     {
       val n = 1000000L
+      // numeric tokens exercise the class MASK; the via-token (3 string
+      // values the mask can't classify) exercises LEARNED variability
+      val via = when(pmod(col("id"), lit(3)) === 0, lit("alpha"))
+        .when(pmod(col("id"), lit(3)) === 1, lit("beta"))
+        .otherwise(lit("gamma"))
       val lines = spark.range(n).select(
         when(col("id") % 2 === 0,
           concat(lit("GET /item "), col("id").cast("string"), lit(" took "),
-            pmod(col("id"), lit(977)).cast("string"), lit(" ms status "),
-            pmod(col("id"), lit(7)).cast("string")))
+            pmod(col("id"), lit(977)).cast("string"), lit(" ms via "), via))
           .otherwise(lit("healthcheck ok")).as("line"))
       val drain = timed("drain_templates_1m") {
         graft.operators.ConnectorOps.drainTemplates(lines)
           .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       }
+      // the class mask runs first (Drain preprocessing) and unifies the
+      // numeric positions to <num>; the via-token still varies after
+      // masking, so it alone is LEARNED as <*>
       assert(drain == Set(
-        ("GET /item <*> took <*> ms status <*>", n / 2),
+        ("GET /item <num> took <num> ms via <*>", n / 2),
         ("healthcheck ok", n / 2)), s"drain templates at 1m: $drain")
       val pats = timed("log_patterns_1m") {
         lines.select(
@@ -580,8 +587,15 @@ object ScaleSmoke {
           .groupBy("template").agg(count(lit(1)).as("cnt"))
           .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       }
+      // the static miner can't learn: the via-token stays literal, so
+      // the census has one template per via value. Even ids with
+      // id%3==r are exactly the ids ≡ c (mod 6) for c = 0/4/2
+      // (alpha/beta/gamma), so each count is ceil((n−c)/6).
+      def cnt6(c: Long): Long = (n - c + 5) / 6
       assert(pats == Set(
-        ("GET /item <num> took <num> ms status <num>", n / 2),
+        ("GET /item <num> took <num> ms via alpha", cnt6(0)),
+        ("GET /item <num> took <num> ms via beta", cnt6(4)),
+        ("GET /item <num> took <num> ms via gamma", cnt6(2)),
         ("healthcheck ok", n / 2)), s"log patterns at 1m: $pats")
       println("[scale] template mining 1m OK (2 shapes, closed-form counts)")
     }

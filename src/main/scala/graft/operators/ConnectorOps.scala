@@ -78,11 +78,26 @@ object ConnectorOps {
     * cross-engine discipline [[graft.operators.TextOps]]' BPE
     * pre-tokenizer applies.
     */
+  /** A hex run of ≥8 chars containing AT LEAST ONE letter — a bare
+    * `[0-9a-f]{8,}` would classify every 8+-digit decimal run (epoch
+    * timestamps, long ids) as <hex> instead of <num>. "≥8 and has a
+    * letter" needs lookahead, which RE2 lacks, so it's enumerated by
+    * first-letter position: letter at index j<7 with ≥(7−j) hex chars
+    * after, or an all-digit prefix of ≥7 then a letter. Alternatives
+    * are mutually exclusive (fixed digit-prefix length), so
+    * leftmost-first (Java) and leftmost-longest (RE2) pick identically.
+    */
+  private val hexRun: String =
+    "\\b(?:" +
+      ((0 to 6).map(j => s"[0-9]{$j}[a-f][0-9a-f]{${7 - j},}") :+
+        "[0-9]{7,}[a-f][0-9a-f]*").mkString("|") +
+      ")\\b"
+
   private val templateRules: Seq[(String, String)] = Seq(
     ("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
       "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}") -> "<uuid>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<ip>",
-    "\\b[0-9a-f]{8,}\\b" -> "<hex>",
+    hexRun -> "<hex>",
     "\\d+(\\.\\d+)?" -> "<num>")
 
   private[graft] def logTemplate(line: Column): Column =
@@ -99,27 +114,36 @@ object ConnectorOps {
     }
 
   /** Drain-style LEARNED templates (see the `loki_drain_templates`
-    * entry): where [[logTemplate]] normalizes token CLASSES it knows
-    * a priori (uuid/ip/hex/num), this learns which positions vary —
-    * the Drain/LogMine family's core move. Lines group by their SHAPE
-    * key (token count, head token — Drain's parse-tree path), and
-    * within a shape each token position keeps its token iff every line
-    * agrees on it, else becomes `<*>`; position-wise agreement is
-    * min=max per (shape, pos), an associative+commutative reduction.
+    * entry). Like real Drain, lines are MASKED first — [[logTemplate]]'s
+    * a-priori token classes (uuid/ip/hex/num → typed placeholders) are
+    * exactly Drain's preprocessing step — and then positions that STILL
+    * vary within a shape group are learned as `<*>`: lines group by
+    * their shape key (token count, head token — Drain's parse-tree
+    * path), and within a shape each token position keeps its token iff
+    * every line agrees on it; position-wise agreement is min=max per
+    * (shape, pos), an associative+commutative reduction. The masking is
+    * what keeps the common timestamp-/id-led formats from shattering
+    * the head key into per-line groups ("2024-08-16T12:00:01 GET /x"
+    * heads as a constant `<num>-<num>-…` token, not a distinct value
+    * per line); an arbitrary free-string lead token still degrades to
+    * per-line groups — the documented Drain limitation of any fixed
+    * head heuristic.
     *
     * Scale shape: the token explode is the only corpus-sized pass; the
     * (shape, pos) min/max aggregate combines map-side, so the first
     * exchange ships one row per distinct (shape, pos, token-extreme) —
-    * bounded by emitted log shapes × positions, not rows. Everything
-    * downstream (template assembly, the count/exemplar aggregate, the
-    * final join) is shape-cardinality-sized, and both final aggregates
-    * hash-partition on the same (n, head) key so the join adds no
-    * exchange. All built-ins, all codegen'd — no UDF, no custom
-    * aggregator needed.
+    * bounded by emitted (masked) log shapes × positions, not rows.
+    * Everything downstream (template assembly, the count/exemplar
+    * aggregate, the final join) is shape-cardinality-sized, and both
+    * final aggregates hash-partition on the same (n, head) key so the
+    * join adds no exchange. All built-ins, all codegen'd — no UDF, no
+    * custom aggregator needed. Lines must be non-null (the connector's
+    * `line` column is NOT NULL): a null line has no tokens to explode,
+    * so its count row would silently drop at the final join.
     */
   private[graft] def drainTemplates(lines: DataFrame): DataFrame = {
     val k = lines
-      .select(col("line"), split(col("line"), " ").as("tk"))
+      .select(col("line"), split(logTemplate(col("line")), " ").as("tk"))
       .select(col("line"), col("tk"),
         size(col("tk")).as("n"), element_at(col("tk"), 1).as("head"))
     val a = k.select(col("n"), col("head"), posexplode(col("tk")))
@@ -1108,13 +1132,6 @@ object ConnectorOps {
           |  ('detected_level=error,job=payments,service_name=payments', 'ERROR failed to charge'))
           |  AS t(labels_kv, line) ORDER BY labels_kv""".stripMargin)),
 
-    // Log analytics THROUGH the connector: the most frequent lines per
-    // label value (the "top error messages per service" staple), counted
-    // from a pushed-down connector scan and ranked by the custom
-    // TopKPerKeyExec — the reference surface and the beyond-parity custom
-    // operator in one plan. The scan pushes the time window down to the
-    // stub (bounded query_range); counts partial-aggregate; the per-label
-    // top-5 runs through bounded heaps (no per-label sort, no window).
     // Log-PATTERN mining (round 13, beyond-parity): the Spark-side
     // analogue of real Loki's /patterns detection — variable tokens
     // (uuids, ips, long hex runs, numbers) normalize to typed
@@ -1149,11 +1166,12 @@ object ConnectorOps {
            |GROUP BY 1 ORDER BY template""".stripMargin)),
 
     // Drain-style LEARNED templates (round 13): the complement of
-    // loki_log_patterns' static token classes — positions that VARY
-    // within a (token-count, head-token) shape group become `<*>`,
-    // positions every line agrees on stay literal, with no a-priori
-    // knowledge of what the variables look like. The oracle replays the
-    // whole construction (shape grouping, per-position min=max
+    // loki_log_patterns' static token classes — lines are MASKED with
+    // those classes first (Drain's own preprocessing, so timestamp-/
+    // id-led lines don't shatter the head key), then positions that
+    // STILL vary within a (token-count, head-token) shape group become
+    // `<*>` while agreed positions stay literal. The oracle replays the
+    // whole construction (masking, shape grouping, per-position min=max
     // agreement, ordered reassembly, count+exemplar join) in SQL.
     ("loki_drain_templates",
       (s: SparkSession, d: String) =>
@@ -1168,14 +1186,16 @@ object ConnectorOps {
             .select("line"))
           .orderBy("template"),
       Some(
-        """WITH l AS (
+        s"""WITH l AS (
           |  SELECT concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
           |  FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |), m AS (
+          |  SELECT line, ${oracleTemplateSql("line")} AS mline FROM l
           |), k2 AS (
-          |  SELECT line, string_split(line, ' ') AS tk,
-          |         len(string_split(line, ' ')) AS n,
-          |         string_split(line, ' ')[1] AS head
-          |  FROM l
+          |  SELECT line, string_split(mline, ' ') AS tk,
+          |         len(string_split(mline, ' ')) AS n,
+          |         string_split(mline, ' ')[1] AS head
+          |  FROM m
           |), p AS (
           |  SELECT n, head, unnest(generate_series(1, n)) AS pos, tk FROM k2
           |), a AS (
@@ -1194,6 +1214,13 @@ object ConnectorOps {
           |SELECT template, cnt, exemplar
           |FROM tpl JOIN c USING (n, head) ORDER BY template""".stripMargin)),
 
+    // Log analytics THROUGH the connector: the most frequent lines per
+    // label value (the "top error messages per service" staple), counted
+    // from a pushed-down connector scan and ranked by the custom
+    // TopKPerKeyExec — the reference surface and the beyond-parity custom
+    // operator in one plan. The scan pushes the time window down to the
+    // stub (bounded query_range); counts partial-aggregate; the per-label
+    // top-5 runs through bounded heaps (no per-label sort, no window).
     ("loki_label_top_lines",
       (s: SparkSession, d: String) => {
         // partitions=8: the whole-corpus scan decodes through 8 parallel

@@ -1392,23 +1392,28 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally st.stop()
   }
 
-  test("drain templates: positions that vary become <*>, agreed ones stay (round 13)") {
+  test("drain templates: mask first, then learn the still-varying positions (round 13)") {
     // the gate corpus is shape-uniform (every line "<type> value=<v>");
-    // this pins mixed shapes, the single-line group (fully literal
-    // template), and per-position agreement within a group
+    // this pins mixed shapes, class-masking before shape grouping (the
+    // Drain preprocessing: a timestamp-led line must NOT shatter the
+    // head key into per-line groups), the single-line group, and
+    // per-position agreement within a group
     import spark.implicits._
     val got = graft.operators.ConnectorOps.drainTemplates(
       Seq(
-        "GET /a 200", "GET /b 200", "GET /c 500", // pos2 varies, pos3 varies
-        "GET /a done",                            // different shape? no: n=3, head=GET
-        "POST /x 201",                            // its own head → literal
-        "shutdown"                                // 1-token shape → literal
+        "GET /a 200", "GET /b 200", "GET /c 500", // mask → "GET /x <num>";
+        "GET /a done",                            // pos2+pos3 still vary → <*>
+        "POST /x 201",                            // own head; masked literal
+        "shutdown",                               // 1-token shape → literal
+        "1712000000 rotate /a",                   // digit-led: heads mask to
+        "1713000000 rotate /b"                    // one <num> group, pos3 varies
       ).toDF("line"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     assert(got == Set(
       ("GET <*> <*>", 4L, "GET /a 200"),
-      ("POST /x 201", 1L, "POST /x 201"),
-      ("shutdown", 1L, "shutdown")), got)
+      ("POST /x <num>", 1L, "POST /x 201"),
+      ("shutdown", 1L, "shutdown"),
+      ("<num> rotate <*>", 2L, "1712000000 rotate /a")), got)
   }
 
   test("log template normalizer: typed placeholders, most-specific-first (round 13)") {
@@ -1422,6 +1427,10 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       "req 550e8400-e29b-41d4-a716-446655440000 status 404",
       "GET /api/v2/items/123",
       "DEADBEEF stays: uppercase hex is a word, not an id",
+      // a pure-decimal run of 8+ digits is a NUMBER (epoch ts, long id),
+      // not hex — the hex class requires at least one a-f letter
+      "purchase id=12345678 at 1704067200000",
+      "letter late 0000000a and letter early a0000000 are hex",
       "plain text with no variables")
       .toDF("line")
       .select(graft.operators.ConnectorOps.logTemplate(col("line")).as("t"))
@@ -1431,6 +1440,8 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       "req <uuid> status <num>",
       "GET /api/v<num>/items/<num>",
       "DEADBEEF stays: uppercase hex is a word, not an id",
+      "purchase id=<num> at <num>",
+      "letter late <hex> and letter early <hex> are hex",
       "plain text with no variables"), got)
   }
 }
