@@ -1416,6 +1416,49 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       ("<num> rotate <*>", 2L, "1712000000 rotate /a")), got)
   }
 
+  test("drain templates differential: random corpora match an independent fold (round 13)") {
+    // seeded-random lines through the distributed construction vs a
+    // plain-Scala reimplementation (java.util.regex mask + groupBy +
+    // per-position agreement) — a bug in the explode/agg/join shape or
+    // in Spark-vs-plain split semantics (empty tokens from repeated
+    // separators included) would diverge
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val vocab = Seq("GET", "POST", "ok", "fail", "x", "/a", "/b",
+      "10.0.0.1", "1712345678", "7f3a9b2c4d5e6f70", "", "u123")
+    val maskRes = Seq(
+      ("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}") -> "<uuid>",
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<ip>",
+      ("\\b(?:" + ((0 to 6).map(j => s"[0-9]{$j}[a-f][0-9a-f]{${7 - j},}") :+
+        "[0-9]{7,}[a-f][0-9a-f]*").mkString("|") + ")\\b") -> "<hex>",
+      "\\d+(\\.\\d+)?" -> "<num>")
+    def mask(s: String): String =
+      maskRes.foldLeft(s) { case (x, (p, r)) => x.replaceAll(p, r) }
+    for (iter <- 0 until 3) {
+      val lines = (0 until 200).map { _ =>
+        (0 until (1 + rnd.nextInt(5)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val expected = lines
+        .map(l => (l, mask(l).split(" ", -1).toSeq))
+        .groupBy { case (_, tk) => (tk.size, tk.head) }
+        .map { case (_, grp) =>
+          val toks = grp.map(_._2)
+          val tpl = toks.head.indices.map { i =>
+            val vs = toks.map(_(i)).distinct
+            if (vs.size == 1) vs.head else "<*>"
+          }.mkString(" ")
+          (tpl, grp.size.toLong, grp.map(_._1).min)
+        }.toSet
+      val got = graft.operators.ConnectorOps.drainTemplates(
+        lines.toDF("line"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(got == expected, s"iter $iter: got $got\nexpected $expected")
+    }
+  }
+
   test("log template normalizer: typed placeholders, most-specific-first (round 13)") {
     // the loki_log_patterns gate exercises only numeric lines (the events
     // corpus); this pins the other token classes and their precedence —
