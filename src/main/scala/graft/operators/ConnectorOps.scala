@@ -129,37 +129,40 @@ object ConnectorOps {
     * per-line groups — the documented Drain limitation of any fixed
     * head heuristic.
     *
-    * Scale shape: the token explode is the only corpus-sized pass; the
-    * (shape, pos) min/max aggregate combines map-side, so the first
-    * exchange ships one row per distinct (shape, pos, token-extreme) —
-    * bounded by emitted (masked) log shapes × positions, not rows.
-    * Everything downstream (template assembly, the count/exemplar
-    * aggregate, the final join) is shape-cardinality-sized, and both
-    * final aggregates hash-partition on the same (n, head) key so the
-    * join adds no exchange. All built-ins, all codegen'd — no UDF, no
-    * custom aggregator needed. Lines must be non-null (the connector's
-    * `line` column is NOT NULL): a null line has no tokens to explode,
-    * so its count row would silently drop at the final join.
+    * Scale shape: ONE pass over the corpus — the counts and exemplars
+    * ride the same position aggregate as the agreement extrema (every
+    * line contributes exactly one token at each of its positions, so
+    * per-position counts within a shape are all equal to the shape's
+    * line count → `max`, and the global min line is the min of
+    * per-position min lines), which is what keeps a separate
+    * count/exemplar aggregate + join — and with it a SECOND wire scan
+    * of the log store, the bug the first cut had — out of the plan.
+    * The (shape, pos) aggregate combines map-side, so the first
+    * exchange ships one row per distinct (shape, pos) — bounded by
+    * emitted (masked) log shapes × positions, not rows — and the
+    * template-assembly aggregate is shape-cardinality-sized. All
+    * built-ins, all codegen'd — no UDF, no custom aggregator needed.
+    * Lines must be non-null (the connector's `line` column is NOT
+    * NULL): a null line has no tokens to explode and silently vanishes
+    * from the census.
     */
-  private[graft] def drainTemplates(lines: DataFrame): DataFrame = {
-    val k = lines
+  private[graft] def drainTemplates(lines: DataFrame): DataFrame =
+    lines
       .select(col("line"), split(logTemplate(col("line")), " ").as("tk"))
-      .select(col("line"), col("tk"),
-        size(col("tk")).as("n"), element_at(col("tk"), 1).as("head"))
-    val a = k.select(col("n"), col("head"), posexplode(col("tk")))
+      .select(col("line"), size(col("tk")).as("n"),
+        element_at(col("tk"), 1).as("head"), posexplode(col("tk")))
       .groupBy("n", "head", "pos")
-      .agg(min("col").as("mn"), max("col").as("mx"))
+      .agg(min("col").as("mn"), max("col").as("mx"),
+        count(lit(1)).as("cnt"), min("line").as("ex"))
       .withColumn("t",
         when(col("mn") === col("mx"), col("mn")).otherwise(lit("<*>")))
-    val tpl = a.groupBy("n", "head")
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("t")))),
-          x => x.getField("t"))).as("template"))
-    val c = k.groupBy("n", "head")
-      .agg(count(lit(1)).as("cnt"), min("line").as("exemplar"))
-    tpl.join(c, Seq("n", "head"))
+      .groupBy("n", "head")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t"))).as("template"),
+        max("cnt").as("cnt"), min("ex").as("exemplar"))
       .select("template", "cnt", "exemplar")
-  }
 
   /** Interchange roundtrip through a PER-INVOCATION temp directory: write
     * with `write`, return the lazy `read` relation over it, and delete
