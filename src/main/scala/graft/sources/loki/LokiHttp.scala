@@ -232,8 +232,9 @@ object LokiHttp {
   }
 
   /** Parse the series response shape
-    * `{"status":"success","data":[{"k":"v",…},…]}` → one sorted
-    * (key, value) seq per stream. Flat string→string objects only —
+    * `{"status":"success","data":[{"k":"v",…},…]}` → one (key, value)
+    * seq per stream, in WIRE order (consumers that need canonical order
+    * sort — [[LokiMetaReader]] does). Flat string→string objects only —
     * exactly what the endpoint returns.
     */
   private[loki] def parseObjectArray(body: String): Seq[Seq[(String, String)]] = {
@@ -272,9 +273,15 @@ object LokiHttp {
           chunk.charAt(i + 1) match {
             case '"' => sb += '"'; i += 1
             case '\\' => sb += '\\'; i += 1
+            case '/' => sb += '/'; i += 1
             case 'n' => sb += '\n'; i += 1
             case 'r' => sb += '\r'; i += 1
             case 't' => sb += '\t'; i += 1
+            // the full JSON escape set: a standards-compliant producer
+            // may emit \b and \f, which the default branch used to
+            // mis-decode as the literal letters
+            case 'b' => sb += '\b'; i += 1
+            case 'f' => sb += '\f'; i += 1
             case 'u' if i + 5 < chunk.length =>
               sb += Integer.parseInt(chunk.substring(i + 2, i + 6), 16).toChar
               i += 5

@@ -11,26 +11,43 @@ import org.scalacheck.{Gen, Prop, Properties}
   */
 object LokiHttpProps extends Properties("LokiHttpCodec") {
 
-  /** Independent JSON string encoder (NOT the stub's — a shared bug
-    * would hide).
+  /** Independent JSON string encoder — deliberately a DIFFERENT (but
+    * equally standards-valid) representation from the stub's `jsonStr`:
+    * `\n`/`\r`/`\t` go out as `\u000a`-style escapes instead of the
+    * shorthand, `\b`/`\f`/`\/` use the shorthand escapes the stub never
+    * emits, and `/` is escaped. A decoder blind spot shared with the
+    * stub's encoding choices (e.g. the `\b`→literal-'b' mis-decode this
+    * suite originally could not see) cannot hide behind representation
+    * overlap.
     */
   private def enc(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
+      case '/' => "\\/"
+      case '\b' => "\\b"
+      case '\f' => "\\f"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
 
   private val hard: Gen[String] =
-    Gen.listOfN(8, Gen.frequency(
+    Gen.chooseNum(0, 8).flatMap(len => Gen.listOfN(len, Gen.frequency(
       5 -> Gen.alphaNumChar,
-      2 -> Gen.oneOf('"', '\\', '{', '}', '[', ']', ',', ':'),
-      1 -> Gen.oneOf('\n', '\t', '\u0001'),
-      1 -> Gen.oneOf('é', '日'))).map(_.mkString)
+      2 -> Gen.oneOf('"', '\\', '{', '}', '[', ']', ',', ':', '/'),
+      1 -> Gen.oneOf('\n', '\t', '\b', '\f', '\u0001'),
+      1 -> Gen.oneOf('é', '日'))).map(_.mkString))
+
+  /** Threw AND carried the decoder's own diagnostic: a bare
+    * `Prop.throws(classOf[RuntimeException])` also accepts an
+    * accidental StringIndexOutOfBounds/NumberFormat crash, shipping a
+    * regression as a "loud failure".
+    */
+  private def diesWith(substr: String)(f: => Any): Prop =
+    try { f; Prop.falsified } catch {
+      case e: RuntimeException =>
+        Prop(e.getMessage != null && e.getMessage.contains(substr))
+    }
 
   property("parseStringArray inverts encoding for any value bytes") =
     Prop.forAll(Gen.listOf(hard).map(_.take(6))) { vs =>
@@ -40,7 +57,7 @@ object LokiHttpProps extends Properties("LokiHttpCodec") {
     }
 
   property("parseObjectArray inverts encoding for any label maps") =
-    Prop.forAll(Gen.listOf(Gen.nonEmptyListOf(Gen.zip(
+    Prop.forAll(Gen.listOf(Gen.listOf(Gen.zip(
       Gen.identifier.map(_.take(6)), hard)).map(_.take(4))).map(_.take(4))) { objs =>
       // distinct keys per object (JSON object semantics)
       val clean = objs.map(_.distinctBy(_._1))
@@ -98,22 +115,22 @@ object LokiHttpProps extends Properties("LokiHttpCodec") {
     Prop.forAll(seriesGen) { case (m, ss) =>
       val whole = s"""{"status":"success","data":{"resultType":"matrix",""" +
         s""""result":[${encSeries(m, ss, matrix = true, frac = false)}]}}"""
-      Prop.throws(classOf[RuntimeException])(
+      diesWith("truncated")(
         LokiHttp.parseMetricSamples(whole.dropRight(3))) &&
-        Prop.throws(classOf[RuntimeException])(
+        diesWith("has no result field")(
           LokiHttp.parseMetricSamples("""{"status":"success","data":{}}""")) &&
-        Prop.throws(classOf[RuntimeException])(
+        diesWith("element has no value")(
           LokiHttp.parseMetricSamples(
             """{"status":"success","data":{"result":[{"metric":{}}]}}""")) &&
         // an unpaired metric key (truncated/corrupt object) dies rather
         // than misattributing the series to a shorter label set
-        Prop.throws(classOf[RuntimeException])(
+        diesWith("unpaired metric key")(
           LokiHttp.parseMetricSamples(
             """{"status":"success","data":{"result":[""" +
               """{"metric":{"a":"b","c"},"value":[1,"2"]}]}}""")) &&
         // a non-integer sample value dies with the decoder's own
         // diagnostic, not a context-free NumberFormatException
-        Prop.throws(classOf[RuntimeException])(
+        diesWith("non-integer sample value")(
           LokiHttp.parseMetricSamples(
             """{"status":"success","data":{"result":[""" +
               """{"metric":{"a":"b"},"value":[1,"2.5"]}]}}"""))
@@ -122,11 +139,11 @@ object LokiHttpProps extends Properties("LokiHttpCodec") {
   property("truncated / malformed metadata bodies fail loudly") =
     Prop.forAll(hard) { v =>
       val whole = s"""{"status":"success","data":[${enc(v)}]}"""
-      Prop.throws(classOf[RuntimeException])(
+      diesWith("truncated")(
         LokiHttp.parseStringArray(whole.dropRight(2))) &&
-        Prop.throws(classOf[RuntimeException])(
+        diesWith("has no data field")(
           LokiHttp.parseStringArray("""{"status":"success"}""")) &&
-        Prop.throws(classOf[RuntimeException])(
+        diesWith("truncated")(
           LokiHttp.parseObjectArray(
             s"""{"status":"success","data":[{${enc("k")}:${enc(v)}"""))
     }
