@@ -1233,6 +1233,49 @@ object TextOps {
           |       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
           |FROM c GROUP BY 1, 2 ORDER BY bucket, chunk_id""".stripMargin)),
 
+    // Sliding-window chunking with overlap (round 13) — the OTHER
+    // chunker every retrieval/pretraining pipeline runs (pack_chunks
+    // above assigns whole docs to budget chunks; this SPLITS each doc
+    // into fixed token windows, stride < window so context overlaps
+    // across cuts): windows of 32 tokens at stride 24, chunk k covering
+    // tokens [24k, 24k+32); the last window may be short, and a doc
+    // stops emitting once a window reaches its end (no tail window
+    // fully contained in the previous one) — chunks = 1 + ceil(max(n −
+    // 32, 0) / 24). Scan-local per-document arithmetic: explode +
+    // slice, no shuffle anywhere (the orderBy is gate determinism),
+    // so the plan is identical at any corpus size.
+    ("documents_chunk_sliding",
+      (s: SparkSession, d: String) =>
+        documents(s, d)
+          .select(col("doc_id"), toks.as("tk"))
+          .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+          .select(col("doc_id"), col("tk"),
+            explode(sequence(lit(0L),
+              greatest(ceil((col("n") - lit(32)).cast("double") / 24)
+                .cast("long"), lit(0L)))).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            slice(col("tk"), (col("chunk_id") * 24 + 1).cast("int"), lit(32))
+              .as("ck"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("ck")).cast("long").as("n_tokens"),
+            concat_ws(" ", col("ck")).as("chunk"))
+          .orderBy("doc_id", "chunk_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS tk,
+          |         len(string_split(text, ' ')) AS n
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, tk, n,
+          |         unnest(generate_series(0,
+          |           CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS chunk_id
+          |  FROM t
+          |)
+          |SELECT doc_id, chunk_id,
+          |       CAST(len(tk[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n)]) AS BIGINT) AS n_tokens,
+          |       array_to_string(tk[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n)], ' ') AS chunk
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // Within-document repetition — the Gopher-family quality signal a
     // text-quality filter keys on: the fraction of REPEATED 3-grams
     // (1 − distinct/total over the duplicate-preserving shingle list).
