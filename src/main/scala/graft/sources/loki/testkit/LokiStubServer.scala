@@ -118,6 +118,11 @@ final class LokiStubServer {
   val failNextQueries = new java.util.concurrent.atomic.AtomicInteger(0)
   val failNextStats = new java.util.concurrent.atomic.AtomicInteger(0)
   val failNextPushes = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** One counter for the whole metadata family (labels, label values,
+    * series, volume): they share the client's getJson→withRetry path,
+    * so one injection point pins the bounded retry for all of them.
+    */
+  val failNextMeta = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Real-Loki server limits (round 12). `serverDefaultLimit` models
     * `limits_config.max_entries_limit_per_query` ON AN UNLIMITED REQUEST:
@@ -450,6 +455,7 @@ final class LokiStubServer {
 
   /** `GET /loki/api/v1/labels` — distinct label NAMES in the window. */
   private def handleLabels(ex: HttpExchange): Unit = {
+    if (injectFailure(ex, failNextMeta)) return
     val names = windowRows(qparams(ex))
       .flatMap(_.labels.keys).distinct.sorted
     respond(ex, 200,
@@ -462,6 +468,7 @@ final class LokiStubServer {
     * (real Loki supports it for TSDB indexes).
     */
   private def handleLabelValues(ex: HttpExchange): Unit = {
+    if (injectFailure(ex, failNextMeta)) return
     val path = ex.getRequestURI.getPath
     val m = java.util.regex.Pattern
       .compile(".*/label/([^/]+)/values$").matcher(path)
@@ -483,6 +490,7 @@ final class LokiStubServer {
     * client that breaks against every real endpoint.
     */
   private def handleSeries(ex: HttpExchange): Unit = {
+    if (injectFailure(ex, failNextMeta)) return
     val params = qparams(ex)
     if (!params.contains("match[]")) {
       respond(ex, 400,
@@ -532,6 +540,7 @@ final class LokiStubServer {
     *     endpoint's Prometheus response shape carries.
     */
   private def handleVolume(ex: HttpExchange, range: Boolean): Unit = {
+    if (injectFailure(ex, failNextMeta)) return
     val params = qparams(ex)
     volumeRequests.synchronized(volumeRequests += params)
     if (!params.contains("query") || !params.contains("start") ||

@@ -296,6 +296,17 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
         .write.format("loki").option("endpoint", rStub.endpoint)
         .mode("append").save()
       assert(rStub.ingested.exists(_.line == "pushed-after-retry"))
+      // the metadata family heals too — labels/values/series/volume all
+      // ride the same getJson→withRetry path; one injected pair of 503s
+      // per request kind would otherwise fail the census
+      rStub.failNextMeta.set(2)
+      val labelNames = graft.sources.loki.LokiHttp
+        .labelNames(rStub.endpoint, base, base + 90L * 1000000000L)
+      assert(labelNames.contains("app"), s"labels after retry: $labelNames")
+      rStub.failNextMeta.set(2)
+      val vols = graft.sources.loki.LokiHttp.indexVolume(
+        rStub.endpoint, """{app="r"}""", base, base + 90L * 1000000000L)
+      assert(vols.map(_._2).sum > 0L, s"volume after retry: $vols")
       // exhaustion (more failures than attempts) still fails loudly
       rStub.failNextQueries.set(10)
       val e = intercept[Exception] { scan(Map.empty).count() }
@@ -304,6 +315,13 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       assert(chain(e).exists(m => m != null && m.contains("503")),
         s"terminal failure must surface the status: ${chain(e)}")
       rStub.failNextQueries.set(0)
+      rStub.failNextMeta.set(10)
+      val em = intercept[Exception] {
+        graft.sources.loki.LokiHttp.labelNames(rStub.endpoint, base, base + 1L)
+      }
+      assert(chain(em).exists(m => m != null && m.contains("503")),
+        s"terminal metadata failure must surface the status: ${chain(em)}")
+      rStub.failNextMeta.set(0)
     } finally rStub.stop()
   }
 
