@@ -33,6 +33,8 @@ object GraftFunctions {
   def srp_sig(v: Column, bits: Int, seed: Long): Column =
     toCol(SrpSignature(ex(v), bits, seed))
 
+  def log_template(line: Column): Column = toCol(LogTemplate(ex(line)))
+
   /** Word n-gram shingles from a token array, via built-in higher-order
     * functions only (stays fully inside whole-stage codegen):
     * `shingles(["a","b","c","d"], 3) = ["a b c", "b c d"]`.
@@ -84,7 +86,8 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSim(es.head, es(1))),
     "term_counts" -> (es => TermCounts(es.head)),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es.head, es(1))),
-    "srp_sig" -> (es => SrpSignature(es.head, intArg(es, 1), longArg(es, 2))))
+    "srp_sig" -> (es => SrpSignature(es.head, intArg(es, 1), longArg(es, 2))),
+    "log_template" -> (es => LogTemplate(es.head)))
 
   /** Make the custom expressions SQL-callable in every session built with
     * [[graft.plans.GraftExtensions]].

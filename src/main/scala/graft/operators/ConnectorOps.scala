@@ -93,17 +93,34 @@ object ConnectorOps {
         "[0-9]{7,}[a-f][0-9a-f]*").mkString("|") +
       ")\\b"
 
-  private val templateRules: Seq[(String, String)] = Seq(
+  private[graft] val templateRules: Seq[(String, String)] = Seq(
     ("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
       "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}") -> "<uuid>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<ip>",
     hexRun -> "<hex>",
     "\\d+(\\.\\d+)?" -> "<num>")
 
+  /** The normalizer runs as the NATIVE single-pass-per-class expression
+    * ([[graft.functions.LogTemplateUtil]] — hand scans, no regex
+    * machinery, allocation-free on non-matching passes): at 100 TB this
+    * projection is pattern mining's CPU. `templateRules` stays the
+    * SEMANTIC definition under RE2 — the DuckDB oracles replay it via
+    * [[oracleTemplateSql]], so the driver gate differentially certifies
+    * native ≡ RE2-chain on the corpus, and LogTemplateProps pins the
+    * same equivalence on adversarial inputs (via Java lookarounds
+    * emulating RE2's ASCII `\b`).
+    *
+    * The native expression is MORE than a speedup: running
+    * `templateRules` through Spark's own `regexp_replace` would be
+    * subtly WRONG, because Java's `\b` is Unicode-aware while RE2's is
+    * ASCII-only — `0000000aé` is `<hex>é` to RE2 (boundary before `é`)
+    * but unmatched to Java (`é` is a word char there). The scanner
+    * implements RE2's semantics, so Spark and the oracle agree on ALL
+    * inputs, not just ASCII corpora. (Property-discovered — the
+    * round-13 "Java and RE2 agree" claim held only for ASCII.)
+    */
   private[graft] def logTemplate(line: Column): Column =
-    templateRules.foldLeft(line) { case (c, (pat, rep)) =>
-      regexp_replace(c, pat, rep)
-    }
+    graft.functions.GraftFunctions.log_template(line)
 
   /** The identical chain as DuckDB SQL over `col` (global-replace flag;
     * single-quoted SQL strings pass the backslashes through verbatim).
