@@ -1066,6 +1066,72 @@ object ConnectorOps {
           |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin)),
 
+    // LogQL METRIC-query pushdown (round 14): a day-bucketed total count
+    // answers via ONE `sum(count_over_time({...}[86400s]))` query_range
+    // metric request — the server aggregates next to its chunks and the
+    // wire carries #buckets samples, not rows (LokiMetricAggRule /
+    // LokiMetricScan; the 100 TB aggregation path real Loki users live
+    // on). The require pins the rewrite at plan level — a silent
+    // fallback to scan+host-agg would still be oracle-correct, so the
+    // EXPLAIN pin is what proves the pushdown (the wire conformance
+    // itself is LokiMetricSpec's job).
+    ("loki_metric_count_over_time",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        require(
+          df.queryExecution.executedPlan.toString.contains("LokiMetricScan"),
+          "day-bucketed count did not push as a LogQL metric query")
+        df.select(unix_micros(col("bucket")).as("bucket_us"), col("cnt"))
+          .orderBy("bucket_us")
+      },
+      Some(
+        """SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
+          |       count(*) AS cnt
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1
+          |ORDER BY bucket_us""".stripMargin)),
+
+    // The grouped form: day buckets × stream label + a line-filter stage,
+    // pushed as `sum by (event_type) (count_over_time({...} |= `value=1`
+    // [86400s]))` — grouping, bucketing, selector AND line filtering all
+    // evaluated server-side.
+    ("loki_metric_sum_by",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(
+            col("line").like("%value=1%") &&
+              col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(
+            date_trunc("day", col("timestamp")).as("bucket"),
+            element_at(col("labels"), "event_type").as("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("sum by (event_type) (count_over_time("),
+          s"grouped count did not push as a sum by metric query: $plan")
+        df.select(unix_micros(col("bucket")).as("bucket_us"),
+            col("event_type"), col("cnt"))
+          .orderBy("bucket_us", "event_type")
+      },
+      Some(
+        """SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
+          |       event_type,
+          |       count(*) AS cnt
+          |FROM events
+          |WHERE concat(event_type, ' value=', CAST(value AS VARCHAR)) LIKE '%value=1%'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1, 2
+          |ORDER BY bucket_us, event_type""".stripMargin)),
+
     // Optimizer-statistics report under the oracle (round 11,
     // report_statistics=true → SupportsReportStatistics from
     // index/stats): the self-verifying booleans pin that (a) the

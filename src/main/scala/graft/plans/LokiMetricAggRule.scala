@@ -1,0 +1,271 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, ExprId, Expression, Literal,
+  NamedExpression, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.loki.{LogQL, LokiMetricTable, LokiTable}
+
+/** LogQL METRIC-query pushdown (see [[graft.sources.loki.LokiMetricTable]]
+  * for the wire/bucket semantics): rewrites
+  *
+  * {{{
+  *   SELECT date_trunc('day', timestamp), labels['level'], count(*)
+  *   FROM loki
+  *   WHERE timestamp >= '…' AND timestamp < '…' [AND label/line filters]
+  *   GROUP BY 1, 2
+  * }}}
+  *
+  * into a scan of `sum by (level) (count_over_time({…}[1d]))` — the
+  * aggregation answered server-side, #series × #buckets samples on the
+  * wire instead of every log row. The reference pushes only selectors and
+  * line filters (src/expr.rs); this is the natural completion of its
+  * pushdown surface on the aggregate real Loki users run at scale.
+  *
+  * DSv2's `SupportsPushDownAggregates` cannot carry this shape — Spark's
+  * aggregate translation has no V2 form for `date_trunc` grouping or map
+  * access — so it rides the same custom-rule channel as
+  * [[LokiPushdownRule]]'s label matchers.
+  *
+  * The rewrite fires ONLY when it is provably exact (the `push_count`
+  * guard discipline); anything else falls back to the scan untouched:
+  *
+  *   - grouping = exactly one `date_trunc` on the relation's timestamp
+  *     (minute/hour/day, UTC — coarser units aren't fixed-width
+  *     epoch-aligned) plus zero or more `labels['k']` accesses;
+  *   - aggregates = non-distinct, unfiltered `COUNT(*)`/`COUNT(lit)`
+  *     and/or the grouping expressions re-emitted;
+  *   - the WHERE conjuncts must ALL translate (label matcher / line
+  *     filter / timestamp bound) — an untranslatable residual under an
+  *     Aggregate has nowhere to re-filter;
+  *   - exactly one start and one end bound, both step-aligned (the
+  *     bucket-reconstruction contract), neither repeated (repeated
+  *     bounds engage the strict/parity tie-break — not worth encoding
+  *     twice; the scan path already handles them);
+  *   - no label matcher that also matches ABSENT labels (Loki would
+  *     count streams SQL's NULL-map-access semantics must drop, and an
+  *     aggregate has no residual to re-filter with).
+  */
+object LokiMetricAggRule extends Rule[LogicalPlan] {
+
+  private val NsPerS = 1000000000L
+
+  /** Time zones whose `date_trunc` grid is epoch-aligned for hour/day. */
+  private val utcZones = Set("UTC", "GMT", "Z", "Etc/UTC", "Etc/GMT", "+00:00")
+
+  private def split(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      split(l) ++ split(r)
+    case other => Seq(other)
+  }
+
+  /** Strip Filter/Project down to the Loki relation, collecting filter
+    * conjuncts and Project alias bindings (the optimizer's
+    * PullOutGroupingExpressions moves complex grouping exprs into a
+    * child Project as `_groupingexpression` aliases — the rule must see
+    * through them).
+    */
+  private def walk(p: LogicalPlan): Option[
+      (DataSourceV2Relation, LokiTable, Seq[Expression], Map[ExprId, Expression])] =
+    p match {
+      case Filter(c, ch) => walk(ch).map { case (r, t, conds, al) =>
+        (r, t, split(c) ++ conds, al)
+      }
+      case Project(list, ch) if list.forall {
+          case _: AttributeReference => true
+          case _: Alias => true
+          case _ => false
+        } =>
+        walk(ch).map { case (r, t, conds, al) =>
+          (r, t, conds, al ++ list.collect { case a: Alias => a.exprId -> a.child })
+        }
+      case r @ DataSourceV2Relation(t: LokiTable, _, _, _, _, _) =>
+        Some((r, t, Nil, Map.empty))
+      case _ => None
+    }
+
+  /** Substitute alias-bound attributes until fixpoint (bounded — alias
+    * chains are as deep as the Project stack).
+    */
+  private def resolve(e: Expression, al: Map[ExprId, Expression]): Expression = {
+    var cur = e
+    var fuel = 20
+    var changed = true
+    while (changed && fuel > 0) {
+      changed = false
+      fuel -= 1
+      cur = cur.transformUp {
+        case a: AttributeReference if al.contains(a.exprId) =>
+          changed = true; al(a.exprId)
+      }
+    }
+    cur
+  }
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case a: Alias => stripAlias(a.child)
+    case other => other
+  }
+
+  /** `date_trunc(unit, timestamp-of-rel)` → bucket width ns. Only units
+    * that are fixed-width AND epoch-aligned under the expression's time
+    * zone qualify — week anchors on Monday (epoch is a Thursday), month
+    * varies, and a non-UTC zone shifts the hour/day grid off epoch.
+    */
+  private def truncStep(
+      e: Expression, rel: DataSourceV2Relation): Option[Long] = e match {
+    case TruncTimestamp(Literal(fmt: UTF8String, StringType), ts: Attribute, tz)
+        if ts.name == "timestamp" && rel.output.exists(_.exprId == ts.exprId) &&
+          tz.exists(utcZones.contains) =>
+      fmt.toString.toLowerCase match {
+        case "minute" => Some(60L * NsPerS)
+        case "hour" => Some(3600L * NsPerS)
+        case "day" | "dd" => Some(86400L * NsPerS)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Non-distinct, unfiltered COUNT over a non-null literal (what
+    * `count(*)` analyzes to) — the one aggregate function the metric
+    * query computes.
+    */
+  private def isCountStar(e: Expression): Boolean = e match {
+    case AggregateExpression(Count(children), _, false, None, _) =>
+      children.forall {
+        case Literal(v, _) => v != null
+        case _ => false
+      }
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
+      rewrite(agg).getOrElse(agg)
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (rel, table, conds0, aliases) = walk(agg.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    if (!table.options.pushMetric) return None
+
+    // ---- grouping: one date_trunc + any number of label accesses ----
+    val groups = agg.groupingExpressions
+      .map(g => resolve(stripAlias(g), aliases))
+    val truncs = groups.flatMap(g => truncStep(g, rel).map(g -> _))
+    if (truncs.size != 1) return None
+    val (truncExpr, stepNs) = truncs.head
+    val labelGroups = groups.filterNot(_.semanticEquals(truncExpr)).map { g =>
+      LogQL.labelKey(g) match {
+        case Some(k)
+            if g.references.forall(a => rel.output.exists(_.exprId == a.exprId)) =>
+          (g, k)
+        case _ => return None
+      }
+    }
+    if (labelGroups.map(_._2).distinct.size != labelGroups.size) return None
+
+    // ---- filters: every conjunct must translate, bounds exactly once ----
+    var starts = List.empty[Long]
+    var ends = List.empty[Long]
+    var matchers = List.empty[LogQL.LabelMatcher]
+    var lines = List.empty[LogQL.LineFilter]
+    conds0.map(c => resolve(c, aliases)).foreach { c =>
+      LogQL.timestampBound(c) match {
+        case Some(LogQL.Start(ns)) => starts ::= ns
+        case Some(LogQL.End(ns)) => ends ::= ns
+        case None =>
+          LogQL.labelMatcher(c) match {
+            case Some(m) =>
+              if (LogQL.matchesAbsentLabel(m)) return None
+              matchers ::= m
+            case None =>
+              LogQL.lineFilter(c) match {
+                case Some(lf) => lines ::= lf
+                case None => return None
+              }
+          }
+      }
+    }
+    val (startNs, endNs) = (starts, ends) match {
+      case (List(s), List(e)) => (s, e)
+      case _ => return None
+    }
+    if (startNs % stepNs != 0 || endNs % stepNs != 0 || endNs <= startNs)
+      return None
+    // conds were collected top-down and prepended; restore plan order
+    matchers = matchers.reverse
+    lines = lines.reverse
+
+    // ---- aggregate list: count and/or re-emitted grouping exprs ----
+    sealed trait Col
+    case object BucketCol extends Col
+    case class LabelCol(i: Int) extends Col
+    case object CntCol extends Col
+    val mapping: Seq[(NamedExpression, Col)] = agg.aggregateExpressions.map { ne =>
+      val e = resolve(stripAlias(ne), aliases)
+      if (isCountStar(e)) (ne, CntCol)
+      else if (e.semanticEquals(truncExpr)) (ne, BucketCol)
+      else labelGroups.indexWhere(_._1.semanticEquals(e)) match {
+        case -1 => return None
+        case i => (ne, LabelCol(i))
+      }
+    }
+
+    // ---- render the metric LogQL (the LokiScan.build assembly rules:
+    // selector-option pieces re-render escaped, optimizer-derived pieces
+    // follow escape_logql, selector stages lead) ----
+    val esc = table.options.escapeLogql
+    val (optMatchers, optLines) = table.options.selector
+      .map(LogQL.parseSelector).getOrElse((Nil, Nil))
+    val newMatchers = matchers.filterNot(table.pushedLabelMatchers.contains)
+    val newLines = lines.filterNot(table.pushedLineFilters.contains)
+    val matcherParts =
+      if (optMatchers.nonEmpty || table.pushedLabelMatchers.nonEmpty ||
+          newMatchers.nonEmpty)
+        optMatchers.map(_.render(escape = true)) ++
+          (table.pushedLabelMatchers ++ newMatchers).map(_.render(esc))
+      else table.options.defaultLabel match {
+        case Some(l) => Seq(LogQL.defaultMatcher(l).render(esc))
+        // no matcher and no default: the scan path throws the canonical
+        // no-matcher error — don't preempt it with a rewrite
+        case None => return None
+      }
+    val lineParts = optLines.map(_.render(escape = true)) ++
+      (table.pushedLineFilters ++ newLines).map(_.render(esc))
+    val inner = (matcherParts.mkString("{", ", ", "}") +: lineParts)
+      .mkString(" ")
+    val groupLabels = labelGroups.map(_._2)
+    val range = s"$inner [${stepNs / NsPerS}s]"
+    val metricQuery =
+      if (groupLabels.isEmpty) s"sum(count_over_time($range))"
+      else s"sum by (${groupLabels.mkString(",")}) (count_over_time($range))"
+
+    // ---- swap in the metric relation, preserving output attributes ----
+    val metricTable = LokiMetricTable(
+      table.options, metricQuery, groupLabels, stepNs, startNs, endNs)
+    val newRel = DataSourceV2Relation.create(metricTable, None, None)
+    val bucketAttr = newRel.output.head
+    val cntAttr = newRel.output.last
+    val labelAttrs = newRel.output.slice(1, 1 + groupLabels.size)
+    val projections = mapping.map { case (ne, col) =>
+      val src = col match {
+        case BucketCol => bucketAttr
+        case LabelCol(i) => labelAttrs(i)
+        case CntCol => cntAttr
+      }
+      Alias(src, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+    }
+    Some(Project(projections, newRel))
+  }
+}

@@ -122,6 +122,7 @@ object LokiInsertRowsRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LokiPushdownRule)
+    e.injectOptimizerRule(_ => LokiMetricAggRule)
     e.injectOptimizerRule(_ => LokiInsertRowsRule)
     e.injectPlannerStrategy(_ => TopKStrategy)
     graft.functions.GraftFunctions.inject(e)

@@ -253,6 +253,13 @@ object LogQL {
     */
   private def findSemantics(p: String): String = s".*(?:$p).*"
 
+  /** `labels['k']` / `element_at(labels, 'k')` → the key — public so the
+    * metric-aggregation rewrite ([[graft.plans.LokiMetricAggRule]]) can
+    * recognize a GROUP BY on a label with the same forms the filter
+    * translators accept.
+    */
+  def labelKey(e: Expression): Option[String] = LabelsKey.unapply(e)
+
   /** `labels['k'] <op> 'v'` → label matcher (=, !=, =~, !~). */
   def labelMatcher(e: Expression): Option[LabelMatcher] = e match {
     case EqualTo(LabelsKey(k), StrLit(v)) => Some(LabelMatcher(k, "=", v))

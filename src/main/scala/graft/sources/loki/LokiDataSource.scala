@@ -117,6 +117,20 @@ final case class LokiOptions(
       * dashboards; the default keeps COUNT exact via the scan.
       */
     pushCount: Boolean = false,
+    /** Answer time-bucketed grouped COUNTs with a server-side LogQL
+      * METRIC query — `sum by (labels…) (count_over_time({sel}[step]))`
+      * via query_range — instead of streaming the log rows and
+      * aggregating host-side (see [[graft.plans.LokiMetricAggRule]]).
+      * Unlike `push_count` (index/stats, approximate on un-compacted
+      * heads), metric queries are evaluated against the chunks
+      * themselves and are EXACT, so this defaults ON: it is the
+      * aggregation path real Loki deployments live on at scale — the
+      * wire carries #series × #buckets samples instead of every log row.
+      * Queries outside the rewrite's contract (unaligned window,
+      * non-count aggregates, absent-label matcher semantics) fall back
+      * to the scan untouched.
+      */
+    pushMetric: Boolean = true,
     /** Report scan statistics (row count + bytes from `index/stats`) to
       * Spark's optimizer, so size-based planning — broadcast-join
       * decisions above all — works for log scans like it does for files.
@@ -241,6 +255,7 @@ final case class LokiOptions(
     "query_limit" -> queryLimit.toString,
     "server_max_entries" -> serverMaxEntries.toString,
     "push_count" -> pushCount.toString,
+    "push_metric" -> pushMetric.toString,
     "report_statistics" -> reportStatistics.toString,
     "group_streams" -> groupStreams.toString,
     "columnar" -> columnar.toString,
@@ -291,6 +306,7 @@ object LokiOptions {
       },
       serverMaxEntries = m.getOrElse("server_max_entries", "0").toInt,
       pushCount = m.getOrElse("push_count", "false").toBoolean,
+      pushMetric = m.getOrElse("push_metric", "true").toBoolean,
       reportStatistics = m.getOrElse("report_statistics", "false").toBoolean,
       groupStreams = m.getOrElse("group_streams", "false").toBoolean,
       columnar = m.getOrElse("columnar", "true").toBoolean,

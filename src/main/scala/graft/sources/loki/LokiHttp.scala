@@ -108,6 +108,30 @@ object LokiHttp {
     resp.body()
   }
 
+  /** query_range in METRIC mode — a LogQL metric query (`sum by (…)
+    * (count_over_time({…}[step]))`) answered as a Prometheus-style JSON
+    * matrix instead of a log stream. This is the 100 TB aggregation
+    * path: the server evaluates the range aggregation next to its chunks
+    * and ships back #series × #steps samples, not rows. `stepNs` must be
+    * a positive whole-second multiple — the `step` param speaks duration
+    * seconds and the response's sample timestamps carry second precision
+    * (the same contract [[indexVolumeRange]] enforces).
+    */
+  def queryRangeMetric(
+      endpoint: String,
+      logql: String,
+      startNs: Long,
+      endNs: Long,
+      stepNs: Long): Seq[(Seq[(String, String)], Seq[(Long, Long)])] = {
+    require(stepNs > 0 && stepNs % 1000000000L == 0,
+      s"metric query step must be a positive whole-second multiple of ns, " +
+        s"got $stepNs")
+    val enc = java.net.URLEncoder.encode(logql, "UTF-8")
+    parseMetricSamples(getJson("query_range(metric)", URI.create(
+      s"$endpoint/loki/api/v1/query_range?query=$enc&start=$startNs" +
+        s"&end=$endNs&step=${stepNs / 1000000000L}s")))
+  }
+
   /** `GET /loki/api/v1/index/stats` — entry count for a stream SELECTOR
     * over [startNs, endNs). Powers the `split=stats` plan-time boundary
     * placement: index-only, so each probe is cheap on real Loki (it reads
@@ -390,7 +414,12 @@ object LokiHttp {
           if (end < 0 || end > rc) die("truncated")
           out += parseSeriesElement(body.substring(i, end + 1), die)
           i = end + 1
-        case _ => i += 1 // comma / whitespace
+        case ',' => i += 1
+        case c if c.isWhitespace => i += 1
+        // a bare string/number/array element here is structurally off —
+        // silently skipping it would drop a series under the documented
+        // "anything structurally off fails loudly" contract
+        case _ => die("has a malformed result array")
       }
     }
     out.result()
@@ -445,7 +474,9 @@ object LokiHttp {
                     if (se < 0) die("truncated")
                     ss += parseSample(chunk.substring(j, se + 1), die)
                     j = se + 1
-                  case _ => j += 1
+                  case ',' => j += 1
+                  case c if c.isWhitespace => j += 1
+                  case _ => die("has a malformed values array")
                 }
               }
               samples = Some(ss.result())
@@ -509,15 +540,23 @@ object LokiHttp {
       stepNs: Long,
       targetLabels: Seq[String] = Nil,
       aggregateBy: Option[String] = None,
-      limit: Int = 0): Seq[(Seq[(String, String)], Seq[(Long, Long)])] =
+      limit: Int = 0): Seq[(Seq[(String, String)], Seq[(Long, Long)])] = {
+    // the public method enforces its own documented contract: the step
+    // param speaks whole seconds, and a sub-second stepNs from a direct
+    // caller (bypassing the plan-time guard) would integer-divide to
+    // step=0s on the wire — a silently degenerate request
+    require(stepNs > 0 && stepNs % 1000000000L == 0,
+      s"volume_range stepNs must be a positive whole-second multiple, " +
+        s"got $stepNs")
     parseMetricSamples(getJson("index/volume_range", URI.create(
       s"$endpoint/loki/api/v1/index/volume_range?" + volumeParams(
         selector, startNs, endNs, targetLabels, aggregateBy, limit) +
         // step speaks DURATION, not epoch units: real Loki parses it as
         // float seconds or a Prometheus duration string (unlike
         // start/end, which take epoch ns) — stepNs is whole-second by
-        // the plan-time contract, so the division is exact
+        // the require above, so the division is exact
         s"&step=${stepNs / 1000000000L}s")))
+  }
 
   private def volumeParams(
       selector: String,

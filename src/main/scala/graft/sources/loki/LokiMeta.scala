@@ -150,7 +150,17 @@ object LokiVolumeKnobs {
       case other => throw new IllegalArgumentException(
         s"aggregate_by must be 'series' or 'labels', got '$other'")
     }
-    val step = Option(o.get("step_ns")).map(_.toLong)
+    // step is meaningful only for the range form — a malformed step_ns
+    // left on a plain volume read must stay inert (the 'knobs are inert
+    // where unused' guarantee), not throw a bare NumberFormatException
+    val step =
+      if (kind != "volume_range") None
+      else Option(o.get("step_ns")).map { s =>
+        try s.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"step_ns must be an integer nanosecond count, got '$s'")
+        }
+      }
     if (kind == "volume_range") {
       val s = step.getOrElse(throw new IllegalArgumentException(
         "loki.meta.volume_range requires a step_ns option (the bucket width)"))

@@ -1,0 +1,172 @@
+package graft.sources.loki
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The relation behind LogQL METRIC-query pushdown
+  * ([[graft.plans.LokiMetricAggRule]]): a time-bucketed grouped count —
+  * `GROUP BY date_trunc(timestamp) [, labels['k']…]` + `COUNT(*)` over
+  * the log table — answered server-side by ONE query_range METRIC query
+  *
+  *   `sum by (k…) (count_over_time({selector} |= … [<step>s]))`
+  *
+  * instead of streaming every log row. The reference pushes only log
+  * selectors + line filters (`src/expr.rs`), but real Loki's dominant
+  * read path at scale is exactly this shape — the server evaluates the
+  * range aggregation next to its chunks and ships back
+  * #series × #buckets samples, not rows.
+  *
+  * BUCKET SEMANTICS — the one subtlety. SQL's `date_trunc` buckets are
+  * floor-based half-open windows `[b, b+step)`; a LogQL range vector at
+  * evaluation time t covers `(t−step, t]` (left-open, right-closed —
+  * Prometheus semantics). The two reconcile exactly on the integer-ns
+  * grid by placing every evaluation point one nanosecond BEFORE the next
+  * bucket boundary: with `start = b₀ + step − 1ns`, the k-th evaluation
+  * point tₖ = bₖ + step − 1ns covers (bₖ − 1ns, bₖ₊₁ − 1ns] =
+  * [bₖ, bₖ₊₁) — the SQL bucket, verbatim. The wire sample timestamp
+  * (second precision, floored by the decoder) is therefore
+  * bₖ_s + step_s − 1, and the reader recovers bₖ = sample_s + 1 − step_s
+  * deterministically because the rule only fires when the window and
+  * step are whole-second epoch-aligned.
+  *
+  * Absent labels: Loki's data model cannot represent an empty-valued
+  * label (Prometheus semantics: empty ≡ absent, and the metric object
+  * omits it), so a grouped label missing from a series decodes as SQL
+  * NULL — matching `element_at(labels, 'k')` on a row without the label.
+  *
+  * Partitioning: bucket ranges are disjoint by construction, so
+  * `partitions=N` slices the window into N whole-bucket runs, each an
+  * independent metric query — same disjoint-range composability argument
+  * as the log scan's time slicing, for month-scale windows whose
+  * response matrices are themselves large.
+  */
+case class LokiMetricTable(
+    options: LokiOptions,
+    /** The full metric LogQL shipped on the wire (EXPLAIN discloses it). */
+    metricQuery: String,
+    /** Grouped label names, in output order (`sum by` key). */
+    groupLabels: Seq[String],
+    stepNs: Long,
+    startNs: Long,
+    endNs: Long)
+  extends Table with SupportsRead {
+
+  require(stepNs > 0 && stepNs % 1000000000L == 0,
+    s"metric step must be a positive whole-second multiple of ns: $stepNs")
+  require(startNs % stepNs == 0 && endNs % stepNs == 0 && endNs > startNs,
+    s"metric window [$startNs, $endNs) must be non-empty and step-aligned")
+
+  override def name(): String = s"loki.metric(${options.endpoint})"
+
+  override def schema(): StructType = LokiMetricTable.schemaFor(groupLabels)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => LokiMetricScan(this)
+}
+
+object LokiMetricTable {
+  /** Positional internal column names — the rewrite's Project maps them
+    * back to the original aggregate output attributes, so a grouped
+    * label literally named "bucket" or "cnt" can never collide.
+    */
+  def schemaFor(groupLabels: Seq[String]): StructType = StructType(
+    StructField("bucket", TimestampType, nullable = false) +:
+      groupLabels.indices.map(i =>
+        StructField(s"l$i", StringType, nullable = true)) :+
+      StructField("cnt", LongType, nullable = false))
+}
+
+case class LokiMetricScan(table: LokiMetricTable) extends Scan with Batch {
+
+  override def readSchema(): StructType = table.schema()
+
+  override def toBatch: Batch = this
+
+  // EXPLAIN surface: the pushed metric query IS the plan — a reader of
+  // the EXPLAIN must see that no log rows cross the wire
+  override def description(): String =
+    s"LokiMetricScan: endpoint=${table.options.endpoint}, " +
+      s"metric_query=${table.metricQuery}, start=${table.startNs}, " +
+      s"end=${table.endNs}, step_ns=${table.stepNs}" +
+      (if (table.groupLabels.nonEmpty)
+        s", group_labels=[${table.groupLabels.mkString(",")}]"
+      else "")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val buckets = (table.endNs - table.startNs) / table.stepNs
+    val n = math.max(1L, math.min(
+      table.options.numPartitions.toLong, buckets)).toInt
+    // whole-bucket runs: slice boundaries land on bucket boundaries, so
+    // every evaluation point belongs to exactly one slice
+    (0 until n).map { i =>
+      val lo = table.startNs + buckets * i / n * table.stepNs
+      val hi = table.startNs + buckets * (i + 1) / n * table.stepNs
+      LokiMetricPartition(table.options.endpoint, table.metricQuery,
+        table.groupLabels, table.stepNs, lo, hi): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LokiMetricReaderFactory()
+}
+
+case class LokiMetricPartition(
+    endpoint: String,
+    metricQuery: String,
+    groupLabels: Seq[String],
+    stepNs: Long,
+    sliceStartNs: Long,
+    sliceEndNs: Long)
+  extends InputPartition
+
+case class LokiMetricReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new LokiMetricReader(p.asInstanceOf[LokiMetricPartition])
+}
+
+class LokiMetricReader(p: LokiMetricPartition)
+  extends PartitionReader[InternalRow] {
+
+  private lazy val rows: Iterator[InternalRow] = {
+    // evaluation points one ns before each bucket boundary (see
+    // LokiMetricTable scaladoc): start at the first bucket's point,
+    // end at the last — endNs − 1 is the final bucket's point because
+    // the slice bounds are bucket-aligned
+    val series = LokiHttp.queryRangeMetric(
+      p.endpoint, p.metricQuery,
+      p.sliceStartNs + p.stepNs - 1, p.sliceEndNs - 1, p.stepNs)
+    val stepS = p.stepNs / 1000000000L
+    series.iterator.flatMap { case (metric, samples) =>
+      val kvs = metric.toMap
+      val labelVals: Array[Any] = p.groupLabels.map(l =>
+        // Prometheus metric objects omit empty-valued labels; an
+        // explicitly-empty value (unrepresentable in Loki's model)
+        // normalizes to absent the same way — both decode as SQL NULL
+        kvs.get(l).filter(_.nonEmpty)
+          .map(UTF8String.fromString).orNull: Any).toArray
+      samples.iterator.map { case (sampleS, cnt) =>
+        // sample_s = bucket_s + step_s − 1 (floored eval point) →
+        // recover the bucket start, in µs (the relation's timestamp unit)
+        val bucketUs = (sampleS + 1 - stepS) * 1000000L
+        new GenericInternalRow(
+          (bucketUs: Any) +: labelVals :+ (cnt: Any)): InternalRow
+      }
+    }
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { cur = rows.next(); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

@@ -305,7 +305,14 @@ final class LokiStubServer {
         params.get("end").map(_.toLong)))
     }
 
-    if (ex.getRequestHeaders.getFirst("Accept") != "application/vnd.apache.parquet") {
+    // METRIC queries (round 14): real Loki dispatches on the parsed query
+    // type — a metric query through query_range is answered as a
+    // Prometheus-style JSON matrix evaluated at `step` intervals, never
+    // as a log stream — so the stub dispatches on the query text the
+    // same way, before the log path's parquet content negotiation.
+    if (metricQueryRe.matcher(logql).matches()) {
+      handleMetricQuery(ex, logql, start, end, params.get("step"))
+    } else if (ex.getRequestHeaders.getFirst("Accept") != "application/vnd.apache.parquet") {
       respond(ex, 406, "stub only speaks parquet".getBytes(UTF_8))
     } else {
       // direction semantics like real Loki: the DEFAULT is backward —
@@ -377,6 +384,142 @@ final class LokiStubServer {
       }
       respond(ex, 200, body)
     }
+  }
+
+  /** step is a DURATION like real Loki's (float seconds or a Prometheus
+    * duration string: "30", "30s", "5m", "1h", "2d") — NOT epoch ns; a
+    * client sending ns here would see every bucket inflated 1e9×
+    * against a real server, so the stub must parse the same dialect.
+    * Shared by the volume_range and metric-query handlers.
+    */
+  private def parseStepNs(s: String): Long = {
+    val m = java.util.regex.Pattern
+      .compile("^([0-9]+(?:\\.[0-9]+)?)(s|m|h|d)?$").matcher(s.trim)
+    require(m.matches(), s"bad step duration: $s")
+    val mult = m.group(2) match {
+      case null | "s" => 1L
+      case "m" => 60L
+      case "h" => 3600L
+      case "d" => 86400L
+    }
+    (m.group(1).toDouble * mult * 1e9).toLong
+  }
+
+  /** `sum[ by (l…)] (count_over_time(<selector+stages> [<N>s]))` — the
+    * exact metric grammar the connector's aggregation rewrite emits
+    * (graft.plans.LokiMetricAggRule). The greedy inner group anchored at
+    * the literal ` [Ns]))` tail keeps a bracketed token inside a line
+    * filter's backtick pattern from being mistaken for the range.
+    */
+  private val metricQueryRe = java.util.regex.Pattern.compile(
+    "^sum(?: by \\(([^)]*)\\) )?\\(count_over_time\\((.*) \\[(\\d+)s\\]\\)\\)$",
+    java.util.regex.Pattern.DOTALL)
+
+  /** First index in the ts-sorted snapshot with tsNs > t. */
+  private def upperBound(all: Array[LogRow], t: Long): Int = {
+    var lo = 0
+    var hi = all.length
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (all(m).tsNs <= t) lo = m + 1 else hi = m
+    }
+    lo
+  }
+
+  /** Metric query through query_range, like real Loki: evaluated at
+    * `step` intervals from `start` while ≤ `end`; each evaluation at t
+    * counts matching entries in the range-vector window `(t−range, t]`
+    * (Prometheus left-open right-closed semantics). `sum by` groups
+    * streams by the named labels — a label absent from a stream (or
+    * empty-valued: unrepresentable in Loki's model) is OMITTED from the
+    * metric object, the Prometheus empty≡absent convention. Steps with
+    * no matching entries produce no sample (matrix shape: empty buckets
+    * are omitted). Sample timestamps render as ms-precision float
+    * seconds, the way real Loki's jsoniter encoder emits them.
+    */
+  private def handleMetricQuery(
+      ex: HttpExchange, q: String, start: Long, end: Long,
+      stepParam: Option[String]): Unit = {
+    val m = metricQueryRe.matcher(q)
+    require(m.matches(), s"not a metric query: $q")
+    val byLabels = Option(m.group(1)).toSeq
+      .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
+    val inner = m.group(2)
+    val rangeNs = m.group(3).toLong * 1000000000L
+    val stepNs = stepParam match {
+      case Some(s) =>
+        try parseStepNs(s) catch {
+          case e: IllegalArgumentException =>
+            respond(ex, 400, e.getMessage.getBytes(UTF_8)); return
+        }
+      case None =>
+        // real Loki derives a default step from the window; the stub
+        // demands it so a client omitting the param fails loudly
+        respond(ex, 400, "step is required for a metric query".getBytes(UTF_8))
+        return
+    }
+    if (stepNs <= 0 || rangeNs <= 0) {
+      respond(ex, 400, s"bad metric step/range".getBytes(UTF_8)); return
+    }
+    // same results cache as the log path (real Loki caches metric query
+    // results the same way); invalidated wherever respCache is
+    val cacheKey: (String, Long, Long, Option[Int]) =
+      (s"metric|$q|step=$stepNs", start, end, None)
+    rows.synchronized(respCache.get(cacheKey)) match {
+      case Some(body) => respond(ex, 200, body); return
+      case None =>
+    }
+    val (matchers, lineFilters) = parseLogql(inner)
+    val all = sortedSnapshot()
+    // metric kvs → ts-ascending samples (eval points ascend)
+    val acc = mutable.LinkedHashMap
+      .empty[Seq[(String, String)], mutable.ArrayBuffer[(Long, Long)]]
+    var t = start
+    while (t <= end) {
+      val lo = upperBound(all, t - rangeNs)
+      val hi = upperBound(all, t)
+      val counts = mutable.Map.empty[Seq[(String, String)], Long]
+      var i = lo
+      while (i < hi) {
+        val r = all(i)
+        if (matchers.forall(_.matches(r.labels)) &&
+            lineFilters.forall(_.matches(r.line))) {
+          val key = byLabels.flatMap(l =>
+            r.labels.get(l).filter(_.nonEmpty).map(l -> _))
+          counts(key) = counts.getOrElse(key, 0L) + 1
+        }
+        i += 1
+      }
+      counts.foreach { case (k, c) =>
+        acc.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += ((t, c))
+      }
+      if (t > Long.MaxValue - stepNs) t = Long.MaxValue else t += stepNs
+      if (t == Long.MaxValue) t = end + 1 // saturated: no further points
+    }
+    val els = acc.toSeq
+      .sortBy { case (k, _) =>
+        k.map { case (a, b) => s"$a=$b" }.mkString(",") }
+      .map { case (k, samples) =>
+        val metric = "{" + k.sortBy(_._1)
+          .map { case (a, b) => s"${jsonStr(a)}:${jsonStr(b)}" }
+          .mkString(",") + "}"
+        val vals = samples.map { case (tNs, c) =>
+          val ms = tNs / 1000000L
+          val tsStr =
+            if (ms % 1000 == 0) s"${ms / 1000}"
+            else s"${ms / 1000}.${"%03d".format(ms % 1000)}"
+          s"[$tsStr,${jsonStr(c.toString)}]"
+        }.mkString(",")
+        s"""{"metric":$metric,"values":[$vals]}"""
+      }.mkString(",")
+    val body =
+      s"""{"status":"success","data":{"resultType":"matrix","result":[$els]}}"""
+        .getBytes(UTF_8)
+    rows.synchronized {
+      if (respCache.size > 256) respCache.clear()
+      respCache.update(cacheKey, body)
+    }
+    respond(ex, 200, body)
   }
 
   /** `GET /loki/api/v1/index/stats` — entry count for a stream selector
@@ -556,22 +699,6 @@ final class LokiStubServer {
     val targets = params.get("targetLabels").toSeq
       .flatMap(_.split(',').toSeq).filter(_.nonEmpty)
     val byLabelName = params.get("aggregateBy").contains("labels")
-    // step is a DURATION like real Loki's (float seconds or a Prometheus
-    // duration string: "30", "30s", "5m", "1h", "2d") — NOT epoch ns; a
-    // client sending ns here would see every bucket inflated 1e9×
-    // against a real server, so the stub must parse the same dialect
-    def parseStepNs(s: String): Long = {
-      val m = java.util.regex.Pattern
-        .compile("^([0-9]+(?:\\.[0-9]+)?)(s|m|h|d)?$").matcher(s.trim)
-      require(m.matches(), s"bad step duration: $s")
-      val mult = m.group(2) match {
-        case null | "s" => 1L
-        case "m" => 60L
-        case "h" => 3600L
-        case "d" => 86400L
-      }
-      (m.group(1).toDouble * mult * 1e9).toLong
-    }
     val stepNs =
       try {
         if (range) params.get("step").map(parseStepNs).getOrElse(end - start)

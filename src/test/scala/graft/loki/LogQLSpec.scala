@@ -140,7 +140,8 @@ class LogQLSpec extends AnyFunSuite {
       "strict_bounds" -> "false", "split" -> "stats",
       "stats_budget_ms" -> "999", "stats_probe_parallelism" -> "3",
       "query_limit" -> "77", "server_max_entries" -> "88",
-      "push_count" -> "true", "report_statistics" -> "true",
+      "push_count" -> "true", "push_metric" -> "false",
+      "report_statistics" -> "true",
       "group_streams" -> "true", "columnar" -> "false",
       "stream_start_ns" -> "123", "stream_end_ns" -> "456",
       "stream_lag_ms" -> "11", "max_rows_per_batch" -> "500",
@@ -151,7 +152,7 @@ class LogQLSpec extends AnyFunSuite {
       s"round trip drifted:\n${LokiOptions.from(full.toMap)}\nvs\n$full")
     // every case-class field must be representable: the field count is
     // pinned so adding a field forces this test (and toMap) to be updated
-    assert(full.productArity == 25,
+    assert(full.productArity == 26,
       "LokiOptions gained/lost a field — update toMap AND this round trip")
     // direction is validated at option time
     assertThrows[IllegalArgumentException](

@@ -1,0 +1,211 @@
+package graft.loki
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkTestBase
+import graft.sources.loki.testkit.LokiStubServer
+
+/** LogQL metric-query pushdown (graft.plans.LokiMetricAggRule): a
+  * time-bucketed grouped count over the log relation must be answered by
+  * ONE wire metric query (`sum by (…) (count_over_time({…}[step]))`)
+  * with results identical to the host-side aggregation of the same scan
+  * — and every shape outside the rewrite's exactness contract must fall
+  * back to the scan untouched.
+  */
+class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
+
+  private val stub = new LokiStubServer
+
+  // a known corpus: 3 days × hours, labels app/env; some rows exactly ON
+  // bucket boundaries (the floor-vs-range-vector boundary the −1ns
+  // evaluation trick exists for)
+  private val dayNs = 86400L * 1000000000L
+  private val baseNs = 1704067200000000000L // 2024-01-01T00:00:00Z
+
+  override def beforeAll(): Unit = {
+    stub.start()
+    val rows = for {
+      d <- 0 until 3
+      h <- 0 until 24
+      k <- 0 until (1 + (d + h) % 3)
+    } yield stub.LogRow(
+      baseNs + d * dayNs + h * 3600L * 1000000000L, // exactly on the hour
+      Map("app" -> s"app${h % 2}", "env" -> (if (h % 3 == 0) "prod" else "dev")),
+      s"d=$d h=$h k=$k ${if (k == 0) "error" else "ok"}")
+    stub.seed(rows)
+  }
+
+  override def afterAll(): Unit = stub.stop()
+
+  private def lokiDf(extra: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("loki")
+      .option("endpoint", stub.endpoint)
+      .option("default_label", "app")
+    extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  private def windowed(df: DataFrame): DataFrame =
+    df.filter(
+      col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+        col("timestamp") < lit("2024-01-04 00:00:00").cast("timestamp"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("grouped day-bucket count pushes as one sum by metric query") {
+    val q0 = stub.queries.synchronized(stub.queries.size)
+    val df = windowed(lokiDf())
+      .groupBy(
+        date_trunc("day", col("timestamp")).as("bucket"),
+        element_at(col("labels"), "app").as("app"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket", "app")
+    val plan = planOf(df)
+    assert(plan.contains("LokiMetricScan"), plan)
+    assert(plan.contains("metric_query=sum by (app) " +
+      "(count_over_time({app=~\".+\"} [86400s]))"), plan)
+    val got = df.collect().map(r =>
+      (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2)))
+
+    // expected: host-side aggregation with the rewrite disabled
+    val exp = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(
+        date_trunc("day", col("timestamp")).as("bucket"),
+        element_at(col("labels"), "app").as("app"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket", "app")
+    assert(!planOf(exp).contains("LokiMetricScan"))
+    val expRows = exp.collect().map(r =>
+      (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2)))
+    assert(got.toSeq == expRows.toSeq)
+    assert(got.nonEmpty)
+
+    // wire pin: the requests since q0 are metric queries only — no log
+    // scan ran for the pushed aggregate (the fallback side issued plain
+    // selector scans, which must NOT be metric-shaped)
+    val wire = stub.queries.synchronized(stub.queries.drop(q0).toList)
+    assert(wire.exists(_.startsWith("sum by (app) (count_over_time(")), wire)
+  }
+
+  test("line filter stages ride inside count_over_time") {
+    val df = windowed(lokiDf())
+      .filter(col("line").like("%error%"))
+      .groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val plan = planOf(df)
+    assert(plan.contains(
+      "metric_query=sum(count_over_time({app=~\".+\"} |= `error` [3600s]))"),
+      plan)
+    val got = df.orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    val exp = windowed(lokiDf(Map("push_metric" -> "false")))
+      .filter(col("line").like("%error%"))
+      .groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    assert(got.toSeq == exp.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("label equality filter becomes a selector matcher") {
+    val df = windowed(lokiDf())
+      .filter(element_at(col("labels"), "env") === "prod")
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val plan = planOf(df)
+    assert(plan.contains("count_over_time({env=\"prod\"} [86400s])"), plan)
+    val got = df.orderBy("bucket").collect().map(r => r.getLong(1)).toSeq
+    val exp = windowed(lokiDf(Map("push_metric" -> "false")))
+      .filter(element_at(col("labels"), "env") === "prod")
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket").collect().map(r => r.getLong(1)).toSeq
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("partitions=N slices the metric window into whole-bucket runs") {
+    val df = windowed(lokiDf(Map("partitions" -> "4")))
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(planOf(df).contains("LokiMetricScan"))
+    // 3 day-buckets, 4 requested slices → clamped to 3 disjoint queries
+    assert(df.rdd.getNumPartitions == 3)
+    val got = df.orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    val exp = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    assert(got == exp)
+  }
+
+  test("fallbacks: every shape outside the exactness contract scans") {
+    def noRewrite(df: DataFrame): Unit = {
+      val plan = planOf(df)
+      assert(!plan.contains("LokiMetricScan"), plan)
+    }
+    // unaligned window start (not a day multiple)
+    noRewrite(
+      lokiDf()
+        .filter(
+          col("timestamp") >= lit("2024-01-01 00:30:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-01-04 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("day", col("timestamp"))).agg(count(lit(1))))
+    // missing end bound
+    noRewrite(
+      lokiDf()
+        .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("day", col("timestamp"))).agg(count(lit(1))))
+    // non-count aggregate
+    noRewrite(
+      windowed(lokiDf())
+        .groupBy(date_trunc("day", col("timestamp")))
+        .agg(max(col("line"))))
+    // distinct count
+    noRewrite(
+      windowed(lokiDf())
+        .groupBy(date_trunc("day", col("timestamp")))
+        .agg(countDistinct(col("line"))))
+    // week bucket: not epoch-aligned
+    noRewrite(
+      windowed(lokiDf())
+        .groupBy(date_trunc("week", col("timestamp"))).agg(count(lit(1))))
+    // absent-matching label matcher (!=): Loki would count absent-label
+    // streams SQL must drop
+    noRewrite(
+      windowed(lokiDf())
+        .filter(element_at(col("labels"), "env") =!= "prod")
+        .groupBy(date_trunc("day", col("timestamp"))).agg(count(lit(1))))
+    // untranslatable residual conjunct
+    noRewrite(
+      windowed(lokiDf())
+        .filter(length(col("line")) > 5)
+        .groupBy(date_trunc("day", col("timestamp"))).agg(count(lit(1))))
+    // push_metric=false opt-out
+    noRewrite(
+      windowed(lokiDf(Map("push_metric" -> "false")))
+        .groupBy(date_trunc("day", col("timestamp"))).agg(count(lit(1))))
+  }
+
+  test("boundary rows: a row exactly on a bucket edge lands in the floor bucket") {
+    // every seeded row sits exactly on an hour boundary; hour-bucketing
+    // therefore puts each row at its own timestamp's bucket — the
+    // (t−range, t] range-vector semantics would shift edge rows one
+    // bucket EARLIER without the −1ns evaluation-point placement
+    val df = windowed(lokiDf())
+      .groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(planOf(df).contains("LokiMetricScan"))
+    val got = df.collect()
+      .map(r => r.getTimestamp(0).getTime * 1000L -> r.getLong(1)).toMap
+    // day 0, hour 0: k rows where k = 1 + (0+0)%3 = 1
+    assert(got(baseNs / 1000L) == 1L)
+    // day 2, hour 23: 1 + (2+23)%3 = 2
+    assert(got((baseNs + 2 * dayNs + 23 * 3600L * 1000000000L) / 1000L) == 2L)
+    assert(got.values.sum == (for {
+      d <- 0 until 3; h <- 0 until 24
+    } yield 1L + (d + h) % 3).sum)
+  }
+}
