@@ -668,6 +668,38 @@ object ConnectorOps {
           |                              CAST(value AS VARCHAR)))) AS BIGINT) AS bytes
           |FROM events GROUP BY 1, 2 ORDER BY stream, ts_s""".stripMargin)),
 
+    // Server-side pattern detection (round 14): /loki/api/v1/patterns as
+    // loki.meta.patterns — real Loki's Drain-style template census,
+    // answered by the pattern store without streaming chunks (the
+    // server-side counterpart of the Spark-side loki_log_patterns /
+    // loki_drain_templates mining; LokiMetaSpec cross-checks the two on
+    // one corpus). Day-bucketed, so the gate also pins the step dialect
+    // + second-precision sample contract. The oracle replays the
+    // detection: every corpus line masks to '<type> value=<num>' (one
+    // shape per event type, no intra-shape variance), counted per day.
+    ("loki_meta_patterns",
+      (s: SparkSession, d: String) => {
+        val st = stubFor(s, d)
+        val cat = s"lokimetapat${d.hashCode & 0x7fffffff}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
+        s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
+        // the patterns endpoint REQUIRES a query selector (like volume);
+        // the default-label fallback supplies {event_type=~".+"}
+        s.conf.set(s"spark.sql.catalog.$cat.default_label", "event_type")
+        s.read
+          .option("start_ns", "0") // buckets = whole UTC days
+          .option("end_ns", "4102444800000000000")
+          .option("step_ns", (86400L * 1000000000L).toString)
+          .table(s"$cat.meta.patterns")
+          .orderBy("pattern", "ts_s")
+      },
+      Some(
+        """SELECT concat(event_type, ' value=<num>') AS pattern,
+          |       CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) * 86400 AS ts_s,
+          |       CAST(count(*) AS BIGINT) AS cnt
+          |FROM events GROUP BY 1, 2 ORDER BY pattern, ts_s""".stripMargin)),
+
     // Explicit direction (round 13): "the last 40 purchases" — a pushed
     // label matcher + LIMIT with direction=backward STATED on the wire
     // (not inherited from the server default), the newest-n read every

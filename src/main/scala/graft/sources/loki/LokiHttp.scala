@@ -425,13 +425,13 @@ object LokiHttp {
     out.result()
   }
 
-  /** One `result` element `{"metric":{…},"value(s)":…}` → (metric kvs,
-    * samples). Walks the element's TOP-LEVEL fields structurally.
+  /** Walk a flat-braced element's TOP-LEVEL `"key": value` fields
+    * structurally (depth- and string-aware), handing each (key, raw
+    * value chunk) to `f`. Shared by the metric- and pattern-element
+    * parsers.
     */
-  private def parseSeriesElement(
-      el: String, die: String => Nothing): (Seq[(String, String)], Seq[(Long, Long)]) = {
-    var metric: Option[Seq[(String, String)]] = None
-    var samples: Option[Seq[(Long, Long)]] = None
+  private def forEachTopLevelField(
+      el: String, die: String => Nothing)(f: (String, String) => Unit): Unit = {
     var i = 1 // past the element's '{'
     while (i < el.length - 1) {
       el.charAt(i) match {
@@ -452,38 +452,54 @@ object LokiHttp {
               j - 1
           }
           if (ve < 0) die("truncated")
-          val chunk = el.substring(v, ve + 1)
-          key match {
-            case "metric" =>
-              val flat = parseStringArrayRaw(chunk)
-              // strict pairing: an unpaired trailing key means a
-              // truncated/corrupt metric — misattributing the series
-              // would be worse than failing
-              if (flat.size % 2 != 0) die("has an unpaired metric key")
-              metric = Some(flat.grouped(2)
-                .collect { case Seq(k, vv) => (k, vv) }.toSeq)
-            case "value" => samples = Some(Seq(parseSample(chunk, die)))
-            case "values" =>
-              // the inner sample arrays, walked at depth
-              val ss = Seq.newBuilder[(Long, Long)]
-              var j = 1
-              while (j < chunk.length - 1) {
-                chunk.charAt(j) match {
-                  case '[' =>
-                    val se = scanToMatching(chunk, j)
-                    if (se < 0) die("truncated")
-                    ss += parseSample(chunk.substring(j, se + 1), die)
-                    j = se + 1
-                  case ',' => j += 1
-                  case c if c.isWhitespace => j += 1
-                  case _ => die("has a malformed values array")
-                }
-              }
-              samples = Some(ss.result())
-            case _ => // resultType etc. — ignored
-          }
+          f(key, el.substring(v, ve + 1))
           i = ve + 1
         case _ => i += 1
+      }
+    }
+  }
+
+  /** Walk the `[…]` sample arrays inside a `values`/`samples` chunk. */
+  private def forEachSampleArray(
+      chunk: String, die: String => Nothing)(f: String => Unit): Unit = {
+    var j = 1
+    while (j < chunk.length - 1) {
+      chunk.charAt(j) match {
+        case '[' =>
+          val se = scanToMatching(chunk, j)
+          if (se < 0) die("truncated")
+          f(chunk.substring(j, se + 1))
+          j = se + 1
+        case ',' => j += 1
+        case c if c.isWhitespace => j += 1
+        case _ => die("has a malformed values array")
+      }
+    }
+  }
+
+  /** One `result` element `{"metric":{…},"value(s)":…}` → (metric kvs,
+    * samples). Walks the element's TOP-LEVEL fields structurally.
+    */
+  private def parseSeriesElement(
+      el: String, die: String => Nothing): (Seq[(String, String)], Seq[(Long, Long)]) = {
+    var metric: Option[Seq[(String, String)]] = None
+    var samples: Option[Seq[(Long, Long)]] = None
+    forEachTopLevelField(el, die) { (key, chunk) =>
+      key match {
+        case "metric" =>
+          val flat = parseStringArrayRaw(chunk)
+          // strict pairing: an unpaired trailing key means a
+          // truncated/corrupt metric — misattributing the series
+          // would be worse than failing
+          if (flat.size % 2 != 0) die("has an unpaired metric key")
+          metric = Some(flat.grouped(2)
+            .collect { case Seq(k, vv) => (k, vv) }.toSeq)
+        case "value" => samples = Some(Seq(parseSample(chunk, die)))
+        case "values" =>
+          val ss = Seq.newBuilder[(Long, Long)]
+          forEachSampleArray(chunk, die)(s => ss += parseSample(s, die))
+          samples = Some(ss.result())
+        case _ => // resultType etc. — ignored
       }
     }
     (metric.getOrElse(die("element has no metric")),
@@ -573,6 +589,91 @@ object LokiHttp {
       else "") +
       aggregateBy.map(a => s"&aggregateBy=$a").getOrElse("") +
       (if (limit > 0) s"&limit=$limit" else "")
+  }
+
+  /** Parse the pattern-detection response shape of real Loki's
+    * `GET /loki/api/v1/patterns`:
+    *
+    * {{{
+    *   {"status":"success","data":[
+    *     {"pattern":"<_> level=error <_>","samples":[[1712300000,12],…]},
+    *     …]}
+    * }}}
+    *
+    * → one (pattern, samples) per detected pattern; each sample is
+    * (epoch SECONDS, count) — here the count is a BARE number, unlike
+    * the quoted string values of the Prometheus-style metric shape.
+    * Structural walk, loud on anything off, like every parser here.
+    */
+  private val bareSamplePattern = java.util.regex.Pattern.compile(
+    "^\\[\\s*(-?\\d+)(?:\\.\\d+)?\\s*,\\s*(-?\\d+)(?:\\.\\d+)?\\s*\\]$")
+
+  private[loki] def parsePatternSamples(
+      body: String): Seq[(String, Seq[(Long, Long)])] = {
+    def die(msg: String): Nothing =
+      throw new RuntimeException(
+        s"Loki patterns response $msg: ${body.take(200)}")
+    val start = dataArrayStart(body)
+    val rc = scanToMatching(body, start - 1) // the data array's closer
+    if (rc < 0) die("truncated")
+    val out = Seq.newBuilder[(String, Seq[(Long, Long)])]
+    var i = start
+    while (i < rc) {
+      body.charAt(i) match {
+        case '{' =>
+          val end = scanToMatching(body, i)
+          if (end < 0 || end > rc) die("truncated")
+          val el = body.substring(i, end + 1)
+          var pattern: Option[String] = None
+          var samples: Option[Seq[(Long, Long)]] = None
+          forEachTopLevelField(el, die) { (key, chunk) =>
+            key match {
+              case "pattern" =>
+                if (!chunk.startsWith("\"")) die("has a non-string pattern")
+                pattern = parseStringArrayRaw(chunk).headOption
+                  .orElse(Some("")) // the empty pattern "" parses to none
+              case "samples" =>
+                val ss = Seq.newBuilder[(Long, Long)]
+                forEachSampleArray(chunk, die) { s =>
+                  val m = bareSamplePattern.matcher(s)
+                  if (!m.matches()) die("has a malformed sample")
+                  ss += ((m.group(1).toLong, m.group(2).toLong))
+                }
+                samples = Some(ss.result())
+              case _ => // ignored
+            }
+          }
+          out += ((pattern.getOrElse(die("element has no pattern")),
+            samples.getOrElse(die("element has no samples"))))
+          i = end + 1
+        case ',' => i += 1
+        case c if c.isWhitespace => i += 1
+        case _ => die("has a malformed data array")
+      }
+    }
+    out.result()
+  }
+
+  /** `GET /loki/api/v1/patterns` — real Loki's server-side log-pattern
+    * detection (Drain-style templates with `<_>` placeholders, counted
+    * per `step` bucket). The census counterpart of the Spark-side
+    * template mining (`loki_log_patterns`/`loki_drain_templates`):
+    * index/pattern-store-backed on a real Loki, so a template census
+    * over a month of logs never streams chunks to the client. `stepNs`
+    * None → one bucket spanning the window.
+    */
+  def patterns(
+      endpoint: String,
+      selector: String,
+      startNs: Long,
+      endNs: Long,
+      stepNs: Option[Long] = None): Seq[(String, Seq[(Long, Long)])] = {
+    stepNs.foreach(s => require(s > 0 && s % 1000000000L == 0,
+      s"patterns stepNs must be a positive whole-second multiple, got $s"))
+    val enc = java.net.URLEncoder.encode(selector, "UTF-8")
+    parsePatternSamples(getJson("patterns", URI.create(
+      s"$endpoint/loki/api/v1/patterns?query=$enc&start=$startNs&end=$endNs" +
+        stepNs.map(s => s"&step=${s / 1000000000L}s").getOrElse(""))))
   }
 
   /** push-API POST; body is the JSON `{"streams":[...]}` payload. */

@@ -103,7 +103,7 @@ case class LokiMetaTable(kind: String, options: LokiOptions)
 
 object LokiMetaTable {
   val names: Seq[String] = Seq(
-    "labels", "label_values", "series", "volume", "volume_range")
+    "labels", "label_values", "series", "volume", "volume_range", "patterns")
 
   def schemaOf(kind: String): StructType = kind match {
     case "labels" =>
@@ -126,6 +126,16 @@ object LokiMetaTable {
         StructField("stream", StringType, nullable = false),
         StructField("ts_s", LongType, nullable = false),
         StructField("bytes", LongType, nullable = false)))
+    case "patterns" =>
+      // server-side Drain-style pattern census (`GET /loki/api/v1/
+      // patterns`): one row per (detected template, step bucket); `ts_s`
+      // is the bucket start in epoch seconds like volume_range. An
+      // optional `step_ns` knob buckets the counts; unset → one bucket
+      // spanning the window (the plain census)
+      StructType(Seq(
+        StructField("pattern", StringType, nullable = false),
+        StructField("ts_s", LongType, nullable = false),
+        StructField("cnt", LongType, nullable = false)))
   }
 }
 
@@ -144,6 +154,20 @@ object LokiVolumeKnobs {
     // volume-only knobs: other meta kinds ignore them entirely, so a
     // malformed step_ns/aggregate_by left on a reused reader must not
     // crash a labels/series read that never uses it
+    if (kind == "patterns") {
+      // patterns shares ONLY the step knob (optional: unset = one bucket
+      // over the window); the volume grouping knobs stay inert here
+      val step = Option(o.get("step_ns")).map { s =>
+        try s.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"step_ns must be an integer nanosecond count, got '$s'")
+        }
+      }
+      step.foreach(s => require(s > 0 && s % 1000000000L == 0,
+        s"step_ns must be a positive whole-second multiple, got $s — the " +
+          "endpoint's response carries second-precision sample timestamps"))
+      return LokiVolumeKnobs(Nil, None, 0, step)
+    }
     if (!kind.startsWith("volume")) return none
     val aggBy = Option(o.get("aggregate_by")).filter(_.nonEmpty).map {
       case a @ ("series" | "labels") => a
@@ -264,7 +288,8 @@ case class LokiMetaScan(
     // selector optionally); fall back to the default-label matcher
     // exactly like the log scan, else fail at plan time instead of
     // shipping a request the server must reject
-    val needsSel = kind == "series" || kind.startsWith("volume")
+    val needsSel = kind == "series" || kind.startsWith("volume") ||
+      kind == "patterns"
     val effSel =
       if (!needsSel) sel
       else sel.orElse(options.defaultLabel.map(l =>
@@ -336,6 +361,15 @@ class LokiMetaReader(p: LokiMetaPartition)
           val stream = UTF8String.fromString(LokiMetaReader.renderMetric(kvs))
           samples.map { case (tsS, bytes) =>
             new GenericInternalRow(Array[Any](stream, tsS, bytes))
+          }
+        }
+    case "patterns" =>
+      LokiHttp.patterns(p.endpoint, p.selector.get, p.startNs, p.endNs,
+        p.volume.stepNs)
+        .iterator.flatMap { case (pattern, samples) =>
+          val pat = UTF8String.fromString(pattern)
+          samples.map { case (tsS, cnt) =>
+            new GenericInternalRow(Array[Any](pat, tsS, cnt))
           }
         }
   }

@@ -174,6 +174,8 @@ final class LokiStubServer {
       handleVolume(ex, range = true))
     server.createContext("/loki/api/v1/index/volume", (ex: HttpExchange) =>
       handleVolume(ex, range = false))
+    server.createContext("/loki/api/v1/patterns", (ex: HttpExchange) =>
+      handlePatterns(ex))
     // start from a daemon thread: HttpServer's dispatcher inherits daemon
     // status, so a stub can never keep the harness JVM alive
     val t = new Thread(() => server.start())
@@ -772,6 +774,97 @@ final class LokiStubServer {
         s"""{"status":"success","data":{"resultType":"vector","result":[$els]}}"""
       }
     respond(ex, 200, body.getBytes(UTF_8))
+  }
+
+  /** `GET /loki/api/v1/patterns` — real Loki's server-side log-pattern
+    * detection. Modeled contract:
+    *
+    *   - `query` (selector), `start`, `end` REQUIRED; 400 otherwise —
+    *     like the volume endpoints.
+    *   - detection is Drain-style, the SAME algorithm the connector's
+    *     Spark-side `drainTemplates` census implements (that is the
+    *     cross-check the gate row leans on): lines are masked by the
+    *     a-priori token classes (uuid/ip/hex/num — the preprocessing
+    *     step of any Drain variant), grouped by shape (token count +
+    *     head token), and positions that vary within a shape become the
+    *     `<_>` placeholder real Loki's endpoint emits (the Spark census
+    *     spells it `<*>`).
+    *   - counts bucket by `step` (duration dialect) from `start`; no
+    *     step → one bucket spanning the window. Samples are
+    *     `[epoch-seconds, count]` with BARE numeric counts — the real
+    *     endpoint's shape, unlike the quoted Prometheus sample values.
+    */
+  private def handlePatterns(ex: HttpExchange): Unit = {
+    if (injectFailure(ex, failNextMeta)) return
+    val params = qparams(ex)
+    if (!params.contains("query") || !params.contains("start") ||
+        !params.contains("end")) {
+      respond(ex, 400,
+        "query, start and end are required in a patterns request".getBytes(UTF_8))
+      return
+    }
+    val (matchers, _) = parseLogql(params("query"))
+    val start = params("start").toLong
+    val end = params("end").toLong
+    val stepNs =
+      try params.get("step").map(parseStepNs).getOrElse(end - start)
+      catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, e.getMessage.getBytes(UTF_8)); return
+      }
+    if (stepNs <= 0) {
+      respond(ex, 400, s"bad patterns step/window: $stepNs".getBytes(UTF_8))
+      return
+    }
+    val cacheKey: (String, Long, Long, Option[Int]) =
+      (s"patterns|${params("query")}|step=$stepNs", start, end, None)
+    rows.synchronized(respCache.get(cacheKey)) match {
+      case Some(body) => respond(ex, 200, body); return
+      case None =>
+    }
+    val hits = rows.synchronized(rows.toSeq)
+      .filter(r => r.tsNs >= start && r.tsNs < end)
+      .filter(r => matchers.forall(_.matches(r.labels)))
+    // shape key → (template tokens, null = varies; bucket → count)
+    val byShape = mutable.Map.empty[
+      (Int, String), (Array[String], mutable.Map[Long, Long])]
+    hits.foreach { r =>
+      // the same masking pass the connector's native log_template runs
+      // (RE2 boundary semantics); -1 keeps trailing empty tokens so the
+      // shape key matches the Spark census's split() exactly
+      val toks = graft.functions.LogTemplateUtil.template(r.line)
+        .split(" ", -1)
+      val bucket = start + (r.tsNs - start) / stepNs * stepNs
+      byShape.get((toks.length, toks.head)) match {
+        case None =>
+          byShape((toks.length, toks.head)) =
+            (toks, mutable.Map(bucket -> 1L))
+        case Some((tmpl, counts)) =>
+          var i = 0
+          while (i < tmpl.length) {
+            if (tmpl(i) != null && tmpl(i) != toks(i)) tmpl(i) = null
+            i += 1
+          }
+          counts(bucket) = counts.getOrElse(bucket, 0L) + 1L
+      }
+    }
+    val els = byShape.values.toSeq
+      .map { case (tmpl, counts) =>
+        (tmpl.map(t => if (t == null) "<_>" else t).mkString(" "),
+          counts.toSeq.sorted)
+      }
+      .sortBy(_._1)
+      .map { case (pat, samples) =>
+        val vals = samples
+          .map { case (b, c) => s"[${b / 1000000000L},$c]" }.mkString(",")
+        s"""{"pattern":${jsonStr(pat)},"samples":[$vals]}"""
+      }.mkString(",")
+    val body = s"""{"status":"success","data":[$els]}""".getBytes(UTF_8)
+    rows.synchronized {
+      if (respCache.size > 256) respCache.clear()
+      respCache.update(cacheKey, body)
+    }
+    respond(ex, 200, body)
   }
 
   private case class Matcher(label: String, op: String, value: String) {

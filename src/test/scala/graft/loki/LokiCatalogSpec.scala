@@ -122,7 +122,8 @@ class LokiCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     val shown = spark.sql("SHOW TABLES IN lokicat.meta")
       .collect().map(_.getString(1)).toSet
     assert(shown == Set(
-      "labels", "label_values", "series", "volume", "volume_range"))
+      "labels", "label_values", "series", "volume", "volume_range",
+      "patterns"))
     // series: each stream's canonical selector, match[]-narrowed by the
     // selector option; pasteable straight back into a LogQL query
     val streams = spark.read
@@ -247,6 +248,79 @@ class LokiCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
         .option("end_ns", (base + 2 * dayNs).toString)
         .option("default_label", "") // drops the catalog's fallback
         .table("lokicat.meta.volume").count()
+    }
+  }
+
+  test("meta.patterns: server-side Drain census ≡ the Spark-side mining (round 14)") {
+    // own time island; two shapes — one with a genuinely varying
+    // position (the `<_>` path) and one fully constant after masking
+    val dayNs = 86400L * 1000000000L
+    val base = 1904067200L * 1000000000L
+    val baseS = base / 1000000000L
+    val users = Seq("alice", "bob", "carol")
+    stub.seed(
+      users.zipWithIndex.map { case (u, i) =>
+        stub.LogRow(base + i, Map("isle" -> "pat"), s"user $u logged in")
+      } ++ Seq(
+        stub.LogRow(base + 10, Map("isle" -> "pat"), "req id=17 status=OK"),
+        stub.LogRow(base + dayNs + 1, Map("isle" -> "pat"),
+          "req id=9423 status=OK"),
+        // different selector: must be invisible under {isle="pat"}
+        stub.LogRow(base + 11, Map("isle" -> "other"), "noise line")))
+    def patRead() = spark.read
+      .option("start_ns", base.toString)
+      .option("end_ns", (base + 2 * dayNs).toString)
+      .option("selector", """{isle="pat"}""")
+
+    // unbucketed census: one bucket spanning the window, at start
+    val census = patRead()
+      .table("lokicat.meta.patterns")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(census == Set(
+      ("user <_> logged in", baseS, 3L),
+      ("req id=<num> status=OK", baseS, 2L)), census)
+
+    // day buckets: counts split across buckets, empty buckets omitted
+    val trend = patRead()
+      .option("step_ns", dayNs.toString)
+      .table("lokicat.meta.patterns")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(trend == Set(
+      ("user <_> logged in", baseS, 3L),
+      ("req id=<num> status=OK", baseS, 1L),
+      ("req id=<num> status=OK", baseS + 86400L, 1L)), trend)
+
+    // cross-check against the SPARK-side Drain mining on the same corpus
+    // read back through the log scan — the two implementations (stub
+    // serial fold with `<_>`, distributed position-aggregate census with
+    // `<*>`) must detect identical templates with identical counts
+    val lines = spark.read.format("loki")
+      .option("endpoint", stub.endpoint)
+      .option("selector", """{isle="pat"}""")
+      .option("default_label", "isle")
+      .load()
+      .filter(
+        org.apache.spark.sql.functions.col("timestamp") >=
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.lit(base / 1000L)) &&
+        // the island is in the future relative to the scan's default
+        // now-anchored window end — the bound must be explicit
+        org.apache.spark.sql.functions.col("timestamp") <
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.lit((base + 2 * dayNs) / 1000L)))
+      .select("line")
+    val sparkSide = graft.operators.ConnectorOps.drainTemplates(lines)
+      .collect()
+      .map(r => (r.getString(0).replace("<*>", "<_>"), r.getLong(1))).toSet
+    assert(sparkSide == census.map { case (p, _, c) => (p, c) }, sparkSide)
+
+    // the endpoint requires a selector, like volume — plan-time error
+    intercept[Exception] {
+      spark.read
+        .option("start_ns", base.toString)
+        .option("end_ns", (base + dayNs).toString)
+        .option("default_label", "")
+        .table("lokicat.meta.patterns").count()
     }
   }
 
