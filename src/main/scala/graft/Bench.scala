@@ -172,6 +172,65 @@ object Bench {
     println(s"""{"metric":"total_full","value":$total,"value_cold":$totalCold,"unit":"sec","floor_sec":$floor,"floor_shuffle_sec":$floor2,"passes":2,"agg":"min","queries":$qjson,"queries_cold":$qcold,"stages":$sjson,"stages_cold":$scold,"failures":$fjson,"sf":"$sfDir"}""")
     graft.operators.ConnectorOps.shutdownStubs()
     spark.stop()
+
+    // DuckDB comparator IN the artifact (round-14 verdict item 7): the
+    // pairing previously lived only in BENCH_COMPARE.md, generated by a
+    // separate session from whichever comparator draw that session
+    // froze — cross-round ratios depended on it. The bench now times the
+    // same oracle set itself (scripts/bench_duckdb.py, warm-run
+    // protocol) AFTER spark.stop() — full cores to each engine, never
+    // concurrent — and carries `duckdb_total` on the driver-facing
+    // line. Strictly best-effort: a missing python/duckdb, a nonzero
+    // exit, or the 8-minute cap (one pathological comparator draw must
+    // not kill the round's whole bench artifact) just omits the field.
+    // Skippable via SPARK_GRAFT_DUCKDB=false for local iteration.
+    val duckdbTotal: Option[Double] =
+      if (!sys.env.getOrElse("SPARK_GRAFT_DUCKDB", "true").toBoolean) None
+      else try {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bench_oracle")
+        def jq(s: String): String = "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val oracleJson = SparkEntry.oracleSql
+          .filter { case (k, _) => qs.exists(_._1 == k) }
+          .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
+        java.nio.file.Files.writeString(
+          dir.resolve("oracle_sql.json"), oracleJson)
+        val pb = new ProcessBuilder(
+          "python3", "scripts/bench_duckdb.py", sfDir, dir.toString)
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        val outReader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        // drain stdout on a thread so a full pipe can't deadlock the wait
+        val lines = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val t = new Thread(() => {
+          val sb = new StringBuilder
+          var l = outReader.readLine()
+          while (l != null) { sb.append(l).append('\n'); l = outReader.readLine() }
+          lines.set(sb.toString)
+        })
+        t.setDaemon(true)
+        t.start()
+        if (!p.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)) {
+          p.destroyForcibly(); None
+        } else if (p.exitValue() != 0) None
+        else {
+          t.join(5000)
+          val m = java.util.regex.Pattern
+            .compile("\"metric\": \"duckdb_total\", \"value\": ([0-9.]+)")
+            .matcher(lines.get())
+          if (m.find()) Some(m.group(1).toDouble) else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val duckdbField = duckdbTotal.fold("")(v => s""","duckdb_total":${f2(v)}""")
+
     // PENULTIMATE line, sized for the driver's ~2000-char stdout-tail
     // window (round-10 verdict item 2: the name-keyed timing maps on
     // total_full are ~4.5 KB each and never survive the tail — only the
@@ -206,6 +265,6 @@ object Bench {
     val fjsonCompact =
       if (failures.size <= 10) fjson
       else failures.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f2(total)},"value_cold":${f2(totalCold)},"unit":"sec","floor_sec":${f2(floor)},"floor_shuffle_sec":${f2(floor2)},"passes":2,"agg":"min","n_queries":${results.size},"n_failures":${failures.size},"failures":$fjsonCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"value_cold":${f2(totalCold)},"unit":"sec","floor_sec":${f2(floor)},"floor_shuffle_sec":${f2(floor2)},"passes":2,"agg":"min","n_queries":${results.size},"n_failures":${failures.size},"failures":$fjsonCompact$duckdbField,"sf":"$sfDir"}""")
   }
 }

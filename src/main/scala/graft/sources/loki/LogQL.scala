@@ -246,12 +246,19 @@ object LogQL {
   }
 
   /** Loki label matchers (`=~`/`!~`) are FULL-match RE2; Spark's `rlike` is
-    * unanchored find. Wrapping the pattern as `.*(?:p).*` makes full-match
-    * ≡ find for the RE2-supported subset (anchors inside `p` still bind to
-    * text start/end under RE2's automaton), so the Exact-pushdown claim
-    * stays honest — a gap the reference inherits unwrapped (expr.rs:37-42).
+    * unanchored find. Wrapping the pattern as `(?s).*(?:p).*` makes
+    * full-match ≡ find for the translated subset (anchors inside `p` still
+    * bind to text start/end under RE2's automaton), so the Exact-pushdown
+    * claim stays honest — a gap the reference inherits unwrapped
+    * (expr.rs:37-42). The `(?s)` is load-bearing: without it the wrapper's
+    * own `.*` cannot cross a newline under RE2 (real Loki compiles
+    * matchers without DOTALL), so a label value with an embedded newline
+    * would silently fail the full-match even though Spark's find
+    * succeeds. It cannot leak into `p`'s semantics because [[javaToRe2]]
+    * leaves no bare dots inside `p` — every dot is translated to an
+    * explicit class first.
     */
-  private def findSemantics(p: String): String = s".*(?:$p).*"
+  private def findSemantics(p: String): String = s"(?s).*(?:$p).*"
 
   /** `labels['k']` / `element_at(labels, 'k')` → the key — public so the
     * metric-aggregation rewrite ([[graft.plans.LokiMetricAggRule]]) can
@@ -266,10 +273,10 @@ object LogQL {
     case EqualTo(StrLit(v), LabelsKey(k)) => Some(LabelMatcher(k, "=", v))
     case Not(EqualTo(LabelsKey(k), StrLit(v))) => Some(LabelMatcher(k, "!=", v))
     case Not(EqualTo(StrLit(v), LabelsKey(k))) => Some(LabelMatcher(k, "!=", v))
-    case RLike(LabelsKey(k), StrLit(v)) if re2Compatible(v) =>
-      Some(LabelMatcher(k, "=~", findSemantics(v)))
-    case Not(RLike(LabelsKey(k), StrLit(v))) if re2Compatible(v) =>
-      Some(LabelMatcher(k, "!~", findSemantics(v)))
+    case RLike(LabelsKey(k), StrLit(v)) =>
+      javaToRe2(v).map(q => LabelMatcher(k, "=~", findSemantics(q)))
+    case Not(RLike(LabelsKey(k), StrLit(v))) =>
+      javaToRe2(v).map(q => LabelMatcher(k, "!~", findSemantics(q)))
     case _ => None
   }
 
@@ -279,31 +286,119 @@ object LogQL {
       if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) s"\\$c" else c.toString
     }
 
-  /** Conservative RE2-compatibility screen: Loki's regex engine is RE2,
-    * which rejects lookaround, backreferences, atomic groups, and
-    * possessive quantifiers that Java regex (Spark's evaluator) accepts.
-    * Pushing such a pattern turns a Spark-valid residual predicate into
-    * a runtime HTTP 400 from Loki — and a pushed LINE filter has no
-    * residual to fall back on. False positives here (the construct text
-    * inside a character class or literal) merely keep the predicate as a
-    * residual Filter — conservative in the safe direction.
+  /** Translate a Spark-side (Java) regex into an RE2 pattern with
+    * IDENTICAL match semantics, or None when no sound translation exists
+    * — the predicate then stays a residual Spark Filter, so pushdown is
+    * only claimed where it is provably exact. False rejections merely
+    * weaken pushdown; a false acceptance is silent row loss/gain under
+    * the Exact claim — every rule below errs toward rejection.
+    *
+    * Three construct classes (round-14 sweep; the round-13 log_template
+    * `\b` divergence proved this class is real, not theoretical):
+    *
+    *  1. REJECTED — Java-only or divergent with no RE2 equivalent:
+    *     lookaround / atomic groups / possessive quantifiers / named
+    *     groups / backreferences (RE2 parse errors — a pushed one is a
+    *     runtime HTTP 400 with no residual to fall back on); EVERY
+    *     inline `(?…)` construct except plain `(?:` — Java's `(?i)`
+    *     folds ASCII-only where RE2 (?i) simple-folds Unicode (`(?i)k`
+    *     matches KELVIN SIGN U+212A under RE2 only), and `(?m)`'s `$`
+    *     honors different terminator sets; `\b`/`\B` (Java's boundary is
+    *     Unicode-aware, RE2's is ASCII — the exact divergence
+    *     log_template hit on `0000000aé`); `\v\V\h\H\R` (Java whitespace
+    *     CLASSES; RE2's `\v` is the vertical-tab CHARACTER); `\e` (no
+    *     RE2 escape); `\uXXXX` (RE2 reads a literal `u`); `\Z`/`\G`,
+    *     `\b{g}`, octal `\0`, `&&` class intersection, `[` nested inside
+    *     a class (Java class union; RE2 literal bracket); `\S` inside a
+    *     class (a complement cannot inline into a positive class); a
+    *     non-final unescaped `$` (see below); `\p{…}` beyond the 1-2
+    *     letter Unicode general categories both engines share.
+    *  2. TRANSLATED — divergent but exactly expressible: `.` → the
+    *     explicit Java-dot class `[^\n\r\x{85}\x{2028}\x{2029}]` (RE2's
+    *     dot excludes only `\n`, so a pushed bare dot would match `\r`
+    *     rows Spark rejects); `\s` → Java's whitespace set INCLUDING
+    *     vertical tab `[ \t\n\x0B\f\r]` (RE2's `\s` lacks `\x0B`), and
+    *     `\S` (outside classes) its complement; a FINAL `$` →
+    *     `(?:\r\n|[\n\r\x{85}\x{2028}\x{2029}])?\z` — Java's `$`
+    *     matches before a final line terminator, RE2's `$` is
+    *     end-of-text, so a pushed `err$` would silently drop `"err\n"`
+    *     rows; the consuming rewrite is find-equivalent only when
+    *     nothing follows, hence final-position-only.
+    *  3. PASSED THROUGH — constructs both engines agree on byte for
+    *     byte: literals, character classes, greedy/lazy quantifiers,
+    *     alternation, plain groups, `^` (input start in both without
+    *     `m`), `\A`/`\z`, `\w\W\d\D` (ASCII in both), `\xhh`/`\x{…}`.
+    *
+    * The output therefore contains only engine-agreeing constructs —
+    * which is what makes the LogQLProps differential honest: Java-eval
+    * of the OUTPUT equals RE2-eval of the output by construction, so
+    * property-checking Java(out) == Java(in) on adversarial inputs
+    * (non-ASCII, VT, CR, NEL, LS) pins RE2(out) == Java(in).
     */
-  private def re2Compatible(p: String): Boolean = {
-    // lookaround/atomic groups/possessive quantifiers: RE2 parse errors.
-    // "&&" (Java char-class intersection) and "\\uXXXX"/"\\p{java...}"
-    // are worse — RE2 REINTERPRETS or rejects them, so a pushed filter
-    // silently matches a different language than Spark evaluated.
-    // "(?<" additionally covers Java named groups `(?<name>...)` (rejected
-    // by the RE2 vintage in pre-Go-1.22 Lokis) beyond the lookbehind forms
-    // it prefixes; "\\Z" (end-before-final-newline) and "\\G" are
-    // Java-only anchors (RE2 keeps \A and \z, which both engines agree
-    // on); "\\b{" is Java's \b{g} grapheme boundary; "\\0" is a Java
-    // octal escape that RE2 reads differently.
-    val javaOnly = Seq("(?=", "(?!", "(?<", "(?>",
-      "*+", "++", "?+", "}+", "&&", "\\u", "\\p{java",
-      "\\Z", "\\G", "\\b{", "\\0")
-    !javaOnly.exists(p.contains) &&
-      !(1 to 9).exists(i => p.contains(s"\\$i"))
+  private[loki] def javaToRe2(p: String): Option[String] = {
+    // pre-screen for constructs the scanner below does not model
+    val javaOnly = Seq("*+", "++", "?+", "}+", "&&", "\\u", "\\p{java",
+      "\\Z", "\\G", "\\b{", "\\0", "\\e", "\\R", "\\v", "\\V", "\\h", "\\H")
+    if (javaOnly.exists(p.contains) ||
+        (1 to 9).exists(i => p.contains(s"\\$i"))) return None
+    val sb = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\') {
+        if (i + 1 >= p.length) return None // trailing backslash: malformed
+        val n = p.charAt(i + 1)
+        n match {
+          case 'b' | 'B' => return None
+          case 's' =>
+            sb.append(
+              if (inClass) " \\t\\n\\x0B\\f\\r" else "[ \\t\\n\\x0B\\f\\r]")
+            i += 2
+          case 'S' =>
+            if (inClass) return None
+            sb.append("[^ \\t\\n\\x0B\\f\\r]")
+            i += 2
+          case 'p' | 'P' =>
+            if (i + 2 >= p.length || p.charAt(i + 2) != '{') return None
+            val close = p.indexOf('}', i + 3)
+            if (close < 0) return None
+            val name = p.substring(i + 3, close)
+            if (name.isEmpty || name.length > 2 || !name.charAt(0).isUpper)
+              return None
+            sb.append(p, i, close + 1)
+            i = close + 1
+          case _ => sb.append(c).append(n); i += 2
+        }
+      } else if (inClass) {
+        c match {
+          case '[' => return None // Java nested-class union; RE2 literal
+          case ']' => inClass = false; sb.append(c); i += 1
+          case _ => sb.append(c); i += 1
+        }
+      } else c match {
+        case '[' =>
+          inClass = true
+          sb.append(c)
+          i += 1
+          if (i < p.length && p.charAt(i) == '^') { sb.append('^'); i += 1 }
+          // "[]…]" / "[^]…]": POSIX/RE2 read a literal ']', Java errors —
+          // divergent PARSE, reject rather than guess
+          if (i < p.length && p.charAt(i) == ']') return None
+        case '.' =>
+          sb.append("[^\\n\\r\\x{85}\\x{2028}\\x{2029}]"); i += 1
+        case '$' =>
+          if (i != p.length - 1) return None
+          sb.append("(?:\\r\\n|[\\n\\r\\x{85}\\x{2028}\\x{2029}])?\\z")
+          i += 1
+        case '(' if i + 1 < p.length && p.charAt(i + 1) == '?' =>
+          if (i + 2 >= p.length || p.charAt(i + 2) != ':') return None
+          sb.append("(?:"); i += 3
+        case _ => sb.append(c); i += 1
+      }
+    }
+    if (inClass) return None // unterminated class: malformed
+    Some(sb.toString)
   }
 
   private object LineAttr {
@@ -335,10 +430,10 @@ object LogQL {
     // on whether the optimizer fired the pushdown — and "push for pruning
     // only" is unsound here too, since the Loki match set is not a superset
     // of the SQL one. The form stays a residual Filter; SQL semantics win.
-    case RLike(LineAttr(), StrLit(p)) if re2Compatible(p) =>
-      Some(LineFilter("|~", p))
-    case Not(RLike(LineAttr(), StrLit(p))) if re2Compatible(p) =>
-      Some(LineFilter("!~", p))
+    case RLike(LineAttr(), StrLit(p)) =>
+      javaToRe2(p).map(LineFilter("|~", _))
+    case Not(RLike(LineAttr(), StrLit(p))) =>
+      javaToRe2(p).map(LineFilter("!~", _))
     // LIKE family (expr.rs:98-105): (neg?, case-insensitive?). A pattern
     // CONTAINING its escape character is not translated: containsPattern
     // reads the raw pattern text, so '%a\\b%' (matching lines with `a\b`)
@@ -352,7 +447,16 @@ object LogQL {
     case ILike(LineAttr(), StrLit(p), esc) if !p.contains(esc) =>
       // the LIKE literal is plain text: regex-escape it before embedding in
       // the (?i) regex (a raw dot/paren would change semantics or break the
-      // query — the reference pushes it raw, expr.rs:101-104)
+      // query — the reference pushes it raw, expr.rs:101-104).
+      // Case-folding caveat: Spark's ILIKE lowercases with full Unicode
+      // (lower('K' U+212A KELVIN) = 'k', lower('İ' U+0130) = "i"+U+0307)
+      // while RE2's (?i) SIMPLE-folds — the two agree on KELVIN/long-s
+      // but diverge on the handful of codepoints whose lowercase is
+      // MULTI-CHAR (U+0130 is the practical case: an input line holding
+      // 'İ' satisfies ILIKE '%i%' Spark-side but not RE2's (?i)i). The
+      // reference pushes ILIKE with the same exposure (and raw
+      // interpolation besides); kept Exact as documented parity, and the
+      // stub folds with UNICODE_CASE so it models RE2, not Java-ASCII.
       containsPattern(p).map(x => LineFilter("|~", s"(?i)${regexEscape(x)}"))
     case Not(ILike(LineAttr(), StrLit(p), esc)) if !p.contains(esc) =>
       containsPattern(p).map(x => LineFilter("!~", s"(?i)${regexEscape(x)}"))

@@ -869,8 +869,15 @@ final class LokiStubServer {
 
   private case class Matcher(label: String, op: String, value: String) {
     // compiled once per request, not per row (the stub evaluates every
-    // stored row against each matcher)
-    private lazy val re = java.util.regex.Pattern.compile(s"(?s)(?:$value)")
+    // stored row against each matcher). Real Loki compiles matchers as
+    // ^(?:v)$ with NO dotall — the earlier blanket (?s) wrap here let a
+    // bare dot cross newlines, certifying behavior RE2 does not have;
+    // the connector's find-semantics wrapper now carries its own (?s)
+    // inside the value where it is sound (its dots only bridge the
+    // full-match↔find gap; translated user dots are explicit classes).
+    // UNICODE_CASE for the same RE2-fold-modeling reason as LineF.
+    private lazy val re = java.util.regex.Pattern.compile(
+      s"(?:$value)", java.util.regex.Pattern.UNICODE_CASE)
     def matches(labels: Map[String, String]): Boolean = {
       // real Loki/Prometheus selector semantics: a missing label is
       // indistinguishable from an empty-valued one — {k=""} and any
@@ -886,7 +893,12 @@ final class LokiStubServer {
   }
 
   private case class LineF(op: String, pattern: String) {
-    private lazy val re = java.util.regex.Pattern.compile(pattern)
+    // UNICODE_CASE so an embedded (?i) folds the way RE2 does (Unicode
+    // simple fold — KELVIN SIGN ~ k), not Java's default ASCII-only
+    // folding: the connector's ILIKE translation pushes (?i) patterns
+    // and real Loki evaluates them under RE2
+    private lazy val re = java.util.regex.Pattern.compile(
+      pattern, java.util.regex.Pattern.UNICODE_CASE)
     def matches(line: String): Boolean = op match {
       case "|=" => line.contains(pattern)
       case "!=" => !line.contains(pattern)

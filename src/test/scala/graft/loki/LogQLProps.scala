@@ -13,6 +13,13 @@ import graft.sources.loki.LogQL
   */
 object LogQLProps extends Properties("LogQL") {
 
+  // the Java↔RE2 differential properties hunt rare divergence corners
+  // (specific codepoint × construct coincidences) — give every property
+  // a deeper sweep than the scalacheck default
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(300)
+
   private val labels = AttributeReference("labels",
     MapType(StringType, StringType, valueContainsNull = false), nullable = false)()
   private val line = AttributeReference("line", StringType, nullable = false)()
@@ -223,6 +230,97 @@ object LogQLProps extends Properties("LogQL") {
       // too, so both renderers are covered by the same property.
       (Prop(pm == ms) :| s"matchers: $pm vs $ms (q=$q)") &&
         (Prop(pl == ls) :| s"lines: $pl vs $ls (q=$q)")
+    }
+
+  // ------------------------- Java ↔ RE2 regex-translation differential
+  // (round 14). The translator's soundness argument: its OUTPUT contains
+  // only constructs Java and RE2 agree on byte-for-byte, so Java-eval of
+  // the output equals RE2-eval of the output by construction — and the
+  // property below checks Java(out) == Java(in) on adversarial inputs
+  // (non-ASCII, VT, CR, NEL, LS, PS — the divergence axes), which
+  // together pin RE2(out) == Java(in): the pushed filter selects exactly
+  // the rows Spark's evaluator would.
+
+  /** Inputs sweeping the divergence axes: the Unicode word chars that
+    * broke `\b` in round 13, the KELVIN SIGN / dotted-İ case-folding
+    * traps, and every line-terminator / whitespace character the two
+    * engines class differently.
+    */
+  private val re2Input: Gen[String] =
+    Gen.listOfN(12, Gen.frequency(
+      8 -> Gen.oneOf('a', 'b', 'c', '0', '1', ' '),
+      3 -> Gen.oneOf('é', '日', 'K', 'İ', '_'),
+      3 -> Gen.oneOf('\n', '\r', '\u000B', '\u0085', '\u2028', '\u2029', '\t')))
+      .map(_.mkString)
+
+  /** Java-regex fragments: agreeing constructs, translatable divergent
+    * ones (dot, \s, \S, final $), and rejected ones (\b, inline flags,
+    * lookahead, possessives) — so the property exercises pass-through,
+    * translation AND keep-residual paths.
+    */
+  private val pieceGen: Gen[String] = Gen.frequency(
+    6 -> Gen.oneOf("a", "b", "0", "é", "ab", "a|b", "(a|0)"),
+    3 -> Gen.const("."),
+    2 -> Gen.oneOf("[ab0]", "[^ab]", "[a-z]", "[é0]", "[ .]"),
+    2 -> Gen.oneOf("\\s", "\\S", "\\w", "\\d", "\\W", "\\D"),
+    2 -> Gen.oneOf("\\b", "\\Ba", "(?i)a", "(?m)a", "(?=a)", "a*+", "\\vx"),
+    1 -> Gen.oneOf("a*", "b+", ".?", "[ab]{1,2}", ".*"))
+
+  private val javaPatGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 4)
+    ps <- Gen.listOfN(n, pieceGen)
+    anchorS <- Gen.oneOf("", "^")
+    anchorE <- Gen.oneOf("", "$")
+  } yield anchorS + ps.mkString + anchorE
+
+  private def javaFind(p: String, in: String): Option[Boolean] =
+    try Some(java.util.regex.Pattern.compile(p).matcher(in).find())
+    catch { case _: Exception => None }
+
+  property("pushed |~ patterns select identical rows under Java and the RE2 render") =
+    Prop.forAll(javaPatGen, re2Input) { (p, in) =>
+      LogQL.lineFilter(RLike(line, s(p))) match {
+        case None => Prop.passed // kept residual — Spark semantics win
+        case Some(lf) =>
+          javaFind(p, in) match {
+            case None => Prop.passed // Java-invalid: Spark errors pre-push
+            case Some(expected) =>
+              val wire = javaFind(lf.pattern, in)
+              Prop(wire.contains(expected)) :|
+                s"p=[$p] wire=[${lf.pattern}] in=${in.map(c => f"\\u${c.toInt}%04x")} " +
+                s"java=$expected wire_eval=$wire"
+          }
+      }
+    }
+
+  property("pushed label =~ full-match wrapper ≡ Spark find on any value bytes") =
+    Prop.forAll(ident, javaPatGen, re2Input) { (k, p, v) =>
+      LogQL.labelMatcher(RLike(GetMapValue(labels, s(k)), s(p))) match {
+        case None => Prop.passed
+        case Some(m) =>
+          javaFind(p, v) match {
+            case None => Prop.passed
+            case Some(expected) =>
+              // the stub/real-Loki evaluation shape: ^(?:value)$ with NO
+              // dotall — the wrapper's own (?s) must ride INSIDE the value
+              val full = try Some(java.util.regex.Pattern
+                .compile(s"(?:${m.value})", java.util.regex.Pattern.UNICODE_CASE)
+                .matcher(v).matches())
+              catch { case _: Exception => None }
+              Prop(full.contains(expected)) :|
+                s"p=[$p] wrapped=[${m.value}] v=${v.map(c => f"\\u${c.toInt}%04x")} " +
+                s"java=$expected full=$full"
+          }
+      }
+    }
+
+  property("known-divergent constructs always keep their residual") =
+    Prop.forAll(Gen.oneOf(
+      "a\\bb", "\\Bx", "(?i)abc", "(?m)^a$", "(?=x)a", "(?!x)a", "(?<g>a)",
+      "a*+", "x\\vy", "a\\Rb", "a$b", "[a[b]]", "[\\S]", "\\p{Alpha}",
+      "\\u0041", "a\\1")) { p =>
+      LogQL.lineFilter(RLike(line, s(p))).isEmpty &&
+        LogQL.labelMatcher(RLike(GetMapValue(labels, s("k")), s(p))).isEmpty
     }
 
   property("parseSelector rejects junk after the stages (no silent tail drop)") =

@@ -29,11 +29,14 @@ class LogQLSpec extends AnyFunSuite {
       .contains("""app="x"""")) // literal on either side
     assert(LogQL.labelMatcher(Not(EqualTo(key("app"), s("x")))).map(_.render)
       .contains("""app!="x""""))
-    // full-match matcher wrapped to find semantics (Spark rlike ≡ find)
+    // full-match matcher wrapped to find semantics (Spark rlike ≡ find);
+    // round 14: the user dot translates to the explicit Java-dot class
+    // (RE2's dot admits \r etc.) and the wrapper carries its own (?s)
+    // so it can cross newlines under real RE2 (no blanket dotall)
     assert(LogQL.labelMatcher(RLike(key("app"), s("a.*"))).map(_.render)
-      .contains("""app=~".*(?:a.*).*""""))
+      .contains("""app=~"(?s).*(?:a[^\n\r\x{85}\x{2028}\x{2029}]*).*""""))
     assert(LogQL.labelMatcher(Not(RLike(key("app"), s("a.*")))).map(_.render)
-      .contains("""app!~".*(?:a.*).*""""))
+      .contains("""app!~"(?s).*(?:a[^\n\r\x{85}\x{2028}\x{2029}]*).*""""))
   }
 
   test("label matcher: NULL literal treated as empty string (expr.rs:34-35)") {

@@ -614,7 +614,8 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       col("labels")("app").rlike("my-app[0-9]"))
     assert(golden(df) == Seq(
       "{app=my-app1,detected_level=unknown,service_name=my-app1} this is aaa log"))
-    assert(stub.queries.last == "{app=~\".*(?:my-app[0-9]).*\"} |~ `a{3}`")
+    assert(stub.queries.last ==
+      "{app=~\"(?s).*(?:my-app[0-9]).*\"} |~ `a{3}`")
   }
 
   test("timestamp filter pushdown incl. now() folding (tests/table.rs:43-57)") {
