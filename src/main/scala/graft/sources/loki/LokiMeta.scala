@@ -103,7 +103,8 @@ case class LokiMetaTable(kind: String, options: LokiOptions)
 
 object LokiMetaTable {
   val names: Seq[String] = Seq(
-    "labels", "label_values", "series", "volume", "volume_range", "patterns")
+    "labels", "label_values", "series", "volume", "volume_range", "patterns",
+    "deletes")
 
   def schemaOf(kind: String): StructType = kind match {
     case "labels" =>
@@ -136,6 +137,16 @@ object LokiMetaTable {
         StructField("pattern", StringType, nullable = false),
         StructField("ts_s", LongType, nullable = false),
         StructField("cnt", LongType, nullable = false)))
+    case "deletes" =>
+      // the compactor delete-request listing (`GET /loki/api/v1/delete`)
+      // — the audit view of [[graft.plans.LokiDeleteRule]]'s DML path.
+      // No window/selector params: the endpoint lists everything.
+      StructType(Seq(
+        StructField("request_id", StringType, nullable = false),
+        StructField("query", StringType, nullable = false),
+        StructField("start_s", LongType, nullable = false),
+        StructField("end_s", LongType, nullable = false),
+        StructField("status", StringType, nullable = false)))
   }
 }
 
@@ -372,6 +383,13 @@ class LokiMetaReader(p: LokiMetaPartition)
             new GenericInternalRow(Array[Any](pat, tsS, cnt))
           }
         }
+    case "deletes" =>
+      LokiHttp.deleteRequests(p.endpoint).iterator.map {
+        case (id, query, startS, endS, status) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(id), UTF8String.fromString(query),
+            startS, endS, UTF8String.fromString(status)))
+      }
   }
 
   private var cur: InternalRow = _

@@ -41,6 +41,7 @@ final class LokiStubServer {
   def clear(): Unit = {
     rows.synchronized {
       rows.clear(); seen.clear(); respCache.clear(); sortedCache = null
+      deleteReqs.clear()
     }
     // the dataset behind this endpoint just changed — stale stats-split
     // boundary placements for it must not survive (see dropBoundsFor)
@@ -176,6 +177,8 @@ final class LokiStubServer {
       handleVolume(ex, range = false))
     server.createContext("/loki/api/v1/patterns", (ex: HttpExchange) =>
       handlePatterns(ex))
+    server.createContext("/loki/api/v1/delete", (ex: HttpExchange) =>
+      handleDelete(ex))
     // start from a daemon thread: HttpServer's dispatcher inherits daemon
     // status, so a stub can never keep the harness JVM alive
     val t = new Thread(() => server.start())
@@ -865,6 +868,94 @@ final class LokiStubServer {
       respCache.update(cacheKey, body)
     }
     respond(ex, 200, body)
+  }
+
+  /** Filed delete requests, for wire-pin assertions and the GET listing. */
+  final case class DeleteReq(
+      id: Int, query: String, startNs: Long, endNs: Long, status: String)
+  val deleteReqs = mutable.ArrayBuffer.empty[DeleteReq]
+
+  /** The compactor delete API (`/loki/api/v1/delete`). Modeled contract:
+    *
+    *   - POST files a request: `query` (selector + optional line-filter
+    *     stages; ≥1 matcher REQUIRED like real Loki) and optional
+    *     `start`/`end` in epoch SECONDS, window `[start, end)`, default
+    *     all time. Real Loki applies requests ASYNCHRONOUSLY (compactor,
+    *     after the cancel grace period); the stub applies immediately
+    *     and marks the request `processed` — the post-compaction state a
+    *     conformance test would poll for.
+    *   - an EXACT duplicate of an existing request (same query + window)
+    *     is answered with the existing id instead of filed again — the
+    *     determinism the repeated-invocation gate/bench protocol needs
+    *     (and a plausible server-side idempotency; real Loki would file
+    *     a second no-op request).
+    *   - GET lists requests in the real response shape (flat objects,
+    *     string ids, bare-numeric second timestamps).
+    *   - DELETE (cancel) rejects processed requests with 400, like real
+    *     Loki once the grace period has passed.
+    */
+  private def handleDelete(ex: HttpExchange): Unit = {
+    ex.getRequestMethod match {
+      case "POST" =>
+        val params = qparams(ex)
+        if (!params.contains("query")) {
+          respond(ex, 400, "query is required in a delete request".getBytes(UTF_8))
+          return
+        }
+        val (matchers, lineFilters) =
+          try parseLogql(params("query"))
+          catch {
+            case e: IllegalArgumentException =>
+              respond(ex, 400, e.getMessage.getBytes(UTF_8)); return
+          }
+        if (matchers.isEmpty) {
+          respond(ex, 400,
+            "at least one matcher is required in a delete query".getBytes(UTF_8))
+          return
+        }
+        val startNs = params.get("start")
+          .map(_.toLong * 1000000000L).getOrElse(Long.MinValue)
+        val endNs = params.get("end")
+          .map(_.toLong * 1000000000L).getOrElse(Long.MaxValue)
+        rows.synchronized {
+          val existing = deleteReqs.find(r =>
+            r.query == params("query") && r.startNs == startNs && r.endNs == endNs)
+          if (existing.isEmpty) {
+            deleteReqs += DeleteReq(
+              deleteReqs.size + 1, params("query"), startNs, endNs, "processed")
+            val keep = rows.filterNot(r =>
+              r.tsNs >= startNs && r.tsNs < endNs &&
+                matchers.forall(_.matches(r.labels)) &&
+                lineFilters.forall(_.matches(r.line)))
+            rows.clear(); rows ++= keep
+            seen.clear(); seen ++= keep
+            respCache.clear(); sortedCache = null
+          }
+        }
+        graft.sources.loki.LokiScan.dropBoundsFor(endpoint)
+        respond(ex, 204, Array.emptyByteArray)
+      case "GET" =>
+        val body = rows.synchronized(deleteReqs.toSeq).map { r =>
+          val s = if (r.startNs == Long.MinValue) 0L else r.startNs / 1000000000L
+          val e = if (r.endNs == Long.MaxValue) 0L else r.endNs / 1000000000L
+          s"""{"request_id":${jsonStr(r.id.toString)},""" +
+            s""""start_time":$s,"end_time":$e,""" +
+            s""""query":${jsonStr(r.query)},"status":${jsonStr(r.status)},""" +
+            s""""created_at":0}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200, body.getBytes(UTF_8))
+      case "DELETE" =>
+        val params = qparams(ex)
+        val id = params.get("request_id").flatMap(_.toIntOption)
+        rows.synchronized(deleteReqs.find(r => id.contains(r.id))) match {
+          case Some(r) if r.status == "processed" =>
+            respond(ex, 400,
+              "deletion of a processed request is not allowed".getBytes(UTF_8))
+          case Some(_) => respond(ex, 204, Array.emptyByteArray)
+          case None => respond(ex, 404, "request not found".getBytes(UTF_8))
+        }
+      case m => respond(ex, 405, s"method $m not allowed".getBytes(UTF_8))
+    }
   }
 
   private case class Matcher(label: String, op: String, value: String) {

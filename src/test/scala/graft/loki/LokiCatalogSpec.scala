@@ -123,7 +123,7 @@ class LokiCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       .collect().map(_.getString(1)).toSet
     assert(shown == Set(
       "labels", "label_values", "series", "volume", "volume_range",
-      "patterns"))
+      "patterns", "deletes"))
     // series: each stream's canonical selector, match[]-narrowed by the
     // selector option; pasteable straight back into a LogQL query
     val streams = spark.read
