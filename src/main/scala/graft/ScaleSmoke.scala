@@ -682,6 +682,88 @@ object ScaleSmoke {
       } finally stub.stop()
     }
 
+    // LIVE-tail leg (round 14): the stub INGESTS CONCURRENTLY with an
+    // OPEN tail (no stream_end_ns) — the mode the bounded-replay gates
+    // cannot reach. `stream_lag_ms=2000` is the visibility contract:
+    // each trigger's end offset trails wall clock by 2 s, so a row
+    // seeded at wall time T is queryable long before any window
+    // covering T is read (seed visibility is instant here; a real
+    // ingest pipeline sizes the lag to its p99 delay — a row that lands
+    // later than the lag is the documented event-time-tailing miss).
+    // Post-hoc ingest truth: N rows with v = 0..N−1 → count, distinct
+    // count (a window overlap would double-read) and Σv must all hit
+    // their closed forms; and the recorded wire windows must CHAIN
+    // exactly (each batch's start == the previous batch's end) — the
+    // offset-disjointness claim read straight off the wire log.
+    {
+      import graft.sources.loki.testkit.LokiStubServer
+      val stub = new LokiStubServer
+      stub.start()
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft_scale_live_ck").toFile
+      sys.addShutdownHook(graft.streaming.StreamingOps.rmrf(ck))
+      try {
+        val n = 1000000
+        val batches = 20
+        val per = n / batches
+        val labels = Map("app" -> "live")
+        val t0 = System.currentTimeMillis() * 1000000L
+        val q = spark.readStream.format("loki")
+          .option("endpoint", stub.endpoint)
+          .option("selector", """{app="live"}""")
+          .option("stream_start_ns", t0.toString)
+          .option("stream_lag_ms", "2000")
+          .load()
+          .select(substring(col("line"), 3, 10).cast("long").as("v"))
+          .writeStream.format("memory").queryName("scale_live")
+          .option("checkpointLocation", ck.getAbsolutePath)
+          .outputMode("append")
+          .start()
+        val drained = timed("connector_1m_live_tail") {
+          (0 until batches).foreach { b =>
+            val now = System.currentTimeMillis() * 1000000L
+            stub.seed((0 until per).map { j =>
+              // distinct ns inside the chunk; all ≥ now, i.e. ahead of
+              // every already-planned (lag-trailed) window
+              stub.LogRow(now + j, labels, s"v=${b * per + j}")
+            })
+            Thread.sleep(100)
+          }
+          // drain: the final chunk becomes readable once the lag passes
+          val deadline = System.nanoTime() + 180L * 1000000000L
+          var cnt = 0L
+          while (cnt < n && System.nanoTime() < deadline) {
+            Thread.sleep(250)
+            cnt = spark.table("scale_live").count()
+          }
+          cnt
+        }
+        val r = spark.table("scale_live")
+          .agg(count(lit(1)), count_distinct(col("v")), sum("v")).head()
+        assert(r.getLong(0) == n.toLong && r.getLong(1) == n.toLong &&
+          r.getLong(2) == n.toLong * (n - 1) / 2,
+          s"live tail: got (${r.getLong(0)}, distinct ${r.getLong(1)}, " +
+            s"sum ${r.getLong(2)}), want ($n, $n, ${n.toLong * (n - 1) / 2}); " +
+            s"drained=$drained")
+        q.stop()
+        q.awaitTermination()
+        val wins = stub.ranges.synchronized(stub.ranges.toList)
+          .collect { case (lq, Some(s0), Some(e0))
+            if lq.startsWith("""{app="live"}""") => (s0, e0) }
+          .sortBy(_._1)
+        wins.sliding(2).foreach {
+          case List((_, e1), (s2, _)) =>
+            assert(s2 == e1,
+              s"tail windows not contiguous: prev end $e1, next start $s2")
+          case _ =>
+        }
+        assert(wins.nonEmpty && wins.head._1 == t0,
+          s"first window must anchor at stream_start_ns: ${wins.headOption}")
+        println(s"[scale] connector 1m LIVE concurrent-ingest tail OK " +
+          s"(rows=${r.getLong(0)}, batches=${wins.size})")
+      } finally stub.stop()
+    }
+
     println("[scale] OK: exact paths agree")
     spark.stop()
   }

@@ -30,6 +30,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     columns `(stream, bytes)`: aggregate log volume per series — the
   *     capacity census ("which streams are big?"), answered from the
   *     INDEX server-side, so sizing a month of logs never reads a chunk
+  *   - `loki.meta.patterns`      → `GET /loki/api/v1/patterns`
+  *     columns `(pattern, ts_s, cnt)`: real Loki's server-side
+  *     Drain-style pattern census per `step_ns` bucket (unset → one
+  *     bucket over the window) — the pattern store answers without
+  *     streaming chunks; selector REQUIRED like the volume family
+  *   - `loki.meta.deletes`       → `GET /loki/api/v1/delete`
+  *     columns `(request_id, query, start_s, end_s, status)`: the
+  *     compactor delete-request audit listing (the read side of
+  *     [[graft.plans.LokiDeleteRule]]'s DML path); no window/selector
+  *     params — the endpoint lists everything
   *   - `loki.meta.volume_range`  → `GET /loki/api/v1/index/volume_range`
   *     columns `(stream, ts_s, bytes)`: the step-bucketed form (volume
   *     per series per `step_ns` bucket) — the capacity TREND. `ts_s` is
