@@ -1223,6 +1223,32 @@ object ConnectorOps {
           |GROUP BY 1
           |ORDER BY bucket_us""".stripMargin)),
 
+    // The UNBUCKETED grouped form: counts per stream label over the
+    // window with NO time bucket — pushed as one evaluation whose range
+    // is the whole window (`sum by (event_type) (count_over_time({...}
+    // [<width>s]))`), the "per-level totals last month" dashboard query.
+    ("loki_metric_by_label",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("sum by (event_type) (count_over_time("),
+          s"label-grouped count did not push as a metric query: $plan")
+        df.orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, count(*) AS cnt
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1
+          |ORDER BY event_type""".stripMargin)),
+
     // The grouped form: day buckets × stream label + a line-filter stage,
     // pushed as `sum by (event_type) (count_over_time({...} |= `value=1`
     // [86400s]))` — grouping, bucketing, selector AND line filtering all

@@ -38,9 +38,12 @@ import graft.sources.loki.{LogQL, LokiMetricTable, LokiTable}
   * The rewrite fires ONLY when it is provably exact (the `push_count`
   * guard discipline); anything else falls back to the scan untouched:
   *
-  *   - grouping = exactly one `date_trunc` on the relation's timestamp
+  *   - grouping = at most one `date_trunc` on the relation's timestamp
   *     (minute/hour/day, UTC — coarser units aren't fixed-width
-  *     epoch-aligned) plus zero or more `labels['k']` accesses;
+  *     epoch-aligned) plus zero or more `labels['k']` accesses; with NO
+  *     date_trunc the whole window is the single bucket (step = width —
+  *     "counts per label over the window", the other query real Loki
+  *     dashboards live on);
   *   - aggregates = non-distinct, unfiltered `COUNT(*)`/`COUNT(lit)`
   *     and/or the grouping expressions re-emitted;
   *   - the WHERE conjuncts must ALL translate (label matcher / line
@@ -159,20 +162,24 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     }
     if (!table.options.pushMetric) return None
 
-    // ---- grouping: one date_trunc + any number of label accesses ----
+    // ---- grouping: at most one date_trunc + any number of label
+    // accesses. No date_trunc at all is the UNBUCKETED form — "counts
+    // per label over the window" — answered by one evaluation with
+    // step = window width. ----
     val groups = agg.groupingExpressions
       .map(g => resolve(stripAlias(g), aliases))
     val truncs = groups.flatMap(g => truncStep(g, rel).map(g -> _))
-    if (truncs.size != 1) return None
-    val (truncExpr, stepNs) = truncs.head
-    val labelGroups = groups.filterNot(_.semanticEquals(truncExpr)).map { g =>
-      LogQL.labelKey(g) match {
-        case Some(k)
-            if g.references.forall(a => rel.output.exists(_.exprId == a.exprId)) =>
-          (g, k)
-        case _ => return None
+    if (truncs.size > 1) return None
+    val truncExpr: Option[Expression] = truncs.headOption.map(_._1)
+    val labelGroups = groups
+      .filterNot(g => truncExpr.exists(g.semanticEquals)).map { g =>
+        LogQL.labelKey(g) match {
+          case Some(k)
+              if g.references.forall(a => rel.output.exists(_.exprId == a.exprId)) =>
+            (g, k)
+          case _ => return None
+        }
       }
-    }
     if (labelGroups.map(_._2).distinct.size != labelGroups.size) return None
 
     // ---- filters: every conjunct must translate, bounds exactly once ----
@@ -201,8 +208,20 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
       case (List(s), List(e)) => (s, e)
       case _ => return None
     }
-    if (startNs % stepNs != 0 || endNs % stepNs != 0 || endNs <= startNs)
-      return None
+    if (endNs <= startNs) return None
+    val stepNs = truncs.headOption match {
+      case Some((_, step)) =>
+        // bucketed: the window must sit on the bucket grid (the
+        // sample→bucket reconstruction contract)
+        if (startNs % step != 0 || endNs % step != 0) return None
+        step
+      case None =>
+        // unbucketed: one evaluation over the whole window — the width
+        // is the range duration, which speaks whole seconds
+        if (startNs % 1000000000L != 0 || endNs % 1000000000L != 0)
+          return None
+        endNs - startNs
+    }
     // conds were collected top-down and prepended; restore plan order
     matchers = matchers.reverse
     lines = lines.reverse
@@ -215,7 +234,7 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     val mapping: Seq[(NamedExpression, Col)] = agg.aggregateExpressions.map { ne =>
       val e = resolve(stripAlias(ne), aliases)
       if (isCountStar(e)) (ne, CntCol)
-      else if (e.semanticEquals(truncExpr)) (ne, BucketCol)
+      else if (truncExpr.exists(e.semanticEquals)) (ne, BucketCol)
       else labelGroups.indexWhere(_._1.semanticEquals(e)) match {
         case -1 => return None
         case i => (ne, LabelCol(i))
@@ -253,7 +272,8 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
 
     // ---- swap in the metric relation, preserving output attributes ----
     val metricTable = LokiMetricTable(
-      table.options, metricQuery, groupLabels, stepNs, startNs, endNs)
+      table.options, metricQuery, groupLabels, stepNs, startNs, endNs,
+      bucketed = truncExpr.isDefined)
     val newRel = DataSourceV2Relation.create(metricTable, None, None)
     val bucketAttr = newRel.output.head
     val cntAttr = newRel.output.last

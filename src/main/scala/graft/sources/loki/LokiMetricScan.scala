@@ -55,13 +55,26 @@ case class LokiMetricTable(
     groupLabels: Seq[String],
     stepNs: Long,
     startNs: Long,
-    endNs: Long)
+    endNs: Long,
+    /** false = the UNBUCKETED grouped count (`GROUP BY labels['k']` with
+      * no date_trunc): one evaluation covering the whole window
+      * (step = width), so the window need only be whole-SECOND aligned,
+      * not width-aligned — the bucket column decodes to the window start
+      * and the rewrite's Project simply never references it.
+      */
+    bucketed: Boolean = true)
   extends Table with SupportsRead {
 
   require(stepNs > 0 && stepNs % 1000000000L == 0,
     s"metric step must be a positive whole-second multiple of ns: $stepNs")
-  require(startNs % stepNs == 0 && endNs % stepNs == 0 && endNs > startNs,
-    s"metric window [$startNs, $endNs) must be non-empty and step-aligned")
+  require(endNs > startNs, s"metric window [$startNs, $endNs) is empty")
+  if (bucketed)
+    require(startNs % stepNs == 0 && endNs % stepNs == 0,
+      s"metric window [$startNs, $endNs) must be step-aligned")
+  else
+    require(stepNs == endNs - startNs && startNs % 1000000000L == 0,
+      s"unbucketed metric window [$startNs, $endNs) must be whole-second " +
+        "aligned with step = width")
 
   override def name(): String = s"loki.metric(${options.endpoint})"
 

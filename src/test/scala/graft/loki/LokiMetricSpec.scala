@@ -141,6 +141,23 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(got == exp)
   }
 
+  test("unbucketed grouped count pushes with step = window width") {
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "env").as("env"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("env")
+    val plan = planOf(df)
+    assert(plan.contains(
+      "metric_query=sum by (env) (count_over_time({app=~\".+\"} [259200s]))"),
+      plan)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exp = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(element_at(col("labels"), "env").as("env"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("env").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exp && got.nonEmpty, s"got=$got exp=$exp")
+  }
+
   test("fallbacks: every shape outside the exactness contract scans") {
     def noRewrite(df: DataFrame): Unit = {
       val plan = planOf(df)
