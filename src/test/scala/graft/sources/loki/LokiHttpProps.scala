@@ -136,6 +136,96 @@ object LokiHttpProps extends Properties("LokiHttpCodec") {
               """{"metric":{"a":"b"},"value":[1,"2.5"]}]}}"""))
     }
 
+  // -------------------------------------------------- patterns decoder
+
+  private val patternGen: Gen[(String, List[(Long, Long)])] =
+    Gen.zip(
+      hard,
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.chooseNum(0L, 4102444800L),
+        Gen.chooseNum(0L, 1L << 40))).map(_.take(5)))
+
+  private def encPattern(p: String, samples: List[(Long, Long)]): String = {
+    val vs = samples.map { case (t, c) => s"[$t,$c]" }.mkString(",")
+    s"""{"pattern":${enc(p)},"samples":[$vs]}"""
+  }
+
+  property("parsePatternSamples inverts encoding for any pattern bytes") =
+    Prop.forAll(Gen.listOf(patternGen).map(_.take(4))) { pats =>
+      val body = s"""{"status":"success","data":[${
+        pats.map { case (p, ss) => encPattern(p, ss) }.mkString(",")}]}"""
+      LokiHttp.parsePatternSamples(body) == pats
+    }
+
+  property("truncated / malformed pattern bodies fail loudly") =
+    Prop.forAll(patternGen) { case (p, ss) =>
+      val whole = s"""{"status":"success","data":[${encPattern(p, ss)}]}"""
+      diesWith("truncated")(
+        LokiHttp.parsePatternSamples(whole.dropRight(3))) &&
+        diesWith("has no data field")(
+          LokiHttp.parsePatternSamples("""{"status":"success"}""")) &&
+        diesWith("element has no samples")(
+          LokiHttp.parsePatternSamples(
+            s"""{"status":"success","data":[{"pattern":${enc(p)}}]}""")) &&
+        diesWith("element has no pattern")(
+          LokiHttp.parsePatternSamples(
+            """{"status":"success","data":[{"samples":[[1,2]]}]}""")) &&
+        // a quoted count (the Prometheus sample shape) is NOT this
+        // endpoint's dialect — bare numerics only; a silent accept would
+        // paper over a shape confusion between the two decoders
+        diesWith("has a malformed sample")(
+          LokiHttp.parsePatternSamples(
+            """{"status":"success","data":[""" +
+              """{"pattern":"x","samples":[[1,"2"]]}]}"""))
+    }
+
+  // ---------------------------------------------- delete-listing decoder
+
+  private val deleteGen: Gen[(String, String, Long, Long, String)] =
+    for {
+      id <- Gen.identifier.map(_.take(6))
+      q <- hard
+      s <- Gen.chooseNum(0L, 4102444800L)
+      e <- Gen.chooseNum(0L, 4102444800L)
+      st <- Gen.oneOf("received", "processed")
+    } yield (id, q, s, e, st)
+
+  private def encDelete(d: (String, String, Long, Long, String)): String =
+    s"""{"request_id":${enc(d._1)},"start_time":${d._3},""" +
+      s""""end_time":${d._4},"query":${enc(d._2)},"status":${enc(d._5)},""" +
+      s""""created_at":0}"""
+
+  /** The delete-listing parse logic lives inside [[LokiHttp.deleteRequests]]
+    * (body acquisition and decode are one method), so the round trip runs
+    * through ONE shared loopback server whose body the property swaps per
+    * sample — encode with the independent encoder, serve, decode.
+    */
+  private lazy val deleteEcho: (java.util.concurrent.atomic.AtomicReference[String], String) = {
+    val bodyRef = new java.util.concurrent.atomic.AtomicReference[String]("[]")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/loki/api/v1/delete",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = bodyRef.get().getBytes("UTF-8")
+        ex.sendResponseHeaders(200, if (b.isEmpty) -1 else b.length.toLong)
+        if (b.nonEmpty) ex.getResponseBody.write(b)
+        ex.close()
+      })
+    val t = new Thread(() => server.start())
+    t.setDaemon(true)
+    t.start()
+    t.join()
+    (bodyRef, s"http://127.0.0.1:${server.getAddress.getPort}")
+  }
+
+  property("deleteRequests decoder inverts encoding for any query bytes") =
+    Prop.forAll(Gen.listOf(deleteGen).map(_.take(4))) { dels =>
+      val (bodyRef, endpoint) = deleteEcho
+      bodyRef.set(dels.map(encDelete).mkString("[", ",", "]"))
+      val got = LokiHttp.deleteRequests(endpoint)
+      Prop(got == dels) :| s"got=$got want=$dels"
+    }
+
   property("truncated / malformed metadata bodies fail loudly") =
     Prop.forAll(hard) { v =>
       val whole = s"""{"status":"success","data":[${enc(v)}]}"""
