@@ -1202,17 +1202,22 @@ object ConnectorOps {
     // itself is LokiMetricSpec's job).
     ("loki_metric_count_over_time",
       (s: SparkSession, d: String) => {
+        // the plan pin runs on the FINAL returned relation — the outer
+        // unix_micros projection collapses into the aggregate list, and
+        // a pin on a pre-projection probe once certified a rewrite the
+        // returned plan wasn't actually using (the PLANS.md catch)
         val df = lokiDf(s, d)
           .filter(
             col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
               col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
           .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
           .agg(count(lit(1)).as("cnt"))
+          .select(unix_micros(col("bucket")).as("bucket_us"), col("cnt"))
+          .orderBy("bucket_us")
         require(
           df.queryExecution.executedPlan.toString.contains("LokiMetricScan"),
           "day-bucketed count did not push as a LogQL metric query")
-        df.select(unix_micros(col("bucket")).as("bucket_us"), col("cnt"))
-          .orderBy("bucket_us")
+        df
       },
       Some(
         """SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
@@ -1235,11 +1240,12 @@ object ConnectorOps {
               col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
           .groupBy(element_at(col("labels"), "event_type").as("event_type"))
           .agg(count(lit(1)).as("cnt"))
+          .orderBy("event_type")
         val plan = df.queryExecution.executedPlan.toString
         require(plan.contains("LokiMetricScan") &&
           plan.contains("sum by (event_type) (count_over_time("),
           s"label-grouped count did not push as a metric query: $plan")
-        df.orderBy("event_type")
+        df
       },
       Some(
         """SELECT event_type, count(*) AS cnt
@@ -1264,13 +1270,14 @@ object ConnectorOps {
             date_trunc("day", col("timestamp")).as("bucket"),
             element_at(col("labels"), "event_type").as("event_type"))
           .agg(count(lit(1)).as("cnt"))
+          .select(unix_micros(col("bucket")).as("bucket_us"),
+            col("event_type"), col("cnt"))
+          .orderBy("bucket_us", "event_type")
         val plan = df.queryExecution.executedPlan.toString
         require(plan.contains("LokiMetricScan") &&
           plan.contains("sum by (event_type) (count_over_time("),
           s"grouped count did not push as a sum by metric query: $plan")
-        df.select(unix_micros(col("bucket")).as("bucket_us"),
-            col("event_type"), col("cnt"))
-          .orderBy("bucket_us", "event_type")
+        df
       },
       Some(
         """SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,

@@ -226,20 +226,17 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     matchers = matchers.reverse
     lines = lines.reverse
 
-    // ---- aggregate list: count and/or re-emitted grouping exprs ----
-    sealed trait Col
-    case object BucketCol extends Col
-    case class LabelCol(i: Int) extends Col
-    case object CntCol extends Col
-    val mapping: Seq[(NamedExpression, Col)] = agg.aggregateExpressions.map { ne =>
-      val e = resolve(stripAlias(ne), aliases)
-      if (isCountStar(e)) (ne, CntCol)
-      else if (truncExpr.exists(e.semanticEquals)) (ne, BucketCol)
-      else labelGroups.indexWhere(_._1.semanticEquals(e)) match {
-        case -1 => return None
-        case i => (ne, LabelCol(i))
-      }
-    }
+    // ---- aggregate list: every output must be an expression OVER the
+    // grouping exprs and count(*) — not merely one of them verbatim.
+    // CollapseProject routinely folds a consumer's projection INTO the
+    // aggregate list (`unix_micros(date_trunc(…)) AS bucket_us`), and
+    // the first cut of this rule bailed on exactly that shape — the
+    // EXPLAIN-pinned gate probe rewrote while the returned (projected)
+    // plan silently fell back to the scan (caught by the PLANS.md dump).
+    // The structural mapping below substitutes the new relation's
+    // attributes for each grouping/count subexpression and accepts iff
+    // nothing of the old relation remains. The substitution runs after
+    // the relation is built, so build it first (see below). ----
 
     // ---- render the metric LogQL (the LokiScan.build assembly rules:
     // selector-option pieces re-render escaped, optimizer-derived pieces
@@ -278,13 +275,22 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     val bucketAttr = newRel.output.head
     val cntAttr = newRel.output.last
     val labelAttrs = newRel.output.slice(1, 1 + groupLabels.size)
-    val projections = mapping.map { case (ne, col) =>
-      val src = col match {
-        case BucketCol => bucketAttr
-        case LabelCol(i) => labelAttrs(i)
-        case CntCol => cntAttr
+    def labelIdx(e: Expression): Int =
+      labelGroups.indexWhere(_._1.semanticEquals(e))
+    val projections = agg.aggregateExpressions.map { ne =>
+      val e = resolve(stripAlias(ne), aliases)
+      var ok = true
+      val rewritten = e.transformDown {
+        case ae: AggregateExpression =>
+          if (isCountStar(ae)) cntAttr else { ok = false; ae }
+        case sub if truncExpr.exists(sub.semanticEquals) => bucketAttr
+        case sub if labelIdx(sub) >= 0 => labelAttrs(labelIdx(sub))
       }
-      Alias(src, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+      // anything still referencing the log relation (another column, a
+      // different aggregate) is outside the pushable shape
+      if (!ok || rewritten.references
+          .exists(a => rel.output.exists(_.exprId == a.exprId))) return None
+      Alias(rewritten, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
     }
     Some(Project(projections, newRel))
   }

@@ -158,6 +158,56 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(got == exp && got.nonEmpty, s"got=$got exp=$exp")
   }
 
+  test("projections over the group columns collapse INTO the rewrite") {
+    // CollapseProject folds a consumer's projection into the aggregate
+    // list — unix_micros(date_trunc(…)) AS bucket_us — and the rewrite
+    // must still fire, mapping the expression onto the metric relation's
+    // bucket attribute (the PLANS.md regression: the pre-projection
+    // probe rewrote while the projected plan silently scanned)
+    val df = windowed(lokiDf())
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("bucket")).as("bucket_us"),
+        (col("cnt") * 2).as("cnt2"))
+      .orderBy("bucket_us")
+    val plan = planOf(df)
+    assert(plan.contains("LokiMetricScan"), plan)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("bucket")).as("bucket_us"),
+        (col("cnt") * 2).as("cnt2"))
+      .orderBy("bucket_us").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("SQL surface through the catalog rewrites identically") {
+    spark.conf.set("spark.sql.catalog.metcat", "graft.sources.loki.LokiCatalog")
+    spark.conf.set("spark.sql.catalog.metcat.endpoint", stub.endpoint)
+    spark.conf.set("spark.sql.catalog.metcat.default_label", "app")
+    val df = spark.sql(
+      """SELECT date_trunc('day', timestamp) AS bucket,
+        |       labels['app'] AS app, count(*) AS cnt
+        |FROM metcat.default.loki
+        |WHERE timestamp >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND timestamp < TIMESTAMP '2024-01-04 00:00:00'
+        |GROUP BY 1, 2 ORDER BY bucket, app""".stripMargin)
+    val plan = planOf(df)
+    assert(plan.contains("LokiMetricScan") &&
+      plan.contains("sum by (app) (count_over_time("), plan)
+    val got = df.collect().map(r =>
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSeq
+    val exp = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(
+        date_trunc("day", col("timestamp")).as("bucket"),
+        element_at(col("labels"), "app").as("app"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket", "app").collect().map(r =>
+        (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSeq
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("fallbacks: every shape outside the exactness contract scans") {
     def noRewrite(df: DataFrame): Unit = {
       val plan = planOf(df)
