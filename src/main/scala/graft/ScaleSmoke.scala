@@ -643,6 +643,31 @@ object ScaleSmoke {
             s"want ($n, ${n.toLong * (n - 1) / 2})")
         println(s"[scale] connector 1m sliced×paged×columnar OK (rows=$cnt)")
 
+        // Metric-pushdown leg (round 14): the SAME million-row corpus
+        // aggregated by minute bucket through the LokiMetricAggRule
+        // rewrite — the server evaluates count_over_time and ships 5
+        // samples instead of 1M rows. Closed form: 4 rows/ms × 60 s =
+        // 240k per full minute bucket, 40k in the final partial one.
+        val metricDf = spark.read.format("loki")
+          .option("endpoint", stub.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-01-01 00:05:00").cast("timestamp"))
+          .groupBy(date_trunc("minute", col("timestamp")).as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("bucket")
+        assert(metricDf.queryExecution.executedPlan.toString
+          .contains("LokiMetricScan"),
+          "1m metric aggregate must push as a metric query")
+        val buckets = timed("connector_1m_metric") {
+          metricDf.collect().map(r => r.getLong(1)).toSeq
+        }
+        assert(buckets == Seq(240000L, 240000L, 240000L, 240000L, 40000L),
+          s"metric bucket counts: $buckets")
+        println(s"[scale] connector 1m metric pushdown OK (buckets=$buckets)")
+
         // Streaming-tail leg (round 13): the SAME million-row corpus
         // drained through the micro-batch reader — admission-controlled
         // (max_rows_per_batch=200k → ~5 stats-bisected windows), each
