@@ -1255,6 +1255,39 @@ object ConnectorOps {
           |GROUP BY 1
           |ORDER BY event_type""".stripMargin)),
 
+    // bytes_over_time (round 14): the ingest-capacity aggregate —
+    // `sum(octet_length(line))` per stream label pushes as ONE
+    // `sum by (event_type) (bytes_over_time({...}[width]))` request.
+    // Unlike loki_label_volume (index/volume: approximate on
+    // un-compacted heads, top-N-truncated), this is the EXACT chunk-side
+    // census; octet_length is the translation contract (Loki sums line
+    // BYTES — a character-counting length() keeps the host aggregation).
+    ("loki_metric_bytes_by_label",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(sum(octet_length(col("line"))).as("bytes"))
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("sum by (event_type) (bytes_over_time("),
+          s"byte census did not push as bytes_over_time: $plan")
+        df
+      },
+      Some(
+        """SELECT event_type,
+          |       CAST(sum(strlen(concat(event_type, ' value=',
+          |                              CAST(value AS VARCHAR)))) AS BIGINT)
+          |         AS bytes
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1
+          |ORDER BY event_type""".stripMargin)),
+
     // The grouped form: day buckets × stream label + a line-filter stage,
     // pushed as `sum by (event_type) (count_over_time({...} |= `value=1`
     // [86400s]))` — grouping, bucketing, selector AND line filtering all

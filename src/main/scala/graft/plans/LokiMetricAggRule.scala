@@ -137,18 +137,35 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Non-distinct, unfiltered COUNT over a non-null literal (what
-    * `count(*)` analyzes to) — the one aggregate function the metric
-    * query computes.
+  /** The two range aggregations the rewrite speaks.
+    *
+    *   - `count(*)` / `count(lit)` → `count_over_time` (entries);
+    *   - `sum(octet_length(line))` → `bytes_over_time` — the
+    *     ingest-capacity query ("bytes per app per day"); Loki counts an
+    *     entry's line size in UTF-8 BYTES, which is exactly what
+    *     `octet_length` measures (a `length(line)` in CHARACTERS does
+    *     NOT translate and keeps the host aggregation).
+    *
+    * Both must be non-distinct and unfiltered. A query mixing the two
+    * kinds cannot ride ONE wire query, so the rewrite requires every
+    * aggregate in the list to resolve to the same kind (checked by the
+    * caller).
     */
-  private def isCountStar(e: Expression): Boolean = e match {
-    case AggregateExpression(Count(children), _, false, None, _) =>
-      children.forall {
-        case Literal(v, _) => v != null
-        case _ => false
-      }
-    case _ => false
-  }
+  private def rangeAggKind(e: Expression, rel: DataSourceV2Relation): Option[String] =
+    e match {
+      case AggregateExpression(Count(children), _, false, None, _)
+          if children.forall {
+            case Literal(v, _) => v != null
+            case _ => false
+          } => Some("count_over_time")
+      case AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+            org.apache.spark.sql.catalyst.expressions.OctetLength(l: Attribute), _),
+          _, false, None, _)
+          if l.name == "line" && rel.output.exists(_.exprId == l.exprId) =>
+        Some("bytes_over_time")
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
@@ -181,6 +198,26 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
         }
       }
     if (labelGroups.map(_._2).distinct.size != labelGroups.size) return None
+
+    // ---- aggregate kind: every aggregate function in the output list
+    // must resolve to ONE range aggregation (count_over_time or
+    // bytes_over_time) — a mix cannot ride one wire query ----
+    var kinds = Set.empty[String]
+    var badAgg = false
+    agg.aggregateExpressions.foreach { ne =>
+      resolve(stripAlias(ne), aliases).foreach {
+        case ae: AggregateExpression =>
+          rangeAggKind(ae, rel) match {
+            case Some(k) => kinds += k
+            case None => badAgg = true
+          }
+        case _ =>
+      }
+    }
+    if (badAgg || kinds.size > 1) return None
+    // no aggregate at all (pure DISTINCT over groupings): any kind's
+    // nonzero samples enumerate exactly the non-empty groups
+    val aggFn = kinds.headOption.getOrElse("count_over_time")
 
     // ---- filters: every conjunct must translate, bounds exactly once ----
     var starts = List.empty[Long]
@@ -264,8 +301,8 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     val groupLabels = labelGroups.map(_._2)
     val range = s"$inner [${stepNs / NsPerS}s]"
     val metricQuery =
-      if (groupLabels.isEmpty) s"sum(count_over_time($range))"
-      else s"sum by (${groupLabels.mkString(",")}) (count_over_time($range))"
+      if (groupLabels.isEmpty) s"sum($aggFn($range))"
+      else s"sum by (${groupLabels.mkString(",")}) ($aggFn($range))"
 
     // ---- swap in the metric relation, preserving output attributes ----
     val metricTable = LokiMetricTable(
@@ -282,7 +319,9 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
       var ok = true
       val rewritten = e.transformDown {
         case ae: AggregateExpression =>
-          if (isCountStar(ae)) cntAttr else { ok = false; ae }
+          // kind pre-validated above: every aggregate resolves to aggFn
+          if (rangeAggKind(ae, rel).isDefined) cntAttr
+          else { ok = false; ae }
         case sub if truncExpr.exists(sub.semanticEquals) => bucketAttr
         case sub if labelIdx(sub) >= 0 => labelAttrs(labelIdx(sub))
       }

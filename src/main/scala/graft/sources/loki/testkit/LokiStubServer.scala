@@ -417,7 +417,8 @@ final class LokiStubServer {
     * filter's backtick pattern from being mistaken for the range.
     */
   private val metricQueryRe = java.util.regex.Pattern.compile(
-    "^sum(?: by \\(([^)]*)\\) )?\\(count_over_time\\((.*) \\[(\\d+)s\\]\\)\\)$",
+    "^sum(?: by \\(([^)]*)\\) )?" +
+      "\\((count_over_time|bytes_over_time)\\((.*) \\[(\\d+)s\\]\\)\\)$",
     java.util.regex.Pattern.DOTALL)
 
   /** First index in the ts-sorted snapshot with tsNs > t. */
@@ -449,8 +450,15 @@ final class LokiStubServer {
     require(m.matches(), s"not a metric query: $q")
     val byLabels = Option(m.group(1)).toSeq
       .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
-    val inner = m.group(2)
-    val rangeNs = m.group(3).toLong * 1000000000L
+    // per-entry weight: count_over_time counts entries; bytes_over_time
+    // sums line sizes in UTF-8 BYTES (real Loki measures the entry's
+    // line bytes — the capacity metric)
+    val weight: LogRow => Long = m.group(2) match {
+      case "bytes_over_time" => r => r.line.getBytes(UTF_8).length.toLong
+      case _ => _ => 1L
+    }
+    val inner = m.group(3)
+    val rangeNs = m.group(4).toLong * 1000000000L
     val stepNs = stepParam match {
       case Some(s) =>
         try parseStepNs(s) catch {
@@ -491,7 +499,7 @@ final class LokiStubServer {
             lineFilters.forall(_.matches(r.line))) {
           val key = byLabels.flatMap(l =>
             r.labels.get(l).filter(_.nonEmpty).map(l -> _))
-          counts(key) = counts.getOrElse(key, 0L) + 1
+          counts(key) = counts.getOrElse(key, 0L) + weight(r)
         }
         i += 1
       }

@@ -158,6 +158,33 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(got == exp && got.nonEmpty, s"got=$got exp=$exp")
   }
 
+  test("sum(octet_length(line)) pushes as bytes_over_time") {
+    val df = windowed(lokiDf())
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(sum(octet_length(col("line"))).as("bytes"))
+      .orderBy("bucket")
+    val plan = planOf(df)
+    assert(plan.contains(
+      "metric_query=sum(bytes_over_time({app=~\".+\"} [86400s]))"), plan)
+    val got = df.collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+    val exp = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(sum(octet_length(col("line"))).as("bytes"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // mixed kinds cannot ride one wire query — fallback
+    assert(!planOf(windowed(lokiDf())
+      .groupBy(date_trunc("day", col("timestamp")))
+      .agg(count(lit(1)), sum(octet_length(col("line")))))
+      .contains("LokiMetricScan"))
+    // length() measures CHARACTERS, not the bytes Loki sums — fallback
+    assert(!planOf(windowed(lokiDf())
+      .groupBy(date_trunc("day", col("timestamp")))
+      .agg(sum(length(col("line")))))
+      .contains("LokiMetricScan"))
+  }
+
   test("projections over the group columns collapse INTO the rewrite") {
     // CollapseProject folds a consumer's projection into the aggregate
     // list — unix_micros(date_trunc(…)) AS bucket_us — and the rewrite
