@@ -903,6 +903,11 @@ final class LokiStubServer {
     *     Loki once the grace period has passed.
     */
   private def handleDelete(ex: HttpExchange): Unit = {
+    // same injection family as the other metadata endpoints: the client's
+    // deleteRequest POST is retried by withRetry exactly like the
+    // idempotent GETs — a retried filing collapses into the SAME request
+    // server-side (the dedup above), which is what makes the retry safe
+    if (injectFailure(ex, failNextMeta)) return
     ex.getRequestMethod match {
       case "POST" =>
         val params = qparams(ex)

@@ -307,6 +307,29 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       val vols = graft.sources.loki.LokiHttp.indexVolume(
         rStub.endpoint, """{app="r"}""", base, base + 90L * 1000000000L)
       assert(vols.map(_._2).sum > 0L, s"volume after retry: $vols")
+      // round-14 endpoints ride the same retry families: metric queries
+      // share the query_range injection point, patterns/delete the
+      // metadata one. A retried delete filing collapses into the SAME
+      // server-side request (stub dedup) — at-least-once made exact.
+      rStub.failNextQueries.set(2)
+      val metric = graft.sources.loki.LokiHttp.queryRangeMetric(
+        rStub.endpoint, """sum(count_over_time({app="r"} [90s]))""",
+        base + 90L * 1000000000L - 1, base + 90L * 1000000000L - 1,
+        90L * 1000000000L)
+      assert(metric.map(_._2.map(_._2).sum).sum == 90L,
+        s"metric after retry: $metric")
+      rStub.failNextMeta.set(2)
+      val pats = graft.sources.loki.LokiHttp.patterns(
+        rStub.endpoint, """{app="r"}""", base, base + 90L * 1000000000L)
+      assert(pats.nonEmpty, "patterns after retry must answer")
+      rStub.failNextMeta.set(2)
+      graft.sources.loki.LokiHttp.deleteRequest(
+        rStub.endpoint, """{app="r"} |= `rt-89`""",
+        Some(base / 1000000000L), Some(base / 1000000000L + 90L))
+      assert(rStub.deleteReqs.synchronized(rStub.deleteReqs.size) == 1,
+        "retried delete must file exactly once")
+      assert(!rStub.ingested.exists(_.line == "rt-89"),
+        "the deleted row must be gone after the retried filing")
       // exhaustion (more failures than attempts) still fails loudly
       rStub.failNextQueries.set(10)
       val e = intercept[Exception] { scan(Map.empty).count() }
