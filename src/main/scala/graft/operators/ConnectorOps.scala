@@ -1205,8 +1205,15 @@ object ConnectorOps {
         // the plan pin runs on the FINAL returned relation — the outer
         // unix_micros projection collapses into the aggregate list, and
         // a pin on a pre-projection probe once certified a rewrite the
-        // returned plan wasn't actually using (the PLANS.md catch)
-        val df = lokiDf(s, d)
+        // returned plan wasn't actually using (the PLANS.md catch).
+        // partitions=4: the metric window slices into whole-bucket runs
+        // (disjoint-range-composable like the log scan), so the oracle
+        // also certifies the sliced union
+        val df = s.read.format("loki")
+          .option("endpoint", stubFor(s, d).endpoint)
+          .option("default_label", "event_type")
+          .option("partitions", "4")
+          .load()
           .filter(
             col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
               col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))

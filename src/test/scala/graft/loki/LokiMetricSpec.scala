@@ -235,6 +235,24 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("selector-option matchers and stages compose into the metric query") {
+    val df = windowed(lokiDf(
+      Map("selector" -> """{env="dev"} |= "ok"""")))
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+    val plan = planOf(df)
+    assert(plan.contains(
+      "count_over_time({env=\"dev\"} |= `ok` [86400s])"), plan)
+    val got = df.collect().map(r => r.getLong(1)).toSeq
+    val exp = windowed(lokiDf(
+      Map("selector" -> """{env="dev"} |= "ok"""", "push_metric" -> "false")))
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket").collect().map(r => r.getLong(1)).toSeq
+    assert(got == exp && got.nonEmpty, s"got=$got exp=$exp")
+  }
+
   test("fallbacks: every shape outside the exactness contract scans") {
     def noRewrite(df: DataFrame): Unit = {
       val plan = planOf(df)
