@@ -1087,6 +1087,90 @@ object DedupOps {
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
 
+    // Contrastive negative sampling (round 14) — the hard-negative step
+    // of contrastive embedding training: each anchor document draws 3
+    // deterministic pseudo-random negatives, EXCLUDING its own near-dup
+    // cluster (a near-duplicate sampled as a "negative" is label noise —
+    // the leakage guard cluster_safe_split applies to splits, applied to
+    // pairs). Offsets come from a cross-engine integer hash — the first
+    // 8 hex chars of md5(doc_id:j) parsed base-16 (Spark conv ≡ DuckDB
+    // '0x' cast) — so the draw is content-independent, reproducible, and
+    // oracle-replayable; 5 candidates over-sample the 3 kept so cluster
+    // exclusions and duplicate draws backfill deterministically. All
+    // scan-local arithmetic (ids are contiguous, so (a + 1 + h mod (N−1))
+    // mod N never lands on the anchor); the cluster relation is
+    // pairs-sized and broadcasts; the per-anchor keep-3 rides
+    // TopKPerKeyExec's bounded heaps, never a global sort.
+    ("documents_contrastive_negatives",
+      (s: SparkSession, d: String) => {
+        val docs = documents(s, d)
+        val comps = connectedComponents(
+          jaccardPairsPrefix(shingled(s, d).cache(), 0.5).select("a_id", "b_id"))
+        val nDf = docs.agg((max("doc_id") + 1).as("n"))
+        val cands = docs.select(col("doc_id"))
+          .crossJoin(broadcast(nDf))
+          .select(col("doc_id"), posexplode(array((1 to 5).map { j =>
+            (col("doc_id") + lit(1L) +
+              pmod(conv(substring(
+                md5(concat(col("doc_id").cast("string"), lit(s":$j"))),
+                1, 8), 16, 10).cast("long"),
+                greatest(col("n") - 1, lit(1L)))) % col("n")
+          }: _*)))
+          .toDF("doc_id", "pos", "neg_id")
+          // a later draw can repeat an earlier candidate: keep each
+          // distinct negative once, at its earliest position
+          .groupBy("doc_id", "neg_id").agg(min("pos").as("pos"))
+        val cl = TextOps.broadcastIfSmall(comps)
+        val ranked = cands
+          .join(cl.select(col("doc_id").as("a"), col("rep").as("rep_a")),
+            col("doc_id") === col("a"), "left")
+          .join(cl.select(col("doc_id").as("b"), col("rep").as("rep_b")),
+            col("neg_id") === col("b"), "left")
+          .filter(coalesce(col("rep_a"), col("doc_id")) =!=
+            coalesce(col("rep_b"), col("neg_id")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos", "neg_id")))
+          .filter(col("rank") <= 3)
+        ranked
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("neg_id"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(
+        """WITH RECURSIVE p AS (
+          |  SELECT a_id, b_id FROM (""".stripMargin + "\n" + jaccardOracle + "\n" +
+        """  )
+          |), e AS (
+          |  SELECT a_id AS s, b_id AS d FROM p
+          |  UNION SELECT b_id, a_id FROM p
+          |), r(s, d) AS (
+          |  SELECT s, d FROM e
+          |  UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+          |), comp AS (
+          |  SELECT s AS doc_id, least(s, min(d)) AS rep FROM r GROUP BY s
+          |), nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+          |cand AS (
+          |  SELECT d.doc_id, min(t.j) AS pos,
+          |         (d.doc_id + 1 +
+          |          CAST(('0x' || substr(md5(d.doc_id || ':' || t.j), 1, 8))
+          |               AS BIGINT) % greatest(nn.n - 1, 1)) % nn.n AS neg_id
+          |  FROM documents d, nn, UNNEST(range(1, 6)) t(j)
+          |  GROUP BY d.doc_id,
+          |           (d.doc_id + 1 +
+          |            CAST(('0x' || substr(md5(d.doc_id || ':' || t.j), 1, 8))
+          |                 AS BIGINT) % greatest(nn.n - 1, 1)) % nn.n
+          |), q AS (
+          |  SELECT c.doc_id, c.pos, c.neg_id,
+          |         row_number() OVER (PARTITION BY c.doc_id
+          |           ORDER BY c.pos, c.neg_id) AS rank
+          |  FROM cand c
+          |  LEFT JOIN comp ca ON ca.doc_id = c.doc_id
+          |  LEFT JOIN comp cb ON cb.doc_id = c.neg_id
+          |  WHERE coalesce(ca.rep, c.doc_id) != coalesce(cb.rep, c.neg_id)
+          |)
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, neg_id
+          |FROM q WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // Keep-BEST cluster dedup — production near-dup pipelines keep the
     // highest-quality member of each duplicate cluster, not the lowest
     // id (the min-id rep is an arbitrary survivor; the longest document
