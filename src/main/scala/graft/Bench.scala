@@ -170,6 +170,16 @@ object Bench {
     // for BENCH_COMPARE tooling — deliberately NOT the driver-facing
     // metric name.
     println(s"""{"metric":"total_full","value":$total,"value_cold":$totalCold,"unit":"sec","floor_sec":$floor,"floor_shuffle_sec":$floor2,"passes":2,"agg":"min","queries":$qjson,"queries_cold":$qcold,"stages":$sjson,"stages_cold":$scold,"failures":$fjson,"sf":"$sfDir"}""")
+    // shutdown noise containment (round-14 verdict "what's wrong" #1):
+    // spark.stop() tears down scheduler/executor thread pools whose late
+    // tasks can print partial stack traces — the round-14 artifact
+    // carried a truncated FutureTask fragment in its tail. From here on
+    // nothing legitimate writes to stderr, so park it in a file and keep
+    // the artifact's stdout a clean one-JSON-line stream.
+    System.err.flush()
+    try System.setErr(new java.io.PrintStream(
+      new java.io.FileOutputStream("target/bench_shutdown_stderr.log"), true))
+    catch { case scala.util.control.NonFatal(_) => () }
     graft.operators.ConnectorOps.shutdownStubs()
     spark.stop()
 
@@ -204,7 +214,13 @@ object Bench {
           dir.resolve("oracle_sql.json"), oracleJson)
         val pb = new ProcessBuilder(
           "python3", "scripts/bench_duckdb.py", sfDir, dir.toString)
-        pb.redirectErrorStream(false)
+        // merge stderr into the drained stdout (round-15 advice): with
+        // redirectErrorStream(false) nothing read the child's stderr, so
+        // a traceback/progress burst past the ~64 KB pipe buffer would
+        // block the child's writes, eat the whole 8-minute cap, and
+        // silently drop duckdb_total. The regex scan below is untouched
+        // by interleaved stderr lines.
+        pb.redirectErrorStream(true)
         val p = pb.start()
         val outReader = new java.io.BufferedReader(
           new java.io.InputStreamReader(p.getInputStream))

@@ -757,7 +757,7 @@ object ConnectorOps {
         """SELECT '1' AS request_id,
           |       '{event_type="click"}' AS query,
           |       CAST(1704412800 AS BIGINT) AS start_s,
-          |       CAST(1705708800 AS BIGINT) AS end_s,
+          |       CAST(1705708799 AS BIGINT) AS end_s,
           |       'processed' AS status
           |ORDER BY request_id""".stripMargin)),
 

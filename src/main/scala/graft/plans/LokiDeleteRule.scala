@@ -29,10 +29,13 @@ import graft.sources.loki.{LogQL, LokiHttp, LokiOptions, LokiTable}
   *     least one other conjunct) the default fallback — the endpoint
   *     requires a selector, and a bare unconditional `DELETE FROM loki`
   *     is deliberately refused rather than expanded to "everything";
-  *   - timestamp bounds must be whole-second aligned: the delete API
-  *     speaks epoch seconds, and truncating a sub-second bound would
-  *     silently widen/narrow the deleted window. The window is
-  *     [start, end) like every scan bound here.
+  *   - timestamp bounds translate at full ns precision: the compactor's
+  *     delete window is INCLUSIVE on both ends (an entry is deleted when
+  *     start ≤ ts ≤ end), so the SQL-exclusive `ts < E` ships as the
+  *     RFC3339Nano `end = E − 1ns` — exact, where the earlier
+  *     epoch-second `end = E` over-deleted the entry timestamped exactly
+  *     E on a destructive, irreversible operation (round-15 advice).
+  *     Sub-second bounds are expressible in the nano dialect and push.
   *
   * The request is ASYNC on a real Loki (applied by the compactor after
   * the cancel grace period); the command returns when the request is
@@ -81,8 +84,9 @@ object LokiDeleteRule extends Rule[LogicalPlan] {
     // repeated bounds would engage the strict/parity tie-break — refuse
     // rather than encode it twice (the metric rule's rule)
     if (starts.size > 1 || ends.size > 1) return None
-    // whole-second alignment: the API speaks epoch seconds
-    if ((starts ++ ends).exists(_ % 1000000000L != 0)) return None
+    // an exclusive end at the saturated floor is an empty window (no ns
+    // timestamp precedes it) — refuse rather than wrap the −1ns below
+    if (ends.contains(Long.MinValue)) return None
     matchers = matchers.reverse
     lines = lines.reverse
     val esc = table.options.escapeLogql
@@ -97,29 +101,31 @@ object LokiDeleteRule extends Rule[LogicalPlan] {
       }
     val query = (matcherParts.mkString("{", ", ", "}") +:
       lines.map(_.render(esc))).mkString(" ")
+    // SQL window [start, end) → the compactor's inclusive window
+    // [start, end − 1ns] (see LokiHttp.deleteRequest)
     Some(LokiDeleteCommand(table.options, query,
-      starts.headOption.map(_ / 1000000000L),
-      ends.headOption.map(_ / 1000000000L)))
+      starts.headOption, ends.headOption.map(_ - 1)))
   }
 }
 
 /** Files one compactor delete request at execution. EXPLAIN shows the
   * full argument list (the DisplayAs analog for the write path's DML
-  * sibling).
+  * sibling) — bounds rendered exactly as they go on the wire
+  * (RFC3339Nano, both INCLUSIVE).
   */
 case class LokiDeleteCommand(
     options: LokiOptions,
     query: String,
-    startS: Option[Long],
-    endS: Option[Long]) extends LeafRunnableCommand {
+    startInclNs: Option[Long],
+    endInclNs: Option[Long]) extends LeafRunnableCommand {
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    LokiHttp.deleteRequest(options.endpoint, query, startS, endS)
+    LokiHttp.deleteRequest(options.endpoint, query, startInclNs, endInclNs)
     Seq.empty
   }
 
   override def simpleString(maxFields: Int): String =
     s"LokiDelete: endpoint=${options.endpoint}, query=$query" +
-      startS.map(s => s", start_s=$s").getOrElse("") +
-      endS.map(e => s", end_s=$e").getOrElse("")
+      startInclNs.map(s => s", start=${LokiHttp.rfc3339Nano(s)}").getOrElse("") +
+      endInclNs.map(e => s", end=${LokiHttp.rfc3339Nano(e)}").getOrElse("")
 }

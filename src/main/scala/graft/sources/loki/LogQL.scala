@@ -219,8 +219,22 @@ object LogQL {
   // Spark's DSv2 filter translation cannot express: map access + regex).
   // ---------------------------------------------------------------------
 
+  /** Loki's label-name grammar (Prometheus: `[a-zA-Z_][a-zA-Z0-9_]*`).
+    * A key outside it CANNOT exist in Loki — `labels['foo-bar']` is valid
+    * SQL (host-side it is always NULL), but interpolating it raw into a
+    * selector or a `sum by (…)` clause ships malformed LogQL: a runtime
+    * HTTP 400 on a predicate that previously worked as a residual Filter
+    * (round-15 advice). Keys failing the grammar are simply not
+    * recognized as label accesses, so every consumer — matcher
+    * translation, metric grouping — falls back to host evaluation.
+    */
+  def validLabelName(k: String): Boolean =
+    k.nonEmpty && !(k.charAt(0) >= '0' && k.charAt(0) <= '9') &&
+      k.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_')
+
   private object LabelsKey {
-    def unapply(e: Expression): Option[String] = e match {
+    def unapply(e: Expression): Option[String] = (e match {
       case GetMapValue(a: Attribute, Literal(k: UTF8String, StringType))
           if a.name == "labels" => Some(k.toString)
       // element_at(labels, 'k') — same NULL-on-missing semantics as
@@ -233,7 +247,7 @@ object LogQL {
         case _ => None
       }
       case _ => None
-    }
+    }).filter(validLabelName)
   }
 
   private object StrLit {
@@ -336,9 +350,17 @@ object LogQL {
     * (non-ASCII, VT, CR, NEL, LS) pins RE2(out) == Java(in).
     */
   private[loki] def javaToRe2(p: String): Option[String] = {
-    // pre-screen for constructs the scanner below does not model
+    // pre-screen for constructs the scanner below does not model.
+    // \Q…\E is the sharp one (round-15 advice): inside a Java quoted
+    // region the scanner would keep TRANSLATING (a '.' becomes the
+    // explicit class), so a passed-through \Q would push a pattern that
+    // literally matches the class text — silent row loss under the Exact
+    // claim. \cX (Java control-char escape) and \k<name> (named backref)
+    // are RE2 parse errors — a pushed one turns a working residual
+    // Filter into a runtime HTTP 400 with no fallback.
     val javaOnly = Seq("*+", "++", "?+", "}+", "&&", "\\u", "\\p{java",
-      "\\Z", "\\G", "\\b{", "\\0", "\\e", "\\R", "\\v", "\\V", "\\h", "\\H")
+      "\\Z", "\\G", "\\b{", "\\0", "\\e", "\\R", "\\v", "\\V", "\\h", "\\H",
+      "\\Q", "\\E", "\\c", "\\k")
     if (javaOnly.exists(p.contains) ||
         (1 to 9).exists(i => p.contains(s"\\$i"))) return None
     val sb = new StringBuilder

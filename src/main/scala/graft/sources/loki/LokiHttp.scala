@@ -676,25 +676,40 @@ object LokiHttp {
         stepNs.map(s => s"&step=${s / 1000000000L}s").getOrElse(""))))
   }
 
+  /** Epoch ns → RFC3339Nano (`2024-01-01T00:00:00.000000001Z`), the
+    * highest-precision time dialect the delete endpoint accepts.
+    */
+  def rfc3339Nano(ns: Long): String =
+    java.time.Instant
+      .ofEpochSecond(Math.floorDiv(ns, 1000000000L),
+        Math.floorMod(ns, 1000000000L)).toString
+
   /** `POST /loki/api/v1/delete` — real Loki's compactor delete API: file
     * a deletion request for the log lines matching `query` (selector +
-    * optional line-filter stages) in `[startS, endS)`. Times are epoch
-    * SECONDS — the precision the endpoint speaks (callers holding ns
-    * bounds must align them; [[graft.plans.LokiDeleteRule]] enforces it
-    * at plan time). The request is asynchronous on a real Loki (the
-    * compactor applies it after `delete_request_cancel_period`); the
-    * testkit stub applies immediately, modeling the post-compaction
+    * optional line-filter stages). The compactor's window is INCLUSIVE
+    * on both ends — an entry is deleted when start ≤ ts ≤ end (round-15
+    * advice; the earlier epoch-second mapping of the SQL-exclusive
+    * `ts < E` to `end=E` silently over-deleted the entry timestamped
+    * exactly E) — so both bounds here are inclusive epoch ns, shipped as
+    * RFC3339Nano (the endpoint accepts RFC3339 alongside epoch seconds,
+    * and only the nano form can express an exclusive SQL bound exactly
+    * as `end = E − 1ns`). Callers translate: [start, end) ⇒
+    * (startNs, endNs − 1). The request is asynchronous on a real Loki
+    * (the compactor applies it after `delete_request_cancel_period`);
+    * the testkit stub applies immediately, modeling the post-compaction
     * state a conformance test would poll for.
     */
   def deleteRequest(
       endpoint: String,
       query: String,
-      startS: Option[Long],
-      endS: Option[Long]): Unit = {
+      startInclNs: Option[Long],
+      endInclNs: Option[Long]): Unit = {
     val enc = java.net.URLEncoder.encode(query, "UTF-8")
+    def t(ns: Long): String =
+      java.net.URLEncoder.encode(rfc3339Nano(ns), "UTF-8")
     val uri = URI.create(s"$endpoint/loki/api/v1/delete?query=$enc" +
-      startS.map(s => s"&start=$s").getOrElse("") +
-      endS.map(e => s"&end=$e").getOrElse(""))
+      startInclNs.map(s => s"&start=${t(s)}").getOrElse("") +
+      endInclNs.map(e => s"&end=${t(e)}").getOrElse(""))
     val req = HttpRequest.newBuilder(uri)
       .timeout(Duration.ofSeconds(30))
       .POST(HttpRequest.BodyPublishers.noBody()).build()

@@ -926,18 +926,31 @@ final class LokiStubServer {
             "at least one matcher is required in a delete query".getBytes(UTF_8))
           return
         }
-        val startNs = params.get("start")
-          .map(_.toLong * 1000000000L).getOrElse(Long.MinValue)
-        val endNs = params.get("end")
-          .map(_.toLong * 1000000000L).getOrElse(Long.MaxValue)
+        // real Loki's delete endpoint accepts RFC3339(Nano) alongside
+        // epoch seconds; the connector now ships RFC3339Nano so an
+        // exclusive SQL bound is expressible exactly (end = E − 1ns)
+        def parseT(s: String): Long =
+          if (s.exists(c => c == 'T' || c == 'Z')) {
+            val inst = java.time.Instant.parse(s)
+            Math.addExact(
+              Math.multiplyExact(inst.getEpochSecond, 1000000000L),
+              inst.getNano.toLong)
+          } else s.toLong * 1000000000L
+        val startNs = params.get("start").map(parseT).getOrElse(Long.MinValue)
+        val endNs = params.get("end").map(parseT).getOrElse(Long.MaxValue)
         rows.synchronized {
           val existing = deleteReqs.find(r =>
             r.query == params("query") && r.startNs == startNs && r.endNs == endNs)
           if (existing.isEmpty) {
             deleteReqs += DeleteReq(
               deleteReqs.size + 1, params("query"), startNs, endNs, "processed")
+            // the compactor's window is INCLUSIVE on both ends — entries
+            // with start ≤ ts ≤ end are deleted (grafana/loki
+            // delete_request semantics; the stub previously modeled the
+            // connector's old [start, end) assumption, so the gate could
+            // not catch the boundary divergence — round-15 advice)
             val keep = rows.filterNot(r =>
-              r.tsNs >= startNs && r.tsNs < endNs &&
+              r.tsNs >= startNs && r.tsNs <= endNs &&
                 matchers.forall(_.matches(r.labels)) &&
                 lineFilters.forall(_.matches(r.line)))
             rows.clear(); rows ++= keep

@@ -264,6 +264,7 @@ object LogQLProps extends Properties("LogQL") {
     2 -> Gen.oneOf("[ab0]", "[^ab]", "[a-z]", "[é0]", "[ .]"),
     2 -> Gen.oneOf("\\s", "\\S", "\\w", "\\d", "\\W", "\\D"),
     2 -> Gen.oneOf("\\b", "\\Ba", "(?i)a", "(?m)a", "(?=a)", "a*+", "\\vx"),
+    1 -> Gen.oneOf("\\Qa.b\\E", "\\Q(a\\E", "\\cA", "\\k<g>"),
     1 -> Gen.oneOf("a*", "b+", ".?", "[ab]{1,2}", ".*"))
 
   private val javaPatGen: Gen[String] = for {
@@ -318,7 +319,11 @@ object LogQLProps extends Properties("LogQL") {
     Prop.forAll(Gen.oneOf(
       "a\\bb", "\\Bx", "(?i)abc", "(?m)^a$", "(?=x)a", "(?!x)a", "(?<g>a)",
       "a*+", "x\\vy", "a\\Rb", "a$b", "[a[b]]", "[\\S]", "\\p{Alpha}",
-      "\\u0041", "a\\1")) { p =>
+      "\\u0041", "a\\1",
+      // \Q…\E quoting: the scanner would keep translating inside the
+      // quoted region (silent row loss); \cX / \k<name> are RE2 parse
+      // errors (runtime 400 on a pushed filter) — round-15 advice
+      "\\Qa.b\\E", "a\\Q.\\Eb", "\\cA", "\\k<g>a")) { p =>
       LogQL.lineFilter(RLike(line, s(p))).isEmpty &&
         LogQL.labelMatcher(RLike(GetMapValue(labels, s("k")), s(p))).isEmpty
     }

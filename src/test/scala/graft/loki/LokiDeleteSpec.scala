@@ -96,9 +96,6 @@ class LokiDeleteSpec extends SparkTestBase with BeforeAndAfterAll {
     refused("DELETE FROM delcat.default.loki WHERE labels['app'] != 'web'")
     // untranslatable conjunct
     refused("DELETE FROM delcat.default.loki WHERE length(line) > 3")
-    // sub-second bound: the API speaks epoch seconds
-    refused("DELETE FROM delcat.default.loki WHERE labels['app'] = 'web' " +
-      "AND timestamp >= TIMESTAMP '2024-01-01 00:00:00.5'")
     // nothing was filed by any refused shape
     assert(stub.deleteReqs.synchronized(stub.deleteReqs.size) == n0)
     assert(scanLines().size == 40)
@@ -111,7 +108,30 @@ class LokiDeleteSpec extends SparkTestBase with BeforeAndAfterAll {
       .collect().map(_.getString(0)).mkString("\n")
     assert(plan.contains("LokiDelete:") &&
       plan.contains("""query={app="web"}""") &&
-      plan.contains("start_s=1704067200"), plan)
+      plan.contains("start=2024-01-01T00:00:00Z"), plan)
+  }
+
+  test("exclusive SQL end ships as the inclusive RFC3339Nano end − 1ns") {
+    seed()
+    val n0 = stub.deleteReqs.synchronized(stub.deleteReqs.size)
+    // the compactor deletes start ≤ ts ≤ end; `ts < E` must therefore
+    // ship end = E − 1ns or the entry at exactly E is silently
+    // over-deleted (round-15 advice). The row at i=24 sits exactly on E.
+    spark.sql(
+      "DELETE FROM delcat.default.loki WHERE labels['app'] = 'web' " +
+        "AND timestamp >= TIMESTAMP '2024-01-01 00:00:00' " +
+        "AND timestamp < TIMESTAMP '2024-01-02 00:00:00'")
+    val req = stub.deleteReqs.synchronized(stub.deleteReqs.drop(n0).head)
+    assert(req.endNs == base + 24L * 3600L * 1000000000L - 1, req)
+    assert(scanLines().contains("row 24 error"), "boundary row was deleted")
+    // sub-second bounds are expressible in the nano dialect and push
+    spark.sql(
+      "DELETE FROM delcat.default.loki WHERE labels['app'] = 'api' " +
+        "AND timestamp >= TIMESTAMP '2024-01-01 00:59:59.999' " +
+        "AND timestamp < TIMESTAMP '2024-01-01 01:00:00.001'")
+    assert(!scanLines().contains("row 1 ok"), "sub-second window missed its row")
+    assert(scanLines().contains("row 3 ok"))
+    seed()
   }
 
   test("listing relation + cancel semantics") {
@@ -123,8 +143,9 @@ class LokiDeleteSpec extends SparkTestBase with BeforeAndAfterAll {
     val listed = spark.read.table("delcat.meta.deletes")
       .collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // end_s is the floor second of the INCLUSIVE wire end (E − 1ns)
     assert(listed.contains(
-      ("""{app="web"}""", 1704067200L, 1704153600L, "processed")),
+      ("""{app="web"}""", 1704067200L, 1704153599L, "processed")),
       listed.toSeq)
     // repeat of the identical DML: deduplicated server-side, no new row
     val n = listed.length
