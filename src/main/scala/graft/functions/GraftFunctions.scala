@@ -35,6 +35,12 @@ object GraftFunctions {
 
   def log_template(line: Column): Column = toCol(LogTemplate(ex(line)))
 
+  def logfmt_get(line: Column, key: Column): Column =
+    toCol(LogfmtGet(ex(line), ex(key)))
+
+  def loki_json_get(line: Column, path: Column): Column =
+    toCol(LokiJsonGet(ex(line), ex(path)))
+
   /** Word n-gram shingles from a token array, via built-in higher-order
     * functions only (stays fully inside whole-stage codegen):
     * `shingles(["a","b","c","d"], 3) = ["a b c", "b c d"]`.
@@ -87,7 +93,9 @@ object GraftFunctions {
     "term_counts" -> (es => TermCounts(es.head)),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es.head, es(1))),
     "srp_sig" -> (es => SrpSignature(es.head, intArg(es, 1), longArg(es, 2))),
-    "log_template" -> (es => LogTemplate(es.head)))
+    "log_template" -> (es => LogTemplate(es.head)),
+    "logfmt_get" -> (es => LogfmtGet(es.head, es(1))),
+    "loki_json_get" -> (es => LokiJsonGet(es.head, es(1))))
 
   /** Make the custom expressions SQL-callable in every session built with
     * [[graft.plans.GraftExtensions]].

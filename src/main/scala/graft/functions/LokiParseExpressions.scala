@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.loki.LokiParsers
+
+/** Host-side accessors with LOKI parser-stage semantics (round 15) —
+  * the SQL-visible face of `| logfmt` / `| json` label extraction, so a
+  * predicate or grouping over them translates to a pushed pipeline
+  * stage EXACTLY (the expression and the wire conformance surface run
+  * the same [[LokiParsers]] code — see its scaladoc for the value
+  * model: missing ≡ empty ≡ parse-failure ≡ SQL NULL).
+  *
+  * `get_json_object(line, '$.k')` remains supported for the equality
+  * pushdown idiom (its Jackson streaming semantics are property-pinned
+  * against [[LokiParsers.jsonGet]] on the pushable shapes), but only
+  * these expressions carry the full op surface (!=, =~, !~, GROUP BY):
+  * Spark's function returns '' for an empty json string value where the
+  * label model must read ABSENT, and only an expression owning both
+  * sides can promise exactness there.
+  */
+case class LogfmtGet(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "logfmt_get"
+  override protected def nullSafeEval(line: Any, key: Any): Any =
+    LokiParsers.logfmtGetUTF8(
+      line.asInstanceOf[UTF8String], key.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, k) =>
+      s"""${ev.value} = graft.sources.loki.LokiParsers.logfmtGetUTF8($l, $k);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LogfmtGet =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `loki_json_get(line, 'a.b')` — jsonexpr-style dotted-path extraction
+  * (see [[LokiParsers.jsonGet]]).
+  */
+case class LokiJsonGet(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "loki_json_get"
+  override protected def nullSafeEval(line: Any, path: Any): Any =
+    LokiParsers.jsonGetUTF8(
+      line.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, p) =>
+      s"""${ev.value} = graft.sources.loki.LokiParsers.jsonGetUTF8($l, $p);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LokiJsonGet =
+    copy(left = newLeft, right = newRight)
+}

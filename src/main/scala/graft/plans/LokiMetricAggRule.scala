@@ -188,16 +188,36 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     val truncs = groups.flatMap(g => truncStep(g, rel).map(g -> _))
     if (truncs.size > 1) return None
     val truncExpr: Option[Expression] = truncs.headOption.map(_._1)
+    // each non-bucket group is a stream label (`labels['k']`) or — round
+    // 15 — a PARSED label (`logfmt_get(line,'k')` / `loki_json_get`),
+    // which groups on a generated gp<N> extraction label carried by a
+    // parser stage in the inner query (`sum by (gp0) (count_over_time(
+    // {…} | logfmt gp0="k" [step]))`). Generated numbering starts after
+    // the filter-pushed stages already on the table.
+    var gpNext = table.pushedParsedFilters.size
+    val parsedStages = List.newBuilder[LogQL.ParsedFilter]
     val labelGroups = groups
       .filterNot(g => truncExpr.exists(g.semanticEquals)).map { g =>
+        if (!g.references.forall(a => rel.output.exists(_.exprId == a.exprId)))
+          return None
         LogQL.labelKey(g) match {
-          case Some(k)
-              if g.references.forall(a => rel.output.exists(_.exprId == a.exprId)) =>
-            (g, k)
-          case _ => return None
+          case Some(k) => (g, k)
+          case None => LogQL.parsedGroupKey(g) match {
+            case Some((parser, key)) if table.options.pushParsers =>
+              val lbl = s"gp$gpNext"
+              gpNext += 1
+              parsedStages += LogQL.ParsedFilter(parser, key, lbl, Nil)
+              (g, lbl)
+            case _ => return None
+          }
         }
       }
     if (labelGroups.map(_._2).distinct.size != labelGroups.size) return None
+    // a STREAM label named like a generated extraction label would
+    // collide in the `sum by` clause — outside the reserved-namespace
+    // contract, bail to the scan
+    if (labelGroups.exists { case (g, k) =>
+        LogQL.labelKey(g).isDefined && k.matches("gp\\d+") }) return None
 
     // ---- aggregate kind: every aggregate function in the output list
     // must resolve to ONE range aggregation (count_over_time or
@@ -224,6 +244,7 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     var ends = List.empty[Long]
     var matchers = List.empty[LogQL.LabelMatcher]
     var lines = List.empty[LogQL.LineFilter]
+    var parsedFilters = List.empty[LogQL.ParsedFilter]
     conds0.map(c => resolve(c, aliases)).foreach { c =>
       LogQL.timestampBound(c) match {
         case Some(LogQL.Start(ns)) => starts ::= ns
@@ -236,7 +257,13 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
             case None =>
               LogQL.lineFilter(c) match {
                 case Some(lf) => lines ::= lf
-                case None => return None
+                case None => LogQL.parsedPredicate(c) match {
+                  case Some((p, k, fs)) if table.options.pushParsers =>
+                    val lbl = s"gp$gpNext"
+                    gpNext += 1
+                    parsedFilters ::= LogQL.ParsedFilter(p, k, lbl, fs)
+                  case _ => return None
+                }
               }
           }
       }
@@ -262,6 +289,7 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     // conds were collected top-down and prepended; restore plan order
     matchers = matchers.reverse
     lines = lines.reverse
+    parsedFilters = parsedFilters.reverse
 
     // ---- aggregate list: every output must be an expression OVER the
     // grouping exprs and count(*) — not merely one of them verbatim.
@@ -295,7 +323,12 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
         case None => return None
       }
     val lineParts = optLines.map(_.render(escape = true)) ++
-      (table.pushedLineFilters ++ newLines).map(_.render(esc))
+      (table.pushedLineFilters ++ newLines).map(_.render(esc)) ++
+      // parser stages after the line filters (the scan-path ordering):
+      // filter-pushed stages already on the table, new predicate stages,
+      // then the bare grouping extractions
+      (table.pushedParsedFilters ++ parsedFilters ++ parsedStages.result())
+        .map(_.render)
     val inner = (matcherParts.mkString("{", ", ", "}") +: lineParts)
       .mkString(" ")
     val groupLabels = labelGroups.map(_._2)

@@ -44,13 +44,29 @@ object LokiPushdownRule extends Rule[LogicalPlan] {
       val lines = conjuncts
         .filterNot(capturedLabelExprs)
         .flatMap(c => LogQL.lineFilter(c).map(c -> _))
+      val capturedLineExprs = lines.map(_._1).toSet
+      // parser-stage predicates (round 15): logfmt_get/loki_json_get/
+      // get_json_object predicates → | json / | logfmt stages + label
+      // filters over generated gp<N> extraction labels. Exact (fully
+      // removed from the residual): see LogQL.parsedPredicate.
+      val parsedPreds =
+        if (!t.options.pushParsers) Nil
+        else conjuncts
+          .filterNot(capturedLabelExprs).filterNot(capturedLineExprs)
+          .flatMap(c => LogQL.parsedPredicate(c).map(c -> _))
+          .filterNot { case (_, (p, k, fs)) =>
+            t.pushedParsedFilters.exists(_.pred == ((p, k, fs)))
+          }
+      val parsed = parsedPreds.zipWithIndex.map { case ((_, (p, k, fs)), i) =>
+        LogQL.ParsedFilter(p, k, s"gp${t.pushedParsedFilters.size + i}", fs)
+      }
       // idempotence: the rule re-fires on its own residual output until the
       // optimizer's fixpoint, so never re-append matchers already pushed
       val newLabels = labels.map(_._2).filterNot(t.pushedLabelMatchers.contains)
       val newLines = lines.map(_._2).filterNot(t.pushedLineFilters.contains)
-      if (newLabels.isEmpty && newLines.isEmpty) f
+      if (newLabels.isEmpty && newLines.isEmpty && parsed.isEmpty) f
       else {
-        val newRel = r.copy(table = t.withPushed(newLabels, newLines))
+        val newRel = r.copy(table = t.withPushed(newLabels, newLines, parsed))
         // Matchers that can match a stream WITHOUT the label are pushed for
         // server-side pruning but KEPT in the residual: Loki treats a
         // missing label as the empty string, so != / !~ (which accept ""
@@ -63,7 +79,7 @@ object LokiPushdownRule extends Rule[LogicalPlan] {
         // fixed for timestamp bounds and regex anchoring in round 1.
         val removable = labels.collect {
           case (e, m) if !LogQL.matchesAbsentLabel(m) => e
-        }.toSet ++ lines.map(_._1)
+        }.toSet ++ lines.map(_._1) ++ parsedPreds.map(_._1)
         val residual = conjuncts.filterNot(removable)
         if (residual.isEmpty) newRel
         else Filter(residual.reduce(

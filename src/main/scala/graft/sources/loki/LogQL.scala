@@ -70,6 +70,37 @@ object LogQL {
   final case class Start(ns: Long) extends TsBound
   final case class End(ns: Long) extends TsBound
 
+  /** One pushed PARSER-stage predicate (round 15): an extraction stage
+    * (`| json gp0="key"` / `| logfmt gp0="key"`, explicit-expression
+    * form) followed by label-filter stages over the extracted label.
+    * `label` is a generated name in the reserved `gp<N>` namespace —
+    * the explicit-expression form plus a reserved target name is what
+    * makes the push exact: a BARE `| json | key="v"` would silently
+    * read the STREAM label `key` instead of the parsed field whenever a
+    * stream carries that label (Loki renames conflicting extractions to
+    * `key_extracted`), and no plan-time check can see stream labels.
+    * Streams carrying literal `gp<N>` labels are outside the supported
+    * surface (documented reservation).
+    *
+    * `filters` empty = extraction only — the metric rewrite's `sum by`
+    * grouping over a parsed label.
+    */
+  final case class ParsedFilter(
+      parser: String,
+      key: String,
+      label: String,
+      filters: Seq[(String, String)]) {
+    /** Identity without the generated label (idempotent re-capture). */
+    def pred: (String, String, Seq[(String, String)]) = (parser, key, filters)
+    /** Wire rendering. Parsed stages are beyond-parity (no reference
+      * analog interpolates them raw), so values ALWAYS render escaped.
+      */
+    def render: String =
+      (s"| $parser $label=${q(key)}" +:
+        filters.map { case (op, v) => s"| $label$op${q(v)}" }).mkString(" ")
+    private def q(s: String): String = "\"" + escapeQuoted(s) + "\""
+  }
+
   /** Assemble the full LogQL query (reference table.rs:124-128): matchers
     * joined by `, ` inside one selector, then line filters appended.
     * With no matcher at all, LogQL requires the default-label fallback
@@ -494,6 +525,122 @@ object LogQL {
       Some(LineFilter("!~", s"(?i)${regexEscape(x)}"))
     case _ => None
   }
+
+  // ---------------------------------------------------------------------
+  // Parser-stage translators (round 15): predicates and groupings over
+  // parsed-label accessors → | json / | logfmt pipeline stages.
+  // ---------------------------------------------------------------------
+
+  /** A Loki-semantics parsed-label accessor over the log line:
+    * `logfmt_get(line,'k')` / `loki_json_get(line,'a.b')` → (parser,
+    * key). Keys are restricted to label-grammar segments — the
+    * explicit-expression path syntax both engines agree on; anything
+    * fancier stays a host residual.
+    */
+  private object ParsedAccess {
+    def unapply(e: Expression): Option[(String, String)] = e match {
+      case graft.functions.LogfmtGet(LineAttr(), Literal(k: UTF8String, StringType))
+          if validLabelName(k.toString) =>
+        Some(("logfmt", k.toString))
+      case graft.functions.LokiJsonGet(LineAttr(), Literal(p: UTF8String, StringType))
+          if !p.toString.endsWith(".") && p.toString.split('.').nonEmpty &&
+            p.toString.split('.').forall(validLabelName) =>
+        Some(("json", p.toString))
+      case _ => None
+    }
+  }
+
+  /** `get_json_object(line, '$.a.b')` → the dotted path, when every
+    * segment is label-grammar plain (no `['…']`, no array indexes, no
+    * wildcards — the subset whose Jackson-streaming semantics are
+    * property-pinned ≡ [[LokiParsers.jsonGet]]).
+    */
+  private object GetJsonPath {
+    def unapply(e: Expression): Option[String] = e match {
+      case org.apache.spark.sql.catalyst.expressions.GetJsonObject(
+          LineAttr(), Literal(p: UTF8String, StringType)) =>
+        val s = p.toString
+        // trailing-dot paths split the same as their dotless form here
+        // but are a Jackson parse error (NULL) on the Spark side — reject
+        if (s.length > 2 && s.startsWith("$.") && !s.endsWith(".") &&
+          s.substring(2).split('.').forall(validLabelName))
+          Some(s.substring(2))
+        else None
+      case _ => None
+    }
+  }
+
+  /** The pushed-predicate shape: (parser, key, label-filter ops). The
+    * caller assigns the generated label (see [[ParsedFilter]]).
+    *
+    * Exactness per op (host NULL ≡ wire "" ≡ absent/empty/parse-fail,
+    * the shared [[LokiParsers]] model):
+    *
+    *   - `=  v` (v nonempty): host keeps value==v; wire `| x="v"` —
+    *     missing ⇒ "" ≠ v dropped, identical.
+    *   - `!= v`: host keeps present-and-≠v (NULL drops); wire needs the
+    *     missing-guard `| x!="" | x!="v"` — without the guard Loki KEEPS
+    *     rows with the key absent ("" ≠ v) that SQL's NULL drops.
+    *   - `=~ p`: RE2-translatable p ([[javaToRe2]]) wrapped to find
+    *     semantics, REJECTED when p matches "" (wire would keep missing
+    *     rows the host's NULL drops).
+    *   - `!~ p`: missing-guard + negated wrapped pattern; no empty-match
+    *     screen needed — guarded rows are never "".
+    *
+    * `get_json_object` equality additionally screens the literal: empty
+    * (Spark returns '' for an empty json string where the label model
+    * reads absent), composite-looking (`{`/`[` lead — raw-slice vs
+    * Jackson re-render whitespace could differ; both sides still agree
+    * the compare is false, so rejection just keeps the residual), and
+    * `null`/`true`/`false` sentinels conservatively (`null`: Spark
+    * yields SQL NULL while a hypothetical engine rendering the keyword
+    * text would match — err to rejection; booleans are literal-text on
+    * both sides but cost nothing to keep pushable, so they pass).
+    */
+  def parsedPredicate(e: Expression): Option[(String, String, Seq[(String, String)])] = {
+    def eqCase(acc: (String, String), v: String) =
+      if (v.nonEmpty) Some((acc._1, acc._2, Seq(("=", v)))) else None
+    def gjoValueOk(v: String): Boolean = {
+      val t = v.trim
+      v.nonEmpty && !t.startsWith("{") && !t.startsWith("[") && v != "null" &&
+        // float-looking literals: Spark RE-RENDERS float json numbers
+        // (5e2 → 500.0), so `= '1.5'` could match a line whose raw wire
+        // text is 1.50 — only pure-integer numerics stay pushable (both
+        // sides canonicalize ints; LokiParsersProps pins it)
+        !(v.matches("-?[0-9.eE+]+") && !v.matches("-?(0|[1-9][0-9]*)"))
+    }
+    def matchesEmpty(re2: String): Boolean =
+      scala.util.Try("".matches(s"(?s)(?:$re2)")).getOrElse(true)
+    e match {
+      case EqualTo(ParsedAccess(p, k), StrLit(v)) => eqCase((p, k), v)
+      case EqualTo(StrLit(v), ParsedAccess(p, k)) => eqCase((p, k), v)
+      case Not(EqualTo(ParsedAccess(p, k), StrLit(v))) =>
+        Some((p, k, Seq(("!=", ""), ("!=", v))))
+      case Not(EqualTo(StrLit(v), ParsedAccess(p, k))) =>
+        Some((p, k, Seq(("!=", ""), ("!=", v))))
+      case RLike(ParsedAccess(p, k), StrLit(pat)) =>
+        javaToRe2(pat).filterNot(matchesEmpty)
+          .map(q => (p, k, Seq(("=~", findSemantics(q)))))
+      case Not(RLike(ParsedAccess(p, k), StrLit(pat))) =>
+        javaToRe2(pat)
+          .map(q => (p, k, Seq(("!=", ""), ("!~", findSemantics(q)))))
+      case EqualTo(GetJsonPath(path), StrLit(v)) if gjoValueOk(v) =>
+        Some(("json", path, Seq(("=", v))))
+      case EqualTo(StrLit(v), GetJsonPath(path)) if gjoValueOk(v) =>
+        Some(("json", path, Seq(("=", v))))
+      case _ => None
+    }
+  }
+
+  /** A bare parsed accessor usable as a metric-rewrite GROUP BY key:
+    * `GROUP BY logfmt_get(line,'k')` ⇒ `sum by (gp0) (… | logfmt
+    * gp0="k" …)`. Only the Loki-semantics accessors qualify — grouping
+    * on `get_json_object` is rejected because Spark's '' result for an
+    * empty json string value would form its own host-side group where
+    * the wire merges it into the absent (NULL) series.
+    */
+  def parsedGroupKey(e: Expression): Option[(String, String)] =
+    ParsedAccess.unapply(e)
 
   private object TsAttr {
     def unapply(e: Expression): Boolean = e match {

@@ -131,6 +131,17 @@ final case class LokiOptions(
       * to the scan untouched.
       */
     pushMetric: Boolean = true,
+    /** Translate predicates over parsed-label accessors
+      * (`logfmt_get(line,'k') = 'v'`, `get_json_object(line,'$.k') =
+      * 'v'`) into pushed `| json` / `| logfmt` pipeline stages plus
+      * label filters — the most common real-Loki idiom after plain
+      * filtering (`{app="x"} | json | level="error"`), which otherwise
+      * streams every raw row to the host and filters there (see
+      * [[LogQL.parsedPredicate]] for the exactness contract and
+      * [[LokiParsers]] for the shared value semantics). ON by default;
+      * stages use the reserved `gp<N>` extraction-label namespace.
+      */
+    pushParsers: Boolean = true,
     /** Report scan statistics (row count + bytes from `index/stats`) to
       * Spark's optimizer, so size-based planning — broadcast-join
       * decisions above all — works for log scans like it does for files.
@@ -256,6 +267,7 @@ final case class LokiOptions(
     "server_max_entries" -> serverMaxEntries.toString,
     "push_count" -> pushCount.toString,
     "push_metric" -> pushMetric.toString,
+    "push_parsers" -> pushParsers.toString,
     "report_statistics" -> reportStatistics.toString,
     "group_streams" -> groupStreams.toString,
     "columnar" -> columnar.toString,
@@ -307,6 +319,7 @@ object LokiOptions {
       serverMaxEntries = m.getOrElse("server_max_entries", "0").toInt,
       pushCount = m.getOrElse("push_count", "false").toBoolean,
       pushMetric = m.getOrElse("push_metric", "true").toBoolean,
+      pushParsers = m.getOrElse("push_parsers", "true").toBoolean,
       reportStatistics = m.getOrElse("report_statistics", "false").toBoolean,
       groupStreams = m.getOrElse("group_streams", "false").toBoolean,
       columnar = m.getOrElse("columnar", "true").toBoolean,
@@ -354,6 +367,11 @@ case class LokiTable(
     options: LokiOptions,
     pushedLabelMatchers: Seq[LogQL.LabelMatcher] = Nil,
     pushedLineFilters: Seq[LogQL.LineFilter] = Nil,
+    /** Parser-stage predicates captured by [[graft.plans.LokiPushdownRule]]
+      * (round 15): each renders as `| json/logfmt gpN="key"` + label
+      * filters after the line-filter stages.
+      */
+    pushedParsedFilters: Seq[LogQL.ParsedFilter] = Nil,
     /** Statically-known input row count for a pending INSERT, captured by
       * [[graft.plans.LokiInsertRowsRule]] from a VALUES/LocalRelation
       * input — the reference's insert plan display carries `rows=n` from
@@ -378,10 +396,12 @@ case class LokiTable(
 
   def withPushed(
       labels: Seq[LogQL.LabelMatcher],
-      lines: Seq[LogQL.LineFilter]): LokiTable =
+      lines: Seq[LogQL.LineFilter],
+      parsed: Seq[LogQL.ParsedFilter] = Nil): LokiTable =
     copy(
       pushedLabelMatchers = pushedLabelMatchers ++ labels,
-      pushedLineFilters = pushedLineFilters ++ lines)
+      pushedLineFilters = pushedLineFilters ++ lines,
+      pushedParsedFilters = pushedParsedFilters ++ parsed)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // per-read overrides (`spark.read(.Stream).option(...)` on a catalog

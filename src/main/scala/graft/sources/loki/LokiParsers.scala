@@ -1,0 +1,417 @@
+package graft.sources.loki
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SHARED semantics for LogQL parser stages (`| json`, `| logfmt`) — the
+  * single definition used by all three sides of the parser-stage
+  * pushdown (round 15):
+  *
+  *   - the host Catalyst expressions `logfmt_get` / `loki_json_get`
+  *     ([[graft.functions.LogfmtGet]] / [[graft.functions.LokiJsonGet]]),
+  *   - the pushdown translators ([[LogQL.parsedPredicate]]) that turn
+  *     predicates over those expressions into pushed pipeline stages,
+  *   - the testkit stub's stage evaluation
+  *     ([[graft.sources.loki.testkit.LokiStubServer]]).
+  *
+  * Because the host expression and the wire conformance surface run the
+  * SAME code, a pushed `logfmt_get(line,'k') = 'v'` is exact by
+  * construction — there is no second implementation to diverge. The
+  * reference stops at selectors + line filters (src/expr.rs:49-112);
+  * parser stages are the beyond-parity completion of its pushdown
+  * surface on the single most common real-Loki idiom
+  * (`{app="x"} | json | level="error"`).
+  *
+  * Value semantics (Prometheus label model): a parser-extracted value is
+  * a STRING label, and the empty string is indistinguishable from
+  * absence — both host functions therefore return SQL NULL for a
+  * missing key, an empty extracted value, a json null, or a parse
+  * failure, exactly matching what a pushed `| parser x="k" | x…` label
+  * filter can see.
+  *
+  * Loki-fidelity notes (documented modeling decisions, pinned by the
+  * stub rather than a live server, like the ILIKE case-fold caveat):
+  *
+  *   - json: explicit-expression extraction takes Spark
+  *     `get_json_object`'s Jackson-streaming shape, PROBED and
+  *     property-pinned in LokiParsersProps (the equality pushdown idiom
+  *     rides on the agreement): full root-object validation, trailing
+  *     bytes after the root close ignored, duplicate keys explored with
+  *     first successful capture winning — see [[jsonGet]]. Real Loki's
+  *     jsonexpr (buger/jsonparser) is more lenient on malformed tails;
+  *     where the two differ, the Spark-builtin contract wins and the
+  *     deviation is this documented line. Non-integer numbers keep
+  *     their literal text (`1.50` stays `"1.50"` — Spark re-renders
+  *     them, so float-looking comparison literals are rejected by the
+  *     translator); strings decode their escapes; composite values
+  *     return their raw text slice verbatim.
+  *   - logfmt: go-logfmt shapes — bare keys get an empty value, quoted
+  *     values decode Go escapes, an unterminated quote is a parse error
+  *     (real Loki sets `__error__=LogfmtParserErr`). Repeated keys:
+  *     LAST wins (label re-Set overwrites, grafana/loki behavior);
+  *     json's first-match is jsonparser behavior — the asymmetry is
+  *     each upstream library's, kept verbatim.
+  */
+object LokiParsers {
+
+  private final val SP = ' '
+  private final val TAB = '	'
+
+  // ------------------------------------------------------------------
+  // logfmt
+  // ------------------------------------------------------------------
+
+  /** `| logfmt` value of `key` under Loki semantics: null when the key
+    * is missing, its value is empty, or the line is malformed
+    * (unterminated quote). Last occurrence wins.
+    */
+  def logfmtGet(line: String, key: String): String =
+    logfmtAll(line) match {
+      case Right(pairs) =>
+        var found: String = null
+        pairs.foreach { case (k, v) => if (k == key) found = v }
+        if (found == null || found.isEmpty) null else found
+      case Left(_) => null
+    }
+
+  /** All logfmt pairs in input order (repeats preserved — the caller
+    * applies last-wins), or Left(errorType) on malformed input.
+    */
+  def logfmtAll(line: String): Either[String, Seq[(String, String)]] = {
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      while (i < n && (line.charAt(i) == SP || line.charAt(i) == TAB)) i += 1
+      if (i < n) {
+        // key: up to '=' or whitespace; a quote inside a key is malformed
+        val k0 = i
+        while (i < n && line.charAt(i) != '=' &&
+          line.charAt(i) != SP && line.charAt(i) != TAB &&
+          line.charAt(i) != '"') i += 1
+        if (i < n && line.charAt(i) == '"') return Left("LogfmtParserErr")
+        val key = line.substring(k0, i)
+        if (i < n && line.charAt(i) == '=') {
+          i += 1
+          if (i < n && line.charAt(i) == '"') {
+            i += 1
+            val sb = new StringBuilder
+            var closed = false
+            while (i < n && !closed) {
+              line.charAt(i) match {
+                case '\\' if i + 1 < n =>
+                  line.charAt(i + 1) match {
+                    case '"' => sb += '"'; i += 2
+                    case '\\' => sb += '\\'; i += 2
+                    case 'n' => sb += '\n'; i += 2
+                    case 'r' => sb += '\r'; i += 2
+                    case 't' => sb += TAB; i += 2
+                    case 'u' if i + 5 < n &&
+                      line.substring(i + 2, i + 6).forall(isHex) =>
+                      sb += Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar
+                      i += 6
+                    case c => sb += '\\'; sb += c; i += 2
+                  }
+                case '"' => closed = true; i += 1
+                case c => sb += c; i += 1
+              }
+            }
+            if (!closed) return Left("LogfmtParserErr")
+            if (key.nonEmpty) out += ((key, sb.toString))
+          } else {
+            val v0 = i
+            while (i < n && line.charAt(i) != SP && line.charAt(i) != TAB) i += 1
+            if (key.nonEmpty) out += ((key, line.substring(v0, i)))
+          }
+        } else if (key.nonEmpty) {
+          // bare key: present with an empty value (go-logfmt)
+          out += ((key, ""))
+        }
+      }
+    }
+    Right(out.result())
+  }
+
+  // ------------------------------------------------------------------
+  // json
+  // ------------------------------------------------------------------
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Extraction of a dotted path (`a` or `a.b.c`) from a json-object
+    * line, with the exact shape Spark's `get_json_object` (Jackson
+    * streaming) exhibits — probed and property-pinned in
+    * LokiParsersProps, because the equality pushdown idiom rides on it:
+    *
+    *   - the ROOT OBJECT must parse completely (a malformed field
+    *     anywhere — even after the match — or an unclosed root yields
+    *     null); bytes after the root's closing `}` are ignored;
+    *   - duplicate keys: every occurrence is explored, the FIRST
+    *     successful full-path capture wins;
+    *   - numbers: strict JSON grammar (no `01`, `+1`, `.5`), INTEGER
+    *     tokens canonicalize (`-0` → `0`) while float tokens keep their
+    *     literal text (Spark re-renders floats — `5e2` → `500.0` — so
+    *     the translator rejects float-looking comparison literals);
+    *   - null for missing key / parse failure / json null / empty
+    *     string value (empty ≡ absent); strings decode; composites
+    *     return their raw slice.
+    */
+  def jsonGet(line: String, path: String): String = {
+    val segs = path.split('.')
+    if (segs.isEmpty || segs.exists(_.isEmpty)) return null
+    val p = new JsonWalk(line)
+    p.skipWs()
+    if (!p.parseObjectCapture(segs, 0)) return null
+    val v = p.capturedValue
+    if (v == null || v.isEmpty) null else v
+  }
+
+  /** Whether the line parses as one complete json value (with only
+    * whitespace after it) — the strictness gate the BARE `| json` stage
+    * (jsoniter full parse in real Loki) applies, unlike the lenient
+    * jsonexpr walk above.
+    */
+  def jsonValid(line: String): Boolean = {
+    val p = new JsonWalk(line)
+    p.skipWs()
+    if (!p.skipValue()) return false
+    p.skipWs()
+    p.atEnd
+  }
+
+  /** Full `| json` flatten: nested objects join with '_', arrays are
+    * skipped (grafana/loki json parser), scalar values keep literal
+    * text, keys sanitize to the label charset. Left(errorType) when the
+    * line is not one valid json OBJECT.
+    */
+  def jsonFlatten(line: String): Either[String, Seq[(String, String)]] = {
+    if (!jsonValid(line)) return Left("JSONParserErr")
+    val p = new JsonWalk(line)
+    p.skipWs()
+    if (p.peek != '{') return Left("JSONParserErr")
+    val out = Seq.newBuilder[(String, String)]
+    def walk(prefix: String): Boolean = {
+      if (!p.expect('{')) return false
+      p.skipWs()
+      if (p.peek == '}') { p.next(); return true }
+      var more = true
+      while (more) {
+        p.skipWs()
+        val k = p.string()
+        if (k == null) return false
+        val key = if (prefix.isEmpty) sanitizeLabelName(k)
+          else prefix + "_" + sanitizeLabelName(k)
+        p.skipWs()
+        if (!p.expect(':')) return false
+        p.skipWs()
+        p.peek match {
+          case '{' => if (!walk(key)) return false
+          case '[' => if (!p.skipValue()) return false // arrays skipped
+          case _ if p.isNullLit => p.skipNullLit() // json null ≡ absent
+          case _ =>
+            val v = p.scalar()
+            if (v == null) return false
+            if (v.nonEmpty) out += ((key, v)) // empty ≡ absent
+        }
+        p.skipWs()
+        if (p.peek == ',') { p.next(); more = true }
+        else if (p.peek == '}') { p.next(); more = false }
+        else return false
+      }
+      true
+    }
+    if (walk("")) Right(out.result()) else Left("JSONParserErr")
+  }
+
+  /** Prometheus label-charset sanitization for extracted keys: every
+    * char outside `[a-zA-Z0-9_]` becomes '_', a leading digit gains a
+    * '_' prefix.
+    */
+  def sanitizeLabelName(s: String): String = {
+    val mapped = s.map(c =>
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_') c else '_')
+    if (mapped.nonEmpty && mapped.charAt(0) >= '0' && mapped.charAt(0) <= '9')
+      "_" + mapped
+    else mapped
+  }
+
+  /** Minimal streaming json walk over a string. Methods return null /
+    * false on malformed input; the caller decides whether that is an
+    * error (bare stage) or a missing value (jsonexpr stage).
+    */
+  private final class JsonWalk(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def peek: Char = if (i < s.length) s.charAt(i) else SP
+    def next(): Unit = i += 1
+    def skipWs(): Unit = while (i < s.length && (s.charAt(i) == SP ||
+      s.charAt(i) == TAB || s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
+    def expect(c: Char): Boolean =
+      if (i < s.length && s.charAt(i) == c) { i += 1; true } else false
+    def isNullLit: Boolean = i < s.length && s.startsWith("null", i)
+    def skipNullLit(): Unit = i += 4
+
+    /** Decoded string value; null on malformed. */
+    def string(): String = {
+      if (!expect('"')) return null
+      val sb = new StringBuilder
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '"' => i += 1; return sb.toString
+          case '\\' if i + 1 < s.length =>
+            s.charAt(i + 1) match {
+              case '"' => sb += '"'; i += 2
+              case '\\' => sb += '\\'; i += 2
+              case '/' => sb += '/'; i += 2
+              case 'b' => sb += '\b'; i += 2
+              case 'f' => sb += '\f'; i += 2
+              case 'n' => sb += '\n'; i += 2
+              case 'r' => sb += '\r'; i += 2
+              case 't' => sb += TAB; i += 2
+              case 'u' if i + 5 < s.length &&
+                s.substring(i + 2, i + 6).forall(isHex) =>
+                sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case _ => return null
+            }
+          case c if c < SP => return null // raw control char in a string
+          case c => sb += c; i += 1
+        }
+      }
+      null // unterminated
+    }
+
+    /** NON-NULL scalar value at the cursor: literal text for numbers
+      * (ints canonicalized — see [[LokiParsers.jsonGet]]) and booleans,
+      * decoded text for strings; null on malformed, including numbers
+      * outside strict JSON grammar (`01`, `+1`, `.5`, bare `-`). The
+      * json `null` keyword is the CALLER's case (see [[isNullLit]]) —
+      * it never reaches here from the extraction walks, and
+      * [[skipValue]] handles it itself.
+      */
+    def scalar(): String = peek match {
+      case '"' => string()
+      case 't' if s.startsWith("true", i) => i += 4; "true"
+      case 'f' if s.startsWith("false", i) => i += 5; "false"
+      case c if c == '-' || (c >= '0' && c <= '9') =>
+        val v0 = i
+        while (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+' ||
+          s.charAt(i) == '.' || s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
+          (s.charAt(i) >= '0' && s.charAt(i) <= '9'))) i += 1
+        val tok = s.substring(v0, i)
+        if (!tok.matches("-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?"))
+          null
+        else if (tok.indexOf('.') < 0 && tok.indexOf('e') < 0 &&
+          tok.indexOf('E') < 0)
+          new java.math.BigInteger(tok).toString // -0 → 0 (Jackson)
+        else tok
+      case _ => null
+    }
+
+    /** Skip one complete value (validating as it goes). */
+    def skipValue(): Boolean = {
+      skipWs()
+      peek match {
+        case '{' =>
+          i += 1; skipWs()
+          if (peek == '}') { i += 1; return true }
+          var more = true
+          while (more) {
+            skipWs()
+            if (string() == null) return false
+            skipWs()
+            if (!expect(':')) return false
+            if (!skipValue()) return false
+            skipWs()
+            if (peek == ',') { i += 1 }
+            else if (peek == '}') { i += 1; more = false }
+            else return false
+          }
+          true
+        case '[' =>
+          i += 1; skipWs()
+          if (peek == ']') { i += 1; return true }
+          var more = true
+          while (more) {
+            if (!skipValue()) return false
+            skipWs()
+            if (peek == ',') { i += 1 }
+            else if (peek == ']') { i += 1; more = false }
+            else return false
+          }
+          true
+        case _ if isNullLit => skipNullLit(); true
+        case _ => scalar() != null
+      }
+    }
+
+    /** The path-capturing full parse (see [[LokiParsers.jsonGet]] for
+      * the pinned Jackson-shape semantics): validates the WHOLE object
+      * at the cursor while capturing the first successful full-path
+      * match — duplicate keys all explored, later ones ignored once a
+      * capture exists. Returns structural validity; the capture (which
+      * may legitimately be a json null ≡ absent) is read from
+      * [[capturedValue]].
+      */
+    private var captured: String = null
+    private var capturedSet = false
+    def capturedValue: String = captured
+
+    def parseObjectCapture(segs: Array[String], from: Int): Boolean = {
+      if (!expect('{')) return false
+      skipWs()
+      if (peek == '}') { i += 1; return true }
+      var more = true
+      while (more) {
+        skipWs()
+        val k = string()
+        if (k == null) return false
+        skipWs()
+        if (!expect(':')) return false
+        skipWs()
+        val hit = k == segs(from)
+        if (hit && from == segs.length - 1) {
+          peek match {
+            case '{' | '[' =>
+              val v0 = i
+              if (!skipValue()) return false
+              if (!capturedSet) { captured = s.substring(v0, i); capturedSet = true }
+            case _ if isNullLit =>
+              skipNullLit()
+              if (!capturedSet) { captured = null; capturedSet = true }
+            case _ =>
+              val v = scalar()
+              if (v == null) return false
+              if (!capturedSet) { captured = v; capturedSet = true }
+          }
+        } else if (hit && peek == '{') {
+          if (!parseObjectCapture(segs, from + 1)) return false
+        } else {
+          // non-matching key (or a matching one whose value isn't an
+          // object to descend into): validated, never captured
+          if (!skipValue()) return false
+        }
+        skipWs()
+        if (peek == ',') { i += 1 }
+        else if (peek == '}') { i += 1; more = false }
+        else return false
+      }
+      true
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // UTF8String entry points (codegen-callable, null-passing)
+  // ------------------------------------------------------------------
+
+  def logfmtGetUTF8(line: UTF8String, key: UTF8String): UTF8String = {
+    val r = logfmtGet(line.toString, key.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  def jsonGetUTF8(line: UTF8String, path: UTF8String): UTF8String = {
+    val r = jsonGet(line.toString, path.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+}

@@ -58,6 +58,9 @@ class LokiScanBuilder(table: LokiTable)
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
       pushedLines.isEmpty && table.pushedLineFilters.isEmpty &&
+      // parser stages reduce rows below the selector count the same way
+      // line filters do — index/stats would overcount
+      table.pushedParsedFilters.isEmpty &&
       // a `selector` option carrying line-filter stages also disqualifies:
       // index/stats answers the SELECTOR's count, stages reduce rows below it
       table.options.selector.forall(s => LogQL.parseSelector(s)._2.isEmpty) &&
@@ -135,7 +138,12 @@ class LokiScanBuilder(table: LokiTable)
             "LogQL requires at least one label matcher")
       }
     val lineParts = optLines.map(_.render(escape = true)) ++
-      (table.pushedLineFilters ++ pushedLines).map(_.render(esc))
+      (table.pushedLineFilters ++ pushedLines).map(_.render(esc)) ++
+      // parser stages last: line filters are cheaper and LogQL applies
+      // stages in order, so filtering lines before parsing them is the
+      // shape a human would write (stage values always render escaped —
+      // beyond-parity surface, no raw-interpolation parity to keep)
+      table.pushedParsedFilters.map(_.render)
     // matcher-only selector for index/stats probes, rendered from the
     // matchers directly — substring-parsing the assembled query to the
     // first '}' truncated mid-selector whenever a pushed value or regex

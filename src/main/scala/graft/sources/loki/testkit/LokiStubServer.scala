@@ -339,7 +339,7 @@ final class LokiStubServer {
         else limit
       val key = (s"$logql|fwd=$forward", start, end, effLimit)
       val body = rows.synchronized(respCache.get(key)).getOrElse {
-        val (matchers, lineFilters) = parseLogql(logql)
+        val (matchers, stages) = parseLogql(logql)
         // sorted snapshot + binary-searched bounds: a paged walk over a
         // big corpus issues thousands of window requests, and the old
         // filter-then-sort paid O(n log n) PER PAGE — the snapshot sorts
@@ -366,7 +366,7 @@ final class LokiStubServer {
           while (i < up && hits.size < cap) {
             val r = all(i)
             if (matchers.forall(_.matches(r.labels)) &&
-                lineFilters.forall(_.matches(r.line))) hits += r
+                evalPipeline(r, stages).isDefined) hits += r
             i += 1
           }
         } else {
@@ -374,7 +374,7 @@ final class LokiStubServer {
           while (i >= lo && hits.size < cap) {
             val r = all(i)
             if (matchers.forall(_.matches(r.labels)) &&
-                lineFilters.forall(_.matches(r.line))) hits += r
+                evalPipeline(r, stages).isDefined) hits += r
             i -= 1
           }
         }
@@ -482,7 +482,7 @@ final class LokiStubServer {
       case Some(body) => respond(ex, 200, body); return
       case None =>
     }
-    val (matchers, lineFilters) = parseLogql(inner)
+    val (matchers, stages) = parseLogql(inner)
     val all = sortedSnapshot()
     // metric kvs → ts-ascending samples (eval points ascend)
     val acc = mutable.LinkedHashMap
@@ -495,11 +495,16 @@ final class LokiStubServer {
       var i = lo
       while (i < hi) {
         val r = all(i)
-        if (matchers.forall(_.matches(r.labels)) &&
-            lineFilters.forall(_.matches(r.line))) {
-          val key = byLabels.flatMap(l =>
-            r.labels.get(l).filter(_.nonEmpty).map(l -> _))
-          counts(key) = counts.getOrElse(key, 0L) + weight(r)
+        if (matchers.forall(_.matches(r.labels))) {
+          // `sum by` groups on the EFFECTIVE label set — parser stages
+          // in the inner query make extracted labels groupable
+          evalPipeline(r, stages) match {
+            case Some(eff) =>
+              val key = byLabels.flatMap(l =>
+                eff.get(l).filter(_.nonEmpty).map(l -> _))
+              counts(key) = counts.getOrElse(key, 0L) + weight(r)
+            case None => ()
+          }
         }
         i += 1
       }
@@ -915,7 +920,7 @@ final class LokiStubServer {
           respond(ex, 400, "query is required in a delete request".getBytes(UTF_8))
           return
         }
-        val (matchers, lineFilters) =
+        val (matchers, stages) =
           try parseLogql(params("query"))
           catch {
             case e: IllegalArgumentException =>
@@ -952,7 +957,7 @@ final class LokiStubServer {
             val keep = rows.filterNot(r =>
               r.tsNs >= startNs && r.tsNs <= endNs &&
                 matchers.forall(_.matches(r.labels)) &&
-                lineFilters.forall(_.matches(r.line)))
+                evalPipeline(r, stages).isDefined)
             rows.clear(); rows ++= keep
             seen.clear(); seen ++= keep
             respCache.clear(); sortedCache = null
@@ -1024,6 +1029,92 @@ final class LokiStubServer {
     }
   }
 
+  /** Pipeline stages after the selector, evaluated IN ORDER like real
+    * Loki (round 15): line filters, parser stages (`| json` / `| logfmt`,
+    * bare or explicit-expression), and label filters over the current
+    * (stream + extracted) label set.
+    */
+  private sealed trait Stage
+  private case class LineStage(f: LineF) extends Stage
+  /** exprs empty = bare parser (full flatten); else (label, sourceKey). */
+  private case class ParserStage(kind: String, exprs: Seq[(String, String)])
+    extends Stage
+  private case class LabelFilterStage(label: String, op: String, value: String)
+    extends Stage {
+    // label-filter string matching is FULL-match RE2, same shape as
+    // selector matchers; a missing label reads as "" (Prometheus model)
+    private lazy val re = java.util.regex.Pattern.compile(
+      s"(?:$value)", java.util.regex.Pattern.UNICODE_CASE)
+    def matches(labels: Map[String, String]): Boolean = {
+      val v = labels.getOrElse(label, "")
+      op match {
+        case "=" => v == value
+        case "!=" => v != value
+        case "=~" => re.matcher(v).matches()
+        case "!~" => !re.matcher(v).matches()
+      }
+    }
+  }
+
+  /** Run a row through the pipeline: None = dropped; Some(labels) = the
+    * EFFECTIVE label set after parser extractions (what `sum by` groups
+    * on). Extraction semantics live in the shared
+    * [[graft.sources.loki.LokiParsers]] — the same code the host
+    * expressions evaluate, which is what makes the parser-stage
+    * pushdown exact by construction. Conflicts with STREAM labels
+    * rename the extraction to `<name>_extracted` (grafana/loki), and a
+    * malformed line gains `__error__` but is NOT dropped — only a label
+    * filter can drop it.
+    */
+  private def evalPipeline(
+      r: LogRow, stages: Seq[Stage]): Option[Map[String, String]] = {
+    if (stages.isEmpty) return Some(r.labels)
+    var labels = r.labels
+    val base = r.labels.keySet
+    stages.foreach {
+      case LineStage(f) => if (!f.matches(r.line)) return None
+      case ParserStage(kind, exprs) =>
+        def put(name: String, v: String): Unit = {
+          val tgt = if (base.contains(name)) name + "_extracted" else name
+          labels += (tgt -> v)
+        }
+        kind match {
+          case "json" =>
+            // jsoniter-strict error labeling; the EXTRACTION itself stays
+            // jsonparser-lenient (first match, trailing garbage ok) — the
+            // __error__ label never drops a row by itself
+            if (!graft.sources.loki.LokiParsers.jsonValid(r.line))
+              labels += ("__error__" -> "JSONParserErr")
+            if (exprs.isEmpty)
+              graft.sources.loki.LokiParsers.jsonFlatten(r.line) match {
+                case Right(kvs) => kvs.foreach { case (k, v) => put(k, v) }
+                case Left(_) => () // __error__ already set
+              }
+            else exprs.foreach { case (lbl, key) =>
+              val v = graft.sources.loki.LokiParsers.jsonGet(r.line, key)
+              if (v != null) put(lbl, v)
+            }
+          case "logfmt" =>
+            graft.sources.loki.LokiParsers.logfmtAll(r.line) match {
+              case Right(pairs) =>
+                if (exprs.isEmpty)
+                  pairs.foreach { case (k, v) =>
+                    if (v.nonEmpty)
+                      put(graft.sources.loki.LokiParsers.sanitizeLabelName(k), v)
+                  }
+                else exprs.foreach { case (lbl, key) =>
+                  var found: String = null
+                  pairs.foreach { case (k, v) => if (k == key) found = v }
+                  if (found != null && found.nonEmpty) put(lbl, found)
+                }
+              case Left(err) => labels += ("__error__" -> err)
+            }
+        }
+      case f: LabelFilterStage => if (!f.matches(labels)) return None
+    }
+    Some(labels)
+  }
+
   /** Parse `{a="b", c=~"d"} |= `x` != `y`` — the exact grammar the
     * connector emits (LogQL.assemble). Like real Loki's parser, the
     * selector scan respects double-quoted strings: a matcher value may
@@ -1048,7 +1139,7 @@ final class LokiStubServer {
     -1
   }
 
-  private def parseLogql(q: String): (Seq[Matcher], Seq[LineF]) = {
+  private def parseLogql(q: String): (Seq[Matcher], Seq[Stage]) = {
     val selEnd = scanOutsideQuotes(q, 1)(_ == '}')
     require(q.startsWith("{") && selEnd > 0, s"bad logql: $q")
     val sel = q.substring(1, selEnd).trim
@@ -1080,36 +1171,72 @@ final class LokiStubServer {
         Matcher(label, op, value)
       }
     var rest = q.substring(selEnd + 1).trim
-    val lineFilters = mutable.ArrayBuffer.empty[LineF]
-    while (rest.nonEmpty) {
-      val op = Seq("|=", "!=", "|~", "!~").find(rest.startsWith)
-        .getOrElse(sys.error(s"bad line filter in: $rest"))
-      rest = rest.substring(2).trim
-      // both LogQL string forms, like real Loki: backtick-raw and
-      // Go-escaped double-quoted (the renderer falls back to the quoted
-      // form when a pattern contains a backtick)
-      if (rest.startsWith("`")) {
-        val close = rest.indexOf('`', 1)
-        require(close > 0, s"unterminated backtick literal in: $rest")
-        lineFilters += LineF(op, rest.substring(1, close))
-        rest = rest.substring(close + 1).trim
+    // both LogQL string forms, like real Loki: backtick-raw and
+    // Go-escaped double-quoted (the renderer falls back to the quoted
+    // form when a pattern contains a backtick)
+    def takeString(s: String): (String, String) =
+      if (s.startsWith("`")) {
+        val close = s.indexOf('`', 1)
+        require(close > 0, s"unterminated backtick literal in: $s")
+        (s.substring(1, close), s.substring(close + 1).trim)
       } else {
-        require(rest.startsWith("\""), s"expected string literal in: $rest")
+        require(s.startsWith("\""), s"expected string literal in: $s")
         // the closing quote, escape-aware
         var j = 1
         var end = -1
-        while (end < 0 && j < rest.length) {
-          val c = rest.charAt(j)
+        while (end < 0 && j < s.length) {
+          val c = s.charAt(j)
           if (c == '\\') j += 1
           else if (c == '"') end = j
           j += 1
         }
-        require(end > 0, s"unterminated string literal in: $rest")
-        lineFilters += LineF(op, unescapeGo(rest.substring(1, end)))
-        rest = rest.substring(end + 1).trim
+        require(end > 0, s"unterminated string literal in: $s")
+        (unescapeGo(s.substring(1, end)), s.substring(end + 1).trim)
+      }
+    def takeIdent(s: String): (String, String) = {
+      var j = 0
+      while (j < s.length && (s.charAt(j).isLetterOrDigit ||
+        s.charAt(j) == '_')) j += 1
+      require(j > 0, s"expected identifier in: $s")
+      (s.substring(0, j), s.substring(j).trim)
+    }
+    val stages = mutable.ArrayBuffer.empty[Stage]
+    while (rest.nonEmpty) {
+      Seq("|=", "!=", "|~", "!~").find(rest.startsWith) match {
+        case Some(op) =>
+          val (v, r2) = takeString(rest.substring(2).trim)
+          stages += LineStage(LineF(op, v))
+          rest = r2
+        case None =>
+          // `| json [exprs]` / `| logfmt [exprs]` / `| label op "v"`
+          require(rest.startsWith("|"), s"bad pipeline stage in: $rest")
+          val (ident, afterIdent) = takeIdent(rest.substring(1).trim)
+          rest = afterIdent
+          if (ident == "json" || ident == "logfmt") {
+            val exprs = mutable.ArrayBuffer.empty[(String, String)]
+            var more = rest.nonEmpty && !rest.startsWith("|")
+            while (more) {
+              val (lbl, afterLbl) = takeIdent(rest)
+              rest = afterLbl
+              if (rest.startsWith("=")) {
+                val (key, r2) = takeString(rest.substring(1).trim)
+                exprs += ((lbl, key))
+                rest = r2
+              } else exprs += ((lbl, lbl)) // shorthand: | logfmt host
+              if (rest.startsWith(",")) { rest = rest.substring(1).trim }
+              else more = false
+            }
+            stages += ParserStage(ident, exprs.toSeq)
+          } else {
+            val op = Seq("=~", "!~", "!=", "=").find(rest.startsWith)
+              .getOrElse(sys.error(s"bad label-filter op in: $rest"))
+            val (v, r2) = takeString(rest.substring(op.length).trim)
+            stages += LabelFilterStage(ident, op, v)
+            rest = r2
+          }
       }
     }
-    (matchers, lineFilters.toSeq)
+    (matchers, stages.toSeq)
   }
 
   /** Go-style string unescape (the inverse of the connector's escaping

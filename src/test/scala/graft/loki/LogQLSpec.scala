@@ -144,6 +144,7 @@ class LogQLSpec extends AnyFunSuite {
       "stats_budget_ms" -> "999", "stats_probe_parallelism" -> "3",
       "query_limit" -> "77", "server_max_entries" -> "88",
       "push_count" -> "true", "push_metric" -> "false",
+      "push_parsers" -> "false",
       "report_statistics" -> "true",
       "group_streams" -> "true", "columnar" -> "false",
       "stream_start_ns" -> "123", "stream_end_ns" -> "456",
@@ -155,7 +156,7 @@ class LogQLSpec extends AnyFunSuite {
       s"round trip drifted:\n${LokiOptions.from(full.toMap)}\nvs\n$full")
     // every case-class field must be representable: the field count is
     // pinned so adding a field forces this test (and toMap) to be updated
-    assert(full.productArity == 26,
+    assert(full.productArity == 27,
       "LokiOptions gained/lost a field — update toMap AND this round trip")
     // direction is validated at option time
     assertThrows[IllegalArgumentException](

@@ -325,7 +325,7 @@ class LokiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
       rStub.failNextMeta.set(2)
       graft.sources.loki.LokiHttp.deleteRequest(
         rStub.endpoint, """{app="r"} |= `rt-89`""",
-        Some(base / 1000000000L), Some(base / 1000000000L + 90L))
+        Some(base), Some(base + 90L * 1000000000L - 1)) // inclusive ns bounds
       assert(rStub.deleteReqs.synchronized(rStub.deleteReqs.size) == 1,
         "retried delete must file exactly once")
       assert(!rStub.ingested.exists(_.line == "rt-89"),

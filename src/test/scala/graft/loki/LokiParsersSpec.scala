@@ -1,0 +1,84 @@
+package graft.loki
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.loki.LokiParsers
+
+/** Unit pins for the SHARED parser-stage semantics (LokiParsers) — the
+  * one implementation behind the host `logfmt_get`/`loki_json_get`
+  * expressions, the pushdown translators, and the stub's stage
+  * evaluation (round 15). See LokiParsersProps for the get_json_object
+  * differential.
+  */
+class LokiParsersSpec extends AnyFunSuite {
+
+  // ---------------------------------------------------------- logfmt
+
+  test("logfmt: plain, quoted, bare keys, missing, empty, last-wins") {
+    assert(LokiParsers.logfmtGet("a=1 b=two", "a") == "1")
+    assert(LokiParsers.logfmtGet("a=1 b=two", "b") == "two")
+    assert(LokiParsers.logfmtGet("msg=\"hello world\" x=1", "msg") == "hello world")
+    assert(LokiParsers.logfmtGet("msg=\"a\\\"b\\\\c\\nd\"", "msg") == "a\"b\\c\nd")
+    // bare key: present with empty value — and empty ≡ absent
+    assert(LokiParsers.logfmtGet("click value=7", "click") == null)
+    assert(LokiParsers.logfmtGet("click value=7", "value") == "7")
+    assert(LokiParsers.logfmtGet("a=1", "zz") == null)
+    assert(LokiParsers.logfmtGet("a= b=2", "a") == null) // explicit empty
+    assert(LokiParsers.logfmtGet("a=1 a=2", "a") == "2") // last wins
+  }
+
+  test("logfmt: unterminated quote is a parse error (null + Left)") {
+    assert(LokiParsers.logfmtGet("msg=\"oops x=1", "x") == null)
+    assert(LokiParsers.logfmtAll("msg=\"oops").isLeft)
+    assert(LokiParsers.logfmtAll("k\"ey=1").isLeft) // quote inside a key
+  }
+
+  // ------------------------------------------------------------- json
+
+  test("json: scalars keep literal text, strings decode, null/empty absent") {
+    assert(LokiParsers.jsonGet("""{"k":"v"}""", "k") == "v")
+    assert(LokiParsers.jsonGet("""{"k":1.50}""", "k") == "1.50")
+    assert(LokiParsers.jsonGet("""{"k":5e2}""", "k") == "5e2")
+    assert(LokiParsers.jsonGet("""{"k":true}""", "k") == "true")
+    assert(LokiParsers.jsonGet("""{"k":null}""", "k") == null)
+    assert(LokiParsers.jsonGet("""{"k":""}""", "k") == null)
+    assert(LokiParsers.jsonGet("""{"k":"a\nbA"}""", "k") == "a\nbA")
+    assert(LokiParsers.jsonGet("""{"x":1}""", "k") == null)
+    assert(LokiParsers.jsonGet("not json", "k") == null)
+  }
+
+  test("json: dotted paths, composites raw, first match, trailing garbage") {
+    assert(LokiParsers.jsonGet("""{"a":{"b":"c"}}""", "a.b") == "c")
+    assert(LokiParsers.jsonGet("""{"a":{"b":{"c":3}}}""", "a.b.c") == "3")
+    // composite value: the raw text slice, verbatim
+    assert(LokiParsers.jsonGet("""{"k":{"a": 1}}""", "k") == """{"a": 1}""")
+    assert(LokiParsers.jsonGet("""{"k":[1,2]}""", "k") == "[1,2]")
+    // path descending into a non-object is absent
+    assert(LokiParsers.jsonGet("""{"a":[{"b":1}]}""", "a.b") == null)
+    // duplicate keys: first successful full-path capture wins, and ALL
+    // occurrences are explored (the probed get_json_object shape)
+    assert(LokiParsers.jsonGet("""{"k":"one","k":"two"}""", "k") == "one")
+    assert(LokiParsers.jsonGet("""{"a":{"x":1},"a":{"k":"v"}}""", "a.k") == "v")
+    // the ROOT object must parse completely; only bytes after its close
+    // are ignored
+    assert(LokiParsers.jsonGet("""{"k":"v"} trailing""", "k") == "v")
+    assert(LokiParsers.jsonGet("""{"k":"v","bad": }""", "k") == null)
+    assert(LokiParsers.jsonGet("""{"bad": ,"k":"v"}""", "k") == null)
+    assert(LokiParsers.jsonGet("""{"k":"v"""", "k") == null)
+    // strict JSON number grammar; integers canonicalize like Jackson
+    assert(LokiParsers.jsonGet("""{"k":-0}""", "k") == "0")
+    assert(LokiParsers.jsonGet("""{"k":01}""", "k") == null)
+    assert(LokiParsers.jsonGet("""{"k":+1}""", "k") == null)
+  }
+
+  test("jsonValid is the strict gate; flatten joins with _ and skips arrays") {
+    assert(LokiParsers.jsonValid("""{"k":"v"}"""))
+    assert(!LokiParsers.jsonValid("""{"k":"v"} trailing"""))
+    assert(!LokiParsers.jsonValid("""{"k":}"""))
+    assert(LokiParsers.jsonFlatten("""{"a":{"b":"c"},"d":1,"e":[9],"f":"","g":null}""")
+      == Right(Seq("a_b" -> "c", "d" -> "1")))
+    assert(LokiParsers.jsonFlatten("""{"we-ird":"x","0lead":"y"}""")
+      == Right(Seq("we_ird" -> "x", "_0lead" -> "y")))
+    assert(LokiParsers.jsonFlatten("nope").isLeft)
+  }
+}
