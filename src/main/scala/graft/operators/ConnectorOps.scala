@@ -1453,6 +1453,174 @@ object ConnectorOps {
           |GROUP BY 1
           |ORDER BY level""".stripMargin)),
 
+    // rate() shape (round 15): COUNT(*)/window-seconds per bucket is the
+    // SAME wire data as count_over_time divided by a literal — the
+    // rewrite's structural projection mapping carries the division, so
+    // the dashboard query `rate({app="x"}[1d])` costs #buckets samples.
+    ("loki_metric_rate",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+          .agg((count(lit(1)) / 86400.0).as("rate"))
+          .select(unix_micros(col("bucket")).as("bucket_us"), col("rate"))
+          .orderBy("bucket_us")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("count_over_time("),
+          s"rate shape did not push as a metric query: $plan")
+        df
+      },
+      Some(
+        """SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
+          |       count(*) / 86400.0 AS rate
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1
+          |ORDER BY bucket_us""".stripMargin)),
+
+    // Mixed-kind aggregate list (round 15): AVG(octet_length(line)) is
+    // the bytes/count PAIR — the relation issues one wire query per
+    // range-aggregation kind over the identical inner query and the
+    // reader joins samples, so avg+count+sum together still ship
+    // #series × 2 queries of samples, not rows.
+    ("loki_metric_avg_bytes",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(
+            avg(octet_length(col("line"))).as("avg_bytes"),
+            count(lit(1)).as("cnt"),
+            sum(octet_length(col("line"))).as("bytes"))
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("bytes_over_time(") && plan.contains("count_over_time("),
+          s"avg did not push as the bytes/count metric pair: $plan")
+        df
+      },
+      Some(
+        """SELECT event_type,
+          |       avg(strlen(concat(event_type, ' value=',
+          |                         CAST(value AS VARCHAR)))) AS avg_bytes,
+          |       count(*) AS cnt,
+          |       CAST(sum(strlen(concat(event_type, ' value=',
+          |                              CAST(value AS VARCHAR)))) AS BIGINT)
+          |         AS bytes
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1
+          |ORDER BY event_type""".stripMargin)),
+
+    // Server-side topk (round 15): ORDER BY cnt DESC LIMIT k over the
+    // unbucketed grouped count wraps the wire query as `topk(k, sum by
+    // (…) (…))` — ≤k series cross the wire. k exceeds the corpus'
+    // distinct-label count here so the result set is tie-independent
+    // (the boundary-tie caveat is LokiMetricSpec's job); the outer
+    // re-sort keeps output order deterministic for the oracle.
+    ("loki_metric_topk",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc)
+          .limit(10)
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("topk(10, sum by (event_type) (count_over_time("),
+          s"top-k did not push as a topk metric query: $plan")
+        df
+      },
+      Some(
+        """SELECT event_type, cnt FROM (
+          |  SELECT event_type, count(*) AS cnt
+          |  FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |    AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |  GROUP BY 1 ORDER BY cnt DESC LIMIT 10)
+          |ORDER BY event_type""".stripMargin)),
+
+    // HAVING over the metric rewrite (round 15, VERDICT r14 #3): the
+    // rewrite preserves output ExprIds via Alias, so a Filter above the
+    // Aggregate survives and evaluates over the metric relation's
+    // samples — pinned here because a silent fallback to scan+host-agg
+    // would still be oracle-correct.
+    ("loki_metric_having",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 2000)
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") && !plan.contains("LokiLogScan"),
+          s"HAVING broke the metric rewrite (fell back to the scan): $plan")
+        df
+      },
+      Some(
+        """SELECT event_type, count(*) AS cnt
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1
+          |HAVING count(*) > 2000
+          |ORDER BY event_type""".stripMargin)),
+
+    // Metric partition slicing under the oracle (round 15, VERDICT r14
+    // #6): partitions=4 over an hour-bucketed month (744 buckets)
+    // slices into four whole-bucket metric queries whose union is the
+    // single-query answer — the scale path for month-wide dashboards
+    // whose response matrices are themselves large. The require pins
+    // that four partitions actually planned.
+    ("loki_metric_split",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val base = s.read.format("loki")
+          .option("endpoint", stubFor(s, d).endpoint)
+          .option("default_label", "event_type")
+          .option("partitions", "4")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(
+            date_trunc("hour", col("timestamp")).as("bucket"),
+            element_at(col("labels"), "event_type").as("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(unix_micros(col("bucket")).as("bucket_us"),
+            col("event_type"), col("cnt"))
+        val plan = base.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan"),
+          s"sliced metric did not push: $plan")
+        val slices = base.rdd.getNumPartitions
+        base.crossJoin(broadcast(Seq(slices == 4).toDF("sliced_4_ok")))
+          .orderBy("bucket_us", "event_type")
+      },
+      Some(
+        """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+          |       event_type,
+          |       count(*) AS cnt,
+          |       true AS sliced_4_ok
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1, 2
+          |ORDER BY bucket_us, event_type""".stripMargin)),
+
     // Optimizer-statistics report under the oracle (round 11,
     // report_statistics=true → SupportsReportStatistics from
     // index/stats): the self-verifying booleans pin that (a) the

@@ -137,35 +137,48 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The two range aggregations the rewrite speaks.
+  /** The range aggregations the rewrite speaks, as the wire KINDS each
+    * SQL aggregate needs (round 15 widened this from one-kind-per-query
+    * to a per-aggregate requirement list — the relation issues one wire
+    * query per kind over the identical inner query and the reader joins
+    * the samples):
     *
     *   - `count(*)` / `count(lit)` → `count_over_time` (entries);
     *   - `sum(octet_length(line))` → `bytes_over_time` — the
     *     ingest-capacity query ("bytes per app per day"); Loki counts an
     *     entry's line size in UTF-8 BYTES, which is exactly what
     *     `octet_length` measures (a `length(line)` in CHARACTERS does
-    *     NOT translate and keeps the host aggregation).
+    *     NOT translate and keeps the host aggregation);
+    *   - `avg(octet_length(line))` → BOTH — bytes/count divided in the
+    *     rewrite's projection (exact: integer wire sums, one double
+    *     division — the same arithmetic the host/oracle avg performs).
     *
-    * Both must be non-distinct and unfiltered. A query mixing the two
-    * kinds cannot ride ONE wire query, so the rewrite requires every
-    * aggregate in the list to resolve to the same kind (checked by the
-    * caller).
+    * All must be non-distinct and unfiltered.
     */
-  private def rangeAggKind(e: Expression, rel: DataSourceV2Relation): Option[String] =
+  private def rangeAggKinds(
+      e: Expression, rel: DataSourceV2Relation): Option[Seq[String]] = {
+    def isLineOctet(c: Expression): Boolean = c match {
+      case org.apache.spark.sql.catalyst.expressions.OctetLength(l: Attribute) =>
+        l.name == "line" && rel.output.exists(_.exprId == l.exprId)
+      case _ => false
+    }
     e match {
       case AggregateExpression(Count(children), _, false, None, _)
           if children.forall {
             case Literal(v, _) => v != null
             case _ => false
-          } => Some("count_over_time")
+          } => Some(Seq("count_over_time"))
       case AggregateExpression(
-          org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
-            org.apache.spark.sql.catalyst.expressions.OctetLength(l: Attribute), _),
-          _, false, None, _)
-          if l.name == "line" && rel.output.exists(_.exprId == l.exprId) =>
-        Some("bytes_over_time")
+          org.apache.spark.sql.catalyst.expressions.aggregate.Sum(c, _),
+          _, false, None, _) if isLineOctet(c) =>
+        Some(Seq("bytes_over_time"))
+      case AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Average(c, _),
+          _, false, None, _) if isLineOctet(c) =>
+        Some(Seq("bytes_over_time", "count_over_time"))
       case _ => None
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
@@ -219,25 +232,27 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     if (labelGroups.exists { case (g, k) =>
         LogQL.labelKey(g).isDefined && k.matches("gp\\d+") }) return None
 
-    // ---- aggregate kind: every aggregate function in the output list
-    // must resolve to ONE range aggregation (count_over_time or
-    // bytes_over_time) — a mix cannot ride one wire query ----
-    var kinds = Set.empty[String]
+    // ---- aggregate kinds: every aggregate function in the output list
+    // must resolve to wire range aggregations; the distinct kinds (at
+    // most the two that exist) each ride their own wire query over the
+    // identical inner query ----
+    val kinds = scala.collection.mutable.LinkedHashSet.empty[String]
     var badAgg = false
     agg.aggregateExpressions.foreach { ne =>
       resolve(stripAlias(ne), aliases).foreach {
         case ae: AggregateExpression =>
-          rangeAggKind(ae, rel) match {
-            case Some(k) => kinds += k
+          rangeAggKinds(ae, rel) match {
+            case Some(ks) => kinds ++= ks
             case None => badAgg = true
           }
         case _ =>
       }
     }
-    if (badAgg || kinds.size > 1) return None
+    if (badAgg) return None
     // no aggregate at all (pure DISTINCT over groupings): any kind's
     // nonzero samples enumerate exactly the non-empty groups
-    val aggFn = kinds.headOption.getOrElse("count_over_time")
+    val aggFns =
+      if (kinds.isEmpty) Seq("count_over_time") else kinds.toSeq
 
     // ---- filters: every conjunct must translate, bounds exactly once ----
     var starts = List.empty[Long]
@@ -332,29 +347,34 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     val inner = (matcherParts.mkString("{", ", ", "}") +: lineParts)
       .mkString(" ")
     val groupLabels = labelGroups.map(_._2)
-    val range = s"$inner [${stepNs / NsPerS}s]"
-    val metricQuery =
-      if (groupLabels.isEmpty) s"sum($aggFn($range))"
-      else s"sum by (${groupLabels.mkString(",")}) ($aggFn($range))"
 
     // ---- swap in the metric relation, preserving output attributes ----
     val metricTable = LokiMetricTable(
-      table.options, metricQuery, groupLabels, stepNs, startNs, endNs,
-      bucketed = truncExpr.isDefined)
+      table.options, inner, groupLabels, stepNs, startNs, endNs,
+      bucketed = truncExpr.isDefined, aggFns = aggFns)
     val newRel = DataSourceV2Relation.create(metricTable, None, None)
     val bucketAttr = newRel.output.head
-    val cntAttr = newRel.output.last
     val labelAttrs = newRel.output.slice(1, 1 + groupLabels.size)
+    val fnAttr = aggFns.zip(newRel.output.takeRight(aggFns.size)).toMap
     def labelIdx(e: Expression): Int =
       labelGroups.indexWhere(_._1.semanticEquals(e))
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide}
+    import org.apache.spark.sql.types.DoubleType
     val projections = agg.aggregateExpressions.map { ne =>
       val e = resolve(stripAlias(ne), aliases)
       var ok = true
       val rewritten = e.transformDown {
         case ae: AggregateExpression =>
-          // kind pre-validated above: every aggregate resolves to aggFn
-          if (rangeAggKind(ae, rel).isDefined) cntAttr
-          else { ok = false; ae }
+          // kinds pre-validated above: every aggregate resolves to wire
+          // columns. AVG is bytes/count — integer wire sums, one double
+          // division, the same arithmetic the host/oracle avg performs.
+          rangeAggKinds(ae, rel) match {
+            case Some(Seq(one)) => fnAttr(one)
+            case Some(Seq(bytes, cnt)) =>
+              Divide(
+                Cast(fnAttr(bytes), DoubleType), Cast(fnAttr(cnt), DoubleType))
+            case _ => ok = false; ae
+          }
         case sub if truncExpr.exists(sub.semanticEquals) => bucketAttr
         case sub if labelIdx(sub) >= 0 => labelAttrs(labelIdx(sub))
       }
@@ -365,5 +385,62 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
       Alias(rewritten, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
     }
     Some(Project(projections, newRel))
+  }
+}
+
+/** `ORDER BY cnt DESC LIMIT k` over an UNBUCKETED metric relation →
+  * server-side `topk(k, sum by (…) (…))` (round 15): the wire ships ≤k
+  * series instead of all of them — the "top 5 noisiest apps last month"
+  * dashboard. The host Sort + Limit stay in the plan (they now order at
+  * most k rows), so output order remains the host's.
+  *
+  * Fires only when:
+  *   - the relation is unbucketed (one evaluation point — Prometheus
+  *     topk selects per point, which coincides with the SQL global
+  *     top-k only there) and single-kind, with no topk already applied;
+  *   - the sort is a SINGLE descending key resolving to the relation's
+  *     value column. A secondary tie-break key would make the SQL
+  *     answer deterministic while the server's choice among ties is
+  *     arbitrary — not pushable. Without one, SQL's own LIMIT-after-ties
+  *     is implementation-defined, and the server's top-k is one of the
+  *     valid answers (ties at the boundary may differ from the host's
+  *     pick — the standard topk contract).
+  */
+object LokiMetricTopKRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{
+    AttributeReference, Descending, IntegerLiteral, SortOrder}
+  import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sort}
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case a: Alias => stripAlias(a.child)
+    case other => other
+  }
+
+  /** The sort key must resolve (through the Project) to the relation's
+    * single value column.
+    */
+  private def sortsOnValue(
+      order: SortOrder, proj: Project,
+      rel: DataSourceV2Relation): Boolean = order.child match {
+    case a: AttributeReference =>
+      val resolved = proj.projectList
+        .find(_.exprId == a.exprId).map(stripAlias).getOrElse(a)
+      resolved match {
+        case v: AttributeReference => v.exprId == rel.output.last.exprId
+        case _ => false
+      }
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case gl @ GlobalLimit(IntegerLiteral(k),
+        ll @ LocalLimit(_,
+        srt @ Sort(Seq(order), true,
+        p @ Project(_,
+        r @ DataSourceV2Relation(mt: LokiMetricTable, _, _, _, _, _)), _)))
+        if k > 0 && mt.topk.isEmpty && !mt.bucketed && mt.aggFns.size == 1 &&
+          order.direction == Descending && sortsOnValue(order, p, r) =>
+      gl.copy(child = ll.copy(child = srt.copy(child =
+        p.copy(child = r.copy(table = mt.copy(topk = Some(k)))))))
   }
 }

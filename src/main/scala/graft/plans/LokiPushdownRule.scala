@@ -139,6 +139,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LokiPushdownRule)
     e.injectOptimizerRule(_ => LokiMetricAggRule)
+    e.injectOptimizerRule(_ => LokiMetricTopKRule)
     e.injectOptimizerRule(_ => LokiDeleteRule)
     e.injectOptimizerRule(_ => LokiInsertRowsRule)
     e.injectPlannerStrategy(_ => TopKStrategy)

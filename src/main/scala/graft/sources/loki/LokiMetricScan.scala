@@ -23,6 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * range aggregation next to its chunks and ships back
   * #series × #buckets samples, not rows.
   *
+  * Round 15 widens the shape: `aggFns` may carry BOTH range
+  * aggregations (`count_over_time`, `bytes_over_time`) when the SQL
+  * aggregate list needs both — `AVG(octet_length(line))` is the
+  * bytes/count pair divided host-side, `COUNT(*)/seconds` (the rate()
+  * shape) is the count divided by a literal — one wire query PER KIND
+  * over the identical inner query, joined on (series, sample) by the
+  * reader (identical row sets by construction: both kinds aggregate the
+  * same matched entries). `topk` wraps the single-kind UNBUCKETED form
+  * as `topk(k, sum by (…) (…))`, shipping ≤k series instead of all of
+  * them for the `ORDER BY cnt DESC LIMIT k` dashboards.
+  *
   * BUCKET SEMANTICS — the one subtlety. SQL's `date_trunc` buckets are
   * floor-based half-open windows `[b, b+step)`; a LogQL range vector at
   * evaluation time t covers `(t−step, t]` (left-open, right-closed —
@@ -45,12 +56,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `partitions=N` slices the window into N whole-bucket runs, each an
   * independent metric query — same disjoint-range composability argument
   * as the log scan's time slicing, for month-scale windows whose
-  * response matrices are themselves large.
+  * response matrices are themselves large. A `topk` relation never
+  * slices (global top-k is not window-decomposable).
   */
 case class LokiMetricTable(
     options: LokiOptions,
-    /** The full metric LogQL shipped on the wire (EXPLAIN discloses it). */
-    metricQuery: String,
+    /** The inner log query — selector + line-filter/parser stages. */
+    inner: String,
     /** Grouped label names, in output order (`sum by` key). */
     groupLabels: Seq[String],
     stepNs: Long,
@@ -62,12 +74,22 @@ case class LokiMetricTable(
       * not width-aligned — the bucket column decodes to the window start
       * and the rewrite's Project simply never references it.
       */
-    bucketed: Boolean = true)
+    bucketed: Boolean = true,
+    /** Range aggregations this relation answers, one wire query each,
+      * value columns in this order.
+      */
+    aggFns: Seq[String] = Seq("count_over_time"),
+    /** Server-side top-k series selection (unbucketed, single-kind). */
+    topk: Option[Int] = None)
   extends Table with SupportsRead {
 
   require(stepNs > 0 && stepNs % 1000000000L == 0,
     s"metric step must be a positive whole-second multiple of ns: $stepNs")
   require(endNs > startNs, s"metric window [$startNs, $endNs) is empty")
+  require(aggFns.nonEmpty && aggFns.distinct == aggFns,
+    s"aggFns must be non-empty and distinct: $aggFns")
+  require(topk.forall(k => k > 0 && !bucketed && aggFns.size == 1),
+    "topk applies only to the unbucketed single-aggregation form")
   if (bucketed)
     require(startNs % stepNs == 0 && endNs % stepNs == 0,
       s"metric window [$startNs, $endNs) must be step-aligned")
@@ -76,9 +98,21 @@ case class LokiMetricTable(
       s"unbucketed metric window [$startNs, $endNs) must be whole-second " +
         "aligned with step = width")
 
+  /** The wire LogQL for one range aggregation (EXPLAIN discloses all). */
+  def metricQueryFor(fn: String): String = {
+    val range = s"$inner [${stepNs / 1000000000L}s]"
+    val summed =
+      if (groupLabels.isEmpty) s"sum($fn($range))"
+      else s"sum by (${groupLabels.mkString(",")}) ($fn($range))"
+    topk.fold(summed)(k => s"topk($k, $summed)")
+  }
+
+  def metricQueries: Seq[String] = aggFns.map(metricQueryFor)
+
   override def name(): String = s"loki.metric(${options.endpoint})"
 
-  override def schema(): StructType = LokiMetricTable.schemaFor(groupLabels)
+  override def schema(): StructType =
+    LokiMetricTable.schemaFor(groupLabels, aggFns.size)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -90,13 +124,14 @@ case class LokiMetricTable(
 object LokiMetricTable {
   /** Positional internal column names — the rewrite's Project maps them
     * back to the original aggregate output attributes, so a grouped
-    * label literally named "bucket" or "cnt" can never collide.
+    * label literally named "bucket" or "v0" can never collide.
     */
-  def schemaFor(groupLabels: Seq[String]): StructType = StructType(
+  def schemaFor(groupLabels: Seq[String], nVals: Int): StructType = StructType(
     StructField("bucket", TimestampType, nullable = false) +:
-      groupLabels.indices.map(i =>
-        StructField(s"l$i", StringType, nullable = true)) :+
-      StructField("cnt", LongType, nullable = false))
+      (groupLabels.indices.map(i =>
+        StructField(s"l$i", StringType, nullable = true)) ++
+        (0 until nVals).map(i =>
+          StructField(s"v$i", LongType, nullable = false))))
 }
 
 case class LokiMetricScan(table: LokiMetricTable) extends Scan with Batch {
@@ -105,15 +140,16 @@ case class LokiMetricScan(table: LokiMetricTable) extends Scan with Batch {
 
   override def toBatch: Batch = this
 
-  // EXPLAIN surface: the pushed metric query IS the plan — a reader of
-  // the EXPLAIN must see that no log rows cross the wire
+  // EXPLAIN surface: the pushed metric queries ARE the plan — a reader
+  // of the EXPLAIN must see that no log rows cross the wire
   override def description(): String =
     s"LokiMetricScan: endpoint=${table.options.endpoint}, " +
-      s"metric_query=${table.metricQuery}, start=${table.startNs}, " +
-      s"end=${table.endNs}, step_ns=${table.stepNs}" +
+      s"metric_query=${table.metricQueries.mkString(" ; ")}, " +
+      s"start=${table.startNs}, end=${table.endNs}, step_ns=${table.stepNs}" +
       (if (table.groupLabels.nonEmpty)
         s", group_labels=[${table.groupLabels.mkString(",")}]"
-      else "")
+      else "") +
+      table.topk.map(k => s", topk=$k").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val buckets = (table.endNs - table.startNs) / table.stepNs
@@ -124,7 +160,7 @@ case class LokiMetricScan(table: LokiMetricTable) extends Scan with Batch {
     (0 until n).map { i =>
       val lo = table.startNs + buckets * i / n * table.stepNs
       val hi = table.startNs + buckets * (i + 1) / n * table.stepNs
-      LokiMetricPartition(table.options.endpoint, table.metricQuery,
+      LokiMetricPartition(table.options.endpoint, table.metricQueries,
         table.groupLabels, table.stepNs, lo, hi): InputPartition
     }.toArray
   }
@@ -135,7 +171,7 @@ case class LokiMetricScan(table: LokiMetricTable) extends Scan with Batch {
 
 case class LokiMetricPartition(
     endpoint: String,
-    metricQuery: String,
+    metricQueries: Seq[String],
     groupLabels: Seq[String],
     stepNs: Long,
     sliceStartNs: Long,
@@ -155,25 +191,34 @@ class LokiMetricReader(p: LokiMetricPartition)
     // LokiMetricTable scaladoc): start at the first bucket's point,
     // end at the last — endNs − 1 is the final bucket's point because
     // the slice bounds are bucket-aligned
-    val series = LokiHttp.queryRangeMetric(
-      p.endpoint, p.metricQuery,
-      p.sliceStartNs + p.stepNs - 1, p.sliceEndNs - 1, p.stepNs)
+    val startT = p.sliceStartNs + p.stepNs - 1
+    val endT = p.sliceEndNs - 1
+    // one wire query per aggregation kind over the IDENTICAL inner
+    // query: same matched entries ⇒ same (series, sample) key sets; the
+    // union + default-0 below is belt-and-braces, not a semantic join
+    val perFn: Seq[Map[(Seq[String], Long), Long]] = p.metricQueries.map { q =>
+      LokiHttp.queryRangeMetric(p.endpoint, q, startT, endT, p.stepNs)
+        .iterator.flatMap { case (metric, samples) =>
+          val kvs = metric.toMap
+          // Prometheus metric objects omit empty-valued labels; an
+          // explicitly-empty value (unrepresentable in Loki's model)
+          // normalizes to absent the same way — both decode as SQL NULL
+          val lv: Seq[String] = p.groupLabels.map(l =>
+            kvs.get(l).filter(_.nonEmpty).orNull)
+          samples.iterator.map { case (sampleS, v) => ((lv, sampleS), v) }
+        }.toMap
+    }
+    val keys = perFn.flatMap(_.keys).distinct
     val stepS = p.stepNs / 1000000000L
-    series.iterator.flatMap { case (metric, samples) =>
-      val kvs = metric.toMap
-      val labelVals: Array[Any] = p.groupLabels.map(l =>
-        // Prometheus metric objects omit empty-valued labels; an
-        // explicitly-empty value (unrepresentable in Loki's model)
-        // normalizes to absent the same way — both decode as SQL NULL
-        kvs.get(l).filter(_.nonEmpty)
-          .map(UTF8String.fromString).orNull: Any).toArray
-      samples.iterator.map { case (sampleS, cnt) =>
-        // sample_s = bucket_s + step_s − 1 (floored eval point) →
-        // recover the bucket start, in µs (the relation's timestamp unit)
-        val bucketUs = (sampleS + 1 - stepS) * 1000000L
-        new GenericInternalRow(
-          (bucketUs: Any) +: labelVals :+ (cnt: Any)): InternalRow
-      }
+    keys.iterator.map { case key @ (lv, sampleS) =>
+      // sample_s = bucket_s + step_s − 1 (floored eval point) →
+      // recover the bucket start, in µs (the relation's timestamp unit)
+      val bucketUs = (sampleS + 1 - stepS) * 1000000L
+      val labelVals: Seq[Any] =
+        lv.map(v => if (v == null) null else UTF8String.fromString(v): Any)
+      val vals: Seq[Any] = perFn.map(_.getOrElse(key, 0L): Any)
+      new GenericInternalRow(
+        ((bucketUs: Any) +: (labelVals ++ vals)).toArray): InternalRow
     }
   }
 

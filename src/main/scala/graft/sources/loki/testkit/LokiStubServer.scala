@@ -410,15 +410,17 @@ final class LokiStubServer {
     (m.group(1).toDouble * mult * 1e9).toLong
   }
 
-  /** `sum[ by (l…)] (count_over_time(<selector+stages> [<N>s]))` — the
-    * exact metric grammar the connector's aggregation rewrite emits
-    * (graft.plans.LokiMetricAggRule). The greedy inner group anchored at
-    * the literal ` [Ns]))` tail keeps a bracketed token inside a line
-    * filter's backtick pattern from being mistaken for the range.
+  /** `[topk(K, ]sum[ by (l…)] (count_over_time(<selector+stages>
+    * [<N>s]))[)]` — the exact metric grammar the connector's
+    * aggregation rewrite emits (graft.plans.LokiMetricAggRule). The
+    * greedy inner group anchored at the literal ` [Ns]))` tail keeps a
+    * bracketed token inside a line filter's backtick pattern from being
+    * mistaken for the range. The topk wrapper's K and its closing paren
+    * must appear together (validated in the handler).
     */
   private val metricQueryRe = java.util.regex.Pattern.compile(
-    "^sum(?: by \\(([^)]*)\\) )?" +
-      "\\((count_over_time|bytes_over_time)\\((.*) \\[(\\d+)s\\]\\)\\)$",
+    "^(?:topk\\((\\d+), )?sum(?: by \\(([^)]*)\\) )?" +
+      "\\((count_over_time|bytes_over_time)\\((.*) \\[(\\d+)s\\]\\)\\)(\\))?$",
     java.util.regex.Pattern.DOTALL)
 
   /** First index in the ts-sorted snapshot with tsNs > t. */
@@ -448,17 +450,22 @@ final class LokiStubServer {
       stepParam: Option[String]): Unit = {
     val m = metricQueryRe.matcher(q)
     require(m.matches(), s"not a metric query: $q")
-    val byLabels = Option(m.group(1)).toSeq
+    // topk(K, …): the opener and its closing paren must pair up
+    val topk = Option(m.group(1)).map(_.toInt)
+    if (topk.isDefined != (m.group(6) != null)) {
+      respond(ex, 400, s"unbalanced topk parens: $q".getBytes(UTF_8)); return
+    }
+    val byLabels = Option(m.group(2)).toSeq
       .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
     // per-entry weight: count_over_time counts entries; bytes_over_time
     // sums line sizes in UTF-8 BYTES (real Loki measures the entry's
     // line bytes — the capacity metric)
-    val weight: LogRow => Long = m.group(2) match {
+    val weight: LogRow => Long = m.group(3) match {
       case "bytes_over_time" => r => r.line.getBytes(UTF_8).length.toLong
       case _ => _ => 1L
     }
-    val inner = m.group(3)
-    val rangeNs = m.group(4).toLong * 1000000000L
+    val inner = m.group(4)
+    val rangeNs = m.group(5).toLong * 1000000000L
     val stepNs = stepParam match {
       case Some(s) =>
         try parseStepNs(s) catch {
@@ -508,7 +515,17 @@ final class LokiStubServer {
         }
         i += 1
       }
-      counts.foreach { case (k, c) =>
+      val kept = topk match {
+        case Some(k) =>
+          // per-evaluation-point top-k series by value (Prometheus topk
+          // semantics); ties broken by the rendered metric key — real
+          // Loki's choice among ties is arbitrary, the stub's is
+          // deterministic so conformance replays are stable
+          counts.toSeq.sortBy { case (key, c) =>
+            (-c, key.map { case (a, b) => s"$a=$b" }.mkString(",")) }.take(k)
+        case None => counts.toSeq
+      }
+      kept.foreach { case (k, c) =>
         acc.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += ((t, c))
       }
       if (t > Long.MaxValue - stepNs) t = Long.MaxValue else t += stepNs

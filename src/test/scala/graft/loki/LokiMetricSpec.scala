@@ -173,11 +173,14 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
       .orderBy("bucket").collect()
       .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
     assert(got == exp && got.nonEmpty)
-    // mixed kinds cannot ride one wire query — fallback
-    assert(!planOf(windowed(lokiDf())
+    // mixed kinds ride one wire query PER KIND since round 15 —
+    // count + bytes together still push, as the two-query relation
+    val mixed = planOf(windowed(lokiDf())
       .groupBy(date_trunc("day", col("timestamp")))
       .agg(count(lit(1)), sum(octet_length(col("line")))))
-      .contains("LokiMetricScan"))
+    assert(mixed.contains("LokiMetricScan") &&
+      mixed.contains("count_over_time(") && mixed.contains("bytes_over_time("),
+      mixed)
     // length() measures CHARACTERS, not the bytes Loki sums — fallback
     assert(!planOf(windowed(lokiDf())
       .groupBy(date_trunc("day", col("timestamp")))
@@ -319,5 +322,99 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(got.values.sum == (for {
       d <- 0 until 3; h <- 0 until 24
     } yield 1L + (d + h) % 3).sum)
+  }
+
+  test("avg(octet_length) pushes as the bytes/count pair on one relation") {
+    val q0 = stub.queries.synchronized(stub.queries.size)
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(avg(octet_length(col("line"))).as("avg_bytes"),
+        count(lit(1)).as("cnt"))
+      .orderBy("app")
+    val plan = planOf(df)
+    assert(plan.contains("LokiMetricScan") &&
+      plan.contains("bytes_over_time(") && plan.contains("count_over_time("),
+      plan)
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val host = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(avg(octet_length(col("line"))).as("avg_bytes"),
+        count(lit(1)).as("cnt"))
+      .orderBy("app")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == host.map(_._1).toSeq)
+    got.zip(host).foreach { case ((_, a, c), (_, ha, hc)) =>
+      assert(c == hc)
+      assert(math.abs(a - ha) < 1e-9, s"avg diverged: $a vs $ha")
+    }
+    // exactly two DISTINCT wire queries (one per kind) for the whole
+    // aggregate — the global Sort's sampling pass re-reads the scan, so
+    // each may be issued more than once (and answered from the stub's
+    // result cache); the set is what pins the wire shape
+    val wired = stub.queries.synchronized(stub.queries.drop(q0).toList)
+      .filter(_.contains("_over_time")).toSet
+    assert(wired.size == 2 &&
+      wired.count(_.contains("bytes_over_time")) == 1 &&
+      wired.count(_.contains("count_over_time")) == 1, wired)
+  }
+
+  test("ORDER BY cnt DESC LIMIT k pushes as topk(k, …); ties stay valid") {
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "env").as("env"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc)
+      .limit(1)
+    val plan = planOf(df)
+    assert(plan.contains("topk(1, sum by (env) (count_over_time("), plan)
+    // env=dev carries more rows than prod in the seeded corpus: a unique
+    // top-1, so the pushed answer equals the host's
+    val host = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(element_at(col("labels"), "env").as("env"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc).limit(1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == host)
+  }
+
+  test("topk refusals: bucketed form, secondary sort key, ascending") {
+    // bucketed: Prometheus topk selects per evaluation point — not the
+    // SQL global top-k — so the relation keeps all series
+    val bucketed = windowed(lokiDf())
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc).limit(2)
+    assert(!planOf(bucketed).contains("topk("), planOf(bucketed))
+    // secondary tie-break key: SQL's answer is deterministic, the
+    // server's tie choice is not — must not push
+    val tiebreak = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "env").as("env"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("env")).limit(1)
+    assert(!planOf(tiebreak).contains("topk("), planOf(tiebreak))
+    // ascending (bottom-k) is a different wire function — not pushed
+    val asc = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "env").as("env"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt")).limit(1)
+    assert(!planOf(asc).contains("topk("), planOf(asc))
+    // all three still answer correctly from their fallback plans
+    assert(bucketed.count() == 2L && tiebreak.count() == 1L && asc.count() == 1L)
+  }
+
+  test("HAVING survives the rewrite and filters metric samples") {
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .orderBy("app")
+    val plan = planOf(df)
+    assert(plan.contains("LokiMetricScan") && !plan.contains("LokiLogScan"),
+      plan)
+    val host = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).orderBy("app")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == host)
   }
 }
