@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.sources.loki.LokiWrite
+import graft.sources.loki.{LokiHttp, LokiWrite}
 import graft.sources.loki.testkit.LokiStubServer
 
 /** Connector-backed harness queries: the DSv2 Loki source exercised inside
@@ -98,6 +98,65 @@ object ConnectorOps {
     }, s"delete DML did not file exactly one request: ${st.deleteReqs}")
     st
   }
+
+  /** Flags captured during one-shot stub choreographies (keyed like
+    * [[stubs]]) so repeated gate/bench passes can re-assert states that
+    * only existed transiently during setup.
+    */
+  private val setupFlags = new TrieMap[String, Boolean]()
+
+  private[operators] def setupFlagFor(key: String): Boolean =
+    setupFlags.getOrElse(key, false)
+
+  /** The delete-request LIFECYCLE choreography (round 15): in the
+    * compactor's cancel grace period, filed requests sit in status
+    * "received" with their rows still readable; a cancel REMOVES a
+    * request; the compactor run then applies the survivors. Two deletes
+    * are filed (click and view, same window), the view one is canceled,
+    * and compaction processes the click one — all inside the memo so
+    * repeated gate passes read a settled end state.
+    */
+  private[operators] def lifecycleStub(s: SparkSession, d: String): LokiStubServer =
+    stubSync(stubs.getOrElseUpdate(s"$d#dellife", {
+      val st = new LokiStubServer
+      st.start()
+      Tables.lokiView(s, d)
+        .write.format("loki")
+        .option("endpoint", st.endpoint)
+        .option("push_batch_size", "8192")
+        .mode("append").save()
+      st.deleteGraceMode = true
+      val cat = s"lokilife${d.hashCode & 0x7fffffff}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
+      s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
+      s.conf.set(s"spark.sql.catalog.$cat.default_label", "event_type")
+      def fileDelete(t: String): Unit = s.sql(
+        s"DELETE FROM $cat.default.loki WHERE labels['event_type'] = '$t' " +
+          "AND timestamp >= TIMESTAMP '2024-01-05 00:00:00' " +
+          "AND timestamp < TIMESTAMP '2024-01-20 00:00:00'")
+      fileDelete("click")
+      fileDelete("view")
+      val filed = st.deleteReqs.synchronized(st.deleteReqs.toList)
+      val receivedOk =
+        filed.size == 2 && filed.forall(_.status == "received")
+      // grace period: the rows are still readable after filing
+      val visibleBefore = s.read.table(s"$cat.default.loki")
+        .filter(element_at(col("labels"), "event_type") === "click" &&
+          col("timestamp") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("timestamp") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .limit(1).count() == 1L
+      val viewId = filed.find(_.query.contains("view")).get.id
+      LokiHttp.cancelDeleteRequest(st.endpoint, viewId.toString)
+      val afterCancel = LokiHttp.deleteRequests(st.endpoint)
+      val cancelOk = afterCancel.size == 1 &&
+        afterCancel.head._2 == """{event_type="click"}""" &&
+        afterCancel.head._5 == "received"
+      st.compact()
+      setupFlags(s"$d#dellife") = receivedOk && visibleBefore && cancelOk
+      sys.addShutdownHook(st.stop())
+      st
+    }))
 
   /** Scratch stub whose lines are real JSON (`to_json` over the events
     * row, `level` = event_type) — the corpus for the `| json`
@@ -782,6 +841,49 @@ object ConnectorOps {
           |       CAST(1705708799 AS BIGINT) AS end_s,
           |       'processed' AS status
           |ORDER BY request_id""".stripMargin)),
+
+    // Delete-request LIFECYCLE end to end (round 15, VERDICT r14 #8):
+    // filed → received (rows still readable) → one request CANCELED
+    // (DELETE ?request_id=, removed from the store) → compactor run →
+    // the survivor processed and only ITS rows gone. The choreography
+    // runs once in lifecycleStub's memo; this row reads the settled
+    // state — the canceled view rows alive, the processed click rows
+    // deleted, the audit listing showing exactly the survivor — plus
+    // the transition flags captured during setup.
+    ("loki_delete_lifecycle",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val st = ConnectorOps.lifecycleStub(s, d)
+        val listed = LokiHttp.deleteRequests(st.endpoint)
+        val settledOk = listed.size == 1 &&
+          listed.head._2 == """{event_type="click"}""" &&
+          listed.head._5 == "processed"
+        val cat = s"lokilifer${d.hashCode & 0x7fffffff}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.loki.LokiCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.endpoint", st.endpoint)
+        s.conf.set(s"spark.sql.catalog.$cat.check_connection", "false")
+        s.conf.set(s"spark.sql.catalog.$cat.default_label", "event_type")
+        s.read.table(s"$cat.default.loki")
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .crossJoin(broadcast(Seq(
+            (ConnectorOps.setupFlagFor(s"$d#dellife"), settledOk))
+            .toDF("lifecycle_ok", "settled_ok")))
+          .orderBy("ts_us", "line")
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line,
+          |       true AS lifecycle_ok, true AS settled_ok
+          |FROM events
+          |WHERE NOT (event_type = 'click'
+          |           AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+          |           AND ts < TIMESTAMP '2024-01-20 00:00:00')
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-03-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
 
     // Server-side pattern detection (round 14): /loki/api/v1/patterns as
     // loki.meta.patterns — real Loki's Drain-style template census,

@@ -719,6 +719,25 @@ object LokiHttp {
       s"Loki delete failed: HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
   }
 
+  /** `DELETE /loki/api/v1/delete?request_id=` — cancel a filed deletion
+    * request inside the compactor's cancel grace period (round 15): the
+    * request is REMOVED from the store and its rows survive. Past the
+    * grace period (status processed) real Loki answers 400 — surfaced
+    * as an exception, as is 404 for an unknown id. Transient 5xx retry
+    * like the filing; a 4xx is terminal.
+    */
+  def cancelDeleteRequest(endpoint: String, requestId: String): Unit = {
+    val uri = URI.create(s"$endpoint/loki/api/v1/delete?request_id=" +
+      java.net.URLEncoder.encode(requestId, "UTF-8"))
+    val req = HttpRequest.newBuilder(uri)
+      .timeout(Duration.ofSeconds(30)).DELETE().build()
+    val resp = withRetry("delete(cancel)")(() =>
+      client.send(req, HttpResponse.BodyHandlers.ofString()))(_.statusCode())
+    if (resp.statusCode() / 100 != 2) throw new RuntimeException(
+      s"Loki delete cancel failed: HTTP ${resp.statusCode()}: " +
+        resp.body().take(500))
+  }
+
   /** `GET /loki/api/v1/delete` — list delete requests:
     * (request_id, query, start_s, end_s, status) per request, parsed
     * from the endpoint's flat-object array (string ids/queries/statuses,

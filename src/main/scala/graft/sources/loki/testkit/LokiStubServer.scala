@@ -41,7 +41,7 @@ final class LokiStubServer {
   def clear(): Unit = {
     rows.synchronized {
       rows.clear(); seen.clear(); respCache.clear(); sortedCache = null
-      deleteReqs.clear()
+      deleteReqs.clear(); deleteIdNext = 1
     }
     // the dataset behind this endpoint just changed — stale stats-split
     // boundary placements for it must not survive (see dropBoundsFor)
@@ -904,6 +904,35 @@ final class LokiStubServer {
   final case class DeleteReq(
       id: Int, query: String, startNs: Long, endNs: Long, status: String)
   val deleteReqs = mutable.ArrayBuffer.empty[DeleteReq]
+  private var deleteIdNext = 1
+
+  /** When true, filed delete requests stay in status "received" (rows
+    * untouched) until [[compact]] runs — real Loki's
+    * `delete_request_cancel_period`, during which `DELETE ?request_id=`
+    * cancels (removes) the request. Default false applies immediately,
+    * modeling the post-compaction state most conformance tests want.
+    */
+  @volatile var deleteGraceMode: Boolean = false
+
+  /** Apply every "received" delete request — the compactor run ending
+    * the grace period.
+    */
+  def compact(): Unit = rows.synchronized {
+    deleteReqs.zipWithIndex.foreach { case (req, idx) =>
+      if (req.status == "received") {
+        val (matchers, stages) = parseLogql(req.query)
+        val keep = rows.filterNot(r =>
+          r.tsNs >= req.startNs && r.tsNs <= req.endNs &&
+            matchers.forall(_.matches(r.labels)) &&
+            evalPipeline(r, stages).isDefined)
+        rows.clear(); rows ++= keep
+        seen.clear(); seen ++= keep
+        deleteReqs(idx) = req.copy(status = "processed")
+      }
+    }
+    respCache.clear(); sortedCache = null
+    graft.sources.loki.LokiScan.dropBoundsFor(endpoint)
+  }
 
   /** The compactor delete API (`/loki/api/v1/delete`). Modeled contract:
     *
@@ -964,20 +993,25 @@ final class LokiStubServer {
           val existing = deleteReqs.find(r =>
             r.query == params("query") && r.startNs == startNs && r.endNs == endNs)
           if (existing.isEmpty) {
+            val status = if (deleteGraceMode) "received" else "processed"
             deleteReqs += DeleteReq(
-              deleteReqs.size + 1, params("query"), startNs, endNs, "processed")
+              deleteIdNext, params("query"), startNs, endNs, status)
+            deleteIdNext += 1
             // the compactor's window is INCLUSIVE on both ends — entries
             // with start ≤ ts ≤ end are deleted (grafana/loki
             // delete_request semantics; the stub previously modeled the
             // connector's old [start, end) assumption, so the gate could
-            // not catch the boundary divergence — round-15 advice)
-            val keep = rows.filterNot(r =>
-              r.tsNs >= startNs && r.tsNs <= endNs &&
-                matchers.forall(_.matches(r.labels)) &&
-                evalPipeline(r, stages).isDefined)
-            rows.clear(); rows ++= keep
-            seen.clear(); seen ++= keep
-            respCache.clear(); sortedCache = null
+            // not catch the boundary divergence — round-15 advice).
+            // In grace mode the rows stay until compact().
+            if (!deleteGraceMode) {
+              val keep = rows.filterNot(r =>
+                r.tsNs >= startNs && r.tsNs <= endNs &&
+                  matchers.forall(_.matches(r.labels)) &&
+                  evalPipeline(r, stages).isDefined)
+              rows.clear(); rows ++= keep
+              seen.clear(); seen ++= keep
+              respCache.clear(); sortedCache = null
+            }
           }
         }
         graft.sources.loki.LokiScan.dropBoundsFor(endpoint)
@@ -999,7 +1033,12 @@ final class LokiStubServer {
           case Some(r) if r.status == "processed" =>
             respond(ex, 400,
               "deletion of a processed request is not allowed".getBytes(UTF_8))
-          case Some(_) => respond(ex, 204, Array.emptyByteArray)
+          case Some(r) =>
+            // a "received" request cancels inside the grace period: real
+            // Loki REMOVES it from the store (it never reaches the
+            // compactor and disappears from the GET listing)
+            rows.synchronized { deleteReqs.filterInPlace(_.id != r.id); () }
+            respond(ex, 204, Array.emptyByteArray)
           case None => respond(ex, 404, "request not found".getBytes(UTF_8))
         }
       case m => respond(ex, 405, s"method $m not allowed".getBytes(UTF_8))

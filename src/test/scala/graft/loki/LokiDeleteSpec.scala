@@ -134,6 +134,46 @@ class LokiDeleteSpec extends SparkTestBase with BeforeAndAfterAll {
     seed()
   }
 
+  test("grace-period lifecycle: filed → received → cancel → compact") {
+    seed()
+    stub.deleteGraceMode = true
+    try {
+      spark.sql(
+        "DELETE FROM delcat.default.loki WHERE labels['app'] = 'web' " +
+          "AND timestamp >= TIMESTAMP '2024-01-01 00:00:00' " +
+          "AND timestamp < TIMESTAMP '2024-01-02 00:00:00'")
+      spark.sql(
+        "DELETE FROM delcat.default.loki WHERE labels['app'] = 'api' " +
+          "AND timestamp >= TIMESTAMP '2024-01-01 00:00:00' " +
+          "AND timestamp < TIMESTAMP '2024-01-02 00:00:00'")
+      val filed = stub.deleteReqs.synchronized(stub.deleteReqs.toList)
+      assert(filed.size == 2 && filed.forall(_.status == "received"), filed)
+      // grace period: nothing applied yet
+      assert(scanLines().size == 40)
+      // cancel the web request: REMOVED from the store
+      val webId = filed.find(_.query.contains("web")).get.id
+      graft.sources.loki.LokiHttp.cancelDeleteRequest(
+        stub.endpoint, webId.toString)
+      val listed = graft.sources.loki.LokiHttp.deleteRequests(stub.endpoint)
+      assert(listed.size == 1 && listed.head._2 == """{app="api"}""" &&
+        listed.head._5 == "received", listed)
+      // cancel of an unknown id fails loudly
+      assertThrows[RuntimeException](
+        graft.sources.loki.LokiHttp.cancelDeleteRequest(stub.endpoint, "999"))
+      // compactor run: the surviving api request applies; web rows live
+      stub.compact()
+      val left = scanLines()
+      assert(left.count(_.nonEmpty) == 40 - 12, left.toSeq.sorted) // 12 api rows in day 1
+      assert(left.exists(_.startsWith("row 0 ")), "canceled web delete must not apply")
+      assert(!left.exists(_.startsWith("row 1 ")), "api delete must apply at compaction")
+      assert(graft.sources.loki.LokiHttp.deleteRequests(stub.endpoint)
+        .head._5 == "processed")
+    } finally {
+      stub.deleteGraceMode = false
+      seed()
+    }
+  }
+
   test("listing relation + cancel semantics") {
     seed()
     spark.sql(
