@@ -194,7 +194,12 @@ object Bench {
     // exit, or the 8-minute cap (one pathological comparator draw must
     // not kill the round's whole bench artifact) just omits the field.
     // Skippable via SPARK_GRAFT_DUCKDB=false for local iteration.
-    val duckdbTotal: Option[Double] =
+    // (total, per-query seconds) — the per-query map rides the same
+    // comparator line; carrying it into the artifact makes cross-round
+    // per-query ratios one look instead of a BENCH_COMPARE cross-
+    // reference against a different comparator draw (round-14 verdict
+    // item 7b).
+    val duckdbResult: Option[(Double, Map[String, Double])] =
       if (!sys.env.getOrElse("SPARK_GRAFT_DUCKDB", "true").toBoolean) None
       else try {
         val dir = java.nio.file.Files.createTempDirectory("graft_bench_oracle")
@@ -239,13 +244,38 @@ object Bench {
         } else if (p.exitValue() != 0) None
         else {
           t.join(5000)
+          val out = lines.get()
           val m = java.util.regex.Pattern
             .compile("\"metric\": \"duckdb_total\", \"value\": ([0-9.]+)")
-            .matcher(lines.get())
-          if (m.find()) Some(m.group(1).toDouble) else None
+            .matcher(out)
+          if (!m.find()) None
+          else {
+            // per-query map on the same line: the flat {"name": secs, …}
+            // object after "queries": — names are gate identifiers
+            // ([a-z0-9_]), values plain decimals, so a scan needs no
+            // JSON library
+            val per = Map.newBuilder[String, Double]
+            val qStart = out.indexOf("\"queries\": {", m.end())
+            if (qStart >= 0) {
+              val qEnd = out.indexOf('}', qStart)
+              val pm = java.util.regex.Pattern
+                .compile("\"([A-Za-z0-9_]+)\": ([0-9.]+)")
+                .matcher(out.substring(qStart + 12, math.max(qStart + 12, qEnd)))
+              while (pm.find()) per += pm.group(1) -> pm.group(2).toDouble
+            }
+            Some((m.group(1).toDouble, per.result()))
+          }
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    val duckdbField = duckdbTotal.fold("")(v => s""","duckdb_total":${f2(v)}""")
+    val duckdbField =
+      duckdbResult.fold("")(v => s""","duckdb_total":${f2(v._1)}""")
+    // positional centisecond array aligned to the same sorted query
+    // names as cold/min; -1 = no oracle for that query (rows-only check)
+    val duckdbArr = duckdbResult.map { case (_, per) =>
+      results.map(r =>
+        per.get(r._1).map(v => math.round(v * 100).toString).getOrElse("-1"))
+        .mkString("[", ",", "]")
+    }
 
     // PENULTIMATE line, sized for the driver's ~2000-char stdout-tail
     // window (round-10 verdict item 2: the name-keyed timing maps on
@@ -267,6 +297,12 @@ object Bench {
     val failedIdx = results.zipWithIndex
       .collect { case ((n, _, _, _, _), i) if failures.contains(n) => i }
       .mkString("[", ",", "]")
+    // the duckdb pairing rides its OWN line, printed ahead of per_query:
+    // the driver's ~2000-char stdout-tail capture keeps the LAST bytes,
+    // so if anything truncates it is this line's head — never the
+    // established cold/min arrays or the final total line
+    duckdbArr.foreach(a => println(
+      s"""{"metric":"per_query_duckdb","unit":"centisec","order":"sorted_query_names","n":${results.size},"duckdb":$a}"""))
     println(s"""{"metric":"per_query","unit":"centisec","order":"sorted_query_names","n":${results.size},"failed_idx":$failedIdx,"cold":${csArr(_._2)},"min":${csArr(_._3)}}""")
     // FINAL driver-facing line: printed LAST (after spark.stop(), so no
     // late log write can trail it) and kept tiny — counts and totals only,
