@@ -180,6 +180,13 @@ object Bench {
     try System.setErr(new java.io.PrintStream(
       new java.io.FileOutputStream("target/bench_shutdown_stderr.log"), true))
     catch { case scala.util.control.NonFatal(_) => () }
+    // log4j appenders hold the ORIGINAL stderr, so the setErr above does
+    // not catch logged shutdown noise — in particular the streaming
+    // StateStore maintenance tick that fires AFTER spark.stop() and logs
+    // a WARN with a stack trace ("SparkEnv not active", the exact
+    // fragment the round-14 artifact tail carried). Nothing after this
+    // point legitimately logs; turn the logger off.
+    spark.sparkContext.setLogLevel("OFF")
     graft.operators.ConnectorOps.shutdownStubs()
     spark.stop()
 

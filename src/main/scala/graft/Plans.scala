@@ -66,7 +66,15 @@ object Plans {
     "loki_metric_count_over_time", "loki_metric_sum_by",
     "loki_metric_by_label", "loki_metric_bytes_by_label",
     "loki_meta_patterns", "loki_delete_scan", "loki_meta_deletes",
-    "documents_contrastive_negatives")
+    "documents_contrastive_negatives",
+    // round-15: parser-stage pushdown (| json / | logfmt stages in the
+    // pushed query), parsed-label metric grouping, mixed-kind avg pair,
+    // server-side topk, rate projection, HAVING over the rewrite,
+    // sliced metric, delete lifecycle read-back
+    "loki_parse_json_filter", "loki_parse_logfmt_filter",
+    "loki_metric_parsed_label", "loki_metric_avg_bytes",
+    "loki_metric_topk", "loki_metric_rate", "loki_metric_having",
+    "loki_metric_split", "loki_delete_lifecycle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

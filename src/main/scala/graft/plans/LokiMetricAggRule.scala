@@ -40,15 +40,23 @@ import graft.sources.loki.{LogQL, LokiMetricTable, LokiTable}
   *
   *   - grouping = at most one `date_trunc` on the relation's timestamp
   *     (minute/hour/day, UTC — coarser units aren't fixed-width
-  *     epoch-aligned) plus zero or more `labels['k']` accesses; with NO
-  *     date_trunc the whole window is the single bucket (step = width —
-  *     "counts per label over the window", the other query real Loki
-  *     dashboards live on);
-  *   - aggregates = non-distinct, unfiltered `COUNT(*)`/`COUNT(lit)`
-  *     and/or the grouping expressions re-emitted;
+  *     epoch-aligned) plus zero or more `labels['k']` accesses or —
+  *     round 15 — PARSED-label accessors (`logfmt_get`/`loki_json_get`,
+  *     grouped via a generated `gp<N>` extraction stage in the inner
+  *     query); with NO date_trunc the whole window is the single bucket
+  *     (step = width — "counts per label over the window", the other
+  *     query real Loki dashboards live on);
+  *   - aggregates = non-distinct, unfiltered `COUNT(*)`/`COUNT(lit)`,
+  *     `SUM(octet_length(line))`, `AVG(octet_length(line))` (round 15:
+  *     the distinct wire KINDS each ride their own query — see
+  *     [[graft.sources.loki.LokiMetricTable.aggFns]]) and/or
+  *     expressions over those and the groupings (`count(*)/86400.0` —
+  *     the rate() shape — rides the structural projection mapping);
   *   - the WHERE conjuncts must ALL translate (label matcher / line
-  *     filter / timestamp bound) — an untranslatable residual under an
-  *     Aggregate has nowhere to re-filter;
+  *     filter / parser-stage predicate / timestamp bound) — an
+  *     untranslatable residual under an Aggregate has nowhere to
+  *     re-filter (a HAVING above the Aggregate survives: output ExprIds
+  *     are preserved through aliases);
   *   - exactly one start and one end bound, both step-aligned (the
   *     bucket-reconstruction contract), neither repeated (repeated
   *     bounds engage the strict/parity tie-break — not worth encoding
