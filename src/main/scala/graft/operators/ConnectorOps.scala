@@ -412,6 +412,47 @@ object ConnectorOps {
           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),
 
+    // Parser stages through the STREAMING selector (round 15): the
+    // `selector` option now carries the full stage grammar, so a TAIL —
+    // whose scans DSv2 filter pushdown never reaches — runs the
+    // `{…} | logfmt lvl="k" | lvl=~"…"` idiom server-side: only rows
+    // whose PARSED field matches cross the wire. The wire pin proves
+    // every micro-batch query carried the stages verbatim (user order,
+    // escaping renderer); semantics are Loki's (full-match label
+    // regex), replayed by the oracle.
+    ("loki_stream_tail_parsed",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamingOps.memoDrain(s, d, "loki_stream_tail_parsed") {
+          val st = stubFor(s, d)
+          val q0 = st.queries.synchronized(st.queries.size)
+          val stream = s.readStream.format("loki")
+            .option("endpoint", st.endpoint)
+            .option("selector",
+              """{event_type="click"} | logfmt v="value" | v=~"1.*"""")
+            .option("stream_start_ns", "1704067200000000000")
+            .option("stream_end_ns", "1706745600000000000")
+            .load()
+            .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          val out = graft.streaming.StreamingOps.runToMemory(
+            stream, s"loki_tail_parsed_${d.hashCode & 0x7fffffff}",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+            .orderBy("ts_us", "line")
+          val wire = st.queries.synchronized(st.queries.drop(q0).toList)
+          require(wire.nonEmpty && wire.forall(
+            _ == """{event_type="click"} | logfmt v="value" | v=~"1.*""""),
+            s"parsed tail did not carry its stages: ${wire.distinct}")
+          out
+        },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE event_type = 'click'
+          |  AND CAST(value AS VARCHAR) LIKE '1%'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // Streaming WRITE (round 12, beyond-parity: the reference's insert is
     // batch-only, insert.rs) — the loki→loki forwarding pipeline: tail
     // the source endpoint's January window, keep the clicks, push them to

@@ -330,7 +330,7 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     // selector-option pieces re-render escaped, optimizer-derived pieces
     // follow escape_logql, selector stages lead) ----
     val esc = table.options.escapeLogql
-    val (optMatchers, optLines) = table.options.selector
+    val (optMatchers, optStages) = table.options.selector
       .map(LogQL.parseSelector).getOrElse((Nil, Nil))
     val newMatchers = matchers.filterNot(table.pushedLabelMatchers.contains)
     val newLines = lines.filterNot(table.pushedLineFilters.contains)
@@ -345,7 +345,7 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
         // no-matcher error — don't preempt it with a rewrite
         case None => return None
       }
-    val lineParts = optLines.map(_.render(escape = true)) ++
+    val lineParts = optStages.map(_.render(escape = true)) ++
       (table.pushedLineFilters ++ newLines).map(_.render(esc)) ++
       // parser stages after the line filters (the scan-path ordering):
       // filter-pushed stages already on the table, new predicate stages,

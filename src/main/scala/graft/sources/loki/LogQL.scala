@@ -117,25 +117,60 @@ object LogQL {
   def defaultMatcher(defaultLabel: String): LabelMatcher =
     LabelMatcher(defaultLabel, "=~", ".+")
 
+  /** A user-stated pipeline stage from the `selector` option, re-rendered
+    * in USER ORDER on the wire (round 15 extended the option past line
+    * filters to the full stage grammar: parser stages and label filters,
+    * so a streaming TAIL — whose scans DSv2 filter pushdown never
+    * reaches — can run `{app="x"} | json | level="error"` server-side).
+    */
+  sealed trait PipeStage { def render(escape: Boolean): String }
+  final case class PLine(f: LineFilter) extends PipeStage {
+    def render(escape: Boolean): String = f.render(escape)
+  }
+  /** `| json` / `| logfmt`, bare (full extraction) or with explicit
+    * expressions `lbl="key"` (shorthand `lbl` ≡ `lbl="lbl"`).
+    */
+  final case class PParser(kind: String, exprs: Seq[(String, String)])
+    extends PipeStage {
+    def render(escape: Boolean): String =
+      if (exprs.isEmpty) s"| $kind"
+      else s"| $kind " + exprs.map { case (l, k) =>
+        val v = if (escape) escapeQuoted(k) else k
+        s"""$l="$v""""
+      }.mkString(", ")
+  }
+  /** Post-parser label filter `| lbl op "v"` (string ops). */
+  final case class PLabelFilter(label: String, op: String, value: String)
+    extends PipeStage {
+    def render(escape: Boolean): String = {
+      val v = if (escape) escapeQuoted(value) else value
+      s"""| $label$op"$v""""
+    }
+  }
+
   /** Parse a raw LogQL log-selector string — the `selector` option's
     * value: `{label op "v", …}` (ops `=`, `!=`, `=~`, `!~`; values
     * double-quoted with Go-style escapes or backtick-raw) followed by
-    * optional line-filter stages (`|=`, `!=`, `|~`, `!~`). This is the
-    * matcher model of reference table.rs:116-128, accepted as user text
-    * so a STREAMING read can push a selector: Spark applies no DSv2
-    * filter pushdown to micro-batch scans, and without this option a
-    * filtered tail reads the full firehose and filters host-side.
+    * optional pipeline stages: line filters (`|=`, `!=`, `|~`, `!~`),
+    * parser stages (`| json` / `| logfmt`, bare or with expression
+    * lists), and label filters (`| lbl op "v"`). This is the matcher
+    * model of reference table.rs:116-128 plus the stage grammar,
+    * accepted as user text so a STREAMING read can push a full query:
+    * Spark applies no DSv2 filter pushdown to micro-batch scans, and
+    * without this option a filtered tail reads the full firehose and
+    * filters host-side.
     *
     * Semantics are Loki's, verbatim — including Prometheus matcher
     * treatment of ABSENT labels (`{k!="v"}` also matches streams with no
-    * label `k`, see [[matchesAbsentLabel]]), which differs from the SQL
-    * `labels['k'] != 'v'` (NULL → dropped). The option states what goes
+    * label `k`, see [[matchesAbsentLabel]]), and parser-stage label
+    * semantics (missing ≡ "", `_extracted` stream-label conflicts,
+    * `__error__` rows kept unless filtered). The option states what goes
     * on the wire; no host-side residual is added or implied.
     *
     * Throws IllegalArgumentException with position context on malformed
     * input — at option-parse time, not first-task time.
     */
-  def parseSelector(s: String): (Seq[LabelMatcher], Seq[LineFilter]) = {
+  def parseSelector(s: String): (Seq[LabelMatcher], Seq[PipeStage]) = {
     var i = 0
     def err(msg: String): Nothing = throw new IllegalArgumentException(
       s"selector parse error at offset $i: $msg (in: $s)")
@@ -209,21 +244,50 @@ object LogQL {
     }
     if (i >= s.length || s.charAt(i) != '}') err("expected '}' or ','")
     i += 1
-    val lines = Seq.newBuilder[LineFilter]
+    val stages = Seq.newBuilder[PipeStage]
     ws()
     while (i < s.length) {
-      val op = s.charAt(i) match {
-        case '|' if i + 1 < s.length && s.charAt(i + 1) == '=' => i += 2; "|="
-        case '|' if i + 1 < s.length && s.charAt(i + 1) == '~' => i += 2; "|~"
-        case '!' if i + 1 < s.length && s.charAt(i + 1) == '=' => i += 2; "!="
-        case '!' if i + 1 < s.length && s.charAt(i + 1) == '~' => i += 2; "!~"
-        case _ => err("expected a line-filter stage (|=, !=, |~, !~)")
+      s.charAt(i) match {
+        case '|' if i + 1 < s.length && s.charAt(i + 1) == '=' =>
+          i += 2; ws(); stages += PLine(LineFilter("|=", str()))
+        case '|' if i + 1 < s.length && s.charAt(i + 1) == '~' =>
+          i += 2; ws(); stages += PLine(LineFilter("|~", str()))
+        case '!' if i + 1 < s.length && s.charAt(i + 1) == '=' =>
+          i += 2; ws(); stages += PLine(LineFilter("!=", str()))
+        case '!' if i + 1 < s.length && s.charAt(i + 1) == '~' =>
+          i += 2; ws(); stages += PLine(LineFilter("!~", str()))
+        case '|' =>
+          // `| json [exprs]` / `| logfmt [exprs]` / `| label op "v"`
+          i += 1; ws()
+          val id = ident(); ws()
+          if (id == "json" || id == "logfmt") {
+            val exprs = Seq.newBuilder[(String, String)]
+            var more = i < s.length && s.charAt(i) != '|' &&
+              s.charAt(i) != '!'
+            while (more) {
+              val lbl = ident(); ws()
+              if (i < s.length && s.charAt(i) == '=' &&
+                (i + 1 >= s.length || s.charAt(i + 1) != '=')) {
+                i += 1; ws()
+                exprs += ((lbl, str()))
+              } else exprs += ((lbl, lbl)) // shorthand: | logfmt host
+              ws()
+              if (i < s.length && s.charAt(i) == ',') { i += 1; ws() }
+              else more = false
+            }
+            stages += PParser(id, exprs.result())
+          } else {
+            val op = matcherOp(); ws()
+            stages += PLabelFilter(id, op, str())
+          }
+          ws()
+        case _ => err(
+          "expected a pipeline stage (|=, !=, |~, !~, | json, | logfmt, " +
+            "| label op \"v\")")
       }
       ws()
-      lines += LineFilter(op, str())
-      ws()
     }
-    (matchers.result(), lines.result())
+    (matchers.result(), stages.result())
   }
 
   /** Whether this matcher also selects streams WITHOUT the label. Loki

@@ -123,7 +123,7 @@ class LokiScanBuilder(table: LokiTable)
     // the OPTIMIZER-pushed pieces (that flag exists for reference
     // parity of derived predicates, not for user-typed LogQL).
     val esc = table.options.escapeLogql
-    val (optMatchers, optLines) = table.options.selector
+    val (optMatchers, optStages) = table.options.selector
       .map(LogQL.parseSelector).getOrElse((Nil, Nil))
     val matcherParts =
       if (optMatchers.nonEmpty || table.pushedLabelMatchers.nonEmpty)
@@ -137,7 +137,7 @@ class LokiScanBuilder(table: LokiTable)
           "no label matcher in query and no default_label configured; " +
             "LogQL requires at least one label matcher")
       }
-    val lineParts = optLines.map(_.render(escape = true)) ++
+    val lineParts = optStages.map(_.render(escape = true)) ++
       (table.pushedLineFilters ++ pushedLines).map(_.render(esc)) ++
       // parser stages last: line filters are cheaper and LogQL applies
       // stages in order, so filtering lines before parsing them is the

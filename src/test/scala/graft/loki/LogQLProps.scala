@@ -229,7 +229,39 @@ object LogQLProps extends Properties("LogQL") {
       // asymmetry: an escape-free BACKTICK render (`p`) re-parses exactly
       // too, so both renderers are covered by the same property.
       (Prop(pm == ms) :| s"matchers: $pm vs $ms (q=$q)") &&
-        (Prop(pl == ls) :| s"lines: $pl vs $ls (q=$q)")
+        (Prop(pl == ls.map(LogQL.PLine)) :| s"lines: $pl vs $ls (q=$q)")
+    }
+
+  // full stage grammar (round 15): parser stages and label filters
+  // round-trip through the escaping renderer alongside line filters
+  private val labelIdent: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(4, Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
+  } yield (h :: t).mkString
+
+  private val stageGen: Gen[LogQL.PipeStage] = Gen.frequency(
+    3 -> lineGen.map(LogQL.PLine),
+    2 -> (for {
+      kind <- Gen.oneOf("json", "logfmt")
+      n <- Gen.chooseNum(0, 3)
+      exprs <- Gen.listOfN(n, for {
+        l <- labelIdent; k <- labelIdent
+      } yield (l, k))
+    } yield LogQL.PParser(kind, exprs)),
+    2 -> (for {
+      l <- labelIdent; op <- matcherOp; v <- hardValue
+    } yield LogQL.PLabelFilter(l, op, v)))
+
+  property("parseSelector inverts the full stage grammar (escape=true)") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(matcherGen).map(_.take(3)),
+      Gen.listOf(stageGen).map(_.take(4))) { (ms, stages) =>
+      val q = (ms.map(_.render(escape = true))
+        .mkString("{", ", ", "}") +: stages.map(_.render(escape = true)))
+        .mkString(" ")
+      val (pm, ps) = LogQL.parseSelector(q)
+      (Prop(pm == ms) :| s"matchers: $pm vs $ms (q=$q)") &&
+        (Prop(ps == stages) :| s"stages: $ps vs $stages (q=$q)")
     }
 
   // ------------------------- Java ↔ RE2 regex-translation differential

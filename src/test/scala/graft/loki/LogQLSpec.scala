@@ -219,13 +219,13 @@ class LogQLSpec extends AnyFunSuite {
       LogQL.LabelMatcher("pod", "=~", "web-.*"),
       LogQL.LabelMatcher("zone", "!~", "us-(east|west)")))
     assert(ls == Seq(
-      LogQL.LineFilter("|=", "error"),
-      LogQL.LineFilter("!=", "noise"),
-      LogQL.LineFilter("|~", "\\d{3}"),
-      LogQL.LineFilter("!~", "debug")))
+      LogQL.PLine(LogQL.LineFilter("|=", "error")),
+      LogQL.PLine(LogQL.LineFilter("!=", "noise")),
+      LogQL.PLine(LogQL.LineFilter("|~", "\\d{3}")),
+      LogQL.PLine(LogQL.LineFilter("!~", "debug"))))
     // round trip through the raw renderer (backtick regex re-renders
     // backticked, quoted values re-render quoted — same query semantics)
-    assert(LogQL.assemble(ms, ls) ==
+    assert(LogQL.assemble(ms, ls.collect { case LogQL.PLine(f) => f }) ==
       """{app="api", env!="dev", pod=~"web-.*", zone!~"us-(east|west)"} |= `error` != `noise` |~ `\d{3}` !~ `debug`""")
   }
 
@@ -240,7 +240,8 @@ class LogQLSpec extends AnyFunSuite {
   test("parseSelector: empty selector and whitespace tolerance") {
     assert(LogQL.parseSelector("{}") == ((Nil, Nil)))
     assert(LogQL.parseSelector("""  { app = "x" }  |=  "y"  """) ==
-      ((Seq(LogQL.LabelMatcher("app", "=", "x")), Seq(LogQL.LineFilter("|=", "y")))))
+      ((Seq(LogQL.LabelMatcher("app", "=", "x")),
+        Seq(LogQL.PLine(LogQL.LineFilter("|=", "y"))))))
   }
 
   test("selector option re-renders ESCAPED regardless of escape_logql (round-13 review fix)") {
@@ -260,7 +261,7 @@ class LogQLSpec extends AnyFunSuite {
     // the wire query re-parses to exactly the pieces the user stated
     val (ms, ls) = LogQL.parseSelector(scan.logql)
     assert(ms == Seq(LogQL.LabelMatcher("msg", "=", "say \"hi\"")))
-    assert(ls == Seq(LogQL.LineFilter("|=", "tick`mark")))
+    assert(ls == Seq(LogQL.PLine(LogQL.LineFilter("|=", "tick`mark"))))
   }
 
   test("parseSelector: malformed input fails loudly at parse time") {
