@@ -668,6 +668,62 @@ object ScaleSmoke {
           s"metric bucket counts: $buckets")
         println(s"[scale] connector 1m metric pushdown OK (buckets=$buckets)")
 
+        // Parser-stage leg (round 15): the SAME million-row corpus
+        // filtered by a PARSED logfmt field server-side — the `| logfmt
+        // gp0="v" | gp0=~…` stages ride the wire, so only matching rows
+        // cross it (at 100 TB the difference between shipping the
+        // firehose and shipping the answer). Closed form: ids whose
+        // decimal text starts with "99" — 1+10+100+1000+10000 = 11111
+        // rows with a directly computable Σ.
+        val parsed = spark.read.format("loki")
+          .option("endpoint", stub.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            graft.functions.GraftFunctions
+              .logfmt_get(col("line"), lit("v")).rlike("^99") &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+        val pplan = parsed.queryExecution.executedPlan.toString
+        assert(pplan.contains("""| logfmt gp0="v" | gp0=~"""),
+          s"parsed-field filter must push as pipeline stages:\n$pplan")
+        val (pCnt, pSum) = timed("connector_1m_parsed_filter") {
+          val r = parsed
+            .select(substring(col("line"), 3, 10).cast("long").as("v"))
+            .agg(count(lit(1)), sum("v")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        // range arithmetic, not a scan: Σ over 99, 990-999, …, 990000-999999
+        val wantCnt = Seq(1, 10, 100, 1000, 10000).map(_.toLong).sum
+        val wantSum = Seq((99L, 99L), (990L, 999L), (9900L, 9999L),
+          (99000L, 99999L), (990000L, 999999L))
+          .map { case (a, b) => (a + b) * (b - a + 1) / 2 }.sum
+        assert(pCnt == wantCnt && pSum == wantSum,
+          s"parsed pushdown: got ($pCnt, $pSum), want ($wantCnt, $wantSum)")
+        // the metric rewrite composes with the parsed predicate: first
+        // minute (ids 0..239999), ids starting with "1" = 111111
+        val parsedMetric = spark.read.format("loki")
+          .option("endpoint", stub.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            graft.functions.GraftFunctions
+              .logfmt_get(col("line"), lit("v")).rlike("^1") &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-01-01 00:01:00").cast("timestamp"))
+          .groupBy(date_trunc("minute", col("timestamp")).as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val pmPlan = parsedMetric.queryExecution.executedPlan.toString
+        assert(pmPlan.contains("LokiMetricScan") &&
+          pmPlan.contains("""| logfmt gp0="v" | gp0=~"""),
+          s"parsed metric must push stages inside count_over_time:\n$pmPlan")
+        val pmCnt = timed("connector_1m_parsed_metric") {
+          parsedMetric.head().getLong(1)
+        }
+        assert(pmCnt == 111111L, s"parsed metric count: $pmCnt")
+        println(s"[scale] connector 1m parser-stage pushdown OK " +
+          s"(filter=$pCnt rows, metric=$pmCnt)")
+
         // Streaming-tail leg (round 13): the SAME million-row corpus
         // drained through the micro-batch reader — admission-controlled
         // (max_rows_per_batch=200k → ~5 stats-bisected windows), each
