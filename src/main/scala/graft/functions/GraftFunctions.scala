@@ -41,6 +41,9 @@ object GraftFunctions {
   def loki_json_get(line: Column, path: Column): Column =
     toCol(LokiJsonGet(ex(line), ex(path)))
 
+  def loki_pattern_get(line: Column, template: Column, field: Column): Column =
+    toCol(LokiPatternGet(ex(line), ex(template), ex(field)))
+
   /** Word n-gram shingles from a token array, via built-in higher-order
     * functions only (stays fully inside whole-stage codegen):
     * `shingles(["a","b","c","d"], 3) = ["a b c", "b c d"]`.
@@ -95,7 +98,8 @@ object GraftFunctions {
     "srp_sig" -> (es => SrpSignature(es.head, intArg(es, 1), longArg(es, 2))),
     "log_template" -> (es => LogTemplate(es.head)),
     "logfmt_get" -> (es => LogfmtGet(es.head, es(1))),
-    "loki_json_get" -> (es => LokiJsonGet(es.head, es(1))))
+    "loki_json_get" -> (es => LokiJsonGet(es.head, es(1))),
+    "loki_pattern_get" -> (es => LokiPatternGet(es.head, es(1), es(2))))
 
   /** Make the custom expressions SQL-callable in every session built with
     * [[graft.plans.GraftExtensions]].

@@ -40,6 +40,33 @@ case class LogfmtGet(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `loki_pattern_get(line, '<ip> - <user> [<ts>]', 'user')` — Loki
+  * `| pattern` capture extraction (see [[LokiParsers.patternGet]]:
+  * both-ends-anchored template, lazy captures, non-match / invalid
+  * template / absent / empty capture ≡ SQL NULL).
+  */
+case class LokiPatternGet(
+    first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "loki_pattern_get"
+  override protected def nullSafeEval(line: Any, tmpl: Any, field: Any): Any =
+    LokiParsers.patternGetUTF8(
+      line.asInstanceOf[UTF8String], tmpl.asInstanceOf[UTF8String],
+      field.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, t, f) =>
+      s"""${ev.value} = graft.sources.loki.LokiParsers.patternGetUTF8($l, $t, $f);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LokiPatternGet =
+    copy(first = f, second = s, third = t)
+}
+
 /** `loki_json_get(line, 'a.b')` — jsonexpr-style dotted-path extraction
   * (see [[LokiParsers.jsonGet]]).
   */

@@ -1527,6 +1527,35 @@ object ConnectorOps {
           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),
 
+    // The `| pattern` third of the parser family (round 15): the
+    // template accessor pushes with its filtered capture RENAMED to the
+    // reserved gp<N> namespace and every other capture anonymized —
+    // `| pattern "<_> value=<gp0>" | gp0=~…` — so template extraction
+    // and filtering both run server-side (shared-implementation
+    // semantics: anchored both ends, lazy captures; see LokiParsers).
+    ("loki_parse_pattern_filter",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(graft.functions.GraftFunctions.loki_pattern_get(
+            col("line"), lit("<t> value=<v>"), lit("v")).rlike("^2") &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("""| pattern "<_> value=<gp0>" | gp0=~"""),
+          s"pattern accessor did not push as a pattern stage: $plan")
+        df
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE CAST(value AS VARCHAR) LIKE '2%'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // The `| json` half, on a SCRATCH stub whose lines are real json
     // (to_json over the events row): the most common real-Loki idiom —
     // `{app="x"} | json | level="error"` — written as the Spark-native

@@ -94,10 +94,19 @@ object LogQL {
     def pred: (String, String, Seq[(String, String)]) = (parser, key, filters)
     /** Wire rendering. Parsed stages are beyond-parity (no reference
       * analog interpolates them raw), so values ALWAYS render escaped.
+      * For `pattern`, `key` is the whole template with the target
+      * capture's name spelled as the NUL placeholder (substituted with the generated label
+      * here — a capture name can't be chosen at translation time, the
+      * rule assigns it) and every other named capture anonymized.
       */
-    def render: String =
-      (s"| $parser $label=${q(key)}" +:
-        filters.map { case (op, v) => s"| $label$op${q(v)}" }).mkString(" ")
+    def render: String = {
+      val ext = parser match {
+        case "pattern" => s"| pattern ${q(key.replace("\u0000", label))}"
+        case _ => s"| $parser $label=${q(key)}"
+      }
+      (ext +: filters.map { case (op, v) => s"| $label$op${q(v)}" })
+        .mkString(" ")
+    }
     private def q(s: String): String = "\"" + escapeQuoted(s) + "\""
   }
 
@@ -132,12 +141,19 @@ object LogQL {
     */
   final case class PParser(kind: String, exprs: Seq[(String, String)])
     extends PipeStage {
-    def render(escape: Boolean): String =
-      if (exprs.isEmpty) s"| $kind"
-      else s"| $kind " + exprs.map { case (l, k) =>
-        val v = if (escape) escapeQuoted(k) else k
-        s"""$l="$v""""
-      }.mkString(", ")
+    def render(escape: Boolean): String = kind match {
+      case "pattern" =>
+        // one string operand — the template, carried as the single
+        // expr's key (label slot unused)
+        val t = exprs.head._2
+        "| pattern \"" + (if (escape) escapeQuoted(t) else t) + "\""
+      case _ =>
+        if (exprs.isEmpty) s"| $kind"
+        else s"| $kind " + exprs.map { case (l, k) =>
+          val v = if (escape) escapeQuoted(k) else k
+          s"""$l="$v""""
+        }.mkString(", ")
+    }
   }
   /** Post-parser label filter `| lbl op "v"` (string ops). */
   final case class PLabelFilter(label: String, op: String, value: String)
@@ -260,7 +276,9 @@ object LogQL {
           // `| json [exprs]` / `| logfmt [exprs]` / `| label op "v"`
           i += 1; ws()
           val id = ident(); ws()
-          if (id == "json" || id == "logfmt") {
+          if (id == "pattern") {
+            stages += PParser("pattern", Seq(("", str())))
+          } else if (id == "json" || id == "logfmt") {
             val exprs = Seq.newBuilder[(String, String)]
             var more = i < s.length && s.charAt(i) != '|' &&
               s.charAt(i) != '!'
@@ -614,6 +632,41 @@ object LogQL {
     }
   }
 
+  /** `loki_pattern_get(line, template, field)` → the PUSHED template:
+    * the target capture's name replaced by the NUL placeholder (the
+    * rule substitutes its generated `gp<N>` label at render — see
+    * [[ParsedFilter.render]]) and every OTHER named capture anonymized
+    * to `<_>` (they aren't filtered on, and anonymizing kills the
+    * stream-label `_extracted` shadowing risk for them too). Pushable
+    * when the template compiles, names the field, and no literal
+    * contains '<' (a literal '<' could re-parse as a capture after the
+    * rebuild — err to rejection).
+    */
+  private object PatternAccess {
+    def unapply(e: Expression): Option[String] = e match {
+      case graft.functions.LokiPatternGet(LineAttr(),
+          Literal(t: UTF8String, StringType), Literal(f: UTF8String, StringType)) =>
+        val field = f.toString
+        LokiParsers.patternCompile(t.toString) match {
+          case Right(toks)
+              if toks.exists {
+                case LokiParsers.PatCap(Some(n)) => n == field
+                case _ => false
+              } && toks.forall {
+                case LokiParsers.PatLit(s) => !s.contains('<')
+                case _ => true
+              } =>
+            Some(toks.map {
+              case LokiParsers.PatLit(s) => s
+              case LokiParsers.PatCap(Some(n)) if n == field => "< >"
+              case LokiParsers.PatCap(_) => "<_>"
+            }.mkString)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** `get_json_object(line, '$.a.b')` → the dotted path, when every
     * segment is label-grammar plain (no `['…']`, no array indexes, no
     * wildcards — the subset whose Jackson-streaming semantics are
@@ -632,6 +685,15 @@ object LogQL {
         else None
       case _ => None
     }
+  }
+
+  /** Any parsed-label accessor: the json/logfmt pair or the pattern
+    * template form — one op surface for all three parsers.
+    */
+  private object AnyParsedAccess {
+    def unapply(e: Expression): Option[(String, String)] =
+      ParsedAccess.unapply(e)
+        .orElse(PatternAccess.unapply(e).map(t => ("pattern", t)))
   }
 
   /** The pushed-predicate shape: (parser, key, label-filter ops). The
@@ -676,16 +738,16 @@ object LogQL {
     def matchesEmpty(re2: String): Boolean =
       scala.util.Try("".matches(s"(?s)(?:$re2)")).getOrElse(true)
     e match {
-      case EqualTo(ParsedAccess(p, k), StrLit(v)) => eqCase((p, k), v)
-      case EqualTo(StrLit(v), ParsedAccess(p, k)) => eqCase((p, k), v)
-      case Not(EqualTo(ParsedAccess(p, k), StrLit(v))) =>
+      case EqualTo(AnyParsedAccess(p, k), StrLit(v)) => eqCase((p, k), v)
+      case EqualTo(StrLit(v), AnyParsedAccess(p, k)) => eqCase((p, k), v)
+      case Not(EqualTo(AnyParsedAccess(p, k), StrLit(v))) =>
         Some((p, k, Seq(("!=", ""), ("!=", v))))
-      case Not(EqualTo(StrLit(v), ParsedAccess(p, k))) =>
+      case Not(EqualTo(StrLit(v), AnyParsedAccess(p, k))) =>
         Some((p, k, Seq(("!=", ""), ("!=", v))))
-      case RLike(ParsedAccess(p, k), StrLit(pat)) =>
+      case RLike(AnyParsedAccess(p, k), StrLit(pat)) =>
         javaToRe2(pat).filterNot(matchesEmpty)
           .map(q => (p, k, Seq(("=~", findSemantics(q)))))
-      case Not(RLike(ParsedAccess(p, k), StrLit(pat))) =>
+      case Not(RLike(AnyParsedAccess(p, k), StrLit(pat))) =>
         javaToRe2(pat)
           .map(q => (p, k, Seq(("!=", ""), ("!~", findSemantics(q)))))
       case EqualTo(GetJsonPath(path), StrLit(v)) if gjoValueOk(v) =>
@@ -704,7 +766,7 @@ object LogQL {
     * the wire merges it into the absent (NULL) series.
     */
   def parsedGroupKey(e: Expression): Option[(String, String)] =
-    ParsedAccess.unapply(e)
+    AnyParsedAccess.unapply(e)
 
   private object TsAttr {
     def unapply(e: Expression): Boolean = e match {

@@ -223,6 +223,115 @@ object LokiParsers {
     if (walk("")) Right(out.result()) else Left("JSONParserErr")
   }
 
+  // ------------------------------------------------------------------
+  // pattern (`| pattern "<ip> - <_> [<ts>]"`) — Loki's third parser
+  // ------------------------------------------------------------------
+
+  /** One compiled pattern-template token: a literal run or a capture
+    * (None = the anonymous `<_>`).
+    */
+  sealed trait PatTok
+  final case class PatLit(s: String) extends PatTok
+  final case class PatCap(name: Option[String]) extends PatTok
+
+  /** Compile a pattern template. Grammar (grafana/loki pattern stage):
+    * `<ident>` captures, `<_>` anonymous, everything else literal (a
+    * bare '<' not opening a valid capture is a literal character).
+    * Invalid — and Left — when: no capture at all, two captures with no
+    * literal between them (nothing can delimit them), or a named
+    * capture repeated.
+    */
+  def patternCompile(template: String): Either[String, Seq[PatTok]] = {
+    val toks = Seq.newBuilder[PatTok]
+    val lit = new StringBuilder
+    var i = 0
+    val n = template.length
+    var caps = 0
+    val seen = scala.collection.mutable.Set.empty[String]
+    var lastWasCap = false
+    def flushLit(): Unit =
+      if (lit.nonEmpty) { toks += PatLit(lit.toString); lit.clear(); lastWasCap = false }
+    while (i < n) {
+      val c = template.charAt(i)
+      if (c == '<') {
+        val close = template.indexOf('>', i + 1)
+        val name = if (close > i + 1) template.substring(i + 1, close) else ""
+        if (close > i + 1 && (name == "_" || LogQL.validLabelName(name))) {
+          flushLit()
+          if (lastWasCap) return Left("consecutive captures")
+          if (name != "_") {
+            if (!seen.add(name)) return Left(s"duplicate capture <$name>")
+            toks += PatCap(Some(name))
+          } else toks += PatCap(None)
+          caps += 1
+          lastWasCap = true
+          i = close + 1
+        } else { lit += c; i += 1 }
+      } else { lit += c; i += 1 }
+    }
+    flushLit()
+    if (caps == 0) Left("no captures") else Right(toks.result())
+  }
+
+  /** Match a line against a compiled template — SHARED-IMPLEMENTATION
+    * semantics (the host accessor, the translator's claim, and the
+    * stub's stage evaluation all run this code): anchored at BOTH ends
+    * (a leading literal must be the line's prefix; trailing content
+    * after the final literal fails the match), captures are LAZY
+    * (shortest text up to the next literal's first occurrence), a
+    * trailing capture takes the rest. Returns the named captures on a
+    * match (empty-valued ones omitted — empty ≡ absent), or null when
+    * the line does not match.
+    */
+  def patternAll(line: String, template: String): Seq[(String, String)] = {
+    val toks = patternCompile(template) match {
+      case Right(t) => t
+      case Left(_) => return null
+    }
+    val out = Seq.newBuilder[(String, String)]
+    var pos = 0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case PatLit(s) =>
+          if (!line.startsWith(s, pos)) return null
+          pos += s.length
+        case PatCap(name) =>
+          val end = toks.lift(i + 1) match {
+            case Some(PatLit(s)) =>
+              val at = line.indexOf(s, pos)
+              if (at < 0) return null
+              at
+            case _ => line.length // trailing capture (compile bars Cap,Cap)
+          }
+          name.foreach { nm =>
+            val v = line.substring(pos, end)
+            if (v.nonEmpty) out += ((nm, v))
+          }
+          pos = end
+      }
+      i += 1
+    }
+    if (pos != line.length) return null // anchored at the end too
+    out.result()
+  }
+
+  /** `| pattern` value of one capture: null when the template is
+    * invalid, the line does not match, the capture is absent from the
+    * template, or its matched text is empty.
+    */
+  def patternGet(line: String, template: String, field: String): String = {
+    val all = patternAll(line, template)
+    if (all == null) return null
+    all.collectFirst { case (k, v) if k == field => v }.orNull
+  }
+
+  def patternGetUTF8(
+      line: UTF8String, template: UTF8String, field: UTF8String): UTF8String = {
+    val r = patternGet(line.toString, template.toString, field.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
   /** Prometheus label-charset sanitization for extracted keys: every
     * char outside `[a-zA-Z0-9_]` becomes '_', a leading digit gains a
     * '_' prefix.

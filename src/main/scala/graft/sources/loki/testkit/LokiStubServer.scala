@@ -1150,6 +1150,18 @@ final class LokiStubServer {
               val v = graft.sources.loki.LokiParsers.jsonGet(r.line, key)
               if (v != null) put(lbl, v)
             }
+          case "pattern" =>
+            // one string operand: the template (carried as the single
+            // expr's key). Invalid template → __error__; a non-matching
+            // line extracts nothing and is NOT dropped (only a label
+            // filter drops) — the shared-impl pattern semantics.
+            val tmpl = exprs.head._2
+            graft.sources.loki.LokiParsers.patternCompile(tmpl) match {
+              case Left(_) => labels += ("__error__" -> "PatternParserErr")
+              case Right(_) =>
+                val kvs = graft.sources.loki.LokiParsers.patternAll(r.line, tmpl)
+                if (kvs != null) kvs.foreach { case (k, v) => put(k, v) }
+            }
           case "logfmt" =>
             graft.sources.loki.LokiParsers.logfmtAll(r.line) match {
               case Right(pairs) =>
@@ -1268,7 +1280,11 @@ final class LokiStubServer {
           require(rest.startsWith("|"), s"bad pipeline stage in: $rest")
           val (ident, afterIdent) = takeIdent(rest.substring(1).trim)
           rest = afterIdent
-          if (ident == "json" || ident == "logfmt") {
+          if (ident == "pattern") {
+            val (tmpl, r2) = takeString(rest)
+            stages += ParserStage("pattern", Seq(("", tmpl)))
+            rest = r2
+          } else if (ident == "json" || ident == "logfmt") {
             val exprs = mutable.ArrayBuffer.empty[(String, String)]
             var more = rest.nonEmpty && !rest.startsWith("|")
             while (more) {

@@ -250,7 +250,10 @@ object LogQLProps extends Properties("LogQL") {
     } yield LogQL.PParser(kind, exprs)),
     2 -> (for {
       l <- labelIdent; op <- matcherOp; v <- hardValue
-    } yield LogQL.PLabelFilter(l, op, v)))
+    } yield LogQL.PLabelFilter(l, op, v)),
+    1 -> (for {
+      a <- labelIdent; b <- labelIdent; sep <- Gen.oneOf(" - ", "=", " [")
+    } yield LogQL.PParser("pattern", Seq(("", s"<$a>$sep<$b>")))))
 
   property("parseSelector inverts the full stage grammar (escape=true)") =
     Prop.forAll(

@@ -181,6 +181,55 @@ class LokiParserPushdownSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(plan.contains("""| json gp0="code" | gp0="500""""), plan)
   }
 
+  test("pattern accessor pushes with renamed/anonymized captures") {
+    // `<t> value=<v>`: the pushed template renames the filtered capture
+    // to gp0 and anonymizes the rest — `| pattern "<_> value=<gp0>"`
+    val eq = differential(_.filter(
+      graft.functions.GraftFunctions.loki_pattern_get(
+        col("line"), lit("<t> value=<v>"), lit("v")) === "6.55"))
+    assert(eq.contains("""| pattern "<_> value=<gp0>" | gp0="6.55""""), eq)
+    val re = differential(_.filter(
+      graft.functions.GraftFunctions.loki_pattern_get(
+        col("line"), lit("<t> value=<v>"), lit("t")).rlike("err")))
+    assert(re.contains("""| pattern "<gp0> value=<_>" | gp0=~"""), re)
+    // fallback: invalid templates / absent fields / '<' in a literal
+    def residual(b: DataFrame => DataFrame): Unit = {
+      val plan = b(df()).queryExecution.executedPlan.toString
+      assert(!plan.contains("| pattern"), s"expected residual:\n$plan")
+    }
+    residual(_.filter(graft.functions.GraftFunctions.loki_pattern_get(
+      col("line"), lit("no captures"), lit("v")) === "x"))
+    residual(_.filter(graft.functions.GraftFunctions.loki_pattern_get(
+      col("line"), lit("<a><b>"), lit("a")) === "x"))
+    residual(_.filter(graft.functions.GraftFunctions.loki_pattern_get(
+      col("line"), lit("<t> value=<v>"), lit("zz")) === "x"))
+    residual(_.filter(graft.functions.GraftFunctions.loki_pattern_get(
+      col("line"), lit("a<b <v>"), lit("v")) === "x"))
+  }
+
+  test("metric rewrite groups on a pattern-extracted label") {
+    val d = df()
+      .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+        col("timestamp") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      .groupBy(graft.functions.GraftFunctions.loki_pattern_get(
+        col("line"), lit("<t> value=<v>"), lit("t")).as("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("t")
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("LokiMetricScan") &&
+      plan.contains("""sum by (gp0) (count_over_time(""") &&
+      plan.contains("""| pattern "<gp0> value=<_>""""), plan)
+    val host = df(pushParsers = false)
+      .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+        col("timestamp") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      .groupBy(graft.functions.GraftFunctions.loki_pattern_get(
+        col("line"), lit("<t> value=<v>"), lit("t")).as("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("t")
+    assert(d.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      host.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("metric rewrite groups on a parsed label via sum by (gp0)") {
     val d = df()
       .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&

@@ -71,6 +71,35 @@ class LokiParsersSpec extends AnyFunSuite {
     assert(LokiParsers.jsonGet("""{"k":+1}""", "k") == null)
   }
 
+  // ---------------------------------------------------------- pattern
+
+  test("pattern: anchored both ends, lazy captures, trailing capture") {
+    val t = "<ip> - <user> [<_>] <msg>"
+    assert(LokiParsers.patternAll("1.2.3.4 - bob [x] hello world", t)
+      == Seq("ip" -> "1.2.3.4", "user" -> "bob", "msg" -> "hello world"))
+    // lazy: the FIRST occurrence of the next literal delimits
+    assert(LokiParsers.patternGet("a - b - c", "<x> - <y>", "x") == "a")
+    assert(LokiParsers.patternGet("a - b - c", "<x> - <y>", "y") == "b - c")
+    // leading literal anchors at position 0
+    assert(LokiParsers.patternGet("XQ v=1", "Q v=<v>", "v") == null)
+    assert(LokiParsers.patternGet("Q v=1", "Q v=<v>", "v") == "1")
+    // trailing literal anchors at the end
+    assert(LokiParsers.patternGet("a=1 END junk", "a=<v> END", "v") == null)
+    assert(LokiParsers.patternGet("a=1 END", "a=<v> END", "v") == "1")
+    // empty capture ≡ absent; non-match ≡ absent
+    assert(LokiParsers.patternGet(" - x", "<a> - <b>", "a") == null)
+    assert(LokiParsers.patternGet("no delimiter here", "<a>--<b>", "a") == null)
+  }
+
+  test("pattern: template validation") {
+    assert(LokiParsers.patternCompile("<a> <b>").isRight)
+    assert(LokiParsers.patternCompile("no captures").isLeft)
+    assert(LokiParsers.patternCompile("<a><b>").isLeft) // nothing delimits
+    assert(LokiParsers.patternCompile("<a> x <a>").isLeft) // duplicate
+    // a bare '<' not opening a valid capture is a literal
+    assert(LokiParsers.patternGet("x<y v=1", "x<y v=<v>", "v") == "1")
+  }
+
   test("jsonValid is the strict gate; flatten joins with _ and skips arrays") {
     assert(LokiParsers.jsonValid("""{"k":"v"}"""))
     assert(!LokiParsers.jsonValid("""{"k":"v"} trailing"""))
