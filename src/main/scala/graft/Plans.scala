@@ -72,6 +72,7 @@ object Plans {
     // server-side topk, rate projection, HAVING over the rewrite,
     // sliced metric, delete lifecycle read-back
     "loki_parse_json_filter", "loki_parse_logfmt_filter",
+    "loki_parse_pattern_filter",
     "loki_metric_parsed_label", "loki_metric_avg_bytes",
     "loki_metric_topk", "loki_metric_rate", "loki_metric_having",
     "loki_metric_split", "loki_delete_lifecycle")
