@@ -253,7 +253,10 @@ object Bench {
           t.join(5000)
           val out = lines.get()
           val m = java.util.regex.Pattern
-            .compile("\"metric\": \"duckdb_total\", \"value\": ([0-9.]+)")
+            // value pattern admits scientific notation: json.dumps renders
+            // very small floats as 1e-05, which a bare [0-9.]+ scrape would
+            // truncate to "1" — a silently wrong oracle time (r15 advice)
+            .compile("\"metric\": \"duckdb_total\", \"value\": ([0-9.]+(?:[eE][+-]?[0-9]+)?)")
             .matcher(out)
           if (!m.find()) None
           else {
@@ -266,7 +269,7 @@ object Bench {
             if (qStart >= 0) {
               val qEnd = out.indexOf('}', qStart)
               val pm = java.util.regex.Pattern
-                .compile("\"([A-Za-z0-9_]+)\": ([0-9.]+)")
+                .compile("\"([A-Za-z0-9_]+)\": ([0-9.]+(?:[eE][+-]?[0-9]+)?)")
                 .matcher(out.substring(qStart + 12, math.max(qStart + 12, qEnd)))
               while (pm.find()) per += pm.group(1) -> pm.group(2).toDouble
             }

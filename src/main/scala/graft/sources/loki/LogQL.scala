@@ -658,7 +658,7 @@ object LogQL {
               } =>
             Some(toks.map {
               case LokiParsers.PatLit(s) => s
-              case LokiParsers.PatCap(Some(n)) if n == field => "< >"
+              case LokiParsers.PatCap(Some(n)) if n == field => "<\u0000>"
               case LokiParsers.PatCap(_) => "<_>"
             }.mkString)
           case _ => None

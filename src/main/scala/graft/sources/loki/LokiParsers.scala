@@ -50,6 +50,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *     LAST wins (label re-Set overwrites, grafana/loki behavior);
   *     json's first-match is jsonparser behavior — the asymmetry is
   *     each upstream library's, kept verbatim.
+  *   - metric queries over parser stages (r15 advice): real Loki REJECTS
+  *     a metric query whose pipeline yields `__error__` rows ("pipeline
+  *     error: … consider __error__=\"\""), while this stub folds a
+  *     malformed line's missing extraction into the absent-label series
+  *     of a `sum by (gpN) (…)` — so a pushed bare-extraction GROUP BY
+  *     (`| logfmt gp0="k"` with no trailing filter) is exact against the
+  *     stub but would 400 against a real server whenever any matched
+  *     line is malformed. Appending `| __error__=""` is NOT a fix: it
+  *     would drop malformed lines from the host's NULL group instead of
+  *     counting them there. Deployments that need real-server fidelity
+  *     for parsed-label grouping should disable the metric rewrite
+  *     (`push_metric=false`) or the parser stages (`push_parsers=false`);
+  *     predicate-push (`| gpN="v"` etc.) and the round-16 UNWRAP render
+  *     (`| gpN!="" | unwrap gpN | __error__=""`) are unaffected — their
+  *     pipelines filter every would-be error row before sample
+  *     extraction, so real Loki accepts them.
   */
 object LokiParsers {
 

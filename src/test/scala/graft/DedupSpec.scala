@@ -462,4 +462,35 @@ class DedupSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("contrastive negatives: capped cluster map falls back to the join branch, same rows") {
+    // the zero-shuffle map-literal side input is size-gated (round-16,
+    // r15 advice): past graft.broadcast.maxBytes the cluster→rep relation
+    // must attach as a row-distributed join — one row materializing the
+    // whole membership set plus element_at's linear MapType probe is the
+    // wrong structure at 100× — and the two branches must agree row for
+    // row (same deterministic draw, same leakage guard, same keep-3)
+    def rows() = q("documents_contrastive_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fast = rows()
+    // the map branch probes the broadcast map literal per candidate
+    // (element_at in the leakage-guard lambda) and needs no window; the
+    // join branch attaches reps by join and ranks via the bounded
+    // row_number plan (map_from_entries itself hides inside the cached
+    // side relation's InMemoryRelation, so pin on these instead)
+    val fastPlan = q("documents_contrastive_negatives")
+      .queryExecution.executedPlan.toString
+    assert(fastPlan.contains("element_at") && !fastPlan.contains("Window"),
+      s"small clusters must take the map-literal branch:\n$fastPlan")
+    spark.conf.set("graft.broadcast.maxBytes", "1")
+    try {
+      val joined = rows()
+      val joinPlan = q("documents_contrastive_negatives")
+        .queryExecution.executedPlan.toString
+      assert(joinPlan.contains("WindowGroupLimit") &&
+        !joinPlan.contains("element_at"),
+        s"capped membership must fall back to the join branch:\n$joinPlan")
+      assert(joined == fast, "branches must agree row for row")
+    } finally spark.conf.unset("graft.broadcast.maxBytes")
+  }
 }
