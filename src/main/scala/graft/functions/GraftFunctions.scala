@@ -44,6 +44,11 @@ object GraftFunctions {
   def loki_pattern_get(line: Column, template: Column, field: Column): Column =
     toCol(LokiPatternGet(ex(line), ex(template), ex(field)))
 
+  def loki_unwrap(v: Column): Column = toCol(LokiUnwrap(ex(v)))
+
+  def loki_regexp_get(line: Column, pattern: Column, group: Column): Column =
+    toCol(LokiRegexpGet(ex(line), ex(pattern), ex(group)))
+
   /** Word n-gram shingles from a token array, via built-in higher-order
     * functions only (stays fully inside whole-stage codegen):
     * `shingles(["a","b","c","d"], 3) = ["a b c", "b c d"]`.
@@ -99,7 +104,9 @@ object GraftFunctions {
     "log_template" -> (es => LogTemplate(es.head)),
     "logfmt_get" -> (es => LogfmtGet(es.head, es(1))),
     "loki_json_get" -> (es => LokiJsonGet(es.head, es(1))),
-    "loki_pattern_get" -> (es => LokiPatternGet(es.head, es(1), es(2))))
+    "loki_pattern_get" -> (es => LokiPatternGet(es.head, es(1), es(2))),
+    "loki_unwrap" -> (es => LokiUnwrap(es.head)),
+    "loki_regexp_get" -> (es => LokiRegexpGet(es.head, es(1), es(2))))
 
   /** Make the custom expressions SQL-callable in every session built with
     * [[graft.plans.GraftExtensions]].

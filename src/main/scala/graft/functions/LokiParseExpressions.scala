@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.loki.LokiParsers
@@ -65,6 +65,64 @@ case class LokiPatternGet(
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): LokiPatternGet =
     copy(first = f, second = s, third = t)
+}
+
+/** `loki_regexp_get(line, '(?<ev>[a-z]+) took (?<ms>\\d+)', 'ms')` —
+  * Loki `| regexp` named-capture extraction (round 16; see
+  * [[LokiParsers.regexpGet]]): Java-dialect pattern, unanchored find,
+  * no-match / no-such-group / empty capture / uncompilable pattern ≡
+  * SQL NULL. Predicates and GROUP BYs over it push as a `| regexp`
+  * stage when [[graft.sources.loki.LogQL.javaToRe2Named]] accepts the
+  * pattern.
+  */
+case class LokiRegexpGet(
+    first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "loki_regexp_get"
+  override protected def nullSafeEval(line: Any, pat: Any, grp: Any): Any =
+    LokiParsers.regexpGetUTF8(
+      line.asInstanceOf[UTF8String], pat.asInstanceOf[UTF8String],
+      grp.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, p, g) =>
+      s"""${ev.value} = graft.sources.loki.LokiParsers.regexpGetUTF8($l, $p, $g);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LokiRegexpGet =
+    copy(first = f, second = s, third = t)
+}
+
+/** `loki_unwrap(v)` — Loki `| unwrap` numeric conversion of an extracted
+  * label value (round 16; see [[LokiParsers.unwrapValue]] for the
+  * Go-ParseFloat model): NULL in, unparsable, or out-of-range ⇒ SQL NULL
+  * — exactly the rows a pushed `| unwrap gpN | __error__=""` drops, so
+  * `avg(loki_unwrap(logfmt_get(line,'duration')))` translates to
+  * `avg_over_time(… | unwrap gpN …)` exactly. A plain
+  * `CAST(… AS DOUBLE)` does NOT translate (Spark's cast trims
+  * whitespace and accepts `1.5d` suffixes the wire conversion rejects).
+  */
+case class LokiUnwrap(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "loki_unwrap"
+  override protected def nullSafeEval(v: Any): Any =
+    LokiParsers.unwrapUTF8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { v =>
+      val tmp = ctx.freshName("unwrapped")
+      s"""java.lang.Double $tmp = graft.sources.loki.LokiParsers.unwrapUTF8($v);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): LokiUnwrap =
+    copy(child = newChild)
 }
 
 /** `loki_json_get(line, 'a.b')` — jsonexpr-style dotted-path extraction

@@ -180,6 +180,48 @@ object ConnectorOps {
       st
     }))
 
+  /** Scratch stub whose lines carry a logfmt NUMERIC field
+    * (`level=<event_type> duration=<int-ms>`) — the corpus for the
+    * round-16 `| unwrap` gate rows. Integer-valued durations keep every
+    * cross-engine aggregate exact (float64 sums of ints < 2^53 are
+    * association-order-independent); two deliberate failure classes —
+    * `duration=NA` (conversion error) and an empty `duration=`
+    * (missing ≡ empty) — pin the guard/error-filter semantics in the
+    * differential. Seeded once per sf dir through the connector write
+    * path like [[stubFor]].
+    */
+  private[operators] def unwrapStub(s: SparkSession, d: String): LokiStubServer =
+    stubSync(stubs.getOrElseUpdate(s"$d#unwraplines", {
+      val st = new LokiStubServer
+      st.start()
+      Tables.events(s, d).select(
+        col("ts").as("timestamp"),
+        map(lit("app"), lit("u"),
+          lit("event_type"), col("event_type")).as("labels"),
+        concat(lit("level="), col("event_type"), lit(" duration="),
+          when(col("user_id") % 10 === 0, lit("NA"))
+            .when(col("user_id") % 10 === 1, lit(""))
+            .otherwise(floor(col("value") * 1000).cast("long").cast("string")))
+          .as("line"))
+        .write.format("loki")
+        .option("endpoint", st.endpoint)
+        .option("push_batch_size", "8192")
+        .mode("append").save()
+      sys.addShutdownHook(st.stop())
+      st
+    }))
+
+  /** The DuckDB-side replay of [[unwrapStub]]'s extractable duration:
+    * NULL exactly where the wire pipeline drops the row (unparsable
+    * `NA`, missing/empty value) ≡ where the host's
+    * `loki_unwrap(logfmt_get(line,'duration'))` is NULL.
+    */
+  private val unwrapOracleSrc: String =
+    """(SELECT ts, event_type,
+      |        CASE WHEN user_id % 10 IN (0, 1) THEN NULL
+      |             ELSE CAST(floor(value * 1000) AS BIGINT) END AS dur
+      | FROM events) src""".stripMargin
+
   private def lokiDf(s: SparkSession, d: String): DataFrame =
     s.read.format("loki")
       .option("endpoint", stubFor(s, d).endpoint)
@@ -1589,6 +1631,74 @@ object ConnectorOps {
           |  AND ts < TIMESTAMP '2024-03-01 00:00:00'
           |ORDER BY ts_us""".stripMargin)),
 
+    // The `| regexp` FOURTH parser (round 16): named-capture regex
+    // extraction — `loki_regexp_get(line, '(?<ev>…)', 'ev') = 'click'`
+    // pushes as `| regexp "(?P<gp0>…)" | gp0="click"` with the target
+    // capture RENAMED into the reserved gp<N> namespace and every other
+    // named group anonymized to (?:…) (the pattern-parser template
+    // discipline). javaToRe2Named screens the dialect: only patterns
+    // whose Java→RE2 translation is engine-agreeing push; the rest stay
+    // host residuals.
+    ("loki_parse_regexp_filter",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(graft.functions.GraftFunctions.loki_regexp_get(
+            col("line"), lit("^(?<ev>[a-z_]+) value"), lit("ev")) === "click" &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("""| regexp "^(?P<gp0>[a-z_]+) value" | gp0="click""""),
+          s"regexp accessor predicate did not push as a regexp stage: $plan")
+        require(!plan.contains("loki_regexp_get"),
+          s"pushed regexp predicate left a host residual: $plan")
+        df
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE event_type = 'click'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
+    // regexp-fed unwrap under the METRIC rewrite (round 16): the value
+    // field exists only inside the line and only a regex can cut it out
+    // — `max/min(loki_unwrap(loki_regexp_get(line, ' value=(?<v>…)',
+    // 'v')))` ships as `max_over_time({…} | regexp " value=(?P<gp0>…)"
+    // | gp0!="" | unwrap gp0 | __error__="" [w]) by (event_type)`:
+    // two samples per group on the wire. min/max are order-independent,
+    // so the float aggregates are oracle-exact without rounding.
+    ("loki_metric_unwrap_regexp",
+      (s: SparkSession, d: String) => {
+        val v = graft.functions.GraftFunctions.loki_unwrap(
+          graft.functions.GraftFunctions.loki_regexp_get(
+            col("line"), lit(" value=(?<v>[0-9.E-]+)"), lit("v")))
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(max(v).as("max_v"), min(v).as("min_v"))
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("max_over_time(") && plan.contains("min_over_time(") &&
+          plan.contains("""| regexp " value=(?P<gp0>[0-9.E-]+)" | gp0!=""""") &&
+          plan.contains("| unwrap gp0 | __error__=\"\""),
+          s"regexp-fed unwrap did not push as unwrapped metric queries: $plan")
+        df
+      },
+      Some(
+        """SELECT event_type, max(value) AS max_v, min(value) AS min_v
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1
+          |ORDER BY event_type""".stripMargin)),
+
     // Parsed label under the METRIC rewrite (round 15): `GROUP BY
     // loki_json_get(line,'level')` + COUNT ships as ONE
     // `sum by (gp0) (count_over_time({…} | json gp0="level" [width]))`
@@ -1792,6 +1902,128 @@ object ConnectorOps {
           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
           |GROUP BY 1, 2
           |ORDER BY bucket_us, event_type""".stripMargin)),
+
+    // `| unwrap` + unwrapped range aggregations (round 16): numeric
+    // aggregation over a field EXTRACTED FROM THE LINE — the
+    // latency-percentile workload (`avg_over_time({sel} | logfmt
+    // | unwrap duration [5m])`), previously the one metric idiom that
+    // still streamed raw rows. The wire pipeline `| logfmt gpN="duration"
+    // | gpN!="" | unwrap gpN | __error__=""` drops missing/empty and
+    // unparsable values exactly where the host's
+    // loki_unwrap(logfmt_get(…)) is NULL (shared LokiParsers semantics),
+    // and grouping rides the range aggregation itself — samples, not
+    // rows, on the wire. avg + max in one SELECT = two wire kinds over
+    // the identical inner query, joined by the reader.
+    ("loki_metric_unwrap_avg",
+      (s: SparkSession, d: String) => {
+        val st = ConnectorOps.unwrapStub(s, d)
+        val dur = graft.functions.GraftFunctions.loki_unwrap(
+          graft.functions.GraftFunctions.logfmt_get(col("line"), lit("duration")))
+        val df = s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(avg(dur).as("avg_dur"), max(dur).as("max_dur"))
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("avg_over_time(") && plan.contains("max_over_time(") &&
+          plan.contains("| unwrap gp0 | __error__=\"\"") &&
+          plan.contains("| logfmt gp0=\"duration\" | gp0!=\"\""),
+          s"unwrap avg/max did not push as unwrapped metric queries: $plan")
+        df
+      },
+      Some(
+        s"""SELECT event_type, avg(dur) AS avg_dur,
+           |       CAST(max(dur) AS DOUBLE) AS max_dur
+           |FROM $unwrapOracleSrc
+           |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+           |  AND ts < TIMESTAMP '2024-03-01 00:00:00'
+           |GROUP BY 1
+           |ORDER BY event_type""".stripMargin)),
+
+    // quantile_over_time (round 16): exact Prometheus interpolation —
+    // rank = φ(n−1) over the sorted group samples, lower +
+    // (upper−lower)·frac — the same formula Spark's exact `percentile`
+    // and DuckDB's quantile_cont compute, so the bucketed p90-latency
+    // dashboard is oracle-exact. min_over_time rides as a second kind.
+    ("loki_metric_unwrap_p90",
+      (s: SparkSession, d: String) => {
+        val st = ConnectorOps.unwrapStub(s, d)
+        val dur = graft.functions.GraftFunctions.loki_unwrap(
+          graft.functions.GraftFunctions.logfmt_get(col("line"), lit("duration")))
+        val df = s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+          .agg(percentile(dur, lit(0.9)).as("p90_raw"), min(dur).as("min_dur"))
+          // both sides round 4dp (the repo's double-agg convention):
+          // DuckDB's quantile_cont interpolates as lower·(1−f)+upper·f
+          // where Prometheus/Spark compute lower+(upper−lower)·f — same
+          // value, one ulp apart on some inputs
+          .select(unix_micros(col("bucket")).as("bucket_us"),
+            round(col("p90_raw"), 4).as("p90_dur"), col("min_dur"))
+          .orderBy("bucket_us")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("quantile_over_time(0.9, ") &&
+          plan.contains("min_over_time("),
+          s"p90 did not push as quantile_over_time: $plan")
+        df
+      },
+      Some(
+        s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
+           |       round(quantile_cont(dur, 0.9), 4) AS p90_dur,
+           |       CAST(min(dur) AS DOUBLE) AS min_dur
+           |FROM $unwrapOracleSrc
+           |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+           |GROUP BY 1
+           |ORDER BY bucket_us""".stripMargin)),
+
+    // sum_over_time + mixed plain kind (round 16): LogQL excludes
+    // sum_over_time from range-agg grouping, so it keeps the outer
+    // `sum by (…)` wrapper (sum of per-stream sums ≡ group sum); the
+    // count(*) in the same SELECT is the plain entry kind — three
+    // semantics, one relation, and the count's presence means no
+    // group-enumeration query is added.
+    ("loki_metric_unwrap_sum",
+      (s: SparkSession, d: String) => {
+        val st = ConnectorOps.unwrapStub(s, d)
+        val dur = graft.functions.GraftFunctions.loki_unwrap(
+          graft.functions.GraftFunctions.logfmt_get(col("line"), lit("duration")))
+        val df = s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(sum(dur).as("sum_dur"), count(lit(1)).as("cnt"))
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("(sum_over_time(") && plan.contains("(count_over_time("),
+          s"unwrap sum did not push with the mixed plain kind: $plan")
+        df
+      },
+      Some(
+        s"""SELECT event_type, CAST(sum(dur) AS DOUBLE) AS sum_dur,
+           |       count(*) AS cnt
+           |FROM $unwrapOracleSrc
+           |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+           |  AND ts < TIMESTAMP '2024-03-01 00:00:00'
+           |GROUP BY 1
+           |ORDER BY event_type""".stripMargin)),
 
     // Optimizer-statistics report under the oracle (round 11,
     // report_statistics=true → SupportsReportStatistics from

@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.loki.{LogQL, LokiMetricTable, LokiTable}
+import graft.sources.loki.{LogQL, LokiMetricTable, LokiTable, MetricAgg}
 
 /** LogQL METRIC-query pushdown (see [[graft.sources.loki.LokiMetricTable]]
   * for the wire/bucket semantics): rewrites
@@ -49,7 +49,10 @@ import graft.sources.loki.{LogQL, LokiMetricTable, LokiTable}
   *   - aggregates = non-distinct, unfiltered `COUNT(*)`/`COUNT(lit)`,
   *     `SUM(octet_length(line))`, `AVG(octet_length(line))` (round 15:
   *     the distinct wire KINDS each ride their own query — see
-  *     [[graft.sources.loki.LokiMetricTable.aggFns]]) and/or
+  *     [[graft.sources.loki.LokiMetricTable.aggs]]), round-16 unwrapped
+  *     numeric aggregations `avg/min/max/sum/percentile(loki_unwrap(
+  *     <parsed accessor>))` (see [[graft.sources.loki.MetricAgg]]),
+  *     and/or
   *     expressions over those and the groupings (`count(*)/86400.0` —
   *     the rate() shape — rides the structural projection mapping);
   *   - the WHERE conjuncts must ALL translate (label matcher / line
@@ -145,6 +148,15 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** One required wire kind, pre-label-assignment: fn + quantile param
+    * + (for unwrapped kinds) the parsed accessor (parser, key) the
+    * `| unwrap` pipeline extracts. The rule assigns the generated
+    * `gp<N>` label once the distinct accessor set is known.
+    */
+  private case class Spec(
+      fn: String, q: Option[Double] = None,
+      acc: Option[(String, String)] = None)
+
   /** The range aggregations the rewrite speaks, as the wire KINDS each
     * SQL aggregate needs (round 15 widened this from one-kind-per-query
     * to a per-aggregate requirement list — the relation issues one wire
@@ -159,31 +171,71 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     *     NOT translate and keeps the host aggregation);
     *   - `avg(octet_length(line))` → BOTH — bytes/count divided in the
     *     rewrite's projection (exact: integer wire sums, one double
-    *     division — the same arithmetic the host/oracle avg performs).
+    *     division — the same arithmetic the host/oracle avg performs);
+    *   - round 16, the UNWRAPPED kinds — `avg/min/max/sum(loki_unwrap(
+    *     <parsed accessor>))` and `percentile(loki_unwrap(…), φ)` →
+    *     `avg/min/max/sum/quantile_over_time` over a `| unwrap gpN`
+    *     pipeline (see [[graft.sources.loki.MetricAgg]]): the
+    *     latency-percentile workload, numeric aggregation over a field
+    *     extracted from the line. `loki_unwrap` is load-bearing — its
+    *     Go-ParseFloat model is the shared [[graft.sources.loki
+    *     .LokiParsers.unwrapValue]] semantics, so host NULL ≡ wire
+    *     guard/error-filtered row exactly; a plain CAST does not
+    *     translate. Exact percentile only (Spark's `percentile` and
+    *     Prometheus' quantile interpolate identically: rank = φ(n−1),
+    *     lower + (upper−lower)·frac); `approx_percentile` does not
+    *     translate.
     *
     * All must be non-distinct and unfiltered.
     */
-  private def rangeAggKinds(
-      e: Expression, rel: DataSourceV2Relation): Option[Seq[String]] = {
+  private def aggSpecs(
+      e: Expression, rel: DataSourceV2Relation): Option[Seq[Spec]] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      Average, Max, Min, Percentile, Sum}
     def isLineOctet(c: Expression): Boolean = c match {
       case org.apache.spark.sql.catalyst.expressions.OctetLength(l: Attribute) =>
         l.name == "line" && rel.output.exists(_.exprId == l.exprId)
       case _ => false
+    }
+    // loki_unwrap over a parsed accessor whose line is THIS relation's
+    object Unwrapped {
+      def unapply(c: Expression): Option[(String, String)] = c match {
+        case graft.functions.LokiUnwrap(u) =>
+          LogQL.parsedGroupKey(u).filter(_ =>
+            u.references.forall(a => rel.output.exists(_.exprId == a.exprId)))
+        case _ => None
+      }
     }
     e match {
       case AggregateExpression(Count(children), _, false, None, _)
           if children.forall {
             case Literal(v, _) => v != null
             case _ => false
-          } => Some(Seq("count_over_time"))
+          } => Some(Seq(Spec("count_over_time")))
+      case AggregateExpression(Sum(c, _), _, false, None, _) if isLineOctet(c) =>
+        Some(Seq(Spec("bytes_over_time")))
+      case AggregateExpression(Average(c, _), _, false, None, _) if isLineOctet(c) =>
+        Some(Seq(Spec("bytes_over_time"), Spec("count_over_time")))
+      case AggregateExpression(Average(Unwrapped(p, k), _), _, false, None, _) =>
+        Some(Seq(Spec("avg_over_time", acc = Some((p, k)))))
+      case AggregateExpression(Min(Unwrapped(p, k)), _, false, None, _) =>
+        Some(Seq(Spec("min_over_time", acc = Some((p, k)))))
+      case AggregateExpression(Max(Unwrapped(p, k)), _, false, None, _) =>
+        Some(Seq(Spec("max_over_time", acc = Some((p, k)))))
+      case AggregateExpression(Sum(Unwrapped(p, k), _), _, false, None, _) =>
+        Some(Seq(Spec("sum_over_time", acc = Some((p, k)))))
       case AggregateExpression(
-          org.apache.spark.sql.catalyst.expressions.aggregate.Sum(c, _),
-          _, false, None, _) if isLineOctet(c) =>
-        Some(Seq("bytes_over_time"))
-      case AggregateExpression(
-          org.apache.spark.sql.catalyst.expressions.aggregate.Average(c, _),
-          _, false, None, _) if isLineOctet(c) =>
-        Some(Seq("bytes_over_time", "count_over_time"))
+          pc @ Percentile(Unwrapped(p, k), pct, Literal(1L, _), _, _, false),
+          _, false, None, _) =>
+        val phi = pct match {
+          case Literal(d: Double, org.apache.spark.sql.types.DoubleType) => Some(d)
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
+          case _ => None
+        }
+        phi.filter(d => d >= 0.0 && d <= 1.0 && pc.dataType ==
+            org.apache.spark.sql.types.DoubleType)
+          .map(d => Seq(Spec("quantile_over_time", q = Some(d),
+            acc = Some((p, k)))))
       case _ => None
     }
   }
@@ -241,15 +293,14 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
         LogQL.labelKey(g).isDefined && k.matches("gp\\d+") }) return None
 
     // ---- aggregate kinds: every aggregate function in the output list
-    // must resolve to wire range aggregations; the distinct kinds (at
-    // most the two that exist) each ride their own wire query over the
-    // identical inner query ----
-    val kinds = scala.collection.mutable.LinkedHashSet.empty[String]
+    // must resolve to wire range aggregations; the distinct kinds each
+    // ride their own wire query over the identical inner query ----
+    val kinds = scala.collection.mutable.LinkedHashSet.empty[Spec]
     var badAgg = false
     agg.aggregateExpressions.foreach { ne =>
       resolve(stripAlias(ne), aliases).foreach {
         case ae: AggregateExpression =>
-          rangeAggKinds(ae, rel) match {
+          aggSpecs(ae, rel) match {
             case Some(ks) => kinds ++= ks
             case None => badAgg = true
           }
@@ -257,10 +308,10 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
       }
     }
     if (badAgg) return None
-    // no aggregate at all (pure DISTINCT over groupings): any kind's
-    // nonzero samples enumerate exactly the non-empty groups
-    val aggFns =
-      if (kinds.isEmpty) Seq("count_over_time") else kinds.toSeq
+    // unwrapped kinds ride parser stages — same option gate as the
+    // predicate/grouping pushes
+    if (kinds.exists(_.acc.isDefined) && !table.options.pushParsers)
+      return None
 
     // ---- filters: every conjunct must translate, bounds exactly once ----
     var starts = List.empty[Long]
@@ -356,14 +407,33 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
       .mkString(" ")
     val groupLabels = labelGroups.map(_._2)
 
+    // ---- materialize the wire kinds: assign one generated label per
+    // DISTINCT unwrap accessor (numbering continues past the grouping/
+    // predicate stages), and when EVERY kind is unwrapped add the
+    // group-enumeration count query (the unwrap pipeline drops rows
+    // before grouping; a group whose rows all fail extraction must
+    // still surface with NULL aggregates, as SQL keeps it) ----
+    val accLabel = scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
+    kinds.toSeq.flatMap(_.acc).distinct.foreach { a =>
+      accLabel(a) = s"gp$gpNext"; gpNext += 1
+    }
+    def toAgg(spec: Spec): MetricAgg = MetricAgg(spec.fn, spec.q,
+      spec.acc.map { case (p, k) => LogQL.ParsedFilter(p, k, accLabel((p, k)), Nil) })
+    // no aggregate at all (pure DISTINCT over groupings): any kind's
+    // nonzero samples enumerate exactly the non-empty groups
+    val aggs =
+      if (kinds.isEmpty) Seq(MetricAgg("count_over_time"))
+      else kinds.toSeq.map(toAgg)
+    val enumerate = kinds.nonEmpty && kinds.forall(_.acc.isDefined)
+
     // ---- swap in the metric relation, preserving output attributes ----
     val metricTable = LokiMetricTable(
       table.options, inner, groupLabels, stepNs, startNs, endNs,
-      bucketed = truncExpr.isDefined, aggFns = aggFns)
+      bucketed = truncExpr.isDefined, aggs = aggs, enumerate = enumerate)
     val newRel = DataSourceV2Relation.create(metricTable, None, None)
     val bucketAttr = newRel.output.head
     val labelAttrs = newRel.output.slice(1, 1 + groupLabels.size)
-    val fnAttr = aggFns.zip(newRel.output.takeRight(aggFns.size)).toMap
+    val fnAttr = kinds.toSeq.zip(newRel.output.takeRight(aggs.size)).toMap
     def labelIdx(e: Expression): Int =
       labelGroups.indexWhere(_._1.semanticEquals(e))
     import org.apache.spark.sql.catalyst.expressions.{Cast, Divide}
@@ -374,9 +444,10 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
       val rewritten = e.transformDown {
         case ae: AggregateExpression =>
           // kinds pre-validated above: every aggregate resolves to wire
-          // columns. AVG is bytes/count — integer wire sums, one double
-          // division, the same arithmetic the host/oracle avg performs.
-          rangeAggKinds(ae, rel) match {
+          // columns. AVG(octet) is bytes/count — integer wire sums, one
+          // double division, the same arithmetic the host/oracle avg
+          // performs; unwrapped kinds substitute their (double) column.
+          aggSpecs(ae, rel) match {
             case Some(Seq(one)) => fnAttr(one)
             case Some(Seq(bytes, cnt)) =>
               Divide(
@@ -446,7 +517,8 @@ object LokiMetricTopKRule extends Rule[LogicalPlan] {
         srt @ Sort(Seq(order), true,
         p @ Project(_,
         r @ DataSourceV2Relation(mt: LokiMetricTable, _, _, _, _, _)), _)))
-        if k > 0 && mt.topk.isEmpty && !mt.bucketed && mt.aggFns.size == 1 &&
+        if k > 0 && mt.topk.isEmpty && !mt.bucketed && mt.aggs.size == 1 &&
+          mt.aggs.head.unwrap.isEmpty && !mt.enumerate &&
           order.direction == Descending && sortsOnValue(order, p, r) =>
       gl.copy(child = ll.copy(child = srt.copy(child =
         p.copy(child = r.copy(table = mt.copy(topk = Some(k)))))))

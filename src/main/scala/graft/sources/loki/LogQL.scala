@@ -101,7 +101,10 @@ object LogQL {
       */
     def render: String = {
       val ext = parser match {
-        case "pattern" => s"| pattern ${q(key.replace("\u0000", label))}"
+        // pattern AND (round 16) regexp carry the placeholder-marked
+        // template/pattern as `key`
+        case "pattern" | "regexp" =>
+          s"| $parser ${q(key.replace("\u0000", label))}"
         case _ => s"| $parser $label=${q(key)}"
       }
       (ext +: filters.map { case (op, v) => s"| $label$op${q(v)}" })
@@ -462,7 +465,35 @@ object LogQL {
     * property-checking Java(out) == Java(in) on adversarial inputs
     * (non-ASCII, VT, CR, NEL, LS) pins RE2(out) == Java(in).
     */
-  private[loki] def javaToRe2(p: String): Option[String] = {
+  private[loki] def javaToRe2(p: String): Option[String] =
+    javaToRe2Impl(p, null)
+
+  /** [[javaToRe2]] for the `| regexp` PARSER stage (round 16): the same
+    * translation, but Java NAMED groups `(?<name>…)` are accepted —
+    * they are the stage's whole point — with the TARGET group renamed
+    * to the NUL placeholder in RE2 spelling (`(?P<␀>`, substituted with
+    * the rule's generated `gp<N>` label at render, the pattern-parser
+    * template discipline) and every OTHER named group anonymized to
+    * `(?:` (they are not extracted, and anonymizing kills their
+    * stream-label `_extracted` shadowing risk). Renaming/anonymizing
+    * cannot change match semantics: backrefs are rejected up front, so
+    * group names are never referenced. None when the target group is
+    * absent, duplicated (a Java compile error — the host expression is
+    * all-NULL, inexpressible as a stage), or the pattern is outside the
+    * translatable subset. Lookbehind `(?<=`/`(?<!` stays rejected — the
+    * `<` dispatch checks the next char.
+    */
+  private[loki] def javaToRe2Named(p: String, target: String): Option[String] = {
+    val st = new NamedState(target)
+    javaToRe2Impl(p, st).filter(_ => st.found == 1)
+  }
+
+  private final class NamedState(val target: String) {
+    var found = 0
+    val seen = scala.collection.mutable.Set.empty[String]
+  }
+
+  private def javaToRe2Impl(p: String, named: NamedState): Option[String] = {
     // pre-screen for constructs the scanner below does not model.
     // \Q…\E is the sharp one (round-15 advice): inside a Java quoted
     // region the scanner would keep TRANSLATING (a '.' becomes the
@@ -527,8 +558,25 @@ object LogQL {
           sb.append("(?:\\r\\n|[\\n\\r\\x{85}\\x{2028}\\x{2029}])?\\z")
           i += 1
         case '(' if i + 1 < p.length && p.charAt(i + 1) == '?' =>
-          if (i + 2 >= p.length || p.charAt(i + 2) != ':') return None
-          sb.append("(?:"); i += 3
+          if (i + 2 < p.length && p.charAt(i + 2) == ':') {
+            sb.append("(?:"); i += 3
+          } else if (named != null && i + 3 < p.length &&
+              p.charAt(i + 2) == '<' &&
+              p.charAt(i + 3) != '=' && p.charAt(i + 3) != '!') {
+            // Java named group (?<name>…) — regexp-stage mode only
+            val close = p.indexOf('>', i + 3)
+            if (close < 0) return None
+            val name = p.substring(i + 3, close)
+            // Java's group-name grammar; a duplicate name is a Java
+            // compile error (the host expression is all-NULL)
+            if (!name.matches("[a-zA-Z][a-zA-Z0-9]*") ||
+              !named.seen.add(name)) return None
+            if (name == named.target) {
+              named.found += 1
+              sb.append("(?P<\u0000>")
+            } else sb.append("(?:")
+            i = close + 1
+          } else return None
         case _ => sb.append(c); i += 1
       }
     }
@@ -687,13 +735,33 @@ object LogQL {
     }
   }
 
-  /** Any parsed-label accessor: the json/logfmt pair or the pattern
-    * template form — one op surface for all three parsers.
+  /** `loki_regexp_get(line, pattern, group)` → the PUSHED RE2 pattern
+    * (round 16 — Loki's fourth parser): target group renamed to the NUL
+    * placeholder, other named groups anonymized, body translated by
+    * [[javaToRe2Named]]'s engine-agreement rules. Pushable when the
+    * translation holds and the group name fits the label grammar (the
+    * wire substitutes a `gp<N>` label for it, but the HOST extraction
+    * uses the Java name, which Java restricts to alphanumerics anyway).
+    */
+  private object RegexpAccess {
+    def unapply(e: Expression): Option[String] = e match {
+      case graft.functions.LokiRegexpGet(LineAttr(),
+          Literal(pat: UTF8String, StringType),
+          Literal(grp: UTF8String, StringType)) =>
+        javaToRe2Named(pat.toString, grp.toString)
+      case _ => None
+    }
+  }
+
+  /** Any parsed-label accessor: the json/logfmt pair, the pattern
+    * template form, or the regexp named-capture form — one op surface
+    * for all four parsers.
     */
   private object AnyParsedAccess {
     def unapply(e: Expression): Option[(String, String)] =
       ParsedAccess.unapply(e)
         .orElse(PatternAccess.unapply(e).map(t => ("pattern", t)))
+        .orElse(RegexpAccess.unapply(e).map(t => ("regexp", t)))
   }
 
   /** The pushed-predicate shape: (parser, key, label-filter ops). The

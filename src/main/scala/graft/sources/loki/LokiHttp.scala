@@ -132,6 +132,28 @@ object LokiHttp {
         s"&end=$endNs&step=${stepNs / 1000000000L}s")))
   }
 
+  /** [[queryRangeMetric]] with FLOAT sample values — unwrapped range
+    * aggregations (`avg_over_time(… | unwrap x …)`) carry float64
+    * samples where the entry-counting kinds are whole numbers. Integer
+    * kinds decode exactly through this path too (float64 is exact to
+    * 2^53, far past any per-bucket entry/byte count), so the metric
+    * reader uses it uniformly.
+    */
+  def queryRangeMetricD(
+      endpoint: String,
+      logql: String,
+      startNs: Long,
+      endNs: Long,
+      stepNs: Long): Seq[(Seq[(String, String)], Seq[(Long, Double)])] = {
+    require(stepNs > 0 && stepNs % 1000000000L == 0,
+      s"metric query step must be a positive whole-second multiple of ns, " +
+        s"got $stepNs")
+    val enc = java.net.URLEncoder.encode(logql, "UTF-8")
+    parseMetricSamplesD(getJson("query_range(metric)", URI.create(
+      s"$endpoint/loki/api/v1/query_range?query=$enc&start=$startNs" +
+        s"&end=$endNs&step=${stepNs / 1000000000L}s")))
+  }
+
   /** `GET /loki/api/v1/index/stats` — entry count for a stream SELECTOR
     * over [startNs, endNs). Powers the `split=stats` plan-time boundary
     * placement: index-only, so each probe is cheap on real Loki (it reads
@@ -395,7 +417,24 @@ object LokiHttp {
     * loudly with the body prefix.
     */
   private[loki] def parseMetricSamples(
-      body: String): Seq[(Seq[(String, String)], Seq[(Long, Long)])] = {
+      body: String): Seq[(Seq[(String, String)], Seq[(Long, Long)])] =
+    parseMetricSamplesWith(body) { (vs, die) =>
+      try vs.toLong catch {
+        case _: NumberFormatException => die(s"has a non-integer sample value")
+      }
+    }
+
+  /** Float-valued variant for unwrapped range aggregations. */
+  private[loki] def parseMetricSamplesD(
+      body: String): Seq[(Seq[(String, String)], Seq[(Long, Double)])] =
+    parseMetricSamplesWith(body) { (vs, die) =>
+      try java.lang.Double.parseDouble(vs) catch {
+        case _: NumberFormatException => die(s"has a non-numeric sample value")
+      }
+    }
+
+  private def parseMetricSamplesWith[V](body: String)(
+      conv: (String, String => Nothing) => V): Seq[(Seq[(String, String)], Seq[(Long, V)])] = {
     def die(msg: String): Nothing =
       throw new RuntimeException(s"Loki volume response $msg: ${body.take(200)}")
     val ri = body.indexOf("\"result\"")
@@ -405,14 +444,14 @@ object LokiHttp {
     val rc = scanToMatching(body, ro)
     if (rc < 0) die("truncated")
 
-    val out = Seq.newBuilder[(Seq[(String, String)], Seq[(Long, Long)])]
+    val out = Seq.newBuilder[(Seq[(String, String)], Seq[(Long, V)])]
     var i = ro + 1
     while (i < rc) {
       body.charAt(i) match {
         case '{' =>
           val end = scanToMatching(body, i)
           if (end < 0 || end > rc) die("truncated")
-          out += parseSeriesElement(body.substring(i, end + 1), die)
+          out += parseSeriesElement(body.substring(i, end + 1), die, conv)
           i = end + 1
         case ',' => i += 1
         case c if c.isWhitespace => i += 1
@@ -480,10 +519,11 @@ object LokiHttp {
   /** One `result` element `{"metric":{…},"value(s)":…}` → (metric kvs,
     * samples). Walks the element's TOP-LEVEL fields structurally.
     */
-  private def parseSeriesElement(
-      el: String, die: String => Nothing): (Seq[(String, String)], Seq[(Long, Long)]) = {
+  private def parseSeriesElement[V](
+      el: String, die: String => Nothing,
+      conv: (String, String => Nothing) => V): (Seq[(String, String)], Seq[(Long, V)]) = {
     var metric: Option[Seq[(String, String)]] = None
-    var samples: Option[Seq[(Long, Long)]] = None
+    var samples: Option[Seq[(Long, V)]] = None
     forEachTopLevelField(el, die) { (key, chunk) =>
       key match {
         case "metric" =>
@@ -494,10 +534,10 @@ object LokiHttp {
           if (flat.size % 2 != 0) die("has an unpaired metric key")
           metric = Some(flat.grouped(2)
             .collect { case Seq(k, vv) => (k, vv) }.toSeq)
-        case "value" => samples = Some(Seq(parseSample(chunk, die)))
+        case "value" => samples = Some(Seq(parseSample(chunk, die, conv)))
         case "values" =>
-          val ss = Seq.newBuilder[(Long, Long)]
-          forEachSampleArray(chunk, die)(s => ss += parseSample(s, die))
+          val ss = Seq.newBuilder[(Long, V)]
+          forEachSampleArray(chunk, die)(s => ss += parseSample(s, die, conv))
           samples = Some(ss.result())
         case _ => // resultType etc. — ignored
       }
@@ -511,18 +551,19 @@ object LokiHttp {
 
   /** `[<ts>,"<value>"]` → (ts floor seconds, value). Prometheus sample
     * timestamps may carry a fractional part; the value is a quoted
-    * integer string (volume is whole bytes) — anything else dies with
-    * the body prefix like every other malformed-shape path here.
+    * numeric string converted by `conv` (whole integers for the volume/
+    * entry-count callers, float64 for unwrapped aggregations) —
+    * anything else dies with the body prefix like every other
+    * malformed-shape path here.
     */
-  private def parseSample(chunk: String, die: String => Nothing): (Long, Long) = {
+  private def parseSample[V](
+      chunk: String, die: String => Nothing,
+      conv: (String, String => Nothing) => V): (Long, V) = {
     val m = samplePattern.matcher(chunk)
     if (!m.find()) die(s"has a malformed sample")
     val vs = parseStringArrayRaw(chunk)
     if (vs.size != 1) die(s"has a malformed sample value")
-    val v = try vs.head.toLong catch {
-      case _: NumberFormatException => die(s"has a non-integer sample value")
-    }
-    (m.group(1).toLong, v)
+    (m.group(1).toLong, conv(vs.head, die))
   }
 
   /** `GET /loki/api/v1/index/volume` — aggregate log volume (bytes) per

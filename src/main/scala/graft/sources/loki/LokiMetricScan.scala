@@ -6,9 +6,73 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+
+/** One wire range-aggregation of the metric relation (round 16 widened
+  * the per-kind strings to this shape so UNWRAPPED aggregations — the
+  * latency/percentile workload — ride the same machinery):
+  *
+  *   - plain entry kinds (`count_over_time`, `bytes_over_time`): integer
+  *     samples, rendered as `sum by (g) (fn({inner}[step]))`;
+  *   - unwrapped kinds (`avg/min/max/quantile_over_time` with
+  *     [[unwrap]] set): float samples over a NUMERIC field extracted
+  *     from the line. The unwrap pipeline appends to the inner query:
+  *     `| <parser> gpN="key" | gpN!="" | unwrap gpN | __error__=""` —
+  *     the missing-guard drops rows whose extraction is absent/empty
+  *     (the host's NULL) and the error filter drops conversion failures
+  *     (also the host's NULL), which is what makes the push exact AND
+  *     real-Loki-valid (a metric query whose pipeline yields `__error__`
+  *     rows fails on a real server; this pipeline filters every
+  *     would-be error row before sample extraction). Grouping rides the
+  *     range aggregation itself (`avg_over_time(…[step]) by (g)` —
+  *     samples aggregate across streams per group, LogQL semantics),
+  *     except `sum_over_time`, which LogQL excludes from range-agg
+  *     grouping — it keeps the outer `sum by (g) (…)` wrapper (sum of
+  *     per-stream sums ≡ group sum).
+  */
+case class MetricAgg(
+    fn: String,
+    /** quantile_over_time's φ parameter. */
+    q: Option[Double] = None,
+    /** The unwrap pipeline: parser/key/generated-label (filters unused). */
+    unwrap: Option[LogQL.ParsedFilter] = None) {
+
+  /** Unwrapped kinds carry float samples; a group×bucket cell with no
+    * unwrappable row has NO sample and decodes as SQL NULL (the host's
+    * aggregate-over-all-NULLs), so the column is nullable too.
+    */
+  def isDouble: Boolean = unwrap.isDefined
+
+  /** LogQL grammar: unwrapped range aggregations except sum_over_time
+    * group on the range aggregation itself.
+    */
+  def groupsOnRangeAgg: Boolean = unwrap.isDefined && fn != "sum_over_time"
+
+  /** The unwrap stage chain appended to the inner query (see class doc). */
+  def stageSuffix: String = unwrap.fold("") { pf =>
+    " " + pf.copy(filters = Seq(("!=", ""))).render +
+      s" | unwrap ${pf.label} | __error__=\"\""
+  }
+
+  def render(inner: String, rangeS: Long, groupLabels: Seq[String]): String = {
+    val range = s"$inner$stageSuffix [${rangeS}s]"
+    if (groupsOnRangeAgg) {
+      val call = q match {
+        case Some(phi) => s"$fn($phi, $range)"
+        case None => s"$fn($range)"
+      }
+      // `by ()` (empty grouping) collapses all series into one — the
+      // global-aggregate form; without a grouping clause LogQL keeps
+      // per-series results, which is never what the SQL shape means
+      s"$call by (${groupLabels.mkString(",")})"
+    } else {
+      if (groupLabels.isEmpty) s"sum($fn($range))"
+      else s"sum by (${groupLabels.mkString(",")}) ($fn($range))"
+    }
+  }
+}
 
 /** The relation behind LogQL METRIC-query pushdown
   * ([[graft.plans.LokiMetricAggRule]]): a time-bucketed grouped count —
@@ -23,16 +87,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * range aggregation next to its chunks and ships back
   * #series × #buckets samples, not rows.
   *
-  * Round 15 widens the shape: `aggFns` may carry BOTH range
-  * aggregations (`count_over_time`, `bytes_over_time`) when the SQL
-  * aggregate list needs both — `AVG(octet_length(line))` is the
-  * bytes/count pair divided host-side, `COUNT(*)/seconds` (the rate()
-  * shape) is the count divided by a literal — one wire query PER KIND
-  * over the identical inner query, joined on (series, sample) by the
-  * reader (identical row sets by construction: both kinds aggregate the
-  * same matched entries). `topk` wraps the single-kind UNBUCKETED form
+  * Round 15 widened the shape to one wire query PER KIND (`aggs`) over
+  * the identical inner query — `AVG(octet_length(line))` is the
+  * bytes/count pair divided host-side — joined on (series, sample) by
+  * the reader. Round 16 adds UNWRAPPED kinds (see [[MetricAgg]]):
+  * `avg/min/max/sum/quantile_over_time` over a parser-extracted numeric
+  * field, the `avg_over_time({sel} | logfmt | unwrap duration [5m])`
+  * latency workload. `topk` wraps the single-kind UNBUCKETED plain form
   * as `topk(k, sum by (…) (…))`, shipping ≤k series instead of all of
   * them for the `ORDER BY cnt DESC LIMIT k` dashboards.
+  *
+  * When EVERY kind is unwrapped, [[enumerate]] adds one bare
+  * `count_over_time` wire query used ONLY for group enumeration: the
+  * unwrap pipeline drops rows before grouping, so a group whose rows
+  * all fail extraction would otherwise vanish from the result where SQL
+  * keeps it with a NULL aggregate. Its samples never surface as a
+  * column.
   *
   * BUCKET SEMANTICS — the one subtlety. SQL's `date_trunc` buckets are
   * floor-based half-open windows `[b, b+step)`; a LogQL range vector at
@@ -78,18 +148,25 @@ case class LokiMetricTable(
     /** Range aggregations this relation answers, one wire query each,
       * value columns in this order.
       */
-    aggFns: Seq[String] = Seq("count_over_time"),
+    aggs: Seq[MetricAgg] = Seq(MetricAgg("count_over_time")),
     /** Server-side top-k series selection (unbucketed, single-kind). */
-    topk: Option[Int] = None)
+    topk: Option[Int] = None,
+    /** Extra bare count_over_time query for group enumeration (see
+      * class doc) — set when every kind is unwrapped.
+      */
+    enumerate: Boolean = false)
   extends Table with SupportsRead {
 
   require(stepNs > 0 && stepNs % 1000000000L == 0,
     s"metric step must be a positive whole-second multiple of ns: $stepNs")
   require(endNs > startNs, s"metric window [$startNs, $endNs) is empty")
-  require(aggFns.nonEmpty && aggFns.distinct == aggFns,
-    s"aggFns must be non-empty and distinct: $aggFns")
-  require(topk.forall(k => k > 0 && !bucketed && aggFns.size == 1),
-    "topk applies only to the unbucketed single-aggregation form")
+  require(aggs.nonEmpty && aggs.distinct == aggs,
+    s"aggs must be non-empty and distinct: $aggs")
+  require(topk.forall(k => k > 0 && !bucketed && aggs.size == 1 &&
+      aggs.head.unwrap.isEmpty && !enumerate),
+    "topk applies only to the unbucketed single-plain-aggregation form")
+  require(!enumerate || aggs.forall(_.unwrap.isDefined),
+    "enumerate exists for the all-unwrapped case only")
   if (bucketed)
     require(startNs % stepNs == 0 && endNs % stepNs == 0,
       s"metric window [$startNs, $endNs) must be step-aligned")
@@ -99,20 +176,20 @@ case class LokiMetricTable(
         "aligned with step = width")
 
   /** The wire LogQL for one range aggregation (EXPLAIN discloses all). */
-  def metricQueryFor(fn: String): String = {
-    val range = s"$inner [${stepNs / 1000000000L}s]"
-    val summed =
-      if (groupLabels.isEmpty) s"sum($fn($range))"
-      else s"sum by (${groupLabels.mkString(",")}) ($fn($range))"
-    topk.fold(summed)(k => s"topk($k, $summed)")
+  def metricQueryFor(ma: MetricAgg): String = {
+    val rendered = ma.render(inner, stepNs / 1000000000L, groupLabels)
+    topk.fold(rendered)(k => s"topk($k, $rendered)")
   }
 
-  def metricQueries: Seq[String] = aggFns.map(metricQueryFor)
+  /** Value-kind queries first, then the enumeration query (if any). */
+  def metricQueries: Seq[String] =
+    aggs.map(metricQueryFor) ++
+      (if (enumerate) Seq(metricQueryFor(MetricAgg("count_over_time"))) else Nil)
 
   override def name(): String = s"loki.metric(${options.endpoint})"
 
   override def schema(): StructType =
-    LokiMetricTable.schemaFor(groupLabels, aggFns.size)
+    LokiMetricTable.schemaFor(groupLabels, aggs.map(_.isDouble))
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -124,14 +201,20 @@ case class LokiMetricTable(
 object LokiMetricTable {
   /** Positional internal column names — the rewrite's Project maps them
     * back to the original aggregate output attributes, so a grouped
-    * label literally named "bucket" or "v0" can never collide.
+    * label literally named "bucket" or "v0" can never collide. Plain
+    * kinds are non-null longs (missing sample ≡ 0 entries); unwrapped
+    * kinds are nullable doubles (missing sample ≡ no unwrappable row ≡
+    * the host's NULL aggregate).
     */
-  def schemaFor(groupLabels: Seq[String], nVals: Int): StructType = StructType(
-    StructField("bucket", TimestampType, nullable = false) +:
-      (groupLabels.indices.map(i =>
-        StructField(s"l$i", StringType, nullable = true)) ++
-        (0 until nVals).map(i =>
-          StructField(s"v$i", LongType, nullable = false))))
+  def schemaFor(groupLabels: Seq[String], valIsDouble: Seq[Boolean]): StructType =
+    StructType(
+      StructField("bucket", TimestampType, nullable = false) +:
+        (groupLabels.indices.map(i =>
+          StructField(s"l$i", StringType, nullable = true)) ++
+          valIsDouble.zipWithIndex.map { case (dbl, i) =>
+            if (dbl) StructField(s"v$i", DoubleType, nullable = true)
+            else StructField(s"v$i", LongType, nullable = false)
+          }))
 }
 
 case class LokiMetricScan(table: LokiMetricTable) extends Scan with Batch {
@@ -161,7 +244,8 @@ case class LokiMetricScan(table: LokiMetricTable) extends Scan with Batch {
       val lo = table.startNs + buckets * i / n * table.stepNs
       val hi = table.startNs + buckets * (i + 1) / n * table.stepNs
       LokiMetricPartition(table.options.endpoint, table.metricQueries,
-        table.groupLabels, table.stepNs, lo, hi): InputPartition
+        table.aggs.map(_.isDouble), table.groupLabels, table.stepNs,
+        lo, hi): InputPartition
     }.toArray
   }
 
@@ -171,7 +255,11 @@ case class LokiMetricScan(table: LokiMetricTable) extends Scan with Batch {
 
 case class LokiMetricPartition(
     endpoint: String,
+    /** One query per value column, plus (optionally) one trailing
+      * group-enumeration query contributing keys but no column.
+      */
     metricQueries: Seq[String],
+    valIsDouble: Seq[Boolean],
     groupLabels: Seq[String],
     stepNs: Long,
     sliceStartNs: Long,
@@ -194,10 +282,12 @@ class LokiMetricReader(p: LokiMetricPartition)
     val startT = p.sliceStartNs + p.stepNs - 1
     val endT = p.sliceEndNs - 1
     // one wire query per aggregation kind over the IDENTICAL inner
-    // query: same matched entries ⇒ same (series, sample) key sets; the
-    // union + default-0 below is belt-and-braces, not a semantic join
-    val perFn: Seq[Map[(Seq[String], Long), Long]] = p.metricQueries.map { q =>
-      LokiHttp.queryRangeMetric(p.endpoint, q, startT, endT, p.stepNs)
+    // query (plus the group-enumeration query, keys only): plain kinds
+    // share row sets by construction (default 0 is belt-and-braces);
+    // an unwrapped kind's rows are a SUBSET of the enumeration's — a
+    // missing sample is semantically the host's NULL aggregate
+    val perFn: Seq[Map[(Seq[String], Long), Double]] = p.metricQueries.map { q =>
+      LokiHttp.queryRangeMetricD(p.endpoint, q, startT, endT, p.stepNs)
         .iterator.flatMap { case (metric, samples) =>
           val kvs = metric.toMap
           // Prometheus metric objects omit empty-valued labels; an
@@ -216,7 +306,12 @@ class LokiMetricReader(p: LokiMetricPartition)
       val bucketUs = (sampleS + 1 - stepS) * 1000000L
       val labelVals: Seq[Any] =
         lv.map(v => if (v == null) null else UTF8String.fromString(v): Any)
-      val vals: Seq[Any] = perFn.map(_.getOrElse(key, 0L): Any)
+      val vals: Seq[Any] = p.valIsDouble.zipWithIndex.map { case (dbl, i) =>
+        perFn(i).get(key) match {
+          case Some(v) => if (dbl) (v: Any) else (v.toLong: Any)
+          case None => if (dbl) (null: Any) else (0L: Any)
+        }
+      }
       new GenericInternalRow(
         ((bucketUs: Any) +: (labelVals ++ vals)).toArray): InternalRow
     }

@@ -348,6 +348,120 @@ object LokiParsers {
     if (r == null) null else UTF8String.fromString(r)
   }
 
+  // ------------------------------------------------------------------
+  // regexp (`| regexp "(?P<name>re)"`) — Loki's fourth parser (round 16)
+  // ------------------------------------------------------------------
+
+  /** `| regexp` value of one named capture, HOST side: the pattern is
+    * JAVA dialect (the SQL author writes `(?<name>…)`), evaluated as an
+    * unanchored find — the same first-match semantics Go's regexp
+    * FindStringSubmatch applies (Go regexp is leftmost-first like
+    * Java/Perl, NOT POSIX-longest). Null when the pattern does not
+    * compile (e.g. duplicate group names — a Go-ism Java rejects), the
+    * line does not match, the group did not participate, or its text is
+    * empty (empty ≡ absent, the label model).
+    *
+    * The pushdown claim ([[LogQL.javaToRe2Named]]) is exact only for
+    * patterns whose translation to RE2 exists — the translated output
+    * contains only engine-agreeing constructs, so Java-eval here ≡
+    * RE2-eval on the wire, capture boundaries included (same match
+    * semantics ⇒ same submatch spans). Untranslatable patterns keep the
+    * host residual: this function still answers them, with documented
+    * Java semantics.
+    */
+  def regexpGet(line: String, pattern: String, group: String): String = {
+    val p =
+      try java.util.regex.Pattern.compile(pattern)
+      catch { case _: java.util.regex.PatternSyntaxException => return null }
+    val m = p.matcher(line)
+    if (!m.find()) return null
+    val v =
+      try m.group(group)
+      catch { case _: IllegalArgumentException => return null } // no such group
+    if (v == null || v.isEmpty) null else v
+  }
+
+  def regexpGetUTF8(
+      line: UTF8String, pattern: UTF8String, group: UTF8String): UTF8String = {
+    val r = regexpGet(line.toString, pattern.toString, group.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  /** All named captures of a WIRE-dialect regexp stage (`(?P<n>…)`),
+    * for the stub's stage evaluation: the pattern arrives in RE2
+    * spelling (only engine-agreeing constructs — the translator's
+    * output), so converting the group syntax back to Java's and
+    * evaluating with Java regex IS the RE2 evaluation. Non-matching
+    * lines extract nothing (rows are kept; only a label filter drops);
+    * an uncompilable pattern returns null (the caller errors — real
+    * Loki rejects the query at parse).
+    */
+  def regexpAllWire(line: String, re2Pattern: String): Seq[(String, String)] = {
+    val names = {
+      val b = Seq.newBuilder[String]
+      val m = java.util.regex.Pattern.compile("\\(\\?P<([A-Za-z0-9_]+)>")
+        .matcher(re2Pattern)
+      while (m.find()) b += m.group(1)
+      b.result()
+    }
+    val p =
+      try java.util.regex.Pattern.compile(re2Pattern.replace("(?P<", "(?<"))
+      catch { case _: java.util.regex.PatternSyntaxException => return null }
+    val m = p.matcher(line)
+    if (!m.find()) return Seq.empty
+    names.flatMap { n =>
+      val v = try m.group(n) catch { case _: IllegalArgumentException => null }
+      if (v == null || v.isEmpty) None else Some((n, v))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // unwrap (`| unwrap duration`) — numeric sample extraction (round 16)
+  // ------------------------------------------------------------------
+
+  /** `| unwrap x` value conversion — the SHARED semantics behind the
+    * host expression [[graft.functions.LokiUnwrap]], the metric
+    * rewrite's pushed `| unwrap` stage, and the stub's sample
+    * extraction, so a pushed `avg_over_time(… | unwrap gpN …)` is exact
+    * by construction.
+    *
+    * Models Go `strconv.ParseFloat(v, 64)` (grafana/loki
+    * convertFloat) on the subset Java and Go agree on byte for byte:
+    * optional sign + decimal digits with optional fraction/exponent
+    * (`1`, `1.`, `.5`, `1.5e-3`), and the case-insensitive `inf` /
+    * `infinity` / `nan` specials. Deliberate deviations, erring toward
+    * REJECTION (a null here is the host NULL ≡ wire `__error__` ≡
+    * dropped-by-`| __error__=""` row, so a false null only shrinks the
+    * result the same way on both sides):
+    *   - Go-isms Java parses differently or not at all are null: hex
+    *     floats (`0x1p-2`), underscore digit separators (`1_000`);
+    *   - a finite-looking literal that overflows to ±Inf (`1e999`) is
+    *     null — Go returns ErrRange and real Loki treats that as a
+    *     conversion error;
+    *   - no whitespace trimming (Go trims nothing; Java trims — the
+    *     regex screen runs on the raw text, so `" 1"` is null here as
+    *     on the wire).
+    */
+  def unwrapValue(s: String): java.lang.Double = {
+    if (s == null || s.isEmpty) return null
+    val body = if (s.charAt(0) == '+' || s.charAt(0) == '-') s.substring(1) else s
+    val lc = body.toLowerCase(java.util.Locale.ROOT)
+    if (lc == "inf" || lc == "infinity")
+      return java.lang.Double.valueOf(
+        if (s.charAt(0) == '-') Double.NegativeInfinity else Double.PositiveInfinity)
+    if (lc == "nan") return java.lang.Double.valueOf(Double.NaN)
+    if (!unwrapNumRe.matcher(s).matches()) return null
+    val d = java.lang.Double.parseDouble(s)
+    if (java.lang.Double.isInfinite(d)) null // Go ErrRange ⇒ Loki error
+    else java.lang.Double.valueOf(d)
+  }
+
+  private val unwrapNumRe = java.util.regex.Pattern.compile(
+    "[+-]?(?:[0-9]+(?:\\.[0-9]*)?|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?")
+
+  def unwrapUTF8(v: UTF8String): java.lang.Double =
+    if (v == null) null else unwrapValue(v.toString)
+
   /** Prometheus label-charset sanitization for extracted keys: every
     * char outside `[a-zA-Z0-9_]` becomes '_', a leading digit gains a
     * '_' prefix.

@@ -315,7 +315,7 @@ final class LokiStubServer {
     // Prometheus-style JSON matrix evaluated at `step` intervals, never
     // as a log stream — so the stub dispatches on the query text the
     // same way, before the log path's parquet content negotiation.
-    if (metricQueryRe.matcher(logql).matches()) {
+    if (isMetricQuery(logql)) {
       handleMetricQuery(ex, logql, start, end, params.get("step"))
     } else if (ex.getRequestHeaders.getFirst("Accept") != "application/vnd.apache.parquet") {
       respond(ex, 406, "stub only speaks parquet".getBytes(UTF_8))
@@ -416,12 +416,39 @@ final class LokiStubServer {
     * greedy inner group anchored at the literal ` [Ns]))` tail keeps a
     * bracketed token inside a line filter's backtick pattern from being
     * mistaken for the range. The topk wrapper's K and its closing paren
-    * must appear together (validated in the handler).
+    * must appear together (validated in the handler). Round 16 adds
+    * `sum_over_time` to the outer-sum form (LogQL excludes it from
+    * range-agg grouping) and the two UNWRAPPED grouped forms below.
     */
   private val metricQueryRe = java.util.regex.Pattern.compile(
     "^(?:topk\\((\\d+), )?sum(?: by \\(([^)]*)\\) )?" +
-      "\\((count_over_time|bytes_over_time)\\((.*) \\[(\\d+)s\\]\\)\\)(\\))?$",
+      "\\((count_over_time|bytes_over_time|sum_over_time)\\((.*) \\[(\\d+)s\\]\\)\\)(\\))?$",
     java.util.regex.Pattern.DOTALL)
+
+  /** `avg/min/max_over_time(<inner> [Ns]) by (l…)` — unwrapped range
+    * aggregations group on the range aggregation itself (LogQL):
+    * samples aggregate ACROSS STREAMS per group per evaluation point.
+    * `by ()` (empty) collapses everything into one series — the
+    * global-aggregate form the rewrite emits when SQL groups on the
+    * bucket only.
+    */
+  private val rangeAggQueryRe = java.util.regex.Pattern.compile(
+    "^(avg_over_time|min_over_time|max_over_time)" +
+      "\\((.*) \\[(\\d+)s\\]\\) by \\(([^)]*)\\)$",
+    java.util.regex.Pattern.DOTALL)
+
+  /** `quantile_over_time(φ, <inner> [Ns]) by (l…)` — exact Prometheus
+    * quantile: rank = φ·(n−1) over the sorted group samples,
+    * lower + (upper − lower)·(rank − ⌊rank⌋).
+    */
+  private val quantileQueryRe = java.util.regex.Pattern.compile(
+    "^quantile_over_time\\(([0-9.eE+-]+), (.*) \\[(\\d+)s\\]\\) by \\(([^)]*)\\)$",
+    java.util.regex.Pattern.DOTALL)
+
+  private def isMetricQuery(q: String): Boolean =
+    metricQueryRe.matcher(q).matches() ||
+      rangeAggQueryRe.matcher(q).matches() ||
+      quantileQueryRe.matcher(q).matches()
 
   /** First index in the ts-sorted snapshot with tsNs > t. */
   private def upperBound(all: Array[LogRow], t: Long): Int = {
@@ -448,24 +475,43 @@ final class LokiStubServer {
   private def handleMetricQuery(
       ex: HttpExchange, q: String, start: Long, end: Long,
       stepParam: Option[String]): Unit = {
-    val m = metricQueryRe.matcher(q)
-    require(m.matches(), s"not a metric query: $q")
-    // topk(K, …): the opener and its closing paren must pair up
-    val topk = Option(m.group(1)).map(_.toInt)
-    if (topk.isDefined != (m.group(6) != null)) {
-      respond(ex, 400, s"unbalanced topk parens: $q".getBytes(UTF_8)); return
-    }
-    val byLabels = Option(m.group(2)).toSeq
-      .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
-    // per-entry weight: count_over_time counts entries; bytes_over_time
-    // sums line sizes in UTF-8 BYTES (real Loki measures the entry's
-    // line bytes — the capacity metric)
-    val weight: LogRow => Long = m.group(3) match {
-      case "bytes_over_time" => r => r.line.getBytes(UTF_8).length.toLong
-      case _ => _ => 1L
-    }
-    val inner = m.group(4)
-    val rangeNs = m.group(5).toLong * 1000000000L
+    // parse one of the three grammars into a common shape
+    var topk: Option[Int] = None
+    var byLabels: Seq[String] = Nil
+    var fn: String = null
+    var phi: Double = 0.0
+    var inner: String = null
+    var rangeNs = 0L
+    val mA = metricQueryRe.matcher(q)
+    val mB = rangeAggQueryRe.matcher(q)
+    val mC = quantileQueryRe.matcher(q)
+    if (mA.matches()) {
+      // topk(K, …): the opener and its closing paren must pair up
+      topk = Option(mA.group(1)).map(_.toInt)
+      if (topk.isDefined != (mA.group(6) != null)) {
+        respond(ex, 400, s"unbalanced topk parens: $q".getBytes(UTF_8)); return
+      }
+      byLabels = Option(mA.group(2)).toSeq
+        .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
+      fn = mA.group(3)
+      inner = mA.group(4)
+      rangeNs = mA.group(5).toLong * 1000000000L
+    } else if (mB.matches()) {
+      fn = mB.group(1)
+      inner = mB.group(2)
+      rangeNs = mB.group(3).toLong * 1000000000L
+      byLabels = mB.group(4).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    } else if (mC.matches()) {
+      fn = "quantile_over_time"
+      phi = mC.group(1).toDouble
+      inner = mC.group(2)
+      rangeNs = mC.group(3).toLong * 1000000000L
+      byLabels = mC.group(4).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    } else require(false, s"not a metric query: $q")
+    // integer-valued kinds render their samples as whole numbers (the
+    // way real Loki's FormatFloat 'f' renders them); unwrapped kinds
+    // render float64 shortest-roundtrip text
+    val integerValued = fn == "count_over_time" || fn == "bytes_over_time"
     val stepNs = stepParam match {
       case Some(s) =>
         try parseStepNs(s) catch {
@@ -493,12 +539,16 @@ final class LokiStubServer {
     val all = sortedSnapshot()
     // metric kvs → ts-ascending samples (eval points ascend)
     val acc = mutable.LinkedHashMap
-      .empty[Seq[(String, String)], mutable.ArrayBuffer[(Long, Long)]]
+      .empty[Seq[(String, String)], mutable.ArrayBuffer[(Long, Double)]]
     var t = start
     while (t <= end) {
       val lo = upperBound(all, t - rangeNs)
       val hi = upperBound(all, t)
-      val counts = mutable.Map.empty[Seq[(String, String)], Long]
+      // per-group per-row contributions in timestamp order: entry count
+      // / line bytes for the log-range kinds, the UNWRAPPED sample value
+      // for the numeric kinds
+      val buf = mutable.Map
+        .empty[Seq[(String, String)], mutable.ArrayBuffer[Double]]
       var i = lo
       while (i < hi) {
         val r = all(i)
@@ -506,24 +556,50 @@ final class LokiStubServer {
           // `sum by` groups on the EFFECTIVE label set — parser stages
           // in the inner query make extracted labels groupable
           evalPipeline(r, stages) match {
-            case Some(eff) =>
+            case Some(pr) =>
               val key = byLabels.flatMap(l =>
-                eff.get(l).filter(_.nonEmpty).map(l -> _))
-              counts(key) = counts.getOrElse(key, 0L) + weight(r)
+                pr.labels.get(l).filter(_.nonEmpty).map(l -> _))
+              val contribution = fn match {
+                case "count_over_time" => 1.0
+                case "bytes_over_time" => r.line.getBytes(UTF_8).length.toDouble
+                case _ => pr.value.getOrElse(sys.error(
+                  s"$fn requires an | unwrap stage in: $q"))
+              }
+              buf.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += contribution
             case None => ()
           }
         }
         i += 1
       }
+      val combined: Seq[(Seq[(String, String)], Double)] =
+        buf.toSeq.map { case (k, vs) =>
+          val v = fn match {
+            case "count_over_time" => vs.size.toDouble
+            case "bytes_over_time" | "sum_over_time" => vs.sum
+            case "avg_over_time" => vs.sum / vs.size
+            case "min_over_time" => vs.min
+            case "max_over_time" => vs.max
+            case "quantile_over_time" =>
+              // Prometheus quantile: rank = φ·(n−1) over sorted values,
+              // linear interpolation — the identical formula Spark's
+              // exact `percentile` and DuckDB's quantile_cont compute
+              val sorted = vs.sorted
+              val rank = phi * (sorted.size - 1)
+              val lo0 = math.floor(rank).toInt
+              val hi0 = math.ceil(rank).toInt
+              sorted(lo0) + (sorted(hi0) - sorted(lo0)) * (rank - lo0)
+          }
+          (k, v)
+        }
       val kept = topk match {
         case Some(k) =>
           // per-evaluation-point top-k series by value (Prometheus topk
           // semantics); ties broken by the rendered metric key — real
           // Loki's choice among ties is arbitrary, the stub's is
           // deterministic so conformance replays are stable
-          counts.toSeq.sortBy { case (key, c) =>
+          combined.sortBy { case (key, c) =>
             (-c, key.map { case (a, b) => s"$a=$b" }.mkString(",")) }.take(k)
-        case None => counts.toSeq
+        case None => combined
       }
       kept.foreach { case (k, c) =>
         acc.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += ((t, c))
@@ -543,7 +619,8 @@ final class LokiStubServer {
           val tsStr =
             if (ms % 1000 == 0) s"${ms / 1000}"
             else s"${ms / 1000}.${"%03d".format(ms % 1000)}"
-          s"[$tsStr,${jsonStr(c.toString)}]"
+          val vStr = if (integerValued) c.toLong.toString else c.toString
+          s"[$tsStr,${jsonStr(vStr)}]"
         }.mkString(",")
         s"""{"metric":$metric,"values":[$vals]}"""
       }.mkString(",")
@@ -1095,6 +1172,18 @@ final class LokiStubServer {
   /** exprs empty = bare parser (full flatten); else (label, sourceKey). */
   private case class ParserStage(kind: String, exprs: Seq[(String, String)])
     extends Stage
+  /** `| unwrap lbl` — numeric sample extraction (round 16): the label's
+    * value converts to float64 via the shared
+    * [[graft.sources.loki.LokiParsers.unwrapValue]] model; a conversion
+    * failure sets `__error__=SampleExtractionErr` (sample 0), a
+    * missing/empty label is silently 0 (grafana/loki
+    * labelSampleExtractor — the connector's render always guards with
+    * `| lbl!=""` first, so its wire never relies on that branch), and a
+    * successful unwrap REMOVES the label from the series (Loki drops
+    * the unwrapped label from result metrics).
+    */
+  private case class UnwrapStage(label: String) extends Stage
+
   private case class LabelFilterStage(label: String, op: String, value: String)
     extends Stage {
     // label-filter string matching is FULL-match RE2, same shape as
@@ -1112,20 +1201,28 @@ final class LokiStubServer {
     }
   }
 
-  /** Run a row through the pipeline: None = dropped; Some(labels) = the
+  /** [[evalPipeline]]'s survivor: the EFFECTIVE label set after parser
+    * extractions (what `sum by` groups on) plus the unwrapped numeric
+    * sample value when an [[UnwrapStage]] ran.
+    */
+  private case class PipeResult(
+      labels: Map[String, String], value: Option[Double])
+
+  /** Run a row through the pipeline: None = dropped; Some(result) = the
     * EFFECTIVE label set after parser extractions (what `sum by` groups
-    * on). Extraction semantics live in the shared
-    * [[graft.sources.loki.LokiParsers]] — the same code the host
-    * expressions evaluate, which is what makes the parser-stage
+    * on) plus any unwrapped sample value. Extraction semantics live in
+    * the shared [[graft.sources.loki.LokiParsers]] — the same code the
+    * host expressions evaluate, which is what makes the parser-stage
     * pushdown exact by construction. Conflicts with STREAM labels
     * rename the extraction to `<name>_extracted` (grafana/loki), and a
     * malformed line gains `__error__` but is NOT dropped — only a label
     * filter can drop it.
     */
   private def evalPipeline(
-      r: LogRow, stages: Seq[Stage]): Option[Map[String, String]] = {
-    if (stages.isEmpty) return Some(r.labels)
+      r: LogRow, stages: Seq[Stage]): Option[PipeResult] = {
+    if (stages.isEmpty) return Some(PipeResult(r.labels, None))
     var labels = r.labels
+    var value: Option[Double] = None
     val base = r.labels.keySet
     stages.foreach {
       case LineStage(f) => if (!f.matches(r.line)) return None
@@ -1162,6 +1259,16 @@ final class LokiStubServer {
                 val kvs = graft.sources.loki.LokiParsers.patternAll(r.line, tmpl)
                 if (kvs != null) kvs.foreach { case (k, v) => put(k, v) }
             }
+          case "regexp" =>
+            // one string operand: the RE2-dialect pattern (round 16).
+            // Real Loki rejects an uncompilable pattern at QUERY parse
+            // (not per-row), so the stub fails the whole request too; a
+            // non-matching line extracts nothing and is NOT dropped.
+            val kvs = graft.sources.loki.LokiParsers
+              .regexpAllWire(r.line, exprs.head._2)
+            if (kvs == null)
+              sys.error(s"bad regexp stage pattern: ${exprs.head._2}")
+            kvs.foreach { case (k, v) => put(k, v) }
           case "logfmt" =>
             graft.sources.loki.LokiParsers.logfmtAll(r.line) match {
               case Right(pairs) =>
@@ -1178,9 +1285,22 @@ final class LokiStubServer {
               case Left(err) => labels += ("__error__" -> err)
             }
         }
+      case UnwrapStage(lbl) =>
+        labels.get(lbl).filter(_.nonEmpty) match {
+          case Some(v) =>
+            val d = graft.sources.loki.LokiParsers.unwrapValue(v)
+            if (d == null) {
+              value = Some(0.0)
+              labels += ("__error__" -> "SampleExtractionErr")
+            } else {
+              value = Some(d.doubleValue())
+              labels -= lbl // Loki drops the unwrapped label from results
+            }
+          case None => value = Some(0.0) // missing/empty → 0, no error
+        }
       case f: LabelFilterStage => if (!f.matches(labels)) return None
     }
-    Some(labels)
+    Some(PipeResult(labels, value))
   }
 
   /** Parse `{a="b", c=~"d"} |= `x` != `y`` — the exact grammar the
@@ -1280,9 +1400,13 @@ final class LokiStubServer {
           require(rest.startsWith("|"), s"bad pipeline stage in: $rest")
           val (ident, afterIdent) = takeIdent(rest.substring(1).trim)
           rest = afterIdent
-          if (ident == "pattern") {
+          if (ident == "pattern" || ident == "regexp") {
             val (tmpl, r2) = takeString(rest)
-            stages += ParserStage("pattern", Seq(("", tmpl)))
+            stages += ParserStage(ident, Seq(("", tmpl)))
+            rest = r2
+          } else if (ident == "unwrap") {
+            val (lbl, r2) = takeIdent(rest)
+            stages += UnwrapStage(lbl)
             rest = r2
           } else if (ident == "json" || ident == "logfmt") {
             val exprs = mutable.ArrayBuffer.empty[(String, String)]

@@ -350,6 +350,33 @@ object LogQLProps extends Properties("LogQL") {
       }
     }
 
+  property("regexp-stage capture ≡ host accessor under the translated wire pattern") =
+    Prop.forAll(javaPatGen, javaPatGen, re2Input) { (pa, pb, in) =>
+      // round 16: the pushed | regexp stage must extract EXACTLY the text
+      // the host's loki_regexp_get extracts — target renamed to gp0,
+      // the other group anonymized, body translated by the engine-
+      // agreement rules. The wire pattern contains only constructs both
+      // engines agree on, so Java-eval of the WIRE output IS the RE2
+      // evaluation (the javaToRe2 differential discipline).
+      val orig = s"(?<tgt>$pa)x(?<oth>$pb)"
+      val e = EqualTo(
+        graft.functions.LokiRegexpGet(line, s(orig), s("tgt")), s("v"))
+      LogQL.parsedPredicate(e) match {
+        case None => Prop.passed // untranslatable: stays a host residual
+        case Some(("regexp", key, _)) =>
+          val wire = key.replace("\u0000", "gp0")
+          val host = graft.sources.loki.LokiParsers.regexpGet(in, orig, "tgt")
+          val kvs = graft.sources.loki.LokiParsers.regexpAllWire(in, wire)
+          val wireV =
+            if (kvs == null) "<uncompilable>"
+            else kvs.collectFirst { case ("gp0", v) => v }.orNull
+          Prop(host == wireV) :|
+            s"orig=[$orig] wire=[$wire] in=${in.map(c => f"\\u${c.toInt}%04x")} " +
+            s"host=$host wire_eval=$wireV"
+        case Some(other) => Prop.falsified :| s"unexpected parser: $other"
+      }
+    }
+
   property("known-divergent constructs always keep their residual") =
     Prop.forAll(Gen.oneOf(
       "a\\bb", "\\Bx", "(?i)abc", "(?m)^a$", "(?=x)a", "(?!x)a", "(?<g>a)",

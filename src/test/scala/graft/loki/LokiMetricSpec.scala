@@ -401,6 +401,144 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(bucketed.count() == 2L && tiebreak.count() == 1L && asc.count() == 1L)
   }
 
+  test("unwrapped avg pushes as avg_over_time with guard+unwrap+error stages") {
+    import graft.functions.GraftFunctions.{logfmt_get, loki_unwrap}
+    val q0 = stub.queries.synchronized(stub.queries.size)
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(avg(loki_unwrap(logfmt_get(col("line"), lit("h")))).as("avg_h"))
+      .orderBy("app")
+    val plan = planOf(df)
+    assert(plan.contains("LokiMetricScan") &&
+      plan.contains("avg_over_time({app=~\".+\"} | logfmt gp0=\"h\" " +
+        "| gp0!=\"\" | unwrap gp0 | __error__=\"\" [259200s]) by (app)"),
+      plan)
+    // all-unwrapped SELECT: the group-enumeration count query rides along
+    assert(plan.contains("sum by (app) (count_over_time({app=~\".+\"} " +
+      "[259200s]))"), plan)
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+    val host = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(avg(loki_unwrap(logfmt_get(col("line"), lit("h")))).as("avg_h"))
+      .orderBy("app")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == host.map(_._1).toSeq)
+    got.zip(host).foreach { case ((_, a), (_, ha)) =>
+      assert(math.abs(a - ha) < 1e-9, s"avg diverged: $a vs $ha")
+    }
+    assert(got.nonEmpty)
+    val wired = stub.queries.synchronized(stub.queries.drop(q0).toList)
+      .filter(_.contains("_over_time")).toSet
+    assert(wired.exists(_.startsWith("avg_over_time(")), wired)
+  }
+
+  test("unwrapped min/max/sum ride one wire query per kind, one relation") {
+    import graft.functions.GraftFunctions.{logfmt_get, loki_unwrap}
+    def acc = loki_unwrap(logfmt_get(col("line"), lit("h")))
+    val df = windowed(lokiDf())
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(min(acc).as("mn"), max(acc).as("mx"), sum(acc).as("sm"))
+      .orderBy("bucket")
+    val plan = planOf(df)
+    assert(plan.contains("min_over_time(") && plan.contains("max_over_time("),
+      plan)
+    // sum_over_time is outside LogQL's range-agg grouping: outer-sum form
+    assert(plan.contains("sum(sum_over_time(") &&
+      plan.contains("min_over_time({app=~\".+\"} | logfmt gp0=\"h\" " +
+        "| gp0!=\"\" | unwrap gp0 | __error__=\"\" [86400s]) by ()"),
+      plan)
+    val got = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val host = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(date_trunc("day", col("timestamp")).as("bucket"))
+      .agg(min(acc).as("mn"), max(acc).as("mx"), sum(acc).as("sm"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq == host.toSeq && got.nonEmpty, s"got=${got.toSeq}")
+  }
+
+  test("percentile over an unwrapped field pushes as quantile_over_time") {
+    import graft.functions.GraftFunctions.{logfmt_get, loki_unwrap}
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "env").as("env"))
+      .agg(percentile(loki_unwrap(logfmt_get(col("line"), lit("h"))),
+        lit(0.9)).as("p90"))
+      .orderBy("env")
+    val plan = planOf(df)
+    assert(plan.contains("quantile_over_time(0.9, {app=~\".+\"} " +
+      "| logfmt gp0=\"h\" | gp0!=\"\" | unwrap gp0 | __error__=\"\" " +
+      "[259200s]) by (env)"), plan)
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+    val host = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(element_at(col("labels"), "env").as("env"))
+      .agg(percentile(loki_unwrap(logfmt_get(col("line"), lit("h"))),
+        lit(0.9)).as("p90"))
+      .orderBy("env").collect().map(r => (r.getString(0), r.getDouble(1)))
+    // identical interpolation formula on both sides: rank = φ(n−1),
+    // lower + (upper−lower)·frac over integer-valued samples — exact
+    assert(got.toSeq == host.toSeq && got.nonEmpty, s"got=${got.toSeq}")
+  }
+
+  test("mixed plain + unwrapped kinds share the relation without enumeration") {
+    import graft.functions.GraftFunctions.{logfmt_get, loki_unwrap}
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(count(lit(1)).as("cnt"),
+        avg(loki_unwrap(logfmt_get(col("line"), lit("h")))).as("avg_h"))
+      .orderBy("app")
+    val plan = planOf(df)
+    assert(plan.contains("LokiMetricScan") && plan.contains("avg_over_time("),
+      plan)
+    // the requested count kind already enumerates groups — exactly one
+    // count_over_time query on the relation
+    assert("count_over_time\\(".r.findAllIn(plan).size == 1, plan)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val host = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(count(lit(1)).as("cnt"),
+        avg(loki_unwrap(logfmt_get(col("line"), lit("h")))).as("avg_h"))
+      .orderBy("app").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq == host.map(t => (t._1, t._2)).toSeq)
+    got.zip(host).foreach { case ((_, _, a), (_, _, ha)) =>
+      assert(math.abs(a - ha) < 1e-9) }
+  }
+
+  test("groups whose rows all fail extraction survive with NULL aggregates") {
+    import graft.functions.GraftFunctions.{logfmt_get, loki_unwrap}
+    // no line carries key 'nope': every unwrap pipeline row drops, yet
+    // SQL keeps every app group with a NULL avg — the enumeration query
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(avg(loki_unwrap(logfmt_get(col("line"), lit("nope")))).as("avg_x"))
+      .orderBy("app")
+    assert(planOf(df).contains("LokiMetricScan"), planOf(df))
+    val got = df.collect().map(r => (r.getString(0), r.isNullAt(1)))
+    assert(got.toSeq == Seq(("app0", true), ("app1", true)), got.toSeq)
+  }
+
+  test("unwrap fallbacks: CAST, approx_percentile, push_parsers=false") {
+    import graft.functions.GraftFunctions.{logfmt_get, loki_unwrap}
+    def noRewrite(df: DataFrame): Unit =
+      assert(!planOf(df).contains("LokiMetricScan"), planOf(df))
+    // a plain CAST has Spark semantics (trims, accepts '1.5d'), not the
+    // wire conversion — must not push
+    noRewrite(windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app"))
+      .agg(avg(logfmt_get(col("line"), lit("h")).cast("double"))))
+    // approximate percentile is not the exact wire quantile
+    noRewrite(windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app"))
+      .agg(percentile_approx(
+        loki_unwrap(logfmt_get(col("line"), lit("h"))), lit(0.9), lit(100))))
+    // parser stages disabled: unwrapped kinds ride them
+    noRewrite(windowed(lokiDf(Map("push_parsers" -> "false")))
+      .groupBy(element_at(col("labels"), "app"))
+      .agg(avg(loki_unwrap(logfmt_get(col("line"), lit("h"))))))
+  }
+
   test("HAVING survives the rewrite and filters metric samples") {
     val df = windowed(lokiDf())
       .groupBy(element_at(col("labels"), "app").as("app"))

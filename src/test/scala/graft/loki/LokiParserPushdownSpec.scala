@@ -207,6 +207,68 @@ class LokiParserPushdownSpec extends SparkTestBase with BeforeAndAfterAll {
       col("line"), lit("a<b <v>"), lit("v")) === "x"))
   }
 
+  test("regexp accessor pushes with renamed/anonymized named groups") {
+    // round 16, the fourth parser: the target named group renames into
+    // the reserved gp<N> namespace (RE2 spelling), every other named
+    // group anonymizes to (?:…)
+    val eq = differential(_.filter(
+      graft.functions.GraftFunctions.loki_regexp_get(
+        col("line"), lit("code=(?<code>[0-9]+)"), lit("code")) === "500"))
+    assert(eq.contains("""| regexp "code=(?P<gp0>[0-9]+)" | gp0="500""""), eq)
+    val re = differential(_.filter(
+      graft.functions.GraftFunctions.loki_regexp_get(
+        col("line"), lit("level=(?<lv>[a-z]+) (?<rest>[a-z=]+)"), lit("lv"))
+        .rlike("^err")))
+    assert(re.contains("""| regexp "level=(?P<gp0>[a-z]+) (?:[a-z=]+)" | gp0=~"""),
+      re)
+    // fallbacks: backrefs / lookaround / boundary / duplicate names /
+    // absent target keep the host residual
+    def residual(b: DataFrame => DataFrame): Unit = {
+      val plan = b(df()).queryExecution.executedPlan.toString
+      assert(!plan.contains("| regexp"), s"expected residual:\n$plan")
+    }
+    def rx(pat: String, grp: String): DataFrame => DataFrame =
+      _.filter(graft.functions.GraftFunctions.loki_regexp_get(
+        col("line"), lit(pat), lit(grp)) === "x")
+    residual(rx("(?<a>x)\\k<a>", "a"))      // named backref
+    residual(rx("(?=x)(?<a>y)", "a"))       // lookahead
+    residual(rx("(?<=x)(?<a>y)", "a"))      // lookbehind
+    residual(rx("(?<a>x)(?<a>y)", "a"))     // duplicate name (Java error)
+    residual(rx("(?<a>x)", "b"))            // absent target group
+    residual(rx("\\b(?<a>x)", "a"))         // divergent boundary
+  }
+
+  test("metric rewrite groups on a regexp-extracted label and unwraps it") {
+    val d = df()
+      .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+        col("timestamp") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      .groupBy(graft.functions.GraftFunctions.loki_regexp_get(
+        col("line"), lit("level=(?<lv>[a-z]+)"), lit("lv")).as("lv"))
+      .agg(count(lit(1)).as("cnt"),
+        max(graft.functions.GraftFunctions.loki_unwrap(
+          graft.functions.GraftFunctions.loki_regexp_get(
+            col("line"), lit("code=(?<c>[0-9]+)"), lit("c")))).as("max_code"))
+      .orderBy("lv")
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("LokiMetricScan") &&
+      plan.contains("""| regexp "level=(?P<gp0>[a-z]+)"""") &&
+      plan.contains("""| regexp "code=(?P<gp1>[0-9]+)" | gp1!=""""") &&
+      plan.contains("| unwrap gp1 | __error__=\"\""), plan)
+    val host = df(pushParsers = false)
+      .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+        col("timestamp") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      .groupBy(graft.functions.GraftFunctions.loki_regexp_get(
+        col("line"), lit("level=(?<lv>[a-z]+)"), lit("lv")).as("lv"))
+      .agg(count(lit(1)).as("cnt"),
+        max(graft.functions.GraftFunctions.loki_unwrap(
+          graft.functions.GraftFunctions.loki_regexp_get(
+            col("line"), lit("code=(?<c>[0-9]+)"), lit("c")))).as("max_code"))
+      .orderBy("lv")
+    def rows(x: DataFrame) = x.collect().map(r =>
+      (r.getString(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(rows(d).toSeq == rows(host).toSeq, s"got=${rows(d).toSeq}")
+  }
+
   test("metric rewrite groups on a pattern-extracted label") {
     val d = df()
       .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
