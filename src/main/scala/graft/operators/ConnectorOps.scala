@@ -495,6 +495,52 @@ object ConnectorOps {
           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),
 
+    // Template stages on a tail (round 16): `label_format` (rename +
+    // template-set) and `line_format` rewrite the RETURNED rows
+    // server-side — the selector option is a tail's only pushdown
+    // channel, so without them a formatted tail would re-implement the
+    // templates host-side per sink. The stub renders the `{{.label}}`
+    // interpolation subset over the effective (parser-extracted) label
+    // set; the oracle replays both templates relationally, certifying
+    // rename + interpolation + line rewrite end to end.
+    ("loki_stream_tail_formatted",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamingOps.memoDrain(s, d, "loki_stream_tail_formatted") {
+          val st = stubFor(s, d)
+          val q0 = st.queries.synchronized(st.queries.size)
+          val sel = """{event_type="click"} | logfmt v="value" | v=~"1.*" """ +
+            """| label_format val_first=v """ +
+            """| line_format "{{.event_type}} first1 {{.val_first}}""""
+          val stream = s.readStream.format("loki")
+            .option("endpoint", st.endpoint)
+            .option("selector", sel)
+            .option("stream_start_ns", "1704067200000000000")
+            .option("stream_end_ns", "1706745600000000000")
+            .load()
+            .select(unix_micros(col("timestamp")).as("ts_us"), col("line"),
+              element_at(col("labels"), "val_first").as("vf"))
+          val out = graft.streaming.StreamingOps.runToMemory(
+            stream, s"loki_tail_formatted_${d.hashCode & 0x7fffffff}",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+            .orderBy("ts_us", "line")
+          val wire = st.queries.synchronized(st.queries.drop(q0).toList)
+          require(wire.nonEmpty && wire.forall(w =>
+            w.contains("| label_format val_first=v") &&
+              w.contains("""| line_format "{{.event_type}} first1 {{.val_first}}"""")),
+            s"formatted tail did not carry its template stages: ${wire.distinct}")
+          out
+        },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' first1 ', CAST(value AS VARCHAR)) AS line,
+          |       CAST(value AS VARCHAR) AS vf
+          |FROM events
+          |WHERE event_type = 'click'
+          |  AND CAST(value AS VARCHAR) LIKE '1%'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // Streaming WRITE (round 12, beyond-parity: the reference's insert is
     // batch-only, insert.rs) — the loki→loki forwarding pipeline: tail
     // the source endpoint's January window, keep the clicks, push them to
@@ -2024,6 +2070,67 @@ object ConnectorOps {
            |  AND ts < TIMESTAMP '2024-03-01 00:00:00'
            |GROUP BY 1
            |ORDER BY event_type""".stripMargin)),
+
+    // Structured metadata roundtrip (round 16, Loki 3.x): per-entry
+    // non-indexed key/values (trace/span ids) ride the push payload's
+    // third element and surface as the opt-in fourth `metadata` column —
+    // the reference's 3-column schema stays the default. The differential
+    // certifies write-encode → stub store → read-decode end to end,
+    // including entries WITHOUT metadata (empty map, never NULL).
+    ("loki_structured_metadata",
+      (s: SparkSession, d: String) => {
+        val st = stubSync(stubs.getOrElseUpdate(s"$d#structmeta", {
+          val scratch = new LokiStubServer
+          scratch.start()
+          Tables.events(s, d)
+            .filter(col("event_type") === "click")
+            .select(
+              col("ts").as("timestamp"),
+              map(lit("app"), lit("m")).as("labels"),
+              concat(col("event_type"), lit(" value="),
+                col("value").cast("string")).as("line"),
+              // deterministic, oracle-replayable metadata; every third
+              // user gets NO metadata (the classic-entry shape)
+              when(col("user_id") % 3 === 0,
+                map().cast("map<string,string>"))
+                .otherwise(map(lit("trace"),
+                  concat(lit("t"), col("user_id").cast("string"))))
+                .as("metadata"))
+            .write.format("loki")
+            .option("endpoint", scratch.endpoint)
+            .option("structured_metadata", "true")
+            .option("push_batch_size", "8192")
+            .mode("append").save()
+          sys.addShutdownHook(scratch.stop())
+          scratch
+        }))
+        val df = s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "app")
+          .option("structured_metadata", "true")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"),
+            element_at(col("metadata"), "trace").as("trace"),
+            size(col("metadata")).as("n_meta"))
+          .orderBy("ts_us", "line")
+        require(df.schema.fieldNames.toSeq ==
+          Seq("ts_us", "line", "trace", "n_meta"))
+        df
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line,
+          |       CASE WHEN user_id % 3 = 0 THEN NULL
+          |            ELSE concat('t', CAST(user_id AS VARCHAR)) END AS trace,
+          |       CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END AS n_meta
+          |FROM events
+          |WHERE event_type = 'click'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-03-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
 
     // Optimizer-statistics report under the oracle (round 11,
     // report_statistics=true → SupportsReportStatistics from

@@ -166,6 +166,29 @@ object LogQL {
       s"""| $label$op"$v""""
     }
   }
+  /** `| line_format "template"` (round 16) — rewrites the returned line
+    * from a Go-template over the effective labels. The connector
+    * accepts the `{{.label}}` interpolation subset (documented; full Go
+    * templates carry functions/pipelines no host check could validate).
+    */
+  final case class PLineFormat(template: String) extends PipeStage {
+    def render(escape: Boolean): String =
+      "| line_format \"" +
+        (if (escape) escapeQuoted(template) else template) + "\""
+  }
+  /** `| label_format dst=src, dst2="template"` (round 16) — ident
+    * operands RENAME (move src's value to dst, Loki semantics), quoted
+    * operands SET dst from the rendered template.
+    */
+  final case class PLabelFormat(ops: Seq[(String, Either[String, String])])
+    extends PipeStage {
+    def render(escape: Boolean): String =
+      "| label_format " + ops.map {
+        case (dst, Left(src)) => s"$dst=$src"
+        case (dst, Right(t)) =>
+          s"""$dst="${if (escape) escapeQuoted(t) else t}""""
+      }.mkString(", ")
+  }
 
   /** Parse a raw LogQL log-selector string — the `selector` option's
     * value: `{label op "v", …}` (ops `=`, `!=`, `=~`, `!~`; values
@@ -281,6 +304,25 @@ object LogQL {
           val id = ident(); ws()
           if (id == "pattern") {
             stages += PParser("pattern", Seq(("", str())))
+          } else if (id == "line_format") {
+            stages += PLineFormat(str())
+          } else if (id == "label_format") {
+            // comma list of dst=src (rename) or dst="template" (set)
+            val ops = Seq.newBuilder[(String, Either[String, String])]
+            var more = true
+            while (more) {
+              val dst = ident(); ws()
+              if (i >= s.length || s.charAt(i) != '=') err(
+                "label_format operand needs dst=src or dst=\"template\"")
+              i += 1; ws()
+              if (i < s.length && (s.charAt(i) == '"' || s.charAt(i) == '`'))
+                ops += ((dst, Right(str())))
+              else ops += ((dst, Left(ident())))
+              ws()
+              if (i < s.length && s.charAt(i) == ',') { i += 1; ws() }
+              else more = false
+            }
+            stages += PLabelFormat(ops.result())
           } else if (id == "json" || id == "logfmt") {
             val exprs = Seq.newBuilder[(String, String)]
             var more = i < s.length && s.charAt(i) != '|' &&

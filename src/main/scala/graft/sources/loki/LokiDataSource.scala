@@ -38,6 +38,18 @@ object LokiDataSource {
     StructField("labels",
       MapType(StringType, StringType, valueContainsNull = false), nullable = false),
     StructField("line", StringType, nullable = false)))
+
+  /** `structured_metadata=true` (round 16, Loki 3.x): the reference's
+    * 3-column schema plus the per-entry structured-metadata map — the
+    * non-indexed key/values (trace ids, spans) real Loki attaches to
+    * entries. Opt-in: the 3-column shape stays the default so reference
+    * scripts see the exact table they expect.
+    */
+  def logSchema(structuredMetadata: Boolean): StructType =
+    if (!structuredMetadata) LOG_SCHEMA
+    else StructType(LOG_SCHEMA.fields :+ StructField("metadata",
+      MapType(StringType, StringType, valueContainsNull = false),
+      nullable = false))
 }
 
 /** Connector options (reference table.rs:39-43 plus scale knobs). */
@@ -169,6 +181,18 @@ final case class LokiOptions(
       * the two decode paths against each other on the same corpus.
       */
     columnar: Boolean = true,
+    /** Surface Loki 3.x per-entry STRUCTURED METADATA (trace/span ids —
+      * non-indexed key/values attached to entries at ingest) as a fourth
+      * `metadata map<string,string>` column, on reads AND writes (the
+      * push payload gains the entry's third element). OFF by default —
+      * the reference's 3-column schema is the contract its scripts
+      * assume. Reads with the column use the row-based decoder (the
+      * columnar fast path stays specialized to the 3-column shape);
+      * predicates on metadata always stay host residuals (Loki cannot
+      * filter on non-indexed metadata server-side without a parser
+      * stage).
+      */
+    structuredMetadata: Boolean = false,
     /** Streaming (readStream) start of the tail, epoch ns. Unset → the
       * scan's default window start (now − 30 d). Beyond-parity: the
       * reference's scan is Boundedness::Bounded (scan.rs:48); Spark's
@@ -271,6 +295,7 @@ final case class LokiOptions(
     "report_statistics" -> reportStatistics.toString,
     "group_streams" -> groupStreams.toString,
     "columnar" -> columnar.toString,
+    "structured_metadata" -> structuredMetadata.toString,
     "stream_lag_ms" -> streamLagMs.toString,
     "max_rows_per_batch" -> maxRowsPerBatch.toString,
     "max_bytes_per_batch" -> maxBytesPerBatch.toString,
@@ -323,6 +348,8 @@ object LokiOptions {
       reportStatistics = m.getOrElse("report_statistics", "false").toBoolean,
       groupStreams = m.getOrElse("group_streams", "false").toBoolean,
       columnar = m.getOrElse("columnar", "true").toBoolean,
+      structuredMetadata =
+        m.getOrElse("structured_metadata", "false").toBoolean,
       streamStartNs = m.get("stream_start_ns").map(_.toLong),
       streamEndNs = m.get("stream_end_ns").map(_.toLong),
       streamLagMs = m.getOrElse("stream_lag_ms", "0").toLong,
@@ -346,7 +373,8 @@ class LokiTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "loki"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    LokiDataSource.LOG_SCHEMA
+    LokiDataSource.logSchema(
+      Option(options.get("structured_metadata")).exists(_.toBoolean))
 
   override def getTable(
       schema: StructType,
@@ -384,7 +412,8 @@ case class LokiTable(
 
   override def name(): String = s"loki(${options.endpoint})"
 
-  override def schema(): StructType = LokiDataSource.LOG_SCHEMA
+  override def schema(): StructType =
+    LokiDataSource.logSchema(options.structuredMetadata)
 
   // no TRUNCATE/OVERWRITE capabilities → Spark rejects non-append DML for
   // us, mirroring table.rs:164-169. MICRO_BATCH_READ is beyond-parity:

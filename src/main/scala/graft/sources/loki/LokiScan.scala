@@ -37,7 +37,8 @@ class LokiScanBuilder(table: LokiTable)
   with SupportsPushDownLimit
   with SupportsPushDownAggregates {
 
-  private var requiredSchema: StructType = LokiDataSource.LOG_SCHEMA
+  private var requiredSchema: StructType =
+    LokiDataSource.logSchema(table.options.structuredMetadata)
   private var pushedLines: Seq[LogQL.LineFilter] = Nil
   private var startNs: Option[Long] = None
   private var endNs: Option[Long] = None
@@ -101,7 +102,8 @@ class LokiScanBuilder(table: LokiTable)
     // preserve table column order regardless of the required order
     val names = required.fieldNames.toSet
     requiredSchema = StructType(
-      LokiDataSource.LOG_SCHEMA.fields.filter(f => names.contains(f.name)))
+      LokiDataSource.logSchema(table.options.structuredMetadata)
+        .fields.filter(f => names.contains(f.name)))
   }
 
   override def pushLimit(n: Int): Boolean = {
@@ -449,7 +451,11 @@ case class LokiScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    LokiReaderFactory(options.columnar)
+    // structured metadata rides the row-based decoder: the columnar
+    // readers are hand-specialized to the 3-column wire shape, and the
+    // metadata map would be a second repetition-structured column pair
+    // for a diagnostics-scale projection (see LokiOptions doc)
+    LokiReaderFactory(options.columnar && !options.structuredMetadata)
 
   /** Partitions for one CONCRETE window [s, e) — the micro-batch path
     * ([[LokiMicroBatchStream]]): width slices only (a per-batch
@@ -969,19 +975,8 @@ class LokiPartitionReader(p: LokiInputPartition)
         case "timestamp" =>
           // Loki ns → Spark µs, truncating (§7.4(b))
           java.lang.Long.valueOf(g.getLong("timestamp", 0) / 1000L)
-        case "labels" =>
-          val labels = g.getGroup("labels", 0)
-          val n = labels.getFieldRepetitionCount("key_value")
-          val keys = new Array[Any](n)
-          val vals = new Array[Any](n)
-          var j = 0
-          while (j < n) {
-            val kv = labels.getGroup("key_value", j)
-            keys(j) = UTF8String.fromBytes(kv.getBinary("key", 0).getBytes)
-            vals(j) = UTF8String.fromBytes(kv.getBinary("value", 0).getBytes)
-            j += 1
-          }
-          ArrayBasedMapData(keys, vals)
+        case "labels" => mapColumn(g, "labels")
+        case "metadata" => mapColumn(g, "metadata")
         case "line" =>
           UTF8String.fromBytes(g.getBinary("line", 0).getBytes)
         case other =>
@@ -990,6 +985,24 @@ class LokiPartitionReader(p: LokiInputPartition)
       i += 1
     }
     new GenericInternalRow(values)
+  }
+
+  /** One `(MAP) { repeated key_value {key,value} }` column — labels and
+    * (round 16) structured metadata share the wire shape.
+    */
+  private def mapColumn(g: Group, name: String): ArrayBasedMapData = {
+    val grp = g.getGroup(name, 0)
+    val n = grp.getFieldRepetitionCount("key_value")
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val kv = grp.getGroup("key_value", j)
+      keys(j) = UTF8String.fromBytes(kv.getBinary("key", 0).getBytes)
+      vals(j) = UTF8String.fromBytes(kv.getBinary("value", 0).getBytes)
+      j += 1
+    }
+    ArrayBasedMapData(keys, vals)
   }
 }
 

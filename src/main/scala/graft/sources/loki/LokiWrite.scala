@@ -87,8 +87,9 @@ class LokiWriteBuilder(
   extends WriteBuilder {
 
   override def build(): Write = {
-    // schema identity check, mirroring insert.rs:44-46
-    val expected = LokiDataSource.LOG_SCHEMA
+    // schema identity check, mirroring insert.rs:44-46 (4-column when
+    // the table opted into structured metadata)
+    val expected = LokiDataSource.logSchema(options.structuredMetadata)
     val ok = inputSchema.length == expected.length &&
       inputSchema.fields.zip(expected.fields).forall { case (a, b) =>
         a.name == b.name && a.dataType == b.dataType
@@ -242,13 +243,30 @@ class LokiDataWriter(options: LokiOptions) extends DataWriter[InternalRow] {
         }.mkString("{", ",", "}")
       }
     val line = if (row.isNullAt(2)) "" else row.getUTF8String(2).toString
+    // structured metadata (round 16): the entry's third element — the
+    // Loki 3.x push shape `["<ts>","<line>",{"k":"v"}]`. A null or
+    // empty map omits the element (the 3-tuple is the universal form).
+    val metaSuffix =
+      if (!options.structuredMetadata || row.numFields < 4 || row.isNullAt(3)) ""
+      else {
+        val m = row.getMap(3)
+        if (m.numElements() == 0) ""
+        else {
+          val keys = m.keyArray()
+          val vals = m.valueArray()
+          (0 until m.numElements()).map { i =>
+            val v = if (vals.isNullAt(i)) "" else vals.getUTF8String(i).toString
+            s"${jsonStr(keys.getUTF8String(i).toString)}:${jsonStr(v)}"
+          }.mkString(",{", ",", "}")
+        }
+      }
     if (options.groupStreams) {
       // one stream object per distinct label set, many values
       grouped.getOrElseUpdate(labels, ArrayBuffer.empty) +=
-        s"""["$ns",${jsonStr(line)}]"""
+        s"""["$ns",${jsonStr(line)}$metaSuffix]"""
     } else {
       // one stream object per row, like insert.rs:186-205 (parity default)
-      buf += s"""{"stream":$labels,"values":[["$ns",${jsonStr(line)}]]}"""
+      buf += s"""{"stream":$labels,"values":[["$ns",${jsonStr(line)}$metaSuffix]]}"""
     }
     buffered += 1
     count += 1

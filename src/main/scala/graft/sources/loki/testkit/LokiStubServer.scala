@@ -29,7 +29,12 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   */
 final class LokiStubServer {
 
-  final case class LogRow(tsNs: Long, labels: Map[String, String], line: String)
+  final case class LogRow(
+      tsNs: Long, labels: Map[String, String], line: String,
+      /** Loki 3.x per-entry structured metadata (round 16) — non-indexed
+        * key/values; empty for classic entries.
+        */
+      metadata: Map[String, String] = Map.empty)
 
   private val rows = mutable.ArrayBuffer.empty[LogRow]
   // ingest-dedup membership index over `rows` (see handlePush)
@@ -281,8 +286,19 @@ final class LokiStubServer {
       p.expect('}'); p.expect(','); p.key("values"); p.expect('[')
       while (p.peek() != ']') {
         p.expect('['); val ts = p.string(); p.expect(','); val line = p.string()
+        // optional third element (Loki 3.x): structured-metadata object
+        val meta = mutable.Map.empty[String, String]
+        if (p.peek() == ',') {
+          p.expect(','); p.expect('{')
+          while (p.peek() != '}') {
+            val k = p.string(); p.expect(':'); val v = p.string()
+            meta += k -> v
+            if (p.peek() == ',') p.expect(',')
+          }
+          p.expect('}')
+        }
         p.expect(']')
-        out += LogRow(ts.toLong, labels.toMap, line)
+        out += LogRow(ts.toLong, labels.toMap, line, meta.toMap)
         if (p.peek() == ',') p.expect(',')
       }
       p.expect(']'); p.expect('}')
@@ -361,20 +377,22 @@ final class LokiStubServer {
         }
         val cap = effLimit.getOrElse(Int.MaxValue)
         val hits = mutable.ArrayBuffer.empty[LogRow]
+        // survivors return their OUTPUT view: line_format/label_format
+        // stages transform the returned row (identity when absent)
+        def outRow(r: LogRow): Option[LogRow] =
+          if (!matchers.forall(_.matches(r.labels))) None
+          else evalPipeline(r, stages).map(pr =>
+            r.copy(labels = pr.outLabels, line = pr.outLine))
         if (forward) {
           var i = lo
           while (i < up && hits.size < cap) {
-            val r = all(i)
-            if (matchers.forall(_.matches(r.labels)) &&
-                evalPipeline(r, stages).isDefined) hits += r
+            outRow(all(i)).foreach(hits += _)
             i += 1
           }
         } else {
           var i = up - 1
           while (i >= lo && hits.size < cap) {
-            val r = all(i)
-            if (matchers.forall(_.matches(r.labels)) &&
-                evalPipeline(r, stages).isDefined) hits += r
+            outRow(all(i)).foreach(hits += _)
             i -= 1
           }
         }
@@ -1172,6 +1190,20 @@ final class LokiStubServer {
   /** exprs empty = bare parser (full flatten); else (label, sourceKey). */
   private case class ParserStage(kind: String, exprs: Seq[(String, String)])
     extends Stage
+  /** `| line_format "t"` (round 16): rewrite the returned line from a
+    * Go-template over the EFFECTIVE labels — the `{{.label}}`
+    * interpolation subset (a missing label renders empty, text/template
+    * zero-value semantics).
+    */
+  private case class LineFormatStage(template: String) extends Stage
+
+  /** `| label_format dst=src, dst2="t"` (round 16): ident operands MOVE
+    * src's value to dst (grafana/loki rename semantics — src is
+    * removed), template operands SET dst from the rendered text.
+    */
+  private case class LabelFormatStage(
+      ops: Seq[(String, Either[String, String])]) extends Stage
+
   /** `| unwrap lbl` — numeric sample extraction (round 16): the label's
     * value converts to float64 via the shared
     * [[graft.sources.loki.LokiParsers.unwrapValue]] model; a conversion
@@ -1202,11 +1234,36 @@ final class LokiStubServer {
   }
 
   /** [[evalPipeline]]'s survivor: the EFFECTIVE label set after parser
-    * extractions (what `sum by` groups on) plus the unwrapped numeric
-    * sample value when an [[UnwrapStage]] ran.
+    * extractions (what `sum by` groups on), the unwrapped numeric
+    * sample value when an [[UnwrapStage]] ran, and the OUTPUT view —
+    * the line (rewritten by `line_format`) and the returned label set
+    * (the STREAM labels plus `label_format` effects; parser extractions
+    * stay out of the returned set, the connector's documented batch
+    * modeling — SQL's `labels` column means stream labels).
     */
   private case class PipeResult(
-      labels: Map[String, String], value: Option[Double])
+      labels: Map[String, String], value: Option[Double],
+      outLine: String, outLabels: Map[String, String])
+
+  /** `{{.name}}` interpolation over the effective labels — the
+    * text/template subset the connector's selector option accepts;
+    * missing labels render empty (Go zero-value semantics).
+    */
+  private def renderTemplate(tmpl: String, labels: Map[String, String]): String = {
+    val m = java.util.regex.Pattern
+      .compile("\\{\\{\\s*\\.([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\}\\}").matcher(tmpl)
+    // java.lang.StringBuilder: Scala's resolves the 3-arg append as
+    // append(Any) over a boxed tuple instead of the subsequence overload
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(tmpl, last, m.start())
+      sb.append(labels.getOrElse(m.group(1), ""))
+      last = m.end()
+    }
+    sb.append(tmpl, last, tmpl.length)
+    sb.toString
+  }
 
   /** Run a row through the pipeline: None = dropped; Some(result) = the
     * EFFECTIVE label set after parser extractions (what `sum by` groups
@@ -1220,9 +1277,12 @@ final class LokiStubServer {
     */
   private def evalPipeline(
       r: LogRow, stages: Seq[Stage]): Option[PipeResult] = {
-    if (stages.isEmpty) return Some(PipeResult(r.labels, None))
+    if (stages.isEmpty)
+      return Some(PipeResult(r.labels, None, r.line, r.labels))
     var labels = r.labels
     var value: Option[Double] = None
+    var outLine = r.line
+    var outLabels = r.labels
     val base = r.labels.keySet
     stages.foreach {
       case LineStage(f) => if (!f.matches(r.line)) return None
@@ -1298,9 +1358,25 @@ final class LokiStubServer {
             }
           case None => value = Some(0.0) // missing/empty → 0, no error
         }
+      case LineFormatStage(t) =>
+        outLine = renderTemplate(t, labels)
+      case LabelFormatStage(ops) =>
+        ops.foreach {
+          case (dst, Left(src)) =>
+            // rename: move src's (effective) value to dst; absent src
+            // leaves dst untouched (grafana/loki)
+            labels.get(src).foreach { v =>
+              labels = labels - src + (dst -> v)
+              outLabels = outLabels - src + (dst -> v)
+            }
+          case (dst, Right(t)) =>
+            val v = renderTemplate(t, labels)
+            labels += (dst -> v)
+            outLabels += (dst -> v)
+        }
       case f: LabelFilterStage => if (!f.matches(labels)) return None
     }
-    Some(PipeResult(labels, value))
+    Some(PipeResult(labels, value, outLine, outLabels))
   }
 
   /** Parse `{a="b", c=~"d"} |= `x` != `y`` — the exact grammar the
@@ -1404,6 +1480,31 @@ final class LokiStubServer {
             val (tmpl, r2) = takeString(rest)
             stages += ParserStage(ident, Seq(("", tmpl)))
             rest = r2
+          } else if (ident == "line_format") {
+            val (tmpl, r2) = takeString(rest)
+            stages += LineFormatStage(tmpl)
+            rest = r2
+          } else if (ident == "label_format") {
+            val ops = mutable.ArrayBuffer.empty[(String, Either[String, String])]
+            var more = true
+            while (more) {
+              val (dst, afterDst) = takeIdent(rest)
+              require(afterDst.startsWith("="),
+                s"label_format operand needs '=' in: $afterDst")
+              rest = afterDst.substring(1).trim
+              if (rest.startsWith("\"") || rest.startsWith("`")) {
+                val (t, r2) = takeString(rest)
+                ops += ((dst, Right(t)))
+                rest = r2
+              } else {
+                val (src, r2) = takeIdent(rest)
+                ops += ((dst, Left(src)))
+                rest = r2
+              }
+              if (rest.startsWith(",")) rest = rest.substring(1).trim
+              else more = false
+            }
+            stages += LabelFormatStage(ops.toSeq)
           } else if (ident == "unwrap") {
             val (lbl, r2) = takeIdent(rest)
             stages += UnwrapStage(lbl)
@@ -1476,6 +1577,12 @@ final class LokiStubServer {
       |    }
       |  }
       |  required binary line (STRING);
+      |  required group metadata (MAP) {
+      |    repeated group key_value {
+      |      required binary key (STRING);
+      |      required binary value (STRING);
+      |    }
+      |  }
       |}""".stripMargin)
 
   private def toParquet(hits: Seq[LogRow]): Array[Byte] = {
@@ -1514,6 +1621,15 @@ final class LokiStubServer {
           kv.add("value", v)
         }
         g.add("line", r.line)
+        // structured metadata always rides the wire (real Loki 3.x
+        // responses carry it unconditionally); readers that don't
+        // request the column simply never project it
+        val meta = g.addGroup("metadata")
+        r.metadata.foreach { case (k, v) =>
+          val kv = meta.addGroup("key_value")
+          kv.add("key", k)
+          kv.add("value", v)
+        }
         writer.write(g)
       }
     } finally writer.close()

@@ -147,6 +147,7 @@ class LogQLSpec extends AnyFunSuite {
       "push_parsers" -> "false",
       "report_statistics" -> "true",
       "group_streams" -> "true", "columnar" -> "false",
+      "structured_metadata" -> "true",
       "stream_start_ns" -> "123", "stream_end_ns" -> "456",
       "stream_lag_ms" -> "11", "max_rows_per_batch" -> "500",
       "max_bytes_per_batch" -> "65536", "min_rows_per_batch" -> "32",
@@ -156,7 +157,7 @@ class LogQLSpec extends AnyFunSuite {
       s"round trip drifted:\n${LokiOptions.from(full.toMap)}\nvs\n$full")
     // every case-class field must be representable: the field count is
     // pinned so adding a field forces this test (and toMap) to be updated
-    assert(full.productArity == 27,
+    assert(full.productArity == 28,
       "LokiOptions gained/lost a field — update toMap AND this round trip")
     // direction is validated at option time
     assertThrows[IllegalArgumentException](
