@@ -75,7 +75,14 @@ object Plans {
     "loki_parse_pattern_filter",
     "loki_metric_parsed_label", "loki_metric_avg_bytes",
     "loki_metric_topk", "loki_metric_rate", "loki_metric_having",
-    "loki_metric_split", "loki_delete_lifecycle")
+    "loki_metric_split", "loki_delete_lifecycle",
+    // round-16: unwrapped range aggregations (avg/quantile/min/max/sum
+    // over | unwrap pipelines in the pushed metric queries), the
+    // | regexp fourth parser (filter + regexp-fed unwrap), the formatted
+    // tail's read-back, structured metadata roundtrip
+    "loki_metric_unwrap_avg", "loki_metric_unwrap_p90",
+    "loki_metric_unwrap_sum", "loki_metric_unwrap_regexp",
+    "loki_parse_regexp_filter", "loki_structured_metadata")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

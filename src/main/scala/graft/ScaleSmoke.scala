@@ -132,6 +132,37 @@ object ScaleSmoke {
       bigPairs
     }
 
+    // Contrastive negatives (round 16): the cluster→rep side input is
+    // size-gated — at ×N the near-dup membership IS the whole corpus
+    // (every doc sits in a copy-clique), so force the cap to drive the
+    // row-distributed JOIN branch at scale and pin it row-for-row
+    // against the zero-shuffle map-literal branch on the same inputs.
+    timed("contrastive_two_branch") {
+      val comps = DedupOps.connectedComponents(
+        DedupOps.jaccardPairsPrefix(docs, 0.5).select("a_id", "b_id"))
+      val anchors = big.select("doc_id")
+      // membership here exceeds the default probe-cost bound (every doc
+      // sits in a copy-clique), so the map branch must be FORCED — which
+      // is itself the point: the default gate routes this corpus to the
+      // join branch
+      spark.conf.set("graft.contrastive.maxMapEntries", Long.MaxValue.toString)
+      val mapBranch =
+        try DedupOps.contrastiveNegatives(anchors, comps).cache()
+        finally spark.conf.unset("graft.contrastive.maxMapEntries")
+      val nMap = mapBranch.count()
+      spark.conf.set("graft.broadcast.maxBytes", "1")
+      val joinBranch =
+        try DedupOps.contrastiveNegatives(anchors, comps)
+        finally spark.conf.unset("graft.broadcast.maxBytes")
+      val nJoin = joinBranch.count()
+      val diverged = joinBranch.exceptAll(mapBranch).count()
+      mapBranch.unpersist()
+      require(nMap == nJoin && diverged == 0,
+        s"contrastive branches diverge at x$mult: map=$nMap join=$nJoin " +
+          s"except=$diverged")
+      nMap
+    }
+
     // Corpus-statistics family at the multiplied corpus: the explode →
     // aggregate-compressed-broadcast shapes (unigram NLL), the
     // window-count-over-span-key shape (dup spans), the double-counted

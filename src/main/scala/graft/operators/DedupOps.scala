@@ -440,6 +440,109 @@ object DedupOps {
   // The live-cache LRU moved to graft.operators.CacheRegistry (round 8):
   // it backs RelOps/TextOps/SimilarityOps too, not just dedup.
 
+  /** Contrastive negative sampling over pre-built anchors + clusters
+    * (the `documents_contrastive_negatives` gate body, extracted so
+    * ScaleSmoke can drive both branches on a multiplied corpus): each
+    * anchor draws 5 deterministic pseudo-random candidates (cross-engine
+    * md5-prefix hash), keeps the first 3 surviving keep-first dedup and
+    * the near-dup leakage guard (a candidate sharing the anchor's
+    * cluster is label noise).
+    *
+    * Round-16 scale shape (r15 advice): the cluster→rep side input is
+    * SIZE-GATED. Under `graft.broadcast.maxBytes` (membership count ×
+    * 32 B — the CC result is eagerly materialized, so the count is a
+    * cheap read where the plan-stats estimate is the unknowable
+    * checkpoint default) it folds into ONE single-row broadcast map
+    * literal and the query runs zero shuffles; past the gate — one row
+    * materializing the whole membership plus element_at's LINEAR
+    * MapType probe per candidate is the wrong structure at 100× — it
+    * degrades to the row-distributed, hash-probed join pipeline
+    * (keep-first dedup via min(pos), keep-3 via the bounded-heap top-k
+    * plan). Draw dedup keeps the EARLIEST position and distinct draws
+    * have distinct positions, so both branches realize the same
+    * (pos, neg_id) ranking.
+    */
+  def contrastiveNegatives(docs: DataFrame, comps: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    def draws(n: Column): Column = array((1 to 5).map { j =>
+      (col("doc_id") + lit(1L) +
+        pmod(conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(s":$j"))),
+          1, 8), 16, 10).cast("long"),
+          greatest(n - 1, lit(1L)))) % n
+    }: _*)
+    val maxBytes = s.conf.getOption("graft.broadcast.maxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    // TWO bounds gate the map-literal branch: bytes (broadcast safety)
+    // AND membership count — element_at on a MapType value is a LINEAR
+    // scan, so the branch's CPU is anchors × 5 × |map|; measured at the
+    // ×16 ScaleSmoke clique corpus (80k members, well under the byte
+    // cap) the probe cost alone was ~65 s where the join branch is
+    // hash-probed. 4096 members × 5 probes keeps the scan cost below
+    // the join's exchange setup at any anchor count. Overridable so the
+    // two-branch smoke can force either branch at any scale.
+    val maxEntries = s.conf.getOption("graft.contrastive.maxMapEntries")
+      .map(_.toLong).getOrElse(4096L)
+    val membership = comps.count()
+    if (membership * 32 <= maxBytes && membership <= maxEntries) {
+      // ONE single-row side relation carrying both scalars the
+      // per-anchor arithmetic needs (id-space size + the cluster→rep
+      // map): one broadcast exchange, and cached so the repeat pass
+      // skips the two feeder aggregations entirely
+      val side = docs.agg((max("doc_id") + 1).as("n")).crossJoin(
+        comps.agg(map_from_entries(
+          collect_list(struct(col("doc_id"), col("rep")))).as("m")))
+        .cache()
+      CacheRegistry.register(side, Seq(side))
+      docs.select(col("doc_id"))
+        .crossJoin(broadcast(side))
+        // draws materialize before the lambdas below reference them
+        // (lambda bodies re-evaluate per element — the shingles trap)
+        .select(col("doc_id"), col("m"), draws(col("n")).as("cand"))
+        // keep-first dedup: x survives iff absent from its own prefix
+        .select(col("doc_id"), col("m"), filter(col("cand"),
+          (x, i) => !array_contains(slice(col("cand"), lit(1), i), x))
+          .as("cand"))
+        // leakage guard: a candidate in the anchor's near-dup cluster
+        // is label noise — compare reps via the broadcast map
+        .select(col("doc_id"), filter(col("cand"), x =>
+          coalesce(element_at(col("m"), x), x) =!=
+            coalesce(element_at(col("m"), col("doc_id")), col("doc_id")))
+          .as("cand"))
+        .select(col("doc_id"),
+          posexplode(slice(col("cand"), 1, 3)).as(Seq("pos0", "neg_id")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("rank"),
+          col("neg_id"))
+        .orderBy("doc_id", "rank")
+    } else {
+      // large-membership fallback: candidates as rows, cluster reps
+      // attached by join (hash-probed, row-distributed — comps stays
+      // shuffle-joinable however big it grows; broadcastIfSmall
+      // re-checks per side for AQE-visible hints)
+      val cands = docs.select(col("doc_id"))
+        .crossJoin(broadcast(docs.agg((max("doc_id") + 1).as("n"))))
+        .select(col("doc_id"), posexplode(draws(col("n"))))
+        .toDF("doc_id", "pos", "neg_id")
+        // a later draw can repeat an earlier candidate: keep each
+        // distinct negative once, at its earliest position
+        .groupBy("doc_id", "neg_id").agg(min("pos").as("pos"))
+      val cl = TextOps.broadcastIfSmall(comps)
+      cands
+        .join(cl.select(col("doc_id").as("a"), col("rep").as("rep_a")),
+          col("doc_id") === col("a"), "left")
+        .join(cl.select(col("doc_id").as("b"), col("rep").as("rep_b")),
+          col("neg_id") === col("b"), "left")
+        .filter(coalesce(col("rep_a"), col("doc_id")) =!=
+          coalesce(col("rep_b"), col("neg_id")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id").orderBy("pos", "neg_id")))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("neg_id"))
+        .orderBy("doc_id", "rank")
+    }
+  }
+
   def connectedComponents(edges: DataFrame, maxIters: Int = 64): DataFrame = {
     // cache the INPUT, not the symmetrized union: the union's two branches
     // would otherwise each re-run the (expensive) pair pipeline feeding
@@ -1103,96 +1206,10 @@ object DedupOps {
     // TopKPerKeyExec's bounded heaps, never a global sort.
     ("documents_contrastive_negatives",
       (s: SparkSession, d: String) => {
-        // round-15 rewrite (r14 verdict "what's wrong" #2): the whole
-        // per-anchor pipeline — 5 draws, keep-first dedup, near-dup
-        // leakage guard, keep-3 — is SCAN-LOCAL array arithmetic on the
-        // anchor's row. The only non-local input is the cluster → rep
-        // relation; round 16 SIZE-GATES how it is attached (r15 advice:
-        // the map-literal path had silently lost the guarded fallback the
-        // r14 broadcast JOIN had). Under `graft.broadcast.maxBytes` the
-        // relation folds into ONE single-row broadcast map literal and
-        // the query runs zero shuffles; past the gate — near-dup cluster
-        // membership grows with the corpus, and one row holding it plus
-        // element_at's LINEAR MapType probe per candidate is the wrong
-        // structure at 100× — it degrades to the row-distributed,
-        // hash-probed join pipeline (keep-first dedup via min(pos),
-        // keep-3 via the bounded-heap top-k plan). Draw dedup keeps the
-        // EARLIEST position and distinct draws have distinct positions,
-        // so both branches realize the same (pos, neg_id) ranking.
         val docs = documents(s, d)
         val comps = connectedComponents(
           jaccardPairsPrefix(shingled(s, d).cache(), 0.5).select("a_id", "b_id"))
-        def draws(n: Column): Column = array((1 to 5).map { j =>
-          (col("doc_id") + lit(1L) +
-            pmod(conv(substring(
-              md5(concat(col("doc_id").cast("string"), lit(s":$j"))),
-              1, 8), 16, 10).cast("long"),
-              greatest(n - 1, lit(1L)))) % n
-        }: _*)
-        // gate on the ACTUAL membership count, not the Catalyst estimate:
-        // connectedComponents materializes eagerly (localCheckpoint), so
-        // the count is a cheap read of pinned rows, while the plan-stats
-        // estimate of a checkpointed iterate is the unknowable default.
-        // 32 bytes ≈ one (long, long) map entry with array overhead.
-        val maxBytes = s.conf.getOption("graft.broadcast.maxBytes")
-          .map(_.toLong).getOrElse(64L << 20)
-        if (comps.count() * 32 <= maxBytes) {
-          // ONE single-row side relation carrying both scalars the
-          // per-anchor arithmetic needs (id-space size + the cluster→rep
-          // map): one broadcast exchange, and cached so the repeat pass
-          // skips the two feeder aggregations entirely
-          val side = docs.agg((max("doc_id") + 1).as("n")).crossJoin(
-            comps.agg(map_from_entries(
-              collect_list(struct(col("doc_id"), col("rep")))).as("m")))
-            .cache()
-          CacheRegistry.register(side, Seq(side))
-          docs.select(col("doc_id"))
-            .crossJoin(broadcast(side))
-            // draws materialize before the lambdas below reference them
-            // (lambda bodies re-evaluate per element — the shingles trap)
-            .select(col("doc_id"), col("m"), draws(col("n")).as("cand"))
-            // keep-first dedup: x survives iff absent from its own prefix
-            .select(col("doc_id"), col("m"), filter(col("cand"),
-              (x, i) => !array_contains(slice(col("cand"), lit(1), i), x))
-              .as("cand"))
-            // leakage guard: a candidate in the anchor's near-dup cluster
-            // is label noise — compare reps via the broadcast map
-            .select(col("doc_id"), filter(col("cand"), x =>
-              coalesce(element_at(col("m"), x), x) =!=
-                coalesce(element_at(col("m"), col("doc_id")), col("doc_id")))
-              .as("cand"))
-            .select(col("doc_id"),
-              posexplode(slice(col("cand"), 1, 3)).as(Seq("pos0", "neg_id")))
-            .select(col("doc_id"), (col("pos0") + 1).cast("long").as("rank"),
-              col("neg_id"))
-            .orderBy("doc_id", "rank")
-        } else {
-          // large-membership fallback: candidates as rows, cluster reps
-          // attached by join (hash-probed, row-distributed — comps stays
-          // shuffle-joinable however big it grows; broadcastIfSmall
-          // re-checks per side for AQE-visible hints)
-          val cands = docs.select(col("doc_id"))
-            .crossJoin(broadcast(docs.agg((max("doc_id") + 1).as("n"))))
-            .select(col("doc_id"), posexplode(draws(col("n"))))
-            .toDF("doc_id", "pos", "neg_id")
-            // a later draw can repeat an earlier candidate: keep each
-            // distinct negative once, at its earliest position
-            .groupBy("doc_id", "neg_id").agg(min("pos").as("pos"))
-          val cl = TextOps.broadcastIfSmall(comps)
-          cands
-            .join(cl.select(col("doc_id").as("a"), col("rep").as("rep_a")),
-              col("doc_id") === col("a"), "left")
-            .join(cl.select(col("doc_id").as("b"), col("rep").as("rep_b")),
-              col("neg_id") === col("b"), "left")
-            .filter(coalesce(col("rep_a"), col("doc_id")) =!=
-              coalesce(col("rep_b"), col("neg_id")))
-            .withColumn("rank", row_number().over(
-              Window.partitionBy("doc_id").orderBy("pos", "neg_id")))
-            .filter(col("rank") <= 3)
-            .select(col("doc_id"), col("rank").cast("long").as("rank"),
-              col("neg_id"))
-            .orderBy("doc_id", "rank")
-        }
+        contrastiveNegatives(docs.select("doc_id"), comps)
       },
       Some(
         """WITH RECURSIVE p AS (
