@@ -22,20 +22,42 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main(sf_dir, out_dir, bench_json=None):
-    con = duckdb.connect()
-    con.execute("SET threads TO 32")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    res = {}
-    for name, sql in sorted(oracle.items()):
-        con.sql(sql).fetchall()  # warm-up
-        t0 = time.perf_counter()
-        con.sql(sql).fetchall()
-        res[name] = round(time.perf_counter() - t0, 4)
-    total = sum(res.values())
-    print(json.dumps({"metric": "duckdb_total", "value": round(total, 3),
-                      "unit": "sec", "queries": res, "sf": sf_dir}))
+    # --from-artifact (r16, the round-15 verdict's re-pin discipline):
+    # read the per-query DuckDB timings from the bench log's own
+    # per_query_duckdb line instead of running a SEPARATE comparator
+    # draw — the artifact's pairing ran on the same host state as the
+    # Spark passes, so BENCH_COMPARE ratios stop depending on a
+    # differently-loaded draw. Positional centiseconds over the SORTED
+    # query names (the artifact contract).
+    from_artifact = out_dir == "--from-artifact"
+    if from_artifact:
+        per = next((json.loads(l) for l in open(bench_json)
+                    if l.startswith("{") and '"per_query_duckdb"' in l), None)
+        full = next((json.loads(l) for l in open(bench_json)
+                     if l.startswith("{") and '"total_full"' in l), None)
+        if per is None or full is None:
+            sys.exit(f"--from-artifact needs per_query_duckdb + total_full "
+                     f"lines in {bench_json}")
+        names = sorted(full["queries"])
+        assert len(names) == per["n"], (len(names), per["n"])
+        res = {n: cs / 100.0 for n, cs in zip(names, per["duckdb"])
+               if cs >= 0}
+    else:
+        con = duckdb.connect()
+        con.execute("SET threads TO 32")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+        res = {}
+        for name, sql in sorted(oracle.items()):
+            con.sql(sql).fetchall()  # warm-up
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            res[name] = round(time.perf_counter() - t0, 4)
+        total = sum(res.values())
+        print(json.dumps({"metric": "duckdb_total", "value": round(total, 3),
+                          "unit": "sec", "queries": res, "sf": sf_dir}))
     if not bench_json:
         return 0
     # the bench now emits three JSON lines (total_full, per_query, total);

@@ -67,6 +67,11 @@ import graft.sources.loki.{LogQL, LokiMetricTable, LokiTable, MetricAgg}
   *   - no label matcher that also matches ABSENT labels (Loki would
   *     count streams SQL's NULL-map-access semantics must drop, and an
   *     aggregate has no residual to re-filter with).
+  *
+  * `sum without (…)` has no SQL source shape: SQL grouping is an
+  * explicit column list, never "every label except these", so the
+  * rewrite always renders the `by` form — `without` is not a gap, it is
+  * unreachable from the relational surface.
   */
 object LokiMetricAggRule extends Rule[LogicalPlan] {
 
