@@ -46,6 +46,11 @@ object GraftFunctions {
 
   def loki_unwrap(v: Column): Column = toCol(LokiUnwrap(ex(v)))
 
+  def loki_duration_seconds(v: Column): Column =
+    toCol(LokiDurationSeconds(ex(v)))
+
+  def loki_bytes(v: Column): Column = toCol(LokiBytes(ex(v)))
+
   def loki_regexp_get(line: Column, pattern: Column, group: Column): Column =
     toCol(LokiRegexpGet(ex(line), ex(pattern), ex(group)))
 
@@ -106,6 +111,8 @@ object GraftFunctions {
     "loki_json_get" -> (es => LokiJsonGet(es.head, es(1))),
     "loki_pattern_get" -> (es => LokiPatternGet(es.head, es(1), es(2))),
     "loki_unwrap" -> (es => LokiUnwrap(es.head)),
+    "loki_duration_seconds" -> (es => LokiDurationSeconds(es.head)),
+    "loki_bytes" -> (es => LokiBytes(es.head)),
     "loki_regexp_get" -> (es => LokiRegexpGet(es.head, es(1), es(2))))
 
   /** Make the custom expressions SQL-callable in every session built with

@@ -125,6 +125,54 @@ case class LokiUnwrap(child: Expression)
     copy(child = newChild)
 }
 
+/** `loki_duration_seconds(v)` — Loki `| unwrap duration_seconds(x)`
+  * conversion (Go time.ParseDuration model, see
+  * [[LokiParsers.durationSeconds]]): `"250ms"` → 0.25, `"1h30m"` →
+  * 5400.0; unparsable / missing-unit / NULL ⇒ SQL NULL ≡ the wire's
+  * error-filtered row.
+  */
+case class LokiDurationSeconds(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "loki_duration_seconds"
+  override protected def nullSafeEval(v: Any): Any =
+    LokiParsers.durationSecondsUTF8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { v =>
+      val tmp = ctx.freshName("durSecs")
+      s"""java.lang.Double $tmp = graft.sources.loki.LokiParsers.durationSecondsUTF8($v);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): LokiDurationSeconds = copy(child = newChild)
+}
+
+/** `loki_bytes(v)` — Loki `| unwrap bytes(x)` conversion (go-humanize
+  * ParseBytes model, see [[LokiParsers.bytesValue]]): `"3 MiB"` →
+  * 3145728.0, `"5kB"` → 5000.0.
+  */
+case class LokiBytes(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "loki_bytes"
+  override protected def nullSafeEval(v: Any): Any =
+    LokiParsers.bytesValueUTF8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { v =>
+      val tmp = ctx.freshName("bytesVal")
+      s"""java.lang.Double $tmp = graft.sources.loki.LokiParsers.bytesValueUTF8($v);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): LokiBytes = copy(child = newChild)
+}
+
 /** `loki_json_get(line, 'a.b')` — jsonexpr-style dotted-path extraction
   * (see [[LokiParsers.jsonGet]]).
   */

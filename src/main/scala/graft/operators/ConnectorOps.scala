@@ -194,14 +194,23 @@ object ConnectorOps {
     stubSync(stubs.getOrElseUpdate(s"$d#unwraplines", {
       val st = new LokiStubServer
       st.start()
+      // the same integer rides three spellings: a bare number
+      // (`duration=`), a Go duration (`took=…ms`), and a humanized byte
+      // size (`size=…KiB`) — one corpus certifies all three unwrap
+      // conversions, with the NA/empty failure classes shared (class 0
+      // yields `NAms`/`NAKiB` — conversion errors — and class 1 a bare
+      // `ms`/`KiB` — also errors; both ≡ the host's NULL)
+      val durTok = when(col("user_id") % 10 === 0, lit("NA"))
+        .when(col("user_id") % 10 === 1, lit(""))
+        .otherwise(floor(col("value") * 1000).cast("long").cast("string"))
       Tables.events(s, d).select(
         col("ts").as("timestamp"),
         map(lit("app"), lit("u"),
           lit("event_type"), col("event_type")).as("labels"),
-        concat(lit("level="), col("event_type"), lit(" duration="),
-          when(col("user_id") % 10 === 0, lit("NA"))
-            .when(col("user_id") % 10 === 1, lit(""))
-            .otherwise(floor(col("value") * 1000).cast("long").cast("string")))
+        concat(lit("level="), col("event_type"),
+          lit(" duration="), durTok,
+          lit(" took="), durTok, lit("ms"),
+          lit(" size="), durTok, lit("KiB"))
           .as("line"))
         .write.format("loki")
         .option("endpoint", st.endpoint)
@@ -2065,6 +2074,92 @@ object ConnectorOps {
       Some(
         s"""SELECT event_type, CAST(sum(dur) AS DOUBLE) AS sum_dur,
            |       count(*) AS cnt
+           |FROM $unwrapOracleSrc
+           |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+           |  AND ts < TIMESTAMP '2024-03-01 00:00:00'
+           |GROUP BY 1
+           |ORDER BY event_type""".stripMargin)),
+
+    // Unwrap CONVERSION functions (round 16): real-Loki latency fields
+    // are rarely bare numbers — `took=250ms` (Go duration) and
+    // `size=3KiB` (humanized bytes) are the wire idioms `| unwrap
+    // duration_seconds(x)` / `| unwrap bytes(x)` exist for. The host
+    // expressions loki_duration_seconds/loki_bytes share their
+    // conversion model with the stub's sample extraction, so the pushed
+    // `… | gpN!="" | unwrap duration_seconds(gpN) | __error__="" …`
+    // pipeline is exact by construction. min/max are per-value
+    // conversions (identical double ops both sides — oracle-exact);
+    // avg(bytes) is integer-exact (dur×1024 sums).
+    ("loki_metric_unwrap_duration",
+      (s: SparkSession, d: String) => {
+        val st = ConnectorOps.unwrapStub(s, d)
+        val took = graft.functions.GraftFunctions.loki_duration_seconds(
+          graft.functions.GraftFunctions.logfmt_get(col("line"), lit("took")))
+        val sizeB = graft.functions.GraftFunctions.loki_bytes(
+          graft.functions.GraftFunctions.logfmt_get(col("line"), lit("size")))
+        val df = s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(min(took).as("min_took_s"), max(took).as("max_took_s"),
+            avg(sizeB).as("avg_size_b"))
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("| unwrap duration_seconds(gp0) | __error__=\"\"") &&
+          plan.contains("| unwrap bytes(gp1) | __error__=\"\"") &&
+          plan.contains("| logfmt gp0=\"took\" | gp0!=\"\"") &&
+          plan.contains("| logfmt gp1=\"size\" | gp1!=\"\""),
+          s"conversion unwraps did not push: $plan")
+        df
+      },
+      Some(
+        s"""SELECT event_type,
+           |       min(dur * 1e-3) AS min_took_s,
+           |       max(dur * 1e-3) AS max_took_s,
+           |       avg(dur * 1024) AS avg_size_b
+           |FROM $unwrapOracleSrc
+           |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+           |  AND ts < TIMESTAMP '2024-03-01 00:00:00'
+           |GROUP BY 1
+           |ORDER BY event_type""".stripMargin)),
+
+    // stddev/stdvar_over_time (round 16): population variance/stddev of
+    // the unwrapped samples — only the _pop SQL aggregates translate
+    // (LogQL's are population-semantics). Both sides round (stddev 4dp,
+    // variance 0dp — the ~1e10-magnitude variance tolerates the
+    // engines' accumulation-order difference at integer precision).
+    ("loki_metric_unwrap_stddev",
+      (s: SparkSession, d: String) => {
+        val st = ConnectorOps.unwrapStub(s, d)
+        val dur = graft.functions.GraftFunctions.loki_unwrap(
+          graft.functions.GraftFunctions.logfmt_get(col("line"), lit("duration")))
+        val df = s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(stddev_pop(dur).as("sd_raw"), var_pop(dur).as("var_raw"))
+          .select(col("event_type"), round(col("sd_raw"), 4).as("sd_dur"),
+            round(col("var_raw"), 0).as("var_dur"))
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("stddev_over_time(") && plan.contains("stdvar_over_time("),
+          s"stddev/stdvar did not push as unwrapped metric queries: $plan")
+        df
+      },
+      Some(
+        s"""SELECT event_type,
+           |       round(stddev_pop(dur), 4) AS sd_dur,
+           |       round(var_pop(dur), 0) AS var_dur
            |FROM $unwrapOracleSrc
            |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
            |  AND ts < TIMESTAMP '2024-03-01 00:00:00'

@@ -160,7 +160,8 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     */
   private case class Spec(
       fn: String, q: Option[Double] = None,
-      acc: Option[(String, String)] = None)
+      acc: Option[(String, String)] = None,
+      conv: Option[String] = None)
 
   /** The range aggregations the rewrite speaks, as the wire KINDS each
     * SQL aggregate needs (round 15 widened this from one-kind-per-query
@@ -202,14 +203,24 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
         l.name == "line" && rel.output.exists(_.exprId == l.exprId)
       case _ => false
     }
-    // loki_unwrap over a parsed accessor whose line is THIS relation's
+    // the three unwrap-conversion expressions over a parsed accessor
+    // whose line is THIS relation's: plain float text (loki_unwrap), Go
+    // durations → seconds (loki_duration_seconds), humanized byte sizes
+    // (loki_bytes) — each conversion shares its implementation with the
+    // wire surface (LokiParsers), so host NULL ≡ dropped wire row holds
+    // for all three
     object Unwrapped {
-      def unapply(c: Expression): Option[(String, String)] = c match {
-        case graft.functions.LokiUnwrap(u) =>
-          LogQL.parsedGroupKey(u).filter(_ =>
-            u.references.forall(a => rel.output.exists(_.exprId == a.exprId)))
-        case _ => None
-      }
+      private def acc(u: Expression): Option[(String, String)] =
+        LogQL.parsedGroupKey(u).filter(_ =>
+          u.references.forall(a => rel.output.exists(_.exprId == a.exprId)))
+      def unapply(c: Expression): Option[((String, String), Option[String])] =
+        c match {
+          case graft.functions.LokiUnwrap(u) => acc(u).map((_, None))
+          case graft.functions.LokiDurationSeconds(u) =>
+            acc(u).map((_, Some("duration_seconds")))
+          case graft.functions.LokiBytes(u) => acc(u).map((_, Some("bytes")))
+          case _ => None
+        }
     }
     e match {
       case AggregateExpression(Count(children), _, false, None, _)
@@ -221,16 +232,27 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
         Some(Seq(Spec("bytes_over_time")))
       case AggregateExpression(Average(c, _), _, false, None, _) if isLineOctet(c) =>
         Some(Seq(Spec("bytes_over_time"), Spec("count_over_time")))
-      case AggregateExpression(Average(Unwrapped(p, k), _), _, false, None, _) =>
-        Some(Seq(Spec("avg_over_time", acc = Some((p, k)))))
-      case AggregateExpression(Min(Unwrapped(p, k)), _, false, None, _) =>
-        Some(Seq(Spec("min_over_time", acc = Some((p, k)))))
-      case AggregateExpression(Max(Unwrapped(p, k)), _, false, None, _) =>
-        Some(Seq(Spec("max_over_time", acc = Some((p, k)))))
-      case AggregateExpression(Sum(Unwrapped(p, k), _), _, false, None, _) =>
-        Some(Seq(Spec("sum_over_time", acc = Some((p, k)))))
+      case AggregateExpression(Average(Unwrapped(a, cv), _), _, false, None, _) =>
+        Some(Seq(Spec("avg_over_time", acc = Some(a), conv = cv)))
+      case AggregateExpression(Min(Unwrapped(a, cv)), _, false, None, _) =>
+        Some(Seq(Spec("min_over_time", acc = Some(a), conv = cv)))
+      case AggregateExpression(Max(Unwrapped(a, cv)), _, false, None, _) =>
+        Some(Seq(Spec("max_over_time", acc = Some(a), conv = cv)))
+      case AggregateExpression(Sum(Unwrapped(a, cv), _), _, false, None, _) =>
+        Some(Seq(Spec("sum_over_time", acc = Some(a), conv = cv)))
+      // population variance/stddev over the unwrapped samples —
+      // stdvar/stddev_over_time are population-semantics in LogQL, so
+      // only the _pop SQL aggregates translate (sample variants don't)
       case AggregateExpression(
-          pc @ Percentile(Unwrapped(p, k), pct, Literal(1L, _), _, _, false),
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .VariancePop(Unwrapped(a, cv), _), _, false, None, _) =>
+        Some(Seq(Spec("stdvar_over_time", acc = Some(a), conv = cv)))
+      case AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .StddevPop(Unwrapped(a, cv), _), _, false, None, _) =>
+        Some(Seq(Spec("stddev_over_time", acc = Some(a), conv = cv)))
+      case AggregateExpression(
+          pc @ Percentile(Unwrapped(a, cv), pct, Literal(1L, _), _, _, false),
           _, false, None, _) =>
         val phi = pct match {
           case Literal(d: Double, org.apache.spark.sql.types.DoubleType) => Some(d)
@@ -240,7 +262,7 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
         phi.filter(d => d >= 0.0 && d <= 1.0 && pc.dataType ==
             org.apache.spark.sql.types.DoubleType)
           .map(d => Seq(Spec("quantile_over_time", q = Some(d),
-            acc = Some((p, k)))))
+            acc = Some(a), conv = cv)))
       case _ => None
     }
   }
@@ -423,7 +445,8 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
       accLabel(a) = s"gp$gpNext"; gpNext += 1
     }
     def toAgg(spec: Spec): MetricAgg = MetricAgg(spec.fn, spec.q,
-      spec.acc.map { case (p, k) => LogQL.ParsedFilter(p, k, accLabel((p, k)), Nil) })
+      spec.acc.map { case (p, k) => LogQL.ParsedFilter(p, k, accLabel((p, k)), Nil) },
+      conv = spec.conv)
     // no aggregate at all (pure DISTINCT over groupings): any kind's
     // nonzero samples enumerate exactly the non-empty groups
     val aggs =

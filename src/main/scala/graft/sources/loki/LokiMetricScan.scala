@@ -37,7 +37,12 @@ case class MetricAgg(
     /** quantile_over_time's φ parameter. */
     q: Option[Double] = None,
     /** The unwrap pipeline: parser/key/generated-label (filters unused). */
-    unwrap: Option[LogQL.ParsedFilter] = None) {
+    unwrap: Option[LogQL.ParsedFilter] = None,
+    /** Unwrap CONVERSION function (round 16): `duration_seconds` (Go
+      * time.ParseDuration → seconds) or `bytes` (humanized byte sizes)
+      * — `| unwrap duration_seconds(gpN)`; None = plain float text.
+      */
+    conv: Option[String] = None) {
 
   /** Unwrapped kinds carry float samples; a group×bucket cell with no
     * unwrappable row has NO sample and decodes as SQL NULL (the host's
@@ -52,8 +57,9 @@ case class MetricAgg(
 
   /** The unwrap stage chain appended to the inner query (see class doc). */
   def stageSuffix: String = unwrap.fold("") { pf =>
+    val target = conv.fold(pf.label)(c => s"$c(${pf.label})")
     " " + pf.copy(filters = Seq(("!=", ""))).render +
-      s" | unwrap ${pf.label} | __error__=\"\""
+      s" | unwrap $target | __error__=\"\""
   }
 
   def render(inner: String, rangeS: Long, groupLabels: Seq[String]): String = {

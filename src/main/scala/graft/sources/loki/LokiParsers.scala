@@ -462,6 +462,96 @@ object LokiParsers {
   def unwrapUTF8(v: UTF8String): java.lang.Double =
     if (v == null) null else unwrapValue(v.toString)
 
+  /** `| unwrap duration_seconds(x)` conversion — Go `time.ParseDuration`
+    * model (grafana/loki convertDuration): one or more
+    * `<decimal><unit>` components summed, units ns/us/µs/ms/s/m/h,
+    * optional leading sign, plain `"0"` allowed, anything else — a bare
+    * number without a unit included — is a conversion error (null here
+    * ≡ wire `__error__`). Result in float64 SECONDS (Loki divides the
+    * ns duration by 1e9).
+    */
+  def durationSeconds(s: String): java.lang.Double = {
+    if (s == null || s.isEmpty) return null
+    var i = 0
+    var sign = 1.0
+    if (s.charAt(0) == '+' || s.charAt(0) == '-') {
+      if (s.charAt(0) == '-') sign = -1.0
+      i = 1
+    }
+    if (i >= s.length) return null
+    if (s.substring(i) == "0") return java.lang.Double.valueOf(0.0)
+    var total = 0.0
+    var any = false
+    while (i < s.length) {
+      val numStart = i
+      while (i < s.length && (s.charAt(i) == '.' ||
+        (s.charAt(i) >= '0' && s.charAt(i) <= '9'))) i += 1
+      val numTok = s.substring(numStart, i)
+      if (numTok.isEmpty || numTok == "." ||
+        numTok.count(_ == '.') > 1) return null
+      val unitStart = i
+      while (i < s.length && !(s.charAt(i) == '.' ||
+        (s.charAt(i) >= '0' && s.charAt(i) <= '9'))) i += 1
+      val mult = s.substring(unitStart, i) match {
+        case "ns" => 1e-9
+        case "us" | "µs" | "μs" => 1e-6 // µs: micro sign + mu
+        case "ms" => 1e-3
+        case "s" => 1.0
+        case "m" => 60.0
+        case "h" => 3600.0
+        case _ => return null // missing/unknown unit (Go errors too)
+      }
+      total += java.lang.Double.parseDouble(numTok) * mult
+      any = true
+    }
+    if (!any || java.lang.Double.isInfinite(total)) null
+    else java.lang.Double.valueOf(sign * total)
+  }
+
+  def durationSecondsUTF8(v: UTF8String): java.lang.Double =
+    if (v == null) null else durationSeconds(v.toString)
+
+  /** `| unwrap bytes(x)` conversion — go-humanize `ParseBytes` model:
+    * `<decimal>[ ]<unit>` with SI (kB/MB/… ×1000ⁿ) and IEC
+    * (KiB/MiB/… ×1024ⁿ) units, case-insensitive, at most one space
+    * before the unit, a bare number meaning bytes. Documented
+    * deviation: the float product is kept exact (real humanize
+    * truncates to uint64 — sub-byte fractions), and a null here ≡ wire
+    * `__error__` like every conversion failure.
+    */
+  def bytesValue(s: String): java.lang.Double = {
+    if (s == null || s.isEmpty) return null
+    var i = 0
+    while (i < s.length && (s.charAt(i) == '.' ||
+      (s.charAt(i) >= '0' && s.charAt(i) <= '9'))) i += 1
+    val numTok = s.substring(0, i)
+    if (numTok.isEmpty || numTok == "." || numTok.count(_ == '.') > 1)
+      return null
+    var unit = s.substring(i)
+    if (unit.startsWith(" ")) unit = unit.substring(1)
+    if (unit.contains(" ")) return null
+    val lower = unit.toLowerCase(java.util.Locale.ROOT)
+    val mult: Double = lower match {
+      case "" | "b" => 1.0
+      case "kb" | "k" => 1e3
+      case "mb" | "m" => 1e6
+      case "gb" | "g" => 1e9
+      case "tb" | "t" => 1e12
+      case "pb" | "p" => 1e15
+      case "kib" | "ki" => 1024.0
+      case "mib" | "mi" => 1048576.0
+      case "gib" | "gi" => 1073741824.0
+      case "tib" | "ti" => 1099511627776.0
+      case "pib" | "pi" => 1125899906842624.0
+      case _ => return null
+    }
+    val v = java.lang.Double.parseDouble(numTok) * mult
+    if (java.lang.Double.isInfinite(v)) null else java.lang.Double.valueOf(v)
+  }
+
+  def bytesValueUTF8(v: UTF8String): java.lang.Double =
+    if (v == null) null else bytesValue(v.toString)
+
   /** Prometheus label-charset sanitization for extracted keys: every
     * char outside `[a-zA-Z0-9_]` becomes '_', a leading digit gains a
     * '_' prefix.

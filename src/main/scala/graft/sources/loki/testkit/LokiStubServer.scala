@@ -451,7 +451,8 @@ final class LokiStubServer {
     * bucket only.
     */
   private val rangeAggQueryRe = java.util.regex.Pattern.compile(
-    "^(avg_over_time|min_over_time|max_over_time)" +
+    "^(avg_over_time|min_over_time|max_over_time" +
+      "|stddev_over_time|stdvar_over_time)" +
       "\\((.*) \\[(\\d+)s\\]\\) by \\(([^)]*)\\)$",
     java.util.regex.Pattern.DOTALL)
 
@@ -597,6 +598,12 @@ final class LokiStubServer {
             case "avg_over_time" => vs.sum / vs.size
             case "min_over_time" => vs.min
             case "max_over_time" => vs.max
+            case "stdvar_over_time" | "stddev_over_time" =>
+              // population variance, two-pass (deterministic in the
+              // sample multiset, unlike streaming Welford)
+              val mean = vs.sum / vs.size
+              val sv = vs.map(x => (x - mean) * (x - mean)).sum / vs.size
+              if (fn == "stddev_over_time") math.sqrt(sv) else sv
             case "quantile_over_time" =>
               // Prometheus quantile: rank = φ·(n−1) over sorted values,
               // linear interpolation — the identical formula Spark's
@@ -1204,17 +1211,20 @@ final class LokiStubServer {
   private case class LabelFormatStage(
       ops: Seq[(String, Either[String, String])]) extends Stage
 
-  /** `| unwrap lbl` — numeric sample extraction (round 16): the label's
+  /** `| unwrap lbl` / `| unwrap duration_seconds(lbl)` / `| unwrap
+    * bytes(lbl)` — numeric sample extraction (round 16): the label's
     * value converts to float64 via the shared
-    * [[graft.sources.loki.LokiParsers.unwrapValue]] model; a conversion
-    * failure sets `__error__=SampleExtractionErr` (sample 0), a
-    * missing/empty label is silently 0 (grafana/loki
+    * [[graft.sources.loki.LokiParsers]] conversion model (plain
+    * ParseFloat, Go durations → seconds, humanized byte sizes); a
+    * conversion failure sets `__error__=SampleExtractionErr` (sample
+    * 0), a missing/empty label is silently 0 (grafana/loki
     * labelSampleExtractor — the connector's render always guards with
     * `| lbl!=""` first, so its wire never relies on that branch), and a
     * successful unwrap REMOVES the label from the series (Loki drops
     * the unwrapped label from result metrics).
     */
-  private case class UnwrapStage(label: String) extends Stage
+  private case class UnwrapStage(label: String, conv: Option[String] = None)
+    extends Stage
 
   private case class LabelFilterStage(label: String, op: String, value: String)
     extends Stage {
@@ -1345,10 +1355,16 @@ final class LokiStubServer {
               case Left(err) => labels += ("__error__" -> err)
             }
         }
-      case UnwrapStage(lbl) =>
+      case UnwrapStage(lbl, conv) =>
         labels.get(lbl).filter(_.nonEmpty) match {
           case Some(v) =>
-            val d = graft.sources.loki.LokiParsers.unwrapValue(v)
+            val d = conv match {
+              case Some("duration_seconds") =>
+                graft.sources.loki.LokiParsers.durationSeconds(v)
+              case Some("bytes") =>
+                graft.sources.loki.LokiParsers.bytesValue(v)
+              case _ => graft.sources.loki.LokiParsers.unwrapValue(v)
+            }
             if (d == null) {
               value = Some(0.0)
               labels += ("__error__" -> "SampleExtractionErr")
@@ -1506,9 +1522,21 @@ final class LokiStubServer {
             }
             stages += LabelFormatStage(ops.toSeq)
           } else if (ident == "unwrap") {
-            val (lbl, r2) = takeIdent(rest)
-            stages += UnwrapStage(lbl)
-            rest = r2
+            val (tok, r2) = takeIdent(rest)
+            if (r2.startsWith("(")) {
+              // conversion form: duration_seconds(lbl) / bytes(lbl) /
+              // duration(lbl) (alias of duration_seconds, real LogQL)
+              require(tok == "duration_seconds" || tok == "bytes" ||
+                tok == "duration", s"unknown unwrap conversion: $tok")
+              val (lbl, r3) = takeIdent(r2.substring(1).trim)
+              require(r3.startsWith(")"), s"unterminated unwrap conversion: $r3")
+              val conv = if (tok == "duration") "duration_seconds" else tok
+              stages += UnwrapStage(lbl, Some(conv))
+              rest = r3.substring(1).trim
+            } else {
+              stages += UnwrapStage(tok)
+              rest = r2
+            }
           } else if (ident == "json" || ident == "logfmt") {
             val exprs = mutable.ArrayBuffer.empty[(String, String)]
             var more = rest.nonEmpty && !rest.startsWith("|")

@@ -519,6 +519,70 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("app0", true), ("app1", true)), got.toSeq)
   }
 
+  test("stddev_pop/var_pop push as stddev/stdvar_over_time; sample variants don't") {
+    import graft.functions.GraftFunctions.{logfmt_get, loki_unwrap}
+    def acc = loki_unwrap(logfmt_get(col("line"), lit("h")))
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(stddev_pop(acc).as("sd"), var_pop(acc).as("vr"))
+      .orderBy("app")
+    val plan = planOf(df)
+    assert(plan.contains("stddev_over_time(") && plan.contains("stdvar_over_time("),
+      plan)
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val host = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(stddev_pop(acc).as("sd"), var_pop(acc).as("vr"))
+      .orderBy("app").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    got.zip(host).foreach { case ((a, s1, v1), (b, s2, v2)) =>
+      assert(a == b)
+      // two-pass (stub) vs Spark's central-moment merge: same multiset,
+      // different accumulation — tolerance, not bit equality
+      assert(math.abs(s1 - s2) < 1e-6 * (1 + math.abs(s2)), s"$s1 vs $s2")
+      assert(math.abs(v1 - v2) < 1e-6 * (1 + math.abs(v2)), s"$v1 vs $v2")
+    }
+    assert(got.nonEmpty)
+    // SAMPLE variance/stddev are not LogQL's population semantics
+    assert(!planOf(windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app"))
+      .agg(stddev_samp(acc))).contains("LokiMetricScan"))
+    assert(!planOf(windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app"))
+      .agg(var_samp(acc))).contains("LokiMetricScan"))
+  }
+
+  test("unwrap conversion functions render their wire form") {
+    import graft.functions.GraftFunctions.{
+      logfmt_get, loki_bytes, loki_duration_seconds}
+    // the seeded lines carry no duration/bytes units, so results are
+    // all-NULL groups — the render and the enumeration path are what
+    // this pins; value semantics are the gate rows' job (integer-exact
+    // corpus) and LokiParsersSpec's (unit conversions)
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(max(loki_duration_seconds(logfmt_get(col("line"), lit("h"))))
+        .as("mx_s"),
+        min(loki_bytes(logfmt_get(col("line"), lit("h")))).as("mn_b"))
+      .orderBy("app")
+    val plan = planOf(df)
+    // both kinds unwrap the SAME accessor, so they share one generated
+    // extraction label — two wire queries, one gp0
+    assert(plan.contains("| unwrap duration_seconds(gp0) | __error__=\"\"") &&
+      plan.contains("| unwrap bytes(gp0) | __error__=\"\""), plan)
+    val got = df.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else (r.getDouble(1): java.lang.Double),
+      if (r.isNullAt(2)) null else (r.getDouble(2): java.lang.Double)))
+    // conversion semantics on the bare hour numbers: Go durations need a
+    // unit EXCEPT the literal "0" (app0 carries even hours incl. 0 →
+    // max 0.0; app1's odd hours all fail → NULL via the enumeration
+    // path), while a bare number IS valid bytes (min = the group's
+    // smallest hour)
+    assert(got.toSeq == Seq(
+      ("app0", 0.0: java.lang.Double, 0.0: java.lang.Double),
+      ("app1", null, 1.0: java.lang.Double)), got.toSeq)
+  }
+
   test("unwrap fallbacks: CAST, approx_percentile, push_parsers=false") {
     import graft.functions.GraftFunctions.{logfmt_get, loki_unwrap}
     def noRewrite(df: DataFrame): Unit =

@@ -110,4 +110,38 @@ class LokiParsersSpec extends AnyFunSuite {
       == Right(Seq("we_ird" -> "x", "_0lead" -> "y")))
     assert(LokiParsers.jsonFlatten("nope").isLeft)
   }
+
+  test("unwrapValue: Go-ParseFloat subset, rejects trims/suffixes/range") {
+    def u(s: String): java.lang.Double = LokiParsers.unwrapValue(s)
+    assert(u("123") == 123.0 && u("1.5e-3") == 0.0015 && u("-0.5") == -0.5)
+    assert(u("1.") == 1.0 && u(".5") == 0.5 && u("+7") == 7.0)
+    assert(u("Inf").isInfinite && u("-infinity").isInfinite && u("NaN").isNaN)
+    assert(u(" 1") == null) // Go trims nothing
+    assert(u("1.5d") == null && u("1.5f") == null) // Java-only suffixes
+    assert(u("0x1p3") == null && u("1_000") == null) // Go-only dialects
+    assert(u("1e999") == null) // range overflow = Go ErrRange = Loki error
+    assert(u("") == null && u("abc") == null && u("1..2") == null)
+  }
+
+  test("durationSeconds: Go time.ParseDuration model") {
+    def d(s: String): java.lang.Double = LokiParsers.durationSeconds(s)
+    assert(d("250ms") == 0.25 && d("1s") == 1.0 && d("2m") == 120.0)
+    assert(d("1h30m") == 5400.0 && d("1.5h") == 5400.0)
+    assert(d("100ns") == 100 * 1e-9 && d("5us") == 5 * 1e-6 &&
+      d("5µs") == 5 * 1e-6)
+    assert(d("-2s") == -2.0 && d("0") == 0.0)
+    assert(d("10") == null) // bare number without unit errors (Go)
+    assert(d("ms") == null && d("") == null && d("1x") == null)
+    assert(d("1.2.3s") == null)
+  }
+
+  test("bytesValue: humanized SI + IEC units, case-insensitive") {
+    def b(s: String): java.lang.Double = LokiParsers.bytesValue(s)
+    assert(b("42") == 42.0 && b("42B") == 42.0 && b("42 B") == 42.0)
+    assert(b("5kB") == 5000.0 && b("5KB") == 5000.0 && b("5 kb") == 5000.0)
+    assert(b("3MiB") == 3145728.0 && b("3 mib") == 3145728.0)
+    assert(b("2.5KiB") == 2560.0 && b("1GB") == 1e9 && b("1GiB") == 1073741824.0)
+    assert(b("KiB") == null && b("") == null && b("1 2 KiB") == null)
+    assert(b("1XB") == null)
+  }
 }
