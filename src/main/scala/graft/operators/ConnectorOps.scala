@@ -2080,6 +2080,79 @@ object ConnectorOps {
            |GROUP BY 1
            |ORDER BY event_type""".stripMargin)),
 
+    // SQL FILTER clause under the metric rewrite (round 16): the
+    // error-RATIO dashboard — total, matching count, and their ratio in
+    // ONE SELECT — translates each FILTER condition into per-kind
+    // pipeline stages (`count_over_time({sel} |= `…` [w])`), one wire
+    // query per distinct kind; groups with no matching rows read the
+    // missing sample as 0, exactly the host's filtered count.
+    ("loki_metric_filtered_count",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(
+            count(lit(1)).as("total"),
+            expr("count(*) FILTER (WHERE line LIKE '%value=0.1%')").as("small"),
+            expr("round(count(*) FILTER (WHERE line LIKE '%value=0.1%')" +
+              " / count(*), 6)").as("small_ratio"))
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("(count_over_time({event_type=~\".+\"} [") &&
+          plan.contains("(count_over_time({event_type=~\".+\"} |= `value=0.1` ["),
+          s"FILTER count did not push as its own wire kind: $plan")
+        df
+      },
+      Some(
+        """SELECT event_type,
+          |       count(*) AS total,
+          |       count(*) FILTER (WHERE line LIKE '%value=0.1%') AS small,
+          |       round(count(*) FILTER (WHERE line LIKE '%value=0.1%')
+          |             / CAST(count(*) AS DOUBLE), 6) AS small_ratio
+          |FROM (SELECT event_type,
+          |             concat(event_type, ' value=', CAST(value AS VARCHAR))
+          |               AS line,
+          |             ts
+          |      FROM events) src
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1
+          |ORDER BY event_type""".stripMargin)),
+
+    // STREAM-label unwrap (round 16): a numeric value carried as a
+    // stream label needs no extraction stage — `avg(loki_unwrap(
+    // labels['user']))` ships as `avg_over_time({sel} | user!=""
+    // | unwrap user | __error__="" [w]) by (event_type)`. user_id is an
+    // integer, so the float aggregates are oracle-exact.
+    ("loki_metric_unwrap_label",
+      (s: SparkSession, d: String) => {
+        val u = graft.functions.GraftFunctions.loki_unwrap(
+          element_at(col("labels"), "user"))
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(avg(u).as("avg_user"), max(u).as("max_user"))
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("""| user!="" | unwrap user | __error__=""""),
+          s"stream-label unwrap did not push: $plan")
+        df
+      },
+      Some(
+        """SELECT event_type, avg(user_id) AS avg_user,
+          |       CAST(max(user_id) AS DOUBLE) AS max_user
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY 1
+          |ORDER BY event_type""".stripMargin)),
+
     // Unwrap CONVERSION functions (round 16): real-Loki latency fields
     // are rarely bare numbers — `took=250ms` (Go duration) and
     // `size=3KiB` (humanized bytes) are the wire idioms `| unwrap

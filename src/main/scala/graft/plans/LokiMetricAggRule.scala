@@ -161,7 +161,11 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
   private case class Spec(
       fn: String, q: Option[Double] = None,
       acc: Option[(String, String)] = None,
-      conv: Option[String] = None)
+      conv: Option[String] = None,
+      /** Rendered per-kind filter stages from a SQL FILTER clause —
+        * `count(*) FILTER (WHERE …)`, the error-ratio idiom (round 16).
+        */
+      fstages: Seq[String] = Nil)
 
   /** The range aggregations the rewrite speaks, as the wire KINDS each
     * SQL aggregate needs (round 15 widened this from one-kind-per-query
@@ -211,8 +215,13 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     // for all three
     object Unwrapped {
       private def acc(u: Expression): Option[(String, String)] =
-        LogQL.parsedGroupKey(u).filter(_ =>
-          u.references.forall(a => rel.output.exists(_.exprId == a.exprId)))
+        (LogQL.parsedGroupKey(u)
+          // STREAM-LABEL unwrap: `labels['shard']` numeric aggregation —
+          // no extraction stage, the guard + unwrap apply to the label
+          // itself ("label" is not a parser name, it marks the form)
+          .orElse(LogQL.labelKey(u).map(k => ("label", k))))
+          .filter(_ =>
+            u.references.forall(a => rel.output.exists(_.exprId == a.exprId)))
       def unapply(c: Expression): Option[((String, String), Option[String])] =
         c match {
           case graft.functions.LokiUnwrap(u) => acc(u).map((_, None))
@@ -223,6 +232,31 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
         }
     }
     e match {
+      // SQL FILTER clause (round 16): `count(*) FILTER (WHERE …)` — the
+      // error-ratio idiom (`errors / total` in ONE SELECT) — translates
+      // the condition's conjuncts into PER-KIND pipeline stages (line
+      // filters and guarded stream-label filter stages; stage-form label
+      // filters compose per kind where selector matchers bind the whole
+      // query) and applies them to whatever the base aggregate needs.
+      // Conjuncts outside that surface — parsed predicates (their gp<N>
+      // labels can't be assigned stably from here), timestamp bounds —
+      // keep the host fallback. Stages always render escaped
+      // (beyond-parity surface, the ParsedFilter discipline).
+      case ae @ AggregateExpression(_, _, false, Some(cond), _) =>
+        def stagesOf(c: Expression): Option[Seq[String]] = {
+          val conjuncts = split(c)
+          val rendered = conjuncts.map { cj =>
+            LogQL.lineFilter(cj).map(lf => Seq(lf.render(escape = true)))
+              .orElse(LogQL.labelFilterStages(cj)
+                .map(_.map(_.render(escape = true))))
+          }
+          if (rendered.forall(_.isDefined)) Some(rendered.flatMap(_.get))
+          else None
+        }
+        for {
+          base <- aggSpecs(ae.copy(filter = None), rel)
+          st <- stagesOf(cond)
+        } yield base.map(s => s.copy(fstages = s.fstages ++ st))
       case AggregateExpression(Count(children), _, false, None, _)
           if children.forall {
             case Literal(v, _) => v != null
@@ -441,18 +475,31 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     // before grouping; a group whose rows all fail extraction must
     // still surface with NULL aggregates, as SQL keeps it) ----
     val accLabel = scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
-    kinds.toSeq.flatMap(_.acc).distinct.foreach { a =>
-      accLabel(a) = s"gp$gpNext"; gpNext += 1
+    kinds.toSeq.flatMap(_.acc).distinct.foreach {
+      case a @ ("label", k) =>
+        // stream-label unwrap: the wire label IS the stream label. Bail
+        // when it collides with the reserved gp namespace (the
+        // documented reservation) or with a GROUP label — `| unwrap k`
+        // REMOVES k from the series, so `… by (k)` would lose its key.
+        if (k.matches("gp\\d+") || labelGroups.exists(_._2 == k)) return None
+        accLabel(a) = k
+      case a =>
+        accLabel(a) = s"gp$gpNext"; gpNext += 1
     }
     def toAgg(spec: Spec): MetricAgg = MetricAgg(spec.fn, spec.q,
       spec.acc.map { case (p, k) => LogQL.ParsedFilter(p, k, accLabel((p, k)), Nil) },
-      conv = spec.conv)
+      conv = spec.conv, filterStages = spec.fstages)
     // no aggregate at all (pure DISTINCT over groupings): any kind's
     // nonzero samples enumerate exactly the non-empty groups
     val aggs =
       if (kinds.isEmpty) Seq(MetricAgg("count_over_time"))
       else kinds.toSeq.map(toAgg)
-    val enumerate = kinds.nonEmpty && kinds.forall(_.acc.isDefined)
+    // SQL grouping is over ALL rows — a group whose every row is
+    // dropped by a kind's unwrap pipeline or FILTER stages must still
+    // surface, so when no kind sees the unfiltered row set, one bare
+    // count query enumerates the groups
+    val enumerate = kinds.nonEmpty &&
+      kinds.forall(k => k.acc.isDefined || k.fstages.nonEmpty)
 
     // ---- swap in the metric relation, preserving output attributes ----
     val metricTable = LokiMetricTable(
@@ -546,7 +593,8 @@ object LokiMetricTopKRule extends Rule[LogicalPlan] {
         p @ Project(_,
         r @ DataSourceV2Relation(mt: LokiMetricTable, _, _, _, _, _)), _)))
         if k > 0 && mt.topk.isEmpty && !mt.bucketed && mt.aggs.size == 1 &&
-          mt.aggs.head.unwrap.isEmpty && !mt.enumerate &&
+          mt.aggs.head.unwrap.isEmpty && mt.aggs.head.filterStages.isEmpty &&
+          !mt.enumerate &&
           order.direction == Descending && sortsOnValue(order, p, r) =>
       gl.copy(child = ll.copy(child = srt.copy(child =
         p.copy(child = r.copy(table = mt.copy(topk = Some(k)))))))

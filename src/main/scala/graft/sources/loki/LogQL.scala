@@ -833,6 +833,37 @@ object LogQL {
     * text would match — err to rejection; booleans are literal-text on
     * both sides but cost nothing to keep pushable, so they pass).
     */
+  /** Whether an RE2 pattern matches "" (unparsable → conservative true). */
+  private def re2MatchesEmpty(re2: String): Boolean =
+    scala.util.Try("".matches(s"(?s)(?:$re2)")).getOrElse(true)
+
+  /** STREAM-label predicate → guarded label-filter STAGES (round 16, the
+    * filtered-aggregate channel): unlike selector MATCHERS — which bind
+    * the whole query — stage-form label filters compose per metric
+    * KIND, which is what `count(*) FILTER (WHERE labels['env']='prod')`
+    * needs. Exactness mirrors [[parsedPredicate]]'s op table (stage
+    * semantics read a missing label as ""): `=` needs a nonempty
+    * literal, `!=`/`!~` carry the missing-guard, `=~` rejects
+    * empty-matching patterns.
+    */
+  def labelFilterStages(e: Expression): Option[Seq[PLabelFilter]] = e match {
+    case EqualTo(LabelsKey(k), StrLit(v)) if v.nonEmpty =>
+      Some(Seq(PLabelFilter(k, "=", v)))
+    case EqualTo(StrLit(v), LabelsKey(k)) if v.nonEmpty =>
+      Some(Seq(PLabelFilter(k, "=", v)))
+    case Not(EqualTo(LabelsKey(k), StrLit(v))) =>
+      Some(Seq(PLabelFilter(k, "!=", ""), PLabelFilter(k, "!=", v)))
+    case Not(EqualTo(StrLit(v), LabelsKey(k))) =>
+      Some(Seq(PLabelFilter(k, "!=", ""), PLabelFilter(k, "!=", v)))
+    case RLike(LabelsKey(k), StrLit(p)) =>
+      javaToRe2(p).filterNot(re2MatchesEmpty)
+        .map(q => Seq(PLabelFilter(k, "=~", findSemantics(q))))
+    case Not(RLike(LabelsKey(k), StrLit(p))) =>
+      javaToRe2(p).map(q =>
+        Seq(PLabelFilter(k, "!=", ""), PLabelFilter(k, "!~", findSemantics(q))))
+    case _ => None
+  }
+
   def parsedPredicate(e: Expression): Option[(String, String, Seq[(String, String)])] = {
     def eqCase(acc: (String, String), v: String) =
       if (v.nonEmpty) Some((acc._1, acc._2, Seq(("=", v)))) else None

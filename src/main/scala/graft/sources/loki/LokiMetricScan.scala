@@ -42,7 +42,15 @@ case class MetricAgg(
       * time.ParseDuration → seconds) or `bytes` (humanized byte sizes)
       * — `| unwrap duration_seconds(gpN)`; None = plain float text.
       */
-    conv: Option[String] = None) {
+    conv: Option[String] = None,
+    /** Per-kind filter stages from a SQL FILTER clause (round 16) —
+      * rendered stage strings (`|= \`err\``, `| env="prod"`) applied
+      * between the shared inner query and the unwrap suffix, so
+      * `count(*) FILTER (WHERE …)` rides its own wire query. A missing
+      * sample for an entry-count kind decodes as 0, exactly the host's
+      * filtered count over a group with no matching rows.
+      */
+    filterStages: Seq[String] = Nil) {
 
   /** Unwrapped kinds carry float samples; a group×bucket cell with no
     * unwrappable row has NO sample and decodes as SQL NULL (the host's
@@ -55,15 +63,21 @@ case class MetricAgg(
     */
   def groupsOnRangeAgg: Boolean = unwrap.isDefined && fn != "sum_over_time"
 
-  /** The unwrap stage chain appended to the inner query (see class doc). */
+  /** The unwrap stage chain appended to the inner query (see class doc).
+    * `parser == "label"` is the STREAM-LABEL form (round 16):
+    * `avg(loki_unwrap(labels['shard']))` needs no extraction stage —
+    * just the missing-guard and the unwrap over the label itself.
+    */
   def stageSuffix: String = unwrap.fold("") { pf =>
     val target = conv.fold(pf.label)(c => s"$c(${pf.label})")
-    " " + pf.copy(filters = Seq(("!=", ""))).render +
-      s" | unwrap $target | __error__=\"\""
+    val tail = s" | unwrap $target | __error__=\"\""
+    if (pf.parser == "label") s""" | ${pf.label}!=""""" + tail
+    else " " + pf.copy(filters = Seq(("!=", ""))).render + tail
   }
 
   def render(inner: String, rangeS: Long, groupLabels: Seq[String]): String = {
-    val range = s"$inner$stageSuffix [${rangeS}s]"
+    val fs = filterStages.map(" " + _).mkString
+    val range = s"$inner$fs$stageSuffix [${rangeS}s]"
     if (groupsOnRangeAgg) {
       val call = q match {
         case Some(phi) => s"$fn($phi, $range)"
@@ -169,10 +183,12 @@ case class LokiMetricTable(
   require(aggs.nonEmpty && aggs.distinct == aggs,
     s"aggs must be non-empty and distinct: $aggs")
   require(topk.forall(k => k > 0 && !bucketed && aggs.size == 1 &&
-      aggs.head.unwrap.isEmpty && !enumerate),
+      aggs.head.unwrap.isEmpty && aggs.head.filterStages.isEmpty &&
+      !enumerate),
     "topk applies only to the unbucketed single-plain-aggregation form")
-  require(!enumerate || aggs.forall(_.unwrap.isDefined),
-    "enumerate exists for the all-unwrapped case only")
+  require(!enumerate ||
+    aggs.forall(a => a.unwrap.isDefined || a.filterStages.nonEmpty),
+    "enumerate exists only when no kind sees the unfiltered row set")
   if (bucketed)
     require(startNs % stepNs == 0 && endNs % stepNs == 0,
       s"metric window [$startNs, $endNs) must be step-aligned")

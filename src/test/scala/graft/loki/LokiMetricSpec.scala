@@ -583,6 +583,73 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
       ("app1", null, 1.0: java.lang.Double)), got.toSeq)
   }
 
+  test("FILTER-clause counts push per-kind stages; untranslatable conditions don't") {
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(count(lit(1)).as("total"),
+        expr("count(*) FILTER (WHERE line LIKE '%error%')").as("errs"),
+        expr("count(*) FILTER (WHERE labels['env'] = 'prod')").as("prods"))
+      .orderBy("app")
+    val plan = planOf(df)
+    assert(plan.contains("(count_over_time({app=~\".+\"} [259200s]))") &&
+      plan.contains("(count_over_time({app=~\".+\"} |= `error` [259200s]))") &&
+      plan.contains("(count_over_time({app=~\".+\"} | env=\"prod\" [259200s]))"),
+      plan)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3)))
+    val host = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(count(lit(1)).as("total"),
+        expr("count(*) FILTER (WHERE line LIKE '%error%')").as("errs"),
+        expr("count(*) FILTER (WHERE labels['env'] = 'prod')").as("prods"))
+      .orderBy("app").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == host.toSeq && got.nonEmpty, s"got=${got.toSeq}")
+    // negated label predicate carries the missing-guard stage
+    val neg = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(expr("count(*) FILTER (WHERE labels['env'] != 'prod')").as("nonprod"))
+    assert(planOf(neg).contains("""| env!="" | env!="prod""""), planOf(neg))
+    val negHost = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(expr("count(*) FILTER (WHERE labels['env'] != 'prod')").as("nonprod"))
+      .orderBy("app").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(neg.orderBy("app").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == negHost)
+    // untranslatable FILTER conditions keep the whole host fallback
+    def noRewrite(df: DataFrame): Unit =
+      assert(!planOf(df).contains("LokiMetricScan"), planOf(df))
+    noRewrite(windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app"))
+      .agg(expr("count(*) FILTER (WHERE length(line) > 5)")))
+    noRewrite(windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app"))
+      .agg(expr(
+        "count(*) FILTER (WHERE timestamp < TIMESTAMP '2024-01-02 00:00:00')")))
+  }
+
+  test("stream-label unwrap pushes guard+unwrap on the label itself") {
+    import graft.functions.GraftFunctions.loki_unwrap
+    // the seeded labels are non-numeric (app0/app1, prod/dev): every
+    // conversion fails, every group survives via enumeration with NULL —
+    // the render and the NULL path are the pins; numeric-value
+    // semantics are the gate row's job (integer user ids)
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "env").as("env"))
+      .agg(avg(loki_unwrap(element_at(col("labels"), "app"))).as("avg_app"))
+      .orderBy("env")
+    val plan = planOf(df)
+    assert(plan.contains("""| app!="" | unwrap app | __error__=""""), plan)
+    val got = df.collect().map(r => (r.getString(0), r.isNullAt(1)))
+    assert(got.toSeq == Seq(("dev", true), ("prod", true)), got.toSeq)
+    // unwrapping a label that is ALSO a group key would lose the key
+    // (unwrap removes the label from the series) — host fallback
+    val sameKey = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(avg(loki_unwrap(element_at(col("labels"), "app"))))
+    assert(!planOf(sameKey).contains("LokiMetricScan"), planOf(sameKey))
+  }
+
   test("unwrap fallbacks: CAST, approx_percentile, push_parsers=false") {
     import graft.functions.GraftFunctions.{logfmt_get, loki_unwrap}
     def noRewrite(df: DataFrame): Unit =
