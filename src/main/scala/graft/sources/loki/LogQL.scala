@@ -145,11 +145,11 @@ object LogQL {
   final case class PParser(kind: String, exprs: Seq[(String, String)])
     extends PipeStage {
     def render(escape: Boolean): String = kind match {
-      case "pattern" =>
-        // one string operand — the template, carried as the single
-        // expr's key (label slot unused)
+      case "pattern" | "regexp" =>
+        // one string operand — the template/pattern, carried as the
+        // single expr's key (label slot unused)
         val t = exprs.head._2
-        "| pattern \"" + (if (escape) escapeQuoted(t) else t) + "\""
+        s"""| $kind "${if (escape) escapeQuoted(t) else t}""""
       case _ =>
         if (exprs.isEmpty) s"| $kind"
         else s"| $kind " + exprs.map { case (l, k) =>
@@ -302,8 +302,8 @@ object LogQL {
           // `| json [exprs]` / `| logfmt [exprs]` / `| label op "v"`
           i += 1; ws()
           val id = ident(); ws()
-          if (id == "pattern") {
-            stages += PParser("pattern", Seq(("", str())))
+          if (id == "pattern" || id == "regexp") {
+            stages += PParser(id, Seq(("", str())))
           } else if (id == "line_format") {
             stages += PLineFormat(str())
           } else if (id == "label_format") {

@@ -253,7 +253,22 @@ object LogQLProps extends Properties("LogQL") {
     } yield LogQL.PLabelFilter(l, op, v)),
     1 -> (for {
       a <- labelIdent; b <- labelIdent; sep <- Gen.oneOf(" - ", "=", " [")
-    } yield LogQL.PParser("pattern", Seq(("", s"<$a>$sep<$b>")))))
+    } yield LogQL.PParser("pattern", Seq(("", s"<$a>$sep<$b>")))),
+    // round-16 stages: | regexp (single string operand like pattern),
+    // | line_format, | label_format (rename + template operands)
+    1 -> (for {
+      a <- labelIdent; b <- labelIdent
+    } yield LogQL.PParser("regexp", Seq(("", s"(?P<$a>[a-z]+)=(?P<$b>\\d+)")))),
+    1 -> (for {
+      a <- labelIdent; lit <- labelIdent
+    } yield LogQL.PLineFormat(s"$lit {{.$a}}")),
+    1 -> (for {
+      a <- labelIdent; b <- labelIdent; c <- labelIdent; t <- labelIdent
+      useTemplate <- Gen.oneOf(true, false)
+    } yield LogQL.PLabelFormat(
+      if (useTemplate)
+        Seq((a, scala.util.Left(b)), (c, scala.util.Right(s"{{.$t}}x")))
+      else Seq((a, scala.util.Left(b))))))
 
   property("parseSelector inverts the full stage grammar (escape=true)") =
     Prop.forAll(
