@@ -82,7 +82,11 @@ object Plans {
     // tail's read-back, structured metadata roundtrip
     "loki_metric_unwrap_avg", "loki_metric_unwrap_p90",
     "loki_metric_unwrap_sum", "loki_metric_unwrap_regexp",
-    "loki_parse_regexp_filter", "loki_structured_metadata")
+    "loki_parse_regexp_filter", "loki_structured_metadata",
+    // round-16 second tranche: conversion unwraps, stddev/stdvar kinds,
+    // FILTER-clause per-kind stages, stream-label unwrap
+    "loki_metric_unwrap_duration", "loki_metric_unwrap_stddev",
+    "loki_metric_filtered_count", "loki_metric_unwrap_label")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
