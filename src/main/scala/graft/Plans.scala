@@ -86,7 +86,10 @@ object Plans {
     // round-16 second tranche: conversion unwraps, stddev/stdvar kinds,
     // FILTER-clause per-kind stages, stream-label unwrap
     "loki_metric_unwrap_duration", "loki_metric_unwrap_stddev",
-    "loki_metric_filtered_count", "loki_metric_unwrap_label")
+    "loki_metric_filtered_count", "loki_metric_unwrap_label",
+    // round-16 third tranche: first/last_over_time selection kinds,
+    // Loki 3.x pattern line filters
+    "loki_metric_unwrap_first_last", "loki_line_pattern_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

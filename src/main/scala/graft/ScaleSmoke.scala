@@ -755,6 +755,65 @@ object ScaleSmoke {
         println(s"[scale] connector 1m parser-stage pushdown OK " +
           s"(filter=$pCnt rows, metric=$pmCnt)")
 
+        // Pattern line-filter leg (round 16): the Loki 3.x `|>` filter
+        // over the SAME million rows — `v=99<_>` anchors the prefix and
+        // wildcards the rest, selecting exactly the ids whose decimal
+        // text starts with "99" (the parsed leg's closed form) with a
+        // plain LINE filter: no parser stage, no extraction, the
+        // cheapest wire shape there is.
+        val patterned = spark.read.format("loki")
+          .option("endpoint", stub.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            graft.functions.GraftFunctions
+              .loki_pattern_match(col("line"), lit("v=99<_>")) &&
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+        val patPlan = patterned.queryExecution.executedPlan.toString
+        assert(patPlan.contains("|> `v=99<_>`"),
+          s"pattern line filter must push:\n$patPlan")
+        val (patCnt, patSum) = timed("connector_1m_pattern_filter") {
+          val r = patterned
+            .select(substring(col("line"), 3, 10).cast("long").as("v"))
+            .agg(count(lit(1)), sum("v")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        assert(patCnt == wantCnt && patSum == wantSum,
+          s"pattern filter: got ($patCnt, $patSum), want ($wantCnt, $wantSum)")
+        println(s"[scale] connector 1m pattern line filter OK (rows=$patCnt)")
+
+        // Unwrapped-metric leg (round 16): numeric aggregation over the
+        // parsed field by minute bucket — avg_over_time ships FIVE float
+        // samples for the 1M-row window. Closed form: bucket m holds ids
+        // [240000m, 240000(m+1)) (partial last bucket 960k..999999), so
+        // avg = (lo + hi)/2 exactly — integer-valued double sums are
+        // accumulation-order-independent, the unwrap corpus discipline.
+        val unwrapped = spark.read.format("loki")
+          .option("endpoint", stub.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-01-01 00:05:00").cast("timestamp"))
+          .groupBy(date_trunc("minute", col("timestamp")).as("bucket"))
+          .agg(avg(graft.functions.GraftFunctions.loki_unwrap(
+            graft.functions.GraftFunctions
+              .logfmt_get(col("line"), lit("v")))).as("avg_v"))
+          .orderBy("bucket")
+        val uwPlan = unwrapped.queryExecution.executedPlan.toString
+        assert(uwPlan.contains("avg_over_time(") &&
+          uwPlan.contains("| unwrap gp0 | __error__=\"\""),
+          s"unwrap metric must push as avg_over_time:\n$uwPlan")
+        val avgs = timed("connector_1m_unwrap_metric") {
+          unwrapped.collect().map(_.getDouble(1)).toSeq
+        }
+        val wantAvgs = (0 until 4).map(m =>
+          (240000.0 * m + (240000.0 * (m + 1) - 1)) / 2.0) :+
+          ((960000.0 + 999999.0) / 2.0)
+        assert(avgs == wantAvgs, s"unwrap metric avgs: $avgs vs $wantAvgs")
+        println(s"[scale] connector 1m unwrap metric OK (avgs=$avgs)")
+
         // Streaming-tail leg (round 13): the SAME million-row corpus
         // drained through the micro-batch reader — admission-controlled
         // (max_rows_per_batch=200k → ~5 stats-bisected windows), each

@@ -44,6 +44,9 @@ object GraftFunctions {
   def loki_pattern_get(line: Column, template: Column, field: Column): Column =
     toCol(LokiPatternGet(ex(line), ex(template), ex(field)))
 
+  def loki_pattern_match(line: Column, template: Column): Column =
+    toCol(LokiPatternMatch(ex(line), ex(template)))
+
   def loki_unwrap(v: Column): Column = toCol(LokiUnwrap(ex(v)))
 
   def loki_duration_seconds(v: Column): Column =
@@ -110,6 +113,7 @@ object GraftFunctions {
     "logfmt_get" -> (es => LogfmtGet(es.head, es(1))),
     "loki_json_get" -> (es => LokiJsonGet(es.head, es(1))),
     "loki_pattern_get" -> (es => LokiPatternGet(es.head, es(1), es(2))),
+    "loki_pattern_match" -> (es => LokiPatternMatch(es.head, es(1))),
     "loki_unwrap" -> (es => LokiUnwrap(es.head)),
     "loki_duration_seconds" -> (es => LokiDurationSeconds(es.head)),
     "loki_bytes" -> (es => LokiBytes(es.head)),

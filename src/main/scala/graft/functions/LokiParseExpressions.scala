@@ -67,6 +67,37 @@ case class LokiPatternGet(
     copy(first = f, second = s, third = t)
 }
 
+/** `loki_pattern_match(line, '<_>error<_>')` — the Loki 3.x pattern
+  * LINE FILTERS `|>` / `!>` (round 16; see
+  * [[LokiParsers.patternMatchUTF8]]): boolean anchored-template match
+  * with the `| pattern` parser's own matcher, so a predicate over it
+  * translates to a pushed `|> `tmpl`` / `!> `tmpl`` stage exactly.
+  * Invalid template ≡ SQL NULL (never pushed — the translator requires
+  * a compiling template; real Loki rejects such queries at parse).
+  */
+case class LokiPatternMatch(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "loki_pattern_match"
+  override protected def nullSafeEval(line: Any, tmpl: Any): Any =
+    LokiParsers.patternMatchUTF8(
+      line.asInstanceOf[UTF8String], tmpl.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { (l, t) =>
+      val tmp = ctx.freshName("patmatch")
+      s"""java.lang.Boolean $tmp =
+         |  graft.sources.loki.LokiParsers.patternMatchUTF8($l, $t);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? false : $tmp.booleanValue();""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LokiPatternMatch =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `loki_regexp_get(line, '(?<ev>[a-z]+) took (?<ms>\\d+)', 'ms')` —
   * Loki `| regexp` named-capture extraction (round 16; see
   * [[LokiParsers.regexpGet]]): Java-dialect pattern, unanchored find,

@@ -550,6 +550,54 @@ object ConnectorOps {
           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),
 
+    // `| keep` / `| drop` label-set surgery on a tail (round 16, third
+    // tranche): `keep event_type, user="7"` keeps event_type everywhere
+    // and user only where its value is exactly "7" (value-qualified
+    // operand), dropping every OTHER label — including the stub's
+    // Loki-style injected ones — then `drop event_type` removes the one
+    // unconditional survivor. Returned label set: {user} iff user=7,
+    // else {} — both operands relationally certified through the labels
+    // column. The stages ride the selector option (a tail's only
+    // pushdown channel) and the wire log pins them verbatim.
+    ("loki_stream_tail_keep_drop",
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamingOps.memoDrain(s, d, "loki_stream_tail_keep_drop") {
+          val st = stubFor(s, d)
+          val q0 = st.queries.synchronized(st.queries.size)
+          val sel = """{event_type="click"} | logfmt v="value" | v=~"1.*" """ +
+            """| keep event_type, user="7" | drop event_type"""
+          val stream = s.readStream.format("loki")
+            .option("endpoint", st.endpoint)
+            .option("selector", sel)
+            .option("stream_start_ns", "1704067200000000000")
+            .option("stream_end_ns", "1706745600000000000")
+            .load()
+            .select(unix_micros(col("timestamp")).as("ts_us"), col("line"),
+              element_at(col("labels"), "user").as("u7"),
+              size(col("labels")).as("n_lbl"))
+          val out = graft.streaming.StreamingOps.runToMemory(
+            stream, s"loki_tail_keep_drop_${d.hashCode & 0x7fffffff}",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+            .orderBy("ts_us", "line")
+          val wire = st.queries.synchronized(st.queries.drop(q0).toList)
+          require(wire.nonEmpty && wire.forall(w =>
+            w.contains("""| keep event_type, user="7"""") &&
+              w.contains("| drop event_type")),
+            s"keep/drop tail did not carry its stages: ${wire.distinct}")
+          out
+        },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line,
+          |       CASE WHEN user_id = 7 THEN '7' END AS u7,
+          |       CASE WHEN user_id = 7 THEN 1 ELSE 0 END AS n_lbl
+          |FROM events
+          |WHERE event_type = 'click'
+          |  AND CAST(value AS VARCHAR) LIKE '1%'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // Streaming WRITE (round 12, beyond-parity: the reference's insert is
     // batch-only, insert.rs) — the loki→loki forwarding pipeline: tail
     // the source endpoint's January window, keep the clicks, push them to
@@ -1125,6 +1173,40 @@ object ConnectorOps {
           |FROM events
           |WHERE concat(event_type, ' value=', CAST(value AS VARCHAR)) LIKE '%value=1%'
           |  AND concat(event_type, ' value=', CAST(value AS VARCHAR)) NOT LIKE '%value=12%'
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
+    // Pattern LINE FILTERS (Loki 3.x, round 16 third tranche): `|>` /
+    // `!>` — `loki_pattern_match(line, '<_>value=0.<_>')` pushes as a
+    // pattern filter stage because the host expression and the wire
+    // matcher are ONE implementation (LokiParsers.patternAll — anchored
+    // both ends, lazy captures). Both polarities in one chain; for
+    // these wildcard-bracketed templates the anchored match reduces to
+    // containment, which is what the oracle replays with LIKE.
+    ("loki_line_pattern_filter",
+      (s: SparkSession, d: String) => {
+        import graft.functions.GraftFunctions.loki_pattern_match
+        val df = lokiDf(s, d)
+          .filter(
+            loki_pattern_match(col("line"), lit("<_>value=0.<_>")) &&
+              !loki_pattern_match(col("line"), lit("<_>value=0.1<_>")) &&
+              col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("|> `<_>value=0.<_>`") &&
+          plan.contains("!> `<_>value=0.1<_>`"),
+          s"pattern line filters did not push: $plan")
+        df
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE concat(event_type, ' value=', CAST(value AS VARCHAR))
+          |        LIKE '%value=0.%'
+          |  AND concat(event_type, ' value=', CAST(value AS VARCHAR))
+          |        NOT LIKE '%value=0.1%'
           |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),
 
@@ -2238,6 +2320,54 @@ object ConnectorOps {
            |  AND ts < TIMESTAMP '2024-03-01 00:00:00'
            |GROUP BY 1
            |ORDER BY event_type""".stripMargin)),
+
+    // first/last_over_time (round 16, third tranche): the value at the
+    // earliest/latest timestamp per bucket — the "what did the gauge
+    // read at the start/end of each day" workload. SQL shape:
+    // `min_by/max_by(loki_unwrap(…), timestamp) FILTER (WHERE … IS NOT
+    // NULL)` — the NOT-NULL filter mirrors the wire pipeline dropping
+    // unparseable rows before sample selection (an unfiltered min_by
+    // could return the NULL sitting at the earliest timestamp). Day
+    // buckets; ts uniqueness within (event_type, day) at every SF makes
+    // the selection deterministic across all three engines.
+    ("loki_metric_unwrap_first_last",
+      (s: SparkSession, d: String) => {
+        val st = ConnectorOps.unwrapStub(s, d)
+        val u = "loki_unwrap(logfmt_get(line, 'duration'))"
+        val df = s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(date_trunc("day", col("timestamp")).as("bucket"),
+            element_at(col("labels"), "event_type").as("event_type"))
+          .agg(
+            expr(s"min_by($u, timestamp) FILTER (WHERE $u IS NOT NULL)")
+              .as("first_dur"),
+            expr(s"max_by($u, timestamp) FILTER (WHERE $u IS NOT NULL)")
+              .as("last_dur"))
+          .select(unix_micros(col("bucket")).as("bucket_us"),
+            col("event_type"), col("first_dur"), col("last_dur"))
+          .orderBy("bucket_us", "event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("first_over_time(") && plan.contains("last_over_time("),
+          s"first/last did not push as unwrapped metric queries: $plan")
+        df
+      },
+      Some(
+        s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us, event_type,
+           |       CAST(arg_min(dur, ts) FILTER (WHERE dur IS NOT NULL)
+           |            AS DOUBLE) AS first_dur,
+           |       CAST(arg_max(dur, ts) FILTER (WHERE dur IS NOT NULL)
+           |            AS DOUBLE) AS last_dur
+           |FROM $unwrapOracleSrc
+           |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+           |GROUP BY 1, 2
+           |ORDER BY bucket_us, event_type""".stripMargin)),
 
     // Structured metadata roundtrip (round 16, Loki 3.x): per-entry
     // non-indexed key/values (trace/span ids) ride the push payload's

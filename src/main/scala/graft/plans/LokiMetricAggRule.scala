@@ -196,12 +196,20 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
     *     lower + (upper−lower)·frac); `approx_percentile` does not
     *     translate.
     *
-    * All must be non-distinct and unfiltered.
+    * All must be non-distinct; the only admitted FILTER clauses are the
+    * per-kind stage translation and first/last's required NOT-NULL form
+    * (both round 16).
     */
   private def aggSpecs(
       e: Expression, rel: DataSourceV2Relation): Option[Seq[Spec]] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{
       Average, Max, Min, Percentile, Sum}
+    def isRelTimestamp(c: Expression, r: DataSourceV2Relation): Boolean =
+      c match {
+        case t: Attribute =>
+          t.name == "timestamp" && r.output.exists(_.exprId == t.exprId)
+        case _ => false
+      }
     def isLineOctet(c: Expression): Boolean = c match {
       case org.apache.spark.sql.catalyst.expressions.OctetLength(l: Attribute) =>
         l.name == "line" && rel.output.exists(_.exprId == l.exprId)
@@ -232,6 +240,28 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
         }
     }
     e match {
+      // first/last_over_time (round 16, third tranche): the value at
+      // the earliest/latest timestamp in the bucket — `min_by/max_by(
+      // loki_unwrap(…), timestamp) FILTER (WHERE loki_unwrap(…) IS NOT
+      // NULL)`. The NOT-NULL filter is REQUIRED for exactness: the wire
+      // pipeline drops unparseable rows before sample selection, while
+      // an unfiltered min_by would return the (NULL) value sitting at
+      // the earliest timestamp. Ordering must be the relation's raw
+      // timestamp column (any transform of it breaks the sample-order
+      // equivalence). Listed before the generic FILTER branch, which
+      // only speaks line/label-stage conditions.
+      case AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .MinBy(v @ Unwrapped(a, cv), ts), _, false, Some(
+          org.apache.spark.sql.catalyst.expressions.IsNotNull(nv)), _)
+          if nv.semanticEquals(v) && isRelTimestamp(ts, rel) =>
+        Some(Seq(Spec("first_over_time", acc = Some(a), conv = cv)))
+      case AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .MaxBy(v @ Unwrapped(a, cv), ts), _, false, Some(
+          org.apache.spark.sql.catalyst.expressions.IsNotNull(nv)), _)
+          if nv.semanticEquals(v) && isRelTimestamp(ts, rel) =>
+        Some(Seq(Spec("last_over_time", acc = Some(a), conv = cv)))
       // SQL FILTER clause (round 16): `count(*) FILTER (WHERE …)` — the
       // error-ratio idiom (`errors / total` in ONE SELECT) — translates
       // the condition's conjuncts into PER-KIND pipeline stages (line

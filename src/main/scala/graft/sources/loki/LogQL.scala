@@ -190,6 +190,26 @@ object LogQL {
       }.mkString(", ")
   }
 
+  /** `| keep a, b="v"` / `| drop a, b="v"` (round 16, third tranche) —
+    * label-set surgery over the effective labels: `drop` removes the
+    * named labels (a value-qualified operand only where the value
+    * matches); `keep` removes every label NOT named (error labels
+    * exempt — grafana/loki keep_labels.go skips `__error__`/
+    * `__error_details__`). Equality-qualified operands only, the
+    * documented subset (full matcher operands carry regex semantics the
+    * host never needs to validate — the stage rewrites output, not
+    * selection).
+    */
+  final case class PKeepDrop(kind: String, ops: Seq[(String, Option[String])])
+    extends PipeStage {
+    def render(escape: Boolean): String =
+      s"| $kind " + ops.map {
+        case (l, None) => l
+        case (l, Some(v)) =>
+          s"""$l="${if (escape) escapeQuoted(v) else v}""""
+      }.mkString(", ")
+  }
+
   /** Parse a raw LogQL log-selector string — the `selector` option's
     * value: `{label op "v", …}` (ops `=`, `!=`, `=~`, `!~`; values
     * double-quoted with Go-style escapes or backtick-raw) followed by
@@ -294,6 +314,10 @@ object LogQL {
           i += 2; ws(); stages += PLine(LineFilter("|=", str()))
         case '|' if i + 1 < s.length && s.charAt(i + 1) == '~' =>
           i += 2; ws(); stages += PLine(LineFilter("|~", str()))
+        case '|' if i + 1 < s.length && s.charAt(i + 1) == '>' =>
+          i += 2; ws(); stages += PLine(LineFilter("|>", str()))
+        case '!' if i + 1 < s.length && s.charAt(i + 1) == '>' =>
+          i += 2; ws(); stages += PLine(LineFilter("!>", str()))
         case '!' if i + 1 < s.length && s.charAt(i + 1) == '=' =>
           i += 2; ws(); stages += PLine(LineFilter("!=", str()))
         case '!' if i + 1 < s.length && s.charAt(i + 1) == '~' =>
@@ -323,6 +347,23 @@ object LogQL {
               else more = false
             }
             stages += PLabelFormat(ops.result())
+          } else if (id == "keep" || id == "drop") {
+            // comma list of label names, each optionally ="value"
+            val ops = Seq.newBuilder[(String, Option[String])]
+            var more = true
+            while (more) {
+              val l = ident(); ws()
+              if (i < s.length && s.charAt(i) == '=' &&
+                (i + 1 >= s.length ||
+                  (s.charAt(i + 1) != '~' && s.charAt(i + 1) != '='))) {
+                i += 1; ws()
+                ops += ((l, Some(str())))
+              } else ops += ((l, None))
+              ws()
+              if (i < s.length && s.charAt(i) == ',') { i += 1; ws() }
+              else more = false
+            }
+            stages += PKeepDrop(id, ops.result())
           } else if (id == "json" || id == "logfmt") {
             val exprs = Seq.newBuilder[(String, String)]
             var more = i < s.length && s.charAt(i) != '|' &&
@@ -695,6 +736,18 @@ object LogQL {
       Some(LineFilter("|~", s"(?i)${regexEscape(x)}"))
     case Not(Contains(Lower(LineAttr()), StrLit(x))) if x == x.toLowerCase =>
       Some(LineFilter("!~", s"(?i)${regexEscape(x)}"))
+    // Loki 3.x pattern LINE FILTERS (round 16, third tranche): `|>` /
+    // `!>` — the host expression, this claim, and the conformance
+    // surface all run LokiParsers' one anchored-template matcher, so
+    // the push is exact by construction. An uncompilable template keeps
+    // its residual (host-side it is SQL NULL — every row drops under
+    // the filter / its negation — where a pushed filter would 400).
+    case graft.functions.LokiPatternMatch(LineAttr(), StrLit(t))
+        if LokiParsers.patternCompile(t).isRight =>
+      Some(LineFilter("|>", t))
+    case Not(graft.functions.LokiPatternMatch(LineAttr(), StrLit(t)))
+        if LokiParsers.patternCompile(t).isRight =>
+      Some(LineFilter("!>", t))
     case _ => None
   }
 

@@ -348,6 +348,21 @@ object LokiParsers {
     if (r == null) null else UTF8String.fromString(r)
   }
 
+  /** Boolean template match for the Loki 3.x pattern LINE FILTERS
+    * (`|>` / `!>`, round 16 third tranche): the SAME anchored/lazy
+    * matcher as `| pattern` ([[patternAll]]), answering "does the line
+    * fit the template" instead of extracting. An invalid template is
+    * SQL NULL (the host accessor convention; real Loki rejects the
+    * query at parse — the translator only pushes compile-valid
+    * templates, so the NULL-vs-400 divergence never reaches a wire).
+    */
+  def patternMatchUTF8(
+      line: UTF8String, template: UTF8String): java.lang.Boolean = {
+    val t = template.toString
+    if (patternCompile(t).isLeft) null
+    else java.lang.Boolean.valueOf(patternAll(line.toString, t) != null)
+  }
+
   // ------------------------------------------------------------------
   // regexp (`| regexp "(?P<name>re)"`) — Loki's fourth parser (round 16)
   // ------------------------------------------------------------------

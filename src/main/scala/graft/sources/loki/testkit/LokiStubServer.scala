@@ -452,6 +452,7 @@ final class LokiStubServer {
     */
   private val rangeAggQueryRe = java.util.regex.Pattern.compile(
     "^(avg_over_time|min_over_time|max_over_time" +
+      "|first_over_time|last_over_time" +
       "|stddev_over_time|stdvar_over_time)" +
       "\\((.*) \\[(\\d+)s\\]\\) by \\(([^)]*)\\)$",
     java.util.regex.Pattern.DOTALL)
@@ -597,6 +598,11 @@ final class LokiStubServer {
             case "bytes_over_time" | "sum_over_time" => vs.sum
             case "avg_over_time" => vs.sum / vs.size
             case "min_over_time" => vs.min
+            // contributions append in snapshot (timestamp) order, so
+            // head/last ARE the earliest/latest samples in the window —
+            // real Loki's first/last_over_time selection
+            case "first_over_time" => vs.head
+            case "last_over_time" => vs.last
             case "max_over_time" => vs.max
             case "stdvar_over_time" | "stddev_over_time" =>
               // population variance, two-pass (deterministic in the
@@ -1184,6 +1190,13 @@ final class LokiStubServer {
       case "!=" => !line.contains(pattern)
       case "|~" => re.matcher(line).find()
       case "!~" => !re.matcher(line).find()
+      // Loki 3.x pattern line filters (round 16): the shared anchored
+      // template matcher; templates are compile-validated at query
+      // parse (real Loki rejects bad ones per-request, not per-row)
+      case "|>" =>
+        graft.sources.loki.LokiParsers.patternAll(line, pattern) != null
+      case "!>" =>
+        graft.sources.loki.LokiParsers.patternAll(line, pattern) == null
     }
   }
 
@@ -1210,6 +1223,17 @@ final class LokiStubServer {
     */
   private case class LabelFormatStage(
       ops: Seq[(String, Either[String, String])]) extends Stage
+
+  /** `| keep a, b="v"` / `| drop a, b="v"` (round 16): label-set
+    * surgery. `drop` removes named labels (value-qualified operands
+    * only where the value matches); `keep` removes every label NOT
+    * named — except `__error__`/`__error_details__`, which only an
+    * explicit `drop` can remove (grafana/loki keep_labels.go's
+    * special-label exemption; dropping `__error__` is the documented
+    * idiom for ignoring parse errors).
+    */
+  private case class KeepDropStage(
+      kind: String, ops: Seq[(String, Option[String])]) extends Stage
 
   /** `| unwrap lbl` / `| unwrap duration_seconds(lbl)` / `| unwrap
     * bytes(lbl)` — numeric sample extraction (round 16): the label's
@@ -1390,6 +1414,20 @@ final class LokiStubServer {
             labels += (dst -> v)
             outLabels += (dst -> v)
         }
+      case KeepDropStage(kind, ops) =>
+        // each map filters against ITS OWN values (effective and output
+        // sets can diverge: unwrap removes from the effective set only)
+        def opHits(k: String, v: String): Boolean = ops.exists {
+          case (n, None) => n == k
+          case (n, Some(want)) => n == k && v == want
+        }
+        def surgery(m: Map[String, String]): Map[String, String] =
+          m.filter { case (k, v) =>
+            if (kind == "drop") !opHits(k, v)
+            else opHits(k, v) || k == "__error__" || k == "__error_details__"
+          }
+        labels = surgery(labels)
+        outLabels = surgery(outLabels)
       case f: LabelFilterStage => if (!f.matches(labels)) return None
     }
     Some(PipeResult(labels, value, outLine, outLabels))
@@ -1482,9 +1520,14 @@ final class LokiStubServer {
     }
     val stages = mutable.ArrayBuffer.empty[Stage]
     while (rest.nonEmpty) {
-      Seq("|=", "!=", "|~", "!~").find(rest.startsWith) match {
+      Seq("|=", "!=", "|~", "!~", "|>", "!>").find(rest.startsWith) match {
         case Some(op) =>
           val (v, r2) = takeString(rest.substring(2).trim)
+          // pattern-filter templates fail the whole request, like real
+          // Loki's query-parse rejection (never silently per-row)
+          require(!(op == "|>" || op == "!>") ||
+            graft.sources.loki.LokiParsers.patternCompile(v).isRight,
+            s"invalid pattern line-filter template: $v")
           stages += LineStage(LineF(op, v))
           rest = r2
         case None =>
@@ -1521,6 +1564,22 @@ final class LokiStubServer {
               else more = false
             }
             stages += LabelFormatStage(ops.toSeq)
+          } else if (ident == "keep" || ident == "drop") {
+            val ops = mutable.ArrayBuffer.empty[(String, Option[String])]
+            var more = true
+            while (more) {
+              val (l, afterL) = takeIdent(rest)
+              rest = afterL
+              if (rest.startsWith("=") && !rest.startsWith("=~") &&
+                !rest.startsWith("==")) {
+                val (v, r2) = takeString(rest.substring(1).trim)
+                ops += ((l, Some(v)))
+                rest = r2
+              } else ops += ((l, None))
+              if (rest.startsWith(",")) rest = rest.substring(1).trim
+              else more = false
+            }
+            stages += KeepDropStage(ident, ops.toSeq)
           } else if (ident == "unwrap") {
             val (tok, r2) = takeIdent(rest)
             if (r2.startsWith("(")) {

@@ -198,7 +198,10 @@ object LogQLProps extends Properties("LogQL") {
   // ------------------------------------------------------ selector parser
 
   private val matcherOp: Gen[String] = Gen.oneOf("=", "!=", "=~", "!~")
-  private val lineOp: Gen[String] = Gen.oneOf("|=", "!=", "|~", "!~")
+  // |>/!> included (round 16): the pattern-filter ops ride the same
+  // string renderer, so any value bytes must round-trip for them too
+  private val lineOp: Gen[String] =
+    Gen.oneOf("|=", "!=", "|~", "!~", "|>", "!>")
 
   /** Values sweeping the escaping-relevant space: quotes, backslashes,
     * backticks, control chars, regex metachars, unicode.
@@ -268,7 +271,16 @@ object LogQLProps extends Properties("LogQL") {
     } yield LogQL.PLabelFormat(
       if (useTemplate)
         Seq((a, scala.util.Left(b)), (c, scala.util.Right(s"{{.$t}}x")))
-      else Seq((a, scala.util.Left(b))))))
+      else Seq((a, scala.util.Left(b))))),
+    // round-16 third tranche: | keep / | drop — bare and
+    // value-qualified operands
+    1 -> (for {
+      kind <- Gen.oneOf("keep", "drop")
+      a <- labelIdent; b <- labelIdent; v <- hardValue
+      qualified <- Gen.oneOf(true, false)
+    } yield LogQL.PKeepDrop(kind,
+      if (qualified) Seq((a, None), (b, Some(v)))
+      else Seq((a, None)))))
 
   property("parseSelector inverts the full stage grammar (escape=true)") =
     Prop.forAll(

@@ -552,6 +552,49 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
       .agg(var_samp(acc))).contains("LokiMetricScan"))
   }
 
+  test("min_by/max_by FILTER push as first/last_over_time; unfiltered don't") {
+    val u = "loki_unwrap(logfmt_get(line, 'h'))"
+    def aggd(df: DataFrame): DataFrame = df
+      .groupBy(element_at(col("labels"), "app").as("app"))
+      .agg(
+        expr(s"min_by($u, timestamp) FILTER (WHERE $u IS NOT NULL)")
+          .as("first_h"),
+        expr(s"max_by($u, timestamp) FILTER (WHERE $u IS NOT NULL)")
+          .as("last_h"))
+      .orderBy("app")
+    val df = aggd(windowed(lokiDf()))
+    val plan = planOf(df)
+    assert(plan.contains("first_over_time(") &&
+      plan.contains("last_over_time("), plan)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val host = aggd(windowed(lokiDf(Map("push_metric" -> "false"))))
+    assert(!planOf(host).contains("LokiMetricScan"))
+    val hostRows = host.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // tied timestamps in this corpus carry identical h values, so the
+    // head/last selection is deterministic on both sides — exact equality
+    assert(got.toSeq == hostRows.toSeq && got.nonEmpty, s"got=${got.toSeq}")
+    // exactness contract: the NOT-NULL filter is REQUIRED (an unfiltered
+    // min_by could return the NULL sitting at the earliest timestamp) …
+    assert(!planOf(windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app"))
+      .agg(expr(s"min_by($u, timestamp)"))).contains("LokiMetricScan"))
+    // … and must guard the SAME accessor the value unwraps
+    assert(!planOf(windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app"))
+      .agg(expr(s"min_by($u, timestamp) FILTER (WHERE " +
+        "loki_unwrap(logfmt_get(line, 'k')) IS NOT NULL)")))
+      .contains("LokiMetricScan"))
+    // … and order on the RAW timestamp column (a transform breaks the
+    // sample-order equivalence)
+    assert(!planOf(windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "app"))
+      .agg(expr(s"min_by($u, timestamp + INTERVAL 1 SECOND) " +
+        s"FILTER (WHERE $u IS NOT NULL)")))
+      .contains("LokiMetricScan"))
+  }
+
   test("unwrap conversion functions render their wire form") {
     import graft.functions.GraftFunctions.{
       logfmt_get, loki_bytes, loki_duration_seconds}

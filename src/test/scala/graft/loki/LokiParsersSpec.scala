@@ -144,4 +144,23 @@ class LokiParsersSpec extends AnyFunSuite {
     assert(b("KiB") == null && b("") == null && b("1 2 KiB") == null)
     assert(b("1XB") == null)
   }
+
+  test("patternMatchUTF8: anchored boolean match; invalid template is NULL") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def m(l: String, t: String): java.lang.Boolean =
+      LokiParsers.patternMatchUTF8(
+        UTF8String.fromString(l), UTF8String.fromString(t))
+    assert(m("click value=0.5", "<_>value=0.<_>") == java.lang.Boolean.TRUE)
+    assert(m("click value=1.5", "<_>value=0.<_>") == java.lang.Boolean.FALSE)
+    // anchored at both ends: a leading literal must be the line's
+    // prefix, trailing text after the final literal fails
+    assert(m("xclick v", "click <_>") == java.lang.Boolean.FALSE)
+    assert(m("click v", "click <_>") == java.lang.Boolean.TRUE)
+    assert(m("a v tail", "a <_> v") == java.lang.Boolean.FALSE)
+    // wildcard captures may match empty
+    assert(m("value=1", "<_>value=1<_>") == java.lang.Boolean.TRUE)
+    // invalid templates (no captures / consecutive captures) ≡ SQL NULL
+    assert(m("anything", "no captures here") == null)
+    assert(m("anything", "<a><b>") == null)
+  }
 }

@@ -438,6 +438,55 @@ class LokiStreamSpec extends SparkTestBase {
     }
   }
 
+  test("| keep exempts __error__; | drop removes it; value-qualified drop") {
+    withStub { stub =>
+      stub.seed((0 until 40).map { i =>
+        val line =
+          if (i % 2 == 0) s"""{"code": $i}""" else s"""{"code": x$i"""
+        stub.LogRow(base + i * 1000000000L,
+          Map("app" -> (if (i % 4 < 2) "api" else "web"), "env" -> "prod"),
+          line)
+      })
+      val cap = base + 3600L * 1000000000L
+      // (a) keep app: env drops from the returned set (size 1), but
+      // __error__ SURVIVES the keep (grafana/loki special-label
+      // exemption) — the downstream filter selects exactly the
+      // malformed-JSON rows
+      val kept = drain(
+        streamDf(stub, Map(
+          "stream_end_ns" -> cap.toString,
+          "selector" -> ("""{app="api"} | json | keep app """ +
+            """| __error__="JSONParserErr""""))),
+        "loki_tail_keep_err", tmp("loki_keep_err_ck"))
+        .select(col("line"), size(col("labels")).as("n"))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(kept.nonEmpty &&
+        kept.forall { case (l, n) => l.contains(": x") && n == 1 }, kept)
+      // (b) an explicit `drop __error__` is the documented
+      // ignore-parse-errors idiom: after it, `__error__=""` passes ALL
+      // api rows — malformed included
+      val cleared = drain(
+        streamDf(stub, Map(
+          "stream_end_ns" -> cap.toString,
+          "selector" -> ("""{app="api"} | json | drop __error__ """ +
+            "| __error__=\"\""))),
+        "loki_tail_drop_err", tmp("loki_drop_err_ck"))
+        .collect()
+      assert(cleared.length == 20, s"${cleared.length}")
+      // (c) value-qualified drop: `drop app="api"` strips the label from
+      // api streams only — web rows keep theirs
+      val vq = drain(
+        streamDf(stub, Map(
+          "stream_end_ns" -> cap.toString,
+          "selector" -> """{env="prod"} | drop app="api"""")),
+        "loki_tail_drop_vq", tmp("loki_drop_vq_ck"))
+        .select(element_at(col("labels"), "app").as("app"))
+        .collect().map(r => Option(r.getString(0))).toSeq
+      assert(vq.count(_.isEmpty) == 20 && vq.count(_.contains("web")) == 20,
+        vq.groupBy(identity).view.mapValues(_.size).toMap)
+    }
+  }
+
   test("selector option composes with stream window and survives checkpointed re-drain") {
     withStub { stub =>
       stub.seed((0 until 100).map(i =>
