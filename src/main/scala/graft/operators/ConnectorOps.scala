@@ -2040,6 +2040,57 @@ object ConnectorOps {
           |GROUP BY 1, 2
           |ORDER BY bucket_us, event_type""".stripMargin)),
 
+    // Window splitting × unwrapped kinds (round 16, third tranche):
+    // `partitions=4` slices the day-bucketed window into whole-bucket
+    // runs for UNWRAPPED aggregations too — every unwrapped kind
+    // (avg/min/max/first/last/quantile) is a per-bucket selection over
+    // `(t−step, t]`, so disjoint bucket runs compose exactly like the
+    // count form. Two kinds per slice (avg + exact p90), each slice its
+    // own pair of wire queries, the oracle over the union.
+    ("loki_metric_unwrap_split",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val st = ConnectorOps.unwrapStub(s, d)
+        val dur = graft.functions.GraftFunctions.loki_unwrap(
+          graft.functions.GraftFunctions.logfmt_get(col("line"), lit("duration")))
+        val base = s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "app")
+          .option("partitions", "4")
+          .load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(date_trunc("day", col("timestamp")).as("bucket"),
+            element_at(col("labels"), "event_type").as("event_type"))
+          .agg(avg(dur).as("avg_dur"),
+            percentile(dur, lit(0.9)).as("p90_raw"))
+          // p90 rounds 4dp both sides (the quantile-interpolation ulp
+          // convention — see loki_metric_unwrap_p90); avg of
+          // integer-valued samples is exact unrounded
+          .select(unix_micros(col("bucket")).as("bucket_us"),
+            col("event_type"), col("avg_dur"),
+            round(col("p90_raw"), 4).as("p90_dur"))
+        val plan = base.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("avg_over_time(") &&
+          plan.contains("quantile_over_time(0.9,"),
+          s"sliced unwrap metric did not push: $plan")
+        val slices = base.rdd.getNumPartitions
+        base.crossJoin(broadcast(Seq(slices == 4).toDF("sliced_4_ok")))
+          .orderBy("bucket_us", "event_type")
+      },
+      Some(
+        s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us, event_type,
+           |       avg(dur) AS avg_dur,
+           |       round(quantile_cont(dur, 0.9), 4) AS p90_dur,
+           |       true AS sliced_4_ok
+           |FROM $unwrapOracleSrc
+           |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+           |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+           |GROUP BY 1, 2
+           |ORDER BY bucket_us, event_type""".stripMargin)),
+
     // `| unwrap` + unwrapped range aggregations (round 16): numeric
     // aggregation over a field EXTRACTED FROM THE LINE — the
     // latency-percentile workload (`avg_over_time({sel} | logfmt

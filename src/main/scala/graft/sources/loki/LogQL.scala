@@ -190,6 +190,14 @@ object LogQL {
       }.mkString(", ")
   }
 
+  /** `| decolorize` (round 16, third tranche) — strips ANSI SGR color
+    * sequences from the line, server-side; downstream stages see the
+    * clean text (grafana/loki pipeline semantics). No operands.
+    */
+  case object PDecolorize extends PipeStage {
+    def render(escape: Boolean): String = "| decolorize"
+  }
+
   /** `| keep a, b="v"` / `| drop a, b="v"` (round 16, third tranche) —
     * label-set surgery over the effective labels: `drop` removes the
     * named labels (a value-qualified operand only where the value
@@ -347,6 +355,8 @@ object LogQL {
               else more = false
             }
             stages += PLabelFormat(ops.result())
+          } else if (id == "decolorize") {
+            stages += PDecolorize
           } else if (id == "keep" || id == "drop") {
             // comma list of label names, each optionally ="value"
             val ops = Seq.newBuilder[(String, Option[String])]

@@ -1217,6 +1217,12 @@ final class LokiStubServer {
     */
   private case class LineFormatStage(template: String) extends Stage
 
+  /** `| decolorize` (round 16): strips ANSI SGR color sequences
+    * (`ESC [ <params> m`) from the CURRENT line — downstream filters
+    * and parsers see the clean text, grafana/loki pipeline semantics.
+    */
+  private case object DecolorizeStage extends Stage
+
   /** `| label_format dst=src, dst2="t"` (round 16): ident operands MOVE
     * src's value to dst (grafana/loki rename semantics — src is
     * removed), template operands SET dst from the rendered text.
@@ -1315,11 +1321,15 @@ final class LokiStubServer {
       return Some(PipeResult(r.labels, None, r.line, r.labels))
     var labels = r.labels
     var value: Option[Double] = None
-    var outLine = r.line
+    // the CURRENT line, like real Loki's pipeline: line filters and
+    // parser stages read it, line_format/decolorize REWRITE it for
+    // every downstream stage (round 16 — previously filters/parsers
+    // always read the raw line, diverging on `| line_format … |= x`)
+    var curLine = r.line
     var outLabels = r.labels
     val base = r.labels.keySet
     stages.foreach {
-      case LineStage(f) => if (!f.matches(r.line)) return None
+      case LineStage(f) => if (!f.matches(curLine)) return None
       case ParserStage(kind, exprs) =>
         def put(name: String, v: String): Unit = {
           val tgt = if (base.contains(name)) name + "_extracted" else name
@@ -1330,15 +1340,15 @@ final class LokiStubServer {
             // jsoniter-strict error labeling; the EXTRACTION itself stays
             // jsonparser-lenient (first match, trailing garbage ok) — the
             // __error__ label never drops a row by itself
-            if (!graft.sources.loki.LokiParsers.jsonValid(r.line))
+            if (!graft.sources.loki.LokiParsers.jsonValid(curLine))
               labels += ("__error__" -> "JSONParserErr")
             if (exprs.isEmpty)
-              graft.sources.loki.LokiParsers.jsonFlatten(r.line) match {
+              graft.sources.loki.LokiParsers.jsonFlatten(curLine) match {
                 case Right(kvs) => kvs.foreach { case (k, v) => put(k, v) }
                 case Left(_) => () // __error__ already set
               }
             else exprs.foreach { case (lbl, key) =>
-              val v = graft.sources.loki.LokiParsers.jsonGet(r.line, key)
+              val v = graft.sources.loki.LokiParsers.jsonGet(curLine, key)
               if (v != null) put(lbl, v)
             }
           case "pattern" =>
@@ -1350,7 +1360,7 @@ final class LokiStubServer {
             graft.sources.loki.LokiParsers.patternCompile(tmpl) match {
               case Left(_) => labels += ("__error__" -> "PatternParserErr")
               case Right(_) =>
-                val kvs = graft.sources.loki.LokiParsers.patternAll(r.line, tmpl)
+                val kvs = graft.sources.loki.LokiParsers.patternAll(curLine, tmpl)
                 if (kvs != null) kvs.foreach { case (k, v) => put(k, v) }
             }
           case "regexp" =>
@@ -1359,12 +1369,12 @@ final class LokiStubServer {
             // (not per-row), so the stub fails the whole request too; a
             // non-matching line extracts nothing and is NOT dropped.
             val kvs = graft.sources.loki.LokiParsers
-              .regexpAllWire(r.line, exprs.head._2)
+              .regexpAllWire(curLine, exprs.head._2)
             if (kvs == null)
               sys.error(s"bad regexp stage pattern: ${exprs.head._2}")
             kvs.foreach { case (k, v) => put(k, v) }
           case "logfmt" =>
-            graft.sources.loki.LokiParsers.logfmtAll(r.line) match {
+            graft.sources.loki.LokiParsers.logfmtAll(curLine) match {
               case Right(pairs) =>
                 if (exprs.isEmpty)
                   pairs.foreach { case (k, v) =>
@@ -1399,7 +1409,9 @@ final class LokiStubServer {
           case None => value = Some(0.0) // missing/empty → 0, no error
         }
       case LineFormatStage(t) =>
-        outLine = renderTemplate(t, labels)
+        curLine = renderTemplate(t, labels)
+      case DecolorizeStage =>
+        curLine = curLine.replaceAll("\u001b\\[[0-9;]*m", "")
       case LabelFormatStage(ops) =>
         ops.foreach {
           case (dst, Left(src)) =>
@@ -1430,7 +1442,7 @@ final class LokiStubServer {
         outLabels = surgery(outLabels)
       case f: LabelFilterStage => if (!f.matches(labels)) return None
     }
-    Some(PipeResult(labels, value, outLine, outLabels))
+    Some(PipeResult(labels, value, curLine, outLabels))
   }
 
   /** Parse `{a="b", c=~"d"} |= `x` != `y`` — the exact grammar the
@@ -1564,6 +1576,8 @@ final class LokiStubServer {
               else more = false
             }
             stages += LabelFormatStage(ops.toSeq)
+          } else if (ident == "decolorize") {
+            stages += DecolorizeStage
           } else if (ident == "keep" || ident == "drop") {
             val ops = mutable.ArrayBuffer.empty[(String, Option[String])]
             var more = true

@@ -272,6 +272,8 @@ object LogQLProps extends Properties("LogQL") {
       if (useTemplate)
         Seq((a, scala.util.Left(b)), (c, scala.util.Right(s"{{.$t}}x")))
       else Seq((a, scala.util.Left(b))))),
+    // round-16 third tranche: | decolorize (no operands)
+    1 -> Gen.const(LogQL.PDecolorize),
     // round-16 third tranche: | keep / | drop — bare and
     // value-qualified operands
     1 -> (for {

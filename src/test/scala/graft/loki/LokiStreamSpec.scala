@@ -487,6 +487,41 @@ class LokiStreamSpec extends SparkTestBase {
     }
   }
 
+  test("| decolorize strips ANSI codes; downstream stages see the CURRENT line") {
+    withStub { stub =>
+      // color codes SPLIT the word "error" in the raw bytes, so a plain
+      // |= `error` matches only AFTER decolorize rewrites the line —
+      // this pins both the stage and the current-line pipeline model
+      stub.seed((0 until 30).map { i =>
+        val line =
+          if (i % 3 == 0) s"\u001b[31mer\u001b[0mror code=$i"
+          else s"ok code=$i"
+        stub.LogRow(base + i * 1000000000L, Map("app" -> "api"), line)
+      })
+      val cap = base + 3600L * 1000000000L
+      val got = drain(
+        streamDf(stub, Map(
+          "stream_end_ns" -> cap.toString,
+          "selector" -> """{app="api"} | decolorize |= "error"""")),
+        "loki_tail_decolor", tmp("loki_decolor_ck"))
+        .collect().map(_.getString(2)).sorted.toSeq
+      assert(got == (0 until 30 by 3).map(i => s"error code=$i").sorted,
+        s"${got.take(3)}… (${got.size} rows)")
+      // …and a filter AFTER line_format reads the FORMATTED line (the
+      // current-line model, not the raw bytes)
+      val fmt = drain(
+        streamDf(stub, Map(
+          "stream_end_ns" -> cap.toString,
+          "selector" -> ("""{app="api"} | decolorize | logfmt c="code" """ +
+            """| line_format "id={{.c}}" |= "id=2""""))),
+        "loki_tail_fmt_filter", tmp("loki_fmt_filter_ck"))
+        .collect().map(_.getString(2)).sorted.toSeq
+      assert(fmt == Seq("id=2", "id=20", "id=21", "id=22", "id=23", "id=24",
+        "id=25", "id=26", "id=27", "id=28", "id=29"),
+        s"$fmt")
+    }
+  }
+
   test("selector option composes with stream window and survives checkpointed re-drain") {
     withStub { stub =>
       stub.seed((0 until 100).map(i =>
