@@ -90,7 +90,8 @@ object Plans {
     // round-16 third tranche: first/last_over_time selection kinds,
     // Loki 3.x pattern line filters
     "loki_metric_unwrap_first_last", "loki_line_pattern_filter",
-    "loki_metric_unwrap_split")
+    "loki_metric_unwrap_split", "loki_metric_bottomk",
+    "loki_line_ip_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -47,6 +47,12 @@ object GraftFunctions {
   def loki_pattern_match(line: Column, template: Column): Column =
     toCol(LokiPatternMatch(ex(line), ex(template)))
 
+  def loki_ip_match(value: Column, pattern: Column): Column =
+    toCol(LokiIpMatch(ex(value), ex(pattern)))
+
+  def loki_line_ip(line: Column, pattern: Column): Column =
+    toCol(LokiLineIp(ex(line), ex(pattern)))
+
   def loki_unwrap(v: Column): Column = toCol(LokiUnwrap(ex(v)))
 
   def loki_duration_seconds(v: Column): Column =
@@ -114,6 +120,8 @@ object GraftFunctions {
     "loki_json_get" -> (es => LokiJsonGet(es.head, es(1))),
     "loki_pattern_get" -> (es => LokiPatternGet(es.head, es(1), es(2))),
     "loki_pattern_match" -> (es => LokiPatternMatch(es.head, es(1))),
+    "loki_ip_match" -> (es => LokiIpMatch(es.head, es(1))),
+    "loki_line_ip" -> (es => LokiLineIp(es.head, es(1))),
     "loki_unwrap" -> (es => LokiUnwrap(es.head)),
     "loki_duration_seconds" -> (es => LokiDurationSeconds(es.head)),
     "loki_bytes" -> (es => LokiBytes(es.head)),

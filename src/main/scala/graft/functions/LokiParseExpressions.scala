@@ -98,6 +98,63 @@ case class LokiPatternMatch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `loki_ip_match(labels['addr'], '10.0.0.0/16')` — the ip() LABEL
+  * filter (round 16; see [[LokiParsers.ipMatchUTF8]]): the whole value
+  * parses as an IPv4 inside the pattern's range (single / "a-b" range /
+  * CIDR). Unparsable value → false (so the negation keeps it);
+  * pattern outside the IPv4 subset → SQL NULL (never pushed).
+  */
+case class LokiIpMatch(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "loki_ip_match"
+  override protected def nullSafeEval(v: Any, p: Any): Any =
+    LokiParsers.ipMatchUTF8(
+      v.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { (v, p) =>
+      val tmp = ctx.freshName("ipmatch")
+      s"""java.lang.Boolean $tmp =
+         |  graft.sources.loki.LokiParsers.ipMatchUTF8($v, $p);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? false : $tmp.booleanValue();""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LokiIpMatch =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `loki_line_ip(line, '10.0.0.5-10.0.0.59')` — the ip() LINE filter
+  * (round 16; see [[LokiParsers.lineContainsIp]] for the shared
+  * candidate-boundary rule): does the line contain an IPv4 in range?
+  * Predicates over it push as `|= ip("…")` / `!= ip("…")`.
+  */
+case class LokiLineIp(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "loki_line_ip"
+  override protected def nullSafeEval(l: Any, p: Any): Any =
+    LokiParsers.lineIpUTF8(
+      l.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { (l, p) =>
+      val tmp = ctx.freshName("lineip")
+      s"""java.lang.Boolean $tmp =
+         |  graft.sources.loki.LokiParsers.lineIpUTF8($l, $p);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? false : $tmp.booleanValue();""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LokiLineIp =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `loki_regexp_get(line, '(?<ev>[a-z]+) took (?<ms>\\d+)', 'ms')` —
   * Loki `| regexp` named-capture extraction (round 16; see
   * [[LokiParsers.regexpGet]]): Java-dialect pattern, unanchored find,

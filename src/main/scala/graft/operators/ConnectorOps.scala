@@ -1210,6 +1210,66 @@ object ConnectorOps {
           |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
           |ORDER BY ts_us, line""".stripMargin)),
 
+    // ip() LINE filters (round 16, third tranche): `|= ip("…")` /
+    // `!= ip("…")` — grafana/loki's access-log idiom, all three pattern
+    // forms load-bearing in one chain: a positive RANGE
+    // (10.0.0.5-10.0.0.59 → users 5–59), a negative CIDR (10.0.0.32/27
+    // → minus 32–63), a negative SINGLE (minus user 7). The host
+    // expression, the translator claim, and the stub's evaluation share
+    // LokiParsers' one maximal-run candidate scan, so the push is exact
+    // by construction; the oracle replays the ranges as user_id
+    // arithmetic.
+    ("loki_line_ip_filter",
+      (s: SparkSession, d: String) => {
+        val st = stubSync(stubs.getOrElseUpdate(s"$d#iplines", {
+          val scratch = new LokiStubServer
+          scratch.start()
+          Tables.events(s, d).select(
+            col("ts").as("timestamp"),
+            map(lit("app"), lit("ipcorpus")).as("labels"),
+            concat(col("event_type"), lit(" src=10.0."),
+              expr("CAST(user_id div 250 AS STRING)"), lit("."),
+              (col("user_id") % 250).cast("string"),
+              lit(" value="), col("value").cast("string")).as("line"))
+            .write.format("loki")
+            .option("endpoint", scratch.endpoint)
+            .option("push_batch_size", "8192")
+            .mode("append").save()
+          sys.addShutdownHook(scratch.stop())
+          scratch
+        }))
+        import graft.functions.GraftFunctions.loki_line_ip
+        val df = s.read.format("loki")
+          .option("endpoint", st.endpoint)
+          .option("default_label", "app")
+          .load()
+          .filter(
+            loki_line_ip(col("line"), lit("10.0.0.5-10.0.0.59")) &&
+              !loki_line_ip(col("line"), lit("10.0.0.32/27")) &&
+              !loki_line_ip(col("line"), lit("10.0.0.7")) &&
+              col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("line"))
+          .orderBy("ts_us", "line")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("""|= ip("10.0.0.5-10.0.0.59")""") &&
+          plan.contains("""!= ip("10.0.0.32/27")""") &&
+          plan.contains("""!= ip("10.0.0.7")"""),
+          s"ip() line filters did not push: $plan")
+        df
+      },
+      Some(
+        """SELECT epoch_us(ts) AS ts_us,
+          |       concat(event_type, ' src=10.0.',
+          |              CAST(user_id // 250 AS VARCHAR), '.',
+          |              CAST(user_id % 250 AS VARCHAR),
+          |              ' value=', CAST(value AS VARCHAR)) AS line
+          |FROM events
+          |WHERE user_id BETWEEN 5 AND 59
+          |  AND NOT (user_id BETWEEN 32 AND 63)
+          |  AND user_id != 7
+          |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |ORDER BY ts_us, line""".stripMargin)),
+
     // Absent-label semantics end-to-end (SURVEY.md §7.4(f)): a corpus where
     // a third of the streams LACK the matched label. `tier != 'gold'` is an
     // absent-matching matcher — Loki treats a missing label as "" ≠ "gold"
@@ -1968,6 +2028,38 @@ object ConnectorOps {
           |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
           |    AND ts < TIMESTAMP '2024-02-01 00:00:00'
           |  GROUP BY 1 ORDER BY cnt DESC LIMIT 10)
+          |ORDER BY event_type""".stripMargin)),
+
+    // bottomk (round 16, third tranche): the ascending twin —
+    // `ORDER BY cnt ASC LIMIT k` pushes as `bottomk(k, sum by (…)
+    // (count_over_time(…)))`, the "quietest apps" dashboard. Selection
+    // exactness (unique bottom-1 differential vs the host plan) is
+    // spec-pinned; this row certifies the wire rendering and decode
+    // under the oracle.
+    ("loki_metric_bottomk",
+      (s: SparkSession, d: String) => {
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(element_at(col("labels"), "event_type").as("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt"))
+          .limit(10)
+          .orderBy("event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LokiMetricScan") &&
+          plan.contains("bottomk(10, sum by (event_type) (count_over_time("),
+          s"bottom-k did not push as a bottomk metric query: $plan")
+        df
+      },
+      Some(
+        """SELECT event_type, cnt FROM (
+          |  SELECT event_type, count(*) AS cnt
+          |  FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |    AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |  GROUP BY 1 ORDER BY cnt ASC LIMIT 10)
           |ORDER BY event_type""".stripMargin)),
 
     // HAVING over the metric rewrite (round 15, VERDICT r14 #3): the

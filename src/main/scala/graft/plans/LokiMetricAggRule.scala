@@ -582,13 +582,14 @@ object LokiMetricAggRule extends Rule[LogicalPlan] {
   *   - the relation is unbucketed (one evaluation point — Prometheus
   *     topk selects per point, which coincides with the SQL global
   *     top-k only there) and single-kind, with no topk already applied;
-  *   - the sort is a SINGLE descending key resolving to the relation's
-  *     value column. A secondary tie-break key would make the SQL
-  *     answer deterministic while the server's choice among ties is
+  *   - the sort is a SINGLE key resolving to the relation's value
+  *     column — descending pushes `topk`, ascending `bottomk` (round
+  *     16). A secondary tie-break key would make the SQL answer
+  *     deterministic while the server's choice among ties is
   *     arbitrary — not pushable. Without one, SQL's own LIMIT-after-ties
-  *     is implementation-defined, and the server's top-k is one of the
-  *     valid answers (ties at the boundary may differ from the host's
-  *     pick — the standard topk contract).
+  *     is implementation-defined, and the server's extreme-k is one of
+  *     the valid answers (ties at the boundary may differ from the
+  *     host's pick — the standard topk contract).
   */
 object LokiMetricTopKRule extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{
@@ -617,6 +618,10 @@ object LokiMetricTopKRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // descending → topk, ascending → bottomk (round 16): both are
+    // single-evaluation-point selections, so the SQL global extreme-k
+    // coincides with the Prometheus per-point one under the identical
+    // unbucketed/single-kind/no-tiebreak guards
     case gl @ GlobalLimit(IntegerLiteral(k),
         ll @ LocalLimit(_,
         srt @ Sort(Seq(order), true,
@@ -624,9 +629,9 @@ object LokiMetricTopKRule extends Rule[LogicalPlan] {
         r @ DataSourceV2Relation(mt: LokiMetricTable, _, _, _, _, _)), _)))
         if k > 0 && mt.topk.isEmpty && !mt.bucketed && mt.aggs.size == 1 &&
           mt.aggs.head.unwrap.isEmpty && mt.aggs.head.filterStages.isEmpty &&
-          !mt.enumerate &&
-          order.direction == Descending && sortsOnValue(order, p, r) =>
+          !mt.enumerate && sortsOnValue(order, p, r) =>
       gl.copy(child = ll.copy(child = srt.copy(child =
-        p.copy(child = r.copy(table = mt.copy(topk = Some(k)))))))
+        p.copy(child = r.copy(table = mt.copy(topk = Some(k),
+          bottom = order.direction != Descending))))))
   }
 }

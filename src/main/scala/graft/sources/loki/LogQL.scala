@@ -40,6 +40,10 @@ object LogQL {
   final case class LineFilter(op: String, pattern: String) {
     def render: String = render(escape = false)
     def render(escape: Boolean): String = {
+      // ip() forms (round 16): ops "|=ip" / "!=ip" — the pattern is a
+      // validated [0-9./\- ] IPv4 spec, always safely double-quotable
+      if (op.endsWith("ip"))
+        return s"""${op.dropRight(2)} ip("$pattern")"""
       // backtick literals cannot contain a backtick; fall back to the
       // quoted-string form when escaping is on and the pattern needs it
       if (escape && pattern.contains('`')) s"""$op "${escapeQuoted(pattern)}""""
@@ -158,10 +162,15 @@ object LogQL {
         }.mkString(", ")
     }
   }
-  /** Post-parser label filter `| lbl op "v"` (string ops). */
+  /** Post-parser label filter `| lbl op "v"` (string ops), or the ip()
+    * form `| lbl=ip("…")` / `| lbl!=ip("…")` (ops "=ip" / "!=ip",
+    * round 16) — the value is then an IPv4 single/range/CIDR pattern.
+    */
   final case class PLabelFilter(label: String, op: String, value: String)
     extends PipeStage {
     def render(escape: Boolean): String = {
+      if (op.endsWith("ip"))
+        return s"""| $label${op.dropRight(2)}ip("$value")"""
       val v = if (escape) escapeQuoted(value) else value
       s"""| $label$op"$v""""
     }
@@ -315,11 +324,26 @@ object LogQL {
     if (i >= s.length || s.charAt(i) != '}') err("expected '}' or ','")
     i += 1
     val stages = Seq.newBuilder[PipeStage]
+    // `ip("pattern")` operand after a line/label filter op (round 16):
+    // consumed when present, else None and the caller reads a string
+    def ipArg(): Option[String] = {
+      if (!(i + 2 < s.length && s.charAt(i) == 'i' && s.charAt(i + 1) == 'p' &&
+          s.charAt(i + 2) == '(')) return None
+      i += 3; ws()
+      val p = str(); ws()
+      if (i >= s.length || s.charAt(i) != ')') err("expected ')' after ip(…")
+      i += 1
+      Some(p)
+    }
     ws()
     while (i < s.length) {
       s.charAt(i) match {
         case '|' if i + 1 < s.length && s.charAt(i + 1) == '=' =>
-          i += 2; ws(); stages += PLine(LineFilter("|=", str()))
+          i += 2; ws()
+          stages += PLine(ipArg() match {
+            case Some(p) => LineFilter("|=ip", p)
+            case None => LineFilter("|=", str())
+          })
         case '|' if i + 1 < s.length && s.charAt(i + 1) == '~' =>
           i += 2; ws(); stages += PLine(LineFilter("|~", str()))
         case '|' if i + 1 < s.length && s.charAt(i + 1) == '>' =>
@@ -327,7 +351,11 @@ object LogQL {
         case '!' if i + 1 < s.length && s.charAt(i + 1) == '>' =>
           i += 2; ws(); stages += PLine(LineFilter("!>", str()))
         case '!' if i + 1 < s.length && s.charAt(i + 1) == '=' =>
-          i += 2; ws(); stages += PLine(LineFilter("!=", str()))
+          i += 2; ws()
+          stages += PLine(ipArg() match {
+            case Some(p) => LineFilter("!=ip", p)
+            case None => LineFilter("!=", str())
+          })
         case '!' if i + 1 < s.length && s.charAt(i + 1) == '~' =>
           i += 2; ws(); stages += PLine(LineFilter("!~", str()))
         case '|' =>
@@ -392,7 +420,13 @@ object LogQL {
             stages += PParser(id, exprs.result())
           } else {
             val op = matcherOp(); ws()
-            stages += PLabelFilter(id, op, str())
+            stages += (ipArg() match {
+              case Some(p) =>
+                if (op != "=" && op != "!=")
+                  err(s"ip() takes = or !=, not $op")
+                PLabelFilter(id, op + "ip", p)
+              case None => PLabelFilter(id, op, str())
+            })
           }
           ws()
         case _ => err(
@@ -758,6 +792,16 @@ object LogQL {
     case Not(graft.functions.LokiPatternMatch(LineAttr(), StrLit(t)))
         if LokiParsers.patternCompile(t).isRight =>
       Some(LineFilter("!>", t))
+    // ip() line filters (round 16): `loki_line_ip(line, '10.0.0.0/16')`
+    // → `|= ip("…")` — one shared candidate-scan implementation behind
+    // host, claim, and stub, so the push is exact; a pattern outside
+    // the IPv4 subset keeps its residual (host SQL NULL).
+    case graft.functions.LokiLineIp(LineAttr(), StrLit(p))
+        if LokiParsers.ipPatternRange(p) != null =>
+      Some(LineFilter("|=ip", p))
+    case Not(graft.functions.LokiLineIp(LineAttr(), StrLit(p)))
+        if LokiParsers.ipPatternRange(p) != null =>
+      Some(LineFilter("!=ip", p))
     case _ => None
   }
 

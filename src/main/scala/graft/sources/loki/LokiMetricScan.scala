@@ -171,6 +171,12 @@ case class LokiMetricTable(
     aggs: Seq[MetricAgg] = Seq(MetricAgg("count_over_time")),
     /** Server-side top-k series selection (unbucketed, single-kind). */
     topk: Option[Int] = None,
+    /** Render [[topk]] as `bottomk` — the ascending form (round 16):
+      * `ORDER BY cnt ASC LIMIT k` = the k SMALLEST series, which
+      * coincides with Prometheus bottomk at the single evaluation
+      * point exactly like the descending/topk case.
+      */
+    bottom: Boolean = false,
     /** Extra bare count_over_time query for group enumeration (see
       * class doc) — set when every kind is unwrapped.
       */
@@ -186,6 +192,7 @@ case class LokiMetricTable(
       aggs.head.unwrap.isEmpty && aggs.head.filterStages.isEmpty &&
       !enumerate),
     "topk applies only to the unbucketed single-plain-aggregation form")
+  require(!bottom || topk.isDefined, "bottom is a rendering of topk")
   require(!enumerate ||
     aggs.forall(a => a.unwrap.isDefined || a.filterStages.nonEmpty),
     "enumerate exists only when no kind sees the unfiltered row set")
@@ -200,7 +207,8 @@ case class LokiMetricTable(
   /** The wire LogQL for one range aggregation (EXPLAIN discloses all). */
   def metricQueryFor(ma: MetricAgg): String = {
     val rendered = ma.render(inner, stepNs / 1000000000L, groupLabels)
-    topk.fold(rendered)(k => s"topk($k, $rendered)")
+    val fn = if (bottom) "bottomk" else "topk"
+    topk.fold(rendered)(k => s"$fn($k, $rendered)")
   }
 
   /** Value-kind queries first, then the enumeration query (if any). */
@@ -254,7 +262,8 @@ case class LokiMetricScan(table: LokiMetricTable) extends Scan with Batch {
       (if (table.groupLabels.nonEmpty)
         s", group_labels=[${table.groupLabels.mkString(",")}]"
       else "") +
-      table.topk.map(k => s", topk=$k").getOrElse("")
+      table.topk.map(k =>
+        s", ${if (table.bottom) "bottomk" else "topk"}=$k").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val buckets = (table.endNs - table.startNs) / table.stepNs

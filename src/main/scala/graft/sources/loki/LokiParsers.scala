@@ -348,6 +348,113 @@ object LokiParsers {
     if (r == null) null else UTF8String.fromString(r)
   }
 
+  // ------------------------------------------------------------------
+  // ip() matchers (round 16) — `|= ip("…")` line filters and
+  // `| lbl = ip("…")` label filters, grafana/loki's access-log idiom.
+  // IPv4 only (single address, range "a-b", CIDR "a/n") — the
+  // documented subset; IPv6 keeps host-side evaluation.
+  // ------------------------------------------------------------------
+
+  /** Strict IPv4 of a WHOLE string as an unsigned-int long, or -1:
+    * exactly four dot-separated octets, 1-3 digits each, value ≤ 255
+    * (leading zeros tolerated, Go net.ParseIP-style).
+    */
+  def ipValue(s: String): Long = {
+    var acc = 0L
+    var octet = -1L
+    var octets = 0
+    var digits = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        octet = (if (octet < 0) 0L else octet) * 10 + (c - '0')
+        digits += 1
+        if (digits > 3 || octet > 255) return -1L
+      } else if (c == '.') {
+        if (octet < 0 || octets == 3) return -1L
+        acc = (acc << 8) | octet
+        octets += 1; octet = -1L; digits = 0
+      } else return -1L
+      i += 1
+    }
+    if (octet < 0 || octets != 3) return -1L
+    (acc << 8) | octet
+  }
+
+  /** Parse an ip() pattern into an inclusive [lo, hi] unsigned range:
+    * `"a.b.c.d"` (single), `"a.b.c.d-e.f.g.h"` (range),
+    * `"a.b.c.d/n"` (CIDR). Null when the pattern is outside the
+    * (documented, IPv4-only) subset.
+    */
+  def ipPatternRange(p: String): Array[Long] = {
+    val t = p.trim
+    val dash = t.indexOf('-')
+    val slash = t.indexOf('/')
+    if (dash >= 0) {
+      val lo = ipValue(t.substring(0, dash).trim)
+      val hi = ipValue(t.substring(dash + 1).trim)
+      if (lo < 0 || hi < 0 || lo > hi) null else Array(lo, hi)
+    } else if (slash >= 0) {
+      val base = ipValue(t.substring(0, slash).trim)
+      val bits =
+        try t.substring(slash + 1).trim.toInt catch { case _: Exception => -1 }
+      if (base < 0 || bits < 0 || bits > 32) null
+      else {
+        val mask = if (bits == 0) 0L else (0xffffffffL << (32 - bits)) & 0xffffffffL
+        val lo = base & mask
+        Array(lo, lo | (~mask & 0xffffffffL))
+      }
+    } else {
+      val v = ipValue(t)
+      if (v < 0) null else Array(v, v)
+    }
+  }
+
+  /** Label-filter form: the WHOLE value is an IPv4 in the pattern's
+    * range. Unparsable value (or missing ≡ "") is simply no-match —
+    * `!= ip(…)` keeps it, the negation convention. Null for a pattern
+    * outside the subset (the host expression's SQL-NULL convention;
+    * a push requires a valid pattern).
+    */
+  def ipMatchUTF8(v: UTF8String, p: UTF8String): java.lang.Boolean = {
+    val r = ipPatternRange(p.toString)
+    if (r == null) return null
+    val x = ipValue(v.toString)
+    java.lang.Boolean.valueOf(x >= 0 && x >= r(0) && x <= r(1))
+  }
+
+  /** Line-filter form: does the line CONTAIN an IPv4 in range? A
+    * candidate is a MAXIMAL run of digits/dots that parses as a strict
+    * IPv4 in its entirety — the deterministic boundary rule all three
+    * consumers (host expression, translator claim, stub evaluation)
+    * share, so the push is exact by construction. (Loki's own scanner
+    * may extract a prefix out of a longer run like `1.2.3.4.5`; the
+    * shared-impl rule declines such runs — a documented deviation in
+    * the same class as the pattern-parser notes.)
+    */
+  def lineContainsIp(line: String, lo: Long, hi: Long): Boolean = {
+    var i = 0
+    val n = line.length
+    def ipChar(c: Char): Boolean = (c >= '0' && c <= '9') || c == '.'
+    while (i < n) {
+      if (ipChar(line.charAt(i)) && (i == 0 || !ipChar(line.charAt(i - 1)))) {
+        var j = i
+        while (j < n && ipChar(line.charAt(j))) j += 1
+        val v = ipValue(line.substring(i, j))
+        if (v >= 0 && v >= lo && v <= hi) return true
+        i = j
+      } else i += 1
+    }
+    false
+  }
+
+  def lineIpUTF8(line: UTF8String, p: UTF8String): java.lang.Boolean = {
+    val r = ipPatternRange(p.toString)
+    if (r == null) null
+    else java.lang.Boolean.valueOf(lineContainsIp(line.toString, r(0), r(1)))
+  }
+
   /** Boolean template match for the Loki 3.x pattern LINE FILTERS
     * (`|>` / `!>`, round 16 third tranche): the SAME anchored/lazy
     * matcher as `| pattern` ([[patternAll]]), answering "does the line

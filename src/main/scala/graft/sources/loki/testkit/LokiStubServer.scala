@@ -439,7 +439,7 @@ final class LokiStubServer {
     * range-agg grouping) and the two UNWRAPPED grouped forms below.
     */
   private val metricQueryRe = java.util.regex.Pattern.compile(
-    "^(?:topk\\((\\d+), )?sum(?: by \\(([^)]*)\\) )?" +
+    "^(?:(topk|bottomk)\\((\\d+), )?sum(?: by \\(([^)]*)\\) )?" +
       "\\((count_over_time|bytes_over_time|sum_over_time)\\((.*) \\[(\\d+)s\\]\\)\\)(\\))?$",
     java.util.regex.Pattern.DOTALL)
 
@@ -497,6 +497,7 @@ final class LokiStubServer {
       stepParam: Option[String]): Unit = {
     // parse one of the three grammars into a common shape
     var topk: Option[Int] = None
+    var bottom = false
     var byLabels: Seq[String] = Nil
     var fn: String = null
     var phi: Double = 0.0
@@ -506,16 +507,17 @@ final class LokiStubServer {
     val mB = rangeAggQueryRe.matcher(q)
     val mC = quantileQueryRe.matcher(q)
     if (mA.matches()) {
-      // topk(K, …): the opener and its closing paren must pair up
-      topk = Option(mA.group(1)).map(_.toInt)
-      if (topk.isDefined != (mA.group(6) != null)) {
+      // topk/bottomk(K, …): the opener and its closing paren must pair up
+      topk = Option(mA.group(2)).map(_.toInt)
+      bottom = mA.group(1) == "bottomk"
+      if (topk.isDefined != (mA.group(7) != null)) {
         respond(ex, 400, s"unbalanced topk parens: $q".getBytes(UTF_8)); return
       }
-      byLabels = Option(mA.group(2)).toSeq
+      byLabels = Option(mA.group(3)).toSeq
         .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
-      fn = mA.group(3)
-      inner = mA.group(4)
-      rangeNs = mA.group(5).toLong * 1000000000L
+      fn = mA.group(4)
+      inner = mA.group(5)
+      rangeNs = mA.group(6).toLong * 1000000000L
     } else if (mB.matches()) {
       fn = mB.group(1)
       inner = mB.group(2)
@@ -624,12 +626,13 @@ final class LokiStubServer {
         }
       val kept = topk match {
         case Some(k) =>
-          // per-evaluation-point top-k series by value (Prometheus topk
-          // semantics); ties broken by the rendered metric key — real
-          // Loki's choice among ties is arbitrary, the stub's is
-          // deterministic so conformance replays are stable
+          // per-evaluation-point top-k (or bottom-k, round 16) series by
+          // value (Prometheus semantics); ties broken by the rendered
+          // metric key — real Loki's choice among ties is arbitrary, the
+          // stub's is deterministic so conformance replays are stable
           combined.sortBy { case (key, c) =>
-            (-c, key.map { case (a, b) => s"$a=$b" }.mkString(",")) }.take(k)
+            (if (bottom) c else -c,
+              key.map { case (a, b) => s"$a=$b" }.mkString(",")) }.take(k)
         case None => combined
       }
       kept.foreach { case (k, c) =>
@@ -1197,6 +1200,12 @@ final class LokiStubServer {
         graft.sources.loki.LokiParsers.patternAll(line, pattern) != null
       case "!>" =>
         graft.sources.loki.LokiParsers.patternAll(line, pattern) == null
+      // ip() line filters (round 16): pattern validated at query parse
+      case "|=ip" | "!=ip" =>
+        val r = graft.sources.loki.LokiParsers.ipPatternRange(pattern)
+        val hit = graft.sources.loki.LokiParsers
+          .lineContainsIp(line, r(0), r(1))
+        if (op == "|=ip") hit else !hit
     }
   }
 
@@ -1269,6 +1278,14 @@ final class LokiStubServer {
         case "!=" => v != value
         case "=~" => re.matcher(v).matches()
         case "!~" => !re.matcher(v).matches()
+        // ip() label filters (round 16): the whole value is an IPv4 in
+        // range; unparsable (incl. missing ≡ "") is no-match, so the
+        // negation keeps it
+        case "=ip" | "!=ip" =>
+          val r = graft.sources.loki.LokiParsers.ipPatternRange(value)
+          val x = graft.sources.loki.LokiParsers.ipValue(v)
+          val hit = x >= 0 && x >= r(0) && x <= r(1)
+          if (op == "=ip") hit else !hit
       }
     }
   }
@@ -1534,14 +1551,25 @@ final class LokiStubServer {
     while (rest.nonEmpty) {
       Seq("|=", "!=", "|~", "!~", "|>", "!>").find(rest.startsWith) match {
         case Some(op) =>
-          val (v, r2) = takeString(rest.substring(2).trim)
-          // pattern-filter templates fail the whole request, like real
-          // Loki's query-parse rejection (never silently per-row)
-          require(!(op == "|>" || op == "!>") ||
-            graft.sources.loki.LokiParsers.patternCompile(v).isRight,
-            s"invalid pattern line-filter template: $v")
-          stages += LineStage(LineF(op, v))
-          rest = r2
+          val afterOp = rest.substring(2).trim
+          if ((op == "|=" || op == "!=") && afterOp.startsWith("ip(")) {
+            // `|= ip("pattern")` (round 16): IPv4 candidate-scan filter
+            val (p, r2) = takeString(afterOp.substring(3).trim)
+            require(graft.sources.loki.LokiParsers.ipPatternRange(p) != null,
+              s"invalid ip() pattern: $p")
+            require(r2.startsWith(")"), s"unterminated ip() in: $r2")
+            stages += LineStage(LineF(op + "ip", p))
+            rest = r2.substring(1).trim
+          } else {
+            val (v, r2) = takeString(afterOp)
+            // pattern-filter templates fail the whole request, like real
+            // Loki's query-parse rejection (never silently per-row)
+            require(!(op == "|>" || op == "!>") ||
+              graft.sources.loki.LokiParsers.patternCompile(v).isRight,
+              s"invalid pattern line-filter template: $v")
+            stages += LineStage(LineF(op, v))
+            rest = r2
+          }
         case None =>
           // `| json [exprs]` / `| logfmt [exprs]` / `| label op "v"`
           require(rest.startsWith("|"), s"bad pipeline stage in: $rest")
@@ -1628,9 +1656,20 @@ final class LokiStubServer {
           } else {
             val op = Seq("=~", "!~", "!=", "=").find(rest.startsWith)
               .getOrElse(sys.error(s"bad label-filter op in: $rest"))
-            val (v, r2) = takeString(rest.substring(op.length).trim)
-            stages += LabelFilterStage(ident, op, v)
-            rest = r2
+            rest = rest.substring(op.length).trim
+            if ((op == "=" || op == "!=") && rest.startsWith("ip(")) {
+              // `| lbl = ip("pattern")` (round 16): IPv4 range filter
+              val (p, r2) = takeString(rest.substring(3).trim)
+              require(graft.sources.loki.LokiParsers.ipPatternRange(p) != null,
+                s"invalid ip() pattern: $p")
+              require(r2.startsWith(")"), s"unterminated ip() in: $r2")
+              stages += LabelFilterStage(ident, op + "ip", p)
+              rest = r2.substring(1).trim
+            } else {
+              val (v, r2) = takeString(rest)
+              stages += LabelFilterStage(ident, op, v)
+              rest = r2
+            }
           }
       }
     }

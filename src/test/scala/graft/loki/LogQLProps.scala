@@ -274,6 +274,20 @@ object LogQLProps extends Properties("LogQL") {
       else Seq((a, scala.util.Left(b))))),
     // round-16 third tranche: | decolorize (no operands)
     1 -> Gen.const(LogQL.PDecolorize),
+    // round-16: ip() line filters — |= ip("…") / != ip("…"), all three
+    // pattern forms (the grammar is syntactic; validity is the stub's)
+    1 -> (for {
+      op <- Gen.oneOf("|=ip", "!=ip")
+      a <- Gen.chooseNum(0, 255); b <- Gen.chooseNum(0, 255)
+      p <- Gen.oneOf(s"10.$a.$b.1", s"10.$a.0.0-10.$b.255.255",
+        s"10.$a.$b.0/24")
+    } yield LogQL.PLine(LogQL.LineFilter(op, p))),
+    // round-16: ip() label filters — | lbl=ip("…") / | lbl!=ip("…")
+    1 -> (for {
+      l <- labelIdent
+      op <- Gen.oneOf("=ip", "!=ip")
+      a <- Gen.chooseNum(0, 255)
+    } yield LogQL.PLabelFilter(l, op, s"192.168.$a.0/24")),
     // round-16 third tranche: | keep / | drop — bare and
     // value-qualified operands
     1 -> (for {

@@ -376,7 +376,25 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == host)
   }
 
-  test("topk refusals: bucketed form, secondary sort key, ascending") {
+  test("ORDER BY cnt ASC LIMIT k pushes as bottomk(k, …)") {
+    val df = windowed(lokiDf())
+      .groupBy(element_at(col("labels"), "env").as("env"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt"))
+      .limit(1)
+    val plan = planOf(df)
+    assert(plan.contains("bottomk(1, sum by (env) (count_over_time("), plan)
+    // prod carries fewer rows than dev in the seeded corpus: a unique
+    // bottom-1, so the pushed answer equals the host's
+    val host = windowed(lokiDf(Map("push_metric" -> "false")))
+      .groupBy(element_at(col("labels"), "env").as("env"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt")).limit(1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == host)
+  }
+
+  test("topk refusals: bucketed form, secondary sort key") {
     // bucketed: Prometheus topk selects per evaluation point — not the
     // SQL global top-k — so the relation keeps all series
     val bucketed = windowed(lokiDf())
@@ -391,14 +409,8 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("env")).limit(1)
     assert(!planOf(tiebreak).contains("topk("), planOf(tiebreak))
-    // ascending (bottom-k) is a different wire function — not pushed
-    val asc = windowed(lokiDf())
-      .groupBy(element_at(col("labels"), "env").as("env"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt")).limit(1)
-    assert(!planOf(asc).contains("topk("), planOf(asc))
-    // all three still answer correctly from their fallback plans
-    assert(bucketed.count() == 2L && tiebreak.count() == 1L && asc.count() == 1L)
+    // both still answer correctly from their fallback plans
+    assert(bucketed.count() == 2L && tiebreak.count() == 1L)
   }
 
   test("unwrapped avg pushes as avg_over_time with guard+unwrap+error stages") {

@@ -145,6 +145,41 @@ class LokiParsersSpec extends AnyFunSuite {
     assert(b("1XB") == null)
   }
 
+  test("ip(): strict IPv4 parse, three pattern forms, maximal-run line scan") {
+    import LokiParsers.{ipPatternRange, ipValue, lineContainsIp}
+    assert(ipValue("10.0.0.1") == ((10L << 24) | 1L))
+    assert(ipValue("255.255.255.255") == 0xffffffffL)
+    assert(ipValue("0.0.0.0") == 0L && ipValue("007.0.0.1") >= 0)
+    assert(ipValue("256.0.0.1") == -1L && ipValue("1.2.3") == -1L &&
+      ipValue("1.2.3.4.5") == -1L && ipValue("1..2.3") == -1L &&
+      ipValue("") == -1L && ipValue("a.b.c.d") == -1L &&
+      ipValue("1.2.3.4 ") == -1L)
+    // single / range / CIDR
+    assert(ipPatternRange("10.0.0.7").toSeq ==
+      Seq(ipValue("10.0.0.7"), ipValue("10.0.0.7")))
+    assert(ipPatternRange("10.0.0.5-10.0.0.59").toSeq ==
+      Seq(ipValue("10.0.0.5"), ipValue("10.0.0.59")))
+    assert(ipPatternRange("10.0.0.32/27").toSeq ==
+      Seq(ipValue("10.0.0.32"), ipValue("10.0.0.63")))
+    assert(ipPatternRange("10.0.0.0/0").toSeq == Seq(0L, 0xffffffffL))
+    assert(ipPatternRange("10.0.0.1/32").toSeq ==
+      Seq(ipValue("10.0.0.1"), ipValue("10.0.0.1")))
+    // CIDR base bits below the mask are zeroed (network semantics)
+    assert(ipPatternRange("10.0.0.37/27").toSeq ==
+      Seq(ipValue("10.0.0.32"), ipValue("10.0.0.63")))
+    assert(ipPatternRange("10.0.0.1/33") == null &&
+      ipPatternRange("10.0.0.9-10.0.0.5") == null &&
+      ipPatternRange("::1") == null && ipPatternRange("nope") == null)
+    // line scan: maximal digit/dot runs that parse in ENTIRETY
+    val r = ipPatternRange("10.0.0.0/24")
+    assert(lineContainsIp("conn from 10.0.0.7 ok", r(0), r(1)))
+    assert(!lineContainsIp("conn from 10.0.1.7 ok", r(0), r(1)))
+    assert(lineContainsIp("x=1 src=10.0.0.254", r(0), r(1)))
+    // a longer run does NOT yield a prefix match (documented rule)
+    assert(!lineContainsIp("v=0.110.0.0.5 after", r(0), r(1)))
+    assert(!lineContainsIp("value=0.5 no ip here", r(0), r(1)))
+  }
+
   test("patternMatchUTF8: anchored boolean match; invalid template is NULL") {
     import org.apache.spark.unsafe.types.UTF8String
     def m(l: String, t: String): java.lang.Boolean =

@@ -522,6 +522,36 @@ class LokiStreamSpec extends SparkTestBase {
     }
   }
 
+  test("ip() filters on a tail: label form and line form") {
+    withStub { stub =>
+      stub.seed((0 until 32).map { i =>
+        stub.LogRow(base + i * 1000000000L,
+          Map("app" -> "api", "addr" -> s"10.0.0.$i"),
+          s"conn from 10.1.0.$i ok")
+      })
+      val cap = base + 3600L * 1000000000L
+      // label form: the addr STREAM label as a whole-value IPv4 range
+      val byLabel = drain(
+        streamDf(stub, Map(
+          "stream_end_ns" -> cap.toString,
+          "selector" -> """{app="api"} | addr=ip("10.0.0.8-10.0.0.15")""")),
+        "loki_tail_ip_label", tmp("loki_ip_label_ck"))
+        .collect().map(r => r.getString(2)).sorted.toSeq
+      assert(byLabel == (8 to 15).map(i => s"conn from 10.1.0.$i ok").sorted,
+        s"$byLabel")
+      // line form: CIDR over IPs IN the line, minus a single exclusion
+      val byLine = drain(
+        streamDf(stub, Map(
+          "stream_end_ns" -> cap.toString,
+          "selector" -> ("""{app="api"} |= ip("10.1.0.0/28") """ +
+            """!= ip("10.1.0.3")"""))),
+        "loki_tail_ip_line", tmp("loki_ip_line_ck"))
+        .collect().map(r => r.getString(2)).sorted.toSeq
+      assert(byLine == (0 until 16).filter(_ != 3)
+        .map(i => s"conn from 10.1.0.$i ok").sorted, s"$byLine")
+    }
+  }
+
   test("selector option composes with stream window and survives checkpointed re-drain") {
     withStub { stub =>
       stub.seed((0 until 100).map(i =>
