@@ -94,4 +94,37 @@ object LokiParsersProps extends Properties("LokiParsers") {
       Prop((spark == v) == (wire == v)) :|
         s"line=[$line] k=a.$k v=[$v] spark=[$spark] wire=[$wire]"
     }
+
+  // ------------------------------------------------------------------
+  // ip() scanner differential (round 16): the hand-rolled single-pass
+  // lineContainsIp against a NAIVE reference — regex-extract every
+  // maximal [0-9.] run, strict-parse, range-check. Lines are built from
+  // adversarial tokens: valid IPs, over-255 octets, 5-octet runs,
+  // decimals, dotted tails, digit-adjacent text.
+  // ------------------------------------------------------------------
+
+  private val ipToken: Gen[String] = Gen.oneOf(
+    "10.0.0.7", "10.0.0.255", "9.255.255.255", "10.0.1.0", "11.0.0.0",
+    "256.1.1.1", "10.0.0.256", "1.2.3", "1.2.3.4.5", "0.110.0.0.5",
+    "10.0.0.7.", ".10.0.0.7", "value=0.5", "x10.0.0.7", "10.0.0.7y",
+    "007.008.009.010", "err", "[10.0.0.9]", "ip:10.0.0.250", "1..2.3.4")
+
+  private val ipLineGen: Gen[String] =
+    Gen.listOf(ipToken).map(_.take(5).mkString(" "))
+
+  private def naiveContains(line: String, lo: Long, hi: Long): Boolean =
+    "[0-9.]+".r.findAllIn(line).exists { run =>
+      val v = LokiParsers.ipValue(run)
+      v >= 0 && v >= lo && v <= hi
+    }
+
+  property("lineContainsIp ≡ naive maximal-run reference") =
+    Prop.forAll(ipLineGen,
+      Gen.oneOf("10.0.0.0/24", "10.0.0.7", "9.0.0.0-10.0.0.255",
+        "0.0.0.0/0", "10.0.0.128/25")) { (line, pat) =>
+      val r = LokiParsers.ipPatternRange(pat)
+      val fast = LokiParsers.lineContainsIp(line, r(0), r(1))
+      val slow = naiveContains(line, r(0), r(1))
+      Prop(fast == slow) :| s"line=[$line] pat=$pat fast=$fast slow=$slow"
+    }
 }
