@@ -91,7 +91,7 @@ object Plans {
     // Loki 3.x pattern line filters
     "loki_metric_unwrap_first_last", "loki_line_pattern_filter",
     "loki_metric_unwrap_split", "loki_metric_bottomk",
-    "loki_line_ip_filter")
+    "loki_line_ip_filter", "loki_metric_topk_per_bucket")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

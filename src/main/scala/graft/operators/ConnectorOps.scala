@@ -2030,6 +2030,56 @@ object ConnectorOps {
           |  GROUP BY 1 ORDER BY cnt DESC LIMIT 10)
           |ORDER BY event_type""".stripMargin)),
 
+    // PER-BUCKET topk (round 16, third tranche): `row_number() OVER
+    // (PARTITION BY bucket ORDER BY bytes DESC) <= 2` over the
+    // day-bucketed byte sums — the "top 2 noisiest apps PER DAY"
+    // dashboard — pushes as `topk(2, sum by (event_type)
+    // (bytes_over_time(…)))`: Prometheus topk selects per evaluation
+    // point, which IS the per-bucket SQL selection; ≤2 series per
+    // bucket cross the wire instead of all of them. Byte sums are
+    // tie-free per day at the gate SFs, so the selection is exact; the
+    // host Window+Filter stay and rank the survivors.
+    ("loki_metric_topk_per_bucket",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val df = lokiDf(s, d)
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-02-01 00:00:00").cast("timestamp"))
+          .groupBy(date_trunc("day", col("timestamp")).as("bucket"),
+            element_at(col("labels"), "event_type").as("event_type"))
+          .agg(sum(octet_length(col("line"))).as("bytes"))
+          .withColumn("rn", row_number().over(
+            W.partitionBy(col("bucket")).orderBy(col("bytes").desc)))
+          .filter(col("rn") <= 2)
+          .select(unix_micros(col("bucket")).as("bucket_us"),
+            col("event_type"), col("bytes"))
+          .orderBy("bucket_us", "event_type")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains(
+          "topk(2, sum by (event_type) (bytes_over_time(") &&
+          plan.contains("[86400s]"),
+          s"per-bucket rank did not push as bucketed topk: $plan")
+        df
+      },
+      Some(
+        """SELECT epoch_us(bucket) AS bucket_us, event_type, bytes FROM (
+          |  SELECT date_trunc('day', ts) AS bucket, event_type,
+          |         CAST(sum(strlen(concat(event_type, ' value=',
+          |                                CAST(value AS VARCHAR))))
+          |              AS BIGINT) AS bytes,
+          |         row_number() OVER (
+          |           PARTITION BY date_trunc('day', ts)
+          |           ORDER BY sum(strlen(concat(event_type, ' value=',
+          |                                      CAST(value AS VARCHAR))))
+          |             DESC) AS rn
+          |  FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |    AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |  GROUP BY 1, 2)
+          |WHERE rn <= 2
+          |ORDER BY bucket_us, event_type""".stripMargin)),
+
     // bottomk (round 16, third tranche): the ascending twin —
     // `ORDER BY cnt ASC LIMIT k` pushes as `bottomk(k, sum by (…)
     // (count_over_time(…)))`, the "quietest apps" dashboard. Selection

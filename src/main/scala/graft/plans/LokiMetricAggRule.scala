@@ -617,6 +617,51 @@ object LokiMetricTopKRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Whether the relation's shape admits a topk/bottomk wrapper at all
+    * (single plain kind, nothing already applied).
+    */
+  private def topkable(mt: LokiMetricTable): Boolean =
+    mt.topk.isEmpty && mt.aggs.size == 1 &&
+      mt.aggs.head.unwrap.isEmpty && mt.aggs.head.filterStages.isEmpty &&
+      !mt.enumerate
+
+  /** Resolve an expression through the Project to a relation attribute
+    * (Alias-stripped); None when it is anything else.
+    */
+  private def resolveAttr(
+      e: Expression, proj: Project): Option[AttributeReference] = e match {
+    case a: AttributeReference =>
+      proj.projectList.find(_.exprId == a.exprId).map(stripAlias)
+        .getOrElse(a) match {
+        case v: AttributeReference => Some(v)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The rank-bound conjunct over `rn`: `rn <= k` / `rn < k` /
+    * `rn = 1`, either operand order. Returns k.
+    */
+  private def rankBound(
+      c: Expression,
+      rn: org.apache.spark.sql.catalyst.expressions.Attribute): Option[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    def isRn(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == rn.exprId
+      case _ => false
+    }
+    c match {
+      case LessThanOrEqual(e, IntegerLiteral(k)) if isRn(e) => Some(k)
+      case LessThan(e, IntegerLiteral(k)) if isRn(e) => Some(k - 1)
+      case GreaterThanOrEqual(IntegerLiteral(k), e) if isRn(e) => Some(k)
+      case GreaterThan(IntegerLiteral(k), e) if isRn(e) => Some(k - 1)
+      case EqualTo(e, IntegerLiteral(1)) if isRn(e) => Some(1)
+      case EqualTo(IntegerLiteral(1), e) if isRn(e) => Some(1)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // descending → topk, ascending → bottomk (round 16): both are
     // single-evaluation-point selections, so the SQL global extreme-k
@@ -627,11 +672,48 @@ object LokiMetricTopKRule extends Rule[LogicalPlan] {
         srt @ Sort(Seq(order), true,
         p @ Project(_,
         r @ DataSourceV2Relation(mt: LokiMetricTable, _, _, _, _, _)), _)))
-        if k > 0 && mt.topk.isEmpty && !mt.bucketed && mt.aggs.size == 1 &&
-          mt.aggs.head.unwrap.isEmpty && mt.aggs.head.filterStages.isEmpty &&
-          !mt.enumerate && sortsOnValue(order, p, r) =>
+        if k > 0 && !mt.bucketed && topkable(mt) && sortsOnValue(order, p, r) =>
       gl.copy(child = ll.copy(child = srt.copy(child =
         p.copy(child = r.copy(table = mt.copy(topk = Some(k),
           bottom = order.direction != Descending))))))
+
+    // PER-BUCKET top-k (round 16): `row_number() OVER (PARTITION BY
+    // bucket ORDER BY cnt DESC) <= k` over the BUCKETED relation — the
+    // "top k apps per hour" dashboard. Prometheus topk selects per
+    // evaluation point, which IS the per-bucket SQL selection when the
+    // window partitions on EXACTLY the bucket column and orders on the
+    // single value column with no tie-break key. The host Window +
+    // Filter stay in the plan (now ranking ≤k series per bucket): a
+    // row's row_number depends only on rows ranked above it, so the
+    // surviving rows' ranks are unchanged by the wire pruning. Ties at
+    // the boundary follow the standard topk contract (the server's
+    // pick is one of SQL's own valid nondeterministic answers —
+    // row_number over a tie has no deterministic SQL answer either).
+    case f @ Filter(cond,
+        w @ org.apache.spark.sql.catalyst.plans.logical.Window(
+          Seq(we @ Alias(
+            org.apache.spark.sql.catalyst.expressions.WindowExpression(
+              _: org.apache.spark.sql.catalyst.expressions.RowNumber, _), _)),
+          Seq(part), Seq(order),
+          p @ Project(_,
+          r @ DataSourceV2Relation(mt: LokiMetricTable, _, _, _, _, _)), _))
+        if mt.bucketed && topkable(mt) &&
+          resolveAttr(part, p).exists(_.exprId == r.output.head.exprId) &&
+          resolveAttr(order.child, p)
+            .exists(_.exprId == r.output.last.exprId) => {
+      val rn = we.toAttribute
+      def conjunctsOf(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, rr) =>
+          conjunctsOf(l) ++ conjunctsOf(rr)
+        case other => Seq(other)
+      }
+      val ks = conjunctsOf(cond).flatMap(c => rankBound(c, rn))
+      // exactly one rank-bound conjunct; other conjuncts stay host-side
+      // (they filter survivors, which pruning does not change)
+      if (ks.size != 1 || ks.head <= 0) f
+      else f.copy(child = w.copy(child = p.copy(child =
+        r.copy(table = mt.copy(topk = Some(ks.head),
+          bottom = order.direction != Descending)))))
+    }
   }
 }

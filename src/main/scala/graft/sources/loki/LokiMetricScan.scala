@@ -146,8 +146,11 @@ case class MetricAgg(
   * `partitions=N` slices the window into N whole-bucket runs, each an
   * independent metric query — same disjoint-range composability argument
   * as the log scan's time slicing, for month-scale windows whose
-  * response matrices are themselves large. A `topk` relation never
-  * slices (global top-k is not window-decomposable).
+  * response matrices are themselves large. The unbucketed `topk` form
+  * has one bucket and therefore one slice (global top-k is not
+  * window-decomposable); the BUCKETED topk form (round 16 window-rank
+  * rule) slices like any bucketed relation — per-point selection is
+  * complete within each whole-bucket run.
   */
 case class LokiMetricTable(
     options: LokiOptions,
@@ -188,10 +191,14 @@ case class LokiMetricTable(
   require(endNs > startNs, s"metric window [$startNs, $endNs) is empty")
   require(aggs.nonEmpty && aggs.distinct == aggs,
     s"aggs must be non-empty and distinct: $aggs")
-  require(topk.forall(k => k > 0 && !bucketed && aggs.size == 1 &&
+  // topk/bottomk select per EVALUATION POINT (Prometheus), so the
+  // bucketed form is valid exactly when SQL ranks per bucket (the
+  // window-rank rule); the unbucketed form coincides with the SQL
+  // global extreme-k (the ORDER BY … LIMIT rule)
+  require(topk.forall(k => k > 0 && aggs.size == 1 &&
       aggs.head.unwrap.isEmpty && aggs.head.filterStages.isEmpty &&
       !enumerate),
-    "topk applies only to the unbucketed single-plain-aggregation form")
+    "topk applies only to the single-plain-aggregation form")
   require(!bottom || topk.isDefined, "bottom is a rendering of topk")
   require(!enumerate ||
     aggs.forall(a => a.unwrap.isDefined || a.filterStages.nonEmpty),

@@ -394,6 +394,80 @@ class LokiMetricSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == host)
   }
 
+  test("per-bucket row_number rank pushes as BUCKETED topk/bottomk") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // dedicated corpus with DISTINCT per-day counts, so every selection
+    // boundary is tie-free: day0 a=5,b=3,c=1; day1 a=1,b=2,c=4
+    val scratch = new LokiStubServer
+    scratch.start()
+    try {
+      val counts = Seq(
+        (0, "a", 5), (0, "b", 3), (0, "c", 1),
+        (1, "a", 1), (1, "b", 2), (1, "c", 4))
+      scratch.seed(counts.flatMap { case (d, app, n) =>
+        (0 until n).map(j => scratch.LogRow(
+          baseNs + d * dayNs + j * 1000000000L + app.hashCode.abs % 7,
+          Map("app" -> app), s"$app row $j"))
+      })
+      def ranked(rn: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+          extra: Map[String, String] = Map.empty) = {
+        val r = spark.read.format("loki")
+          .option("endpoint", scratch.endpoint)
+          .option("default_label", "app")
+        extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+          .filter(
+            col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("timestamp") < lit("2024-01-03 00:00:00").cast("timestamp"))
+          .groupBy(date_trunc("day", col("timestamp")).as("bucket"),
+            element_at(col("labels"), "app").as("app"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(
+            W.partitionBy(col("bucket")).orderBy(rn(col("cnt")))))
+      }
+      // top-2 per day, descending
+      val top = ranked(_.desc).filter(col("rn") <= 2)
+        .select(col("bucket"), col("app"), col("cnt"))
+        .orderBy("bucket", "app")
+      val plan = planOf(top)
+      assert(plan.contains("topk(2, sum by (app) (count_over_time(") &&
+        plan.contains("[86400s]"), plan)
+      val got = top.collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString.take(10),
+          r.getString(1), r.getLong(2))).toSeq
+      assert(got == Seq(("2024-01-01", "a", 5L), ("2024-01-01", "b", 3L),
+        ("2024-01-02", "b", 2L), ("2024-01-02", "c", 4L)), got)
+      // …equal to the host plan with the rewrite off
+      val host = ranked(_.desc, Map("push_metric" -> "false"))
+        .filter(col("rn") <= 2)
+        .select(col("bucket"), col("app"), col("cnt"))
+        .orderBy("bucket", "app").collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString.take(10),
+          r.getString(1), r.getLong(2))).toSeq
+      assert(got == host)
+      // ascending rank → bottomk; rn = 1 form
+      val bottom = ranked(_.asc).filter(col("rn") === 1)
+        .select(col("app")).orderBy("app")
+      assert(planOf(bottom).contains("bottomk(1, sum by (app) ("),
+        planOf(bottom))
+      assert(bottom.collect().map(_.getString(0)).toSeq == Seq("a", "c"))
+      // refusal: partitioning on a LABEL (not the bucket) is not the
+      // per-evaluation-point shape
+      val byApp = spark.read.format("loki")
+        .option("endpoint", scratch.endpoint)
+        .option("default_label", "app").load()
+        .filter(
+          col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("timestamp") < lit("2024-01-03 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("day", col("timestamp")).as("bucket"),
+          element_at(col("labels"), "app").as("app"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("app")).orderBy(col("cnt").desc)))
+        .filter(col("rn") <= 1)
+      assert(!planOf(byApp).contains("topk("), planOf(byApp))
+    } finally scratch.stop()
+  }
+
   test("topk refusals: bucketed form, secondary sort key") {
     // bucketed: Prometheus topk selects per evaluation point — not the
     // SQL global top-k — so the relation keeps all series
