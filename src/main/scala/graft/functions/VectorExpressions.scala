@@ -46,6 +46,54 @@ object VectorOps {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Σ aᵢ·bᵢ over two long arrays, sequential in element order — the
+    * integer inner product of the ×1e6-quantized vector family. Same
+    * fold order and wrapping int64 arithmetic as the
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` higher-order form it
+    * replaces (HOFs are CodegenFallback — interpreted with per-element
+    * boxing — which made them the hot path of the MMR scorer), so the
+    * result is bit-identical on the ×1e6-quantized domain every caller
+    * uses (64-dim folds peak ~2e13 ≪ int64). On OVERFLOW the two
+    * diverge: the ANSI-mode HOF throws where this loop wraps — reachable
+    * only where the replaced code crashed, never on the bounded
+    * quantized vectors. Elements must be non-null (every caller
+    * builds the arrays with transform over non-null doubles); mismatched
+    * lengths are an error, as in [[cosine]].
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    if (a.numElements() != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"dot_long: mismatched vector lengths ${a.numElements()} vs " +
+          s"${b.numElements()}")
+    }
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** Σ (aᵢ−bᵢ)² over two long arrays — the integer squared-L2 of the
+    * quantized k-means/IVF assignment loops. Same order/overflow
+    * contract as [[dotLong]].
+    */
+  def l2sqLong(a: ArrayData, b: ArrayData): Long = {
+    if (a.numElements() != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"l2sq_long: mismatched vector lengths ${a.numElements()} vs " +
+          s"${b.numElements()}")
+    }
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Intersection size of two SORTED long arrays — one merge scan, no
     * per-row set allocation. The hot inner loop of hashed-shingle
     * similarity verification (evaluated once per candidate pair).
@@ -111,6 +159,38 @@ case class CosineSim(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.VectorOps.cosine($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `dot_long(array<bigint>, array<bigint>)` → bigint. */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.dotLong($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLong =
+    copy(left = l, right = r)
+}
+
+/** `l2sq_long(array<bigint>, array<bigint>)` → bigint. */
+case class L2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2sq_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l2sqLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.l2sqLong($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqLong =
     copy(left = l, right = r)
 }
 

@@ -385,6 +385,23 @@ object ConnectorOps {
     read(dir.getAbsolutePath)
   }
 
+  /** [[Tables.lokiView]] with the spread applied to the RAW events scan:
+    * the round-robin exchange ships (ts, event_type, user_id, value) and
+    * the labels-map + line-string rendering runs post-exchange with full
+    * parallelism (spreading the rendered view instead measured WORSE
+    * than no spread at all — the exchange carried the built strings and
+    * the single scan task still paid the rendering).
+    */
+  private def lokiViewSpread(s: SparkSession, d: String): DataFrame =
+    TextOps.spreadScan(Tables.events(s, d)).select(
+      col("ts").as("timestamp"),
+      map(
+        lit("event_type"), col("event_type"),
+        lit("user"), col("user_id").cast("string")
+      ).as("labels"),
+      concat(col("event_type"), lit(" value="), col("value").cast("string"))
+        .as("line"))
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Micro-batch TAILING over the connector (round 12, beyond-parity:
@@ -1334,7 +1351,16 @@ object ConnectorOps {
     ("loki_ndjson_roundtrip",
       (s: SparkSession, d: String) =>
         roundtrip("ndjson") { dir =>
-          Tables.lokiView(s, d)
+          // spread the one-file scan before the export: the JSON
+          // serialization otherwise runs in a single write task (0.53 s
+          // serial at bench scale) and the re-read inherits the single
+          // file; a real many-file corpus already has write parallelism
+          // (spreadScan no-ops) and one output file per task is the
+          // production layout (guide §6). Spread the RAW events columns,
+          // not the rendered view — the exchange then ships four narrow
+          // columns and the map/line string building runs post-exchange
+          // in parallel (guide §2.3, project-before-the-exchange dual)
+          lokiViewSpread(s, d)
             .select(unix_micros(col("timestamp")).as("ts_us"),
               col("labels"), col("line"))
             .write.mode("overwrite").json(dir)
@@ -1359,7 +1385,8 @@ object ConnectorOps {
     ("loki_csv_roundtrip",
       (s: SparkSession, d: String) =>
         roundtrip("csv") { dir =>
-          Tables.lokiView(s, d)
+          // spread before export — see the ndjson roundtrip note
+          lokiViewSpread(s, d)
             .select(unix_micros(col("timestamp")).as("ts_us"),
               element_at(col("labels"), "event_type").as("label_event_type"),
               col("line"))
@@ -1383,6 +1410,11 @@ object ConnectorOps {
     ("loki_orc_roundtrip",
       (s: SparkSession, d: String) =>
         roundtrip("orc") { dir =>
+          // deliberately NOT spread (unlike ndjson/csv): the ORC writer
+          // pays ~0.3 s of per-task init/footer overhead, so 32 tiny
+          // files measured WORSE than the single serial write (0.88 s vs
+          // 0.67 s) — exactly guide §6's small-files cost; text sinks
+          // have no such per-file floor and keep the spread
           Tables.lokiView(s, d)
             .select(unix_micros(col("timestamp")).as("ts_us"),
               col("labels"), col("line"))

@@ -494,7 +494,10 @@ object DedupOps {
           collect_list(struct(col("doc_id"), col("rep")))).as("m")))
         .cache()
       CacheRegistry.register(side, Seq(side))
-      docs.select(col("doc_id"))
+      // spread the anchor scan: the 5-draw md5 arithmetic + map probes
+      // otherwise run in the one-file scan's single task (0.58 s serial
+      // at bench scale); no-op at real scan parallelism
+      TextOps.spreadScan(docs.select(col("doc_id")))
         .crossJoin(broadcast(side))
         // draws materialize before the lambdas below reference them
         // (lambda bodies re-evaluate per element — the shingles trap)
@@ -519,7 +522,7 @@ object DedupOps {
       // attached by join (hash-probed, row-distributed — comps stays
       // shuffle-joinable however big it grows; broadcastIfSmall
       // re-checks per side for AQE-visible hints)
-      val cands = docs.select(col("doc_id"))
+      val cands = TextOps.spreadScan(docs.select(col("doc_id")))
         .crossJoin(broadcast(docs.agg((max("doc_id") + 1).as("n"))))
         .select(col("doc_id"), posexplode(draws(col("n"))))
         .toDF("doc_id", "pos", "neg_id")

@@ -784,6 +784,10 @@ object RelOps {
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
         orders(s, d)
+          // same-key repartition at worker parallelism — the rank +
+          // running-sum windows reuse this exchange (see hotPartitions)
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+          .repartition(TextOps.hotPartitions(s), col("o_custkey"))
           .withColumn("rn", row_number().over(w))
           .withColumn("running_spend",
             round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
@@ -1456,6 +1460,12 @@ object RelOps {
       (s: SparkSession, d: String) => {
         val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         events(s, d)
+          // explicit narrow projection + same-key repartition at the
+          // worker parallelism: the two window passes + session aggregate
+          // all ride this one exchange (stage count unchanged), which at
+          // the session's data-sized 8 partitions held 3.1 s of task time
+          .select("user_id", "ts", "event_id")
+          .repartition(TextOps.hotPartitions(s), col("user_id"))
           .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
           .withColumn("new_session",
             when(col("prev_ts").isNull ||

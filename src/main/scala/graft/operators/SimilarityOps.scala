@@ -52,9 +52,13 @@ object SimilarityOps {
         round(col("cos"), 4).as("cos_sim"))
   }
 
-  /** Exhaustive scoring: every (query, corpus) pair, query side broadcast. */
+  /** Exhaustive scoring: every (query, corpus) pair, query side broadcast.
+    * Corpus side spread (round 16): the O(N·Q) cosine pass otherwise runs
+    * in the one-file scan's single task (see TextOps.spreadScan).
+    */
   private def bruteScored(e: DataFrame): DataFrame =
-    e.join(broadcast(queriesOf(e)), col("vec_id") =!= col("q_id"))
+    TextOps.spreadScan(e)
+      .join(broadcast(queriesOf(e)), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine_sim(col("qv"), col("v")).as("cos"))
 
   /** IVF scoring: scan-local nearest-centroid assignment over a broadcast
@@ -199,10 +203,15 @@ object SimilarityOps {
     * the aggregate is exact and cluster assignments are bit-identical
     * across engines and partition orders (the same cross-engine-
     * determinism idiom as TextOps' idf6/logprob6 quantization).
+    * Native codegen expression (round 16): the higher-order
+    * aggregate(zip_with(...)) form is CodegenFallback — interpreted with
+    * per-element boxing — and this distance is the inner loop of every
+    * quantized assignment (k-means Lloyd rounds, k-NN multi-probe);
+    * VectorOps.l2sqLong folds in the same element order with the same
+    * wrapping int64 arithmetic, so the value is bit-identical.
     */
   private def l2sq6(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, z) => acc + z)
+    graft.functions.GraftFunctions.l2sq_long(a, b)
 
   /** Corpus with a ×1e6 integer-quantized copy of each vector. */
   private def vecs6(e: DataFrame): DataFrame =
@@ -255,7 +264,11 @@ object SimilarityOps {
 
   /** [[kmeans8]] over any (vec_id, v) relation — the ScaleSmoke surface. */
   private[graft] def kmeans8Of(e: DataFrame): (DataFrame, DataFrame) = {
-    val vs = vecs6(e)
+    // spread before the quantize+assign passes: every Lloyd round and the
+    // final assignment do k×dim integer distances per row, and a one-file
+    // corpus otherwise runs them all in one scan task (no-op at real
+    // scan parallelism — see TextOps.spreadScan)
+    val vs = vecs6(TextOps.spreadScan(e))
     val seeds = vs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("v6").as("cv"))
     val cents = lloyd6(vs, lloyd6(vs, seeds)).cache()
@@ -318,11 +331,18 @@ object SimilarityOps {
   def mmrRerank(e: DataFrame): DataFrame = {
     val session = e.sparkSession
     import session.implicits._
-    val e6 = vecs6(e).select(col("vec_id"), col("v6"))
-    val q6 = e6.filter(col("vec_id") < 20)
+    // spread the corpus scan before the N×|Q| scoring pass: one parquet
+    // file = one scan partition, so the inner-product stage otherwise
+    // runs single-task (measured 0.59 s of the 0.79 s row — guide §2.6
+    // stragglers); the exchange ships raw corpus rows once and is a
+    // no-op when the input already has parallelism (spreadScan contract)
+    val e6 = vecs6(TextOps.spreadScan(e)).select(col("vec_id"), col("v6"))
+    val q6 = vecs6(e).filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v6").as("qv6"))
+    // native codegen inner product (bit-identical to the HOF fold it
+    // replaces — see l2sq6's note)
     def dot6(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
+      graft.functions.GraftFunctions.dot_long(a, b)
     // v6 rides the top-20 selection DELIBERATELY: the row_number+filter
     // plans as TopKPerKeyExec with a map-side PARTIAL heap, so the
     // exchange carries at most queries × 20 × input-partitions rows —
@@ -641,7 +661,15 @@ object SimilarityOps {
           col("v").as("va"))
         val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
           col("v").as("vb"))
-        a.join(b, "cluster")
+        // size-gated broadcast of the b side (guide §3.1): the cluster
+        // key has k=8 distinct values, so a shuffle join caps the pair
+        // scoring at 8 tasks AND ships both sides; broadcasting one side
+        // keeps the a side's scan partitioning (pairs generated
+        // scan-local, 1.27 s of task time previously squeezed through 8
+        // reduce tasks). Falls back to the shuffle join past the
+        // broadcast estimate — the 100 TB shape where k grows with the
+        // corpus and per-cluster joins stay the plan.
+        a.join(TextOps.broadcastIfSmall(b), "cluster")
           .filter(col("a_id") < col("b_id"))
           .filter(cosine_sim(col("va"), col("vb")) >= 0.4)
           .groupBy(col("cluster"), col("b_id"))
@@ -685,7 +713,12 @@ object SimilarityOps {
         // order as assign6), so the dst side filters this cached
         // relation instead of re-scoring the corpus a second time.
         val codebook = cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cs"))
-        val pr = vecs6(vecs(s, d))
+        // spread before the probe-ranking pass (and with it every
+        // downstream consumer of the cached pr: the pair-scoring +
+        // bounded-heap top-k stage ran in ONE task — 1.37 s of the row's
+        // 2.1 s — because the one-file scan's single partition flowed
+        // through the broadcast joins into the persist)
+        val pr = vecs6(TextOps.spreadScan(vecs(s, d)))
           .crossJoin(broadcast(codebook))
           .select(col("vec_id"), col("v"),
             posexplode(slice(array_sort(transform(col("cs"), c =>
@@ -709,7 +742,11 @@ object SimilarityOps {
         val e = vecs(s, d)
         val probes = e.filter(col("vec_id") < 200)
           .select(col("vec_id").as("src"), col("v").as("pv"))
-        val bruteScored = e.join(broadcast(probes), col("vec_id") =!= col("src"))
+        // corpus side spread for the N×|probes| exact-referee pass (one
+        // scan task otherwise — 0.8 s serial); the broadcast probe side
+        // stays on the unspread scan (8 rows, one cheap stage)
+        val bruteScored = TextOps.spreadScan(e)
+          .join(broadcast(probes), col("vec_id") =!= col("src"))
           .select(col("src"), col("vec_id").as("dst"),
             cosine_sim(col("pv"), col("v")).as("cos"))
         val brute = graft.plans.GraftPlans

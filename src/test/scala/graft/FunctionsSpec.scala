@@ -117,6 +117,44 @@ class FunctionsSpec extends SparkTestBase {
     assert(cs.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
   }
 
+  test("dot_long / l2sq_long are bit-identical to the HOF folds they replace") {
+    // the round-16 native rewrites must reproduce the
+    // aggregate(zip_with(...)) results EXACTLY (same fold order, same
+    // int64 arithmetic) on the quantized-vector domain. Inputs stay in
+    // the ×1e6 quantization envelope (|x| ≤ 2e6, so 64-dim folds peak
+    // ~2.6e14 ≪ int64): the HOF form runs under ANSI and THROWS on
+    // overflow where the native loop would wrap — a divergence only
+    // reachable where the replaced code crashed, never on the bounded
+    // vectors every caller quantizes (documented in VectorOps).
+    val rnd = new scala.util.Random(13)
+    val cases = (0 until 50).map { _ =>
+      val n = 1 + rnd.nextInt(64)
+      (Seq.fill(n)(rnd.nextLong() % 2000000L),
+        Seq.fill(n)(rnd.nextLong() % 2000000L))
+    }
+    val df = cases.toDF("a", "b").select(
+      dot_long($"a", $"b").as("dn"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L),
+        (acc, z) => acc + z).as("dh"),
+      l2sq_long($"a", $"b").as("ln"),
+      aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)), lit(0L),
+        (acc, z) => acc + z).as("lh"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"dot_long mismatch: $r")
+      assert(r.getLong(2) == r.getLong(3), s"l2sq_long mismatch: $r")
+    }
+    // SQL registration surface
+    val sqlRow = spark.sql(
+      "SELECT dot_long(array(2L, 3L), array(4L, 5L)) d, " +
+        "l2sq_long(array(2L, 3L), array(4L, 1L)) l").head()
+    assert(sqlRow.getLong(0) == 23L && sqlRow.getLong(1) == 8L)
+    // mismatched lengths are an error, matching cosine_sim's contract
+    intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .select(dot_long($"a", $"b")).collect()
+    }
+  }
+
   test("sorted_intersect_count equals set intersection on random sorted arrays") {
     import graft.functions.GraftFunctions.sorted_intersect_count
     val rnd = new scala.util.Random(11)
