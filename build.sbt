@@ -45,4 +45,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // page-faults fresh pages mid-query (measured as multi-second
   // same-launch-time task stalls in the event log)
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // experiment hook: extra JVM flags for the forked run (GC trials etc.)
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

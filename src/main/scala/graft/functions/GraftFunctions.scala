@@ -28,6 +28,8 @@ object GraftFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     toCol(SortedIntersectCount(ex(a), ex(b)))
 
+  def dot_double(a: Column, b: Column): Column = toCol(DotDouble(ex(a), ex(b)))
+
   def dot_long(a: Column, b: Column): Column = toCol(DotLong(ex(a), ex(b)))
 
   def l2sq_long(a: Column, b: Column): Column = toCol(L2SqLong(ex(a), ex(b)))
@@ -118,6 +120,7 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSim(es.head, es(1))),
     "term_counts" -> (es => TermCounts(es.head)),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es.head, es(1))),
+    "dot_double" -> (es => DotDouble(es.head, es(1))),
     "dot_long" -> (es => DotLong(es.head, es(1))),
     "l2sq_long" -> (es => L2SqLong(es.head, es(1))),
     "srp_sig" -> (es => SrpSignature(es.head, intArg(es, 1), longArg(es, 2))),

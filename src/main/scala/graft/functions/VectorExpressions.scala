@@ -46,6 +46,28 @@ object VectorOps {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Σ aᵢ·bᵢ over two double arrays, sequential in element order — the
+    * same accumulation [[cosine]] performs for its dot (and, with a == b,
+    * for its norms), exposed separately so hot pair loops can precompute
+    * per-ROW norm factors once instead of re-deriving both norms per
+    * PAIR: cos(a,b) = dotDouble(a,b) / (sqrt(dotDouble(a,a)) ·
+    * sqrt(dotDouble(b,b))) reproduces cosine_sim bit-for-bit (identical
+    * fold order, IEEE-exact sqrt/division) as long as the caller keeps
+    * cosine's zero-norm → 0.0 guard.
+    */
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    if (a.numElements() != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"dot_double: mismatched vector lengths ${a.numElements()} vs " +
+          s"${b.numElements()}")
+    }
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
   /** Σ aᵢ·bᵢ over two long arrays, sequential in element order — the
     * integer inner product of the ×1e6-quantized vector family. Same
     * fold order and wrapping int64 arithmetic as the
@@ -159,6 +181,22 @@ case class CosineSim(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.VectorOps.cosine($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `dot_double(array<double>, array<double>)` → double. */
+case class DotDouble(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_double"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.dotDouble($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotDouble =
     copy(left = l, right = r)
 }
 

@@ -195,18 +195,25 @@ object DedupOps {
     val blockPairs =
       (for { i <- 0 until P; j <- i until P } yield (i, j)).toDF("bi", "bj")
     val blk = pmod(hash(col("vec_id")), lit(P))
-    val left = e
-      .select(col("vec_id").as("a_id0"), col("v").as("av"), blk.as("ablk"))
+    // per-row norm factor once per side; the O(n²) block-pair loop pays
+    // the dot only (cosPre ≡ cosine_sim — SimilarityOps.snorm)
+    val en = e.withColumn("sn", SimilarityOps.snorm(col("v")))
+    val left = en
+      .select(col("vec_id").as("a_id0"), col("v").as("av"),
+        col("sn").as("sna"), blk.as("ablk"))
       .join(broadcast(blockPairs), col("ablk") === col("bi"))
-    val right = e
-      .select(col("vec_id").as("b_id0"), col("v").as("bv"), blk.as("bblk"))
+    val right = en
+      .select(col("vec_id").as("b_id0"), col("v").as("bv"),
+        col("sn").as("snb"), blk.as("bblk"))
       .join(broadcast(blockPairs
         .select(col("bi").as("rbi"), col("bj").as("rbj"))),
         col("bblk") === col("rbj"))
     val pairs = left.join(right,
         col("bi") === col("rbi") && col("bj") === col("rbj"))
       .filter(col("ablk") < col("bblk") || col("a_id0") < col("b_id0"))
-      .withColumn("cos", cosine_sim(col("av"), col("bv")))
+      .withColumn("cos", SimilarityOps.cosPre(
+        graft.functions.GraftFunctions.dot_double(col("av"), col("bv")),
+        col("sna"), col("snb")))
       .filter(col("cos") >= tau)
       .select(
         least(col("a_id0"), col("b_id0")).as("a_id"),

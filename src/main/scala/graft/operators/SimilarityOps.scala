@@ -30,6 +30,24 @@ object SimilarityOps {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
 
+  /** Per-row norm factor sqrt(Σ xᵢ²) for the precomputed-norm cosine:
+    * the pair-heavy loops (knn candidate scoring, semdedup within-cluster
+    * pairs, the brute referees) re-derived BOTH norms per PAIR inside
+    * cosine_sim — 3× the arithmetic of the dot alone. Computing the
+    * factor once per row and assembling cos = dot/(sn_a·sn_b) reproduces
+    * cosine_sim bit-for-bit: dot_double folds in the same element order,
+    * sqrt/÷ are IEEE-exact, and [[cosPre]] keeps the zero-norm → 0.0
+    * guard (sn == 0 ⟺ Σx² == 0).
+    */
+  private[graft] def snorm(v: Column): Column =
+    sqrt(graft.functions.GraftFunctions.dot_double(v, v))
+
+  /** Cosine from a precomputed pair dot and two per-row norm factors —
+    * see [[snorm]] for the bit-identity argument.
+    */
+  private[graft] def cosPre(d: Column, sna: Column, snb: Column): Column =
+    when(sna === 0.0 || snb === 0.0, lit(0.0)).otherwise(d / (sna * snb))
+
   /** Σ (xᵢ−yᵢ)² — squared L2, the PQ assignment metric. */
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -656,11 +674,14 @@ object SimilarityOps {
     // runs on the raw double vectors like dedup_embedding's.
     ("dedup_semdedup",
       (s: SparkSession, d: String) => {
-        val (assigned, _) = kmeans8(s, d)
+        val (assigned0, _) = kmeans8(s, d)
+        // per-row norm factor once, pair loop pays the dot only
+        // (cosPre ≡ cosine_sim — see snorm)
+        val assigned = assigned0.withColumn("sn", snorm(col("v")))
         val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
-          col("v").as("va"))
+          col("v").as("va"), col("sn").as("sna"))
         val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
-          col("v").as("vb"))
+          col("v").as("vb"), col("sn").as("snb"))
         // size-gated broadcast of the b side (guide §3.1): the cluster
         // key has k=8 distinct values, so a shuffle join caps the pair
         // scoring at 8 tasks AND ships both sides; broadcasting one side
@@ -671,7 +692,9 @@ object SimilarityOps {
         // corpus and per-cluster joins stay the plan.
         a.join(TextOps.broadcastIfSmall(b), "cluster")
           .filter(col("a_id") < col("b_id"))
-          .filter(cosine_sim(col("va"), col("vb")) >= 0.4)
+          .filter(cosPre(
+            graft.functions.GraftFunctions.dot_double(col("va"), col("vb")),
+            col("sna"), col("snb")) >= 0.4)
           .groupBy(col("cluster"), col("b_id"))
           .agg(min(col("a_id")).as("kept_by"))
           .select(col("b_id").as("vec_id"), col("cluster"), col("kept_by"))
@@ -718,37 +741,48 @@ object SimilarityOps {
         // bounded-heap top-k stage ran in ONE task — 1.37 s of the row's
         // 2.1 s — because the one-file scan's single partition flowed
         // through the broadcast joins into the persist)
+        // sn: per-row norm factor computed ONCE (pre-explode) and cached
+        // with pr, so the candidate-pair loop below pays only the dot —
+        // see snorm/cosPre for the cosine_sim bit-identity argument
         val pr = vecs6(TextOps.spreadScan(vecs(s, d)))
           .crossJoin(broadcast(codebook))
-          .select(col("vec_id"), col("v"),
+          .select(col("vec_id"), col("v"), snorm(col("v")).as("sn"),
             posexplode(slice(array_sort(transform(col("cs"), c =>
               struct(l2sq6(col("v6"), c("cv")).as("d"), c("c_id").as("c_id")))),
               1, 4)))
-          .toDF("vec_id", "v", "probe_rank", "p")
-          .select(col("vec_id"), col("v"), col("probe_rank"),
+          .toDF("vec_id", "v", "sn", "probe_rank", "p")
+          .select(col("vec_id"), col("v"), col("sn"), col("probe_rank"),
             col("p").getField("c_id").as("cluster"))
           .persist()
         graft.operators.CacheRegistry.register(pr, Seq(pr))
         val probe2 = pr.select(col("vec_id").as("src"), col("v").as("va"),
-          col("cluster"))
+          col("sn").as("sna"), col("cluster"))
         val b = pr.filter(col("probe_rank") === 0)
-          .select(col("cluster"), col("vec_id").as("dst"), col("v").as("vb"))
+          .select(col("cluster"), col("vec_id").as("dst"), col("v").as("vb"),
+            col("sn").as("snb"))
         val scored = probe2.join(b, "cluster")
           .filter(col("src") =!= col("dst"))
-          .select(col("src"), col("dst"), cosine_sim(col("va"), col("vb")).as("cos"))
+          .select(col("src"), col("dst"),
+            cosPre(graft.functions.GraftFunctions.dot_double(col("va"), col("vb")),
+              col("sna"), col("snb")).as("cos"))
         val knn = graft.plans.GraftPlans
           .topKPerKey(scored, Seq("src"), Seq("cos" -> false, "dst" -> true), 3)
           .select(col("src"), col("dst"))
         val e = vecs(s, d)
         val probes = e.filter(col("vec_id") < 200)
-          .select(col("vec_id").as("src"), col("v").as("pv"))
+          .select(col("vec_id").as("src"), col("v").as("pv"),
+            snorm(col("v")).as("psn"))
         // corpus side spread for the N×|probes| exact-referee pass (one
         // scan task otherwise — 0.8 s serial); the broadcast probe side
-        // stays on the unspread scan (8 rows, one cheap stage)
+        // stays on the unspread scan (8 rows, one cheap stage).
+        // Precomputed norms on both sides — the pair loop pays the dot
+        // only (cosPre ≡ cosine_sim, see snorm)
         val bruteScored = TextOps.spreadScan(e)
+          .withColumn("sn", snorm(col("v")))
           .join(broadcast(probes), col("vec_id") =!= col("src"))
           .select(col("src"), col("vec_id").as("dst"),
-            cosine_sim(col("pv"), col("v")).as("cos"))
+            cosPre(graft.functions.GraftFunctions.dot_double(col("pv"), col("v")),
+              col("psn"), col("sn")).as("cos"))
         val brute = graft.plans.GraftPlans
           .topKPerKey(bruteScored, Seq("src"), Seq("cos" -> false, "dst" -> true), 3)
           .select(col("src"), col("dst"))

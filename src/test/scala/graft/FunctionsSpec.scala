@@ -155,6 +155,32 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("precomputed-norm cosine is bit-identical to cosine_sim") {
+    import graft.functions.GraftFunctions.dot_double
+    // the round-16 pair-loop rewrite: cos = dot/(sqrt(Σa²)·sqrt(Σb²))
+    // with per-row norm factors must reproduce cosine_sim EXACTLY —
+    // same fold order, IEEE sqrt/÷ — including the zero-norm → 0.0 guard
+    val rnd = new scala.util.Random(17)
+    val cases = (0 until 100).map { _ =>
+      val n = 1 + rnd.nextInt(64)
+      (Seq.fill(n)(rnd.nextDouble() * 10 - 5), Seq.fill(n)(rnd.nextDouble() * 10 - 5))
+    } ++ Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),   // zero norm → 0.0
+      (Seq(1.0, 2.0), Seq(0.0, 0.0)))
+    val sna = sqrt(dot_double($"a", $"a"))
+    val snb = sqrt(dot_double($"b", $"b"))
+    val rows = cases.toDF("a", "b").select(
+      cosine_sim($"a", $"b").as("ref"),
+      when(sna === 0.0 || snb === 0.0, lit(0.0))
+        .otherwise(dot_double($"a", $"b") / (sna * snb)).as("pre"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"cosine mismatch: $r")
+    }
+  }
+
   test("sorted_intersect_count equals set intersection on random sorted arrays") {
     import graft.functions.GraftFunctions.sorted_intersect_count
     val rnd = new scala.util.Random(11)
