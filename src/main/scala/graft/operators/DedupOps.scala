@@ -108,8 +108,12 @@ object DedupOps {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .toDF("doc_id", "sig", "chunk_idx", "chunk")
-      // cached: both self-join sides would otherwise recompute the
-      // per-token simhash64 signature (see minhashLshPairs' banded note)
+      // cached ON the self-join key (chunk_idx, chunk): both sides read
+      // co-partitioned cached rows, so the chunk join needs no exchange
+      // (see prefixIndex's layout note); also skips recomputing the
+      // per-token simhash64 signature per side
+      .repartition(TextOps.hotPartitions(docs.sparkSession),
+        col("chunk_idx"), col("chunk"))
       .cache()
     val repPairs = chunks.as("a")
       .join(chunks.as("b"),
@@ -143,8 +147,11 @@ object DedupOps {
       posexplode(array((0 until 8).map(c =>
         shiftright(col("sig"), c * 8).bitwiseAND(lit(0xffL))): _*)))
       .toDF("vec_id", "v", "band", "bucket")
-      // cached: both self-join sides would otherwise recompute the
-      // 64-hyperplane SRP signature (see minhashLshPairs' banded note)
+      // cached ON the self-join key (band, bucket) — no exchange in the
+      // band join (see prefixIndex's layout note); also skips
+      // recomputing the 64-hyperplane SRP signature per side
+      .repartition(TextOps.hotPartitions(vecs.sparkSession),
+        col("band"), col("bucket"))
       .cache()
     val repPairs = banded.as("a")
       .join(banded.as("b"),
@@ -352,10 +359,18 @@ object DedupOps {
       .cache()
     val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
     val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
+    // the cache is laid out ON THE CANDIDATE-JOIN KEY (round 16): both
+    // sides of the self-join (and the delta probe) read
+    // hash(sh1)-partitioned cached rows, so the join needs NO exchange at
+    // all (guide §2.4 — the bucketed-table idea applied to a cached
+    // relation); one repartition in the cache build replaces an exchange
+    // per consumer, and the width rides hotPartitions instead of the
+    // 8-partition session setting the verify stage was squeezed through
     val prefix = ex.join(dfreq, "sh1")
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("sh1"))
+      .repartition(TextOps.hotPartitions(docs.sparkSession), col("sh1"))
       .cache()
     CacheRegistry.register(groups, Seq(groups, prefix, ex))
     prefix
@@ -763,7 +778,11 @@ object DedupOps {
       // both sides of the self-join consume this plan: uncached, each
       // side recomputes the k-hash minhash signature over every shingle
       // of every rep — the most expensive expression in the query, paid
-      // twice. The cached relation is narrow (doc_id, band, bucket).
+      // twice. The cached relation is narrow (doc_id, band, bucket),
+      // laid out ON the band-join key so the self-join reads
+      // co-partitioned cached rows with no exchange (see prefixIndex).
+      .repartition(TextOps.hotPartitions(sigs.sparkSession),
+        col("band"), col("bucket"))
       .cache()
     val cand = banded.as("a")
       .join(banded.as("b"),
