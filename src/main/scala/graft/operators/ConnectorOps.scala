@@ -2788,7 +2788,10 @@ object ConnectorOps {
           s.read.format("loki")
             .option("endpoint", stubFor(s, d).endpoint)
             .option("default_label", "event_type")
-            .option("partitions", "8")
+            // scan split count sized to the workers, not a constant: the
+            // per-line masking (log_template) is this operator's CPU and
+            // ran in 8 scan tasks on a 32-core box (0.84 s of task time)
+            .option("partitions", TextOps.hotPartitions(s).toString)
             .load()
             .filter(col("timestamp") >=
               lit("2024-01-01 00:00:00").cast("timestamp"))

@@ -135,7 +135,12 @@ object RelOps {
   def copurchaseCounts(li: DataFrame): DataFrame = {
     val s = li.sparkSession
     import s.implicits._
-    val counts = li.repartition(col("l_orderkey"))
+    val counts = li
+      // hotPartitions width: the run-walk pair expansion is the heavy
+      // leg (typed-row deser + quadratic-per-order pair emission) and
+      // ran through the session's 8 shuffle partitions (see
+      // TextOps.hotPartitions)
+      .repartition(TextOps.hotPartitions(s), col("l_orderkey"))
       .sortWithinPartitions("l_orderkey", "l_partkey")
       .select(col("l_orderkey").as[Long], col("l_partkey").as[Long])
       .mapPartitions(runWalkPairsF)
@@ -182,7 +187,12 @@ object RelOps {
     // (measured ~2× on the cold edge-cache build). Per-src window groups
     // are a node's out-edges — the same hub skew any per-node layout has;
     // WindowExec spills past its buffer, so a hub can't OOM a task.
-    val ed = edges.repartition(col("src"))
+    val ed = edges
+      // hotPartitions width: the deg window, the cache layout, and all
+      // five round joins ride this one exchange — at the session's
+      // data-sized 8 partitions it held ~10 s of task time on a 32-core
+      // box (see TextOps.hotPartitions)
+      .repartition(TextOps.hotPartitions(edges.sparkSession), col("src"))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .persist()
     CacheRegistry.register(ed, Seq(ed))
@@ -1848,8 +1858,14 @@ object RelOps {
         val base = raw.crossJoin(broadcast(mins)).select(
           (col("day_num") - col("d0")).bitwiseAND(65535).as("xd"),
           (col("pk") - col("p0")).bitwiseAND(65535).as("yp"))
+        // cached: both the zmax aggregate and the final bucket census
+        // consume this relation — uncached, each re-ran the lineitem scan
+        // AND the 32-term interleave (three full scans per invocation,
+        // two interleave passes); the cached rows are three longs/row
         val z = base.select(col("xd"), col("yp"),
           zInterleave16(col("xd"), col("yp")).as("zval"))
+          .cache()
+        graft.operators.CacheRegistry.register(z, Seq(z))
         val zmax = z.agg(max("zval").as("zmax"))
         z.crossJoin(broadcast(zmax))
           .select(col("xd"), col("yp"),

@@ -1173,7 +1173,7 @@ object TextOps {
         // per-side grams() tokenized the corpus twice. Token array
         // materialized before shingling — shingles' lambda re-evaluates
         // its token expression per element (see its docstring).
-        val grams = documents(s, d)
+        val grams = spreadScan(documents(s, d))
           .select(col("doc_id"), toks.as("tk"))
           .select(col("doc_id"),
             explode(array_distinct(shingles(col("tk"), 6))).as("g"))

@@ -73,7 +73,11 @@ class ExplainSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("WholeStageCodegen") ||
       "\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined, p)
-    assert(p.contains("cosine_sim"), p)
+    // round-16: the pair loop scores via the precomputed-norm cosine
+    // (dot_double + per-row sn factors — bit-identical to cosine_sim,
+    // see SimilarityOps.snorm); either native expression satisfies the
+    // codegen-coverage intent
+    assert(p.contains("dot_double") || p.contains("cosine_sim"), p)
     // round-11: the exact all-pairs row must pay its inherent O(n²) WORK
     // through the blocked equi-join (memory two blocks per task), never
     // a whole-relation broadcast — no gate row carries a BNLJ pair plan
