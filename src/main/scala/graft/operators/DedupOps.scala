@@ -64,8 +64,14 @@ object DedupOps {
   private def hashPrefilter(
       pairs: DataFrame, docs: DataFrame, tau: Double,
       score: (Column, Column, Column) => Column): DataFrame = {
+    // cached (round 16): the per-doc sorted-hash profile feeds BOTH join
+    // sides below, so uncached the k-hash transform + per-doc sort ran
+    // twice per invocation — and once more per consuming gate row; the
+    // cached rows are (id, longs) — shingle-count-sized, no strings
     val h = docs.select(col("doc_id"),
       sort_array(transform(col("sh"), x => xxhash64(x))).as("sh64"))
+      .cache()
+    CacheRegistry.register(h, Seq(h))
     val ha = h.select(col("doc_id").as("a_id"), col("sh64").as("ha"))
     val hb = h.select(col("doc_id").as("b_id"), col("sh64").as("hb"))
     val ih = graft.functions.GraftFunctions
@@ -356,6 +362,10 @@ object DedupOps {
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shs"))
       .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh1"))
+      // ex cached ON sh1 too: the dfreq aggregate and the ex⋈dfreq probe
+      // join both key on it, so neither needs an exchange against this
+      // layout (overlapJoinOnReps carries the same note)
+      .repartition(TextOps.hotPartitions(docs.sparkSession), col("sh1"))
       .cache()
     val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
     val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
@@ -961,9 +971,15 @@ object DedupOps {
     // hashed-shingle candidate pipeline as in [[prefixJoinOnReps]] (same
     // collision-only-adds-candidates argument); the FULL side keeps every
     // shingle because containment has no size-compatibility prune
+    // ex cached ON sh1 (round 16): the dfreq aggregate AND the ex⋈dfreq
+    // probe join both key on sh1, so with the cache laid out on it
+    // neither needs an exchange (partial aggregation degenerates to a
+    // per-partition final — same rows, fewer stages); one repartition in
+    // the cache build replaces one per consumer
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shs"))
       .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh1"))
+      .repartition(TextOps.hotPartitions(docs.sparkSession), col("sh1"))
       .cache()
     val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
     val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
@@ -971,6 +987,9 @@ object DedupOps {
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
       .select(col("doc_id"), col("sh1"))
+      // prefix laid out on the candidate-join key as well, so the
+      // prefix⋈ex join below reads two co-partitioned caches
+      .repartition(TextOps.hotPartitions(docs.sparkSession), col("sh1"))
       .cache()
     CacheRegistry.register(groups, Seq(groups, prefix, ex))
     val cand = prefix.as("a")
