@@ -2835,13 +2835,14 @@ object ConnectorOps {
     // top-5 runs through bounded heaps (no per-label sort, no window).
     ("loki_label_top_lines",
       (s: SparkSession, d: String) => {
-        // partitions=8: the whole-corpus scan decodes through 8 parallel
-        // time slices (the loki_connector_labels scale-out shape) instead
-        // of one single-threaded reader feeding the aggregation
+        // worker-sized split count: the whole-corpus scan decodes through
+        // parallel time slices (the loki_connector_labels scale-out
+        // shape) instead of one single-threaded reader feeding the
+        // aggregation; sized to the session like drain_templates
         val counted = s.read.format("loki")
           .option("endpoint", stubFor(s, d).endpoint)
           .option("default_label", "event_type")
-          .option("partitions", "8")
+          .option("partitions", TextOps.hotPartitions(s).toString)
           .load()
           .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
             col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))

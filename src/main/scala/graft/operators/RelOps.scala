@@ -2288,7 +2288,10 @@ object RelOps {
         val daily = events(s, d).select(
           (unix_micros(date_trunc("DAY", col("ts"))) / 86400000000L)
             .cast("long").as("day"),
-          col("user_id")).repartition(col("user_id")).distinct()
+          col("user_id"))
+          // hotPartitions width — the dedup + fan-out + distinct-count
+          // legs all ride this one exchange (see TextOps.hotPartitions)
+          .repartition(TextOps.hotPartitions(s), col("user_id")).distinct()
         daily
           .select(col("user_id"), explode(sequence(col("day"),
             col("day") + 6L)).as("day"))
@@ -2322,6 +2325,10 @@ object RelOps {
       (s: SparkSession, d: String) => {
         val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         val pairs = events(s, d)
+          // narrow projection + same-key repartition at hotPartitions:
+          // the lag window's sort held 2.2 s of task time in 8 tasks
+          .select("user_id", "ts", "event_id", "event_type")
+          .repartition(TextOps.hotPartitions(s), col("user_id"))
           .withColumn("prev", lag(col("event_type"), 1).over(byUser))
           .filter(col("prev").isNotNull)
           .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))

@@ -786,13 +786,21 @@ object SimilarityOps {
         val brute = graft.plans.GraftPlans
           .topKPerKey(bruteScored, Seq("src"), Seq("cos" -> false, "dst" -> true), 3)
           .select(col("src"), col("dst"))
-        val hits = knn.join(brute, Seq("src", "dst"), "left_semi")
-          .agg(count(lit(1)).as("sum_hits"))
+        // ONE pass over knn for both the edge count and the recall hits
+        // (round 16): the previous semi-join + separate count each forced
+        // the whole candidate-scoring + top-k pipeline, so the row's most
+        // expensive leg ran twice. brute's (src, dst) rows are unique
+        // (top-k output), so the broadcast left-join marker duplicates
+        // nothing and sum(h) ≡ the semi-join count.
+        val stats = knn
+          .join(broadcast(brute.withColumn("h", lit(1L))),
+            Seq("src", "dst"), "left")
+          .agg(count(lit(1)).as("n_edges"),
+            sum(coalesce(col("h"), lit(0L))).as("sum_hits"))
         val nP = probes.agg(count(lit(1)).as("n_probes"))
         e.agg(count(lit(1)).as("n_nodes"))
-          .crossJoin(knn.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(broadcast(stats))
           .crossJoin(broadcast(nP))
-          .crossJoin(broadcast(hits))
           .select(col("n_nodes"), col("n_edges"), col("n_probes"), col("sum_hits"),
             expr("CAST((sum_hits * 1000000) DIV (3 * n_probes) AS BIGINT)")
               .as("recall6"))
