@@ -36,6 +36,11 @@ object GraftFunctions {
 
   def term_counts(tokens: Column): Column = toCol(TermCounts(ex(tokens)))
 
+  def token_count(text: Column, word: Column): Column =
+    toCol(TokenCount(ex(text), ex(word)))
+
+  def char_trigrams(s: Column): Column = toCol(CharTrigrams(ex(s)))
+
   def srp_sig(v: Column, bits: Int, seed: Long): Column =
     toCol(SrpSignature(ex(v), bits, seed))
 
@@ -119,6 +124,8 @@ object GraftFunctions {
     "winnow_fp" -> (es => WinnowSelect(es.head, intArg(es, 1), intArg(es, 2))),
     "cosine_sim" -> (es => CosineSim(es.head, es(1))),
     "term_counts" -> (es => TermCounts(es.head)),
+    "token_count" -> (es => TokenCount(es.head, es(1))),
+    "char_trigrams" -> (es => CharTrigrams(es.head)),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es.head, es(1))),
     "dot_double" -> (es => DotDouble(es.head, es(1))),
     "dot_long" -> (es => DotLong(es.head, es(1))),

@@ -119,6 +119,66 @@ object TextHash {
     * bytes — the cheap streaming fingerprint for exact-dup detection where
     * md5 is overkill.
     */
+  /** Count of whitespace-delimited tokens equal to `word` — ONE byte scan,
+    * no token-array allocation. Bit-equivalent to
+    * `size(filter(split(text, " "), t => t === word))` for any input:
+    * segments are the byte runs between single 0x20 delimiters (leading /
+    * trailing / consecutive spaces produce empty segments, exactly like
+    * `split`'s limit=-1 semantics), and 0x20 never occurs inside a
+    * multi-byte UTF-8 sequence, so byte scanning is character-correct.
+    * The HOF form it replaces is CodegenFallback — interpreted per-element
+    * lambda eval over a freshly-split array, per marker word per row — and
+    * was the whole hot loop of the langid scorer.
+    */
+  def tokenCount(text: UTF8String, word: UTF8String): Int = {
+    val t = text.getBytes
+    val w = word.getBytes
+    val n = t.length
+    val wl = w.length
+    var c = 0
+    var s = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || t(i) == 0x20) {
+        if (i - s == wl) {
+          var j = 0
+          var eq = true
+          while (eq && j < wl) { if (t(s + j) != w(j)) eq = false; j += 1 }
+          if (eq) c += 1
+        }
+        s = i + 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** DISTINCT character trigrams of a string, first-occurrence order —
+    * the pg_trgm index key generator as one native pass. Equivalent to
+    * `array_distinct(transform(sequence(1, length(s) - 2),
+    * i -> substring(s, i, 3)))` with the `length >= 3 → else array()`
+    * guard folded in; positions are CODE POINTS (surrogate pairs count
+    * once), matching SQL `substring`. The HOF form allocated a sequence
+    * array + interpreted the lambda per trigram per row.
+    */
+  def charTrigrams(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    if (n < 3) return new GenericArrayData(Array.empty[AnyRef])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + 3 <= n) {
+      val sb = new java.lang.StringBuilder(12)
+      sb.appendCodePoint(cps(i))
+      sb.appendCodePoint(cps(i + 1))
+      sb.appendCodePoint(cps(i + 2))
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
   def rollingFingerprint(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = 1469598103934665603L // FNV offset basis as a non-zero start
@@ -273,4 +333,33 @@ case class RollingFingerprint(child: Expression)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHash.rollingFingerprint($c);")
   override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
+}
+
+/** `token_count(text, word)` → int (see [[TextHash.tokenCount]]). */
+case class TokenCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.tokenCount(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextHash.tokenCount($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenCount =
+    copy(left = l, right = r)
+}
+
+/** `char_trigrams(str)` → array<string> (see [[TextHash.charTrigrams]]). */
+case class CharTrigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_trigrams"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.charTrigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.charTrigrams($c);")
+  override protected def withNewChildInternal(c: Expression): CharTrigrams = copy(child = c)
 }

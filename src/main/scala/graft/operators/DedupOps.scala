@@ -102,7 +102,7 @@ object DedupOps {
     * hamming ≤ 3 ⟹ at least one of four 16-bit chunks is identical, so the
     * chunk equi-join generates every qualifying pair — never all-pairs).
     */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+  def simhashPairs(docs: DataFrame, ordered: Boolean = true): DataFrame = {
     // duplicate collapse, as in the jaccard paths: identical token arrays
     // ⇒ identical signatures, so reps carry the chunk join and copies
     // expand back (within-group pairs at hamming 0)
@@ -133,7 +133,8 @@ object DedupOps {
     CacheRegistry.register(groups, Seq(groups, chunks))
     // identical token arrays always hamming-0 qualify (an empty-toks pair
     // had identical signatures pre-collapse too)
-    expandRepPairs(repPairs, groups, "hamming", lit(0), _ => lit(true))
+    expandRepPairs(repPairs, groups, "hamming", lit(0), _ => lit(true),
+      ordered = ordered)
   }
 
   /** Sign-random-projection LSH near-dup pairs at cosine ≥ tau over
@@ -141,7 +142,7 @@ object DedupOps {
     * candidates, exact cosine verification. Stateless hyperplanes
     * (splitmix64-seeded) — nothing to broadcast; scales.
     */
-  def srpPairs(vecs: DataFrame, tau: Double): DataFrame = {
+  def srpPairs(vecs: DataFrame, tau: Double, ordered: Boolean = true): DataFrame = {
     // duplicate collapse: identical vectors ⇒ identical SRP signatures;
     // within-group pairs expand at cos_sim 1.0 (identical vectors — also
     // sidesteps sqrt(x)·sqrt(x) ≠ x float noise in the self-cosine)
@@ -177,7 +178,7 @@ object DedupOps {
     // rather than inventing a 1.0
     expandRepPairs(repPairs, groups, "cos_sim",
       when(exists(col("arr"), x => isnan(x)), lit(Double.NaN)).otherwise(lit(1.0)),
-      arr => exists(arr, x => x =!= 0.0))
+      arr => exists(arr, x => x =!= 0.0), ordered = ordered)
   }
 
   /** EXACT Jaccard ≥ tau pairs via lossless PREFIX FILTERING
@@ -306,7 +307,15 @@ object DedupOps {
       // would reintroduce the duplicates-squared cost the batch was
       // supposed to avoid; between-group expansion always needs the full
       // member lists, so `groups` stays the join side
-      withinGroups: Option[DataFrame] = None): DataFrame = {
+      withinGroups: Option[DataFrame] = None,
+      // ordered=false skips the final (a_id, b_id) range sort — a whole
+      // range exchange (sampling pass + shuffle + global sort) per
+      // invocation that consumers which aggregate, cluster, or re-sort
+      // the pairs pay for nothing (round 17; the census/CC/planted-gate
+      // family all do). Default stays ordered: the direct-output gate
+      // rows (ngram_jaccard, minhash_lsh, incremental, containment) ARE
+      // the ordered relation.
+      ordered: Boolean = true): DataFrame = {
     val ga = groups.select(col("rep").as("a_id"), col("members").as("ma"))
     val gb = groups.select(col("rep").as("b_id"), col("members").as("mb"))
     val between = repPairs
@@ -324,7 +333,8 @@ object DedupOps {
       .select(col("x"), explode(col("members")).as("y"), col(valueCol))
       .filter(col("x") < col("y"))
       .select(col("x").as("a_id"), col("y").as("b_id"), col(valueCol))
-    between.unionAll(within).orderBy("a_id", "b_id")
+    val u = between.unionAll(within)
+    if (ordered) u.orderBy("a_id", "b_id") else u
   }
 
   /** The prefix-filter join proper, over one row per DISTINCT shingle
@@ -1405,7 +1415,10 @@ object DedupOps {
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
         val shifted = base.filter(col("doc_id") < 100)
           .select((col("doc_id") + 100000L).as("doc_id"), col("toks"))
-        val planted = simhashPairs(base.unionAll(shifted))
+        // ordered=false (round 17): both legs re-order or aggregate, so
+        // the expansion's (a_id, b_id) range sort — a sampling pass + a
+        // whole exchange per leg per pass — bought nothing here
+        val planted = simhashPairs(base.unionAll(shifted), ordered = false)
           // guaranteed-subset gate (see above); ids < 100000 ⇒ only
           // original↔copy identity pairs satisfy this
           .filter(col("b_id") === col("a_id") + 100000L)
@@ -1425,7 +1438,8 @@ object DedupOps {
           .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")))
           .select(col("c").as("bc"), col("h").as("bh"))
-        val viaChunks = fp(simhashPairs(slice).select("a_id", "b_id"))
+        val viaChunks = fp(simhashPairs(slice, ordered = false)
+          .select("a_id", "b_id"))
         val miss = viaChunks.crossJoin(brute).select(
           when(col("c") === col("bc") && col("h") === col("bh"), 0L)
             .otherwise(1L).as("open_chunk_miss"))
@@ -1485,7 +1499,8 @@ object DedupOps {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val shifted = base.filter(col("vec_id") < 100)
           .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
-        val planted = srpPairs(base.unionAll(shifted), 0.4)
+        // ordered=false: both legs re-order or aggregate (simhash's note)
+        val planted = srpPairs(base.unionAll(shifted), 0.4, ordered = false)
           // guaranteed-subset gate (see above)
           .filter(col("b_id") === col("a_id") + 100000L)
         // open-corpus soundness invariant the oracle can pin: on the
@@ -1500,7 +1515,7 @@ object DedupOps {
           .join(slice.as("b"), col("a.vec_id") < col("b.vec_id"))
           .filter(cosine_sim(col("a.v"), col("b.v")) >= 0.4)
           .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        val spurious = srpPairs(slice, 0.4).select("a_id", "b_id")
+        val spurious = srpPairs(slice, 0.4, ordered = false).select("a_id", "b_id")
           .join(brute, Seq("a_id", "b_id"), "left_anti")
           .agg(count(lit(1)).as("open_srp_spurious"))
         planted.crossJoin(spurious).orderBy("a_id")

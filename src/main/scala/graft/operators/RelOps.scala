@@ -647,12 +647,13 @@ object RelOps {
   def trigramSearch(parts: DataFrame, pat: String): DataFrame = {
     require(pat.length >= 3, "trigram prefilter is lossless only for >=3 chars")
     val qtris = pat.sliding(3).toSeq.distinct
-    val tri = parts.select(col("p_partkey"),
-      explode(array_distinct(
-        when(length(col("p_name")) >= 3,
-          expr("transform(sequence(1, length(p_name) - 2), " +
-            "i -> substring(p_name, i, 3))"))
-          .otherwise(array()))).as("tg"))
+    // index build: native one-pass char_trigrams (round 17) replaces the
+    // transform(sequence)+array_distinct HOF pipeline — CodegenFallback,
+    // interpreted lambda per trigram per row — and the scan is spread
+    // first so the per-row trigram generation doesn't run inside the
+    // one-file corpus' single scan task (no-op at real scan parallelism)
+    val tri = TextOps.spreadScan(parts).select(col("p_partkey"),
+      explode(graft.functions.GraftFunctions.char_trigrams(col("p_name"))).as("tg"))
     val cand = tri.filter(col("tg").isin(qtris: _*))
       .groupBy("p_partkey").agg(count(lit(1)).as("hits"))
       .filter(col("hits") === qtris.size)
@@ -996,11 +997,26 @@ object RelOps {
       (s: SparkSession, d: String) => {
         val flagDim = lineitem(s, d).select(col("l_returnflag").as("flag")).distinct()
           .withColumn("flag_label", concat(lit("flag_"), col("flag")))
+        // salt width DERIVED from the parallelism the hot keys must fill
+        // (guide §2.5), not a constant 16: with ~3 distinct flags, each
+        // hot key needs ~(target cores / hot keys) shards to spread one
+        // key's rows over the machine; hotPartitions is the session's
+        // capped exchange width, so the salted key space is ≥ it and the
+        // skewed aggregate fans to every core at any deployment size.
+        // Result-invariant: the dim side carries exactly one row per
+        // (flag, salt), so any width ≥ 1 yields the identical join/agg.
+        val salt = TextOps.hotPartitions(s)
         val saltedDim = flagDim
-          .withColumn("salt", explode(sequence(lit(0), lit(15))))
+          .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+        // NO spread on the fact side (measured, round 17): repartitioning
+        // the scan before the salting hash ships every fact row through an
+        // extra exchange whose serial write side (624 ms over the 3 scan
+        // tasks) costs twice what the fused probe+partial-agg saves
+        // (330 ms) — the per-row work here is too cheap to buy its rows an
+        // exchange (guide §2.3: the probe is salt+broadcast-probe only)
         lineitem(s, d)
           .select(col("l_returnflag").as("flag"), col("l_quantity"),
-            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16))
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salt))
               .cast("int").as("salt"))
           .join(broadcast(saltedDim), Seq("flag", "salt"))
           .groupBy("flag_label")
@@ -1846,6 +1862,12 @@ object RelOps {
     // extent beats the one-dimension layout's.
     ("lineitem_zorder_layout",
       (s: SparkSession, d: String) => {
+        // NOT spread (measured, round 17): parallelizing the interleave +
+        // cache build bought only ~0.1 s cold but left the cache 32-way —
+        // and the two warm consumers then paid 32 cached-read tasks each
+        // (~+0.27 s warm per invocation). The serial build is the better
+        // trade at both temperatures' sum; at real scan parallelism the
+        // cache inherits the scan's width anyway.
         val raw = lineitem(s, d).select(
           (unix_micros(date_trunc("day", col("l_shipdate").cast("timestamp")))
             / 86400000000L).cast("long").as("day_num"),
@@ -2289,9 +2311,15 @@ object RelOps {
           (unix_micros(date_trunc("DAY", col("ts"))) / 86400000000L)
             .cast("long").as("day"),
           col("user_id"))
-          // hotPartitions width — the dedup + fan-out + distinct-count
-          // legs all ride this one exchange (see TextOps.hotPartitions)
-          .repartition(TextOps.hotPartitions(s), col("user_id")).distinct()
+          // session-width repartition, DELIBERATELY not hotPartitions:
+          // round 16 widened this exchange and the driver's protocol
+          // measured the query 4× slower at 32 cores than at 8 (warm
+          // 0.47→1.90 s, cold →3.17 s, while the 8-core run — where the
+          // widening degenerates — stayed at 0.44 s). The ×7 fan-out
+          // dedup inside countDistinct pays per-partition hash tables;
+          // widening multiplies that constant with no compute to hide
+          // (round-17 revert, VERDICT r16 item 1).
+          .repartition(col("user_id")).distinct()
         daily
           .select(col("user_id"), explode(sequence(col("day"),
             col("day") + 6L)).as("day"))
@@ -2377,14 +2405,29 @@ object RelOps {
         // the other co-purchase rows all read the one materialization)
         val pairs = copurchaseCounts(li)
         CacheRegistry.register(supp, Seq(supp))
+        // ONE pass over the cached pair relation (round 17, deferred from
+        // r16): the union-of-swapped form read the 2×18 MB cache twice and
+        // probed the two broadcast supports once per direction. Attach
+        // both endpoints' supports to each pair ONCE, then explode the two
+        // rule directions from the joined row — same rows by construction
+        // (union(swap) ≡ explode of the direction structs), half the cache
+        // reads and broadcast probes. The shared cached pair relation
+        // itself is untouched.
         val rules = pairs
-          .select(col("p1").as("ante"), col("p2").as("cons"), col("n_orders").as("n_pair"))
-          .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"),
-            col("n_orders").as("n_pair")))
           .join(TextOps.broadcastIfSmall(
-            supp.select(col("p").as("ante"), col("n_p").as("n_ante"))), "ante")
+            supp.select(col("p").as("p1"), col("n_p").as("n_p1"))), "p1")
           .join(TextOps.broadcastIfSmall(
-            supp.select(col("p").as("cons"), col("n_p").as("n_cons"))), "cons")
+            supp.select(col("p").as("p2"), col("n_p").as("n_p2"))), "p2")
+          .select(explode(array(
+            struct(col("p1").as("ante"), col("p2").as("cons"),
+              col("n_orders").as("n_pair"),
+              col("n_p1").as("n_ante"), col("n_p2").as("n_cons")),
+            struct(col("p2").as("ante"), col("p1").as("cons"),
+              col("n_orders").as("n_pair"),
+              col("n_p2").as("n_ante"), col("n_p1").as("n_cons")))).as("r"))
+          .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+            col("r.n_pair").as("n_pair"), col("r.n_ante").as("n_ante"),
+            col("r.n_cons").as("n_cons"))
           .crossJoin(broadcast(nOrders))
         // lift6 composes from the already-floored conf6 ((conf6·N) div
         // n_cons) — identical composition in the oracle; both ratio

@@ -796,7 +796,10 @@ object SimilarityOps {
           .join(broadcast(brute.withColumn("h", lit(1L))),
             Seq("src", "dst"), "left")
           .agg(count(lit(1)).as("n_edges"),
-            sum(coalesce(col("h"), lit(0L))).as("sum_hits"))
+            // outer coalesce (r16 ADVICE): sum over an EMPTY knn relation
+            // is NULL where the old semi-join count() returned 0 — the
+            // degenerate no-edges case (1-row corpus in a smoke run)
+            coalesce(sum(coalesce(col("h"), lit(0L))), lit(0L)).as("sum_hits"))
         val nP = probes.agg(count(lit(1)).as("n_probes"))
         e.agg(count(lit(1)).as("n_nodes"))
           .crossJoin(broadcast(stats))

@@ -21,7 +21,13 @@ object TextOps {
 
   /** Count of occurrences of `w` in the token array (codegen'd built-ins). */
   private def tokCount(w: String): Column =
-    size(filter(toks, t => t === w))
+    // native one-pass scan (round 17): the previous
+    // size(filter(split(text," "), t === w)) form is CodegenFallback —
+    // interpreted per-element lambda over a fresh token array, per marker
+    // word per row (5× per row in langid). Bit-equivalent for every input
+    // (FunctionsSpec pins the property); the whole scorer now stays inside
+    // whole-stage codegen.
+    graft.functions.GraftFunctions.token_count(col("text"), lit(w))
 
   private def duckTokCount(w: String): String =
     s"len(list_filter(string_split(text, ' '), t -> t = '$w'))"
@@ -149,10 +155,19 @@ object TextOps {
     * dup_span_merge). Used as an explicit repartition ON THE OPERATOR'S
     * OWN KEY, so the downstream window/aggregate reuses the exchange —
     * stage count is unchanged, only its width.
+    *
+    * CAPPED at 4× the session setting (round-17, r16 ADVICE): on a large
+    * cluster defaultParallelism (total cores) can dwarf the data-sized
+    * shuffle setting, and an uncapped raise would shred these keyed
+    * exchanges (and the cache layouts built on them) into tiny shuffle
+    * blocks — the session setting stays authoritative within a small
+    * constant. The local bench shape is unchanged (max(8, min(32, 32))
+    * = 32).
     */
-  private[graft] def hotPartitions(s: SparkSession): Int =
-    math.max(s.sessionState.conf.numShufflePartitions,
-      s.sparkContext.defaultParallelism)
+  private[graft] def hotPartitions(s: SparkSession): Int = {
+    val conf = s.sessionState.conf.numShufflePartitions
+    math.max(conf, math.min(s.sparkContext.defaultParallelism, 4 * conf))
+  }
 
   private[graft] def spreadScan(df: DataFrame): DataFrame = {
     // streaming plans can't answer a partition probe (and their
@@ -274,6 +289,12 @@ object TextOps {
   def encodeIds(docs: DataFrame): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._
+    // deliberately NOT spread and NOT cached (measured, round 17): the
+    // two consumers' duplicated scan+posexplode is ~130 ms serial each,
+    // and every sharing variant lost — a .cache() of the exploded rows
+    // paid two 32-partition InMemoryTableScans per pass, a spread
+    // exchange added 2 stages without the hoped ReusedExchange win
+    // (0.60 s baseline vs 0.64-0.73 s for the variants)
     val tok = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
     val ids = vocab.orderBy(col("cnt").desc, col("token"))
@@ -285,9 +306,10 @@ object TextOps {
     val idsHinted = if (estimatedSmall(vocab)) broadcast(ids) else ids
     tok.join(idsHinted, "token")
       .groupBy("doc_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("tid")))),
-        x => x("tid")).as("ids"))
+      // array<struct>.field extraction (GetArrayStructFields, codegen)
+      // instead of a transform lambda (CodegenFallback) — same array
+      .agg(array_sort(collect_list(struct(col("pos"), col("tid"))))
+        .getField("tid").as("ids"))
   }
 
   /** Unigram-LM scoring relation (see the `text_unigram_logprob` entry):
@@ -1520,6 +1542,9 @@ object TextOps {
     // priority order, reported as a (actual, predicted) confusion matrix.
     ("text_langid",
       (s: SparkSession, d: String) => {
+        // NOT spread (measured, round 17): with the native token_count
+        // the 5-marker pass is 34 ms in the scan task; a spread exchange
+        // saved no wall time and added a stage (its floor costs more)
         val counted = markers.foldLeft(documents(s, d)) {
           case (df, (l, w)) => df.withColumn(s"c_$l", tokCount(w))
         }

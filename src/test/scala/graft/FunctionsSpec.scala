@@ -181,6 +181,56 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("token_count is bit-identical to the size(filter(split)) HOF form") {
+    // the round-17 langid rewrite: one native byte scan must reproduce
+    // size(filter(split(text, " "), t => t === w)) on every input shape —
+    // leading/trailing/consecutive spaces (empty segments), word at the
+    // string boundaries, word as a substring of a longer token (no match),
+    // empty text
+    val rnd = new scala.util.Random(23)
+    val words = Seq("the", "a", "data", "fast", "slow")
+    val vocab = words ++ Seq("theo", "th", "b", "", "dataset")
+    val cases = (0 until 80).map { _ =>
+      val n = rnd.nextInt(30)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    } ++ Seq("", " ", "  ", "the", " the", "the ", "a  a", "the the the")
+    val df = cases.toDF("text")
+    words.foreach { w =>
+      val rows = df.select(
+        token_count($"text", lit(w)).as("native"),
+        size(filter(split($"text", " "), t => t === w)).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getInt(0) == r.getInt(1), s"token_count('$w') mismatch: $r")
+      }
+    }
+    // SQL registration surface
+    assert(spark.sql("SELECT token_count('a b a', 'a') c").head().getInt(0) == 2)
+  }
+
+  test("char_trigrams equals the transform(sequence)+array_distinct HOF form") {
+    // the round-17 trigram-index rewrite: distinct char trigrams in
+    // first-occurrence order, empty under 3 chars
+    val rnd = new scala.util.Random(29)
+    val alpha = "abcde "
+    val cases = (0 until 80).map { _ =>
+      val n = rnd.nextInt(24)
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    } ++ Seq("", "ab", "abc", "aaaa", "abcabc")
+    val rows = cases.toDF("s").select(
+      char_trigrams($"s").as("native"),
+      array_distinct(
+        when(length($"s") >= 3,
+          expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"))
+          .otherwise(array())).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"char_trigrams mismatch: $n vs $h") }
+    // SQL registration surface
+    assert(spark.sql("SELECT char_trigrams('abcd') t").head()
+      .getSeq[String](0) == Seq("abc", "bcd"))
+  }
+
   test("sorted_intersect_count equals set intersection on random sorted arrays") {
     import graft.functions.GraftFunctions.sorted_intersect_count
     val rnd = new scala.util.Random(11)
