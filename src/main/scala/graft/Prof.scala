@@ -70,6 +70,7 @@ object Prof {
       }
       System.gc()
       recs.clear()
+      graft.sources.loki.testkit.LokiStubServer.resetStats()
       org.apache.spark.graft.ListenerShim
         .waitUntilListenerBusEmpty(spark.sparkContext, 10000)
       val t0 = System.nanoTime()
@@ -79,8 +80,12 @@ object Prof {
       org.apache.spark.graft.ListenerShim
         .waitUntilListenerBusEmpty(spark.sparkContext, 10000)
       val rows = recs.values.toSeq.sortBy(_.id)
+      val stubStats =
+        if (sys.env.get("GRAFT_STUB_STATS").contains("1"))
+          "  " + graft.sources.loki.testkit.LokiStubServer.statsLine
+        else ""
       println(f"== $n%-32s total=$secs%.3f s  stages=${rows.size}  " +
-        f"stageWallSum=${rows.map(_.wallMs).sum / 1e3}%.3f")
+        f"stageWallSum=${rows.map(_.wallMs).sum / 1e3}%.3f" + stubStats)
       rows.foreach { r =>
         println(f"   s${r.id}%-4d ${r.wallMs}%5d ms wall ${r.taskMs}%6d ms task " +
           f"${r.tasks}%3d t  in=${r.inputB / 1024}%6d K  sr=${r.shufReadB / 1024}%6d K " +

@@ -98,8 +98,14 @@ object Tables {
     * queries exercise Spark's map semantics (`element_at` ≙ DataFusion
     * `get_field`, reference src/expr.rs:5-16).
     */
-  def lokiView(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
+  /** The canonical (timestamp, labels, line) projection over a raw events
+    * relation — ONE definition (round 17, r16 ADVICE) shared by
+    * [[lokiView]] and the spread write/export variants in ConnectorOps,
+    * so the rendered view can never drift from the relation the loki
+    * gates and the oracle FROM clause are built around.
+    */
+  def lokiProject(events: DataFrame): DataFrame =
+    events.select(
       col("ts").as("timestamp"),
       map(
         lit("event_type"), col("event_type"),
@@ -108,6 +114,9 @@ object Tables {
       concat(col("event_type"), lit(" value="), col("value").cast("string"))
         .as("line")
     )
+
+  def lokiView(spark: SparkSession, dir: String): DataFrame =
+    lokiProject(events(spark, dir))
 
   /** DuckDB-side projection of the same log view, used as the FROM clause of
     * oracle SQL. Label predicates filter the underlying columns directly

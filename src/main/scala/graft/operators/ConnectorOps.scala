@@ -393,14 +393,7 @@ object ConnectorOps {
     * the single scan task still paid the rendering).
     */
   private def lokiViewSpread(s: SparkSession, d: String): DataFrame =
-    TextOps.spreadScan(Tables.events(s, d)).select(
-      col("ts").as("timestamp"),
-      map(
-        lit("event_type"), col("event_type"),
-        lit("user"), col("user_id").cast("string")
-      ).as("labels"),
-      concat(col("event_type"), lit(" value="), col("value").cast("string"))
-        .as("line"))
+    Tables.lokiProject(TextOps.spreadScan(Tables.events(s, d)))
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -1411,10 +1404,13 @@ object ConnectorOps {
       (s: SparkSession, d: String) =>
         roundtrip("orc") { dir =>
           // deliberately NOT spread (unlike ndjson/csv): the ORC writer
-          // pays ~0.3 s of per-task init/footer overhead, so 32 tiny
-          // files measured WORSE than the single serial write (0.88 s vs
-          // 0.67 s) — exactly guide §6's small-files cost; text sinks
-          // have no such per-file floor and keep the spread
+          // pays ~0.15-0.3 s of per-task init/footer overhead, so 32 tiny
+          // files measured WORSE than the single serial write in r16
+          // (0.88 s vs 0.67) and a 4-way repartition measured a WASH in
+          // r17 (0.605 vs 0.606 — the exchange write eats what the
+          // parallel stripes save) while hard-coding a local-mode
+          // constant; at real scale the scan has its own parallelism and
+          // the writer inherits it
           Tables.lokiView(s, d)
             .select(unix_micros(col("timestamp")).as("ts_us"),
               col("labels"), col("line"))
@@ -1445,7 +1441,16 @@ object ConnectorOps {
           st
         }))
         scratch.clear()
-        Tables.lokiView(s, d)
+        // spread write input (round 17): the render + JSON-serialize +
+        // POST pipeline ran in the view's single scan task (307 ms
+        // serial); the spread ships raw event columns and 32 writers
+        // push concurrently (the stub parses on a thread pool). Safe
+        // here because the gate is a pure COUNT — row order and batch
+        // grouping never reach the result. The one-shot SEED writes and
+        // the grouped roundtrip stay serial: parallel push permutes the
+        // store's insertion order (tie-order under limits) and multiplies
+        // per-writer stream objects (the wire_grouped_ok margin).
+        lokiViewSpread(s, d)
           .filter(element_at(col("labels"), "event_type") === "signup")
           .write.format("loki")
           .option("endpoint", scratch.endpoint)
@@ -1468,8 +1473,9 @@ object ConnectorOps {
           st
         }))
         scratch.clear()
+        // spread write input — count-only gate, see insert_count's note
         LokiWrite.insert(
-          Tables.lokiView(s, d)
+          lokiViewSpread(s, d)
             .filter(element_at(col("labels"), "event_type") === "purchase"),
           scratch.endpoint)
       },
@@ -1544,6 +1550,11 @@ object ConnectorOps {
         val back = s.read.format("loki")
           .option("endpoint", scratch.endpoint)
           .option("default_label", "event_type")
+          // single-slice read-back, deliberately (round 17 A/B): slicing
+          // into 8 windows made every slice a stub-cache MISS per pass
+          // (the write above invalidates the cache) and paid 8× the
+          // filter+encode — 0.48 → 0.58 s measured; one request builds
+          // the window once
           .load()
           .filter(col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
             col("timestamp") < lit("2024-03-01 00:00:00").cast("timestamp"))

@@ -27,6 +27,22 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   * range + limit server-side — which is what makes the connector's Exact
   * pushdown claims testable: Spark never re-filters.
   */
+/** Global serving-time counters across every stub instance in the JVM —
+  * dev instrumentation (round 17): the connector gate rows' warm cost had
+  * two candidate owners (stub serving vs Spark-side decode + operator
+  * work), and the counters attribute it. Read and reset by `graft.Prof`
+  * under `GRAFT_STUB_STATS=1`; zero overhead otherwise (three atomic
+  * bumps per request).
+  */
+object LokiStubServer {
+  val reqs = new java.util.concurrent.atomic.AtomicLong(0)
+  val cacheHits = new java.util.concurrent.atomic.AtomicLong(0)
+  val serveNs = new java.util.concurrent.atomic.AtomicLong(0)
+  def resetStats(): Unit = { reqs.set(0); cacheHits.set(0); serveNs.set(0) }
+  def statsLine: String = "stub: reqs=" + reqs.get + " cacheHits=" +
+    cacheHits.get + f" serve=${serveNs.get / 1e6}%.1f ms"
+}
+
 final class LokiStubServer {
 
   final case class LogRow(
@@ -45,7 +61,7 @@ final class LokiStubServer {
 
   def clear(): Unit = {
     rows.synchronized {
-      rows.clear(); seen.clear(); respCache.clear(); sortedCache = null
+      rows.clear(); seen.clear(); respCacheClear(); sortedCache = null
       deleteReqs.clear(); deleteIdNext = 1
     }
     // the dataset behind this endpoint just changed — stale stats-split
@@ -58,7 +74,7 @@ final class LokiStubServer {
     */
   def seed(rs: Iterable[LogRow]): Unit =
     rows.synchronized {
-      rows ++= rs; seen ++= rs; respCache.clear(); sortedCache = null
+      rows ++= rs; seen ++= rs; respCacheClear(); sortedCache = null
     }
 
   /** Requests observed, for pushdown assertions (query string per scan). */
@@ -72,7 +88,53 @@ final class LokiStubServer {
   // response cache keyed by the full query params; invalidated on ingest.
   // Real Loki caches query results the same way; here it keeps repeated
   // harness scans (bench warm-up + timed pass) from re-encoding parquet.
-  private val respCache = mutable.Map.empty[(String, Long, Long, Option[Int]), Array[Byte]]
+  // ACCESS-ORDER LRU bounded by BYTES (round 17): the old policy cleared
+  // the WHOLE cache once it passed 256 entries, and a full bench run's
+  // ~70 connector rows × 8-32 slices each overflow that well before the
+  // timed passes — so "warm" connector scans re-filtered and re-encoded
+  // parquet on a cache that thrashed empty (the loki_log_patterns warm
+  // drift the r16 verdict asked to pin: code and plan were unchanged,
+  // the stub's cache footprint was not). Real Loki bounds its results
+  // cache by memory the same way.
+  private val respCacheBudget: Long = sys.env.get("GRAFT_STUB_CACHE_BYTES")
+    .map(_.toLong).getOrElse(256L << 20)
+  private var respCacheBytes = 0L
+  private val respCache =
+    new java.util.LinkedHashMap[(String, Long, Long, Option[Int]), Array[Byte]](
+      64, 0.75f, /* accessOrder = */ true)
+  // callers hold rows.synchronized (the pre-existing locking discipline)
+  private def respCacheGet(k: (String, Long, Long, Option[Int])): Option[Array[Byte]] =
+    Option(respCache.get(k))
+  private def respCachePut(k: (String, Long, Long, Option[Int]), v: Array[Byte]): Unit = {
+    val prev = respCache.put(k, v)
+    respCacheBytes += v.length.toLong - (if (prev == null) 0L else prev.length.toLong)
+    val it = respCache.entrySet().iterator()
+    while (respCacheBytes > respCacheBudget && it.hasNext) {
+      respCacheBytes -= it.next().getValue.length.toLong
+      it.remove()
+    }
+  }
+  private def respCacheClear(): Unit = { respCache.clear(); respCacheBytes = 0L }
+
+  /** Memoize a meta endpoint's 200-response by its full request URI,
+    * through the same store-invalidated cache as query bodies (round 17):
+    * the series/volume handlers recompute a full-store distinct/aggregate
+    * per request (~250 ms on the bench corpus), and real Loki serves
+    * these from its index cache. Error responses are never cached.
+    */
+  private def metaCached(ex: HttpExchange)(compute: => Option[Array[Byte]]): Unit = {
+    val key = ("meta|" + ex.getRequestURI.toString, 0L, 0L, None: Option[Int])
+    rows.synchronized(respCacheGet(key)) match {
+      case Some(b) =>
+        LokiStubServer.cacheHits.incrementAndGet()
+        respond(ex, 200, b)
+      case None =>
+        compute.foreach { b =>
+          rows.synchronized(respCachePut(key, b))
+          respond(ex, 200, b)
+        }
+    }
+  }
 
   /** ts-sorted snapshot of `rows`, built once per corpus generation
     * (invalidated wherever respCache is) — the paged-walk query handler
@@ -262,7 +324,7 @@ final class LokiStubServer {
       // the stub must model it or stub-backed runs double-count retries.
       val row = r.copy(labels = injected)
       rows.synchronized {
-        if (seen.add(row)) { rows += row; respCache.clear(); sortedCache = null }
+        if (seen.add(row)) { rows += row; respCacheClear(); sortedCache = null }
       }
     }
     respond(ex, 204, Array.emptyByteArray)
@@ -310,6 +372,13 @@ final class LokiStubServer {
   // ----------------------------------------------------------- query_range
 
   private def handleQuery(ex: HttpExchange): Unit = {
+    val t0 = System.nanoTime()
+    LokiStubServer.reqs.incrementAndGet()
+    try handleQuery0(ex)
+    finally { LokiStubServer.serveNs.addAndGet(System.nanoTime() - t0); () }
+  }
+
+  private def handleQuery0(ex: HttpExchange): Unit = {
     if (injectFailure(ex, failNextQueries)) return
     if (queryLatencyMs > 0) Thread.sleep(queryLatencyMs)
     val params = ex.getRequestURI.getRawQuery.split('&').map { kv =>
@@ -354,7 +423,9 @@ final class LokiStubServer {
         if (limit.isEmpty && serverDefaultLimit > 0) Some(serverDefaultLimit)
         else limit
       val key = (s"$logql|fwd=$forward", start, end, effLimit)
-      val body = rows.synchronized(respCache.get(key)).getOrElse {
+      val cached = rows.synchronized(respCacheGet(key))
+      if (cached.isDefined) { LokiStubServer.cacheHits.incrementAndGet(); () }
+      val body = cached.getOrElse {
         val (matchers, stages) = parseLogql(logql)
         // sorted snapshot + binary-searched bounds: a paged walk over a
         // big corpus issues thousands of window requests, and the old
@@ -400,8 +471,7 @@ final class LokiStubServer {
         rows.synchronized {
           // bound the per-page body cache: a long paged walk would
           // otherwise accumulate every page's parquet bytes
-          if (respCache.size > 256) respCache.clear()
-          respCache.update(key, bytes)
+          respCachePut(key, bytes)
         }
         bytes
       }
@@ -553,8 +623,10 @@ final class LokiStubServer {
     // results the same way); invalidated wherever respCache is
     val cacheKey: (String, Long, Long, Option[Int]) =
       (s"metric|$q|step=$stepNs", start, end, None)
-    rows.synchronized(respCache.get(cacheKey)) match {
-      case Some(body) => respond(ex, 200, body); return
+    rows.synchronized(respCacheGet(cacheKey)) match {
+      case Some(body) =>
+        LokiStubServer.cacheHits.incrementAndGet()
+        respond(ex, 200, body); return
       case None =>
     }
     val (matchers, stages) = parseLogql(inner)
@@ -662,8 +734,7 @@ final class LokiStubServer {
       s"""{"status":"success","data":{"resultType":"matrix","result":[$els]}}"""
         .getBytes(UTF_8)
     rows.synchronized {
-      if (respCache.size > 256) respCache.clear()
-      respCache.update(cacheKey, body)
+      respCachePut(cacheKey, body)
     }
     respond(ex, 200, body)
   }
@@ -786,17 +857,18 @@ final class LokiStubServer {
         "at least one matcher is required in a series request".getBytes(UTF_8))
       return
     }
-    val sels = params.get("match[]").toSeq.map(q => parseLogql(q)._1)
-    val sets = windowRows(params)
-      .filter(r => sels.isEmpty || sels.exists(_.forall(_.matches(r.labels))))
-      .map(_.labels).distinct
-      .sortBy(_.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
-    val body = sets.map(s =>
-      "{" + s.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
-        .mkString(",") + "}").mkString(",")
-    respond(ex, 200,
-      s"""{"status":"success","data":[$body]}""".getBytes(UTF_8))
+    metaCached(ex) {
+      val sels = params.get("match[]").toSeq.map(q => parseLogql(q)._1)
+      val sets = windowRows(params)
+        .filter(r => sels.isEmpty || sels.exists(_.forall(_.matches(r.labels))))
+        .map(_.labels).distinct
+        .sortBy(_.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
+      val body = sets.map(s =>
+        "{" + s.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+          .mkString(",") + "}").mkString(",")
+      Some(s"""{"status":"success","data":[$body]}""".getBytes(UTF_8))
+    }
   }
 
   /** Volume requests as received (param map per request) — wire-pin
@@ -861,6 +933,7 @@ final class LokiStubServer {
       return
     }
 
+    metaCached(ex) {
     val hits = rows.synchronized(rows.toSeq)
       .filter(r => r.tsNs >= start && r.tsNs < end)
       .filter(r => matchers.forall(_.matches(r.labels)))
@@ -917,7 +990,8 @@ final class LokiStubServer {
         }.mkString(",")
         s"""{"status":"success","data":{"resultType":"vector","result":[$els]}}"""
       }
-    respond(ex, 200, body.getBytes(UTF_8))
+    Some(body.getBytes(UTF_8))
+    }
   }
 
   /** `GET /loki/api/v1/patterns` — real Loki's server-side log-pattern
@@ -962,8 +1036,10 @@ final class LokiStubServer {
     }
     val cacheKey: (String, Long, Long, Option[Int]) =
       (s"patterns|${params("query")}|step=$stepNs", start, end, None)
-    rows.synchronized(respCache.get(cacheKey)) match {
-      case Some(body) => respond(ex, 200, body); return
+    rows.synchronized(respCacheGet(cacheKey)) match {
+      case Some(body) =>
+        LokiStubServer.cacheHits.incrementAndGet()
+        respond(ex, 200, body); return
       case None =>
     }
     val hits = rows.synchronized(rows.toSeq)
@@ -1005,8 +1081,7 @@ final class LokiStubServer {
       }.mkString(",")
     val body = s"""{"status":"success","data":[$els]}""".getBytes(UTF_8)
     rows.synchronized {
-      if (respCache.size > 256) respCache.clear()
-      respCache.update(cacheKey, body)
+      respCachePut(cacheKey, body)
     }
     respond(ex, 200, body)
   }
@@ -1041,7 +1116,7 @@ final class LokiStubServer {
         deleteReqs(idx) = req.copy(status = "processed")
       }
     }
-    respCache.clear(); sortedCache = null
+    respCacheClear(); sortedCache = null
     graft.sources.loki.LokiScan.dropBoundsFor(endpoint)
   }
 
@@ -1121,7 +1196,7 @@ final class LokiStubServer {
                   evalPipeline(r, stages).isDefined)
               rows.clear(); rows ++= keep
               seen.clear(); seen ++= keep
-              respCache.clear(); sortedCache = null
+              respCacheClear(); sortedCache = null
             }
           }
         }
