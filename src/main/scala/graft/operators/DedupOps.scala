@@ -118,8 +118,7 @@ object DedupOps {
       // co-partitioned cached rows, so the chunk join needs no exchange
       // (see prefixIndex's layout note); also skips recomputing the
       // per-token simhash64 signature per side
-      .repartition(TextOps.hotPartitions(docs.sparkSession),
-        col("chunk_idx"), col("chunk"))
+      .repartition(col("chunk_idx"), col("chunk"))
       .cache()
     val repPairs = chunks.as("a")
       .join(chunks.as("b"),
@@ -157,8 +156,7 @@ object DedupOps {
       // cached ON the self-join key (band, bucket) — no exchange in the
       // band join (see prefixIndex's layout note); also skips
       // recomputing the 64-hyperplane SRP signature per side
-      .repartition(TextOps.hotPartitions(vecs.sparkSession),
-        col("band"), col("bucket"))
+      .repartition(col("band"), col("bucket"))
       .cache()
     val repPairs = banded.as("a")
       .join(banded.as("b"),
@@ -375,7 +373,7 @@ object DedupOps {
       // ex cached ON sh1 too: the dfreq aggregate and the ex⋈dfreq probe
       // join both key on it, so neither needs an exchange against this
       // layout (overlapJoinOnReps carries the same note)
-      .repartition(TextOps.hotPartitions(docs.sparkSession), col("sh1"))
+      .repartition(col("sh1"))
       .cache()
     val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
     val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
@@ -384,13 +382,17 @@ object DedupOps {
     // hash(sh1)-partitioned cached rows, so the join needs NO exchange at
     // all (guide §2.4 — the bucketed-table idea applied to a cached
     // relation); one repartition in the cache build replaces an exchange
-    // per consumer, and the width rides hotPartitions instead of the
-    // 8-partition session setting the verify stage was squeezed through
+    // per consumer. Width = the SESSION setting (round-17 A/B): the r16
+    // hotPartitions widening of these layouts read 10-20% slower warm in
+    // the driver's 32-core run and no better cold — the band/prefix
+    // caches are read once per pass, so extra width is pure per-task
+    // overhead (unlike a window/agg that reuses the exchange for real
+    // CPU); the layout, not the width, is the win.
     val prefix = ex.join(dfreq, "sh1")
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("sh1"))
-      .repartition(TextOps.hotPartitions(docs.sparkSession), col("sh1"))
+      .repartition(col("sh1"))
       .cache()
     CacheRegistry.register(groups, Seq(groups, prefix, ex))
     prefix
@@ -687,8 +689,20 @@ object DedupOps {
     // pins the round's rows and restarts the plan from them, keeping every
     // round's plan constant-size; superseded block state is released by the
     // ContextCleaner when the previous iterate becomes unreachable.
-    var comp = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    // min-neighbor initialization (round 17, deferred from r16): seed
+    // each node's label with min(id, min(neighbors)) instead of id —
+    // exactly one neighbor-min half-round folded into the init aggregate
+    // (same exchange the old distinct() paid), so most bounded-diameter
+    // dedup graphs converge one full checkpointed round earlier.
+    // Convergence-safe: the iterate is monotone non-increasing from ANY
+    // pointwise upper bound of the fixed point, and id ≥ this init ≥
+    // fixed point — same components, same representatives (the property
+    // suite pins CC against a transitive-closure reference).
+    var comp = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("mn")).as("comp"))
+      .localCheckpoint(true)
     // convergence via a label-multiset fingerprint (count + hash sum) read
     // off the freshly-materialized iterate — one cheap aggregate per round
     // instead of a join against the previous iterate
@@ -801,8 +815,7 @@ object DedupOps {
       // twice. The cached relation is narrow (doc_id, band, bucket),
       // laid out ON the band-join key so the self-join reads
       // co-partitioned cached rows with no exchange (see prefixIndex).
-      .repartition(TextOps.hotPartitions(sigs.sparkSession),
-        col("band"), col("bucket"))
+      .repartition(col("band"), col("bucket"))
       .cache()
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -989,7 +1002,7 @@ object DedupOps {
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shs"))
       .select(col("doc_id"), col("n"), xxhash64(col("shs")).as("sh1"))
-      .repartition(TextOps.hotPartitions(docs.sparkSession), col("sh1"))
+      .repartition(col("sh1"))
       .cache()
     val dfreq = ex.groupBy("sh1").agg(count(lit(1)).as("df"))
     val wP = Window.partitionBy("doc_id").orderBy(col("df"), col("sh1"))
@@ -999,7 +1012,7 @@ object DedupOps {
       .select(col("doc_id"), col("sh1"))
       // prefix laid out on the candidate-join key as well, so the
       // prefix⋈ex join below reads two co-partitioned caches
-      .repartition(TextOps.hotPartitions(docs.sparkSession), col("sh1"))
+      .repartition(col("sh1"))
       .cache()
     CacheRegistry.register(groups, Seq(groups, prefix, ex))
     val cand = prefix.as("a")

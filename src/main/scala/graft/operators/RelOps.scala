@@ -188,11 +188,13 @@ object RelOps {
     // are a node's out-edges — the same hub skew any per-node layout has;
     // WindowExec spills past its buffer, so a hub can't OOM a task.
     val ed = edges
-      // hotPartitions width: the deg window, the cache layout, and all
-      // five round joins ride this one exchange — at the session's
-      // data-sized 8 partitions it held ~10 s of task time on a 32-core
-      // box (see TextOps.hotPartitions)
-      .repartition(TextOps.hotPartitions(edges.sparkSession), col("src"))
+      // session width, DELIBERATELY not hotPartitions (round-17 A/B, the
+      // r16 verdict's watch item): widening this exchange to 32 read
+      // warm 0.53 / cold 4.83 s vs 0.38-0.44 / 2.50-2.74 at the session's
+      // 8 — the five round joins and the deg window all inherit the
+      // cache's width, so the widening multiplied every round's reduce
+      // tasks and the cold build paid 4 extra stages for idle width
+      .repartition(col("src"))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .persist()
     CacheRegistry.register(ed, Seq(ed))
