@@ -355,6 +355,11 @@ object SimilarityOps {
     // stragglers); the exchange ships raw corpus rows once and is a
     // no-op when the input already has parallelism (spreadScan contract)
     val e6 = vecs6(TextOps.spreadScan(e)).select(col("vec_id"), col("v6"))
+    // INTENTIONAL (round-17 A/B of the r16 ADVICE note): the query side
+    // deliberately re-plans the scan+quantize subtree instead of reading
+    // the spread e6 — deriving q6 from e6 hangs the broadcast build off
+    // the exchange (one extra stage) and measured 0.54 → 0.68 s warm;
+    // the duplicated subtree is a 20-row filter over a single cheap scan
     val q6 = vecs6(e).filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v6").as("qv6"))
     // native codegen inner product (bit-identical to the HOF fold it

@@ -493,10 +493,14 @@ object TextOps {
     * bit-identical scores; ranking runs on the ×1e6 quantized BIGINT.
     */
   private[graft] def bm25Top20(docs: DataFrame, terms: Seq[String]): DataFrame = {
-    val base = spreadScan(docs).select(col("doc_id"), toks.as("tk"))
+    // term counts via the native one-pass token_count (round 17) — the
+    // size(filter(tk, _ === term)) HOFs were interpreted per term per
+    // row (bit-equality pinned in FunctionsSpec); dl still counts the
+    // split array
+    val base = spreadScan(docs).select(col("doc_id"), toks.as("tk"), col("text"))
       .select(Seq(col("doc_id"), size(col("tk")).cast("double").as("dl")) ++
         terms.indices.map(i =>
-          size(filter(col("tk"), x => x === terms(i)))
+          graft.functions.GraftFunctions.token_count(col("text"), lit(terms(i)))
             .cast("double").as(s"tf$i")): _*)
       // base feeds TWO consumers — the corpus-stats aggregate and the
       // scoring projection — and producing it is the expensive part (the
@@ -516,10 +520,17 @@ object TextOps {
         (col(s"tf$i") +
           lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
-    base.crossJoin(broadcast(stats))
+    // the capped 20-row result is cached like hybrid_rrf's semantic leg
+    // (round 17): TWO gate rows consume this scorer (text_bm25_search
+    // and the fusion query), and each pass re-ran the stats aggregate +
+    // scoring TakeOrdered over the cached tokenize relation
+    val top = base.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score * 1e6, 0).cast("long").as("score6"))
       .filter(col("score6") > 0)
       .orderBy(col("score6").desc, col("doc_id")).limit(20)
+      .cache()
+    CacheRegistry.register(top, Seq(top))
+    top
   }
 
   def tfidfScored(docs: DataFrame): DataFrame = {
