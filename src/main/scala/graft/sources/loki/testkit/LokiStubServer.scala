@@ -97,7 +97,7 @@ final class LokiStubServer {
   // the stub's cache footprint was not). Real Loki bounds its results
   // cache by memory the same way.
   private val respCacheBudget: Long = sys.env.get("GRAFT_STUB_CACHE_BYTES")
-    .map(_.toLong).getOrElse(256L << 20)
+    .map(_.toLong).getOrElse(1024L << 20)
   private var respCacheBytes = 0L
   private val respCache =
     new java.util.LinkedHashMap[(String, Long, Long, Option[Int]), Array[Byte]](
